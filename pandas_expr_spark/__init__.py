@@ -1,0 +1,49 @@
+"""pandas-expr-spark: a PySpark-native lazy-DataFrame analytics engine.
+
+Same query/data-processing capabilities as the reference (phofl/pandas-expr)
+— a lazy pandas-like collection API over a logical expression tree — but
+re-expressed Spark-first: collections lower to PySpark ``DataFrame``
+transformations, Catalyst optimizes, Tungsten executes distributed.
+
+Public surface mirrors the reference's top level (``pandas_expr/__init__.py``):
+``DataFrame``, ``Series``, ``read_parquet``, ``read_csv``, ``concat``,
+``merge`` — plus the Spark-native extras (json/orc/jdbc sources, set ops,
+streaming, and the LLM-data-pipeline operators under ``functions``).
+"""
+
+from __future__ import annotations
+
+from ._collection import DataFrame as _DataFrameImpl, Index, Scalar, Series
+from ._expr import Expr, Node, tokenize
+from ._session import get_spark
+from .operators.joins import merge
+from .operators.setops import concat, except_, intersect, union
+from .sources import (from_pandas, from_spark, read_csv, read_jdbc, read_json,
+                      read_orc, read_parquet)
+
+__version__ = "0.1.0"
+
+
+class DataFrame(_DataFrameImpl):
+    """User-facing constructor accepts in-memory data (reference
+    ``_collection.py:326-339`` → ``PandasIO`` leaf) or a Spark DataFrame."""
+
+    def __init__(self, data=None, expr=None, index_cols=(), index_names=None):
+        from pyspark.sql import DataFrame as SparkDF
+        if isinstance(data, SparkDF):
+            super().__init__(data, expr, index_cols, index_names)
+            return
+        import pandas as pd
+        pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
+        f = from_pandas(pdf)
+        super().__init__(f._sdf, f._expr, f._index_cols, f._index_names or ())
+
+
+__all__ = [
+    "DataFrame", "Series", "Index", "Scalar",
+    "Expr", "Node", "tokenize",
+    "read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
+    "from_pandas", "from_spark",
+    "concat", "merge", "union", "intersect", "except_",
+    "get_spark",
+]

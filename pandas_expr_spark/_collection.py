@@ -1,0 +1,1161 @@
+"""User-facing lazy collections: DataFrame, Series, Index, Scalar.
+
+Mirrors the reference's collection layer (``_collection.py:66-600``): a thin
+immutable wrapper around a logical-plan node, with pandas-flavored methods.
+Here every wrapper also carries the *lowered* (but unexecuted) PySpark
+``DataFrame`` — Spark's analyzer validates schemas eagerly, which is our
+analogue of the reference's eager ``_meta`` (``_expr.py:595-597``), and
+Catalyst/Tungsten do all optimization and execution.
+
+Design notes (SURVEY §1.5 — the index problem):
+
+* Spark DataFrames are unordered and index-less.  We carry an **explicit
+  engine-managed index**: ``_index_cols`` names zero or more columns of the
+  underlying Spark DataFrame that form the pandas index.  Empty tuple =
+  implicit positional index (materialized only when an order-dependent op
+  demands it — ``head``/``tail``/alignment).
+* ``Series`` is *anchored*: it holds the parent frame's Spark DataFrame plus a
+  Column expression over it.  Binops between Series of the same anchor compose
+  Column expressions (stays in whole-stage codegen); cross-anchor binops align
+  via an index join (pandas alignment semantics, reference ``_expr.py:958-978``).
+* At 100 TB, positional-index materialization is the one op that cannot scale
+  (it is a global ordering); everything else lowers to shuffle-free column
+  expressions or ordinary shuffled joins/aggs that AQE handles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._dtypes import is_numeric, to_pandas_dtype, to_spark_type
+from ._expr import Node
+
+__all__ = ["DataFrame", "Series", "Index", "Scalar", "new_collection"]
+
+_ROWID = "__pes_rowid__"
+
+
+def _ensure_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+def _attach_rowid(sdf: SparkDF) -> SparkDF:
+    """Materialize a positional row id.
+
+    Scale note: ``zipWithIndex`` is a two-pass distributed operation (count
+    per partition, then offset) — unlike a global ``row_number()`` window it
+    does NOT funnel data through one partition, so it remains usable at
+    scale; we still only call it when an order-dependent op demands it.
+    """
+    schema = T.StructType(list(sdf.schema.fields) + [T.StructField(_ROWID, T.LongType())])
+    rdd = sdf.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    return sdf.sparkSession.createDataFrame(rdd, schema)
+
+
+# --------------------------------------------------------------------------
+# Base
+# --------------------------------------------------------------------------
+class FrameBase:
+    """Common machinery for DataFrame/Series/Index/Scalar
+    (reference ``FrameBase``, ``_collection.py:66-320``)."""
+
+    def __init__(self, sdf: SparkDF, expr: Node,
+                 index_cols: tuple[str, ...] = (),
+                 index_names: tuple | None = None):
+        self._sdf = sdf
+        self._expr = expr
+        self._index_cols = tuple(index_cols)
+        self._index_names = tuple(index_names) if index_names is not None \
+            else tuple(None for _ in index_cols)
+
+    # -- plan introspection (reference _collection.py:115-124, _expr.py:103-108)
+    @property
+    def expr(self) -> Node:
+        return self._expr
+
+    def pprint(self) -> None:
+        self._expr.pprint()
+
+    def tree_repr(self) -> str:
+        return self._expr.tree_repr()
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Spark physical-plan introspection (SURVEY §2.11)."""
+        self.to_spark().explain(mode)
+
+    def optimize(self):
+        """No engine-side pass needed: plans are lowered to Spark DataFrames
+        whose optimization is Catalyst's job (SURVEY §4).  Returns self."""
+        return self
+
+    simplify = optimize
+    lower_once = optimize
+
+    # -- execution --------------------------------------------------------
+    def to_spark(self) -> SparkDF:
+        """The lowered Spark DataFrame (index columns included)."""
+        return self._sdf
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK"):
+        self._sdf.persist()
+        return self
+
+    def compute(self):
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return (f"<{type(self).__name__}: expr={self._expr!r} "
+                f"index={list(self._index_cols)!r}>")
+
+
+# --------------------------------------------------------------------------
+# Scalar
+# --------------------------------------------------------------------------
+class Scalar(FrameBase):
+    """A lazy 0-dimensional result (reference ``_collection.py:582-586``):
+    a 1×1 Spark DataFrame collected on ``.compute()``."""
+
+    def compute(self):
+        rows = self._sdf.collect()
+        if not rows:
+            return None
+        return rows[0][0]
+
+    def __float__(self):
+        return float(self.compute())
+
+    def __int__(self):
+        return int(self.compute())
+
+
+# --------------------------------------------------------------------------
+# Series
+# --------------------------------------------------------------------------
+class Series(FrameBase):
+    """Anchored single-column collection (reference ``_collection.py:500-558``)."""
+
+    def __init__(self, sdf: SparkDF, scol: Column, name: str | None,
+                 expr: Node, index_cols: tuple[str, ...] = (),
+                 index_names: tuple | None = None):
+        super().__init__(sdf, expr, index_cols, index_names)
+        self._scol = scol
+        self._col_name = name
+
+    # ------------------------------------------------------------------
+    @property
+    def name(self) -> str | None:
+        return self._col_name
+
+    @property
+    def spark_column(self) -> Column:
+        return self._scol
+
+    def _with_scol(self, scol: Column, op: str, name: str | None = None,
+                   **params) -> "Series":
+        node = Node(op, {"name": name or self._col_name, **params}, self._expr)
+        return Series(self._sdf, scol, name or self._col_name, node,
+                      self._index_cols, self._index_names)
+
+    @property
+    def dtype(self) -> str:
+        out = self._sdf.select(self._scol.alias("__c__")).schema[0].dataType
+        return to_pandas_dtype(out)
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return self._sdf.select(self._scol.alias("__c__")).schema[0].dataType
+
+    @property
+    def size(self) -> Scalar:
+        return Scalar(self._sdf.agg(F.count(F.lit(1)).alias("size")),
+                      Node("size", {}, self._expr))
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    # ------------------------------------------------------------------
+    # binops — same-anchor composes Columns; cross-anchor aligns on index
+    # (pandas alignment, reference Binop `_expr.py:1519-1621`)
+    # ------------------------------------------------------------------
+    def _binop(self, other, fn: Callable[[Column, Column], Column], op: str,
+               reflexive: bool = False) -> "Series":
+        if isinstance(other, Series):
+            if other._sdf is self._sdf:
+                l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
+                return self._with_scol(fn(l, r), op)
+            return self._aligned_binop(other, fn, op, reflexive)
+        lit = F.lit(other)
+        l, r = (lit, self._scol) if reflexive else (self._scol, lit)
+        return self._with_scol(fn(l, r), op, params_other=repr(other))
+
+    def _aligned_binop(self, other: "Series", fn, op: str,
+                       reflexive: bool) -> "Series":
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf)
+        l, r = F.col("__l__"), F.col("__r__")
+        if reflexive:
+            l, r = r, l
+        scol = fn(l, r)
+        node = Node(op, {"aligned": True}, self._expr, other._expr)
+        return Series(joined._sdf, scol, self._col_name if self._col_name == other._col_name else None,
+                      node, joined._index_cols, joined._index_names)
+
+    # arithmetic
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b, "add")
+    def __radd__(self, o): return self._binop(o, lambda a, b: a + b, "add", True)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b, "sub")
+    def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, "sub", True)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b, "mul")
+    def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
+    def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
+    def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b), "floordiv")
+    def __mod__(self, o): return self._binop(o, lambda a, b: a % b, "mod")
+    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
+    # comparisons
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b, "le")
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b, "gt")
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b, "ge")
+    def __eq__(self, o): return self._binop(o, lambda a, b: a == b, "eq")  # type: ignore[override]
+    def __ne__(self, o): return self._binop(o, lambda a, b: a != b, "ne")  # type: ignore[override]
+    # boolean
+    def __and__(self, o): return self._binop(o, lambda a, b: a & b, "and")
+    def __rand__(self, o): return self._binop(o, lambda a, b: a & b, "and", True)
+    def __or__(self, o): return self._binop(o, lambda a, b: a | b, "or")
+    def __ror__(self, o): return self._binop(o, lambda a, b: a | b, "or", True)
+    def __xor__(self, o): return self._binop(o, lambda a, b: a.cast("boolean") != b.cast("boolean"), "xor")
+    # unary (reference Invert/Neg/Pos `_expr.py:1624-1656`)
+    def __invert__(self): return self._with_scol(~self._scol, "invert")
+    def __neg__(self): return self._with_scol(-self._scol, "neg")
+    def __pos__(self): return self._with_scol(self._scol, "pos")
+
+    __hash__ = None  # type: ignore[assignment]  # like pandas: unhashable
+
+    # ------------------------------------------------------------------
+    # elementwise (reference §2.2)
+    # ------------------------------------------------------------------
+    def abs(self): return self._with_scol(F.abs(self._scol), "abs")
+
+    def round(self, decimals: int = 0):
+        return self._with_scol(F.round(self._scol, decimals), "round", decimals=decimals)
+
+    def clip(self, lower=None, upper=None):
+        """Reference Clip ``_expr.py:1139-1150`` →
+        ``F.least(F.greatest(col, lower), upper)``."""
+        c = self._scol
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._with_scol(c, "clip", lower=lower, upper=upper)
+
+    def isna(self):
+        """Reference IsNa ``_expr.py:1209-1212``; NaN counts as missing for
+        float columns (pandas semantics)."""
+        dt = self.spark_type
+        c = self._scol.isNull()
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            c = c | F.isnan(self._scol)
+        return self._with_scol(c, "isna")
+
+    isnull = isna
+
+    def notna(self):
+        return self._with_scol(~self.isna()._scol, "notna")
+
+    notnull = notna
+
+    def isin(self, values: Iterable):
+        """Reference Isin ``_expr.py:1133-1136``.  For large value lists this
+        should become a broadcast semi-join; literal ``isin`` is fine for the
+        reference's list-sized inputs (Catalyst converts long IN-lists to a
+        hash set)."""
+        return self._with_scol(self._scol.isin(list(values)), "isin")
+
+    def between(self, left, right, inclusive: str = "both"):
+        """Reference Between ``_expr.py:1153-1156``."""
+        c = self._scol
+        lo = (c >= F.lit(left)) if inclusive in ("both", "left") else (c > F.lit(left))
+        hi = (c <= F.lit(right)) if inclusive in ("both", "right") else (c < F.lit(right))
+        return self._with_scol(lo & hi, "between", left=left, right=right,
+                               inclusive=inclusive)
+
+    def fillna(self, value):
+        return self._with_scol(F.coalesce(self._scol, F.lit(value)), "fillna",
+                               value=value)
+
+    def replace(self, to_replace, value=None):
+        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        c = self._scol
+        out = c
+        for k, v in mapping.items():
+            out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
+        return self._with_scol(out, "replace", mapping=repr(mapping))
+
+    def astype(self, dtype):
+        """Reference AsType ``_expr.py:1171-1206``."""
+        st = to_spark_type(dtype)
+        return self._with_scol(self._scol.cast(st), "astype", dtype=str(dtype))
+
+    def mask(self, cond: "Series", other=None):
+        return self._with_scol(
+            F.when(cond._scol, F.lit(other)).otherwise(self._scol), "mask")
+
+    def where(self, cond: "Series", other=None):
+        return self._with_scol(
+            F.when(cond._scol, self._scol).otherwise(F.lit(other)), "where")
+
+    def map(self, arg, na_action=None):
+        """Reference Map ``_expr.py:1264-1272``.  dict arg → chained CASE WHEN
+        (JVM-side, no Python roundtrip — SURVEY §2.10); callable → pandas UDF."""
+        if isinstance(arg, Mapping):
+            c = self._scol
+            out = F.lit(None)
+            for k, v in arg.items():
+                out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
+            if na_action == "ignore":
+                out = F.when(c.isNull(), F.lit(None)).otherwise(out)
+            return self._with_scol(out, "map")
+        return self.apply(arg)
+
+    def apply(self, func: Callable, return_type: Any = None):
+        """Elementwise UDF via Arrow-batched pandas_udf (reference Apply
+        ``_expr.py:1240-1261``).  Schema inferred by running ``func`` on a
+        tiny sample when not given — mirroring ``Apply._meta``."""
+        if return_type is None:
+            sample = self._sdf.select(self._scol.alias("__c__")).limit(10).toPandas()["__c__"]
+            inferred = sample.map(func) if len(sample) else pd.Series([], dtype="object")
+            return_type = to_spark_type(inferred.dtype if inferred.dtype != object else "string") \
+                if len(inferred) else T.StringType()
+        else:
+            return_type = to_spark_type(return_type)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(return_type)
+        def _apply(s: pd.Series) -> pd.Series:
+            return s.map(func)
+
+        return self._with_scol(_apply(self._scol), "apply", func=getattr(func, "__name__", "lambda"))
+
+    # ------------------------------------------------------------------
+    # reductions → Scalar (reference §2.5, `_reductions.py`)
+    # ------------------------------------------------------------------
+    def _reduce(self, agg: Column, op: str, skipna: bool = True) -> Scalar:
+        out = agg
+        if not skipna:
+            has_null = F.max(self.isna()._scol.cast("int")) == 1
+            out = F.when(has_null, F.lit(None)).otherwise(agg)
+        node = Node(op, {}, self._expr)
+        return Scalar(self._sdf.agg(out.alias(op)), node)
+
+    def sum(self, skipna: bool = True, min_count: int = 0):
+        agg = F.sum(self._scol)
+        if min_count:
+            agg = F.when(F.count(self._scol) >= min_count, agg)
+        else:
+            agg = F.coalesce(agg, F.lit(0))
+        return self._reduce(agg, "sum", skipna)
+
+    def prod(self, skipna: bool = True, min_count: int = 0):
+        agg = F.product(self._scol)
+        if min_count:
+            agg = F.when(F.count(self._scol) >= min_count, agg)
+        return self._reduce(agg, "prod", skipna)
+
+    product = prod
+
+    def min(self, skipna: bool = True):
+        return self._reduce(F.min(self._scol), "min", skipna)
+
+    def max(self, skipna: bool = True):
+        return self._reduce(F.max(self._scol), "max", skipna)
+
+    def mean(self, skipna: bool = True):
+        """Correct kwargs — the reference's Mean silently ignores them
+        (wart at ``_reductions.py:221-230``; SURVEY §7.3.4)."""
+        return self._reduce(F.avg(self._scol), "mean", skipna)
+
+    def count(self) -> Scalar:
+        return self._reduce(F.count(self._scol), "count")
+
+    def var(self, ddof: int = 1, skipna: bool = True):
+        """General ddof via sufficient statistics (n, Σx, Σx²) —
+        SURVEY §2.5 Var/Std."""
+        if ddof == 1:
+            return self._reduce(F.var_samp(self._scol), "var", skipna)
+        if ddof == 0:
+            return self._reduce(F.var_pop(self._scol), "var", skipna)
+        n = F.count(self._scol)
+        agg = (F.sum(self._scol * self._scol) - F.pow(F.sum(self._scol), 2) / n) / (n - ddof)
+        return self._reduce(agg, "var", skipna)
+
+    def std(self, ddof: int = 1, skipna: bool = True):
+        if ddof == 1:
+            return self._reduce(F.stddev_samp(self._scol), "std", skipna)
+        if ddof == 0:
+            return self._reduce(F.stddev_pop(self._scol), "std", skipna)
+        return Scalar(self.var(ddof=ddof, skipna=skipna)._sdf.select(
+            F.sqrt(F.col("var")).alias("std")), Node("std", {}, self._expr))
+
+    def any(self, skipna: bool = True):
+        return self._reduce(F.max(F.coalesce(self._scol.cast("boolean"), F.lit(False))), "any")
+
+    def all(self, skipna: bool = True):
+        return self._reduce(F.min(F.coalesce(self._scol.cast("boolean"), F.lit(True))), "all")
+
+    def nunique(self, dropna: bool = True):
+        c = F.countDistinct(self._scol) if dropna else \
+            F.countDistinct(self._scol) + F.max(self._scol.isNull().cast("int"))
+        return self._reduce(c, "nunique")
+
+    def nunique_approx(self, rsd: float = 0.05):
+        """HyperLogLog distinct-count — implements properly what is a dead
+        API in the reference (``_collection.py:282-283`` raises
+        AttributeError; SURVEY §2.5)."""
+        return self._reduce(F.approx_count_distinct(self._scol, rsd), "nunique_approx")
+
+    def mode(self):
+        """Reference Mode ``_reductions.py:242-255``; deterministic
+        tie-break by value."""
+        f = self.to_frame("__v__")
+        counted = (f._sdf.groupBy("__v__").agg(F.count(F.lit(1)).alias("__n__")))
+        # broadcast-join against the max count — no single-partition window
+        maxn = counted.agg(F.max("__n__").alias("__m__"))
+        top = (counted.join(F.broadcast(maxn), F.col("__n__") == F.col("__m__"))
+               .select("__v__").orderBy("__v__"))
+        node = Node("mode", {}, self._expr)
+        return Series(top, F.col("__v__"), self._col_name, node)
+
+    def quantile(self, q: float = 0.5, approx: bool = False):
+        """Exact interpolating percentile by default (pandas semantics);
+        ``approx=True`` → t-digest ``percentile_approx`` for the 100 TB path."""
+        if approx:
+            return self._reduce(F.percentile_approx(self._scol, q, 10000), "quantile")
+        return self._reduce(F.percentile(self._scol, F.lit(q)), "quantile")
+
+    def median(self, skipna: bool = True, approx: bool = False):
+        if approx:
+            return self._reduce(F.percentile_approx(self._scol, 0.5, 10000), "median", skipna)
+        return self._reduce(F.median(self._scol), "median", skipna)
+
+    def idxmin(self, skipna: bool = True):
+        """Reference IdxMin ``_reductions.py:142-152`` → ``F.min_by`` over the
+        index column (no sort, single agg)."""
+        return self._idx_extreme(F.min_by, "idxmin")
+
+    def idxmax(self, skipna: bool = True):
+        return self._idx_extreme(F.max_by, "idxmax")
+
+    def _idx_extreme(self, fn, op: str) -> Scalar:
+        if self._index_cols:
+            idx = F.col(self._index_cols[0])
+            sdf = self._sdf
+        else:
+            sdf = _attach_rowid(self._sdf)
+            idx = F.col(_ROWID)
+        valid = sdf.filter(self._scol.isNotNull())
+        return Scalar(valid.agg(fn(idx, self._scol).alias(op)), Node(op, {}, self._expr))
+
+    # ------------------------------------------------------------------
+    # distinct / frequency (reference §2.5)
+    # ------------------------------------------------------------------
+    def unique(self) -> "Series":
+        f = self.to_frame(self._col_name or "__v__")
+        out = f._sdf.distinct()
+        node = Node("unique", {}, self._expr)
+        return Series(out, F.col(self._col_name or "__v__"), self._col_name, node)
+
+    def drop_duplicates(self) -> "Series":
+        return self.unique()
+
+    def value_counts(self, sort: bool = True, ascending: bool = False,
+                     dropna: bool = True, normalize: bool = False) -> "Series":
+        """Reference ValueCounts ``_reductions.py:288-305``."""
+        name = self._col_name or "__v__"
+        f = self.to_frame(name)
+        sdf = f._sdf
+        if dropna:
+            sdf = sdf.filter(F.col(name).isNotNull())
+        out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
+        val_col = "count"
+        if normalize:
+            out = out.withColumn("proportion",
+                                 F.col("count") / F.sum("count").over(Window.partitionBy()))
+            out = out.select(name, "proportion")
+            val_col = "proportion"
+        if sort:
+            out = out.orderBy(F.col(val_col).asc() if ascending else F.col(val_col).desc(),
+                              F.col(name).asc())
+        node = Node("value_counts", {"normalize": normalize}, self._expr)
+        return Series(out, F.col(val_col), val_col, node, (name,), (name,))
+
+    def nlargest(self, n: int = 5) -> "Series":
+        """Distributed TopK (TakeOrderedAndProject) — reference NLargest
+        ``_reductions.py:268-285``."""
+        name = self._col_name or "__v__"
+        f = self.to_frame(name)
+        out = f._sdf.orderBy(F.col(name).desc()).limit(n)
+        return Series(out, F.col(name), self._col_name,
+                      Node("nlargest", {"n": n}, self._expr),
+                      self._index_cols, self._index_names)
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        name = self._col_name or "__v__"
+        f = self.to_frame(name)
+        out = f._sdf.orderBy(F.col(name).asc()).limit(n)
+        return Series(out, F.col(name), self._col_name,
+                      Node("nsmallest", {"n": n}, self._expr),
+                      self._index_cols, self._index_names)
+
+    # ------------------------------------------------------------------
+    def to_frame(self, name: str | None = None) -> "DataFrame":
+        """Reference ToFrame ``_expr.py:1073-1084``."""
+        name = name or self._col_name or "0"
+        cols = [F.col(c) for c in self._index_cols] + [self._scol.alias(name)]
+        node = Node("to_frame", {"name": name}, self._expr)
+        return DataFrame(self._sdf.select(*cols), node,
+                         self._index_cols, self._index_names)
+
+    def rename(self, name: str) -> "Series":
+        return self._with_scol(self._scol, "rename", name=name)
+
+    def head(self, n: int = 5) -> "Series":
+        f = self.to_frame(self._col_name or "__v__")
+        out = f._sdf.limit(n)
+        return Series(out, F.col(self._col_name or "__v__"), self._col_name,
+                      Node("head", {"n": n}, self._expr),
+                      self._index_cols, self._index_names)
+
+    def explode(self) -> "Series":
+        return self._with_scol(F.explode_outer(self._scol), "explode")
+
+    # -- accessors (wired in functions/accessors.py) ---------------------
+    @property
+    def str(self):
+        from .functions.accessors import StringAccessor
+        return StringAccessor(self)
+
+    @property
+    def dt(self):
+        from .functions.accessors import DatetimeAccessor
+        return DatetimeAccessor(self)
+
+    @property
+    def cat(self):
+        from .functions.accessors import CategoricalAccessor
+        return CategoricalAccessor(self)
+
+    # ------------------------------------------------------------------
+    def compute(self) -> pd.Series:
+        name = self._col_name if self._col_name is not None else "__values__"
+        cols = [F.col(c) for c in self._index_cols] + [self._scol.alias(name)]
+        pdf = self._sdf.select(*cols).toPandas()
+        if self._index_cols:
+            pdf = pdf.set_index(list(self._index_cols))
+            pdf.index.names = list(self._index_names)
+        ser = pdf[name]
+        if self._col_name is None:
+            ser.name = None
+        return ser
+
+
+class Index(Series):
+    """The engine-managed index as a collection
+    (reference ``Index``, ``_collection.py:561-579``)."""
+
+
+# --------------------------------------------------------------------------
+# DataFrame
+# --------------------------------------------------------------------------
+class DataFrame(FrameBase):
+    """Lazy multi-column collection (reference ``_collection.py:323-497``)."""
+
+    # ------------------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols and f.name != _ROWID]
+
+    @property
+    def dtypes(self) -> pd.Series:
+        return pd.Series({f.name: to_pandas_dtype(f.dataType)
+                          for f in self._sdf.schema.fields
+                          if f.name in self.columns})
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._sdf.schema
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    @property
+    def size(self) -> Scalar:
+        """rows × cols (reference Size ``_reductions.py:177-189``)."""
+        ncols = len(self.columns)
+        return Scalar(self._sdf.agg((F.count(F.lit(1)) * ncols).alias("size")),
+                      Node("size", {"ncols": ncols}, self._expr))
+
+    @property
+    def index(self) -> Index:
+        if self._index_cols:
+            c = self._index_cols[0]
+            return Index(self._sdf, F.col(c), self._index_names[0],
+                         Node("index", {"col": c}, self._expr))
+        sdf = _attach_rowid(self._sdf)
+        return Index(sdf, F.col(_ROWID), None, Node("index", {}, self._expr))
+
+    # ------------------------------------------------------------------
+    def _derive(self, sdf: SparkDF, op: str, params: dict | None = None,
+                index_cols=None, index_names=None) -> "DataFrame":
+        node = Node(op, params or {}, self._expr)
+        return DataFrame(sdf, node,
+                         self._index_cols if index_cols is None else tuple(index_cols),
+                         self._index_names if index_names is None else tuple(index_names))
+
+    def _col(self, name: str) -> Series:
+        node = Node("projection", {"columns": name}, self._expr)
+        return Series(self._sdf, F.col(name), name, node,
+                      self._index_cols, self._index_names)
+
+    # -- projection / filter (reference Projection/Filter `_expr.py:1355-1422`)
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            if key not in self.columns:
+                raise KeyError(key)
+            return self._col(key)
+        if isinstance(key, (list, tuple)):
+            missing = [k for k in key if k not in self.columns]
+            if missing:
+                raise KeyError(missing)
+            cols = [F.col(c) for c in self._index_cols] + [F.col(c) for c in key]
+            return self._derive(self._sdf.select(*cols), "projection",
+                                {"columns": list(key)})
+        if isinstance(key, Series):
+            if key._sdf is not self._sdf:
+                raise ValueError(
+                    "Boolean mask must derive from the same frame "
+                    "(pandas-expr semantics: df[df.x > 1])")
+            return self._derive(self._sdf.filter(key._scol), "filter",
+                                {"predicate": key._expr.op})
+        raise TypeError(f"Unsupported key type: {type(key)}")
+
+    def __getattr__(self, name: str):
+        # column access fallback (reference `_collection.py:130-144`)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cols = object.__getattribute__(self, "columns")
+        if name in cols:
+            return self._col(name)
+        raise AttributeError(name)
+
+    def __setitem__(self, key: str, value):
+        """In-place assign rebinds the wrapper (reference
+        ``_collection.py:341-352``)."""
+        out = self.assign(**{key: value})
+        self._sdf, self._expr = out._sdf, out._expr
+
+    def assign(self, **kwargs) -> "DataFrame":
+        """Reference Assign ``_expr.py:1309-1341`` → ``withColumns``."""
+        sdf = self._sdf
+        new_cols: dict[str, Column] = {}
+        for k, v in kwargs.items():
+            if isinstance(v, Series):
+                if v._sdf is not sdf and v._sdf is not self._sdf:
+                    raise ValueError("assign with foreign Series requires matching index; "
+                                     "use merge/join instead")
+                new_cols[k] = v._scol
+            elif callable(v):
+                tmp = DataFrame(sdf, self._expr, self._index_cols, self._index_names)
+                res = v(tmp)
+                if not isinstance(res, Series):
+                    raise TypeError("assign callable must return a Series")
+                new_cols[k] = res._scol
+            else:
+                new_cols[k] = F.lit(v)
+        sdf = sdf.withColumns(new_cols)
+        return self._derive(sdf, "assign", {"columns": list(kwargs)})
+
+    def drop(self, labels=None, columns=None, axis: int = 1, errors: str = "raise") -> "DataFrame":
+        """Reference Drop ``_expr.py:1296-1306``."""
+        cols = _ensure_list(columns if columns is not None else labels)
+        if errors == "raise":
+            missing = [c for c in cols if c not in self.columns]
+            if missing:
+                raise KeyError(missing)
+        return self._derive(self._sdf.drop(*cols), "drop", {"columns": cols})
+
+    def rename(self, columns: Mapping[str, str] | None = None) -> "DataFrame":
+        """Reference RenameFrame ``_expr.py:1034-1052``."""
+        if not columns:
+            return self
+        return self._derive(self._sdf.withColumnsRenamed(dict(columns)),
+                            "rename", {"columns": dict(columns)})
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """Reference ``_collection.py:489-491``."""
+        include = _ensure_list(include)
+        exclude = _ensure_list(exclude)
+
+        def _match(dt: T.DataType, names: list) -> bool:
+            for n in names:
+                if n in ("number",):
+                    if is_numeric(dt):
+                        return True
+                else:
+                    try:
+                        if type(to_spark_type(n)) is type(dt):
+                            return True
+                    except TypeError:
+                        pass
+            return False
+
+        keep = []
+        for f in self._sdf.schema.fields:
+            if f.name in self._index_cols or f.name == _ROWID:
+                continue
+            if include and not _match(f.dataType, include):
+                continue
+            if exclude and _match(f.dataType, exclude):
+                continue
+            keep.append(f.name)
+        return self[keep]
+
+    def eval(self, expr: str) -> "DataFrame":
+        """Reference Eval ``_expr.py:1344-1352`` → Spark SQL expression parser
+        (compiled, not a UDF)."""
+        target, _, rhs = expr.partition("=")
+        if not rhs:
+            raise ValueError("eval requires 'col = expression'")
+        return self._derive(self._sdf.withColumn(target.strip(), F.expr(rhs.strip())),
+                            "eval", {"expr": expr})
+
+    def query(self, expr: str) -> "DataFrame":
+        """SQL-flavored filter (Spark-native analogue of ``df.query``)."""
+        return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
+
+    # -- null handling ---------------------------------------------------
+    def fillna(self, value) -> "DataFrame":
+        if isinstance(value, Mapping):
+            return self._derive(self._sdf.fillna(dict(value)), "fillna", {})
+        return self._derive(self._sdf.fillna(value), "fillna", {"value": value})
+
+    def dropna(self, how: str = "any", thresh: int | None = None,
+               subset: Sequence[str] | None = None) -> "DataFrame":
+        """Reference DropnaFrame ``_expr.py:986-1002`` → exact Spark builtin."""
+        return self._derive(
+            self._sdf.dropna(how=how, thresh=thresh, subset=_ensure_list(subset) or None),
+            "dropna", {"how": how, "thresh": thresh, "subset": subset})
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        return self._derive(self._sdf.replace(mapping), "replace", {})
+
+    def astype(self, dtype) -> "DataFrame":
+        if isinstance(dtype, Mapping):
+            casts = {c: F.col(c).cast(to_spark_type(t)) for c, t in dtype.items()}
+        else:
+            st = to_spark_type(dtype)
+            casts = {c: F.col(c).cast(st) for c in self.columns}
+        return self._derive(self._sdf.withColumns(casts), "astype", {})
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """Reference CombineFirst ``_expr.py:1005-1031``: index-aligned null
+        overlay → full outer join on index + per-column coalesce."""
+        joined, lcols, rcols = _index_outer_join(self, other)
+        out_cols = [F.col(c) for c in joined._index_cols]
+        all_names = list(dict.fromkeys(self.columns + other.columns))
+        for name in all_names:
+            l = lcols.get(name)
+            r = rcols.get(name)
+            if l is not None and r is not None:
+                out_cols.append(F.coalesce(F.col(l), F.col(r)).alias(name))
+            elif l is not None:
+                out_cols.append(F.col(l).alias(name))
+            else:
+                out_cols.append(F.col(r).alias(name))
+        node = Node("combine_first", {}, self._expr, other._expr)
+        return DataFrame(joined._sdf.select(*out_cols), node,
+                         joined._index_cols, joined._index_names)
+
+    def align(self, other: "DataFrame", join: str = "outer"):
+        """Reference ``_Align`` ``_expr.py:958-978``."""
+        joined, lcols, rcols = _index_outer_join(self, other, how=join)
+        lsel = [F.col(c) for c in joined._index_cols] + \
+               [F.col(lcols[c]).alias(c) for c in self.columns]
+        rsel = [F.col(c) for c in joined._index_cols] + \
+               [F.col(rcols[c]).alias(c) for c in other.columns]
+        ln = Node("align_left", {}, self._expr, other._expr)
+        rn = Node("align_right", {}, self._expr, other._expr)
+        return (DataFrame(joined._sdf.select(*lsel), ln, joined._index_cols, joined._index_names),
+                DataFrame(joined._sdf.select(*rsel), rn, joined._index_cols, joined._index_names))
+
+    # -- sampling / dedup ------------------------------------------------
+    def sample(self, frac: float | None = None, n: int | None = None,
+               replace: bool = False, random_state: int | None = None) -> "DataFrame":
+        """Reference Sample ``_expr.py:1055-1070``."""
+        if frac is None:
+            raise NotImplementedError("sample(n=...) requires a count; use frac")
+        return self._derive(
+            self._sdf.sample(withReplacement=replace, fraction=frac, seed=random_state),
+            "sample", {"frac": frac, "replace": replace, "seed": random_state})
+
+    def drop_duplicates(self, subset: Sequence[str] | None = None,
+                        keep: str = "any") -> "DataFrame":
+        """Reference DropDuplicates ``_reductions.py:52-80``.
+
+        ``keep="any"`` (default here) → ``dropDuplicates`` — shuffle-only,
+        scale-friendly.  ``keep="first"/"last"`` honor positional order via a
+        row-number window over the engine index (`IX` — SURVEY §2.5)."""
+        subset = _ensure_list(subset) or self.columns
+        if keep == "any":
+            return self._derive(self._sdf.dropDuplicates(subset), "drop_duplicates",
+                                {"subset": subset})
+        if self._index_cols:
+            sdf, order_col = self._sdf, self._index_cols[0]
+        else:
+            sdf, order_col = _attach_rowid(self._sdf), _ROWID
+        order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+        w = Window.partitionBy(*subset).orderBy(order)
+        out = (sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") == 1).drop("__rn__"))
+        if order_col == _ROWID:
+            out = out.drop(_ROWID)
+        return self._derive(out, "drop_duplicates", {"subset": subset, "keep": keep})
+
+    def explode(self, column: str) -> "DataFrame":
+        """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``."""
+        cols = [F.col(c) for c in self._index_cols] + \
+               [F.explode_outer(F.col(c)).alias(c) if c == column else F.col(c)
+                for c in self.columns]
+        return self._derive(self._sdf.select(*cols), "explode", {"column": column})
+
+    # -- ordering / limits (`IX` family, SURVEY §2.7) --------------------
+    def sort_values(self, by, ascending: bool | Sequence[bool] = True,
+                    na_position: str = "last") -> "DataFrame":
+        by = _ensure_list(by)
+        asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        cols = []
+        for b, a in zip(by, asc):
+            c = F.col(b)
+            if a:
+                c = c.asc_nulls_last() if na_position == "last" else c.asc_nulls_first()
+            else:
+                c = c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
+            cols.append(c)
+        return self._derive(self._sdf.orderBy(*cols), "sort",
+                            {"by": by, "ascending": list(asc)})
+
+    def head(self, n: int = 5) -> "DataFrame":
+        """Reference Head ``_expr.py:1471-1492``.  After ``sort_values`` this
+        compiles to distributed TopK (TakeOrderedAndProject); on an unsorted
+        frame it is natural (file) order, like the reference's single
+        partition."""
+        return self._derive(self._sdf.limit(n), "head", {"n": n})
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        """Reference Tail ``_expr.py:1495-1516`` → ``offset(count-n)``.
+        Requires one count action at build time."""
+        total = self._sdf.count()
+        return self._derive(self._sdf.offset(max(total - n, 0)), "tail", {"n": n})
+
+    def limit(self, n: int) -> "DataFrame":
+        return self._derive(self._sdf.limit(n), "limit", {"n": n})
+
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        cols = _ensure_list(columns)
+        return self._derive(
+            self._sdf.orderBy(*[F.col(c).desc() for c in cols]).limit(n),
+            "nlargest", {"n": n, "columns": cols})
+
+    def nsmallest(self, n: int, columns) -> "DataFrame":
+        cols = _ensure_list(columns)
+        return self._derive(
+            self._sdf.orderBy(*[F.col(c).asc() for c in cols]).limit(n),
+            "nsmallest", {"n": n, "columns": cols})
+
+    # -- index management (SURVEY §1.5, §2.2 SetIndex/ResetIndex) --------
+    def set_index(self, keys, drop: bool = True) -> "DataFrame":
+        keys = _ensure_list(keys)
+        sdf = self._sdf
+        if not drop:
+            for k in keys:
+                sdf = sdf.withColumn(f"__idxcopy_{k}__", F.col(k))
+        node = Node("set_index", {"keys": keys, "drop": drop}, self._expr)
+        return DataFrame(sdf, node, tuple(keys), tuple(keys))
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        sdf = self._sdf
+        if drop:
+            sdf = sdf.drop(*self._index_cols)
+        else:
+            names = [n if n is not None else "index" for n in self._index_names]
+            ren = {c: n for c, n in zip(self._index_cols, names) if c != n}
+            if ren:
+                sdf = sdf.withColumnsRenamed(ren)
+            order = [ren.get(c, c) for c in self._index_cols] + self.columns
+            sdf = sdf.select(*order)
+        node = Node("reset_index", {"drop": drop}, self._expr)
+        return DataFrame(sdf, node, (), ())
+
+    def rename_axis(self, index=None) -> "DataFrame":
+        """Reference RenameAxis ``_expr.py:1227-1237`` — metadata only."""
+        names = _ensure_list(index)
+        node = Node("rename_axis", {"index": names}, self._expr)
+        return DataFrame(self._sdf, node, self._index_cols, tuple(names))
+
+    # -- reductions over all columns (reference §2.5) --------------------
+    def _columnwise(self, fn: Callable[[Column], Column], op: str,
+                    numeric_only: bool = True) -> Series:
+        fields = [f for f in self._sdf.schema.fields if f.name in self.columns]
+        if numeric_only:
+            fields = [f for f in fields if is_numeric(f.dataType)]
+        aggs = [fn(F.col(f.name)).alias(f.name) for f in fields]
+        one_row = self._sdf.agg(*aggs)
+        # unpivot to (column, value) long form → pandas Series on compute
+        names = [f.name for f in fields]
+        stack_expr = ", ".join(f"'{n}', cast(`{n}` as double)" for n in names)
+        long = one_row.selectExpr(
+            f"stack({len(names)}, {stack_expr}) as (__col__, __val__)")
+        node = Node(op, {"axis": 0}, self._expr)
+        return Series(long, F.col("__val__"), None, node, ("__col__",), (None,))
+
+    def sum(self, numeric_only: bool = True):
+        return self._columnwise(F.sum, "sum", numeric_only)
+
+    def mean(self, numeric_only: bool = True):
+        return self._columnwise(F.avg, "mean", numeric_only)
+
+    def min(self, numeric_only: bool = True):
+        return self._columnwise(F.min, "min", numeric_only)
+
+    def max(self, numeric_only: bool = True):
+        return self._columnwise(F.max, "max", numeric_only)
+
+    def count(self, numeric_only: bool = False):
+        return self._columnwise(F.count, "count", numeric_only)
+
+    def var(self, ddof: int = 1, numeric_only: bool = True):
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        return self._columnwise(fn, "var", numeric_only)
+
+    def std(self, ddof: int = 1, numeric_only: bool = True):
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._columnwise(fn, "std", numeric_only)
+
+    def mode(self, numeric_only: bool = False):
+        raise NotImplementedError("DataFrame.mode: use Series.mode per column")
+
+    def var_columns(self, ddof: int = 1) -> Series:
+        """Row-wise variance across columns (reference VarColumns
+        ``_expr.py:1087-1099``) via ``F.aggregate`` over an array — stays in
+        codegen, no Python."""
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name in self.columns and is_numeric(f.dataType)]
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        n = F.lit(len(cols))
+        mean = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+        ssq = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+        var = (ssq - n * mean * mean) / (n - F.lit(ddof))
+        node = Node("var_columns", {"ddof": ddof}, self._expr)
+        return Series(self._sdf, var, None, node, self._index_cols, self._index_names)
+
+    def std_columns(self, ddof: int = 1) -> Series:
+        v = self.var_columns(ddof)
+        return v._with_scol(F.sqrt(v._scol), "std_columns")
+
+    def memory_usage(self, deep: bool = False) -> Series:
+        """Approximation (SURVEY §2.5 NBytes/MemoryUsage): sum of serialized
+        column widths; Spark has no exact pandas-bytes analogue."""
+        fields = [f for f in self._sdf.schema.fields if f.name in self.columns]
+        aggs = []
+        for f in fields:
+            if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+                aggs.append(F.sum(F.length(F.col(f.name))).alias(f.name))
+            else:
+                aggs.append((F.count(F.lit(1)) * F.lit(8)).alias(f.name))
+        one_row = self._sdf.agg(*aggs)
+        names = [f.name for f in fields]
+        stack_expr = ", ".join(f"'{n}', cast(`{n}` as long)" for n in names)
+        long = one_row.selectExpr(f"stack({len(names)}, {stack_expr}) as (__col__, __val__)")
+        node = Node("memory_usage", {}, self._expr)
+        return Series(long, F.col("__val__"), None, node, ("__col__",), (None,))
+
+    def nunique_approx(self, rsd: float = 0.05) -> Series:
+        return self._columnwise(lambda c: F.approx_count_distinct(c, rsd).cast("double"),
+                                "nunique_approx", numeric_only=False)
+
+    # -- groupby / join / concat (operators/) ----------------------------
+    def groupby(self, by, sort: bool = True, as_index: bool = True,
+                dropna: bool = True, observed: bool = False):
+        from .operators.groupby import GroupBy
+        by = _ensure_list(by)
+        bad = [b for b in by if not isinstance(b, str)]
+        if bad:
+            # reference raises on foreign-Series grouping (`_groupby.py:267-303`)
+            raise TypeError("groupby only supports column names")
+        missing = [b for b in by if b not in self.columns]
+        if missing:
+            raise KeyError(missing)
+        return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna)
+
+    def merge(self, right: "DataFrame", how: str = "inner", on=None,
+              left_on=None, right_on=None, left_index: bool = False,
+              right_index: bool = False, suffixes: tuple = ("_x", "_y"),
+              indicator: bool = False, broadcast: bool | None = None) -> "DataFrame":
+        from .operators.joins import merge as _merge
+        return _merge(self, right, how=how, on=on, left_on=left_on,
+                      right_on=right_on, left_index=left_index,
+                      right_index=right_index, suffixes=suffixes,
+                      indicator=indicator, broadcast=broadcast)
+
+    def join(self, other, on=None, how: str = "left",
+             lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        from .operators.joins import join as _join
+        return _join(self, other, on=on, how=how, lsuffix=lsuffix, rsuffix=rsuffix)
+
+    # -- UDF surface (reference Apply/Map §2.10) -------------------------
+    def apply(self, func: Callable, axis: int = 1, schema=None) -> "DataFrame":
+        """Frame-wise UDF via Arrow-batched ``mapInPandas``.  Schema inferred
+        by running ``func`` on a sample when not declared (reference
+        ``Apply._meta``, ``_expr.py:1247-1249``)."""
+        if axis != 1:
+            raise NotImplementedError("apply(axis=0): use columnwise reductions")
+        if schema is None:
+            sample = self._sdf.limit(10).toPandas()
+            out = func(sample)
+            if not isinstance(out, pd.DataFrame):
+                raise TypeError("apply func must return a pandas DataFrame; "
+                                "pass schema= for Series-returning funcs")
+            fields = [T.StructField(c, to_spark_type(out[c].dtype)) for c in out.columns]
+            schema = T.StructType(fields)
+
+        def _mapper(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        out_sdf = self._sdf.mapInPandas(_mapper, schema)
+        return DataFrame(out_sdf, Node("apply", {}, self._expr), (), ())
+
+    def map_partitions(self, func: Callable, schema) -> "DataFrame":
+        """Arrow-batched partition-wise transform (``mapInPandas``)."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+
+        def _mapper(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        return DataFrame(self._sdf.mapInPandas(_mapper, schema),
+                         Node("map_partitions", {}, self._expr), (), ())
+
+    # -- partitioning control (scale surface) ----------------------------
+    def repartition(self, num: int | None = None, *cols) -> "DataFrame":
+        sdf = self._sdf.repartition(num, *[F.col(c) for c in cols]) if cols \
+            else self._sdf.repartition(num)
+        return self._derive(sdf, "repartition", {"num": num, "cols": list(cols)})
+
+    def coalesce(self, num: int) -> "DataFrame":
+        return self._derive(self._sdf.coalesce(num), "coalesce", {"num": num})
+
+    # -- sinks (reference ToParquet io/parquet.py:49-76) ------------------
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_by: Sequence[str] | None = None) -> None:
+        w = self._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._sdf.write.mode(mode).option("header", header).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        self._sdf.write.mode(mode).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite") -> None:
+        self._sdf.write.mode(mode).orc(path)
+
+    # ------------------------------------------------------------------
+    def compute(self) -> pd.DataFrame:
+        pdf = self._sdf.toPandas()
+        if _ROWID in pdf.columns:
+            pdf = pdf.drop(columns=[_ROWID])
+        if self._index_cols:
+            pdf = pdf.set_index(list(self._index_cols))
+            pdf.index.names = list(self._index_names)
+        return pdf
+
+
+# --------------------------------------------------------------------------
+# alignment helpers (pandas index-alignment semantics, reference
+# `_Align` _expr.py:958-978 / CombineFirst :1005-1031)
+# --------------------------------------------------------------------------
+def _frame_with_index(df: DataFrame) -> DataFrame:
+    if df._index_cols:
+        return df
+    sdf = _attach_rowid(df._sdf)
+    return DataFrame(sdf, df._expr, (_ROWID,), (None,))
+
+
+def _index_outer_join(left: DataFrame, right: DataFrame, how: str = "outer"):
+    """Full-outer join two frames on their index; returns (joined, left-col
+    mapping, right-col mapping)."""
+    lf = _frame_with_index(left)
+    rf = _frame_with_index(right)
+    if len(lf._index_cols) != len(rf._index_cols):
+        raise ValueError("cannot align frames with different index widths")
+    lsdf = lf._sdf
+    rsdf = rf._sdf
+    lmap = {c: f"__l_{c}__" for c in left.columns}
+    rmap = {c: f"__r_{c}__" for c in right.columns}
+    lidx = list(lf._index_cols)
+    ridx = list(rf._index_cols)
+    lsel = [F.col(c).alias(f"__lidx_{i}__") for i, c in enumerate(lidx)] + \
+           [F.col(c).alias(lmap[c]) for c in left.columns]
+    rsel = [F.col(c).alias(f"__ridx_{i}__") for i, c in enumerate(ridx)] + \
+           [F.col(c).alias(rmap[c]) for c in right.columns]
+    l2 = lsdf.select(*lsel)
+    r2 = rsdf.select(*rsel)
+    cond = None
+    for i in range(len(lidx)):
+        c = l2[f"__lidx_{i}__"].eqNullSafe(r2[f"__ridx_{i}__"])
+        cond = c if cond is None else (cond & c)
+    joined = l2.join(r2, cond, how)
+    idx_cols = []
+    for i in range(len(lidx)):
+        joined = joined.withColumn(
+            f"__idx_{i}__", F.coalesce(F.col(f"__lidx_{i}__"), F.col(f"__ridx_{i}__")))
+        joined = joined.drop(f"__lidx_{i}__", f"__ridx_{i}__")
+        idx_cols.append(f"__idx_{i}__")
+    names = lf._index_names
+    out = DataFrame(joined, Node("align", {}, left._expr, right._expr),
+                    tuple(idx_cols), names)
+    return out, lmap, rmap
+
+
+def _align_frames(lf: DataFrame, rf: DataFrame) -> DataFrame:
+    joined, lmap, rmap = _index_outer_join(lf, rf)
+    sel = [F.col(c) for c in joined._index_cols] + \
+          [F.col(lmap[c]).alias(c) for c in lf.columns] + \
+          [F.col(rmap[c]).alias(c) for c in rf.columns]
+    return DataFrame(joined._sdf.select(*sel), joined._expr,
+                     joined._index_cols, joined._index_names)
+
+
+def new_collection(sdf: SparkDF, expr: Node, index_cols=(), index_names=None):
+    """Dispatch by result shape (reference ``new_collection``,
+    ``_collection.py:589-600``): 1 data column → Series handled by callers;
+    here we return DataFrame by default."""
+    return DataFrame(sdf, expr, tuple(index_cols), index_names)

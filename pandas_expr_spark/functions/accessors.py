@@ -1,0 +1,226 @@
+"""Series accessors: ``.str``, ``.dt``, ``.cat`` (SURVEY §2.8).
+
+The reference designed the accessor framework for all three namespaces
+(``_accessor.py:6-61``, docstring at ``_accessor.py:8``) but only wired
+``cat`` (``_collection.py:557-558``).  We wire all three, each method mapping
+to a JVM-side ``pyspark.sql.functions`` call — no Python roundtrip
+(``PropertyMap``/``FunctionMap`` pattern, ``_accessor.py:63-81``).
+
+Categorical (reference ``_categorical.py:14-129``): Spark has no categorical
+dtype; we model it as engine metadata — *known* categories are a driver-held
+list; *unknown* means "not yet computed", resolved by a lazy ``distinct()``
+exactly like the reference's ``as_known`` which computes ``.unique()``
+(``_categorical.py:55-76``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, functions as F
+
+
+class _Accessor:
+    def __init__(self, series):
+        self._s = series
+
+    def _wrap(self, scol: Column, op: str):
+        return self._s._with_scol(scol, op)
+
+
+class StringAccessor(_Accessor):
+    """``ser.str.*`` → ``F.*`` string functions."""
+
+    def upper(self): return self._wrap(F.upper(self._s._scol), "str.upper")
+    def lower(self): return self._wrap(F.lower(self._s._scol), "str.lower")
+    def strip(self): return self._wrap(F.trim(self._s._scol), "str.strip")
+    def lstrip(self): return self._wrap(F.ltrim(self._s._scol), "str.lstrip")
+    def rstrip(self): return self._wrap(F.rtrim(self._s._scol), "str.rstrip")
+    def len(self): return self._wrap(F.length(self._s._scol), "str.len")
+    def title(self): return self._wrap(F.initcap(self._s._scol), "str.title")
+    capitalize = title
+
+    def contains(self, pat: str, regex: bool = True):
+        c = self._s._scol
+        out = c.rlike(pat) if regex else c.contains(pat)
+        return self._wrap(out, "str.contains")
+
+    def startswith(self, pat: str):
+        return self._wrap(self._s._scol.startswith(pat), "str.startswith")
+
+    def endswith(self, pat: str):
+        return self._wrap(self._s._scol.endswith(pat), "str.endswith")
+
+    def match(self, pat: str):
+        return self._wrap(self._s._scol.rlike(f"^(?:{pat})"), "str.match")
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else 2 ** 31 - 1
+        return self._wrap(F.substring(self._s._scol, start + 1, length), "str.slice")
+
+    def get(self, i: int):
+        return self._wrap(F.substring(self._s._scol, i + 1, 1), "str.get")
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        c = self._s._scol
+        if regex:
+            out = F.regexp_replace(c, pat, repl)
+        else:
+            out = F.replace(c, F.lit(pat), F.lit(repl))
+        return self._wrap(out, "str.replace")
+
+    def extract(self, pat: str, group: int = 1):
+        return self._wrap(F.regexp_extract(self._s._scol, pat, group), "str.extract")
+
+    def split(self, pat: str = r"\s+", regex: bool = True):
+        import re
+        p = pat if regex else re.escape(pat)
+        return self._wrap(F.split(self._s._scol, p), "str.split")
+
+    def cat(self, others=None, sep: str = ""):
+        if others is None:
+            raise NotImplementedError("str.cat reduction form")
+        cols = [self._s._scol] + [o._scol for o in others]
+        return self._wrap(F.concat_ws(sep, *cols), "str.cat")
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        fn = F.lpad if side == "left" else F.rpad
+        return self._wrap(fn(self._s._scol, width, fillchar), "str.pad")
+
+    def zfill(self, width: int):
+        return self._wrap(F.lpad(self._s._scol, width, "0"), "str.zfill")
+
+    def repeat(self, n: int):
+        return self._wrap(F.repeat(self._s._scol, n), "str.repeat")
+
+    def find(self, sub: str):
+        return self._wrap(F.instr(self._s._scol, sub) - 1, "str.find")
+
+    def isdigit(self):
+        return self._wrap(self._s._scol.rlike(r"^[0-9]+$"), "str.isdigit")
+
+    def isalpha(self):
+        return self._wrap(self._s._scol.rlike(r"^[A-Za-z]+$"), "str.isalpha")
+
+    def isalnum(self):
+        return self._wrap(self._s._scol.rlike(r"^[A-Za-z0-9]+$"), "str.isalnum")
+
+
+class DatetimeAccessor(_Accessor):
+    """``ser.dt.*`` → ``F.*`` date functions."""
+
+    @property
+    def year(self): return self._wrap(F.year(self._s._scol), "dt.year")
+    @property
+    def month(self): return self._wrap(F.month(self._s._scol), "dt.month")
+    @property
+    def day(self): return self._wrap(F.dayofmonth(self._s._scol), "dt.day")
+    @property
+    def hour(self): return self._wrap(F.hour(self._s._scol), "dt.hour")
+    @property
+    def minute(self): return self._wrap(F.minute(self._s._scol), "dt.minute")
+    @property
+    def second(self): return self._wrap(F.second(self._s._scol), "dt.second")
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0; Spark dayofweek: Sunday=1
+        return self._wrap(((F.dayofweek(self._s._scol) + 5) % 7), "dt.dayofweek")
+    weekday = dayofweek
+    @property
+    def dayofyear(self): return self._wrap(F.dayofyear(self._s._scol), "dt.dayofyear")
+    @property
+    def quarter(self): return self._wrap(F.quarter(self._s._scol), "dt.quarter")
+    @property
+    def date(self): return self._wrap(F.to_date(self._s._scol), "dt.date")
+    @property
+    def week(self): return self._wrap(F.weekofyear(self._s._scol), "dt.week")
+
+    def floor(self, freq: str):
+        spark_freq = {"D": "day", "H": "hour", "h": "hour", "T": "minute",
+                      "min": "minute", "S": "second", "W": "week",
+                      "M": "month", "MS": "month", "Y": "year"}[freq]
+        return self._wrap(F.date_trunc(spark_freq, self._s._scol), "dt.floor")
+
+    truncate = floor
+
+    def strftime(self, fmt: str):
+        # translate common strftime directives to Spark's pattern letters
+        trans = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                 "%M": "mm", "%S": "ss"}
+        pat = fmt
+        for k, v in trans.items():
+            pat = pat.replace(k, v)
+        return self._wrap(F.date_format(self._s._scol, pat), "dt.strftime")
+
+
+class CategoricalAccessor(_Accessor):
+    """Reference ``CategoricalAccessor`` (``_categorical.py:39-120``).
+
+    Categories live as driver-side metadata on the Series (``_cat_known``);
+    ``as_known`` computes them via ``distinct()`` exactly as the reference's
+    ``as_known`` computes ``.unique()`` (``_categorical.py:55-76``).
+    """
+
+    @property
+    def known(self) -> bool:
+        return getattr(self._s, "_cat_categories", None) is not None
+
+    def as_known(self):
+        cats = [r[0] for r in
+                self._s._sdf.select(self._s._scol.alias("__c__"))
+                .distinct().orderBy("__c__").collect()]
+        out = self._s._with_scol(self._s._scol, "cat.as_known")
+        out._cat_categories = cats
+        return out
+
+    def as_unknown(self):
+        out = self._s._with_scol(self._s._scol, "cat.as_unknown")
+        out._cat_categories = None
+        return out
+
+    @property
+    def categories(self):
+        if not self.known:
+            raise ValueError("categories are unknown; call .cat.as_known() first")
+        return list(self._s._cat_categories)
+
+    @property
+    def codes(self):
+        """Dictionary-encode: dense_rank over the category ordering.  At scale
+        this is a broadcast-join against the (small) category list."""
+        if self.known:
+            cats = self._s._cat_categories
+            mapping = F.lit(None)
+            c = self._s._scol
+            out = mapping
+            for i, cat in enumerate(cats):
+                out = F.when(c == F.lit(cat), F.lit(i)).otherwise(out)
+            return self._wrap(out.cast("int"), "cat.codes")
+        w = Window.orderBy(self._s._scol)
+        return self._wrap((F.dense_rank().over(w) - 1).cast("int"), "cat.codes")
+
+    def rename_categories(self, mapping: dict):
+        c = self._s._scol
+        out = c
+        for k, v in mapping.items():
+            out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
+        res = self._wrap(out, "cat.rename_categories")
+        if self.known:
+            res._cat_categories = [mapping.get(c_, c_) for c_ in self._s._cat_categories]
+        return res
+
+    def add_categories(self, new):
+        if not self.known:
+            raise ValueError("unknown categories")
+        out = self._s._with_scol(self._s._scol, "cat.add_categories")
+        new = new if isinstance(new, list) else [new]
+        out._cat_categories = list(self._s._cat_categories) + new
+        return out
+
+    def remove_categories(self, removals):
+        if not self.known:
+            raise ValueError("unknown categories")
+        removals = removals if isinstance(removals, list) else [removals]
+        c = self._s._scol
+        scol = F.when(c.isin(removals), F.lit(None)).otherwise(c)
+        out = self._wrap(scol, "cat.remove_categories")
+        out._cat_categories = [x for x in self._s._cat_categories if x not in removals]
+        return out

@@ -1,0 +1,223 @@
+"""Grouped aggregations (reference ``_groupby.py`` → SURVEY §2.6).
+
+Every grouped reduction lowers to one ``df.groupBy(*by).agg(...)`` — Catalyst
+plans partial (map-side) + final hash aggregation with a single shuffle on the
+group keys; AQE coalesces/splits post-shuffle partitions.  This is strictly
+stronger than the reference's single-task ``pd.groupby`` (``_groupby.py:24-133``).
+
+Unlike the reference we support ``sort=True`` (rejected at
+``_groupby.py:305-306``) — in Spark it is just an ``orderBy`` on the result.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from .._dtypes import is_numeric, to_spark_type
+from .._expr import Node
+
+_AGG_FNS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "prod": F.product,
+    "product": F.product,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": F.median,
+    "median_approx": lambda c: F.percentile_approx(c, 0.5, 10000),
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "nunique": F.countDistinct,
+    "any": lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
+    "all": lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
+    "size": lambda c: F.count(F.lit(1)),
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "approx_nunique": F.approx_count_distinct,
+}
+
+
+class GroupBy:
+    """Reference ``GroupBy`` collection (``_groupby.py:257-335``)."""
+
+    def __init__(self, frame, by: list[str], sort: bool = True,
+                 as_index: bool = True, dropna: bool = True,
+                 slice_: list[str] | None = None):
+        self._frame = frame
+        self._by = by
+        self._sort = sort
+        self._as_index = as_index
+        self._dropna = dropna
+        self._slice = slice_
+
+    # -- slicing (reference `_groupby.py:320-335`) -----------------------
+    def __getitem__(self, key):
+        keys = [key] if isinstance(key, str) else list(key)
+        missing = [k for k in keys if k not in self._frame.columns]
+        if missing:
+            raise KeyError(missing)
+        return GroupBy(self._frame, self._by, self._sort, self._as_index,
+                       self._dropna, slice_=keys)
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._frame.columns:
+            return self[name]
+        raise AttributeError(name)
+
+    # ------------------------------------------------------------------
+    def _value_columns(self, numeric_only: bool = False) -> list[str]:
+        cols = self._slice if self._slice is not None else \
+            [c for c in self._frame.columns if c not in self._by]
+        if numeric_only:
+            schema = {f.name: f.dataType for f in self._frame._sdf.schema.fields}
+            cols = [c for c in cols if is_numeric(schema[c])]
+        return cols
+
+    def _grouped_sdf(self):
+        sdf = self._frame._sdf
+        if self._dropna:
+            for b in self._by:
+                sdf = sdf.filter(F.col(b).isNotNull())
+        return sdf
+
+    def _finish(self, out, op: str):
+        from .._collection import DataFrame, Series
+        if self._sort:
+            out = out.orderBy(*[F.col(b).asc() for b in self._by])
+        node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        idx = tuple(self._by) if self._as_index else ()
+        names = tuple(self._by) if self._as_index else None
+        value_cols = [c for c in out.columns if c not in self._by]
+        if self._as_index and self._slice is not None and len(value_cols) == 1:
+            return Series(out, F.col(value_cols[0]), value_cols[0], node, idx, names)
+        return DataFrame(out, node, idx, names)
+
+    def _single_agg(self, fn_name: str, numeric_only: bool = False):
+        cols = self._value_columns(numeric_only)
+        fn = _AGG_FNS[fn_name]
+        aggs = [fn(F.col(c)).alias(c) for c in cols]
+        out = self._grouped_sdf().groupBy(*self._by).agg(*aggs)
+        return self._finish(out, fn_name)
+
+    # -- the reference's grouped reductions (`_groupby.py:193-238`) ------
+    def sum(self, numeric_only: bool = True): return self._single_agg("sum", numeric_only)
+    def prod(self, numeric_only: bool = True): return self._single_agg("prod", numeric_only)
+    def min(self, numeric_only: bool = False): return self._single_agg("min", numeric_only)
+    def max(self, numeric_only: bool = False): return self._single_agg("max", numeric_only)
+    def count(self): return self._single_agg("count")
+    def mean(self, numeric_only: bool = True): return self._single_agg("mean", numeric_only)
+    def median(self, numeric_only: bool = True): return self._single_agg("median", numeric_only)
+    def var(self, ddof: int = 1, numeric_only: bool = True):
+        if ddof not in (0, 1):
+            raise NotImplementedError("groupby.var: ddof ∈ {0,1}")
+        name = "var" if ddof == 1 else "var_pop"
+        _AGG_FNS.setdefault("var_pop", F.var_pop)
+        return self._single_agg(name, numeric_only)
+    def std(self, ddof: int = 1, numeric_only: bool = True):
+        if ddof not in (0, 1):
+            raise NotImplementedError("groupby.std: ddof ∈ {0,1}")
+        name = "std" if ddof == 1 else "std_pop"
+        _AGG_FNS.setdefault("std_pop", F.stddev_pop)
+        return self._single_agg(name, numeric_only)
+    def first(self): return self._single_agg("first")
+    def last(self): return self._single_agg("last")
+    def nunique(self): return self._single_agg("nunique")
+    def any(self): return self._single_agg("any")
+    def all(self): return self._single_agg("all")
+
+    def size(self):
+        from .._collection import DataFrame, Series
+        out = self._grouped_sdf().groupBy(*self._by).agg(
+            F.count(F.lit(1)).alias("size"))
+        if self._sort:
+            out = out.orderBy(*[F.col(b).asc() for b in self._by])
+        node = Node("groupby_size", {"by": self._by}, self._frame._expr)
+        if self._as_index:
+            # pandas groupby.size() returns a Series
+            return Series(out, F.col("size"), "size", node,
+                          tuple(self._by), tuple(self._by))
+        return DataFrame(out, node, (), None)
+
+    def value_counts(self):
+        """Grouped value_counts (`_groupby.py:228-238`) →
+        ``groupBy(by + value_cols).count()``."""
+        cols = self._value_columns()
+        out = (self._grouped_sdf().groupBy(*self._by, *cols)
+               .agg(F.count(F.lit(1)).alias("count")))
+        from .._collection import DataFrame
+        node = Node("groupby_value_counts", {"by": self._by}, self._frame._expr)
+        if self._sort:
+            out = out.orderBy(*[F.col(b).asc() for b in self._by], F.desc("count"))
+        return DataFrame(out, node, (), None)
+
+    # -- agg-spec compiler (reference GroupbyAggregation `_groupby.py:136-190`)
+    def agg(self, spec: Any = None, **named):
+        cols = self._value_columns()
+        aggs: list[Column] = []
+
+        def one(col: str, fn_name: str, alias: str):
+            fn = _AGG_FNS.get(fn_name)
+            if fn is None:
+                raise ValueError(f"Unknown aggregation: {fn_name!r}")
+            aggs.append(fn(F.col(col)).alias(alias))
+
+        if named and spec is None:
+            # pandas named-agg: out_name=("col", "fn")
+            for out_name, (col, fn_name) in named.items():
+                one(col, fn_name, out_name)
+        elif isinstance(spec, str):
+            for c in cols:
+                one(c, spec, c)
+        elif isinstance(spec, (list, tuple)):
+            # MultiIndex columns flattened to col_fn (SURVEY §7.4 naming)
+            for c in cols:
+                for fn_name in spec:
+                    one(c, fn_name, f"{c}_{fn_name}")
+        elif isinstance(spec, Mapping):
+            for c, fns in spec.items():
+                if isinstance(fns, str):
+                    one(c, fns, c)
+                else:
+                    for fn_name in fns:
+                        one(c, fn_name, f"{c}_{fn_name}")
+        else:
+            raise TypeError(f"Unsupported agg spec: {spec!r}")
+
+        out = self._grouped_sdf().groupBy(*self._by).agg(*aggs)
+        return self._finish(out, "agg")
+
+    aggregate = agg
+
+    # -- grouped UDFs (SURVEY §2.10, absent in reference) ----------------
+    def apply(self, func: Callable[[pd.DataFrame], pd.DataFrame], schema):
+        """Grouped-map UDF via Arrow-batched ``applyInPandas``."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        out = self._grouped_sdf().groupBy(*self._by).applyInPandas(func, schema)
+        from .._collection import DataFrame
+        return DataFrame(out, Node("groupby_apply", {"by": self._by},
+                                   self._frame._expr), (), None)
+
+    def transform(self, fn_name: str):
+        """Group-aligned transform via a window aggregate — no second shuffle
+        when the input is already partitioned by the keys."""
+        from pyspark.sql import Window
+        from .._collection import DataFrame
+        fn = _AGG_FNS[fn_name]
+        w = Window.partitionBy(*self._by)
+        cols = self._value_columns(numeric_only=True)
+        sdf = self._grouped_sdf()
+        out = sdf.withColumns({c: fn(F.col(c)).over(w) for c in cols})
+        node = Node("groupby_transform", {"by": self._by, "fn": fn_name},
+                    self._frame._expr)
+        return DataFrame(out, node, self._frame._index_cols, self._frame._index_names)

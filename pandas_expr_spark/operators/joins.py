@@ -1,0 +1,187 @@
+"""Joins (reference ``_merge.py`` → SURVEY §2.3).
+
+pandas ``merge`` semantics on Spark's distributed join machinery.  Algorithm
+choice (broadcast / shuffled-hash / sort-merge) is Catalyst's job — CBO + AQE
+pick it at runtime; we only expose an optional ``broadcast=`` hint for small
+dimension tables (the thing a user *should* state at 100 TB).
+
+Semantics reproduced from pandas:
+* ``how ∈ {inner,left,right,outer,cross,semi,anti}`` (reference covers the
+  first four, ``_merge.py:16``; semi/anti are the SURVEY §2.3 noted gap —
+  free in Spark).
+* ``on`` outer-merge produces ONE key column (coalesced); ``left_on`` /
+  ``right_on`` keeps both.
+* colliding non-key columns get ``suffixes`` (reference ``_merge.py:39-79``).
+* ``indicator=True`` adds the ``_merge`` presence column.
+* ``left_index/right_index`` join on the engine-managed index (`IX`).
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+from .._expr import Node
+
+
+def _ensure_list(x):
+    if x is None:
+        return None
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def merge(left, right, how: str = "inner", on=None, left_on=None,
+          right_on=None, left_index: bool = False, right_index: bool = False,
+          suffixes: tuple = ("_x", "_y"), indicator: bool = False,
+          broadcast: bool | None = None):
+    from .._collection import DataFrame, Series, _frame_with_index
+
+    if isinstance(right, Series):
+        right = right.to_frame()
+
+    on = _ensure_list(on)
+    left_on = _ensure_list(left_on)
+    right_on = _ensure_list(right_on)
+
+    if how == "cross":
+        lmap = {c: c for c in left.columns}
+        rmap = {c: c for c in right.columns}
+        collide = set(left.columns) & set(right.columns)
+        l2 = left._sdf.select([F.col(c).alias(c + suffixes[0] if c in collide else c)
+                               for c in left.columns])
+        r2 = right._sdf.select([F.col(c).alias(c + suffixes[1] if c in collide else c)
+                                for c in right.columns])
+        if broadcast:
+            r2 = F.broadcast(r2)
+        node = Node("merge", {"how": "cross"}, left._expr, right._expr)
+        return DataFrame(l2.crossJoin(r2), node, (), None)
+
+    if left_index:
+        left = _frame_with_index(left)
+        left_keys = list(left._index_cols)
+    elif on is not None:
+        left_keys = on
+    elif left_on is not None:
+        left_keys = left_on
+    else:
+        common = [c for c in left.columns if c in right.columns]
+        if not common:
+            raise ValueError("No common columns to perform merge on")
+        on = common
+        left_keys = common
+
+    if right_index:
+        right = _frame_with_index(right)
+        right_keys = list(right._index_cols)
+    elif on is not None:
+        right_keys = on
+    elif right_on is not None:
+        right_keys = right_on
+    else:
+        right_keys = left_keys
+
+    if len(left_keys) != len(right_keys):
+        raise ValueError("len(left_on) must equal len(right_on)")
+
+    lsdf = left._sdf if not left_index else left._sdf
+    rsdf = right._sdf
+
+    # Rename everything to unambiguous temp names, join, then project the
+    # pandas-shaped output (reference suffix logic `_merge.py:39-79`).
+    lcols = left.columns if not left_index else list(left._index_cols) + left.columns
+    rcols = right.columns if not right_index else list(right._index_cols) + right.columns
+    lmap = {c: f"__L_{c}__" for c in lcols}
+    rmap = {c: f"__R_{c}__" for c in rcols}
+    l2 = lsdf.select([F.col(c).alias(lmap[c]) for c in lcols])
+    r2 = rsdf.select([F.col(c).alias(rmap[c]) for c in rcols])
+
+    if broadcast:
+        r2 = F.broadcast(r2)
+
+    cond = None
+    for lk, rk in zip(left_keys, right_keys):
+        c = l2[lmap[lk]].eqNullSafe(r2[rmap[rk]]) if how == "outer" \
+            else (l2[lmap[lk]] == r2[rmap[rk]])
+        cond = c if cond is None else (cond & c)
+
+    spark_how = {"inner": "inner", "left": "left", "right": "right",
+                 "outer": "full", "cross": "cross",
+                 "semi": "left_semi", "anti": "left_anti"}[how]
+    if how == "cross":
+        joined = l2.crossJoin(r2)
+    else:
+        joined = l2.join(r2, cond, spark_how)
+
+    if how in ("semi", "anti"):
+        sel = [F.col(lmap[c]).alias(c) for c in left.columns]
+        node = Node("merge", {"how": how, "on": left_keys}, left._expr, right._expr)
+        return DataFrame(joined.select(*sel), node, (), None)
+
+    # ---- output projection --------------------------------------------
+    sel = []
+    out_index: list[str] = []
+
+    if on is not None and not (left_index or right_index):
+        # single coalesced key column per `on` key (pandas `on` semantics)
+        for k in on:
+            sel.append(F.coalesce(F.col(lmap[k]), F.col(rmap[k])).alias(k))
+        key_left = set(on)
+        key_right = set(on)
+    elif left_index or right_index:
+        for i, (lk, rk) in enumerate(zip(left_keys, right_keys)):
+            name = lk if not lk.startswith("__") else (rk if not rk.startswith("__") else f"key_{i}")
+            sel.append(F.coalesce(F.col(lmap[lk]), F.col(rmap[rk])).alias(name))
+            out_index.append(name)
+        key_left = set(left_keys)
+        key_right = set(right_keys)
+    else:
+        key_left = set()
+        key_right = set()
+
+    lvalue = [c for c in left.columns if c not in key_left]
+    rvalue = [c for c in right.columns if c not in key_right]
+    collide = set(lvalue) & set(rvalue)
+    for c in lvalue:
+        out_name = c + suffixes[0] if c in collide else c
+        sel.append(F.col(lmap[c]).alias(out_name))
+    for c in rvalue:
+        out_name = c + suffixes[1] if c in collide else c
+        sel.append(F.col(rmap[c]).alias(out_name))
+
+    if indicator:
+        lk0, rk0 = lmap[left_keys[0]], rmap[right_keys[0]]
+        sel.append(
+            F.when(F.col(lk0).isNotNull() & F.col(rk0).isNotNull(), F.lit("both"))
+             .when(F.col(lk0).isNotNull(), F.lit("left_only"))
+             .otherwise(F.lit("right_only")).alias("_merge"))
+
+    node = Node("merge", {"how": how,
+                          "on": on or list(zip(left_keys, right_keys)),
+                          "suffixes": tuple(suffixes)},
+                left._expr, right._expr)
+    idx = tuple(out_index) if (left_index or right_index) else ()
+    names = tuple(n if not n.startswith("__") else None for n in idx) if idx else None
+    return DataFrame(joined.select(*sel), node, idx, names)
+
+
+def join(left, other, on=None, how: str = "left", lsuffix: str = "",
+         rsuffix: str = ""):
+    """Index-join convenience (reference ``_collection.py:382-410``).
+    A list RHS folds into an n-ary index join — Catalyst reorders/plans the
+    join tree itself, so no balanced-tree lowering is needed (reference
+    ``JoinRecursive``, ``_merge.py:82-128``)."""
+    from .._collection import DataFrame, Series
+
+    if isinstance(other, (list, tuple)):
+        return _reduce(
+            lambda acc, rhs: join(acc, rhs, how="outer"), other, left)
+    if isinstance(other, Series):
+        other = other.to_frame()
+    suffixes = (lsuffix or "_x", rsuffix or "_y") if (lsuffix or rsuffix) else ("_x", "_y")
+    if on is not None:
+        return merge(left, other, how=how, left_on=_ensure_list(on),
+                     right_index=True, suffixes=suffixes)
+    return merge(left, other, how=how, left_index=True, right_index=True,
+                 suffixes=suffixes)

@@ -1,0 +1,185 @@
+"""Sources / sinks (reference ``io/`` → SURVEY §2.1).
+
+The reference supports in-memory pandas, CSV and Parquet
+(``io/io.py:17-20``, ``io/csv.py:8-20``, ``io/parquet.py:79-197``).  Spark
+gives JSON/ORC/JDBC free, so they are first-class here from day one.
+
+**Scan-sharing CSE** (reference ``combine_similar``, ``_expr.py:304-381``;
+SURVEY §4.2): two reads of the same source return the *same* Spark DataFrame
+object, keyed by a deterministic token.  Catalyst will not unify separate
+DataFrame lineages, but it *does* reuse an identical scan node appearing twice
+in one plan (ReusedExchange / scan dedup under AQE) — so self-joins and
+``df[df.b == 1]``-style self-references cost one scan, not two.
+
+Pushdown note: ``columns``/``filters`` arguments become ``.select``/
+``.filter`` calls *before* any other op, which Catalyst pushes into the
+Parquet reader (``PushedFilters``/``ReadSchema`` in ``.explain``) — the
+reference implements this by hand (``io/parquet.py:167-183``); we get
+row-group + page-level skipping free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+from .._collection import DataFrame
+from .._expr import Node, tokenize
+from .._session import get_spark
+
+__all__ = ["read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
+           "from_pandas", "from_spark"]
+
+# token → lowered SparkDF (per-session scan cache)
+_SCAN_CACHE: dict[tuple[int, str], SparkDF] = {}
+
+
+def _cached_scan(token: str, build) -> SparkDF:
+    spark = get_spark()
+    key = (id(spark), token)
+    if key not in _SCAN_CACHE:
+        _SCAN_CACHE[key] = build(spark)
+    return _SCAN_CACHE[key]
+
+
+def _dnf_to_condition(filters) -> Any:
+    """pandas/pyarrow DNF filters → one Spark Column.
+
+    Reference accepts ``[[(col, op, val), ...], ...]`` (OR of ANDs) or a single
+    AND list (``io/parquet.py:175-183``, ``_DNF`` :205-317).
+    """
+    ops = {
+        "==": lambda c, v: F.col(c) == v,
+        "=": lambda c, v: F.col(c) == v,
+        "!=": lambda c, v: F.col(c) != v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+        "in": lambda c, v: F.col(c).isin(list(v)),
+        "not in": lambda c, v: ~F.col(c).isin(list(v)),
+    }
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    disjuncts = None
+    for conj in filters:
+        cond = None
+        for col, op, val in conj:
+            c = ops[op](col, val)
+            cond = c if cond is None else (cond & c)
+        disjuncts = cond if disjuncts is None else (disjuncts | cond)
+    return disjuncts
+
+
+def read_parquet(path: str, columns: Sequence[str] | None = None,
+                 filters=None, **kwargs) -> DataFrame:
+    """Reference ReadParquet ``io/parquet.py:79-197``."""
+    token = tokenize("read_parquet", path)
+    sdf = _cached_scan(token, lambda spark: spark.read.parquet(path))
+    node = Node("read_parquet", {"path": path})
+    if filters is not None:
+        sdf = sdf.filter(_dnf_to_condition(filters))
+        node = Node("filter", {"predicate": repr(filters)}, node)
+    if columns is not None:
+        sdf = sdf.select(*columns)
+        node = Node("projection", {"columns": list(columns)}, node)
+    return DataFrame(sdf, node)
+
+
+def read_csv(path: str, usecols: Sequence[str] | None = None,
+             header: bool = True, infer_schema: bool = True,
+             schema=None, **kwargs) -> DataFrame:
+    """Reference ReadCSV ``io/csv.py:8-20``.  Schema inference reads a sample
+    (Spark-side analogue of the reference's 1-row meta read); pass
+    ``schema=`` to skip the inference pass at scale."""
+    token = tokenize("read_csv", path, header, infer_schema, str(schema))
+
+    def build(spark):
+        r = spark.read.option("header", header)
+        if schema is not None:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", infer_schema)
+        return r.csv(path)
+
+    sdf = _cached_scan(token, build)
+    node = Node("read_csv", {"path": path})
+    if usecols is not None:
+        sdf = sdf.select(*usecols)
+        node = Node("projection", {"columns": list(usecols)}, node)
+    return DataFrame(sdf, node)
+
+
+def read_json(path: str, schema=None, **kwargs) -> DataFrame:
+    token = tokenize("read_json", path, str(schema))
+
+    def build(spark):
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
+
+    return DataFrame(_cached_scan(token, build), Node("read_json", {"path": path}))
+
+
+def read_orc(path: str, columns: Sequence[str] | None = None, **kwargs) -> DataFrame:
+    token = tokenize("read_orc", path)
+    sdf = _cached_scan(token, lambda spark: spark.read.orc(path))
+    node = Node("read_orc", {"path": path})
+    if columns is not None:
+        sdf = sdf.select(*columns)
+        node = Node("projection", {"columns": list(columns)}, node)
+    return DataFrame(sdf, node)
+
+
+def read_jdbc(url: str, table: str, properties: dict | None = None,
+              partition_column: str | None = None, lower_bound=None,
+              upper_bound=None, num_partitions: int | None = None) -> DataFrame:
+    """JDBC source with partitioned reads (the scale-relevant knobs exposed)."""
+    spark = get_spark()
+    opts = dict(properties or {})
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", lower_bound)
+                  .option("upperBound", upper_bound)
+                  .option("numPartitions", num_partitions or 32))
+    return DataFrame(reader.load(), Node("read_jdbc", {"url": url, "table": table}))
+
+
+def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
+    """Reference PandasIO ``io/io.py:17-20``: in-memory data as a leaf.
+    The pandas index is preserved as engine index columns."""
+    spark = get_spark()
+    index_cols: tuple[str, ...] = ()
+    index_names: tuple = ()
+    if not _is_default_index(pdf):
+        names = [n if n is not None else f"__index_{i}__"
+                 for i, n in enumerate(pdf.index.names)]
+        pdf = pdf.reset_index()
+        rename = {old: new for old, new in
+                  zip(pdf.columns[: len(names)], names)}
+        pdf = pdf.rename(columns=rename)
+        index_cols = tuple(names)
+        index_names = tuple(n if not str(n).startswith("__index_") else None
+                            for n in names)
+    sdf = spark.createDataFrame(pdf)
+    if npartitions:
+        sdf = sdf.repartition(npartitions)
+    node = Node("from_pandas", {"columns": list(pdf.columns)})
+    return DataFrame(sdf, node, index_cols, index_names or None)
+
+
+def _is_default_index(pdf) -> bool:
+    import pandas as pd
+    idx = pdf.index
+    return (isinstance(idx, pd.RangeIndex) and idx.start == 0 and idx.step == 1
+            and idx.name is None)
+
+
+def from_spark(sdf: SparkDF) -> DataFrame:
+    """Wrap an existing Spark DataFrame."""
+    return DataFrame(sdf, Node("from_spark", {"columns": sdf.columns}))

@@ -1,0 +1,332 @@
+"""Differential tests against eager pandas (reference test strategy,
+SURVEY §5 — ``tests/test_collection.py``)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import assert_frame_eq, assert_series_eq
+
+import pandas_expr_spark as pes
+
+
+# ---------------------------------------------------------------- milestone 0
+def test_read_parquet_filter_project(spark):
+    # SURVEY §7.2 minimum slice
+    df = pes.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    res = df[df.l_quantity > 40][["l_orderkey", "l_extendedprice"]].compute()
+    pdf = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exp = pdf[pdf.l_quantity > 40][["l_orderkey", "l_extendedprice"]]
+    assert_frame_eq(res, exp)
+
+
+def test_scan_sharing_cse(spark):
+    # reference combine_similar (SURVEY §4.2): same path → same scan object
+    a = pes.read_parquet("/root/testdata/sf0.001/region.parquet")
+    b = pes.read_parquet("/root/testdata/sf0.001/region.parquet")
+    assert a.to_spark() is b.to_spark()
+    assert a.expr.token == b.expr.token
+
+
+def test_pushdown_reaches_scan(spark):
+    df = pes.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = df[df.l_quantity > 40][["l_orderkey", "l_quantity"]]
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+    # column pruning: scan should not read all 11 lineitem columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+# ---------------------------------------------------------------- projections
+def test_projection_and_getattr(base, base_pdf):
+    assert base.columns == ["x", "y"]
+    assert_frame_eq(base[["y"]], base_pdf[["y"]])
+    assert_series_eq(base.x, base_pdf.x)
+    with pytest.raises(KeyError):
+        base[["nope"]]
+
+
+def test_filter(base, base_pdf):
+    assert_frame_eq(base[base.x > 50], base_pdf[base_pdf.x > 50])
+    assert_frame_eq(base[(base.x > 10) & (base.y < 500.0)],
+                    base_pdf[(base_pdf.x > 10) & (base_pdf.y < 500.0)])
+    assert_frame_eq(base[~(base.x > 50)], base_pdf[~(base_pdf.x > 50)])
+
+
+def test_assign_setitem(base, base_pdf):
+    out = base.assign(z=base.x + base.y, w=1)
+    exp = base_pdf.assign(z=base_pdf.x + base_pdf.y, w=1)
+    assert_frame_eq(out, exp)
+    base["v"] = base.x * 2
+    base_pdf["v"] = base_pdf.x * 2
+    assert_frame_eq(base, base_pdf)
+
+
+def test_drop_rename(base, base_pdf):
+    assert_frame_eq(base.drop(columns=["x"]), base_pdf.drop(columns=["x"]))
+    assert_frame_eq(base.rename(columns={"x": "a"}),
+                    base_pdf.rename(columns={"x": "a"}))
+    with pytest.raises(KeyError):
+        base.drop(columns=["nope"])
+
+
+def test_eval_query(base, base_pdf):
+    assert_frame_eq(base.eval("z = x + y"), base_pdf.eval("z = x + y"))
+    assert_frame_eq(base.query("x > 90"), base_pdf.query("x > 90"))
+
+
+def test_select_dtypes(base, base_pdf):
+    assert base.select_dtypes(include="int64").columns == ["x"]
+    assert base.select_dtypes(include="number").columns == ["x", "y"]
+    assert base.select_dtypes(exclude="float64").columns == ["x"]
+
+
+# ---------------------------------------------------------------- elementwise
+@pytest.mark.parametrize("op", [
+    lambda s: s + 1, lambda s: 1 + s, lambda s: s - 1, lambda s: 10 - s,
+    lambda s: s * 2, lambda s: s / 2, lambda s: s // 7, lambda s: s % 7,
+    lambda s: s ** 2, lambda s: -s, lambda s: s.abs(),
+    lambda s: s.clip(lower=10, upper=80), lambda s: s.round(0),
+    lambda s: s > 50, lambda s: s <= 50, lambda s: s.between(10, 20),
+    lambda s: s.isin([1, 2, 3]), lambda s: s.fillna(0),
+])
+def test_series_blockwise(base, base_pdf, op):
+    assert_series_eq(op(base.x), op(base_pdf.x).rename("x"), check_name=False)
+
+
+def test_series_binop_two_cols(base, base_pdf):
+    assert_series_eq(base.x + base.y, base_pdf.x + base_pdf.y, check_name=False)
+    assert_series_eq(base.x * base.y - base.x,
+                     base_pdf.x * base_pdf.y - base_pdf.x, check_name=False)
+
+
+def test_isna_replace_astype(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": ["x", None, "y"]})
+    df = pes.from_pandas(pdf)
+    assert_series_eq(df.a.isna(), pdf.a.isna(), check_name=False)
+    assert_series_eq(df.a.notna(), pdf.a.notna(), check_name=False)
+    assert_series_eq(df.a.fillna(0.0), pdf.a.fillna(0.0))
+    assert_series_eq(df.a.astype("int32").fillna(0), pd.Series([1, 0, 3], name="a"))
+    assert_series_eq(df.a.replace(1.0, 5.0), pdf.a.replace(1.0, 5.0))
+
+
+def test_dropna(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, None, "y"]})
+    df = pes.from_pandas(pdf)
+    assert_frame_eq(df.dropna(), pdf.dropna())
+    assert_frame_eq(df.dropna(how="all"), pdf.dropna(how="all"))
+    assert_frame_eq(df.dropna(subset=["a"]), pdf.dropna(subset=["a"]))
+    assert_frame_eq(df.dropna(thresh=2), pdf.dropna(thresh=2))
+
+
+def test_map_dict(base, base_pdf):
+    m = {i: i * 100 for i in range(5)}
+    assert_series_eq(base.x.map(m), base_pdf.x.map(m).astype("float64"),
+                     check_name=False)
+
+
+def test_where_mask(base, base_pdf):
+    assert_series_eq(base.x.where(base.x > 50, -1),
+                     base_pdf.x.where(base_pdf.x > 50, -1), check_name=False)
+    assert_series_eq(base.x.mask(base.x > 50, -1),
+                     base_pdf.x.mask(base_pdf.x > 50, -1), check_name=False)
+
+
+# ---------------------------------------------------------------- reductions
+@pytest.mark.parametrize("name", ["sum", "mean", "min", "max", "count",
+                                  "var", "std", "prod", "nunique", "median"])
+def test_series_reductions(base, base_pdf, name):
+    got = getattr(base.x, name)().compute()
+    exp = getattr(base_pdf.x, name)()
+    assert got == pytest.approx(exp)
+
+
+def test_any_all(spark):
+    pdf = pd.DataFrame({"a": [True, False, True], "b": [True, True, True]})
+    df = pes.from_pandas(pdf)
+    assert df.a.any().compute() is True
+    assert df.a.all().compute() is False
+    assert df.b.all().compute() is True
+
+
+def test_len_size(base, base_pdf):
+    assert len(base) == len(base_pdf)
+    assert base.size.compute() == base_pdf.size
+
+
+def test_idxmin_idxmax(base, base_pdf):
+    assert base.y.idxmax().compute() == base_pdf.y.idxmax()
+    assert base.y.idxmin().compute() == base_pdf.y.idxmin()
+
+
+def test_nunique_approx(base):
+    got = base.x.nunique_approx().compute()
+    assert 90 <= got <= 110
+
+
+def test_mode(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 2, 3, 3]})
+    df = pes.from_pandas(pdf)
+    assert sorted(df.a.mode().compute().tolist()) == [2, 3]
+
+
+def test_frame_reductions(base, base_pdf):
+    got = base.sum().compute()
+    exp = base_pdf.sum()
+    assert got["x"] == exp["x"] and got["y"] == exp["y"]
+    got = base.mean().compute()
+    assert got["x"] == pytest.approx(base_pdf.x.mean())
+
+
+def test_var_columns(base, base_pdf):
+    got = base.var_columns().compute()
+    exp = base_pdf[["x", "y"]].var(axis=1)
+    assert got.reset_index(drop=True).tolist() == pytest.approx(exp.tolist())
+
+
+# ------------------------------------------------------- distinct / ordering
+def test_unique_value_counts(gdf, groupby_pdf):
+    assert sorted(gdf.x.unique().compute().tolist()) == sorted(
+        groupby_pdf.x.unique().tolist())
+    got = gdf.x.value_counts().compute()
+    exp = groupby_pdf.x.value_counts()
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_drop_duplicates(gdf, groupby_pdf):
+    assert_frame_eq(gdf[["x", "z"]].drop_duplicates(),
+                    groupby_pdf[["x", "z"]].drop_duplicates())
+    # keep="first" with positional semantics
+    out = gdf.drop_duplicates(subset=["x"], keep="first").compute()
+    exp = groupby_pdf.drop_duplicates(subset=["x"], keep="first")
+    assert_frame_eq(out.sort_values("x").reset_index(drop=True),
+                    exp.sort_values("x").reset_index(drop=True))
+
+
+def test_sort_head_tail(base, base_pdf):
+    got = base.sort_values("x", ascending=False).head(5).compute()
+    exp = base_pdf.sort_values("x", ascending=False).head(5)
+    assert_frame_eq(got.reset_index(drop=True), exp.reset_index(drop=True),
+                    check_index=True)
+    got = base.tail(7).compute()
+    assert_frame_eq(got.reset_index(drop=True),
+                    base_pdf.tail(7).reset_index(drop=True), check_index=True)
+
+
+def test_nlargest_nsmallest(base, base_pdf):
+    got = base.nlargest(5, "x").compute().reset_index(drop=True)
+    exp = base_pdf.nlargest(5, "x").reset_index(drop=True)
+    assert_frame_eq(got, exp, check_index=True)
+    assert sorted(base.x.nlargest(3).compute().tolist()) == [97, 98, 99]
+    assert sorted(base.x.nsmallest(3).compute().tolist()) == [0, 1, 2]
+
+
+def test_sample(base):
+    out = base.sample(frac=0.5, random_state=42).compute()
+    assert 20 <= len(out) <= 80
+
+
+def test_explode(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": [[1, 2], [3]]})
+    df = pes.from_pandas(pdf)
+    assert_frame_eq(df.explode("b"), pdf.explode("b").astype({"b": "int64"}))
+
+
+# ----------------------------------------------------------------- index ops
+def test_set_reset_index(base, base_pdf):
+    out = base.set_index("x")
+    exp = base_pdf.set_index("x")
+    got = out.compute()
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+    back = out.reset_index().compute()
+    assert list(back.columns) == ["x", "y"]
+
+
+def test_index_property(base, base_pdf):
+    idx = base.set_index("x").index
+    assert sorted(idx.compute().tolist()) == sorted(base_pdf.x.tolist())
+
+
+def test_head_on_unsorted(base, base_pdf):
+    assert len(base.head(5).compute()) == 5
+
+
+# --------------------------------------------------------------- align/combine
+def test_combine_first(spark):
+    pdf1 = pd.DataFrame({"a": [None, 2.0, None]}, index=[0, 1, 2])
+    pdf2 = pd.DataFrame({"a": [1.0, None, 3.0]}, index=[0, 1, 2])
+    d1 = pes.from_pandas(pdf1.reset_index().rename(columns={"index": "i"}).set_index("i"))
+    d2 = pes.from_pandas(pdf2.reset_index().rename(columns={"index": "i"}).set_index("i"))
+    got = d1.combine_first(d2).compute().sort_index()
+    assert got["a"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_align(spark):
+    p1 = pd.DataFrame({"a": [1, 2]}, index=pd.Index([0, 1], name="i"))
+    p2 = pd.DataFrame({"b": [3, 4]}, index=pd.Index([1, 2], name="i"))
+    d1, d2 = pes.from_pandas(p1), pes.from_pandas(p2)
+    l, r = d1.align(d2)
+    lg = l.compute().sort_index()
+    rg = r.compute().sort_index()
+    assert len(lg) == 3 and len(rg) == 3
+
+
+# ------------------------------------------------------------------ UDF path
+def test_series_apply(base, base_pdf):
+    got = base.x.apply(lambda v: v * 3, return_type="int64")
+    assert_series_eq(got, base_pdf.x.apply(lambda v: v * 3), check_name=False)
+
+
+def test_frame_apply_mapinpandas(base, base_pdf):
+    out = base.apply(lambda pdf: pdf.assign(z=pdf.x + pdf.y))
+    exp = base_pdf.assign(z=base_pdf.x + base_pdf.y)
+    assert_frame_eq(out, exp)
+
+
+# ---------------------------------------------------------------- plan utils
+def test_expr_tree_and_tokens(base):
+    out = base[base.x > 3][["y"]]
+    r = out.tree_repr()
+    assert "projection" in r and "filter" in r
+    out2 = base[base.x > 3][["y"]]
+    assert out.expr.token == out2.expr.token  # deterministic identity
+    ops = [e.op for e in out.expr.walk() if hasattr(e, "op")]
+    assert "from_pandas" in ops
+
+
+def test_str_accessor(spark):
+    pdf = pd.DataFrame({"s": ["Hello World", "foo bar", "Spark"]})
+    df = pes.from_pandas(pdf)
+    assert_series_eq(df.s.str.upper(), pdf.s.str.upper(), check_name=False)
+    assert_series_eq(df.s.str.lower(), pdf.s.str.lower(), check_name=False)
+    assert_series_eq(df.s.str.len(), pdf.s.str.len(), check_name=False)
+    assert_series_eq(df.s.str.contains("o"), pdf.s.str.contains("o"), check_name=False)
+    assert_series_eq(df.s.str.startswith("f"), pdf.s.str.startswith("f"), check_name=False)
+    assert_series_eq(df.s.str.replace("o", "0"), pdf.s.str.replace("o", "0"),
+                     check_name=False)
+    assert_series_eq(df.s.str.slice(0, 3), pdf.s.str.slice(0, 3), check_name=False)
+
+
+def test_dt_accessor(spark):
+    ts = pd.date_range("2024-01-01", periods=5, freq="37h")
+    pdf = pd.DataFrame({"t": ts})
+    df = pes.from_pandas(pdf)
+    assert_series_eq(df.t.dt.year, pdf.t.dt.year, check_name=False)
+    assert_series_eq(df.t.dt.month, pdf.t.dt.month, check_name=False)
+    assert_series_eq(df.t.dt.day, pdf.t.dt.day, check_name=False)
+    assert_series_eq(df.t.dt.hour, pdf.t.dt.hour, check_name=False)
+    assert_series_eq(df.t.dt.dayofweek, pdf.t.dt.dayofweek, check_name=False)
+
+
+def test_cat_accessor(spark):
+    pdf = pd.DataFrame({"c": ["b", "a", "b", "c"]})
+    df = pes.from_pandas(pdf)
+    s = df.c.cat.as_known()
+    assert s.cat.known
+    assert s.cat.categories == ["a", "b", "c"]
+    assert_series_eq(s.cat.codes, pd.Series([1, 0, 1, 2], name="c"),
+                     check_name=False)
+    renamed = s.cat.rename_categories({"a": "A"})
+    assert renamed.cat.categories == ["A", "b", "c"]

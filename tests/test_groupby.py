@@ -1,0 +1,135 @@
+"""Grouped aggregation tests (reference ``tests/test_groupby.py`` → SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import assert_frame_eq
+
+import pandas_expr_spark as pes
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max", "count",
+                                 "var", "std", "first", "last", "nunique",
+                                 "median", "prod"])
+def test_single_aggs(gdf, groupby_pdf, agg):
+    got = getattr(gdf.groupby("x"), agg)().compute()
+    exp = getattr(groupby_pdf.groupby("x"), agg)()
+    if agg in ("first", "last"):
+        # order-dependent; our values are deterministic within group here
+        pass
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_groupby_slice_series(gdf, groupby_pdf):
+    got = gdf.groupby("x").y.sum().compute()
+    exp = groupby_pdf.groupby("x").y.sum()
+    pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
+                                   check_dtype=False)
+    got2 = gdf.groupby("x")["y"].mean().compute()
+    exp2 = groupby_pdf.groupby("x")["y"].mean()
+    pd.testing.assert_series_equal(got2.sort_index(), exp2.sort_index(),
+                                   check_dtype=False)
+
+
+def test_groupby_size(gdf, groupby_pdf):
+    got = gdf.groupby("x").size().compute()
+    exp = groupby_pdf.groupby("x").size().rename("size")
+    pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
+                                   check_dtype=False)
+
+
+def test_agg_str(gdf, groupby_pdf):
+    got = gdf.groupby("x").agg("sum").compute()
+    exp = groupby_pdf.groupby("x").agg("sum")
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_agg_list(gdf, groupby_pdf):
+    got = gdf.groupby("x").agg(["sum", "mean"]).compute()
+    exp = groupby_pdf.groupby("x").agg(["sum", "mean"])
+    exp.columns = [f"{c}_{f}" for c, f in exp.columns]
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_agg_dict(gdf, groupby_pdf):
+    got = gdf.groupby("x").agg({"y": "sum", "z": "max"}).compute()
+    exp = groupby_pdf.groupby("x").agg({"y": "sum", "z": "max"})
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_agg_named(gdf, groupby_pdf):
+    got = gdf.groupby("x").agg(total=("y", "sum"), biggest=("y", "max")).compute()
+    exp = groupby_pdf.groupby("x").agg(total=("y", "sum"), biggest=("y", "max"))
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_as_index_false(gdf, groupby_pdf):
+    got = gdf.groupby("x", as_index=False).y.sum()
+    exp = groupby_pdf.groupby("x", as_index=False).y.sum()
+    assert_frame_eq(got, exp)
+
+
+def test_multi_key(gdf, groupby_pdf):
+    got = gdf.groupby(["x", "z"]).sum().compute()
+    exp = groupby_pdf.groupby(["x", "z"]).sum()
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
+def test_groupby_dropna(spark):
+    pdf = pd.DataFrame({"k": ["a", None, "a", "b"], "v": [1, 2, 3, 4]})
+    df = pes.from_pandas(pdf)
+    got = df.groupby("k").v.sum().compute()
+    exp = pdf.groupby("k").v.sum()
+    pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
+                                   check_dtype=False)
+    got_all = df.groupby("k", dropna=False).v.sum().compute()
+    assert len(got_all) == 3
+
+
+def test_groupby_value_counts(gdf, groupby_pdf):
+    got = gdf.groupby("x")["z"].value_counts().compute()
+    exp = groupby_pdf.groupby("x")["z"].value_counts().reset_index()
+    assert_frame_eq(got, exp, sort_by=["x", "z"])
+
+
+def test_groupby_errors(gdf):
+    with pytest.raises(KeyError):
+        gdf.groupby("nope")
+    with pytest.raises(TypeError):
+        gdf.groupby(gdf.x + 1)
+    with pytest.raises(KeyError):
+        gdf.groupby("x")["nope"]
+
+
+def test_groupby_apply(gdf, groupby_pdf):
+    got = gdf.groupby("x").apply(
+        lambda pdf: pdf.assign(y=pdf.y - pdf.y.mean()),
+        "x long, y double, z long").compute()
+    exp = groupby_pdf.assign(
+        y=groupby_pdf.y - groupby_pdf.groupby("x").y.transform("mean"))
+    assert_frame_eq(got, exp[["x", "y", "z"]])
+
+
+def test_groupby_transform(gdf, groupby_pdf):
+    got = gdf.groupby("x").transform("mean").compute()
+    exp = groupby_pdf.copy()
+    exp["y"] = groupby_pdf.groupby("x").y.transform("mean")
+    exp["z"] = groupby_pdf.groupby("x").z.transform("mean")
+    assert_frame_eq(got, exp)
+
+
+def test_groupby_shuffle_plan(gdf):
+    """Scale check: a grouped agg must be partial+final hash agg with ONE
+    shuffle on the keys."""
+    out = gdf.groupby("x").y.sum()
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + optional sort
+    assert "HashAggregate" in plan
