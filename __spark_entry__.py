@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query below runs through the ``pandas_expr_spark`` engine (the lazy
+pandas-like API lowering to PySpark — SURVEY §2 operator inventory) or its
+LLM-pipeline function modules, and returns a Spark DataFrame.  ``oracle_sql``
+holds the DuckDB-equivalent ANSI SQL for the correctness gate.
+
+Float-determinism policy (distributed vs single-node aggregation order):
+* raw column values and *elementwise* double arithmetic are bit-identical
+  across engines → emitted as-is;
+* money/quantity SUMs go through ``decimal(18,2)`` (exact arithmetic in both
+  engines) and are cast back to double at the end;
+* AVGs of small-magnitude values are rounded to 4-6 decimals (absolute
+  error of order-dependent summation is orders of magnitude below the
+  rounding step).
 """
 
 from __future__ import annotations
@@ -12,27 +20,820 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
+def _tables(spark, sf_dir):
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    return pes, load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored engine queries (SURVEY §2.2/2.3/2.5/2.6/2.7)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → groupBy → multi-agg (reference §2.6 machinery)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    # Integer-cents basis: floor(x*100) is ties-free and IEEE-deterministic,
+    # so the BIGINT sums (and the final double division) are bit-identical
+    # across Spark and DuckDB regardless of partitioning / summation order.
+    li = li.assign(
+        qty_c=(li.l_quantity * 100).floor(),
+        price_c=(li.l_extendedprice * 100).floor(),
+        disc_c=(li.l_extendedprice * (1 - li.l_discount) * 100).floor(),
+        disc_bp=(li.l_discount * 10000).floor(),
+    )
+    g = (li[li.l_shipdate <= "1998-09-01"]
+         .groupby(["l_returnflag", "l_linestatus"])
+         .agg(sum_qty=("qty_c", "sum"),
+              sum_base_price=("price_c", "sum"),
+              sum_disc_price=("disc_c", "sum"),
+              avg_disc=("disc_bp", "sum"),
+              count_order=("l_orderkey", "count")))
+    g = g.assign(sum_qty=g["sum_qty"] / 100.0,
+                 sum_base_price=g["sum_base_price"] / 100.0,
+                 sum_disc_price=g["sum_disc_price"] / 100.0,
+                 avg_disc=g["avg_disc"] / 10000.0 / g["count_order"])
+    return g.to_spark()
+
+
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (broadcast dims)."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    c = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    o = orders[orders.o_orderdate < "1998-01-01"][["o_orderkey", "o_custkey"]]
+    l = li[li.l_shipdate > "1996-01-01"]
+    l = l.assign(rev=(l.l_extendedprice * (1 - l.l_discount) * 100).floor())
+    j = (l[["l_orderkey", "rev"]]
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey", broadcast=True))
+    g = j.groupby("l_orderkey").agg(revenue=("rev", "sum"))
+    g = g.assign(revenue=g["revenue"] / 100.0)
+    out = g.reset_index().sort_values(["revenue", "l_orderkey"],
+                                      ascending=[False, True]).head(10)
+    return out.to_spark()
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over region→nation→customer→orders→lineitem; dims broadcast."""
+    import pandas_expr_spark as pes
+    region = pes.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    r = region[region.r_name == "ASIA"][["r_regionkey"]]
+    n = nation.merge(r, left_on="n_regionkey", right_on="r_regionkey",
+                     broadcast=True)[["n_nationkey", "n_name"]]
+    c = cust.merge(n, left_on="c_nationkey", right_on="n_nationkey",
+                   broadcast=True)[["c_custkey", "n_name"]]
+    o = orders[["o_orderkey", "o_custkey"]].merge(
+        c, left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    l = li.assign(rev=(li.l_extendedprice * (1 - li.l_discount) * 100).floor())
+    j = l[["l_orderkey", "rev"]].merge(o[["o_orderkey", "n_name"]],
+                                       left_on="l_orderkey", right_on="o_orderkey")
+    g = j.groupby("n_name").agg(revenue=("rev", "sum"),
+                                n_items=("rev", "count"))
+    g = g.assign(revenue=g["revenue"] / 100.0)
+    return g.to_spark()
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milestone-0 slice (SURVEY §7.2): predicate+projection pushdown."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return li[li.l_quantity > 45][["l_orderkey", "l_linenumber",
+                                   "l_quantity", "l_extendedprice"]].to_spark()
+
+
+def assign_eval_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign/eval computed columns (reference Assign/Eval §2.2) —
+    elementwise double math is bit-identical across engines."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    f = li[li.l_quantity < 5]
+    out = f.assign(
+        disc_price=f.l_extendedprice * (1 - f.l_discount),
+        charged=f.l_extendedprice * (1 - f.l_discount) * (1 + f.l_tax))
+    return out[["l_orderkey", "l_linenumber", "disc_price", "charged"]].to_spark()
+
+
+def join_part_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = part[part.p_size > 40][["p_partkey", "p_brand", "p_retailprice"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    return j[["l_orderkey", "l_linenumber", "p_brand", "p_retailprice",
+              "l_quantity"]].to_spark()
+
+
+def outer_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-side nulls from a left join + fillna (reference Fillna §2.2)."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    big = orders[orders.o_totalprice > 450000][["o_custkey", "o_orderkey",
+                                                "o_totalprice"]]
+    g = big.groupby("o_custkey").agg(n_big=("o_orderkey", "count"))
+    j = cust[["c_custkey", "c_name"]].merge(
+        g.reset_index(), left_on="c_custkey", right_on="o_custkey", how="left")
+    j = j.assign(n_big=j["n_big"].fillna(0).astype("int64"))
+    return j[["c_custkey", "c_name", "n_big"]].to_spark()
+
+
+def value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    return orders.o_orderpriority.value_counts().to_frame("count").to_spark()
+
+
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return li[["l_returnflag", "l_linestatus"]].drop_duplicates().to_spark()
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    out = orders.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+    return out[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
+
+
+def sort_limit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    out = cust.sort_values(["c_acctbal", "c_custkey"],
+                           ascending=[False, True]).head(20)
+    return out[["c_custkey", "c_name", "c_acctbal"]].to_spark()
+
+
+def concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat axis=0 (reference Concat §2.4) → shuffle-free union."""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    a = orders[orders.o_orderstatus == "F"][["o_orderkey", "o_orderstatus"]]
+    b = orders[orders.o_orderstatus == "O"][["o_orderkey", "o_orderstatus"]]
+    return pes.concat([a, b]).to_spark()
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders[orders.o_orderpriority == "1-URGENT"][["o_custkey"]]
+    out = cust.merge(urgent.rename(columns={"o_custkey": "c_custkey"}),
+                     on="c_custkey", how="semi")
+    return out[["c_custkey", "c_name"]].to_spark()
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    out = cust.merge(orders[["o_custkey"]].rename(columns={"o_custkey": "c_custkey"}),
+                     on="c_custkey", how="anti")
+    return out[["c_custkey", "c_name"]].to_spark()
+
+
+def groupby_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = orders.assign(price_dec=orders.o_totalprice.astype("decimal(18,2)"))
+    g = o.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"), total=("price_dec", "sum"),
+        last_date=("o_orderdate", "max"))
+    g = g.assign(total=g["total"].astype("float64"),
+                 last_date=g["last_date"].dt.strftime("%Y-%m-%d"))
+    return g.to_spark()
+
+
+def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    g = cust.groupby("c_nationkey").agg(n_cust=("c_custkey", "count"))
+    out = g[g["n_cust"] > 5]
+    return out.to_spark()
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window family (SURVEY §2.7 — absent in reference, Spark-native here):
+    top-2 orders per customer by row_number."""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    w = orders.with_row_number("rn", partition_by="o_custkey",
+                               order_by=["o_totalprice", "o_orderkey"],
+                               ascending=[False, True])
+    out = w[w["rn"] <= 2][["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+    return out.to_spark()
+
+
+def groupby_transform_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aligned transform (window aggregate): value share within group."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.assign(qty_dec=li.l_quantity.astype("decimal(18,2)"))
+    t = (li[["l_returnflag", "l_orderkey", "l_linenumber", "qty_dec"]]
+         .groupby("l_returnflag")[["qty_dec"]].transform("sum"))
+    t = t.rename(columns={"qty_dec": "flag_total"})
+    out = t.assign(flag_total=t["flag_total"].astype("float64"))
+    return out[["l_orderkey", "l_linenumber", "flag_total"]].to_spark()
+
+
+def reductions_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-frame reductions (reference §2.5) in one row."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sdf = li.to_spark()
+    return sdf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("std_disc"),
+    )
+
+
+def isin_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    mask = li.l_quantity.between(5, 10) & li.l_returnflag.isin(["A", "R"])
+    return li[mask][["l_orderkey", "l_linenumber"]].to_spark()
+
+
+def astype_cast_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.assign(qty_int=li.l_quantity.astype("int64"))
+    g = q.groupby("qty_int").agg(n=("l_orderkey", "count"))
+    return g.to_spark()
+
+
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask/where → CASE WHEN buckets."""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    p = orders.o_totalprice
+    bucket = (p < 100000).map({True: "low", False: "high"})
+    out = orders.assign(bucket=bucket)
+    g = out.groupby("bucket").agg(n=("o_orderkey", "count"))
+    return g.to_spark()
+
+
+def str_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str accessor (SURVEY §2.8) — upper/length/regexp_extract."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    out = cust.assign(
+        name_upper=cust.c_name.str.upper(),
+        name_len=cust.c_name.str.len(),
+        cust_num=cust.c_name.str.extract(r"([0-9]+)$", 1))
+    return out[["c_custkey", "name_upper", "name_len", "cust_num"]].to_spark()
+
+
+def dt_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt accessor: orders per (year, month)."""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = orders.assign(yr=orders.o_orderdate.dt.year,
+                      mo=orders.o_orderdate.dt.month)
+    g = o.groupby(["yr", "mo"]).agg(n=("o_orderkey", "count"))
+    return g.to_spark()
+
+
+# ---------------------------------------------------------------------------
+# events (JSON props, windowed aggs, sessions)
+# ---------------------------------------------------------------------------
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.sources.tables import load_table
+    from pandas_expr_spark.streaming import tumbling_window_agg
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_window_agg(
+        ev, "ts", "1 hour",
+        {"n": ("event_id", "count")}, keys=["event_type"])
+    return (agg.select(F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+                       "event_type", "n"))
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-min gap) → sessions-per-user counts.
+    Oracle uses the lag/cumsum gaps-and-islands formulation — semantics
+    must agree exactly with F.session_window."""
+    from pandas_expr_spark.sources.tables import load_table
+    from pandas_expr_spark.streaming import session_window_agg
+    ev = load_table(spark, sf_dir, "events")
+    s = session_window_agg(ev, "ts", "30 minutes",
+                           {"n_events": ("event_id", "count")},
+                           keys=["user_id"])
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface (SURVEY §2.8 array/map/json gap — Spark-native)."""
+    from pandas_expr_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+def _augmented_docs(spark, sf_dir):
+    """documents ∪ copies of the first 50 docs (ids +100000) — a corpus with
+    known exact duplicates, constructible identically in SQL."""
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    dups = (docs.filter(F.col("doc_id") < 50)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    return docs.unionByName(dups)
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.functions import text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.withColumn("n_tok", text.token_count("text"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_tok").alias("min_tokens"),
+                 F.max("n_tok").alias("max_tokens")))
+
+
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.exact_dup_groups(aug).select("fp", "n_dups", "keep_id")
+
+
+def doc_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    kept = dedup.exact_dedup(aug)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.min("doc_id").alias("min_id"),
+                    F.max("doc_id").alias("max_id"))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.functions import text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.withColumn("pr", text.punct_ratio("text"))
+            .withColumn("sr", text.stopword_ratio("text"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+                 F.round(F.avg("sr"), 4).alias("avg_stopword_ratio")))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_expr_spark.functions import text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.withColumn("pred_lang", text.lang_id("text"))
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (double-precision sequential fold — identical
+    result in DuckDB's list_dot_product on DOUBLE[])."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    out = similarity.cosine_topk(emb_d, q, k=10, round_to=4)
+    return out
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs on the augmented corpus (exact dups must
+    collide).  Non-SQL-expressible → rows-only driver check."""
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(aug, num_perm=32, bands=16)
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard verified pairs on the augmented corpus: the 50 exact
+    dup pairs must appear with jaccard == 1.0."""
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(aug, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤4 pairs (pandas-UDF signature + band join) —
+    rows-only check."""
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.simhash_pairs(aug, max_hamming=4)
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k — recall vs brute force is checked in tests;
+    rows-only here."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]]
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.lsh_topk(emb_d, q, k=10, num_planes=6, multiprobe=1)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→bytes payloads, format sniff + stub
+    feature decode over mapInPandas.  Rows-only check."""
+    from pandas_expr_spark.functions import multimodal
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    meta = multimodal.attach_media_meta(media)
+    feats = multimodal.decode_image_features(meta)
+    return (feats.join(meta.select("media_id", "media_n_bytes"), "media_id")
+            .select("media_id", "media_n_bytes",
+                    F.round(F.aggregate("features", F.lit(0.0),
+                                        lambda a, x: a + x.cast("double")), 4)
+                    .alias("feat_sum")))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-checkable half of the multimodal path: byte lengths."""
+    from pandas_expr_spark.functions import multimodal
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    meta = multimodal.attach_media_meta(media)
+    return (meta.groupBy("media_format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("media_n_bytes").alias("total_bytes")))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_topk_revenue": q3_topk_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "filter_project": filter_project,
+        "assign_eval_disc_price": assign_eval_disc_price,
+        "join_part_lineitem": join_part_lineitem,
+        "outer_join_fillna": outer_join_fillna,
+        "value_counts_priority": value_counts_priority,
+        "distinct_flags": distinct_flags,
+        "top_orders": top_orders,
+        "sort_limit_customers": sort_limit_customers,
+        "concat_union": concat_union,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "groupby_agg_multi": groupby_agg_multi,
+        "groupby_having": groupby_having,
+        "window_rank_orders": window_rank_orders,
+        "groupby_transform_share": groupby_transform_share,
+        "reductions_scalar": reductions_scalar,
+        "isin_between": isin_between,
+        "astype_cast_counts": astype_cast_counts,
+        "case_when_bucket": case_when_bucket,
+        "str_ops_customers": str_ops_customers,
+        "dt_ops_orders": dt_ops_orders,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "events_json_props": events_json_props,
+        "doc_token_stats": doc_token_stats,
+        "doc_fingerprint_dedup": doc_fingerprint_dedup,
+        "doc_exact_dedup_count": doc_exact_dedup_count,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "similarity_topk": similarity_topk,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "multimodal_features": multimodal_features,
+        "multimodal_meta": multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_AUG_CTE = """
+WITH aug AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_STOPWORDS_SQL = "['the','a','of','to','and','is','in','it','that','for']"
+
+_LANG_SCORE = ("len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+               "t -> list_contains({words}, t)))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s_de = _LANG_SCORE.format(words="['der','die','und','das','ist']")
+    s_en = _LANG_SCORE.format(words="['the','and','of','to','is']")
+    s_es = _LANG_SCORE.format(words="['el','la','de','que','y']")
+    s_fr = _LANG_SCORE.format(words="['le','la','et','les','des']")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+                   SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) / 10000.0 / COUNT(l_orderkey) AS avg_disc,
+                   COUNT(l_orderkey) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_topk_revenue": """
+            SELECT l.l_orderkey,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n.n_name,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "assign_eval_disc_price": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+            FROM lineitem WHERE l_quantity < 5
+        """,
+        "join_part_lineitem": """
+            SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_retailprice,
+                   l.l_quantity
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size > 40
+        """,
+        "outer_join_fillna": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(g.n_big, 0) AS BIGINT) AS n_big
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(o_orderkey) AS n_big
+                FROM orders WHERE o_totalprice > 450000
+                GROUP BY o_custkey
+            ) g ON c.c_custkey = g.o_custkey
+        """,
+        "value_counts_priority": """
+            SELECT o_orderpriority, COUNT(*) AS count
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "sort_limit_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+        """,
+        "concat_union": """
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "groupby_agg_multi": """
+            SELECT o_orderpriority, COUNT(o_orderkey) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "groupby_having": """
+            SELECT c_nationkey, COUNT(c_custkey) AS n_cust
+            FROM customer GROUP BY c_nationkey HAVING COUNT(c_custkey) > 5
+        """,
+        "window_rank_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+                FROM orders) t
+            WHERE rn <= 2
+        """,
+        "groupby_transform_share": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_returnflag) AS DOUBLE) AS flag_total
+            FROM lineitem
+        """,
+        "reductions_scalar": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   ROUND(AVG(l_tax), 4) AS avg_tax,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   ROUND(STDDEV_SAMP(l_discount), 4) AS std_disc
+            FROM lineitem
+        """,
+        "isin_between": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A', 'R')
+        """,
+        "astype_cast_counts": """
+            SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+                   COUNT(l_orderkey) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "case_when_bucket": """
+            SELECT CASE WHEN o_totalprice < 100000 THEN 'low' ELSE 'high' END AS bucket,
+                   COUNT(o_orderkey) AS n
+            FROM orders GROUP BY 1
+        """,
+        "str_ops_customers": """
+            SELECT c_custkey, UPPER(c_name) AS name_upper,
+                   CAST(LENGTH(c_name) AS INT) AS name_len,
+                   regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num
+            FROM customer
+        """,
+        "dt_ops_orders": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+                   COUNT(o_orderkey) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, COUNT(event_id) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id,
+                   SUM(new_session) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "events_json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "doc_token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   SUM(n_chars) AS total_chars,
+                   MIN(len(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
+                   MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint_dedup": _AUG_CTE + f"""
+            SELECT {_FP} AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+            FROM aug GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "doc_exact_dedup_count": _AUG_CTE + f"""
+            SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM (
+                SELECT doc_id FROM (
+                    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_FP}) AS keep
+                    FROM aug) t
+                WHERE doc_id = keep)
+        """,
+        "doc_quality": f"""
+            SELECT source, COUNT(*) AS n,
+                   ROUND(AVG(
+                       CASE WHEN LENGTH(text) > 0 THEN
+                           CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / LENGTH(text)
+                       ELSE 0 END), 4) AS avg_punct_ratio,
+                   ROUND(AVG(
+                       CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0 THEN
+                           CAST(len(list_filter(
+                               regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+                           / len(regexp_split_to_array(trim(text), '\\s+'))
+                       ELSE 0 END), 4) AS avg_stopword_ratio
+            FROM documents GROUP BY source
+        """,
+        "doc_lang_id": f"""
+            SELECT CASE
+                WHEN GREATEST({s_de}, {s_en}, {s_es}, {s_fr}) = 0 THEN 'unk'
+                WHEN {s_de} >= {s_en} AND {s_de} >= {s_es} AND {s_de} >= {s_fr} THEN 'de'
+                WHEN {s_en} >= {s_es} AND {s_en} >= {s_fr} THEN 'en'
+                WHEN {s_es} >= {s_fr} THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+                COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+                         4) AS cosine
+            FROM embeddings
+            ORDER BY list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        # Full shingle-Jaccard differential oracle: same tokenization
+        # (trim → split on \s+), same 3-gram shingling (clamped slice at the
+        # tail, distinct), same J = c/(na+nb-c) in integer arithmetic.
+        "ngram_jaccard_dups": _AUG_CTE + """
+            , tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM aug
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM tok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), nn AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+            FROM common
+            JOIN nn na ON na.doc_id = id_a
+            JOIN nn nb ON nb.doc_id = id_b
+            WHERE c / (na.n + nb.n - c) >= 0.9
+        """,
+        "multimodal_meta": """
+            SELECT 'unknown' AS media_format, COUNT(*) AS n,
+                   SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+            FROM documents
+        """,
+        # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
+        # multimodal_features: non-SQL-expressible (LSH banding, pandas-UDF
+        # signatures, stub decodes) → driver rows-only check.
+    }

@@ -247,6 +247,14 @@ class Series(FrameBase):
     # ------------------------------------------------------------------
     def abs(self): return self._with_scol(F.abs(self._scol), "abs")
 
+    def floor(self):
+        """``F.floor`` — LongType result; ties-free (unlike round), so
+        double→cents scaling is bit-identical across engines."""
+        return self._with_scol(F.floor(self._scol), "floor")
+
+    def ceil(self):
+        return self._with_scol(F.ceil(self._scol), "ceil")
+
     def round(self, decimals: int = 0):
         return self._with_scol(F.round(self._scol, decimals), "round", decimals=decimals)
 
@@ -1060,6 +1068,44 @@ class DataFrame(FrameBase):
 
         return DataFrame(self._sdf.mapInPandas(_mapper, schema),
                          Node("map_partitions", {}, self._expr), (), ())
+
+    # -- window functions (SURVEY §2.7 — superset, absent in reference) --
+    def with_row_number(self, name: str, partition_by, order_by,
+                        ascending: bool | Sequence[bool] = True) -> "DataFrame":
+        """``row_number() over (partition by ... order by ...)`` — the window
+        family the reference lacks entirely (SURVEY §2.7).  Partitioned
+        windows shuffle once on the keys; no global ordering."""
+        pb = _ensure_list(partition_by)
+        ob = _ensure_list(order_by)
+        asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(ob)
+        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(ob, asc)]
+        w = Window.partitionBy(*pb).orderBy(*cols)
+        return self._derive(self._sdf.withColumn(name, F.row_number().over(w)),
+                            "row_number", {"partition_by": pb, "order_by": ob})
+
+    def with_rank(self, name: str, partition_by, order_by,
+                  ascending: bool = True, dense: bool = False) -> "DataFrame":
+        pb = _ensure_list(partition_by)
+        ob = _ensure_list(order_by)
+        cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in ob]
+        w = Window.partitionBy(*pb).orderBy(*cols)
+        fn = F.dense_rank() if dense else F.rank()
+        return self._derive(self._sdf.withColumn(name, fn.over(w)),
+                            "rank", {"partition_by": pb, "order_by": ob})
+
+    def with_lag(self, name: str, col: str, partition_by, order_by,
+                 offset: int = 1) -> "DataFrame":
+        w = Window.partitionBy(*_ensure_list(partition_by)).orderBy(
+            *[F.col(c).asc() for c in _ensure_list(order_by)])
+        return self._derive(self._sdf.withColumn(name, F.lag(col, offset).over(w)),
+                            "lag", {"col": col})
+
+    def with_cumsum(self, name: str, col: str, partition_by, order_by) -> "DataFrame":
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(*[F.col(c).asc() for c in _ensure_list(order_by)])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return self._derive(self._sdf.withColumn(name, F.sum(col).over(w)),
+                            "cumsum", {"col": col})
 
     # -- partitioning control (scale surface) ----------------------------
     def repartition(self, num: int | None = None, *cols) -> "DataFrame":

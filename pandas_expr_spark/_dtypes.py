@@ -64,6 +64,12 @@ def to_spark_type(dtype: Any) -> T.DataType:
     name = name.lower()
     if name in _PANDAS_TO_SPARK:
         return _PANDAS_TO_SPARK[name]
+    if name.startswith("decimal"):
+        import re
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", name)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        return T.DecimalType(38, 18)
     raise TypeError(f"Unsupported dtype for Spark conversion: {dtype!r}")
 
 

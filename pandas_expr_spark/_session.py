@@ -27,6 +27,9 @@ _DEFAULT_CONFS = {
     # Keep scans well-sized: 128 MiB splits are the right default at 100 TB.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # read TIMESTAMP(NANOS) parquet columns as long (Spark has no ns type);
+    # sources.load_table converts them to microsecond timestamps
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

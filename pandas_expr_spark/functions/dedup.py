@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for a 100 TB corpus:
+
+* **exact**: one hash-shuffle groupBy on an md5 fingerprint — the minimal
+  possible plan; no sort, map-side partial agg.
+* **MinHash**: signatures computed *JVM-side* (xxhash64 + universal-hash
+  permutations over the shingle array via ``F.transform``/``F.array_min`` —
+  stays in whole-stage codegen, no Python).  LSH banding turns the O(n²)
+  pair search into ``#bands`` hash-shuffles + an equi-join on (band, bucket);
+  AQE handles bucket skew.
+* **n-gram Jaccard**: inverted-index join (explode shingles → self-join on
+  shingle → count common) — the standard scalable set-similarity join; we
+  prune by length ratio first.
+* **SimHash**: 64-bit signature via a vectorized Arrow pandas_udf (bit-level
+  majority vote is branch-heavy for SQL expressions); Hamming-distance
+  candidate pairs via band equi-joins on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+from pyspark.sql.types import LongType
+
+from .text import fingerprint, word_shingles
+
+__all__ = ["exact_dedup", "exact_dup_groups", "minhash_signature",
+           "minhash_lsh_pairs", "minhash_lsh_dedup", "ngram_jaccard_pairs",
+           "simhash", "simhash_pairs", "embedding_near_dup_pairs"]
+
+# 2^31-1: keeps a·h + b < 2^62 so the universal-hash arithmetic never
+# overflows int64 (Spark ANSI mode would raise on overflow)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dup_groups(sdf: SparkDF, text_col: str = "text",
+                     id_col: str = "doc_id") -> SparkDF:
+    """Exact-duplicate groups: fingerprint → groupBy → count + canonical id.
+    Returns (fp, n_dups, keep_id) for groups with >1 member."""
+    fp = fingerprint(text_col).alias("fp")
+    return (sdf.select(fp, F.col(id_col))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def exact_dedup(sdf: SparkDF, text_col: str = "text",
+                id_col: str = "doc_id") -> SparkDF:
+    """Keep the min-id row per exact fingerprint.  Single shuffle on fp."""
+    with_fp = sdf.withColumn("__fp__", fingerprint(text_col))
+    keep = (with_fp.groupBy("__fp__").agg(F.min(id_col).alias(id_col)))
+    return (with_fp.join(keep, ["__fp__", id_col], "left_semi").drop("__fp__"))
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+            for _ in range(num_perm)]
+
+
+def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
+                      seed: int = 42) -> Column:
+    """MinHash signature as array<long>, fully JVM-side.
+
+    h_i(shingle) = (a_i · xxhash64(shingle) + b_i) mod p;  sig_i = min over
+    shingles.  ``F.transform`` + ``F.array_min`` keep this inside codegen —
+    ~10-100× faster than a per-row Python UDF at scale.
+    """
+    shingles = word_shingles(text_col, shingle_n)
+    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    sig = F.array(*[
+        F.array_min(F.transform(base, lambda h: (h * a + b) % _MERSENNE))
+        for a, b in _perm_params(num_perm, seed)
+    ])
+    return sig
+
+
+def _banded(sdf: SparkDF, id_col: str, sig_col: str, bands: int,
+            rows_per_band: int) -> SparkDF:
+    """(id, band, bucket-hash) — one row per band."""
+    band_struct = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col(sig_col)[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)
+    ])
+    return (sdf.select(id_col, F.explode(band_struct).alias("bb"))
+            .select(id_col, F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def minhash_lsh_pairs(sdf: SparkDF, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      seed: int = 42) -> SparkDF:
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+
+    Equi-join on (band, bucket) — Catalyst plans a shuffled hash join; the
+    quadratic blow-up is confined to same-bucket groups (AQE splits skewed
+    buckets).  Pairs are deduped across bands with ``distinct()``.
+    """
+    rows_per_band = num_perm // bands
+    with_sig = sdf.select(F.col(id_col),
+                          minhash_signature(text_col, num_perm, shingle_n, seed)
+                          .alias("__sig__"))
+    bb = _banded(with_sig, id_col, "__sig__", bands, rows_per_band)
+    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def minhash_lsh_dedup(sdf: SparkDF, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.8,
+                      seed: int = 42) -> SparkDF:
+    """Remove near-duplicates: LSH candidates → exact shingle-Jaccard verify →
+    drop every doc that matches a lower id (greedy canonical-min rule).
+
+    The verify join is only over candidate pairs (tiny vs n²); Jaccard uses
+    ``array_intersect``/``array_union`` JVM-side.
+    """
+    pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
+                              shingle_n, seed)
+    sh = sdf.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
+    verified = (pairs
+                .join(sh.select(F.col(id_col).alias("id_a"),
+                                F.col("__sh__").alias("__sh_a__")), "id_a")
+                .join(sh.select(F.col(id_col).alias("id_b"),
+                                F.col("__sh__").alias("__sh_b__")), "id_b")
+                .withColumn("__jac__",
+                            F.size(F.array_intersect("__sh_a__", "__sh_b__")) /
+                            F.size(F.array_union("__sh_a__", "__sh_b__")))
+                .filter(F.col("__jac__") >= jaccard_threshold))
+    drop_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return sdf.join(drop_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(sdf: SparkDF, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> SparkDF:
+    """All pairs with shingle-Jaccard ≥ threshold via inverted-index join.
+
+    explode(shingles) → self-join on shingle → count common shingles →
+    |A∩B| / (|A| + |B| − |A∩B|).  Never materializes n² pairs: only pairs
+    sharing ≥1 shingle appear, and the length-ratio prune drops hopeless
+    pairs before the count-agg shuffle.
+    """
+    sh = (sdf.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
+          .withColumn("__n__", F.size("__sh__")))
+    inv = sh.select(id_col, "__n__", F.explode("__sh__").alias("__s__"))
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("__n__").alias("n_a"),
+                   F.col("__s__"))
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("__n__").alias("n_b"),
+                   F.col("__s__"))
+    common = (a.join(b, "__s__")
+              .filter(F.col("id_a") < F.col("id_b"))
+              # length prune: if |A| and |B| differ too much, J < threshold
+              .filter(F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
+              .groupBy("id_a", "id_b", "n_a", "n_b")
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    return (common
+            .withColumn("jaccard", F.col("__c__") /
+                        (F.col("n_a") + F.col("n_b") - F.col("__c__")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# -------------------------------------------------------------------- SimHash
+def simhash(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> SparkDF:
+    """64-bit SimHash per doc via a vectorized Arrow pandas_udf.
+
+    Token hashes come from a stable Python hash (md5-based); the bit-majority
+    vote is pure numpy over the Arrow batch — the idiomatic Spark shape for
+    logic too branchy for SQL expressions (SURVEY §2.10).
+    """
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in t.lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(bits):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(bits):
+                if acc[b] > 0:
+                    sig |= (1 << b)
+            # store as signed 64-bit
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return sdf.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 8) -> SparkDF:
+    """Near-dup candidates by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider radii still catch most)
+    → equi-join per chunk → exact Hamming filter via bit_count(xor)."""
+    sh = simhash(sdf, text_col, id_col)
+    chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * i)
+              .bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"c{i}")
+              for i in range(4)]
+    sc = sh.select(id_col, "simhash", *chunks)
+    pairs = None
+    for i in range(4):
+        a = sc.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+                      F.col(f"c{i}").alias("ck"))
+        b = sc.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+                      F.col(f"c{i}").alias("ck"))
+        p = (a.join(b, "ck").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "h_a", "h_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.distinct()
+            .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------- embedding near-duplicates
+def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             cosine_threshold: float = 0.95,
+                             num_planes: int = 8, seed: int = 42) -> SparkDF:
+    """Embedding-cosine near-dup pairs, LSH-bucketed.
+
+    Random-hyperplane signature (sign bits packed into one long, JVM-side dot
+    products via ``F.aggregate``/``zip_with``) buckets the vectors; exact
+    cosine is verified only within buckets.  At 100 TB this is the standard
+    two-stage ANN-join: O(n) bucketing shuffle + per-bucket quadratic verify.
+    """
+    from .similarity import _dot, _norm, random_hyperplane_bucket
+    bucket = random_hyperplane_bucket(vec_col, num_planes=num_planes, seed=seed)
+    sb = sdf.select(F.col(id_col), F.col(vec_col), bucket.alias("__bkt__"))
+    a = sb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a__"),
+                  "__bkt__")
+    b = sb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b__"),
+                  "__bkt__")
+    cos = _dot("__v_a__", "__v_b__") / (_norm("__v_a__") * _norm("__v_b__"))
+    return (a.join(b, "__bkt__")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= cosine_threshold)
+            .select("id_a", "id_b", "cosine"))

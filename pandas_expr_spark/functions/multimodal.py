@@ -1,0 +1,158 @@
+"""Multimodal (image/audio/video) column support.
+
+Media are opaque ``binary`` columns + typed metadata structs; every transform
+is an Arrow-batched ``mapInPandas`` over the binary payloads so the heavy
+bytes never leave the executors and never cross to the driver.
+
+The actual codec calls (PIL/librosa/ffmpeg) are NOT available in this
+container, so the decode kernels are STUBBED: ``decode_stub="fake"`` yields a
+deterministic fake decode (so the Spark-side plumbing — schema, batching,
+partitioning — is fully testable end-to-end); ``decode_stub="raise"``
+raises ``NotImplementedError`` marking the integration point.
+
+Scale design: binary payloads dominate row size → keep
+``spark.sql.files.maxPartitionBytes`` moderate, never ``collect()`` them, and
+carry metadata in separate cheap columns so filters/pushdowns (e.g. "only
+JPEGs wider than 512px") prune *before* decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame as SparkDF, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["image_meta_schema", "attach_media_meta", "decode_image_features",
+           "resize_images", "sample_video_frames", "audio_features"]
+
+IMAGE_FEATURE_DIM = 16
+
+
+def image_meta_schema() -> T.StructType:
+    return T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+
+def attach_media_meta(sdf: SparkDF, binary_col: str = "payload") -> SparkDF:
+    """Cheap JVM-side metadata: byte length + magic-byte format sniffing.
+    These columns are filterable WITHOUT decoding — the pruning layer."""
+    b = F.col(binary_col)
+    magic = F.hex(F.substring(b, 1, 4))
+    fmt = (F.when(magic.startswith("FFD8"), "jpeg")
+           .when(magic.startswith("89504E47"), "png")
+           .when(magic.startswith("52494646"), "riff")
+           .otherwise("unknown"))
+    return (sdf.withColumn("media_format", fmt)
+            .withColumn("media_n_bytes", F.length(b).cast("long")))
+
+
+def _fake_decode(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake feature vector from the payload hash — stands in
+    for a real decode+CNN-embed kernel so plumbing is testable."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def decode_image_features(sdf: SparkDF, binary_col: str = "payload",
+                          id_col: str = "media_id",
+                          decode_stub: str = "fake") -> SparkDF:
+    """binary → feature array<float>.  Real implementation would decode with
+    PIL and run a vision embedder per Arrow batch; the batch shape, schema and
+    partition behavior here are exactly what that code would use."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "image decode requires PIL/torch — not in this container")
+            feats = [_fake_decode(p).tolist() for p in pdf[binary_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def resize_images(sdf: SparkDF, width: int, height: int,
+                  binary_col: str = "payload", id_col: str = "media_id",
+                  decode_stub: str = "fake") -> SparkDF:
+    """binary → resized binary.  Stub emits a deterministic truncated/padded
+    payload of width*height bytes standing in for the resized encoding."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError("image resize requires PIL")
+            out = [(bytes(p) * (target // max(len(p), 1) + 1))[:target]
+                   for p in pdf[binary_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out,
+                                "width": width, "height": height})
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def sample_video_frames(sdf: SparkDF, every_n: int = 30,
+                        binary_col: str = "payload", id_col: str = "media_id",
+                        decode_stub: str = "fake") -> SparkDF:
+    """binary video → exploded (frame_idx, frame binary) rows.  Stub slices
+    the payload into fixed-size chunks as fake frames."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError("video decode requires ffmpeg")
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[binary_col]):
+                p = bytes(p)
+                chunks = [p[i:i + 64] for i in range(0, len(p), 64)]
+                for fi, ch in enumerate(chunks[::every_n] or [b""]):
+                    ids.append(mid); idxs.append(fi); frames.append(ch)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def audio_features(sdf: SparkDF, binary_col: str = "payload",
+                   id_col: str = "media_id",
+                   decode_stub: str = "fake") -> SparkDF:
+    """binary audio → (duration_s, rms) stub features."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError("audio decode requires librosa/soundfile")
+            durs = [len(bytes(p)) / 16000.0 for p in pdf[binary_col]]
+            rms = [float(np.sqrt(np.mean(np.frombuffer(bytes(p), dtype=np.uint8)
+                                         .astype(np.float64) ** 2)))
+                   if len(bytes(p)) else 0.0 for p in pdf[binary_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "duration_s": durs, "rms": rms})
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)

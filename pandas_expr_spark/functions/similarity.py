@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: one narrow map (JVM-side dot
+  product via ``F.aggregate``/``zip_with``) + distributed TopK
+  (TakeOrderedAndProject).  O(n·d) with no shuffle of the vectors — the
+  right baseline even at scale.
+* ``lsh_topk`` — random-hyperplane LSH: probe only the query's bucket
+  (plus optional multi-probe neighbors).  Turns full scans into
+  partition-pruned bucket reads when the table is written bucketed/
+  partitioned by signature.
+* ``ivf_topk`` — IVF-style: k-means-ish coarse centroids (sampled, driver
+  -side), assign each vector to nearest centroid once, probe the closest
+  ``nprobe`` centroid cells per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "random_hyperplane_bucket"]
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(sdf: SparkDF, query_vec, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_to: int | None = 6) -> SparkDF:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Plan shape: Scan → Project(cosine) → TakeOrderedAndProject — no shuffle,
+    map-side top-k per partition then a driver merge of k·partitions rows.
+    """
+    q = _lit_vec(query_vec)
+    cos = _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    out = (sdf.select(F.col(id_col), cos.alias("cosine"))
+           .orderBy(F.desc("cosine"), F.asc(id_col))
+           .limit(k))
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out
+
+
+def random_hyperplane_bucket(vec_col: Column | str, num_planes: int = 8,
+                             dim: int = 64, seed: int = 42) -> Column:
+    """Pack sign(v·r_i) bits into one long — the LSH bucket id.  The random
+    hyperplanes are deterministic literals (seeded), so the same bucket
+    function is reproducible across runs/queries."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        bit = F.when(_dot(vec_col, _lit_vec(planes[i])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i).cast("long"))
+    return bucket
+
+
+def lsh_topk(sdf: SparkDF, query_vec, k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", num_planes: int = 8, seed: int = 42,
+             multiprobe: int = 1) -> SparkDF:
+    """ANN top-k: probe the query's hyperplane bucket (± single-bit-flip
+    neighbors when ``multiprobe`` > 0), exact cosine rerank inside.
+
+    At 100 TB: write the corpus partitioned by ``bucket`` → the probe becomes
+    partition pruning; only ~1/2^planes of the data is read.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, len(query_vec)))
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=float)
+    for i in range(num_planes):
+        if float(qv @ planes[i]) >= 0:
+            qsig |= (1 << i)
+    probes = {qsig}
+    if multiprobe:
+        for i in range(num_planes):
+            probes.add(qsig ^ (1 << i))
+    bucket = random_hyperplane_bucket(vec_col, num_planes, len(query_vec), seed)
+    candidates = sdf.withColumn("__bkt__", bucket).filter(
+        F.col("__bkt__").isin([int(p) for p in probes]))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk(sdf: SparkDF, query_vec, k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", n_cells: int = 16, nprobe: int = 4,
+             seed: int = 42, sample_frac: float = 0.2) -> SparkDF:
+    """IVF-flat ANN: coarse centroids from a driver-side sample (one pass of
+    Lloyd's on ≤ a few thousand sampled vectors), cell assignment JVM-side,
+    probe the ``nprobe`` nearest cells.
+
+    The cell-assignment column is computed once; at scale you persist it (or
+    bucket the table by it) so each query touches nprobe/n_cells of the data.
+    """
+    sample = np.array(
+        [r[0] for r in
+         sdf.select(vec_col).sample(fraction=sample_frac, seed=seed)
+            .limit(4000).collect()],
+        dtype=float)
+    if len(sample) < n_cells:
+        return cosine_topk(sdf, query_vec, k, vec_col, id_col)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(5):  # few Lloyd iterations are enough for coarse cells
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_cells):
+            pts = sample[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+
+    # JVM-side nearest-centroid assignment: argmin over literal centroids
+    def _sqdist(c):
+        return F.aggregate(F.zip_with(F.col(vec_col), _lit_vec(c),
+                                      lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    best_cell = F.lit(0)
+    best_d = _sqdist(centroids[0])
+    for c in range(1, n_cells):
+        dc = _sqdist(centroids[c])
+        best_cell = F.when(dc < best_d, F.lit(c)).otherwise(best_cell)
+        best_d = F.least(best_d, dc)
+
+    qv = np.asarray(query_vec, dtype=float)
+    cell_d = ((centroids - qv) ** 2).sum(1)
+    probe_cells = [int(c) for c in np.argsort(cell_d)[:nprobe]]
+    candidates = sdf.withColumn("__cell__", best_cell).filter(
+        F.col("__cell__").isin(probe_cells))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

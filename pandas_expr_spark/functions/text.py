@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built from ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen, no Python roundtrip — so they scale linearly over
+a 100 TB documents corpus (shuffle-free: every op here is a narrow map).
+
+Each operator returns Column expressions / DataFrames and has an ANSI-SQL
+equivalent (used by ``__spark_entry__.oracle_sql``) so results are
+oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["token_count", "word_tokens", "char_ngrams", "word_shingles",
+           "punct_ratio", "digit_ratio", "stopword_ratio", "avg_token_len",
+           "quality_score", "lang_id", "lang_score", "fingerprint",
+           "bpe_ish_token_count"]
+
+_WS = r"\s+"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  (Real pipelines plug in fastText/CLD3; the operator contract —
+# a deterministic text→lang Column — is what matters here.)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "it", "that", "for"]
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word-piece-like units with a regex that
+    splits words, digit runs, and punctuation separately (a cheap, fully
+    JVM-side proxy for a real BPE vocab; ~chars/4 heuristics are cruder)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # tokens = maximal runs of letters (≤4 chars each counts 1; longer words
+    # count ceil(len/4)) + digit runs + punctuation marks
+    letters = F.regexp_replace(c, r"[^A-Za-z]+", " ")
+    word_chars = F.length(F.regexp_replace(letters, _WS, ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]+", ""))
+    puncts = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]+", ""))
+    return (F.ceil(word_chars / F.lit(4.0)) + digits + puncts).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram (shingle) array — via sequence+substring, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(c, 1, 0).cast("string") +
+                       c.substr(i, F.lit(n)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct), JVM-side."""
+    toks = word_tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(sh)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    d = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — array ops, JVM-side."""
+    sw = stopwords or _STOPWORDS
+    toks = word_tokens(col)
+    lowered = F.transform(toks, F.lower)
+    hits = F.size(F.filter(lowered, lambda t: t.isin(sw)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = word_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0, 1]:
+
+      0.25·len_ok + 0.25·(1 − punct_ratio·4 clipped) + 0.25·tok_len_ok
+      + 0.25·(1 − stopword_excess)
+
+    Deterministic, fully JVM-side; mirrors the length/punct/stopword-ratio
+    heuristics of C4/Gopher-style quality filters.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = F.when((n >= 100) & (n <= 10000), F.lit(1.0)).otherwise(
+        F.when(n < 100, n / F.lit(100.0)).otherwise(F.lit(0.5)))
+    p = punct_ratio(c)
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - p * 4)
+    atl = avg_token_len(c)
+    tok_ok = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(c)
+    sw_ok = F.when(sw <= 0.4, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (sw - 0.4)))
+    return (F.lit(0.25) * len_ok + F.lit(0.25) * punct_ok +
+            F.lit(0.25) * tok_ok + F.lit(0.25) * sw_ok)
+
+
+def lang_score(col: Column | str, lang: str,
+               markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-token count for one language (JVM-side array ops)."""
+    words = (markers or _LANG_MARKERS)[lang]
+    toks = F.transform(word_tokens(col), F.lower)
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-lexicon language ID: argmax of per-language marker-token counts,
+    'unk' when no marker hits.  Tie-break: alphabetically first language.
+
+    Semantics are a pure CASE cascade over the scores, so the identical logic
+    is expressible in ANSI SQL (used by the DuckDB oracle):
+
+        CASE WHEN greatest(s_a, s_b, ...) = 0 THEN 'unk'
+             WHEN s_a >= s_b AND s_a >= s_c ... THEN 'a'
+             WHEN s_b >= s_c ... THEN 'b' ... END
+    """
+    m = markers or _LANG_MARKERS
+    langs = sorted(m)
+    scores = {lang: lang_score(col, lang, m) for lang in langs}
+    result = F.when(F.greatest(*[scores[l] for l in langs]) == 0, F.lit("unk"))
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        result = result.when(cond, F.lit(lang))
+    return result.otherwise(F.lit(langs[-1]))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Identical hex in DuckDB (``md5(lower(regexp_replace(trim(text), '\\s+',
+    ' ', 'g')))``) → exact-dup grouping key that is oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+    return F.md5(F.encode(normalized, "UTF-8"))

@@ -1,0 +1,143 @@
+"""Structured-Streaming slice (SURVEY §2.9 — greenfield; nothing exists in
+the reference, whose only ordered structure is the single-partition index).
+
+Batch/stream unification: every windowed aggregation here takes and returns
+plain Spark DataFrames, so the *same* helper works on a batch frame (unit
+tests, backfills) and a ``readStream`` frame (production) — the Structured
+Streaming contract.
+
+Late-data policy is explicit: ``withWatermark`` bounds state; at 100 TB/day
+the watermark is what keeps the shuffle-state store finite.  Stateful custom
+logic uses Arrow-batched ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .._session import get_spark
+
+__all__ = ["read_stream", "tumbling_window_agg", "sliding_window_agg",
+           "session_window_agg", "stateful_running_agg", "write_stream",
+           "to_memory_sink"]
+
+
+def read_stream(format: str = "parquet", path: str | None = None,
+                schema: T.StructType | str | None = None,
+                max_files_per_trigger: int | None = None,
+                options: dict | None = None) -> SparkDF:
+    """``spark.readStream`` with the file-source knobs that matter at scale
+    (``maxFilesPerTrigger`` caps per-microbatch work)."""
+    spark = get_spark()
+    r = spark.readStream.format(format)
+    if schema is not None:
+        r = r.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.load(path) if path else r.load()
+
+
+def _agg_cols(aggs: dict[str, tuple[str, str]]) -> list[Column]:
+    fns = {"sum": F.sum, "count": F.count, "avg": F.avg, "mean": F.avg,
+           "min": F.min, "max": F.max,
+           "approx_nunique": F.approx_count_distinct}
+    return [fns[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+
+
+def tumbling_window_agg(sdf: SparkDF, ts_col: str, window: str,
+                        aggs: dict[str, tuple[str, str]],
+                        keys: list[str] | None = None,
+                        watermark: str | None = None) -> SparkDF:
+    """Fixed windows: ``F.window(ts, '10 minutes')`` + optional watermark.
+    Works identically on batch and streaming frames."""
+    if watermark and sdf.isStreaming:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    gb = [F.window(F.col(ts_col), window).alias("window")] + [
+        F.col(k) for k in (keys or [])]
+    return (sdf.groupBy(*gb).agg(*_agg_cols(aggs))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *[F.col(k) for k in (keys or [])],
+                    *[F.col(o) for o in aggs]))
+
+
+def sliding_window_agg(sdf: SparkDF, ts_col: str, window: str, slide: str,
+                       aggs: dict[str, tuple[str, str]],
+                       keys: list[str] | None = None,
+                       watermark: str | None = None) -> SparkDF:
+    if watermark and sdf.isStreaming:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    gb = [F.window(F.col(ts_col), window, slide).alias("window")] + [
+        F.col(k) for k in (keys or [])]
+    return (sdf.groupBy(*gb).agg(*_agg_cols(aggs))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *[F.col(k) for k in (keys or [])],
+                    *[F.col(o) for o in aggs]))
+
+
+def session_window_agg(sdf: SparkDF, ts_col: str, gap: str,
+                       aggs: dict[str, tuple[str, str]],
+                       keys: list[str] | None = None,
+                       watermark: str | None = None) -> SparkDF:
+    """Session windows (``F.session_window``): gap-based, merged at agg time."""
+    if watermark and sdf.isStreaming:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    gb = [F.session_window(F.col(ts_col), gap).alias("session")] + [
+        F.col(k) for k in (keys or [])]
+    return (sdf.groupBy(*gb).agg(*_agg_cols(aggs))
+            .select(F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    *[F.col(k) for k in (keys or [])],
+                    *[F.col(o) for o in aggs]))
+
+
+def stateful_running_agg(sdf: SparkDF, keys: list[str], value_col: str,
+                         timeout: str = "NoTimeout") -> SparkDF:
+    """Custom stateful operator: per-key running (count, sum) maintained in
+    Arrow-batched group state (``applyInPandasWithState``) — the template for
+    operators windowed aggs can't express."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(k, sdf.schema[k].dataType) for k in keys] +
+        [T.StructField("running_count", T.LongType()),
+         T.StructField("running_sum", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("cnt", T.LongType()),
+                                 T.StructField("s", T.DoubleType())])
+
+    def fn(key, pdfs, state: GroupState):
+        cnt, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((cnt, s))
+        yield pd.DataFrame({**{k: [key[i]] for i, k in enumerate(keys)},
+                            "running_count": [cnt], "running_sum": [s]})
+
+    return (sdf.groupBy(*keys)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def write_stream(sdf: SparkDF, path: str, checkpoint: str,
+                 format: str = "parquet", output_mode: str = "append",
+                 trigger_once: bool = True):
+    """File sink with checkpointing (exactly-once for file sinks)."""
+    w = (sdf.writeStream.format(format).option("path", path)
+         .option("checkpointLocation", checkpoint).outputMode(output_mode))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def to_memory_sink(sdf: SparkDF, name: str, output_mode: str = "complete"):
+    """Memory sink for tests/debug: query results visible as table ``name``."""
+    return (sdf.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start())

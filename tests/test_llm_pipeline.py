@@ -1,0 +1,235 @@
+"""Tests for the LLM-data-pipeline operators (text analysis, dedup,
+similarity search, multimodal) against the driver's documents/embeddings
+tables and DuckDB cross-checks."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import pandas_expr_spark as pes
+from pandas_expr_spark.functions import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+EMB = f"{SF}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+# ------------------------------------------------------------------ text
+def test_token_count_matches_duckdb(docs):
+    got = (docs.select("doc_id", text.token_count("text").alias("n_tok"))
+           .orderBy("doc_id").toPandas())
+    exp = duckdb.sql(
+        f"select doc_id, len(regexp_split_to_array(trim(text), '\\s+')) n_tok "
+        f"from '{DOCS}' order by doc_id").df()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+
+
+def test_fingerprint_matches_duckdb(docs):
+    got = (docs.select("doc_id", text.fingerprint("text").alias("fp"))
+           .orderBy("doc_id").toPandas())
+    exp = duckdb.sql(
+        f"select doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) fp "
+        f"from '{DOCS}' order by doc_id").df()
+    assert got["fp"].tolist() == exp["fp"].tolist()
+
+
+def test_quality_score_range_and_determinism(docs):
+    pdf = docs.select(text.quality_score("text").alias("q")).toPandas()
+    assert ((pdf["q"] >= 0) & (pdf["q"] <= 1)).all()
+    pdf2 = docs.select(text.quality_score("text").alias("q")).toPandas()
+    assert pdf["q"].tolist() == pdf2["q"].tolist()
+
+
+def test_lang_id_markers(spark):
+    pdf = pd.DataFrame({"text": [
+        "the cat and the dog of the house",
+        "el gato y la casa de que",
+        "der hund und die katze ist das",
+        "le chat et les chiens des la",
+        "xyzzy plugh",
+    ]})
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.select(text.lang_id("text").alias("lang")).toPandas()["lang"].tolist()
+    assert got == ["en", "es", "de", "fr", "unk"]
+
+
+def test_word_shingles(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"text": ["a b c d"]}))
+    got = sdf.select(text.word_shingles("text", 2).alias("s")).collect()[0][0]
+    assert sorted(got) == ["a b", "b c", "c d"]
+
+
+def test_ratios(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"text": ["ab, cd! 12"]}))
+    row = sdf.select(
+        text.punct_ratio("text").alias("p"),
+        text.digit_ratio("text").alias("d"),
+        text.stopword_ratio("text").alias("s"),
+    ).collect()[0]
+    assert row["p"] == pytest.approx(2 / 10)
+    assert row["d"] == pytest.approx(2 / 10)
+    assert row["s"] == 0.0
+
+
+def test_bpe_ish_token_count(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"text": ["hello world, 123"]}))
+    n = sdf.select(text.bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # ceil(10/4)=3 word units + 3 digits + 1 punct
+    assert n == 7
+
+
+# ------------------------------------------------------------------ dedup
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # append exact + near duplicates with known ids
+    rows = docs.limit(3).collect()
+    extra = [
+        (10_000, rows[0]["text"], "en", "dup", len(rows[0]["text"])),          # exact dup of doc 0
+        (10_001, rows[1]["text"] + " extra token tail", "en", "dup",
+         len(rows[1]["text"]) + 17),                                            # near dup of doc 1
+    ]
+    extra_df = spark.createDataFrame(extra, docs.schema)
+    return docs.unionByName(extra_df)
+
+
+def test_exact_dedup(docs_with_dups, docs):
+    n_before = docs_with_dups.count()
+    groups = dedup.exact_dup_groups(docs_with_dups).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+    after = dedup.exact_dedup(docs_with_dups)
+    assert after.count() == n_before - 1
+    assert after.filter(F.col("doc_id") == 10_000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, num_perm=32, bands=16).toPandas()
+    pairset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 10_000) in pairset  # exact dup always collides
+    assert (1, 10_001) in pairset  # near dup should collide in some band
+
+
+def test_minhash_lsh_dedup(docs_with_dups):
+    before = docs_with_dups.count()
+    after = dedup.minhash_lsh_dedup(docs_with_dups, num_perm=32, bands=16,
+                                    jaccard_threshold=0.5)
+    remaining = set(r["doc_id"] for r in after.select("doc_id").collect())
+    assert 10_000 not in remaining and 10_001 not in remaining
+    assert 0 in remaining and 1 in remaining
+    assert after.count() <= before - 2
+
+
+def test_ngram_jaccard_pairs(docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).toPandas()
+    pairset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 10_000) in pairset
+    assert (1, 10_001) in pairset
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 10_000)]["jaccard"].iloc[0]
+    assert exact == pytest.approx(1.0)
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = dedup.simhash_pairs(docs_with_dups, max_hamming=6).toPandas()
+    pairset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 10_000) in pairset  # identical text → hamming 0
+    h = pairs[(pairs.id_a == 0) & (pairs.id_b == 10_000)]["hamming"].iloc[0]
+    assert h == 0
+
+
+def test_embedding_near_dup(spark, emb):
+    # add an exact copy of vec 0 with id 9999
+    r0 = emb.filter(F.col("vec_id") == 0).collect()[0]
+    dup = spark.createDataFrame([(9999, r0["embedding"], r0["label"])], emb.schema)
+    both = emb.unionByName(dup)
+    pairs = dedup.embedding_near_dup_pairs(both, cosine_threshold=0.999).toPandas()
+    assert (0, 9999) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_vs_numpy(emb):
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].values, -cos))
+    exp_ids = pdf["vec_id"].values[order][:10].tolist()
+    got = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    assert got["vec_id"].tolist() == exp_ids
+    assert got["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_cosine_topk_plan_has_no_shuffle(emb):
+    out = similarity.cosine_topk(emb, [0.1] * 64, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_lsh_topk_recall(emb):
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    q = mat[7]
+    got = similarity.lsh_topk(emb, q.tolist(), k=5, num_planes=6, multiprobe=1)
+    ids = got.toPandas()["vec_id"].tolist()
+    assert 7 in ids  # the vector itself must be found
+    assert len(ids) == 5
+
+
+def test_ivf_topk(emb):
+    pdf = emb.toPandas()
+    q = np.array(pdf["embedding"].iloc[3], dtype=float)
+    got = similarity.ivf_topk(emb, q.tolist(), k=5, n_cells=8, nprobe=3)
+    ids = got.toPandas()["vec_id"].tolist()
+    assert 3 in ids
+
+
+# -------------------------------------------------------------- multimodal
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + bytes(range(256)) * (i + 1))
+            for i in range(8)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_attach_media_meta(media):
+    out = multimodal.attach_media_meta(media).toPandas()
+    assert (out["media_format"] == "jpeg").all()
+    assert out["media_n_bytes"].tolist() == [4 + 256 * (i + 1) for i in range(8)]
+
+
+def test_decode_image_features(media):
+    out = multimodal.decode_image_features(media).toPandas()
+    assert len(out) == 8
+    assert all(len(f) == multimodal.IMAGE_FEATURE_DIM for f in out["features"])
+    # deterministic
+    out2 = multimodal.decode_image_features(media).toPandas()
+    assert out["features"].apply(tuple).tolist() == out2["features"].apply(tuple).tolist()
+
+
+def test_decode_raise_stub(media):
+    out = multimodal.decode_image_features(media, decode_stub="raise")
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        out.collect()
+
+
+def test_resize_and_frames_and_audio(media):
+    r = multimodal.resize_images(media, 8, 8).toPandas()
+    assert all(len(b) == 64 for b in r["resized"])
+    fr = multimodal.sample_video_frames(media, every_n=2).toPandas()
+    assert fr.groupby("media_id").size().min() >= 1
+    au = multimodal.audio_features(media).toPandas()
+    assert (au["duration_s"] > 0).all()

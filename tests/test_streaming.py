@@ -1,0 +1,110 @@
+"""Streaming tests: the same window helpers on batch frames (unification
+contract) and end-to-end micro-batch runs over the events table."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_expr_spark import streaming as st
+
+SF = "/root/testdata/sf0.001"
+EVENTS = f"{SF}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from pandas_expr_spark.sources.tables import load_table
+    return load_table(spark, SF, "events")
+
+
+def test_tumbling_batch_matches_sql(spark, events):
+    got = st.tumbling_window_agg(
+        events, "ts", "1 hour",
+        {"n": ("event_id", "count"), "total": ("value", "sum")},
+        keys=["event_type"]).toPandas()
+    exp = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("event_id").alias("n"), F.sum("value").alias("total"))
+           .toPandas())
+    assert len(got) == len(exp)
+    assert got["n"].sum() == events.count()
+
+
+def test_sliding_window_batch(spark, events):
+    got = st.sliding_window_agg(
+        events, "ts", "2 hours", "1 hour", {"n": ("event_id", "count")}).toPandas()
+    # every event lands in exactly 2 sliding windows
+    assert got["n"].sum() == 2 * events.count()
+
+
+def test_session_window_batch(spark, events):
+    got = st.session_window_agg(
+        events, "ts", "30 minutes", {"n": ("event_id", "count")},
+        keys=["user_id"]).toPandas()
+    assert got["n"].sum() == events.count()
+    assert (pd.to_datetime(got["session_end"]) >
+            pd.to_datetime(got["session_start"])).all()
+
+
+def test_streaming_end_to_end(spark, events):
+    """File-source stream → watermarked tumbling agg → memory sink; result
+    must equal the batch computation."""
+    d = tempfile.mkdtemp()
+    try:
+        events.write.mode("overwrite").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=events.schema,
+                                max_files_per_trigger=4)
+        assert stream.isStreaming
+        agg = st.tumbling_window_agg(
+            stream, "ts", "1 hour", {"n": ("event_id", "count")},
+            keys=["event_type"], watermark="2 hours")
+        q = st.to_memory_sink(agg, "win_counts", output_mode="complete")
+        q.awaitTermination(120)
+        got = spark.sql("select * from win_counts").toPandas()
+        exp = st.tumbling_window_agg(
+            events, "ts", "1 hour", {"n": ("event_id", "count")},
+            keys=["event_type"]).toPandas()
+        m = got.merge(exp, on=["window_start", "window_end", "event_type"],
+                      suffixes=("_s", "_b"))
+        assert len(m) == len(exp)
+        assert (m["n_s"] == m["n_b"]).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_running_agg_stream(spark, events):
+    d = tempfile.mkdtemp()
+    try:
+        events.limit(200).write.mode("overwrite").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=events.schema)
+        out = st.stateful_running_agg(stream, ["event_type"], "value")
+        q = st.to_memory_sink(out, "running", output_mode="update")
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select event_type, max(running_count) c from running group by 1"
+        ).toPandas()
+        exp = (spark.read.parquet(f"{d}/in").groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("c")).toPandas())
+        m = got.merge(exp, on="event_type", suffixes=("_s", "_b"))
+        assert (m["c_s"] == m["c_b"]).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_stream_file_sink(spark, events):
+    d = tempfile.mkdtemp()
+    try:
+        events.write.mode("overwrite").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=events.schema)
+        filtered = stream.filter(F.col("event_type") == "click")
+        q = st.write_stream(filtered, f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{d}/out")
+        exp = events.filter(F.col("event_type") == "click")
+        assert got.count() == exp.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
