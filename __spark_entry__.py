@@ -8,11 +8,12 @@ holds the DuckDB-equivalent ANSI SQL for the correctness gate.
 Float-determinism policy (distributed vs single-node aggregation order):
 * raw column values and *elementwise* double arithmetic are bit-identical
   across engines → emitted as-is;
-* money/quantity SUMs go through ``decimal(18,2)`` (exact arithmetic in both
-  engines) and are cast back to double at the end;
-* AVGs of small-magnitude values are rounded to 4-6 decimals (absolute
-  error of order-dependent summation is orders of magnitude below the
-  rounding step).
+* money/quantity SUMs use the integer-cents basis ``floor(x*100)`` summed
+  as BIGINT — floor is ties-free (unlike any rounding mode) and IEEE double
+  multiply is deterministic, so the sums are bit-identical across engines
+  regardless of partitioning/summation order; the final ``/100.0`` division
+  of an integer ≤ 2^53 is exact;
+* AVGs use the same basis divided by the count.
 """
 
 from __future__ import annotations
@@ -496,6 +497,183 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# batch 2: as-of join, grouping sets, window family, set ops, streaming
+# (SURVEY §2.3/2.5/2.7 gaps + §2.9)
+# ---------------------------------------------------------------------------
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 stretch operator): for each purchase event,
+    the most recent prior 'view' value of the same user.  Lowered as
+    union + last-ignorenulls window — one shuffle on user_id, no range
+    explosion (scales to 100 TB event logs)."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet")
+    left = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+    right = ev[ev.event_type == "view"][["user_id", "ts", "value"]] \
+        .rename(columns={"value": "view_value"})
+    out = pes.merge_asof(left, right, on="ts", by="user_id",
+                         direction="backward")
+    return out[["event_id", "user_id", "view_value"]].to_spark()
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (Spark-native multi-group agg, one shuffle)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.assign(qty_c=(li.l_quantity * 100).floor())
+    g = li.rollup(["l_returnflag", "l_linestatus"]).agg(
+        n=("l_orderkey", "count"), qty=("qty_c", "sum"))
+    g = g.assign(qty=g["qty"] / 100.0)
+    return g.to_spark()
+
+
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    g = li.cube(["l_returnflag", "l_linestatus"]).agg(n=("l_orderkey", "count"))
+    return g.to_spark()
+
+
+def head_sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head after explicit sort (reference Head §2.7 — deterministic via
+    order; lowers to TakeOrderedAndProject, no global sort)."""
+    import pandas_expr_spark as pes
+    n = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    return n.sort_values("n_name").head(5).to_spark()
+
+
+def idx_extremes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idxmin/idxmax (reference §2.5) → min_by/max_by over the index —
+    single agg, no sort.  Index = o_orderkey via set_index."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    lo = o["o_totalprice"].idxmin().to_spark().select(
+        F.col("idxmin").cast("long").alias("cheapest_order"))
+    hi = o["o_totalprice"].idxmax().to_spark().select(
+        F.col("idxmax").cast("long").alias("priciest_order"))
+    return lo.crossJoin(hi)
+
+
+def mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.mode (reference §2.5) — deterministic all-ties result."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return li["l_quantity"].mode().to_spark().select(
+        F.col("__v__").alias("mode_qty"))
+
+
+def quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles (pandas semantics; approx=True is
+    the documented 100 TB path)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    s = li["l_extendedprice"]
+    med = s.median().to_spark().select(F.col("median").alias("p50"))
+    q25 = s.quantile(0.25).to_spark().select(F.col("quantile").alias("p25"))
+    q90 = s.quantile(0.9).to_spark().select(F.col("quantile").alias("p90"))
+    return med.crossJoin(q25).crossJoin(q90)
+
+
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.explode (reference §2.2 nested lists) over whitespace tokens;
+    frequent-token profile of the corpus head."""
+    import pandas_expr_spark as pes
+    docs = pes.read_parquet(f"{sf_dir}/documents.parquet")
+    sub = docs[docs.doc_id < 200]
+    toks = sub.assign(tok=sub["text"].str.strip().str.split(r"\s+"))
+    ex = toks.explode("tok")
+    vc = ex.groupby("tok").agg(n=("doc_id", "count"))
+    return vc[vc.n >= 50].to_spark()
+
+
+def combine_first_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask + combine_first (reference CombineFirst §2.2): null-out negative
+    balances, overlay the original → index-aligned coalesce."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet").set_index("c_custkey")
+    masked = c.assign(c_acctbal=c["c_acctbal"].mask(c["c_acctbal"] < 0))
+    filled = masked[["c_acctbal"]].combine_first(c[["c_acctbal"]])
+    out = filled.reset_index()
+    return out.to_spark().select(F.col("c_custkey").cast("long"),
+                                 F.col("c_acctbal"))
+
+
+def replace_dropna_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace + dropna (reference Replace/Dropna §2.2)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(prio=o["o_orderpriority"].replace("1-URGENT", None))
+    kept = o.dropna(subset=["prio"])
+    g = kept.groupby("prio").agg(n=("o_orderkey", "count"))
+    return g.to_spark()
+
+
+def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except distinct set ops (SURVEY §2.4 noted gap)."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    s = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    cn = c[["c_nationkey"]].rename(columns={"c_nationkey": "nk"})
+    sn = s[["s_nationkey"]].rename(columns={"s_nationkey": "nk"})
+    both = pes.intersect(cn.drop_duplicates(), sn.drop_duplicates())
+    only_c = pes.except_(cn.drop_duplicates(), sn.drop_duplicates())
+    a = both.to_spark().select(F.col("nk").cast("long"), F.lit("both").alias("side"))
+    b = only_c.to_spark().select(F.col("nk").cast("long"), F.lit("cust_only").alias("side"))
+    return a.unionByName(b)
+
+
+def window_lag_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running cumsum windows (SURVEY §2.7 family) per customer in
+    integer-cents basis (bit-deterministic)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 100]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    o = o.with_lag("prev_c", "price_c", partition_by="o_custkey",
+                   order_by=["o_orderdate", "o_orderkey"])
+    o = o.with_cumsum("run_c", "price_c", partition_by="o_custkey",
+                      order_by=["o_orderdate", "o_orderkey"])
+    o = o.assign(prev_price=o["prev_c"] / 100.0, run_total=o["run_c"] / 100.0)
+    return o[["o_orderkey", "o_custkey", "prev_price", "run_total"]].to_spark()
+
+
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (SURVEY §2.9): readStream over the events
+    parquet → tumbling 1-hour window agg → availableNow micro-batches into
+    a memory sink.  The oracle is the equivalent *batch* SQL — proving the
+    batch/stream unification contract."""
+    from pandas_expr_spark.streaming import stream as st
+    # file stream sources take a directory; glob-filter to the events table
+    src = st.read_stream("parquet", sf_dir,
+                         schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+                         options={"pathGlobFilter": "events.parquet"})
+    # ns-int64 parquet timestamp → TimestampType (same conversion as
+    # sources.tables.load_table), required for watermarks/windows
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # integer-cents before the agg so the windowed SUM is order-independent
+    src = src.withColumn("value_c", F.floor(F.col("value") * 100))
+    agg = st.tumbling_window_agg(
+        src, "ts", "1 hour",
+        {"n": ("event_id", "count"), "total_c": ("value_c", "sum")},
+        watermark="2 hours")
+    q = st.to_memory_sink(agg, "stream_hourly_events", "complete")
+    q.awaitTermination()
+    out = spark.table("stream_hourly_events")
+    return out.select(F.col("window_start").alias("hour_start"),
+                      F.col("n"),
+                      (F.col("total_c") / 100.0).alias("total"))
+
+
+def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Sample §2.2 — seeded Bernoulli sample.  Sampling is
+    engine-specific → driver rows-only check."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return li.sample(frac=0.1, random_state=42)[
+        ["l_orderkey", "l_linenumber"]].to_spark()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -544,6 +722,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": embedding_ann_lsh,
         "multimodal_features": multimodal_features,
         "multimodal_meta": multimodal_meta,
+        "asof_join_events": asof_join_events,
+        "rollup_pricing": rollup_pricing,
+        "cube_pricing": cube_pricing,
+        "head_sorted_nations": head_sorted_nations,
+        "idx_extremes_orders": idx_extremes_orders,
+        "mode_quantity": mode_quantity,
+        "quantile_prices": quantile_prices,
+        "explode_tokens": explode_tokens,
+        "combine_first_balances": combine_first_balances,
+        "replace_dropna_priorities": replace_dropna_priorities,
+        "intersect_except_nations": intersect_except_nations,
+        "window_lag_cumsum_orders": window_lag_cumsum_orders,
+        "streaming_hourly_events": streaming_hourly_events,
+        "sample_fraction_lineitem": sample_fraction_lineitem,
     }
 
 
@@ -833,7 +1025,88 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
             FROM documents
         """,
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts, value AS view_value FROM events
+                       WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id, r.view_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n,
+                   SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) / 100.0 AS qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "head_sorted_nations": """
+            SELECT * FROM nation ORDER BY n_name LIMIT 5
+        """,
+        "idx_extremes_orders": """
+            SELECT (SELECT o_orderkey FROM orders
+                    ORDER BY o_totalprice ASC LIMIT 1) AS cheapest_order,
+                   (SELECT o_orderkey FROM orders
+                    ORDER BY o_totalprice DESC LIMIT 1) AS priciest_order
+        """,
+        "mode_quantity": """
+            WITH f AS (SELECT l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1)
+            SELECT l_quantity AS mode_qty FROM f
+            WHERE c = (SELECT MAX(c) FROM f)
+        """,
+        "quantile_prices": """
+            SELECT median(l_extendedprice) AS p50,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.9) AS p90
+            FROM lineitem
+        """,
+        "explode_tokens": """
+            SELECT t.tok, COUNT(doc_id) AS n FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 200) t
+            GROUP BY t.tok HAVING COUNT(doc_id) >= 50
+        """,
+        "combine_first_balances": """
+            SELECT c_custkey,
+                   COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+                            c_acctbal) AS c_acctbal
+            FROM customer
+        """,
+        "replace_dropna_priorities": """
+            SELECT o_orderpriority AS prio, COUNT(o_orderkey) AS n
+            FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+        """,
+        "intersect_except_nations": """
+            SELECT nk, 'both' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+                INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT nk, 'cust_only' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+                EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        """,
+        "window_lag_cumsum_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+                       FROM orders WHERE o_custkey < 100)
+            SELECT o_orderkey, o_custkey,
+                   LAG(price_c) OVER w / 100.0 AS prev_price,
+                   SUM(price_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) / 100.0 AS run_total
+            FROM o WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+        """,
+        "streaming_hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
+            FROM events GROUP BY 1
+        """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
-        # multimodal_features: non-SQL-expressible (LSH banding, pandas-UDF
-        # signatures, stub decodes) → driver rows-only check.
+        # multimodal_features / sample_fraction_lineitem: non-SQL-expressible
+        # (LSH banding, pandas-UDF signatures, stub decodes, engine-specific
+        # sampling) → driver rows-only check.
     }

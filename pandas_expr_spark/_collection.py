@@ -1019,6 +1019,23 @@ class DataFrame(FrameBase):
             raise KeyError(missing)
         return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna)
 
+    def rollup(self, by, sort: bool = True):
+        """Hierarchical subtotals (Spark-native multi-grouping-set agg —
+        SURVEY §2.5 noted gap; NULL keys mark subtotal rows).
+
+        Note: on EMPTY input Spark returns 0 rows, while ANSI engines
+        (DuckDB/Postgres) emit the () grand-total row — a documented
+        upstream divergence, not an engine bug."""
+        from .operators.groupby import GroupBy
+        return GroupBy(self, _ensure_list(by), sort=sort, as_index=False,
+                       dropna=False, kind="rollup")
+
+    def cube(self, by, sort: bool = True):
+        """All grouping-set combinations (Spark-native cube aggregation)."""
+        from .operators.groupby import GroupBy
+        return GroupBy(self, _ensure_list(by), sort=sort, as_index=False,
+                       dropna=False, kind="cube")
+
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, left_index: bool = False,
               right_index: bool = False, suffixes: tuple = ("_x", "_y"),

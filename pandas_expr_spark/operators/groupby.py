@@ -50,13 +50,17 @@ class GroupBy:
 
     def __init__(self, frame, by: list[str], sort: bool = True,
                  as_index: bool = True, dropna: bool = True,
-                 slice_: list[str] | None = None):
+                 slice_: list[str] | None = None, kind: str = "groupby"):
         self._frame = frame
         self._by = by
         self._sort = sort
         self._as_index = as_index
         self._dropna = dropna
         self._slice = slice_
+        # "groupby" | "rollup" | "cube" — rollup/cube lower to Spark's
+        # native multi-grouping-set aggregation (one shuffle, subtotal rows
+        # marked by NULL keys; SURVEY §2.5 noted gap)
+        self._kind = kind
 
     # -- slicing (reference `_groupby.py:320-335`) -----------------------
     def __getitem__(self, key):
@@ -65,7 +69,7 @@ class GroupBy:
         if missing:
             raise KeyError(missing)
         return GroupBy(self._frame, self._by, self._sort, self._as_index,
-                       self._dropna, slice_=keys)
+                       self._dropna, slice_=keys, kind=self._kind)
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -90,6 +94,13 @@ class GroupBy:
                 sdf = sdf.filter(F.col(b).isNotNull())
         return sdf
 
+    def _grouping(self, sdf):
+        if self._kind == "rollup":
+            return sdf.rollup(*self._by)
+        if self._kind == "cube":
+            return sdf.cube(*self._by)
+        return sdf.groupBy(*self._by)
+
     def _finish(self, out, op: str):
         from .._collection import DataFrame, Series
         if self._sort:
@@ -106,7 +117,7 @@ class GroupBy:
         cols = self._value_columns(numeric_only)
         fn = _AGG_FNS[fn_name]
         aggs = [fn(F.col(c)).alias(c) for c in cols]
-        out = self._grouped_sdf().groupBy(*self._by).agg(*aggs)
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
         return self._finish(out, fn_name)
 
     # -- the reference's grouped reductions (`_groupby.py:193-238`) ------
@@ -137,7 +148,7 @@ class GroupBy:
 
     def size(self):
         from .._collection import DataFrame, Series
-        out = self._grouped_sdf().groupBy(*self._by).agg(
+        out = self._grouping(self._grouped_sdf()).agg(
             F.count(F.lit(1)).alias("size"))
         if self._sort:
             out = out.orderBy(*[F.col(b).asc() for b in self._by])
@@ -193,7 +204,7 @@ class GroupBy:
         else:
             raise TypeError(f"Unsupported agg spec: {spec!r}")
 
-        out = self._grouped_sdf().groupBy(*self._by).agg(*aggs)
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
         return self._finish(out, "agg")
 
     aggregate = agg
@@ -203,7 +214,7 @@ class GroupBy:
         """Grouped-map UDF via Arrow-batched ``applyInPandas``."""
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
-        out = self._grouped_sdf().groupBy(*self._by).applyInPandas(func, schema)
+        out = self._grouping(self._grouped_sdf()).applyInPandas(func, schema)
         from .._collection import DataFrame
         return DataFrame(out, Node("groupby_apply", {"by": self._by},
                                    self._frame._expr), (), None)

@@ -49,6 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
         pass
     sdf = spark.read.parquet(path)
     for c in ns_timestamp_columns(path):
-        sdf = sdf.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div` — double division loses precision above 2^53
+        # (epoch-ns ≈ 1.7e18), which would skew µs values by ±128 ns
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return sdf
