@@ -674,6 +674,132 @@ def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# batch 3: remaining SURVEY §2 surface — eval/query, math ops, tail,
+# nlargest, normalize, keep-first dedup, inner concat, indicator merge,
+# cross join, map/apply UDFs, index-aligned binop
+# ---------------------------------------------------------------------------
+def eval_query_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Eval (string expr → F.expr, compiled not UDF) + query."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    out = (li.eval("charge = l_extendedprice * (1 + l_tax)")
+             .query("charge > 90000 AND l_discount < 0.05"))
+    return out[["l_orderkey", "l_linenumber", "charge"]].to_spark()
+
+
+def math_abs_clip_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Abs/Clip (§2.2) + floor — all JVM elementwise."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    out = c.assign(clipped=c["c_acctbal"].clip(0, 5000),
+                   mag=c["c_acctbal"].abs().floor())
+    return out[["c_custkey", "clipped", "mag"]].to_spark().select(
+        F.col("c_custkey").cast("long"), "clipped", "mag")
+
+
+def tail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Tail §2.7 — deterministic after explicit sort."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    return o.sort_values("o_orderkey").tail(5)[
+        ["o_orderkey", "o_custkey"]].to_spark()
+
+
+def nlargest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference NLargest §2.5 → TakeOrderedAndProject (distributed top-k,
+    no global sort)."""
+    import pandas_expr_spark as pes
+    p = pes.read_parquet(f"{sf_dir}/part.parquet")
+    out = p.nlargest(10, ["p_retailprice", "p_partkey"])
+    return out[["p_partkey", "p_retailprice"]].to_spark().select(
+        F.col("p_partkey").cast("long"), "p_retailprice")
+
+
+def value_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ValueCounts normalize=True (§2.5)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    vc = o["o_orderpriority"].value_counts(normalize=True)
+    return vc.to_spark()
+
+
+def dedup_keep_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates(keep='first') honoring index order (IX §2.5) —
+    row_number window over the engine index per subset group."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    first = o.drop_duplicates(subset=["o_custkey"], keep="first")
+    out = first.reset_index()
+    return out[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
+
+
+def concat_inner_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat join='inner' (§2.4): common-column projection then unionByName."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    a = li[["l_orderkey", "l_quantity", "l_discount"]]
+    b = li[li.l_quantity > 45][["l_orderkey", "l_quantity"]]
+    return pes.concat([a, b], join="inner").to_spark()
+
+
+def merge_indicator_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(indicator=True) presence column (§2.3)."""
+    import pandas_expr_spark as pes
+    n = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    r = pes.read_parquet(f"{sf_dir}/region.parquet")
+    r3 = r[r.r_regionkey < 3][["r_regionkey", "r_name"]]
+    m = n.merge(r3, how="outer", left_on="n_regionkey",
+                right_on="r_regionkey", indicator=True)
+    g = m.groupby("_merge").agg(n=("n_nationkey", "count"))
+    return g.to_spark()
+
+
+def cross_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (§2.3 how='cross')."""
+    import pandas_expr_spark as pes
+    r = pes.read_parquet(f"{sf_dir}/region.parquet")[["r_name"]]
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    flags = li[["l_returnflag"]].drop_duplicates()
+    return r.merge(flags, how="cross").to_spark()
+
+
+def map_dict_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.map(dict) → CASE WHEN chain, JVM-side; unmatched → null
+    (pandas semantics), then fillna (§2.2 Map + Fillna)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    mapped = li["l_returnflag"].map({"A": "accepted", "R": "returned"})
+    out = li.assign(status=mapped.fillna("other"))
+    g = out.groupby("status").agg(n=("l_orderkey", "count"))
+    return g.to_spark()
+
+
+def apply_udf_name_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.apply(callable) → Arrow-batched pandas_udf (§2.10); oracle is
+    plain SQL LENGTH — proving the Python UDF path against the JVM answer."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    sub = c[c.c_custkey <= 100]
+    out = sub.assign(name_len=sub["c_name"].apply(len, return_type="int64"))
+    return out[["c_custkey", "name_len"]].to_spark().select(
+        F.col("c_custkey").cast("long"), F.col("name_len").cast("long"))
+
+
+def align_add_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-aligned cross-frame binop (§2.2 pandas alignment — full outer
+    join on the engine index, IX)."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    a = c[(c.c_custkey % 2 == 0) & (c.c_custkey < 500)]
+    b = c[(c.c_acctbal > 0) & (c.c_custkey < 500)]
+    sa = a.set_index("c_custkey")["c_acctbal"]
+    sb = b.set_index("c_custkey")["c_acctbal"]
+    tot = sa + sb
+    out = tot.to_frame("total").reset_index()
+    return out.to_spark().select(F.col("c_custkey").cast("long"), "total")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -736,6 +862,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "streaming_hourly_events": streaming_hourly_events,
         "sample_fraction_lineitem": sample_fraction_lineitem,
+        "eval_query_charges": eval_query_charges,
+        "math_abs_clip_floor": math_abs_clip_floor,
+        "tail_orders": tail_orders,
+        "nlargest_parts": nlargest_parts,
+        "value_counts_normalized": value_counts_normalized,
+        "dedup_keep_first_orders": dedup_keep_first_orders,
+        "concat_inner_lineitem": concat_inner_lineitem,
+        "merge_indicator_nations": merge_indicator_nations,
+        "cross_join_flags": cross_join_flags,
+        "map_dict_flags": map_dict_flags,
+        "apply_udf_name_len": apply_udf_name_len,
+        "align_add_balances": align_add_balances,
     }
 
 
@@ -1104,6 +1242,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
             FROM events GROUP BY 1
+        """,
+        "eval_query_charges": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 + l_tax) AS charge
+            FROM lineitem
+            WHERE l_extendedprice * (1 + l_tax) > 90000 AND l_discount < 0.05
+        """,
+        "math_abs_clip_floor": """
+            SELECT c_custkey,
+                   LEAST(GREATEST(c_acctbal, 0), 5000) AS clipped,
+                   CAST(FLOOR(ABS(c_acctbal)) AS BIGINT) AS mag
+            FROM customer
+        """,
+        "tail_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 5
+        """,
+        "nlargest_parts": """
+            SELECT p_partkey, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey DESC LIMIT 10
+        """,
+        "value_counts_normalized": """
+            SELECT o_orderpriority,
+                   COUNT(*) / (SELECT COUNT(*) FROM orders) AS proportion
+            FROM orders GROUP BY 1
+        """,
+        "dedup_keep_first_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "concat_inner_lineitem": """
+            SELECT l_orderkey, l_quantity FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+        """,
+        "merge_indicator_nations": """
+            SELECT CASE WHEN n_nationkey IS NOT NULL AND r_regionkey IS NOT NULL
+                        THEN 'both'
+                        WHEN n_nationkey IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS _merge,
+                   COUNT(n_nationkey) AS n
+            FROM nation FULL JOIN (SELECT r_regionkey, r_name FROM region
+                                   WHERE r_regionkey < 3) r
+              ON n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "cross_join_flags": """
+            SELECT r_name, l_returnflag
+            FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+        """,
+        "map_dict_flags": """
+            SELECT CASE WHEN l_returnflag = 'A' THEN 'accepted'
+                        WHEN l_returnflag = 'R' THEN 'returned'
+                        ELSE 'other' END AS status,
+                   COUNT(l_orderkey) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "apply_udf_name_len": """
+            SELECT c_custkey, CAST(LENGTH(c_name) AS BIGINT) AS name_len
+            FROM customer WHERE c_custkey <= 100
+        """,
+        "align_add_balances": """
+            WITH a AS (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_custkey % 2 = 0 AND c_custkey < 500),
+                 b AS (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_acctbal > 0 AND c_custkey < 500)
+            SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+                   a.c_acctbal + b.c_acctbal AS total
+            FROM a FULL JOIN b ON a.c_custkey = b.c_custkey
         """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
         # multimodal_features / sample_fraction_lineitem: non-SQL-expressible
