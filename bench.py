@@ -44,6 +44,10 @@ HEADLINE = [
     "doc_exact_dedup_count",
     "minhash_near_dup_pairs",
     "similarity_topk",
+    "asof_join_events",
+    "rollup_pricing",
+    "window_lag_cumsum_orders",
+    "streaming_hourly_events",
 ]
 
 

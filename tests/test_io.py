@@ -1,0 +1,92 @@
+"""IO roundtrips: parquet/csv/json/orc sources and sinks, DNF filters,
+column pruning, scan-sharing cache (reference io/tests/test_io.py model)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from conftest import assert_frame_eq
+
+
+@pytest.fixture()
+def pdf():
+    return pd.DataFrame({
+        "a": range(50),
+        "b": [float(i) * 1.5 for i in range(50)],
+        "c": [["x", "y", "z"][i % 3] for i in range(50)],
+    })
+
+
+def test_parquet_roundtrip(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "t.parquet")
+    pes.from_pandas(pdf).to_parquet(p)
+    back = pes.read_parquet(p)
+    assert_frame_eq(back, pdf, sort_by=["a"])
+
+
+def test_parquet_partitioned_write(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "part.parquet")
+    pes.from_pandas(pdf).to_parquet(p, partition_by=["c"])
+    # hive-partitioned layout on disk
+    assert any(d.startswith("c=") for d in os.listdir(p))
+    back = pes.read_parquet(p)
+    got = back.compute()
+    assert len(got) == 50
+    # partition pruning: filter on the partition column
+    sub = back[back.c == "x"].compute()
+    assert (sub["c"] == "x").all()
+
+
+def test_parquet_dnf_filters_and_columns(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "f.parquet")
+    pes.from_pandas(pdf).to_parquet(p)
+    got = pes.read_parquet(p, columns=["a", "b"],
+                           filters=[("a", ">", 10), ("a", "<=", 20)]).compute()
+    want = pdf[(pdf.a > 10) & (pdf.a <= 20)][["a", "b"]]
+    assert_frame_eq(got, want, sort_by=["a"])
+    # OR-of-ANDs DNF
+    got2 = pes.read_parquet(
+        p, filters=[[("a", "<", 5)], [("a", ">=", 45)]]).compute()
+    assert len(got2) == 10
+
+
+def test_scan_cache_shares_lineage(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "s.parquet")
+    pes.from_pandas(pdf).to_parquet(p)
+    d1 = pes.read_parquet(p)
+    d2 = pes.read_parquet(p)
+    # same lowered Spark scan object → self-references share one scan and
+    # same-lineage binops need no alignment join
+    assert d1._sdf is d2._sdf
+
+
+def test_csv_roundtrip(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "t.csv")
+    pes.from_pandas(pdf).to_csv(p)
+    back = pes.read_csv(p, header=True, inferSchema=True)
+    assert_frame_eq(back, pdf, sort_by=["a"])
+
+
+def test_json_roundtrip(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "t.json")
+    pes.from_pandas(pdf).to_json(p)
+    back = pes.read_json(p)
+    got = back.compute().sort_values("a").reset_index(drop=True)
+    assert (got["a"] == pdf["a"]).all() and (got["c"] == pdf["c"]).all()
+
+
+def test_orc_roundtrip(spark, pdf, tmp_path):
+    import pandas_expr_spark as pes
+    p = str(tmp_path / "t.orc")
+    pes.from_pandas(pdf).to_orc(p)
+    back = pes.read_orc(p)
+    assert_frame_eq(back, pdf, sort_by=["a"])
