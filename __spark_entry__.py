@@ -800,6 +800,66 @@ def align_add_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# batch 4: categorical codes, grouped applyInPandas, brute-force cosine
+# pairs, approx-distinct
+# ---------------------------------------------------------------------------
+def cat_codes_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical accessor (§1.4/§2.8): as_known computes the category
+    list (distinct, sorted — reference ``cat.as_known`` _categorical.py:55-76),
+    codes dictionary-encode against it."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    sub = c[c.c_custkey <= 200]
+    seg = sub["c_mktsegment"].cat.as_known()
+    out = sub.assign(seg_code=seg.cat.codes)
+    return out[["c_custkey", "c_mktsegment", "seg_code"]].to_spark().select(
+        F.col("c_custkey").cast("long"), "c_mktsegment",
+        F.col("seg_code").cast("int"))
+
+
+def grouped_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF via Arrow applyInPandas (§2.10): integer-exact
+    deviation n·x − Σx per mktsegment (no float summation order issues)."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    c = c.assign(bal_c=(c["c_acctbal"] * 100).floor())
+    g = c[["c_custkey", "c_mktsegment", "bal_c"]].groupby("c_mktsegment")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["dev_c"] = len(pdf) * pdf["bal_c"] - pdf["bal_c"].sum()
+        return pdf[["c_custkey", "c_mktsegment", "dev_c"]]
+
+    out = g.apply(demean,
+                  "c_custkey long, c_mktsegment string, dev_c long")
+    return out.to_spark()
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine ≥ 0.4 — the exact baseline for the LSH
+    path (embedding_ann_lsh); double-precision sequential fold matches
+    DuckDB's list_dot_product composition term by term."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.brute_force_pairs(emb_d, cosine_threshold=0.4,
+                                        round_to=4)
+
+
+def nunique_approx_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dead API made real (``nunique_approx``
+    _collection.py:282-283 → AttributeError) — HyperLogLog++
+    approx_count_distinct.  Sketch is engine-specific → rows-only check."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    approx = o["o_custkey"].nunique_approx().to_spark()
+    return approx.select(F.col(approx.columns[0]).alias("approx_custkeys"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -874,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_dict_flags": map_dict_flags,
         "apply_udf_name_len": apply_udf_name_len,
         "align_add_balances": align_add_balances,
+        "cat_codes_segments": cat_codes_segments,
+        "grouped_apply_demean": grouped_apply_demean,
+        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "nunique_approx_custkeys": nunique_approx_custkeys,
     }
 
 
@@ -1315,8 +1379,34 @@ def oracle_sql() -> dict[str, str]:
                    a.c_acctbal + b.c_acctbal AS total
             FROM a FULL JOIN b ON a.c_custkey = b.c_custkey
         """,
+        "cat_codes_segments": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INT)
+                       AS seg_code
+            FROM customer WHERE c_custkey <= 200
+        """,
+        "grouped_apply_demean": """
+            SELECT c_custkey, c_mktsegment,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment)
+                     * CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                   - SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                       OVER (PARTITION BY c_mktsegment) AS dev_c
+            FROM customer
+        """,
+        "embedding_cosine_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
-        # multimodal_features / sample_fraction_lineitem: non-SQL-expressible
-        # (LSH banding, pandas-UDF signatures, stub decodes, engine-specific
-        # sampling) → driver rows-only check.
+        # multimodal_features / sample_fraction_lineitem /
+        # nunique_approx_custkeys: non-SQL-expressible (LSH banding,
+        # pandas-UDF signatures, stub decodes, engine-specific sampling,
+        # HLL sketches) → driver rows-only check.
     }

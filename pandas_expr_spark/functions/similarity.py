@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "random_hyperplane_bucket"]
+__all__ = ["cosine_topk", "brute_force_pairs", "lsh_topk", "ivf_topk",
+           "random_hyperplane_bucket"]
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -50,6 +51,34 @@ def cosine_topk(sdf: SparkDF, query_vec, k: int = 10,
     out = (sdf.select(F.col(id_col), cos.alias("cosine"))
            .orderBy(F.desc("cosine"), F.asc(id_col))
            .limit(k))
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    return out
+
+
+def brute_force_pairs(sdf: SparkDF, cosine_threshold: float = 0.95,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      round_to: int | None = None) -> SparkDF:
+    """All-pairs cosine similarity join (id_a < id_b) — the exact baseline
+    the LSH/IVF paths approximate.  O(n²): correct at any scale but only
+    *fast* up to ~10⁵ vectors; beyond that use ``embedding_near_dup_pairs``
+    (random-hyperplane LSH) or ``ivf_topk``.
+
+    Norms are precomputed once and the (id, vec, norm) projection persisted
+    so the self-join reads it from memory instead of re-deriving per side.
+    """
+    e = sdf.select(F.col(id_col), F.col(vec_col),
+                   _norm(vec_col).alias("__n__")).persist()
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"),
+                 F.col("__n__").alias("__na__"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"),
+                 F.col("__n__").alias("__nb__"))
+    cos = _dot("__va__", "__vb__") / (F.col("__na__") * F.col("__nb__"))
+    out = (a.crossJoin(b)
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("cosine", cos)
+           .filter(F.col("cosine") >= cosine_threshold)
+           .select("id_a", "id_b", "cosine"))
     if round_to is not None:
         out = out.withColumn("cosine", F.round(F.col("cosine"), round_to))
     return out
