@@ -65,22 +65,47 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
                       seed: int = 42) -> Column:
     """MinHash signature as array<long>, fully JVM-side.
 
-    h_i(shingle) = (a_i · xxhash64(shingle) + b_i) mod p;  sig_i = min over
-    shingles.  ``F.transform`` + ``F.array_min`` keep this inside codegen —
-    ~10-100× faster than a per-row Python UDF at scale.
+    shingle hash = positional mix of per-token ``xxhash64`` values (mod p);
+    h_i(shingle) = (a_i · shingle_hash + b_i) mod p;  sig_i = min over
+    shingles.  All array expression eval — no Python roundtrip, ~10-100×
+    faster than a per-row Python UDF at scale.
     """
-    shingles = word_shingles(text_col, shingle_n)
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
-    # Let-bind the hashed-shingle array through a 1-element transform: the
-    # shingling + xxhash pipeline evaluates ONCE per row, and the num_perm
-    # universal-hash mins traverse the bound array value.  (A naive
-    # per-permutation reference to `base` re-evaluates the whole string
-    # pipeline num_perm times — ~30× slower measured at sf0.1.)
-    return F.element_at(
-        F.transform(F.array(base), lambda hs: F.array(*[
-            F.array_min(F.transform(hs, lambda h: (h * a + b) % _MERSENNE))
-            for a, b in _perm_params(num_perm, seed)
-        ])), 1)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    th = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % _MERSENNE)
+    params = _perm_params(num_perm, seed)
+
+    # Shingle hashes are a positional mix of per-token hashes — no string
+    # concatenation at all (2× faster than concat_ws shingles at sf0.1).
+    # No array_distinct either: min over a multiset equals min over its set,
+    # so MinHash semantics are unchanged.
+    #
+    # Both the token-hash array and the shingle-hash array are LET-BOUND
+    # through 1-element transforms so each evaluates ONCE per row; a naive
+    # expression would be inlined (3× for element_at, num_perm× for the
+    # permutations) by projection collapse — ~30× slower measured at sf0.1.
+    def _sig_from_token_hashes(th_bound):
+        if shingle_n <= 1:
+            base = th_bound
+        else:
+            idx = F.sequence(F.lit(0),
+                             F.greatest(F.size(th_bound) - shingle_n, F.lit(0)))
+            mixers = [1000003, 999983, 999979, 999961, 999959][:shingle_n - 1]
+
+            def one(i):
+                h = F.element_at(th_bound, i + shingle_n)
+                for j, m in enumerate(mixers):
+                    h = h + F.element_at(th_bound, i + 1 + j) * m
+                return h % _MERSENNE
+
+            base = F.transform(idx, one)
+        return F.element_at(
+            F.transform(F.array(base), lambda hs: F.array(*[
+                F.array_min(F.transform(hs, lambda h: (h * a + b) % _MERSENNE))
+                for a, b in params
+            ])), 1)
+
+    return F.element_at(F.transform(F.array(th), _sig_from_token_hashes), 1)
 
 
 def _banded(sdf: SparkDF, id_col: str, sig_col: str, bands: int,
