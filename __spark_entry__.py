@@ -664,6 +664,37 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("total_c") / 100.0).alias("total"))
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window / 1h slide) through the SAME helper that
+    serves streaming frames — each event lands in two hour-aligned windows.
+    Oracle: union of the two shifted hour buckets."""
+    from pandas_expr_spark.sources.tables import load_table
+    from pandas_expr_spark.streaming import stream as st
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("value_c", F.floor(F.col("value") * 100))
+    agg = st.sliding_window_agg(ev, "ts", "2 hours", "1 hour",
+                                {"n": ("event_id", "count"),
+                                 "total_c": ("value_c", "sum")})
+    return agg.select(F.col("window_start"), F.col("n"),
+                      (F.col("total_c") / 100.0).alias("total"))
+
+
+def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum over availableNow micro-batches.  Arrow group state is
+    engine-specific → rows-only check."""
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream("parquet", sf_dir,
+                         schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+                         options={"pathGlobFilter": "events.parquet"})
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    run = st.stateful_running_agg(src, ["user_id"], "value")
+    q = st.to_memory_sink(run, "stream_stateful_running", "update")
+    q.awaitTermination()
+    out = spark.table("stream_stateful_running")
+    return out.select("user_id", "running_count")
+
+
 def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Sample §2.2 — seeded Bernoulli sample.  Sampling is
     engine-specific → driver rows-only check."""
@@ -921,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except_nations": intersect_except_nations,
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "streaming_hourly_events": streaming_hourly_events,
+        "events_sliding_windows": events_sliding_windows,
+        "streaming_stateful_running": streaming_stateful_running,
         "sample_fraction_lineitem": sample_fraction_lineitem,
         "eval_query_charges": eval_query_charges,
         "math_abs_clip_floor": math_abs_clip_floor,
@@ -1306,6 +1339,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
             FROM events GROUP BY 1
+        """,
+        "events_sliding_windows": """
+            WITH x AS (
+                SELECT date_trunc('hour', ts) AS w, event_id, value FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_id, value
+                FROM events)
+            SELECT w AS window_start, COUNT(event_id) AS n,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
+            FROM x GROUP BY 1
         """,
         "eval_query_charges": """
             SELECT l_orderkey, l_linenumber,
