@@ -1141,6 +1141,17 @@ class DataFrame(FrameBase):
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def to_bucketed_table(self, name: str, bucket_by, num_buckets: int = 32,
+                          sort_by=None, mode: str = "overwrite") -> None:
+        """Bucketed managed table (`bucketBy` requires ``saveAsTable``).
+        Two tables bucketed the same way join WITHOUT a shuffle — the
+        co-located-join strategy for repeated large joins at 100 TB."""
+        w = self._sdf.write.mode(mode).bucketBy(num_buckets,
+                                                *_ensure_list(bucket_by))
+        if sort_by is not None:
+            w = w.sortBy(*_ensure_list(sort_by))
+        w.format("parquet").saveAsTable(name)
+
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
         self._sdf.write.mode(mode).option("header", header).csv(path)
 

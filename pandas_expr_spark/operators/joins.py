@@ -249,3 +249,25 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
                                "direction": direction},
                 left._expr, right._expr)
     return DataFrame(out, node, (), None)
+
+
+def salted_join(left, right, on, how: str = "inner", salt: int = 16):
+    """Skew-buster equi-join: replicate the (small-ish) right side ``salt``
+    ways and scatter left rows uniformly across the replicas, so one hot key
+    no longer lands its entire row set on a single reducer.
+
+    Use when AQE skew-join splitting is not enough (e.g. one key is >10% of
+    a 100 TB table).  ``salt`` multiplies the right side's size — keep the
+    right side the smaller input.
+    """
+    from .._collection import DataFrame
+
+    on = _ensure_list(on)
+    lsdf = left._sdf.withColumn(
+        "__salt__", (F.rand(seed=42) * salt).cast("int"))
+    rsdf = right._sdf.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    joined = lsdf.join(rsdf, on + ["__salt__"], how).drop("__salt__")
+    node = Node("salted_join", {"on": on, "salt": salt, "how": how},
+                left._expr, right._expr)
+    return DataFrame(joined, node, (), None)
