@@ -11,6 +11,8 @@ oracle-checkable against DuckDB.
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import Column, functions as F
 
 __all__ = ["token_count", "word_tokens", "char_ngrams", "word_shingles",
@@ -74,11 +76,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+# exactly the character set of Java regex [A-Za-z0-9\s] (\s is ASCII-only)
+_ALNUM_WS = string.ascii_letters + string.digits + " \t\n\x0b\f\r"
+
+
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+    """Fraction of non-alphanumeric, non-space characters.
+
+    ``translate`` (per-char map) instead of a per-char regexp_replace —
+    same char set as ``[A-Za-z0-9\\s]`` but ~30% faster measured at sf0.1.
+    """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
-    p = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    p = F.length(F.translate(c, _ALNUM_WS, ""))
     return F.when(n > 0, p / n).otherwise(F.lit(0.0))
 
 
@@ -90,12 +100,20 @@ def digit_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are stopwords — array ops, JVM-side."""
+    """Fraction of tokens that are stopwords — array ops, JVM-side.
+
+    The token array is let-bound through a 1-element transform so the
+    ``split`` runs once per row, not once per reference (projection collapse
+    would otherwise inline it 3×; see NOTES_r1.md).
+    """
     sw = stopwords or _STOPWORDS
     toks = word_tokens(col)
-    lowered = F.transform(toks, F.lower)
-    hits = F.size(F.filter(lowered, lambda t: t.isin(sw)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    def _ratio(t):
+        hits = F.size(F.filter(t, lambda x: F.lower(x).isin(sw)))
+        return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(toks), _ratio), 1)
 
 
 def avg_token_len(col: Column | str) -> Column:
@@ -119,13 +137,20 @@ def quality_score(col: Column | str) -> Column:
         F.when(n < 100, n / F.lit(100.0)).otherwise(F.lit(0.5)))
     p = punct_ratio(c)
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - p * 4)
-    atl = avg_token_len(c)
-    tok_ok = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw = stopword_ratio(c)
-    sw_ok = F.when(sw <= 0.4, F.lit(1.0)).otherwise(
-        F.greatest(F.lit(0.0), F.lit(1.0) - (sw - 0.4)))
-    return (F.lit(0.25) * len_ok + F.lit(0.25) * punct_ok +
-            F.lit(0.25) * tok_ok + F.lit(0.25) * sw_ok)
+
+    # token-derived terms share one let-bound split (see NOTES_r1.md)
+    def _tok_terms(t):
+        total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+        atl = F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+        tok_ok = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+        hits = F.size(F.filter(t, lambda x: F.lower(x).isin(_STOPWORDS)))
+        sw = F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+        sw_ok = F.when(sw <= 0.4, F.lit(1.0)).otherwise(
+            F.greatest(F.lit(0.0), F.lit(1.0) - (sw - 0.4)))
+        return F.lit(0.25) * tok_ok + F.lit(0.25) * sw_ok
+
+    tok_part = F.element_at(F.transform(F.array(word_tokens(c)), _tok_terms), 1)
+    return F.lit(0.25) * len_ok + F.lit(0.25) * punct_ok + tok_part
 
 
 def lang_score(col: Column | str, lang: str,
@@ -149,15 +174,32 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> C
     """
     m = markers or _LANG_MARKERS
     langs = sorted(m)
-    scores = {lang: lang_score(col, lang, m) for lang in langs}
-    result = F.when(F.greatest(*[scores[l] for l in langs]) == 0, F.lit("unk"))
-    for i, lang in enumerate(langs[:-1]):
-        cond = None
-        for other in langs[i + 1:]:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        result = result.when(cond, F.lit(lang))
-    return result.otherwise(F.lit(langs[-1]))
+    toks = F.transform(word_tokens(col), F.lower)
+
+    # Double let-binding (see NOTES_r1.md): the token array is bound so the
+    # split runs once per row (not once per language), and the score array is
+    # bound so each per-language filter runs once (not once per cascade
+    # reference).
+    def _pick(t):
+        score_arr = F.array(*[
+            F.size(F.filter(t, lambda x: x.isin(m[lang]))) for lang in langs])
+
+        def _cascade(s):
+            scores = {lang: F.element_at(s, i + 1)
+                      for i, lang in enumerate(langs)}
+            result = F.when(
+                F.greatest(*[scores[l] for l in langs]) == 0, F.lit("unk"))
+            for i, lang in enumerate(langs[:-1]):
+                cond = None
+                for other in langs[i + 1:]:
+                    c = scores[lang] >= scores[other]
+                    cond = c if cond is None else (cond & c)
+                result = result.when(cond, F.lit(lang))
+            return result.otherwise(F.lit(langs[-1]))
+
+        return F.element_at(F.transform(F.array(score_arr), _cascade), 1)
+
+    return F.element_at(F.transform(F.array(toks), _pick), 1)
 
 
 def fingerprint(col: Column | str) -> Column:
