@@ -637,6 +637,60 @@ def window_lag_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o[["o_orderkey", "o_custkey", "prev_price", "run_total"]].to_spark()
 
 
+def window_diff_pct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff/pct_change window sugar (pandas parity; raw double arithmetic is
+    elementwise → bit-identical across engines)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 100]
+    o = o.with_diff("price_diff", "o_totalprice", partition_by="o_custkey",
+                    order_by=["o_orderdate", "o_orderkey"])
+    o = o.with_pct_change("price_pct", "o_totalprice", partition_by="o_custkey",
+                          order_by=["o_orderdate", "o_orderkey"])
+    return o[["o_orderkey", "o_custkey", "price_diff", "price_pct"]].to_spark()
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas pivot_table → ``groupBy().pivot()`` with explicit pivot values
+    (no eager distinct-discovery scan — required at 100 TB)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    pv = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = o.pivot_table(values="price_c", index="o_orderstatus",
+                      columns="o_orderpriority", aggfunc="sum",
+                      pivot_values=pv)
+    p = p.rename(columns={"1-URGENT": "urgent_c", "2-HIGH": "high_c",
+                          "3-MEDIUM": "medium_c", "4-NOT SPECIFIED": "notspec_c",
+                          "5-LOW": "low_c"})
+    p = p.assign(urgent=p["urgent_c"] / 100.0, high=p["high_c"] / 100.0,
+                 medium=p["medium_c"] / 100.0, notspec=p["notspec_c"] / 100.0,
+                 low=p["low_c"] / 100.0)
+    return p[["o_orderstatus", "urgent", "high", "medium", "notspec", "low"]].to_spark()
+
+
+def melt_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas melt → Spark-native ``unpivot`` (narrow, shuffle-free; value
+    columns promoted to their common type)."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    return c.melt(id_vars="c_custkey",
+                  value_vars=["c_acctbal", "c_nationkey"],
+                  var_name="metric", value_name="val").to_spark()
+
+
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (generalizes rollup/cube — one shuffle)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.assign(qty_c=(li.l_quantity * 100).floor())
+    g = li.grouping_sets([["l_returnflag", "l_linestatus"],
+                          ["l_linestatus"], []]).agg(
+        n=("l_orderkey", "count"), qty=("qty_c", "sum"))
+    g = g.assign(qty=g["qty"] / 100.0)
+    return g.to_spark()
+
+
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (SURVEY §2.9): readStream over the events
     parquet → tumbling 1-hour window agg → availableNow micro-batches into
@@ -951,6 +1005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_dropna_priorities": replace_dropna_priorities,
         "intersect_except_nations": intersect_except_nations,
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
+        "window_diff_pct_orders": window_diff_pct_orders,
+        "pivot_status_priority": pivot_status_priority,
+        "melt_customer_metrics": melt_customer_metrics,
+        "grouping_sets_pricing": grouping_sets_pricing,
         "streaming_hourly_events": streaming_hourly_events,
         "events_sliding_windows": events_sliding_windows,
         "streaming_stateful_running": streaming_stateful_running,
@@ -1334,6 +1392,43 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW) / 100.0 AS run_total
             FROM o WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey)
+        """,
+        "window_diff_pct_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+                       FROM orders WHERE o_custkey < 100)
+            SELECT o_orderkey, o_custkey,
+                   o_totalprice - LAG(o_totalprice) OVER w AS price_diff,
+                   o_totalprice / LAG(o_totalprice) OVER w - 1 AS price_pct
+            FROM o WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) / 100.0 AS urgent,
+                   SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                       THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) / 100.0 AS high,
+                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                       THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) / 100.0 AS medium,
+                   SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                       THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) / 100.0 AS notspec,
+                   SUM(CASE WHEN o_orderpriority = '5-LOW'
+                       THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) / 100.0 AS low
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "melt_customer_metrics": """
+            SELECT c_custkey, 'c_acctbal' AS metric,
+                   CAST(c_acctbal AS DOUBLE) AS val FROM customer
+            UNION ALL
+            SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+            FROM customer
+        """,
+        "grouping_sets_pricing": """
+            SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n,
+                   SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) / 100.0 AS qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
         """,
         "streaming_hourly_events": """
             SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,

@@ -1036,6 +1036,49 @@ class DataFrame(FrameBase):
         return GroupBy(self, _ensure_list(by), sort=sort, as_index=False,
                        dropna=False, kind="cube")
 
+    def grouping_sets(self, sets: Sequence[Sequence[str]], sort: bool = True):
+        """Explicit GROUPING SETS (generalizes rollup/cube — one shuffle,
+        Spark expands the sets; NULL keys mark each set's collapsed dims)."""
+        sets = [list(s) for s in sets]
+        by = list(dict.fromkeys(c for s in sets for c in s))
+        missing = [c for c in by if c not in self.columns]
+        if missing:
+            raise KeyError(missing)
+        from .operators.groupby import GroupBy
+        return GroupBy(self, by, sort=sort, as_index=False,
+                       dropna=False, kind="grouping_sets", sets=sets)
+
+    def pivot_table(self, values: str, index, columns: str,
+                    aggfunc: str = "mean",
+                    pivot_values: Sequence | None = None) -> "DataFrame":
+        """pandas ``pivot_table`` → Spark ``groupBy(index).pivot(columns)``.
+
+        Pass ``pivot_values`` (the distinct values of ``columns``) on large
+        data: without it Spark runs an eager distinct job over the column to
+        discover them — an extra full scan at 100 TB.  Output columns are
+        named by pivot value (pandas-style flat columns).
+        """
+        from .operators.groupby import _AGG_FNS
+        idx = _ensure_list(index)
+        fn = _AGG_FNS[aggfunc]
+        piv = self._sdf.groupBy(*idx).pivot(
+            columns, list(pivot_values) if pivot_values is not None else None)
+        out = piv.agg(fn(F.col(values)).alias(values))
+        node = Node("pivot_table", {"index": idx, "columns": columns,
+                                    "aggfunc": aggfunc}, self._expr)
+        return DataFrame(out, node, (), None)
+
+    def melt(self, id_vars, value_vars=None, var_name: str = "variable",
+             value_name: str = "value") -> "DataFrame":
+        """pandas ``melt`` → Spark's native ``unpivot`` (narrow op, no
+        shuffle; value columns are cast to their common promoted type)."""
+        ids = _ensure_list(id_vars)
+        vals = _ensure_list(value_vars) if value_vars is not None else \
+            [c for c in self.columns if c not in ids]
+        out = self._sdf.unpivot(ids, vals, var_name, value_name)
+        node = Node("melt", {"id_vars": ids, "value_vars": vals}, self._expr)
+        return DataFrame(out, node, (), None)
+
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, left_index: bool = False,
               right_index: bool = False, suffixes: tuple = ("_x", "_y"),
@@ -1123,6 +1166,33 @@ class DataFrame(FrameBase):
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return self._derive(self._sdf.withColumn(name, F.sum(col).over(w)),
                             "cumsum", {"col": col})
+
+    def with_diff(self, name: str, col: str, partition_by, order_by,
+                  periods: int = 1) -> "DataFrame":
+        """pandas ``diff`` per group: ``col - lag(col, periods)`` — same
+        single shuffle as any partitioned window."""
+        w = Window.partitionBy(*_ensure_list(partition_by)).orderBy(
+            *[F.col(c).asc() for c in _ensure_list(order_by)])
+        return self._derive(
+            self._sdf.withColumn(name, F.col(col) - F.lag(col, periods).over(w)),
+            "diff", {"col": col, "periods": periods})
+
+    def with_pct_change(self, name: str, col: str, partition_by, order_by,
+                        periods: int = 1) -> "DataFrame":
+        """pandas ``pct_change`` per group: ``col/lag(col) - 1``, with the
+        pandas zero-divisor semantics (x/0 → ±inf, 0/0 → NaN) instead of the
+        ANSI divide-by-zero error."""
+        w = Window.partitionBy(*_ensure_list(partition_by)).orderBy(
+            *[F.col(c).asc() for c in _ensure_list(order_by)])
+        prev = F.lag(col, periods).over(w)
+        c = F.col(col)
+        ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
+                 .when(prev != 0, c / prev)
+                 .when(c == 0, F.lit(float("nan")))
+                 .otherwise(F.lit(float("inf")) * F.signum(c)))
+        return self._derive(
+            self._sdf.withColumn(name, ratio - F.lit(1)),
+            "pct_change", {"col": col, "periods": periods})
 
     # -- partitioning control (scale surface) ----------------------------
     def repartition(self, num: int | None = None, *cols) -> "DataFrame":

@@ -50,17 +50,19 @@ class GroupBy:
 
     def __init__(self, frame, by: list[str], sort: bool = True,
                  as_index: bool = True, dropna: bool = True,
-                 slice_: list[str] | None = None, kind: str = "groupby"):
+                 slice_: list[str] | None = None, kind: str = "groupby",
+                 sets: list[list[str]] | None = None):
         self._frame = frame
         self._by = by
         self._sort = sort
         self._as_index = as_index
         self._dropna = dropna
         self._slice = slice_
-        # "groupby" | "rollup" | "cube" — rollup/cube lower to Spark's
-        # native multi-grouping-set aggregation (one shuffle, subtotal rows
-        # marked by NULL keys; SURVEY §2.5 noted gap)
+        # "groupby" | "rollup" | "cube" | "grouping_sets" — the latter three
+        # lower to Spark's native multi-grouping-set aggregation (one
+        # shuffle, subtotal rows marked by NULL keys; SURVEY §2.5 noted gap)
         self._kind = kind
+        self._sets = sets
 
     # -- slicing (reference `_groupby.py:320-335`) -----------------------
     def __getitem__(self, key):
@@ -69,7 +71,8 @@ class GroupBy:
         if missing:
             raise KeyError(missing)
         return GroupBy(self._frame, self._by, self._sort, self._as_index,
-                       self._dropna, slice_=keys, kind=self._kind)
+                       self._dropna, slice_=keys, kind=self._kind,
+                       sets=self._sets)
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -99,6 +102,8 @@ class GroupBy:
             return sdf.rollup(*self._by)
         if self._kind == "cube":
             return sdf.cube(*self._by)
+        if self._kind == "grouping_sets":
+            return sdf.groupingSets(self._sets, *self._by)
         return sdf.groupBy(*self._by)
 
     def _finish(self, out, op: str):

@@ -1,0 +1,103 @@
+"""pivot_table / melt / grouping_sets / diff / pct_change — differential
+tests vs eager pandas (SURVEY §5 pattern)."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import assert_frame_eq
+
+
+@pytest.fixture()
+def shop_pdf():
+    return pd.DataFrame({
+        "store": [s for s in "AB" for _ in range(50)],
+        "item": [["pen", "ink", "cap"][i % 3] for i in range(100)],
+        "sales": [float(i) for i in range(100)],
+        "units": list(range(100)),
+    })
+
+
+@pytest.fixture()
+def shop(spark, shop_pdf):
+    from pandas_expr_spark import from_pandas
+    return from_pandas(shop_pdf)
+
+
+def test_pivot_table_sum(shop, shop_pdf):
+    got = shop.pivot_table(values="sales", index="store", columns="item",
+                           aggfunc="sum",
+                           pivot_values=["pen", "ink", "cap"]).compute()
+    exp = (shop_pdf.pivot_table(values="sales", index="store", columns="item",
+                                aggfunc="sum").reset_index()
+           [["store", "pen", "ink", "cap"]])
+    exp.columns.name = None
+    assert_frame_eq(got[["store", "pen", "ink", "cap"]], exp, sort_by=["store"])
+
+
+def test_pivot_table_discovers_values(shop, shop_pdf):
+    # without pivot_values Spark discovers them (documented extra scan)
+    got = shop.pivot_table(values="units", index="store", columns="item",
+                           aggfunc="max").compute()
+    assert set(got.columns) == {"store", "pen", "ink", "cap"}
+
+
+def test_melt_matches_pandas(shop, shop_pdf):
+    got = shop.melt(id_vars=["store", "item"],
+                    value_vars=["sales", "units"]).compute()
+    exp = shop_pdf.melt(id_vars=["store", "item"],
+                        value_vars=["sales", "units"])
+    exp["value"] = exp["value"].astype(float)  # Spark promotes to double
+    assert_frame_eq(got, exp)
+
+
+def test_melt_default_value_vars(shop):
+    got = shop.melt(id_vars=["store", "item"]).compute()
+    assert set(got["variable"]) == {"sales", "units"}
+    assert len(got) == 200
+
+
+def test_grouping_sets_matches_concat_of_groupbys(shop, shop_pdf):
+    got = (shop.grouping_sets([["store", "item"], ["store"], []])
+           .agg(n=("sales", "count"), total=("sales", "sum")).compute())
+    parts = []
+    g2 = shop_pdf.groupby(["store", "item"]).agg(
+        n=("sales", "count"), total=("sales", "sum")).reset_index()
+    g1 = shop_pdf.groupby("store").agg(
+        n=("sales", "count"), total=("sales", "sum")).reset_index()
+    g1["item"] = None
+    g0 = pd.DataFrame({"store": [None], "item": [None],
+                       "n": [len(shop_pdf)], "total": [shop_pdf.sales.sum()]})
+    exp = pd.concat([g2, g1, g0], ignore_index=True)[
+        ["store", "item", "n", "total"]]
+    assert_frame_eq(got[["store", "item", "n", "total"]], exp)
+
+
+def test_grouping_sets_bad_column(shop):
+    with pytest.raises(KeyError):
+        shop.grouping_sets([["store"], ["nope"]])
+
+
+def test_with_diff_pct_change(shop, shop_pdf):
+    got = (shop.with_diff("d", "sales", partition_by="store",
+                          order_by=["units"])
+           .with_pct_change("p", "sales", partition_by="store",
+                            order_by=["units"])
+           [["store", "units", "d", "p"]].compute())
+    exp = shop_pdf.sort_values("units").copy()
+    exp["d"] = exp.groupby("store")["sales"].diff()
+    exp["p"] = exp.groupby("store")["sales"].pct_change()
+    assert_frame_eq(got, exp[["store", "units", "d", "p"]],
+                    sort_by=["store", "units"])
+
+
+def test_pivot_shuffle_plan(shop):
+    """Scale check: pivot with explicit values = the canonical two-phase
+    plan — partial+final agg on (index, pivot col), then pivotfirst on the
+    already-reduced rows.  Two exchanges, both with map-side partials; no
+    third job for value discovery."""
+    out = shop.pivot_table(values="sales", index="store", columns="item",
+                           aggfunc="sum", pivot_values=["pen", "ink", "cap"])
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "pivotfirst" in plan and "partial_pivotfirst" in plan
