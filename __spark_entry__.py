@@ -749,6 +749,21 @@ def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "running_count")
 
 
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-dedup (custom stateful operator): first row per
+    user_id across micro-batches via per-key group state.  Projecting the
+    key makes the result order-independent → exact oracle
+    (SELECT DISTINCT user_id)."""
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream("parquet", sf_dir,
+                         schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+                         options={"pathGlobFilter": "events.parquet"})
+    out = st.stateful_stream_dedup(src, "user_id")
+    q = st.to_memory_sink(out, "stream_dedup_users", "append")
+    q.awaitTermination()
+    return spark.table("stream_dedup_users").select("user_id")
+
+
 def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Sample §2.2 — seeded Bernoulli sample.  Sampling is
     engine-specific → driver rows-only check."""
@@ -1012,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_events": streaming_hourly_events,
         "events_sliding_windows": events_sliding_windows,
         "streaming_stateful_running": streaming_stateful_running,
+        "streaming_dedup_users": streaming_dedup_users,
         "sample_fraction_lineitem": sample_fraction_lineitem,
         "eval_query_charges": eval_query_charges,
         "math_abs_clip_floor": math_abs_clip_floor,
@@ -1434,6 +1450,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
             FROM events GROUP BY 1
+        """,
+        "streaming_dedup_users": """
+            SELECT DISTINCT user_id FROM events
         """,
         "events_sliding_windows": """
             WITH x AS (

@@ -22,8 +22,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .._session import get_spark
 
 __all__ = ["read_stream", "tumbling_window_agg", "sliding_window_agg",
-           "session_window_agg", "stateful_running_agg", "write_stream",
-           "to_memory_sink"]
+           "session_window_agg", "stateful_running_agg",
+           "stateful_running_agg_tws", "stateful_stream_dedup",
+           "stateful_stream_dedup_tws", "write_stream", "to_memory_sink"]
 
 
 def read_stream(format: str = "parquet", path: str | None = None,
@@ -124,6 +125,132 @@ def stateful_running_agg(sdf: SparkDF, keys: list[str], value_col: str,
     return (sdf.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def _require_tws() -> None:
+    """``transformWithState`` talks to the state store through a
+    protobuf-based API client — unavailable without ``google.protobuf``
+    (not shipped in every runtime; gate, don't crash mid-query)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires the 'protobuf' package "
+            "(pip install protobuf); falling back to "
+            "applyInPandasWithState-based operators is equivalent for "
+            "value-state logic") from e
+
+
+def stateful_running_agg_tws(sdf: SparkDF, keys: list[str],
+                             value_col: str) -> SparkDF:
+    """Per-key running (count, sum) on the ``transformWithState`` API —
+    Spark 4's successor to ``applyInPandasWithState``: typed per-key state
+    primitives (value/list/map), optional TTL, and timers.  Same semantics
+    as :func:`stateful_running_agg`; kept side-by-side as the migration
+    template for custom stateful operators.
+    """
+    _require_tws()
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_schema = T.StructType(
+        [T.StructField(k, sdf.schema[k].dataType) for k in keys] +
+        [T.StructField("running_count", T.LongType()),
+         T.StructField("running_sum", T.DoubleType())])
+
+    class _Running(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "cnt long, s double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cnt, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._agg.update((cnt, s))
+            yield pd.DataFrame({**{k: [key[i]] for i, k in enumerate(keys)},
+                                "running_count": [cnt], "running_sum": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return (sdf.groupBy(*keys)
+            .transformWithStateInPandas(_Running(), out_schema,
+                                        "Update", "None"))
+
+
+def stateful_stream_dedup(sdf: SparkDF, id_col: str) -> SparkDF:
+    """Streaming exact-dedup at ingest: emit only the FIRST row per
+    ``id_col`` across all micro-batches (LLM-pipeline dedup for a
+    continuously arriving corpus — pair with ``text.fingerprint`` to dedup
+    by content hash).
+
+    Per-id group state marks ids already seen (``applyInPandasWithState``,
+    Arrow-batched).  State is hash-partitioned by id, so the operator scales
+    horizontally with no global coordination; state size is one boolean per
+    distinct id — bound it with a retention policy on the checkpoint when
+    the id space is unbounded.
+    """
+    import pandas as pd
+
+    out_schema = sdf.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return (sdf.groupBy(id_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def stateful_stream_dedup_tws(sdf: SparkDF, id_col: str,
+                              ttl_ms: int | None = None) -> SparkDF:
+    """:func:`stateful_stream_dedup` on the ``transformWithState`` API
+    (Spark 4 typed state).  ``ttl_ms`` bounds state for unbounded id spaces
+    (expired ids may re-emit — pick the TTL to match the re-crawl horizon).
+    Requires ``google.protobuf`` (state API client)."""
+    _require_tws()
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_schema = sdf.schema
+
+    class _Dedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean", ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                for _ in rows:
+                    pass
+                return
+            first = None
+            for pdf in rows:
+                if first is None and len(pdf):
+                    first = pdf.iloc[:1]
+            self._seen.update((True,))
+            if first is not None:
+                yield first
+
+        def close(self) -> None:
+            pass
+
+    return (sdf.groupBy(id_col)
+            .transformWithStateInPandas(_Dedup(), out_schema,
+                                        "Append", "None"))
 
 
 def write_stream(sdf: SparkDF, path: str, checkpoint: str,

@@ -108,3 +108,70 @@ def test_write_stream_file_sink(spark, events):
         assert got.count() == exp.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_needs_tws = pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs google.protobuf (state API client)")
+
+
+@_needs_tws
+def test_transform_with_state_running_agg(spark, events):
+    """transformWithState (Spark 4 typed-state API) must match the
+    applyInPandasWithState running agg."""
+    d = tempfile.mkdtemp()
+    try:
+        events.limit(200).write.mode("overwrite").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=events.schema)
+        out = st.stateful_running_agg_tws(stream, ["event_type"], "value")
+        q = st.to_memory_sink(out, "running_tws", output_mode="update")
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select event_type, max(running_count) c from running_tws group by 1"
+        ).toPandas()
+        exp = (spark.read.parquet(f"{d}/in").groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("c")).toPandas())
+        m = got.merge(exp, on="event_type", suffixes=("_s", "_b"))
+        assert len(m) == len(exp)
+        assert (m["c_s"] == m["c_b"]).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_stream_dedup(spark, events):
+    """Cross-micro-batch first-occurrence dedup: duplicated input collapses
+    to exactly one row per id."""
+    d = tempfile.mkdtemp()
+    try:
+        ev = spark.read.parquet(EVENTS).limit(100)
+        # write the same 100 events twice -> two files, forced into separate
+        # micro-batches to prove state carries across batches
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        ev.write.mode("append").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=ev.schema,
+                                max_files_per_trigger=1)
+        out = st.stateful_stream_dedup(stream, "event_id")
+        q = st.to_memory_sink(out, "dedup_tws", output_mode="append")
+        q.awaitTermination(120)
+        got = spark.sql("select event_id from dedup_tws").toPandas()
+        assert len(got) == 100
+        assert got["event_id"].is_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tws_gate_raises_without_protobuf(spark, events):
+    """The transformWithState variants must fail fast with a clear message
+    when google.protobuf is absent (instead of crashing mid-query)."""
+    if _has_protobuf():
+        pytest.skip("protobuf present; gate not exercised")
+    with pytest.raises(ImportError, match="protobuf"):
+        st.stateful_stream_dedup_tws(events, "event_id")
