@@ -637,6 +637,25 @@ def window_lag_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o[["o_orderkey", "o_custkey", "prev_price", "run_total"]].to_spark()
 
 
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join (scale path for range predicates —
+    replaces BroadcastNestedLoopJoin with one equi-join shuffle): high-qty
+    shipments matched to every order whose [orderdate, +3 days] window
+    covers the ship date, aggregated per ship date."""
+    import datetime
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    pts = li[li.l_quantity >= 49][["l_orderkey", "l_shipdate"]]
+    iv = o[["o_orderkey", "o_orderdate"]]
+    iv = iv.assign(o_end=iv.o_orderdate + datetime.timedelta(days=3))
+    j = pes.interval_join(pts, iv, point="l_shipdate", start="o_orderdate",
+                          end="o_end", bucket_width=86400.0)
+    g = j.groupby("l_shipdate").agg(n=("o_orderkey", "count"),
+                                    sum_ok=("o_orderkey", "sum"))
+    return g.to_spark()
+
+
 def window_diff_pct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """diff/pct_change window sugar (pandas parity; raw double arithmetic is
     elementwise → bit-identical across engines)."""
@@ -1021,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except_nations": intersect_except_nations,
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "window_diff_pct_orders": window_diff_pct_orders,
+        "interval_join_shipments": interval_join_shipments,
         "pivot_status_priority": pivot_status_priority,
         "melt_customer_metrics": melt_customer_metrics,
         "grouping_sets_pricing": grouping_sets_pricing,
@@ -1417,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice / LAG(o_totalprice) OVER w - 1 AS price_pct
             FROM o WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey)
+        """,
+        "interval_join_shipments": """
+            SELECT l.l_shipdate, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok
+            FROM (SELECT l_shipdate FROM lineitem WHERE l_quantity >= 49) l
+            JOIN orders o
+              ON l.l_shipdate BETWEEN o.o_orderdate
+                               AND o.o_orderdate + INTERVAL 3 DAY
+            GROUP BY l.l_shipdate
         """,
         "pivot_status_priority": """
             SELECT o_orderstatus,

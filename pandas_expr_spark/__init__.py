@@ -16,7 +16,7 @@ from __future__ import annotations
 from ._collection import DataFrame as _DataFrameImpl, Index, Scalar, Series
 from ._expr import Expr, Node, tokenize
 from ._session import get_spark
-from .operators.joins import merge, merge_asof, salted_join
+from .operators.joins import interval_join, merge, merge_asof, salted_join
 from .operators.setops import concat, except_, intersect, union
 from .sources import (from_pandas, from_spark, read_csv, read_jdbc, read_json,
                       read_orc, read_parquet)
@@ -44,6 +44,6 @@ __all__ = [
     "Expr", "Node", "tokenize",
     "read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
     "from_pandas", "from_spark",
-    "concat", "merge", "merge_asof", "salted_join", "union", "intersect", "except_",
+    "concat", "merge", "merge_asof", "interval_join", "salted_join", "union", "intersect", "except_",
     "get_spark",
 ]

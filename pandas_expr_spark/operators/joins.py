@@ -251,6 +251,63 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     return DataFrame(out, node, (), None)
 
 
+def interval_join(left, right, point: str, start: str, end: str,
+                  by=None, bucket_width: float = 86400.0,
+                  suffixes: tuple = ("_x", "_y")):
+    """Point-in-interval join, bucketized for scale: left rows whose
+    ``point`` ∈ [``start``, ``end``] (closed) of right rows, optionally also
+    equi-matching ``by`` keys.
+
+    Spark's native plan for a bare range predicate is
+    BroadcastNestedLoopJoin — O(n·m) comparisons and a full broadcast of one
+    side, a non-starter at 100 TB.  Bucketizing turns it into an equi-join:
+    each right interval explodes into the fixed-width buckets it covers,
+    each left point hashes to exactly one bucket, the sides equi-join on
+    (by…, bucket), and the exact BETWEEN filter runs post-join.  One hash
+    shuffle; right-side replication = interval length / ``bucket_width``
+    (pick the width near the median interval length).  Each matching pair
+    meets in exactly one bucket — the point's — so no dedup pass is needed.
+
+    ``bucket_width`` is in seconds for timestamp columns, column units
+    otherwise.  Intervals with ``end < start`` are dropped (empty).
+    """
+    from pyspark.sql import types as T
+    from .._collection import DataFrame
+
+    by = _ensure_list(by) or []
+    lsdf, rsdf = left._sdf, right._sdf
+    is_ts = isinstance(lsdf.schema[point].dataType,
+                       (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    if is_ts:
+        width_us = int(bucket_width * 1_000_000)
+
+        def bkt(c):
+            return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(width_us))
+    else:
+        def bkt(c):
+            return F.floor(F.col(c) / F.lit(bucket_width))
+
+    collide = (set(left.columns) & set(right.columns)) - set(by)
+    lout = {c: (c + suffixes[0] if c in collide else c) for c in left.columns}
+    rout = {c: (c + suffixes[1] if c in collide else c) for c in right.columns}
+    l2 = lsdf.select(*[F.col(c).alias(lout[c]) for c in left.columns]) \
+             .withColumn("__bkt__", bkt(lout[point]))
+    r2 = (rsdf.select(*[F.col(c).alias(rout[c]) for c in right.columns])
+          .filter(F.col(rout[end]) >= F.col(rout[start]))
+          .withColumn("__bkt__", F.explode(
+              F.sequence(bkt(rout[start]), bkt(rout[end])))))
+    joined = (l2.join(r2, by + ["__bkt__"], "inner")
+              .filter(F.col(lout[point]).between(F.col(rout[start]),
+                                                 F.col(rout[end])))
+              .drop("__bkt__"))
+    node = Node("interval_join", {"point": point, "start": start, "end": end,
+                                  "by": tuple(by),
+                                  "bucket_width": bucket_width},
+                left._expr, right._expr)
+    return DataFrame(joined, node, (), None)
+
+
 def salted_join(left, right, on, how: str = "inner", salt: int = 16):
     """Skew-buster equi-join: replicate the (small-ish) right side ``salt``
     ways and scatter left rows uniformly across the replicas, so one hot key

@@ -101,3 +101,45 @@ def test_pivot_shuffle_plan(shop):
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "pivotfirst" in plan and "partial_pivotfirst" in plan
+
+
+def test_interval_join_matches_pandas(spark):
+    """Bucketized point-in-interval join vs a pandas cross-merge oracle,
+    numeric domain (non-timestamp path)."""
+    import pandas_expr_spark as pes
+    lp = pd.DataFrame({"pid": range(40), "t": [float(i * 7 % 100) for i in range(40)]})
+    rp = pd.DataFrame({"iid": range(15),
+                       "lo": [float(i * 13 % 90) for i in range(15)]})
+    rp["hi"] = rp["lo"] + 12.0
+    got = pes.interval_join(pes.from_pandas(lp), pes.from_pandas(rp),
+                            point="t", start="lo", end="hi",
+                            bucket_width=5.0).compute()
+    exp = lp.merge(rp, how="cross")
+    exp = exp[(exp.t >= exp.lo) & (exp.t <= exp.hi)].reset_index(drop=True)
+    assert_frame_eq(got, exp, sort_by=["pid", "iid"])
+
+
+def test_interval_join_with_keys_and_empty_intervals(spark):
+    import pandas_expr_spark as pes
+    lp = pd.DataFrame({"k": [0, 0, 1, 1], "t": [1.0, 5.0, 1.0, 5.0]})
+    rp = pd.DataFrame({"k": [0, 1, 1], "lo": [0.0, 4.0, 9.0],
+                       "hi": [2.0, 6.0, 3.0]})  # last interval inverted -> dropped
+    got = pes.interval_join(pes.from_pandas(lp), pes.from_pandas(rp),
+                            point="t", start="lo", end="hi", by="k",
+                            bucket_width=2.0).compute()
+    # k=0: t=1 in [0,2]; k=1: t=5 in [4,6]; inverted interval matches nothing
+    assert len(got) == 2
+    assert sorted(got.t.tolist()) == [1.0, 5.0]
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """Scale check: the bucketized plan must be a hash/sort-merge EQUI join,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    import pandas_expr_spark as pes
+    lp = pd.DataFrame({"t": [1.0, 2.0]})
+    rp = pd.DataFrame({"lo": [0.0], "hi": [3.0]})
+    out = pes.interval_join(pes.from_pandas(lp), pes.from_pandas(rp),
+                            point="t", start="lo", end="hi", bucket_width=1.0)
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
