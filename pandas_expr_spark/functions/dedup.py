@@ -110,12 +110,13 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
 
 def _banded(sdf: SparkDF, id_col: str, sig_col: str, bands: int,
             rows_per_band: int) -> SparkDF:
-    """(id, band, bucket-hash) — one row per band."""
+    """(id, band, bucket-hash) — one row per band.  ``xxhash64`` hashes the
+    raw signature longs directly (it is variadic) — no per-band string
+    materialization."""
     band_struct = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col(sig_col)[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)])).alias("bucket"))
+                 F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r]
+                              for r in range(rows_per_band)]).alias("bucket"))
         for b in range(bands)
     ])
     return (sdf.select(id_col, F.explode(band_struct).alias("bb"))
