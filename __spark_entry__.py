@@ -344,7 +344,11 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surface (SURVEY §2.8 array/map/json gap — Spark-native)."""
     from pandas_expr_spark.sources.tables import load_table
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # from_json with an explicit schema parses the document once into a
+    # struct (schema-aware Jackson parse); get_json_object would re-parse
+    # the JSON per extracted path — the wrong shape once props grows past
+    # one field at 100 TB.
+    k = F.from_json("props", "k INT")["k"]
     return (ev.withColumn("k", k)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
