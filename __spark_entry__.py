@@ -104,6 +104,126 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.to_spark()
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders in a year window with
+    any high-quantity lineitem, counted by priority.  (The synthetic schema
+    has no commit/receipt dates, so the EXISTS predicate is quantity-based.)"""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders[(orders.o_orderdate >= "1997-01-01")
+               & (orders.o_orderdate < "1998-01-01")]
+    flagged = (li[li.l_quantity >= 45][["l_orderkey"]]
+               .rename(columns={"l_orderkey": "o_orderkey"}))
+    j = o.merge(flagged, on="o_orderkey", how="semi")
+    g = j.groupby("o_orderpriority").agg(order_count=("o_orderkey", "count"))
+    return g.to_spark()
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: tight scan-side conjunctive predicate → single-row total.
+    All three predicates reach the parquet scan (PushedFilters); the cents
+    sum keeps the scalar bit-identical across engines."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    f = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")
+           & li.l_discount.between(0.05, 0.07) & (li.l_quantity < 24)]
+    f = f.assign(rev_c=(f.l_extendedprice * f.l_discount * 100).floor())
+    return f[["rev_c"]].to_spark().agg(
+        (F.sum("rev_c") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer over one quarter,
+    top 20 — fact-fact join shuffles once on orderkey, dims broadcast."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    l = li[li.l_returnflag == "R"]
+    l = l.assign(rev_c=(l.l_extendedprice * (1 - l.l_discount) * 100).floor())
+    o = orders[(orders.o_orderdate >= "1997-01-01")
+               & (orders.o_orderdate < "1997-04-01")][["o_orderkey", "o_custkey"]]
+    j = l[["l_orderkey", "rev_c"]].merge(
+        o, left_on="l_orderkey", right_on="o_orderkey")
+    g = j.groupby("o_custkey").agg(revenue_c=("rev_c", "sum"))
+    g = g.reset_index()
+    g = g.merge(cust[["c_custkey", "c_name", "c_acctbal", "c_nationkey"]],
+                left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    g = g.merge(nation[["n_nationkey", "n_name"]],
+                left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+    g = g.assign(revenue=g["revenue_c"] / 100.0)
+    out = (g[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
+           .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+           .head(20))
+    return out.to_spark()
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation (promo share of revenue) —
+    Series.where → CASE WHEN inside one partial+final agg, part broadcast."""
+    import pandas_expr_spark as pes
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    l = li[(li.l_shipdate >= "1996-03-01") & (li.l_shipdate < "1996-04-01")]
+    l = l.assign(rev_c=(l.l_extendedprice * (1 - l.l_discount) * 100).floor())
+    j = l[["l_partkey", "rev_c"]].merge(
+        part[["p_partkey", "p_type"]],
+        left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    j = j.assign(promo_c=j["rev_c"].where(j.p_type == "PROMO", 0))
+    return j[["promo_c", "rev_c"]].to_spark().agg(
+        (100.0 * F.sum("promo_c") / F.sum("rev_c")).alias("promo_pct"),
+        (F.sum("rev_c") / 100.0).alias("total_revenue"))
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: groupBy-HAVING over the fact table, then join the ~0.1%
+    survivors back to orders/customer (both effectively broadcast-sized)."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    lg = (li.assign(qty_c=(li.l_quantity * 100).floor())
+          .groupby("l_orderkey").agg(qty_c=("qty_c", "sum")))
+    big = lg[lg["qty_c"] > 30000].reset_index()
+    j = big.merge(orders[["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"]],
+                  left_on="l_orderkey", right_on="o_orderkey")
+    j = j.merge(cust[["c_custkey", "c_name"]],
+                left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    j = j.assign(total_qty=j["qty_c"] / 100.0,
+                 o_orderdate=j["o_orderdate"].dt.strftime("%Y-%m-%d"))
+    out = (j[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+              "o_totalprice", "total_qty"]]
+           .sort_values(["total_qty", "o_orderkey"], ascending=[False, True])
+           .head(100))
+    return out.to_spark()
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate over a broadcast part join — the
+    brand/size/quantity disjunction stays a single JVM-side filter."""
+    import pandas_expr_spark as pes
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = li[["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]].merge(
+        part[["p_partkey", "p_brand", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    cond = (((j.p_brand == "Brand#12") & j.p_size.between(1, 15)
+             & j.l_quantity.between(1, 11))
+            | ((j.p_brand == "Brand#23") & j.p_size.between(1, 25)
+               & j.l_quantity.between(10, 20))
+            | ((j.p_brand == "Brand#34") & j.p_size.between(1, 35)
+               & j.l_quantity.between(20, 30)))
+    f = j[cond]
+    f = f.assign(rev_c=(f.l_extendedprice * (1 - f.l_discount) * 100).floor())
+    return f[["rev_c"]].to_spark().agg(
+        (F.sum("rev_c") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Milestone-0 slice (SURVEY §7.2): predicate+projection pushdown."""
     import pandas_expr_spark as pes
@@ -995,6 +1115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_pred": q19_disjunctive_pred,
         "filter_project": filter_project,
         "assign_eval_disc_price": assign_eval_disc_price,
         "join_part_lineitem": join_part_lineitem,
@@ -1130,6 +1256,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 45)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                       ELSE 0 END)
+                   / SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS promo_pct,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS total_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q18_large_volume": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_totalprice,
+                   g.qty_c / 100.0 AS total_qty
+            FROM (SELECT l_orderkey,
+                         SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qty_c
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) > 30000) g
+            JOIN orders o ON g.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY total_qty DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "q19_disjunctive_pred": """
+            SELECT SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -30,6 +30,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_pred",
     "filter_project",
     "join_part_lineitem",
     "outer_join_fillna",
