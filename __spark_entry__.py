@@ -793,6 +793,39 @@ def window_diff_pct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o[["o_orderkey", "o_custkey", "price_diff", "price_pct"]].to_spark()
 
 
+def rolling_expanding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling/expanding windows (§2.7 superset) with min_periods
+    null-guard semantics.  Sums run on the integer-cents basis so the frame
+    aggregation is order-independent and bit-identical across engines; the
+    rolling mean divides the exact cents sum by the windowed count."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 100]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    o = o.with_rolling("roll_sum_c", "price_c", partition_by="o_custkey",
+                       order_by=["o_orderdate", "o_orderkey"],
+                       window=3, fn="sum")
+    o = o.with_rolling("roll_cnt", "price_c", partition_by="o_custkey",
+                       order_by=["o_orderdate", "o_orderkey"],
+                       window=3, fn="count", min_periods=1)
+    o = o.with_expanding("exp_sum_c", "price_c", partition_by="o_custkey",
+                         order_by=["o_orderdate", "o_orderkey"], fn="sum")
+    o = o.assign(roll_avg=o["roll_sum_c"] / o["roll_cnt"] / 100.0,
+                 exp_sum=o["exp_sum_c"] / 100.0)
+    return o[["o_orderkey", "o_custkey", "roll_avg", "exp_sum"]].to_spark()
+
+
+def groupby_nunique_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped nunique (countDistinct) + exact median — the groupby surface
+    the reference lacks (SURVEY §2.6 'missing but expected')."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    g = li.groupby("l_returnflag").agg(
+        n_parts=("l_partkey", "nunique"),
+        median_qty=("l_quantity", "median"))
+    return g.to_spark()
+
+
 def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas pivot_table → ``groupBy().pivot()`` with explicit pivot values
     (no eager distinct-discovery scan — required at 100 TB)."""
@@ -1170,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except_nations": intersect_except_nations,
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "window_diff_pct_orders": window_diff_pct_orders,
+        "rolling_expanding_orders": rolling_expanding_orders,
+        "groupby_nunique_median": groupby_nunique_median,
         "interval_join_shipments": interval_join_shipments,
         "pivot_status_priority": pivot_status_priority,
         "melt_customer_metrics": melt_customer_metrics,
@@ -1637,6 +1672,26 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice / LAG(o_totalprice) OVER w - 1 AS price_pct
             FROM o WINDOW w AS (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey)
+        """,
+        "rolling_expanding_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+                       FROM orders WHERE o_custkey < 100)
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN COUNT(price_c) OVER w3 >= 3 THEN SUM(price_c) OVER w3 END
+                       / (COUNT(price_c) OVER w3) / 100.0 AS roll_avg,
+                   SUM(price_c) OVER wexp / 100.0 AS exp_sum
+            FROM o WINDOW
+                w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                wexp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "groupby_nunique_median": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   MEDIAN(l_quantity) AS median_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "interval_join_shipments": """
             SELECT l.l_shipdate, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok

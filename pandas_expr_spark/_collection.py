@@ -1194,6 +1194,39 @@ class DataFrame(FrameBase):
             self._sdf.withColumn(name, ratio - F.lit(1)),
             "pct_change", {"col": col, "periods": periods})
 
+    _ROLL_FNS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+                 "count": F.count, "std": F.stddev_samp, "var": F.var_samp}
+
+    def with_rolling(self, name: str, col: str, partition_by, order_by,
+                     window: int, fn: str = "mean",
+                     min_periods: int | None = None) -> "DataFrame":
+        """pandas ``rolling(window).fn()`` per group: a ``rowsBetween``
+        window frame.  pandas yields null until ``min_periods`` (default =
+        ``window``) observations exist — reproduced with a windowed count
+        guard.  One shuffle on the partition keys, same as any window."""
+        mp = window if min_periods is None else min_periods
+        agg = self._ROLL_FNS[fn]
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(*[F.col(c).asc() for c in _ensure_list(order_by)])
+             .rowsBetween(-(window - 1), Window.currentRow))
+        val = F.when(F.count(F.col(col)).over(w) >= mp,
+                     agg(F.col(col)).over(w))
+        return self._derive(self._sdf.withColumn(name, val),
+                            "rolling", {"col": col, "window": window, "fn": fn})
+
+    def with_expanding(self, name: str, col: str, partition_by, order_by,
+                       fn: str = "mean", min_periods: int = 1) -> "DataFrame":
+        """pandas ``expanding().fn()`` per group: unbounded-preceding frame
+        with the same min_periods null guard."""
+        agg = self._ROLL_FNS[fn]
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(*[F.col(c).asc() for c in _ensure_list(order_by)])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val = F.when(F.count(F.col(col)).over(w) >= min_periods,
+                     agg(F.col(col)).over(w))
+        return self._derive(self._sdf.withColumn(name, val),
+                            "expanding", {"col": col, "fn": fn})
+
     # -- partitioning control (scale surface) ----------------------------
     def repartition(self, num: int | None = None, *cols) -> "DataFrame":
         sdf = self._sdf.repartition(num, *[F.col(c) for c in cols]) if cols \

@@ -143,3 +143,36 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_with_rolling_matches_pandas(shop, shop_pdf):
+    """rolling(3).sum() per group — pandas yields NaN until min_periods
+    (= window) observations exist; the windowed-count guard reproduces it."""
+    got = shop.with_rolling("r", "sales", partition_by="store",
+                            order_by=["units"], window=3, fn="sum").compute()
+    exp = shop_pdf.sort_values("units").copy()
+    exp["r"] = exp.groupby("store")["sales"].transform(
+        lambda s: s.rolling(3).sum())
+    assert_frame_eq(got[["store", "units", "r"]],
+                    exp[["store", "units", "r"]], sort_by=["store", "units"])
+
+
+def test_with_rolling_min_periods(shop, shop_pdf):
+    got = shop.with_rolling("r", "sales", partition_by="store",
+                            order_by=["units"], window=4, fn="mean",
+                            min_periods=2).compute()
+    exp = shop_pdf.sort_values("units").copy()
+    exp["r"] = exp.groupby("store")["sales"].transform(
+        lambda s: s.rolling(4, min_periods=2).mean())
+    assert_frame_eq(got[["store", "units", "r"]],
+                    exp[["store", "units", "r"]], sort_by=["store", "units"])
+
+
+def test_with_expanding_matches_pandas(shop, shop_pdf):
+    got = shop.with_expanding("e", "sales", partition_by="store",
+                              order_by=["units"], fn="sum").compute()
+    exp = shop_pdf.sort_values("units").copy()
+    exp["e"] = exp.groupby("store")["sales"].transform(
+        lambda s: s.expanding().sum())
+    assert_frame_eq(got[["store", "units", "e"]],
+                    exp[["store", "units", "e"]], sort_by=["store", "units"])
