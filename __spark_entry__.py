@@ -224,6 +224,351 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"))
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+    Both nation lineages broadcast; the only shuffle is the
+    lineitem⋈orders fact-fact join on orderkey."""
+    import pandas_expr_spark as pes
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    n1 = nation[["n_nationkey", "n_name"]].rename(columns={"n_name": "supp_nation"})
+    n2 = nation[["n_nationkey", "n_name"]].rename(columns={"n_name": "cust_nation"})
+    s = supp[["s_suppkey", "s_nationkey"]].merge(
+        n1, left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+    c = cust[["c_custkey", "c_nationkey"]].merge(
+        n2, left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+    o = orders[["o_orderkey", "o_custkey"]].merge(
+        c[["c_custkey", "cust_nation"]],
+        left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    l = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1998-01-01")]
+    l = l.assign(rev_c=(l.l_extendedprice * (1 - l.l_discount) * 100).floor(),
+                 l_year=l.l_shipdate.dt.year)
+    j = l[["l_orderkey", "l_suppkey", "l_year", "rev_c"]].merge(
+        s[["s_suppkey", "supp_nation"]],
+        left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    j = j.merge(o[["o_orderkey", "cust_nation"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+    j = j[((j.supp_nation == "NATION_1") & (j.cust_nation == "NATION_2"))
+          | ((j.supp_nation == "NATION_2") & (j.cust_nation == "NATION_1"))]
+    g = j.groupby(["supp_nation", "cust_nation", "l_year"]).agg(
+        revenue_c=("rev_c", "sum")).reset_index()
+    g = g.assign(revenue=g["revenue_c"] / 100.0)
+    return g[["supp_nation", "cust_nation", "l_year", "revenue"]].to_spark()
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's revenue share of a region's market for one
+    part type, by order year — conditional-sum ratio of exact cent sums."""
+    import pandas_expr_spark as pes
+    region = pes.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    r = region[region.r_name == "ASIA"][["r_regionkey"]]
+    n_cust = nation.merge(r, left_on="n_regionkey", right_on="r_regionkey",
+                          broadcast=True)[["n_nationkey"]]
+    c = cust[["c_custkey", "c_nationkey"]].merge(
+        n_cust, left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+    o = orders[(orders.o_orderdate >= "1995-01-01")
+               & (orders.o_orderdate < "1997-01-01")]
+    o = o.assign(o_year=o.o_orderdate.dt.year)
+    o = o[["o_orderkey", "o_custkey", "o_year"]].merge(
+        c[["c_custkey"]], left_on="o_custkey", right_on="c_custkey",
+        broadcast=True)
+    p = part[part.p_type == "PROMO"][["p_partkey"]]
+    s = supp[["s_suppkey", "s_nationkey"]].merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+    l = li.assign(rev_c=(li.l_extendedprice * (1 - li.l_discount) * 100).floor())
+    j = l[["l_orderkey", "l_partkey", "l_suppkey", "rev_c"]].merge(
+        p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    j = j.merge(s[["s_suppkey", "n_name"]],
+                left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    j = j.merge(o[["o_orderkey", "o_year"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+    j = j.assign(nation_c=j["rev_c"].where(j.n_name == "NATION_1", 0))
+    g = j.groupby("o_year").agg(nation_c=("nation_c", "sum"),
+                                total_c=("rev_c", "sum")).reset_index()
+    g = g.assign(mkt_share=g["nation_c"] / g["total_c"],
+                 total_revenue=g["total_c"] / 100.0)
+    return g[["o_year", "mkt_share", "total_revenue"]].to_spark()
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × ship year.  The synthetic
+    schema has no partsupp, so supply cost is modeled as
+    0.5·p_retailprice·quantity (fixed per-part cost), keeping the
+    part⋈lineitem⋈supplier⋈nation join and two-key agg intact."""
+    import pandas_expr_spark as pes
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = part[part.p_type == "ECONOMY"][["p_partkey", "p_retailprice"]]
+    s = supp[["s_suppkey", "s_nationkey"]].merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    j = j.assign(
+        profit_c=((j.l_extendedprice * (1 - j.l_discount)
+                   - j.p_retailprice * 0.5 * j.l_quantity) * 100).floor(),
+        o_year=j.l_shipdate.dt.year)
+    j = j[["l_suppkey", "o_year", "profit_c"]].merge(
+        s[["s_suppkey", "n_name"]],
+        left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    g = j.groupby(["n_name", "o_year"]).agg(
+        profit_c=("profit_c", "sum")).reset_index()
+    g = g.assign(sum_profit=g["profit_c"] / 100.0)
+    return g[["n_name", "o_year", "sum_profit"]].to_spark()
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line-status (shipmode analogue) count of
+    critical- vs non-critical-priority orders shipped in one year —
+    conditional counts in a single partial+final agg after the one
+    fact-fact shuffle."""
+    import pandas_expr_spark as pes
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    l = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    j = l[["l_orderkey", "l_linestatus"]].merge(
+        orders[["o_orderkey", "o_orderpriority"]],
+        left_on="l_orderkey", right_on="o_orderkey")
+    crit = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    j = j.assign(high_line=crit.astype("int64"),
+                 low_line=(~crit).astype("int64"))
+    g = j.groupby("l_linestatus").agg(high_line_count=("high_line", "sum"),
+                                      low_line_count=("low_line", "sum"))
+    return g.to_spark()
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — left outer join
+    (zero-order customers kept) then two stacked aggregations."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = orders[orders.o_orderpriority != "5-LOW"][["o_orderkey", "o_custkey"]]
+    j = cust[["c_custkey"]].merge(o, left_on="c_custkey", right_on="o_custkey",
+                                  how="left")
+    per_cust = j.groupby("c_custkey").agg(
+        c_count=("o_orderkey", "count")).reset_index()
+    g = per_cust.groupby("c_count").agg(
+        custdist=("c_custkey", "count")).reset_index()
+    out = g.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return out[["c_count", "custdist"]].to_spark()
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue — the scalar-max
+    subquery is a 1-row broadcast cross join against the per-supplier agg;
+    exact-cents equality makes the tie test deterministic."""
+    import pandas_expr_spark as pes
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    l = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1996-04-01")]
+    l = l.assign(rev_c=(l.l_extendedprice * (1 - l.l_discount) * 100).floor())
+    r = l.groupby("l_suppkey").agg(rev_c=("rev_c", "sum")).reset_index()
+    mx = pes.from_spark(r.to_spark().agg(F.max("rev_c").alias("max_c")))
+    t = r.merge(mx, how="cross")
+    t = t[t["rev_c"] == t["max_c"]]
+    t = t.merge(supp[["s_suppkey", "s_name"]],
+                left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    t = t.assign(total_revenue=t["rev_c"] / 100.0)
+    return t[["s_suppkey", "s_name", "total_revenue"]].to_spark()
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery): cheapest EUROPE supplier per
+    part.  No partsupp in the synthetic schema, so supply cost is the min
+    per-unit price observed in lineitem for the (part, supplier) pair; the
+    correlated `= (SELECT MIN(...))` becomes agg + join-back on exact cents."""
+    import pandas_expr_spark as pes
+    region = pes.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    r = region[region.r_name == "EUROPE"][["r_regionkey"]]
+    n = nation.merge(r, left_on="n_regionkey", right_on="r_regionkey",
+                     broadcast=True)[["n_nationkey", "n_name"]]
+    s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+    p = part[(part.p_type == "SMALL") & (part.p_size == 15)][["p_partkey"]]
+    l = li.assign(cost_c=(li.l_extendedprice * 100 / li.l_quantity).floor())
+    l = l[["l_partkey", "l_suppkey", "cost_c"]].merge(
+        p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    l = l.merge(s[["s_suppkey"]], left_on="l_suppkey", right_on="s_suppkey",
+                how="semi")
+    ps = l.groupby(["l_partkey", "l_suppkey"]).agg(
+        cost_c=("cost_c", "min")).reset_index()
+    pm = ps.groupby("l_partkey").agg(min_c=("cost_c", "min")).reset_index()
+    j = ps.merge(pm, on="l_partkey")
+    j = j[j["cost_c"] == j["min_c"]]
+    j = j.merge(s, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    out = (j[["s_acctbal", "s_name", "n_name", "l_partkey"]]
+           .rename(columns={"l_partkey": "p_partkey"})
+           .sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                        ascending=[False, True, True, True])
+           .head(100))
+    return out.to_spark()
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one nation's suppliers,
+    HAVING value > 0.001 of the total — the scalar-subquery threshold is a
+    1-row cross join; the fraction test is integer-exact (×1000 cents)."""
+    import pandas_expr_spark as pes
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    n = nation[nation.n_name == "NATION_3"][["n_nationkey"]]
+    s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)[["s_suppkey"]]
+    l = li.assign(value_c=(li.l_extendedprice * 100).floor())
+    l = l[["l_partkey", "l_suppkey", "value_c"]].merge(
+        s, left_on="l_suppkey", right_on="s_suppkey", how="semi")
+    g = l.groupby("l_partkey").agg(value_c=("value_c", "sum")).reset_index()
+    tot = pes.from_spark(g.to_spark().agg(F.sum("value_c").alias("total_c")))
+    t = g.merge(tot, how="cross")
+    t = t[t["value_c"] * 1000 > t["total_c"]]
+    t = t.assign(value=t["value_c"] / 100.0)
+    out = t[["l_partkey", "value"]].sort_values(
+        ["value", "l_partkey"], ascending=[False, True])
+    return out.to_spark()
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size),
+    excluding one brand/type and complaint suppliers (negative acctbal
+    analogue) via a broadcast ANTI join."""
+    import pandas_expr_spark as pes
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = part[(part.p_brand != "Brand#1") & (part.p_type != "PROMO")
+             & part.p_size.isin([1, 4, 9, 14, 19, 23, 36, 45])]
+    bad = supp[supp.s_acctbal < 0][["s_suppkey"]]
+    l = li[["l_partkey", "l_suppkey"]].merge(
+        p[["p_partkey", "p_brand", "p_type", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    l = l.merge(bad, left_on="l_suppkey", right_on="s_suppkey", how="anti")
+    g = l.groupby(["p_brand", "p_type", "p_size"]).agg(
+        supplier_cnt=("l_suppkey", "nunique")).reset_index()
+    out = g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                        ascending=[False, True, True, True])
+    return out.to_spark()
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand — the
+    correlated AVG subquery becomes a per-part agg joined back; the
+    `qty < 0.2*avg` test is scaled to integers (5·qty_c·cnt < sum_c) so
+    boundary rows can't diverge between engines."""
+    import pandas_expr_spark as pes
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = part[part.p_brand == "Brand#3"][["p_partkey"]]
+    l = li.assign(qty_c=(li.l_quantity * 100).floor(),
+                  price_c=(li.l_extendedprice * 100).floor())
+    l = l[["l_partkey", "qty_c", "price_c"]].merge(
+        p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    stats = l.groupby("l_partkey").agg(cnt=("qty_c", "count"),
+                                       qsum_c=("qty_c", "sum")).reset_index()
+    j = l.merge(stats, on="l_partkey")
+    j = j[j["qty_c"] * 5 * j["cnt"] < j["qsum_c"]]
+    return j[["price_c"]].to_spark().agg(
+        (F.sum("price_c") / 100.0 / 7.0).alias("avg_yearly"))
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN subqueries): one nation's suppliers who
+    shipped more than half of some small part's 1996 volume — two stacked
+    aggs on exact cents, then a SEMI join into the supplier dim."""
+    import pandas_expr_spark as pes
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    part = pes.read_parquet(f"{sf_dir}/part.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = part[part.p_type == "SMALL"][["p_partkey"]]
+    l = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    l = l.assign(qty_c=(l.l_quantity * 100).floor())
+    l = l[["l_partkey", "l_suppkey", "qty_c"]].merge(
+        p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    sp = l.groupby(["l_partkey", "l_suppkey"]).agg(
+        sq_c=("qty_c", "sum")).reset_index()
+    pt = sp.groupby("l_partkey").agg(pq_c=("sq_c", "sum")).reset_index()
+    j = sp.merge(pt, on="l_partkey")
+    qual = j[j["sq_c"] * 2 > j["pq_c"]][["l_suppkey"]].drop_duplicates()
+    n = nation[nation.n_name == "NATION_5"][["n_nationkey"]]
+    s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)
+    s = s.merge(qual, left_on="s_suppkey", right_on="l_suppkey", how="semi")
+    return s[["s_suppkey", "s_name"]].sort_values("s_suppkey").to_spark()
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers who were
+    the *only* late supplier on a finished multi-supplier order.  "Late" is
+    quantity-based (no receipt/commit dates in the synthetic schema).  The
+    two EXISTS become per-order distinct-supplier counts: n_supp ≥ 2 ∧
+    n_late = 1 — one shuffle on orderkey instead of two self-joins."""
+    import pandas_expr_spark as pes
+    nation = pes.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders[orders.o_orderstatus == "F"][["o_orderkey"]]
+    l = li[["l_orderkey", "l_suppkey", "l_quantity"]].merge(
+        o, left_on="l_orderkey", right_on="o_orderkey", how="semi")
+    g = l.groupby("l_orderkey").agg(n_supp=("l_suppkey", "nunique")).reset_index()
+    lt = l[l.l_quantity >= 48]
+    gl = lt.groupby("l_orderkey").agg(n_late=("l_suppkey", "nunique")).reset_index()
+    qual = g.merge(gl, on="l_orderkey")
+    qual = qual[(qual["n_supp"] >= 2) & (qual["n_late"] == 1)][["l_orderkey"]]
+    pairs = (lt[["l_orderkey", "l_suppkey"]]
+             .merge(qual, on="l_orderkey", how="semi").drop_duplicates())
+    n = nation[nation.n_name == "NATION_7"][["n_nationkey"]]
+    s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)[["s_suppkey", "s_name"]]
+    j = pairs.merge(s, left_on="l_suppkey", right_on="s_suppkey",
+                    broadcast=True)
+    g2 = j.groupby("s_name").agg(numwait=("l_orderkey", "nunique")).reset_index()
+    out = (g2.sort_values(["numwait", "s_name"], ascending=[False, True])
+           .head(100))
+    return out[["s_name", "numwait"]].to_spark()
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers from a key set of nations (phone-prefix
+    analogue) with above-average positive balances and no *recent* orders
+    (every synthetic customer has some order) — scalar AVG via 1-row cross
+    join (integer-exact bal·cnt > sum test) + ANTI join against orders."""
+    import pandas_expr_spark as pes
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = [1, 13, 17, 20, 24]
+    c = cust[cust.c_nationkey.isin(keys)]
+    c = c.assign(bal_c=(c.c_acctbal * 100).floor())
+    pos = c[c.c_acctbal > 0.0]
+    stats = pes.from_spark(pos[["bal_c"]].to_spark().agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("cnt")))
+    t = c.merge(stats, how="cross")
+    t = t[t["bal_c"] * t["cnt"] > t["sum_c"]]
+    recent = orders[orders.o_orderdate >= "1999-01-01"][["o_custkey"]]
+    t = t.merge(recent, left_on="c_custkey", right_on="o_custkey", how="anti")
+    g = t.groupby("c_nationkey").agg(numcust=("c_custkey", "count"),
+                                     tot_c=("bal_c", "sum")).reset_index()
+    g = g.assign(totacctbal=g["tot_c"] / 100.0)
+    return g[["c_nationkey", "numcust", "totacctbal"]].to_spark()
+
+
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Milestone-0 slice (SURVEY §7.2): predicate+projection pushdown."""
     import pandas_expr_spark as pes
@@ -1154,6 +1499,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_pred": q19_disjunctive_pred,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier": q16_parts_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales": q22_global_sales,
         "filter_project": filter_project,
         "assign_eval_disc_price": assign_eval_disc_price,
         "join_part_lineitem": join_part_lineitem,
@@ -1361,6 +1719,208 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_c,
+                       n.n_name
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+                WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01')
+            SELECT o_year,
+                   SUM(CASE WHEN n_name = 'NATION_1' THEN rev_c ELSE 0 END)
+                       / CAST(SUM(rev_c) AS DOUBLE) AS mkt_share,
+                   SUM(rev_c) / 100.0 AS total_revenue
+            FROM j GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+                   SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                                   - p.p_retailprice * 0.5 * l.l_quantity) * 100) AS BIGINT)) / 100.0 AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "q12_priority_shipping": """
+            SELECT l.l_linestatus,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+            GROUP BY 1
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                   AND o.o_orderpriority <> '5-LOW'
+                GROUP BY c.c_custkey)
+            SELECT c_count, COUNT(c_custkey) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, rev.rev_c / 100.0 AS total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.rev_c = (SELECT MAX(rev_c) FROM rev)
+        """,
+        "q2_min_cost_supplier": """
+            WITH s AS (
+                SELECT s_suppkey, s_name, s_acctbal, n.n_name
+                FROM supplier su
+                JOIN nation n ON su.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'),
+            ps AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       MIN(CAST(FLOOR(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT)) AS cost_c
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                           AND p.p_type = 'SMALL' AND p.p_size = 15
+                WHERE l.l_suppkey IN (SELECT s_suppkey FROM s)
+                GROUP BY 1, 2)
+            SELECT s.s_acctbal, s.s_name, s.n_name, ps.l_partkey AS p_partkey
+            FROM ps JOIN s ON ps.l_suppkey = s.s_suppkey
+            WHERE ps.cost_c = (SELECT MIN(cost_c) FROM ps p2
+                               WHERE p2.l_partkey = ps.l_partkey)
+            ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": """
+            WITH g AS (
+                SELECT l_partkey,
+                       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS value_c
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier su
+                    JOIN nation n ON su.s_nationkey = n.n_nationkey
+                    WHERE n.n_name = 'NATION_3')
+                GROUP BY l_partkey)
+            SELECT l_partkey, value_c / 100.0 AS value
+            FROM g
+            WHERE value_c * 1000 > (SELECT SUM(value_c) FROM g)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q16_parts_supplier": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "q17_small_qty_revenue": """
+            WITH l AS (
+                SELECT l.l_partkey,
+                       CAST(FLOOR(l.l_quantity * 100) AS BIGINT) AS qty_c,
+                       CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS price_c
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                           AND p.p_brand = 'Brand#3'),
+            stats AS (
+                SELECT l_partkey, COUNT(*) AS cnt, SUM(qty_c) AS qsum_c
+                FROM l GROUP BY l_partkey)
+            SELECT SUM(l.price_c) / 100.0 / 7.0 AS avg_yearly
+            FROM l JOIN stats s ON l.l_partkey = s.l_partkey
+            WHERE l.qty_c * 5 * s.cnt < s.qsum_c
+        """,
+        "q20_excess_suppliers": """
+            WITH sp AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       SUM(CAST(FLOOR(l.l_quantity * 100) AS BIGINT)) AS sq_c
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'SMALL'
+                WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+                GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, SUM(sq_c) AS pq_c FROM sp GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_5'
+              AND s.s_suppkey IN (
+                  SELECT sp.l_suppkey FROM sp
+                  JOIN pt ON sp.l_partkey = pt.l_partkey
+                  WHERE sp.sq_c * 2 > pt.pq_c)
+            ORDER BY s.s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey, l_quantity
+                FROM lineitem
+                WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+            g AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+                  FROM l GROUP BY 1),
+            lt AS (SELECT DISTINCT l_orderkey, l_suppkey
+                   FROM l WHERE l_quantity >= 48),
+            gl AS (SELECT l_orderkey, COUNT(*) AS n_late FROM lt GROUP BY 1),
+            qual AS (
+                SELECT g.l_orderkey FROM g
+                JOIN gl ON g.l_orderkey = gl.l_orderkey
+                WHERE g.n_supp >= 2 AND gl.n_late = 1)
+            SELECT s.s_name, COUNT(DISTINCT lt.l_orderkey) AS numwait
+            FROM lt
+            JOIN qual ON lt.l_orderkey = qual.l_orderkey
+            JOIN supplier s ON lt.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 100
+        """,
+        "q22_global_sales": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+                FROM customer
+                WHERE c_nationkey IN (1, 13, 17, 20, 24)),
+            stats AS (
+                SELECT SUM(bal_c) AS sum_c, COUNT(*) AS cnt
+                FROM c WHERE c_acctbal > 0.0)
+            SELECT c.c_nationkey, COUNT(c.c_custkey) AS numcust,
+                   SUM(c.bal_c) / 100.0 AS totacctbal
+            FROM c, stats
+            WHERE c.bal_c * stats.cnt > stats.sum_c
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderdate >= '1999-01-01')
+            GROUP BY c.c_nationkey
         """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
