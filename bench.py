@@ -36,6 +36,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume",
     "q19_disjunctive_pred",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "filter_project",
     "join_part_lineitem",
     "outer_join_fillna",

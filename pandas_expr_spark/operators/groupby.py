@@ -237,3 +237,97 @@ class GroupBy:
         node = Node("groupby_transform", {"by": self._by, "fn": fn_name},
                     self._frame._expr)
         return DataFrame(out, node, self._frame._index_cols, self._frame._index_names)
+
+    # -- positional window ops (pandas groupby.shift/rank/cum*; `IX` §1.5).
+    # All are ONE window = one shuffle on the group keys; row order comes
+    # from the engine index when present, else an attached monotonic rowid.
+    def _positional(self):
+        from .._collection import _ROWID, _attach_rowid
+        if self._frame._index_cols:
+            return self._frame._sdf, list(self._frame._index_cols), None
+        sdf = _attach_rowid(self._frame._sdf)
+        return sdf, [_ROWID], _ROWID
+
+    def _finish_window(self, out, drop_col, op: str):
+        from .._collection import DataFrame
+        if drop_col:
+            out = out.drop(drop_col)
+        node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        return DataFrame(out, node, self._frame._index_cols,
+                         self._frame._index_names)
+
+    def shift(self, periods: int = 1):
+        """pandas ``groupby.shift`` → ``lag``/``lead`` over the positional
+        window (rows shifted off the group edge become null)."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        w = Window.partitionBy(*self._by).orderBy(
+            *[F.col(c).asc() for c in order_cols])
+        fn = (lambda c: F.lag(c, periods)) if periods >= 0 else \
+             (lambda c: F.lead(c, -periods))
+        out = sdf.withColumns({c: fn(F.col(c)).over(w)
+                               for c in self._value_columns()})
+        return self._finish_window(out, tmp, "shift")
+
+    def cumcount(self, ascending: bool = True):
+        """pandas ``groupby.cumcount``: 0-based position within group."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        order = [F.col(c).asc() if ascending else F.col(c).desc()
+                 for c in order_cols]
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        out = sdf.withColumn("cumcount", F.row_number().over(w) - 1)
+        return self._finish_window(out, tmp, "cumcount")
+
+    def _cumulative(self, fn_name: str):
+        """Running aggregate with pandas null semantics: a null input row
+        yields null but does not interrupt the running value."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        fn = _AGG_FNS[fn_name]
+        w = (Window.partitionBy(*self._by)
+             .orderBy(*[F.col(c).asc() for c in order_cols])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = sdf.withColumns({
+            c: F.when(F.col(c).isNotNull(), fn(F.col(c)).over(w))
+            for c in self._value_columns(numeric_only=True)})
+        return self._finish_window(out, tmp, "cum" + fn_name)
+
+    def cumsum(self): return self._cumulative("sum")
+    def cumprod(self): return self._cumulative("prod")
+    def cummax(self): return self._cumulative("max")
+    def cummin(self): return self._cumulative("min")
+
+    def rank(self, method: str = "average", ascending: bool = True):
+        """pandas ``groupby.rank``: ranks *values* within each group (not
+        positions).  average/min/max lower to ``rank`` + a tie count over
+        the (keys, value) partition; nulls rank null, sorted last so they
+        never perturb non-null ranks."""
+        from pyspark.sql import Window
+        if method == "first":
+            # ties rank by row position (pandas): positional tiebreak needed
+            sdf, pos_cols, tmp = self._positional()
+        else:
+            sdf, pos_cols, tmp = self._frame._sdf, [], None
+        cols = {}
+        for c in self._value_columns(numeric_only=True):
+            col = F.col(c)
+            order = [col.asc_nulls_last() if ascending else col.desc_nulls_last()]
+            w = Window.partitionBy(*self._by).orderBy(
+                *order, *[F.col(p).asc() for p in pos_cols])
+            wt = Window.partitionBy(*self._by, c)
+            if method == "first":
+                r = F.row_number().over(w).cast("double")
+            elif method == "dense":
+                r = F.dense_rank().over(w).cast("double")
+            elif method == "min":
+                r = F.rank().over(w).cast("double")
+            elif method == "max":
+                r = (F.rank().over(w) + F.count(c).over(wt) - 1).cast("double")
+            elif method == "average":
+                r = F.rank().over(w) + (F.count(c).over(wt) - 1) / 2.0
+            else:
+                raise ValueError(f"rank method {method!r}")
+            cols[c] = F.when(col.isNotNull(), r)
+        out = sdf.withColumns(cols)
+        return self._finish_window(out, tmp, "rank")

@@ -133,3 +133,53 @@ def test_groupby_shuffle_plan(gdf):
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + optional sort
     assert "HashAggregate" in plan
+
+
+# -- positional window ops (shift / rank / cum*) ---------------------------
+@pytest.fixture()
+def win_pdf():
+    return pd.DataFrame({
+        "k": [i % 3 for i in range(30)],
+        "v": [float(i % 7) if i % 11 else None for i in range(30)],
+        "u": [float(i * 13 % 17) for i in range(30)],
+    }, index=pd.Index(range(30), name="rid"))
+
+
+@pytest.fixture()
+def win_df(spark, win_pdf):
+    return pes.from_pandas(win_pdf)
+
+
+@pytest.mark.parametrize("periods", [1, 2, -1])
+def test_groupby_shift(win_df, win_pdf, periods):
+    got = win_df.groupby("k").shift(periods).compute()
+    exp = win_pdf.groupby("k")[["v", "u"]].shift(periods)
+    pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
+                                  exp.sort_index(), check_dtype=False)
+
+
+def test_groupby_cumcount(win_df, win_pdf):
+    got = win_df.groupby("k").cumcount().compute()
+    exp = win_pdf.groupby("k").cumcount().rename("cumcount")
+    pd.testing.assert_series_equal(got["cumcount"].sort_index(),
+                                   exp.sort_index(), check_dtype=False)
+
+
+@pytest.mark.parametrize("fn", ["cumsum", "cummax", "cummin", "cumprod"])
+def test_groupby_cumulative(win_df, win_pdf, fn):
+    """pandas null semantics: a null row yields null but the running value
+    continues across it."""
+    got = getattr(win_df.groupby("k"), fn)().compute()
+    exp = getattr(win_pdf.groupby("k")[["v", "u"]], fn)()
+    pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
+                                  exp.sort_index(), check_dtype=False)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "first", "dense"])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_groupby_rank(win_df, win_pdf, method, ascending):
+    got = win_df.groupby("k").rank(method=method, ascending=ascending).compute()
+    exp = win_pdf.groupby("k")[["v", "u"]].rank(method=method,
+                                                ascending=ascending)
+    pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
+                                  exp.sort_index(), check_dtype=False)
