@@ -24,6 +24,16 @@ from .sources import (from_pandas, from_spark, read_csv, read_jdbc, read_json,
 __version__ = "0.1.0"
 
 
+def cut(series, bins, labels=None, right: bool = True):
+    """pandas ``pd.cut`` (fixed bin edges) — see ``Series.cut``."""
+    return series.cut(bins, labels=labels, right=right)
+
+
+def qcut(series, q, labels=None):
+    """pandas ``pd.qcut`` (quantile bins) — see ``Series.qcut``."""
+    return series.qcut(q, labels=labels)
+
+
 class DataFrame(_DataFrameImpl):
     """User-facing constructor accepts in-memory data (reference
     ``_collection.py:326-339`` → ``PandasIO`` leaf) or a Spark DataFrame."""
@@ -45,5 +55,6 @@ __all__ = [
     "read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
     "from_pandas", "from_spark",
     "concat", "merge", "merge_asof", "interval_join", "salted_join", "union", "intersect", "except_",
+    "cut", "qcut",
     "get_spark",
 ]

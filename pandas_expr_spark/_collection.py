@@ -458,6 +458,52 @@ class Series(FrameBase):
             return self._reduce(F.percentile_approx(self._scol, 0.5, 10000), "median", skipna)
         return self._reduce(F.median(self._scol), "median", skipna)
 
+    def cut(self, bins: Sequence[float], labels: Sequence[str] | None = None,
+            right: bool = True) -> "Series":
+        """pandas ``pd.cut`` with explicit edges: a JVM-side CASE chain —
+        no shuffle, no Python.  Returns string labels (``(a, b]`` interval
+        notation when ``labels`` is omitted); out-of-range → null."""
+        edges = list(bins)
+        if len(edges) < 2:
+            raise ValueError("cut needs at least 2 bin edges")
+        if labels is not None and len(labels) != len(edges) - 1:
+            raise ValueError("labels must have len(bins) - 1 entries")
+        c = self._scol
+        expr = F.lit(None).cast("string")
+        for i in range(len(edges) - 2, -1, -1):
+            lo, hi = edges[i], edges[i + 1]
+            if right:
+                cond = (c > lo) & (c <= hi)
+                lab = labels[i] if labels else f"({lo}, {hi}]"
+            else:
+                cond = (c >= lo) & (c < hi)
+                lab = labels[i] if labels else f"[{lo}, {hi})"
+            expr = F.when(cond, F.lit(str(lab))).otherwise(expr)
+        return self._with_scol(expr, "cut", n_bins=len(edges) - 1)
+
+    def qcut(self, q: int | Sequence[float],
+             labels: Sequence[str] | None = None) -> "Series":
+        """pandas ``pd.qcut``: quantile-based bins.  Edges come from one
+        small exact-percentile aggregation (an eager driver action, like
+        pandas itself); binning is then a JVM-side CASE chain."""
+        probs = [i / q for i in range(q + 1)] if isinstance(q, int) else list(q)
+        row = self._sdf.agg(
+            F.percentile(self._scol, F.array(*[F.lit(p) for p in probs]))
+        ).collect()[0][0]
+        edges = list(dict.fromkeys(float(v) for v in row))  # dedupe, keep order
+        if len(edges) < 2:
+            raise ValueError("qcut: all values identical — no bins")
+        # pandas includes the minimum in the first bin: nudge the left edge
+        edges[0] = edges[0] - abs(edges[0]) * 1e-9 - 1e-12
+        return self.cut(edges, labels=labels, right=True)
+
+    def describe(self) -> "DataFrame":
+        """pandas ``Series.describe``: one aggregation pass (count, mean,
+        std, min, exact quartiles, max), stacked JVM-side into stat rows."""
+        name = self._col_name or "value"
+        sdf = self._sdf.select(self._scol.alias(name))
+        return DataFrame(sdf, Node("to_frame", {}, self._expr)).describe()
+
     def idxmin(self, skipna: bool = True):
         """Reference IdxMin ``_reductions.py:142-152`` → ``F.min_by`` over the
         index column (no sort, single agg)."""
@@ -1004,6 +1050,97 @@ class DataFrame(FrameBase):
     def nunique_approx(self, rsd: float = 0.05) -> Series:
         return self._columnwise(lambda c: F.approx_count_distinct(c, rsd).cast("double"),
                                 "nunique_approx", numeric_only=False)
+
+    def _numeric_columns(self) -> list[str]:
+        return [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols and is_numeric(f.dataType)]
+
+    def describe(self) -> "DataFrame":
+        """pandas ``describe()``: count/mean/std/min/quartiles/max per
+        numeric column.  ONE aggregation pass (exact interpolating
+        percentiles), then a JVM-side ``stack`` reshapes the single agg row
+        into the 8 stat rows — stays lazy, nothing collects on the driver."""
+        cols = self._numeric_columns()
+        if not cols:
+            raise ValueError("describe: no numeric columns")
+        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        aggs = []
+        for c in cols:
+            col = F.col(c)
+            aggs += [F.count(col).cast("double").alias(f"count__{c}"),
+                     F.avg(col).alias(f"mean__{c}"),
+                     F.stddev_samp(col).alias(f"std__{c}"),
+                     F.min(col).cast("double").alias(f"min__{c}"),
+                     F.percentile(col, F.lit(0.25)).alias(f"25%__{c}"),
+                     F.percentile(col, F.lit(0.5)).alias(f"50%__{c}"),
+                     F.percentile(col, F.lit(0.75)).alias(f"75%__{c}"),
+                     F.max(col).cast("double").alias(f"max__{c}")]
+        one = self._sdf.agg(*aggs)
+        parts = []
+        for s in stats:
+            parts.append(f"'{s}'")
+            parts += [f"`{s}__{c}`" for c in cols]
+        stacked = one.selectExpr(
+            f"stack({len(stats)}, {', '.join(parts)}) as "
+            f"(stat, {', '.join(f'`{c}`' for c in cols)})")
+        node = Node("describe", {"columns": cols}, self._expr)
+        return DataFrame(stacked, node, ("stat",), (None,))
+
+    def _pairwise(self, fn, op: str) -> "DataFrame":
+        """Pairwise statistic matrix in ONE aggregation pass: n² aggregate
+        expressions (fine for tens of columns), stacked into matrix rows."""
+        cols = self._numeric_columns()
+        if len(cols) < 2:
+            raise ValueError(f"{op}: need >= 2 numeric columns")
+        aggs = [fn(F.col(a), F.col(b)).alias(f"{i}__{j}")
+                for i, a in enumerate(cols) for j, b in enumerate(cols)]
+        one = self._sdf.agg(*aggs)
+        parts = []
+        for i, a in enumerate(cols):
+            parts.append(f"'{a}'")
+            parts += [f"`{i}__{j}`" for j in range(len(cols))]
+        stacked = one.selectExpr(
+            f"stack({len(cols)}, {', '.join(parts)}) as "
+            f"(column, {', '.join(f'`{c}`' for c in cols)})")
+        node = Node(op, {"columns": cols}, self._expr)
+        return DataFrame(stacked, node, ("column",), (None,))
+
+    def corr(self, method: str = "pearson") -> "DataFrame":
+        """pandas ``df.corr()`` (pearson): pairwise Pearson correlation
+        matrix via ``F.corr`` — single pass, no shuffle beyond the agg."""
+        if method != "pearson":
+            raise NotImplementedError("corr: only pearson")
+        return self._pairwise(F.corr, "corr")
+
+    def cov(self, ddof: int = 1) -> "DataFrame":
+        """pandas ``df.cov()``: pairwise sample covariance matrix."""
+        if ddof != 1:
+            raise NotImplementedError("cov: only ddof=1 (covar_samp)")
+        return self._pairwise(F.covar_samp, "cov")
+
+    def get_dummies(self, columns: Sequence[str],
+                    values: Mapping[str, Sequence] | None = None,
+                    prefix_sep: str = "_", dtype: str = "int") -> "DataFrame":
+        """pandas ``pd.get_dummies``: one-hot indicator columns.
+
+        Pass ``values={col: [...]}`` to pin the category set — at 100 TB the
+        alternative is a distinct-discovery scan per column (done here
+        eagerly and documented, mirroring ``pivot_table``'s contract)."""
+        columns = _ensure_list(columns)
+        sdf = self._sdf
+        new_cols: dict[str, Column] = {}
+        for c in columns:
+            if values is not None and c in values:
+                vals = list(values[c])
+            else:
+                vals = [r[0] for r in
+                        sdf.select(c).distinct().dropna().collect()]
+                vals.sort()
+            for v in vals:
+                new_cols[f"{c}{prefix_sep}{v}"] = \
+                    F.when(F.col(c) == v, 1).otherwise(0).cast(dtype)
+        out = sdf.withColumns(new_cols).drop(*columns)
+        return self._derive(out, "get_dummies", {"columns": columns})
 
     # -- groupby / join / concat (operators/) ----------------------------
     def groupby(self, by, sort: bool = True, as_index: bool = True,

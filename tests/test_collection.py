@@ -330,3 +330,76 @@ def test_cat_accessor(spark):
                      check_name=False)
     renamed = s.cat.rename_categories({"a": "A"})
     assert renamed.cat.categories == ["A", "b", "c"]
+
+
+# -- describe / corr / cov / cut / qcut / get_dummies ----------------------
+def test_describe_matches_pandas(spark):
+    pdf = pd.DataFrame({"a": [float(i) for i in range(50)],
+                        "b": [float(i * 3 % 11) for i in range(50)],
+                        "s": [str(i) for i in range(50)]})
+    got = pes.from_pandas(pdf).describe().compute()
+    exp = pdf.describe()
+    for stat in ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]:
+        for c in ["a", "b"]:
+            assert abs(got.loc[stat, c] - exp.loc[stat, c]) < 1e-9, (stat, c)
+
+
+def test_series_describe(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0]})
+    got = pes.from_pandas(pdf).a.describe().compute()
+    exp = pdf["a"].describe()
+    for stat in exp.index:
+        assert abs(got.loc[stat, "a"] - exp[stat]) < 1e-12
+
+
+def test_corr_cov_match_pandas(spark):
+    pdf = pd.DataFrame({"a": [float(i) for i in range(40)],
+                        "b": [float((i * 7) % 13) for i in range(40)],
+                        "c": [float(-i) for i in range(40)]})
+    got = pes.from_pandas(pdf).corr().compute()
+    exp = pdf.corr()
+    for a in pdf.columns:
+        for b in pdf.columns:
+            assert abs(got.loc[a, b] - exp.loc[a, b]) < 1e-9
+    gotc = pes.from_pandas(pdf).cov().compute()
+    expc = pdf.cov()
+    for a in pdf.columns:
+        for b in pdf.columns:
+            assert abs(gotc.loc[a, b] - expc.loc[a, b]) < 1e-9
+
+
+def test_cut_matches_pandas(spark):
+    pdf = pd.DataFrame({"v": [0.5, 1.0, 2.5, 7.0, 9.99, 10.0, 11.0, -1.0]})
+    bins = [0, 1, 5, 10]
+    got = pes.from_pandas(pdf).v.cut(bins, labels=["lo", "mid", "hi"]).compute()
+    exp = pd.cut(pdf["v"], bins, labels=["lo", "mid", "hi"]).astype(object)
+    assert list(got) == [x if isinstance(x, str) else None for x in exp]
+
+
+def test_cut_interval_labels_left(spark):
+    pdf = pd.DataFrame({"v": [0.0, 0.5, 1.0, 2.0]})
+    got = pes.from_pandas(pdf).v.cut([0, 1, 2], right=False).compute()
+    assert list(got) == ["[0, 1)", "[0, 1)", "[1, 2)", None]
+
+
+def test_qcut_matches_pandas(spark):
+    pdf = pd.DataFrame({"v": [float(i) for i in range(100)]})
+    got = pes.from_pandas(pdf).v.qcut(4, labels=["q1", "q2", "q3", "q4"]).compute()
+    exp = pd.qcut(pdf["v"], 4, labels=["q1", "q2", "q3", "q4"]).astype(object)
+    assert list(got) == list(exp)
+
+
+def test_get_dummies_matches_pandas(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "c"], "v": [1, 2, 3, 4]})
+    got = pes.from_pandas(pdf).get_dummies(["k"]).compute()
+    exp = pd.get_dummies(pdf, columns=["k"], dtype="int64")
+    got = got.sort_values("v").reset_index(drop=True)[list(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_get_dummies_pinned_values_no_scan(spark):
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    got = pes.from_pandas(pdf).get_dummies(
+        ["k"], values={"k": ["a", "b", "z"]}).compute()
+    assert set(got.columns) == {"v", "k_a", "k_b", "k_z"}
+    assert got["k_z"].sum() == 0
