@@ -1239,6 +1239,29 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("total_c") / 100.0).alias("total"))
 
 
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (SURVEY §2.9): the events stream enriched against
+    the static customer dimension — Spark broadcasts the static side into
+    every micro-batch (no state store, no watermark needed for the join),
+    then a windowless grouped agg in complete mode.  Oracle = batch SQL."""
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream("parquet", sf_dir,
+                         schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+                         options={"pathGlobFilter": "events.parquet"})
+    src = src.withColumn("value_c", F.floor(F.col("value") * 100))
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select("c_custkey", "c_mktsegment"))
+    j = src.join(F.broadcast(dim), src.user_id == dim.c_custkey, "inner")
+    agg = j.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("total_c"))
+    q = st.to_memory_sink(agg, "stream_enriched_segments", "complete")
+    q.awaitTermination()
+    out = spark.table("stream_enriched_segments")
+    return out.select(F.col("c_mktsegment").alias("segment"),
+                      F.col("event_type"), F.col("n"),
+                      (F.col("total_c") / 100.0).alias("total"))
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h window / 1h slide) through the SAME helper that
     serves streaming frames — each event lands in two hour-aligned windows.
@@ -1568,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_customer_metrics": melt_customer_metrics,
         "grouping_sets_pricing": grouping_sets_pricing,
         "streaming_hourly_events": streaming_hourly_events,
+        "streaming_enriched_segments": streaming_enriched_segments,
         "events_sliding_windows": events_sliding_windows,
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_dedup_users": streaming_dedup_users,
@@ -2296,6 +2320,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_users": """
             SELECT DISTINCT user_id FROM events
+        """,
+        "streaming_enriched_segments": """
+            SELECT c.c_mktsegment AS segment, e.event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) / 100.0 AS total
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "events_sliding_windows": """
             WITH x AS (
