@@ -97,7 +97,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, left_on="o_custkey", right_on="c_custkey", broadcast=True)
     l = li.assign(rev=(li.l_extendedprice * (1 - li.l_discount) * 100).floor())
     j = l[["l_orderkey", "rev"]].merge(o[["o_orderkey", "n_name"]],
-                                       left_on="l_orderkey", right_on="o_orderkey")
+                                       left_on="l_orderkey", right_on="o_orderkey",
+                                       hint="shuffle_hash")
     g = j.groupby("n_name").agg(revenue=("rev", "sum"),
                                 n_items=("rev", "count"))
     g = g.assign(revenue=g["revenue"] / 100.0)

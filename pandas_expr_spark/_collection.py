@@ -1219,9 +1219,10 @@ class DataFrame(FrameBase):
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, left_index: bool = False,
               right_index: bool = False, suffixes: tuple = ("_x", "_y"),
-              indicator: bool = False, broadcast: bool | None = None) -> "DataFrame":
+              indicator: bool = False, broadcast: bool | None = None,
+              hint: str | None = None) -> "DataFrame":
         from .operators.joins import merge as _merge
-        return _merge(self, right, how=how, on=on, left_on=left_on,
+        return _merge(self, right, how=how, on=on, left_on=left_on, hint=hint,
                       right_on=right_on, left_index=left_index,
                       right_index=right_index, suffixes=suffixes,
                       indicator=indicator, broadcast=broadcast)

@@ -35,7 +35,7 @@ def _ensure_list(x):
 def merge(left, right, how: str = "inner", on=None, left_on=None,
           right_on=None, left_index: bool = False, right_index: bool = False,
           suffixes: tuple = ("_x", "_y"), indicator: bool = False,
-          broadcast: bool | None = None):
+          broadcast: bool | None = None, hint: str | None = None):
     from .._collection import DataFrame, Series, _frame_with_index
 
     if isinstance(right, Series):
@@ -99,6 +99,13 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
 
     if broadcast:
         r2 = F.broadcast(r2)
+    elif hint:
+        # join-strategy control ("shuffle_hash" / "merge" / "shuffle_replicate_nl"):
+        # Catalyst's size-only estimator wildly overestimates joined subtrees,
+        # which can flip the BUILD side onto the fact table at small scale;
+        # an explicit strategy hint pins the scale-correct plan (AQE may still
+        # upgrade to broadcast from runtime stats).
+        r2 = r2.hint(hint)
 
     cond = None
     for lk, rk in zip(left_keys, right_keys):

@@ -113,3 +113,18 @@ def test_scan_sharing_single_relation(spark):
     li2 = pes.read_parquet(f"{SF}/lineitem.parquet")
     # engine-side scan CSE: the same path lowers to the SAME scan relation
     assert li1._sdf is li2._sdf
+
+
+def test_merge_hint_pins_shuffle_hash_join(spark):
+    """merge(hint=...) must reach Catalyst: the size-only estimator can flip
+    the build side onto the fact table; the hint pins the strategy."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    a = pes.from_pandas(pd.DataFrame({"k": range(100), "v": range(100)}))
+    b = pes.from_pandas(pd.DataFrame({"k": range(50), "w": range(50)}))
+    out = a.merge(b, on="k", hint="shuffle_hash")
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    out2 = a.merge(b, on="k", hint="merge")
+    plan2 = out2.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2, plan2
