@@ -528,17 +528,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders[orders.o_orderstatus == "F"][["o_orderkey"]]
     l = li[["l_orderkey", "l_suppkey", "l_quantity"]].merge(
         o, left_on="l_orderkey", right_on="o_orderkey", how="semi")
-    g = l.groupby("l_orderkey").agg(n_supp=("l_suppkey", "nunique")).reset_index()
-    lt = l[l.l_quantity >= 48]
-    gl = lt.groupby("l_orderkey").agg(n_late=("l_suppkey", "nunique")).reset_index()
-    qual = g.merge(gl, on="l_orderkey")
-    qual = qual[(qual["n_supp"] >= 2) & (qual["n_late"] == 1)][["l_orderkey"]]
-    pairs = (lt[["l_orderkey", "l_suppkey"]]
-             .merge(qual, on="l_orderkey", how="semi").drop_duplicates())
+    # ONE pass over the fact: countDistinct ignores nulls, so masking the
+    # supplier key to late rows gives n_late in the same agg — and because
+    # qualifying orders have n_late == 1, max(late_supp) IS the waiting
+    # supplier.  One scan + one shuffle instead of three scans and a
+    # qual-pairs self-join.
+    l = l.assign(late_supp=l.l_suppkey.where(l.l_quantity >= 48))
+    # distinct-per-order via pre-grouping on (order, supplier): partial
+    # aggregation collapses the fact map-side, and the second groupby is a
+    # plain count — avoids the Expand (row-doubling) plan Spark generates
+    # for two countDistincts in one agg
+    ps = l.groupby(["l_orderkey", "l_suppkey"]).agg(
+        late=("late_supp", "max")).reset_index()
+    g = ps.groupby("l_orderkey").agg(n_supp=("l_suppkey", "count"),
+                                     n_late=("late", "count"),
+                                     late_sup=("late", "max")).reset_index()
+    pairs = g[(g["n_supp"] >= 2) & (g["n_late"] == 1)][["l_orderkey", "late_sup"]]
     n = nation[nation.n_name == "NATION_7"][["n_nationkey"]]
     s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
                    broadcast=True)[["s_suppkey", "s_name"]]
-    j = pairs.merge(s, left_on="l_suppkey", right_on="s_suppkey",
+    j = pairs.merge(s, left_on="late_sup", right_on="s_suppkey",
                     broadcast=True)
     g2 = j.groupby("s_name").agg(numwait=("l_orderkey", "nunique")).reset_index()
     out = (g2.sort_values(["numwait", "s_name"], ascending=[False, True])
