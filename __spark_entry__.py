@@ -1514,6 +1514,106 @@ def nunique_approx_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# batch-5 parity ops: resample / crosstab / duplicated / ffill / top-n /
+# moments / scalable rank (SURVEY §2.5 + §2.7 gaps, pandas staples)
+# ---------------------------------------------------------------------------
+def resample_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample (pandas ``df.resample('D', on=ts)``) → per-day
+    counts + cents-exact value sums.  date_trunc bucketing is a pure
+    projection; the only shuffle is the grouped agg itself."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events"))
+    ev = ev.assign(v_c=(ev.value * 100).floor())
+    g = ev.resample("D", on="ts").agg(n=("event_id", "count"),
+                                      v_sum_c=("v_c", "sum"))
+    out = g.reset_index().to_spark()
+    return out.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "n", (F.col("v_sum_c") / 100.0).alias("value_sum"))
+
+
+def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``pd.crosstab`` → groupBy+pivot with PINNED pivot values (no
+    eager distinct-discovery scan — the 100 TB-safe form)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    ct = o.crosstab("o_orderstatus", "o_orderpriority",
+                    pivot_values=["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                  "4-NOT SPECIFIED", "5-LOW"])
+    ct = ct.rename(columns={"1-URGENT": "urgent", "2-HIGH": "high",
+                            "3-MEDIUM": "medium",
+                            "4-NOT SPECIFIED": "unspecified", "5-LOW": "low"})
+    return ct.to_spark()
+
+
+def duplicated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.duplicated`` keep="first" over the engine index (`IX`):
+    marks later (p_type, p_size) repeats; one window shuffle."""
+    import pandas_expr_spark as pes
+    p = pes.read_parquet(f"{sf_dir}/part.parquet").set_index("p_partkey")
+    dup = p.duplicated(subset=["p_type", "p_size"], keep="first")
+    counts = dup.to_frame("dup").groupby("dup").size()
+    out = counts.to_frame("n").reset_index().to_spark()
+    return out.select("dup", "n")
+
+
+def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: null out click values, forward-fill per user over (ts,
+    event_id), then aggregate — ``last(ignorenulls)`` window, one shuffle
+    on user_id.  Cents basis keeps the sums engine-exact."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events"))
+    v_c = (ev.value * 100).floor().where(ev.event_type != "click")
+    ev = ev.assign(v_c=v_c)
+    filled = ev.with_ffill("v_f", "v_c", partition_by="user_id",
+                           order_by=["ts", "event_id"])
+    g = filled.groupby("event_type").agg(n_filled=("v_f", "count"),
+                                         fill_sum_c=("v_f", "sum"))
+    g = g.assign(fill_sum=g["fill_sum_c"] / 100.0)
+    return g.reset_index().to_spark().select("event_type", "n_filled", "fill_sum")
+
+
+def groupby_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority — ``groupby.nlargest`` as ONE row-number
+    window (partial top-n inside the sort; never a per-group pandas apply)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    top = o.groupby("o_orderpriority").nlargest(3, "o_totalprice",
+                                                tiebreak="o_orderkey")
+    return top.to_spark().select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+def skew_sem_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected skew/kurt + sem from ONE pass of exact integer power
+    sums (decimal accumulation), then IEEE-exact double arithmetic (+,-,*,/,
+    sqrt only — no pow) → bit-identical to the DuckDB HUGEINT oracle.
+    skew/kurt are scale-invariant, so the floor(price/100) basis loses no
+    fidelity; sem uses the dollar basis."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    b = (li.l_extendedprice / 100).floor()   # ~1e3 → Σx⁴ int64/decimal-safe
+    d = li.l_extendedprice.floor()           # dollars for sem
+    sk = b.skew()._sdf.select(F.col("skew").alias("price_skew"))
+    ku = b.kurt()._sdf.select(F.col("kurt").alias("price_kurt"))
+    se = d.sem(ddof=2)._sdf.select(F.col("sem").alias("price_sem"))
+    return sk.crossJoin(ku).crossJoin(se)
+
+
+def rank_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-series ``Series.rank`` WITHOUT a global single-partition window:
+    distinct-value rank table (shuffle on value) joined back.  Ranks are
+    exact multiples of 0.5 → bucketed counts are engine-exact."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    r = o.o_totalprice.rank(method="average")
+    buckets = (r / 1000).floor().value_counts(sort=False)
+    out = buckets.to_spark()
+    val_col = [c for c in out.columns if c != "count"][0]
+    return out.select(F.col(val_col).alias("bucket"), "count")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1622,6 +1722,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_apply_demean": grouped_apply_demean,
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "nunique_approx_custkeys": nunique_approx_custkeys,
+        "resample_daily_events": resample_daily_events,
+        "crosstab_status_priority": crosstab_status_priority,
+        "duplicated_parts": duplicated_parts,
+        "ffill_event_values": ffill_event_values,
+        "groupby_topn_orders": groupby_topn_orders,
+        "skew_sem_prices": skew_sem_prices,
+        "rank_bucket_orders": rank_bucket_orders,
     }
 
 
@@ -2444,6 +2551,98 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "resample_daily_events": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS value_sum
+            FROM events
+            GROUP BY 1
+        """,
+        "crosstab_status_priority": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "duplicated_parts": """
+            SELECT dup, COUNT(*) AS n FROM (
+                SELECT (ROW_NUMBER() OVER (PARTITION BY p_type, p_size
+                                           ORDER BY p_partkey) > 1) AS dup
+                FROM part
+            ) GROUP BY dup
+        """,
+        "ffill_event_values": """
+            SELECT event_type, COUNT(v_f) AS n_filled,
+                   SUM(v_f) / 100.0 AS fill_sum
+            FROM (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type <> 'click'
+                                       THEN CAST(FLOOR(value * 100) AS BIGINT)
+                                  END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_f
+                FROM events
+            ) GROUP BY event_type
+        """,
+        "groupby_topn_orders": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        # Mirrors the engine formula op-for-op: exact integer power sums
+        # (HUGEINT here, decimal(38,0) in Spark) then only +,-,*,/,sqrt in
+        # double — every op IEEE correctly rounded → bit-identical.
+        "skew_sem_prices": """
+            WITH t AS (
+                SELECT CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS x,
+                       CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT CAST(COUNT(x) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS s1,
+                       CAST(SUM(x * x) AS DOUBLE) AS s2,
+                       CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+                       CAST(SUM(x * x * x * x) AS DOUBLE) AS s4,
+                       CAST(SUM(y) AS DOUBLE) AS t1,
+                       CAST(SUM(y * y) AS DOUBLE) AS t2
+                FROM t
+            ), m AS (
+                SELECT n, s1 / n AS mu,
+                       s2 / n - (s1 / n) * (s1 / n) AS m2,
+                       s3 / n - 3 * (s1 / n) * (s2 / n)
+                              + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                       s4 / n - 4 * (s1 / n) * (s3 / n)
+                              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+                       t1, t2
+                FROM s
+            )
+            SELECT (m3 / sqrt(m2 * m2 * m2)) * sqrt(n * (n - 1)) / (n - 2)
+                       AS price_skew,
+                   ((n + 1) * (m4 / (m2 * m2) - 3) + 6) * (n - 1)
+                       / ((n - 2) * (n - 3)) AS price_kurt,
+                   sqrt((t2 - t1 * t1 / n) / (n - 2)) / sqrt(n) AS price_sem
+            FROM m
+        """,
+        "rank_bucket_orders": """
+            WITH r AS (
+                SELECT RANK() OVER (ORDER BY o_totalprice)
+                       + (COUNT(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0
+                       AS rk
+                FROM orders
+            )
+            SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
+                   COUNT(*) AS count
+            FROM r GROUP BY 1
         """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
         # multimodal_features / sample_fraction_lineitem /

@@ -405,8 +405,10 @@ class Series(FrameBase):
             return self._reduce(F.var_samp(self._scol), "var", skipna)
         if ddof == 0:
             return self._reduce(F.var_pop(self._scol), "var", skipna)
-        n = F.count(self._scol)
-        agg = (F.sum(self._scol * self._scol) - F.pow(F.sum(self._scol), 2) / n) / (n - ddof)
+        # exact decimal power sums, then double arithmetic — Σx·Σx in the
+        # input's integer type would overflow int64 (Σx ≈ 1e10 squared)
+        n, (s1, s2) = self._moment_sums(2)
+        agg = (s2 - s1 * s1 / n) / (n - ddof)
         return self._reduce(agg, "var", skipna)
 
     def std(self, ddof: int = 1, skipna: bool = True):
@@ -416,6 +418,99 @@ class Series(FrameBase):
             return self._reduce(F.stddev_pop(self._scol), "std", skipna)
         return Scalar(self.var(ddof=ddof, skipna=skipna)._sdf.select(
             F.sqrt(F.col("var")).alias("std")), Node("std", {}, self._expr))
+
+    def sem(self, ddof: int = 1, skipna: bool = True):
+        """pandas ``Series.sem``: standard error of the mean =
+        ``std(ddof) / sqrt(count)``.  One distributed aggregation pass."""
+        # General ddof goes through exact decimal power sums then IEEE-exact
+        # double arithmetic (+,-,*,/,sqrt only, no pow) — deterministic
+        # across engines and partition orders when the input is integral.
+        if ddof in (0, 1):
+            n = F.count(self._scol)
+            sd = F.stddev_samp(self._scol) if ddof == 1 \
+                else F.stddev_pop(self._scol)
+            return self._reduce(sd / F.sqrt(n), "sem", skipna)
+        n, (s1, s2) = self._moment_sums(2)
+        sd = F.sqrt((s2 - s1 * s1 / n) / (n - ddof))
+        return self._reduce(sd / F.sqrt(n), "sem", skipna)
+
+    def _moment_sums(self, k: int) -> tuple[Column, list[Column]]:
+        """(n, [Σx, Σx², … Σx^k]) in ONE aggregation.  For integral inputs
+        the power sums accumulate in ``decimal(38,0)`` so they are EXACT —
+        the same integers DuckDB's HUGEINT sums produce — which makes the
+        derived skew/kurt bit-deterministic across engines and partition
+        orders (the float-determinism policy of ``__spark_entry__``).
+        Partial+final aggregation — no data movement beyond one reduce."""
+        integral = isinstance(self.spark_type,
+                              (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        x = self._scol.cast("decimal(38,0)") if integral else \
+            self._scol.cast("double")
+        sums, p = [], x
+        for _ in range(k):
+            sums.append(F.sum(p).cast("double"))
+            p = p * x
+        return F.count(self._scol).cast("double"), sums
+
+    def skew(self, skipna: bool = True):
+        """pandas ``Series.skew``: bias-corrected sample skewness G1 from
+        sufficient statistics (n, Σx, Σx², Σx³) — a single agg pass, no
+        second scan for the mean (SURVEY §2.5 Var/Std machinery extended)."""
+        n, (s1, s2, s3) = self._moment_sums(3)
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+        # m2^1.5 as sqrt(m2*m2*m2): correctly rounded, engine-portable
+        g1 = m3 / F.sqrt(m2 * m2 * m2)
+        agg = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+        return self._reduce(agg, "skew", skipna)
+
+    def kurt(self, skipna: bool = True):
+        """pandas ``Series.kurt``: bias-corrected excess kurtosis G2 from
+        (n, Σx..Σx⁴) in one pass."""
+        n, (s1, s2, s3, s4) = self._moment_sums(4)
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m4 = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+              - 3 * m * m * m * m)
+        g2 = m4 / (m2 * m2) - 3
+        agg = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        return self._reduce(agg, "kurt", skipna)
+
+    kurtosis = kurt
+
+    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+        """pandas ``Series.rank`` (whole-series).  A naive global window
+        (``Window.orderBy(v)`` with no partition) funnels ALL rows through
+        one task — unusable at 100 TB.  Instead: ranks depend only on the
+        VALUE, so aggregate to distinct values first (``groupBy(v).count()``,
+        one shuffle on v), compute per-value ranks with a window over the
+        distinct-value table (orders of magnitude smaller), and join back on
+        v (AQE broadcasts when small).  Nulls get null rank (pandas NaN)."""
+        name = self._col_name or "__v__"
+        sdf = self._sdf.select(self._scol.alias(name))
+        counts = (sdf.filter(F.col(name).isNotNull())
+                  .groupBy(name).agg(F.count(F.lit(1)).alias("__cnt__")))
+        order = F.col(name).asc() if ascending else F.col(name).desc()
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+        cum = F.sum("__cnt__").over(w)  # count through this value, inclusive
+        before = cum - F.col("__cnt__")
+        if method == "average":
+            r = before + (F.col("__cnt__") + 1) / 2.0
+        elif method == "min":
+            r = (before + 1).cast("double")
+        elif method == "max":
+            r = cum.cast("double")
+        elif method == "dense":
+            r = F.row_number().over(Window.orderBy(order)).cast("double")
+        else:
+            raise ValueError(f"rank method {method!r} not supported "
+                             "(average/min/max/dense)")
+        ranks = counts.select(F.col(name), r.alias("__rank__"))
+        out = sdf.join(ranks, on=name, how="left")
+        node = Node("rank", {"method": method}, self._expr)
+        return Series(out, F.col("__rank__"), self._col_name, node,
+                      self._index_cols, self._index_names)
 
     def any(self, skipna: bool = True):
         return self._reduce(F.max(F.coalesce(self._scol.cast("boolean"), F.lit(False))), "any")
@@ -889,6 +984,36 @@ class DataFrame(FrameBase):
             out = out.drop(_ROWID)
         return self._derive(out, "drop_duplicates", {"subset": subset, "keep": keep})
 
+    def duplicated(self, subset: Sequence[str] | None = None,
+                   keep: str = "first") -> Series:
+        """pandas ``DataFrame.duplicated``: boolean Series marking duplicate
+        rows.  ``keep="first"/"last"`` use one row-number window over the
+        engine index (`IX`) — a single shuffle on the subset keys;
+        ``keep=False`` marks every member of a >1 group (windowed count,
+        no ordering needed at all)."""
+        subset = _ensure_list(subset) or self.columns
+        if keep is False:
+            w = Window.partitionBy(*subset)
+            out = self._sdf.withColumn(
+                "__dup__", F.count(F.lit(1)).over(w) > 1)
+            node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
+            return Series(out, F.col("__dup__"), "duplicated", node,
+                          self._index_cols, self._index_names)
+        if keep not in ("first", "last"):
+            raise ValueError("keep must be 'first', 'last' or False")
+        if self._index_cols:
+            sdf, order_col = self._sdf, self._index_cols[0]
+        else:
+            sdf, order_col = _attach_rowid(self._sdf), _ROWID
+        order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+        w = Window.partitionBy(*subset).orderBy(order)
+        out = sdf.withColumn("__dup__", F.row_number().over(w) > 1)
+        if order_col == _ROWID:
+            out = out.drop(_ROWID)
+        node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
+        return Series(out, F.col("__dup__"), "duplicated", node,
+                      self._index_cols, self._index_names)
+
     def explode(self, column: str) -> "DataFrame":
         """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``."""
         cols = [F.col(c) for c in self._index_cols] + \
@@ -1205,6 +1330,63 @@ class DataFrame(FrameBase):
                                     "aggfunc": aggfunc}, self._expr)
         return DataFrame(out, node, (), None)
 
+    def crosstab(self, index: str, columns: str,
+                 values: str | None = None, aggfunc: str = "count",
+                 pivot_values: Sequence | None = None) -> "DataFrame":
+        """pandas ``pd.crosstab``: frequency (or aggregated) table of two
+        columns → ``groupBy(index).pivot(columns).count()``.  Like
+        ``pivot_table``, pass ``pivot_values`` at scale to skip the eager
+        distinct-discovery scan; count cells are null-filled to 0 (pandas
+        semantics)."""
+        from .operators.groupby import _AGG_FNS
+        piv = self._sdf.groupBy(index).pivot(
+            columns, list(pivot_values) if pivot_values is not None else None)
+        if values is None:
+            out = piv.agg(F.count(F.lit(1)))
+        else:
+            out = piv.agg(_AGG_FNS[aggfunc](F.col(values)))
+        if values is None or aggfunc == "count":
+            out = out.fillna(0, subset=[c for c in out.columns if c != index])
+        node = Node("crosstab", {"index": index, "columns": columns}, self._expr)
+        return DataFrame(out, node, (), None)
+
+    _RESAMPLE_TRUNC = {"s": "second", "min": "minute", "t": "minute",
+                       "h": "hour", "d": "day", "w": "week",
+                       "m": "month", "ms": "month", "q": "quarter",
+                       "y": "year", "a": "year"}
+    _RESAMPLE_INTERVAL = {"s": "seconds", "min": "minutes", "t": "minutes",
+                          "h": "hours", "d": "days"}
+
+    def resample(self, freq: str, on: str):
+        """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
+
+        Calendar frequencies (``h/D/W/M/Q/Y``) lower to ``date_trunc``;
+        fixed multiples (``15min``, ``30s``, ``2h``…) to ``F.window(ts,
+        "15 minutes").start`` — both are pure JVM-side projections, so the
+        only shuffle is the grouped aggregation itself, exactly like any
+        ``groupBy``.  Unlike pandas, empty buckets are not materialized
+        (gap-filling a 100 TB time range is a generate-series join the
+        caller can do explicitly), and weeks are ISO Monday-start
+        (``date_trunc`` semantics, not pandas' Sunday-anchored ``W``)."""
+        import re
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        if not m:
+            raise ValueError(f"cannot parse resample freq {freq!r}")
+        mult = int(m.group(1)) if m.group(1) else 1
+        unit = m.group(2).lower()
+        ts = F.col(on)
+        if mult == 1 and unit in self._RESAMPLE_TRUNC:
+            bucket = F.date_trunc(self._RESAMPLE_TRUNC[unit], ts)
+        elif unit in self._RESAMPLE_INTERVAL:
+            dur = f"{mult} {self._RESAMPLE_INTERVAL[unit]}"
+            bucket = F.window(ts, dur).getField("start")
+        else:
+            raise ValueError(f"unsupported resample freq {freq!r}")
+        from .operators.groupby import GroupBy
+        out = self._derive(self._sdf.withColumn(on, bucket),
+                           "resample", {"freq": freq, "on": on})
+        return GroupBy(out, [on], sort=True)
+
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":
         """pandas ``melt`` → Spark's native ``unpivot`` (narrow op, no
@@ -1364,6 +1546,27 @@ class DataFrame(FrameBase):
                      agg(F.col(col)).over(w))
         return self._derive(self._sdf.withColumn(name, val),
                             "expanding", {"col": col, "fn": fn})
+
+    def with_ffill(self, name: str, col: str, partition_by, order_by) -> "DataFrame":
+        """pandas ``ffill`` per group: ``last(col, ignorenulls) over rows
+        unbounded-preceding..current`` — one shuffle on the partition keys,
+        no iteration (the gap-fill primitive for time-series cleanup)."""
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(*[F.col(c).asc() for c in _ensure_list(order_by)])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return self._derive(
+            self._sdf.withColumn(name, F.last(col, ignorenulls=True).over(w)),
+            "ffill", {"col": col})
+
+    def with_bfill(self, name: str, col: str, partition_by, order_by) -> "DataFrame":
+        """pandas ``bfill`` per group: mirrored frame
+        (current..unbounded-following, ``first`` ignorenulls)."""
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(*[F.col(c).asc() for c in _ensure_list(order_by)])
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        return self._derive(
+            self._sdf.withColumn(name, F.first(col, ignorenulls=True).over(w)),
+            "bfill", {"col": col})
 
     # -- partitioning control (scale surface) ----------------------------
     def repartition(self, num: int | None = None, *cols) -> "DataFrame":

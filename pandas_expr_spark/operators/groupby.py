@@ -331,3 +331,70 @@ class GroupBy:
             cols[c] = F.when(col.isNotNull(), r)
         out = sdf.withColumns(cols)
         return self._finish_window(out, tmp, "rank")
+
+    def head(self, n: int = 5):
+        """pandas ``groupby.head``: first n rows of each group in original
+        row order — one row-number window over the positional index (a
+        single shuffle on the group keys, then a local filter; never a
+        global sort)."""
+        return self._positional_limit(n, ascending=True, op="head")
+
+    def tail(self, n: int = 5):
+        return self._positional_limit(n, ascending=False, op="tail")
+
+    def _positional_limit(self, n: int, ascending: bool, op: str):
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        order = [F.col(c).asc() if ascending else F.col(c).desc()
+                 for c in order_cols]
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        out = (sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= n).drop("__rn__"))
+        return self._finish_window(out, tmp, op)
+
+    def nlargest(self, n: int, col: str, tiebreak: str | None = None):
+        """Top-n rows per group by ``col`` (the pandas
+        ``sort_values + groupby.head`` / ``apply(nlargest)`` idiom) as ONE
+        window: rank within group, keep ``rn <= n``.  Spark plans a single
+        shuffle on the group keys with partial top-n pushed into the sort —
+        no per-group pandas apply, no global sort.  Pass ``tiebreak`` (a
+        unique column) for deterministic output under ties."""
+        return self._extreme_n(n, col, desc=True, tiebreak=tiebreak, op="nlargest")
+
+    def nsmallest(self, n: int, col: str, tiebreak: str | None = None):
+        return self._extreme_n(n, col, desc=False, tiebreak=tiebreak, op="nsmallest")
+
+    def _extreme_n(self, n: int, col: str, desc: bool, tiebreak: str | None, op: str):
+        from pyspark.sql import Window
+        sdf = self._grouped_sdf()
+        order = [F.col(col).desc() if desc else F.col(col).asc()]
+        if tiebreak:
+            order.append(F.col(tiebreak).asc())
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        out = (sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= n).drop("__rn__"))
+        return self._finish_window(out, None, op)
+
+    def ffill(self):
+        """pandas ``groupby.ffill``: per-group forward fill of every value
+        column over the positional index — ``last(ignorenulls)`` with an
+        unbounded-preceding frame, one shuffle total for all columns."""
+        return self._fill(forward=True)
+
+    def bfill(self):
+        return self._fill(forward=False)
+
+    def _fill(self, forward: bool):
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        base = Window.partitionBy(*self._by).orderBy(
+            *[F.col(c).asc() for c in order_cols])
+        if forward:
+            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            fill = lambda c: F.last(c, ignorenulls=True).over(w)
+        else:
+            w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            fill = lambda c: F.first(c, ignorenulls=True).over(w)
+        out = sdf.withColumns({c: fill(F.col(c))
+                               for c in self._value_columns()})
+        return self._finish_window(out, tmp, "ffill" if forward else "bfill")
