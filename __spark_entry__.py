@@ -1241,8 +1241,11 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, "ts", "1 hour",
         {"n": ("event_id", "count"), "total_c": ("value_c", "sum")},
         watermark="2 hours")
-    q = st.to_memory_sink(agg, "stream_hourly_events", "complete")
-    q.awaitTermination()
+    # state-store partitioning is pinned at stream start (see
+    # streaming.state_partitions) — size it to the stream, not the session
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_hourly_events", "complete")
+        q.awaitTermination()
     out = spark.table("stream_hourly_events")
     return out.select(F.col("window_start").alias("hour_start"),
                       F.col("n"),
@@ -1264,8 +1267,9 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = src.join(F.broadcast(dim), src.user_id == dim.c_custkey, "inner")
     agg = j.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("total_c"))
-    q = st.to_memory_sink(agg, "stream_enriched_segments", "complete")
-    q.awaitTermination()
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_enriched_segments", "complete")
+        q.awaitTermination()
     out = spark.table("stream_enriched_segments")
     return out.select(F.col("c_mktsegment").alias("segment"),
                       F.col("event_type"), F.col("n"),
@@ -1297,8 +1301,9 @@ def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                          options={"pathGlobFilter": "events.parquet"})
     src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     run = st.stateful_running_agg(src, ["user_id"], "value")
-    q = st.to_memory_sink(run, "stream_stateful_running", "update")
-    q.awaitTermination()
+    with st.state_partitions(8):
+        q = st.to_memory_sink(run, "stream_stateful_running", "update")
+        q.awaitTermination()
     out = spark.table("stream_stateful_running")
     return out.select("user_id", "running_count")
 
@@ -1313,8 +1318,9 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
                          options={"pathGlobFilter": "events.parquet"})
     out = st.stateful_stream_dedup(src, "user_id")
-    q = st.to_memory_sink(out, "stream_dedup_users", "append")
-    q.awaitTermination()
+    with st.state_partitions(8):
+        q = st.to_memory_sink(out, "stream_dedup_users", "append")
+        q.awaitTermination()
     return spark.table("stream_dedup_users").select("user_id")
 
 

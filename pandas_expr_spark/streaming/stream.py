@@ -13,6 +13,7 @@ logic uses Arrow-batched ``applyInPandasWithState``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
@@ -24,7 +25,30 @@ from .._session import get_spark
 __all__ = ["read_stream", "tumbling_window_agg", "sliding_window_agg",
            "session_window_agg", "stateful_running_agg",
            "stateful_running_agg_tws", "stateful_stream_dedup",
-           "stateful_stream_dedup_tws", "write_stream", "to_memory_sink"]
+           "stateful_stream_dedup_tws", "write_stream", "to_memory_sink",
+           "state_partitions"]
+
+
+@contextmanager
+def state_partitions(n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream START.
+
+    A streaming aggregation's state store is hash-partitioned by the
+    shuffle-partition count IN EFFECT WHEN THE QUERY FIRST STARTS, and that
+    count is then pinned in the checkpoint for the query's lifetime — so it
+    must be sized to the stream's key cardinality/volume deliberately, not
+    inherited from whatever the session happens to use for batch joins.
+    Low-volume streams with few keys waste a fixed per-microbatch task cost
+    on every idle partition (measured ~2-3.5 s/batch at 64 partitions vs
+    ~0.3 s at 8 on the events table); a 100 TB/day stream wants hundreds.
+    """
+    spark = get_spark()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_stream(format: str = "parquet", path: str | None = None,
