@@ -1620,6 +1620,37 @@ def rank_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline splits & sampling (deterministic hash-based — the
+# production alternative to RNG sampling at 100 TB; functions/splits.py)
+# ---------------------------------------------------------------------------
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/val/test assignment as a pure md5 projection of the key — no
+    shuffle, no RNG, reproducible across runs/engines/partitionings (md5 is
+    bit-identical everywhere, so this is exactly oracle-checkable)."""
+    from pandas_expr_spark.functions import splits
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    s = splits.hash_split(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("chars")))
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: ≤50 docs per language by hash order — one
+    row-number window (single shuffle on lang); the deterministic selection
+    means even the sum of chosen ids is engine-exact."""
+    from pandas_expr_spark.functions import splits
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    s = splits.stratified_downsample(docs, "lang", "doc_id", 50)
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1735,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_topn_orders": groupby_topn_orders,
         "skew_sem_prices": skew_sem_prices,
         "rank_bucket_orders": rank_bucket_orders,
+        "hash_split_documents": hash_split_documents,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -2649,6 +2682,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
                    COUNT(*) AS count
             FROM r GROUP BY 1
+        """,
+        "hash_split_documents": """
+            WITH b AS (
+                SELECT n_chars,
+                       CAST(concat('0x', substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS bkt
+                FROM documents
+            )
+            SELECT CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n, SUM(n_chars) AS chars
+            FROM b GROUP BY 1
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 50 GROUP BY lang
         """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
         # multimodal_features / sample_fraction_lineitem /
