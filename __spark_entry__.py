@@ -1619,6 +1619,53 @@ def rank_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col(val_col).alias("bucket"), "count")
 
 
+def _events_stream(spark, sf_dir):
+    """readStream over the events parquet with the ns→micros ts fix."""
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream(
+        "parquet", sf_dir,
+        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        options={"pathGlobFilter": "events.parquet"})
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream through the same sliding-window helper the batch query
+    uses (2h window / 1h slide, 2h watermark) — the batch/stream
+    unification contract, checked against the batch SQL oracle."""
+    from pandas_expr_spark.streaming import stream as st
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("value_c", F.floor(F.col("value") * 100))
+    agg = st.sliding_window_agg(src, "ts", "2 hours", "1 hour",
+                                {"n": ("event_id", "count"),
+                                 "total_c": ("value_c", "sum")},
+                                watermark="2 hours")
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_sliding_events", "complete")
+        q.awaitTermination()
+    out = spark.table("stream_sliding_events")
+    return out.select(F.col("window_start"), F.col("n"),
+                      (F.col("total_c") / 100.0).alias("total"))
+
+
+def streaming_sessions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30-min gap) on a REAL stream — Spark's
+    merging-session state machine under a watermark; oracle is the batch
+    gaps-and-islands SQL."""
+    from pandas_expr_spark.streaming import stream as st
+    src = _events_stream(spark, sf_dir)
+    agg = st.session_window_agg(src, "ts", "30 minutes",
+                                {"n_events": ("event_id", "count")},
+                                keys=["user_id"], watermark="2 hours")
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_sessions_users", "complete")
+        q.awaitTermination()
+    out = spark.table("stream_sessions_users")
+    return (out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline splits & sampling (deterministic hash-based — the
 # production alternative to RNG sampling at 100 TB; functions/splits.py)
@@ -1768,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_bucket_orders": rank_bucket_orders,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_docs": stratified_sample_docs,
+        "streaming_sliding_events": streaming_sliding_events,
+        "streaming_sessions_users": streaming_sessions_users,
     }
 
 
@@ -2682,6 +2731,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
                    COUNT(*) AS count
             FROM r GROUP BY 1
+        """,
+        "streaming_sliding_events": """
+            WITH x AS (
+                SELECT date_trunc('hour', ts) AS w, event_id, value FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_id, value
+                FROM events)
+            SELECT w AS window_start, COUNT(event_id) AS n,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
+            FROM x GROUP BY 1
+        """,
+        "streaming_sessions_users": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id,
+                   SUM(new_session) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM flagged GROUP BY user_id
         """,
         "hash_split_documents": """
             WITH b AS (
