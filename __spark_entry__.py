@@ -1619,6 +1619,22 @@ def rank_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col(val_col).alias("bucket"), "count")
 
 
+def concat_axis1_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``concat(axis=1)`` — index-aligned column concat, which the reference
+    explicitly rejects (``_collection.py:638-652``); here it is one n-way
+    full-outer equi-join on the index."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    s = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    nc = c.groupby("c_nationkey").agg(n_cust=("c_custkey", "count"))
+    ns = s.groupby("s_nationkey").agg(n_supp=("s_suppkey", "count"))
+    out = pes.concat([nc, ns], axis=1).fillna(0)
+    return (out.reset_index().to_spark()
+            .select(F.col("c_nationkey").alias("nationkey"),
+                    F.col("n_cust").cast("long").alias("n_cust"),
+                    F.col("n_supp").cast("long").alias("n_supp")))
+
+
 def _events_stream(spark, sf_dir):
     """readStream over the events parquet with the ns→micros ts fix."""
     from pandas_expr_spark.streaming import stream as st
@@ -1817,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "streaming_sliding_events": streaming_sliding_events,
         "streaming_sessions_users": streaming_sessions_users,
+        "concat_axis1_nation_stats": concat_axis1_nation_stats,
     }
 
 
@@ -2731,6 +2748,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
                    COUNT(*) AS count
             FROM r GROUP BY 1
+        """,
+        "concat_axis1_nation_stats": """
+            SELECT COALESCE(c.k, s.k) AS nationkey,
+                   COALESCE(c.n_cust, 0) AS n_cust,
+                   COALESCE(s.n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey AS k, COUNT(c_custkey) AS n_cust
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS k, COUNT(s_suppkey) AS n_supp
+                  FROM supplier GROUP BY 1) s
+            ON c.k = s.k
         """,
         "streaming_sliding_events": """
             WITH x AS (

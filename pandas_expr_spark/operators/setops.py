@@ -19,11 +19,15 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
            ignore_index: bool = False):
     from .._collection import DataFrame, Series
 
-    if axis not in (0, "index"):
-        # reference explicitly rejects axis=1 (`_collection.py:638-652`)
-        raise NotImplementedError("concat(axis=1) is not supported; use merge/join")
     if not frames:
         raise ValueError("No objects to concatenate")
+    if axis in (1, "columns"):
+        # BEYOND the reference (which rejects axis=1,
+        # `_collection.py:638-652`): pandas column-wise concat = index
+        # alignment = a full-outer (or inner) equi-join on the index.
+        return _concat_axis1(frames, join)
+    if axis not in (0, "index"):
+        raise ValueError(f"axis must be 0 or 1, got {axis!r}")
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
     if join == "inner":
         common = [c for c in frames[0].columns
@@ -47,6 +51,47 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         f._index_cols == frames[0]._index_cols for f in frames) else ()
     names = frames[0]._index_names if idx else None
     return DataFrame(out, node, idx, names)
+
+
+def _concat_axis1(frames: Sequence, join: str):
+    """pandas ``concat(axis=1)``: align frames on their index and lay the
+    columns side by side.  Each frame contributes its engine index (or an
+    attached positional rowid); the alignment is ONE n-way equi-join on the
+    index — Catalyst plans/reorders it like any join (broadcasts small
+    frames, sort-merges large ones).  Duplicate output column names raise
+    (Spark columns must be unique; pandas would keep both)."""
+    from functools import reduce as _reduce
+    from pyspark.sql import functions as F
+    from .._collection import DataFrame, Series, _ROWID, _attach_rowid
+
+    if join not in ("outer", "inner"):
+        raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
+    frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
+    all_cols = [c for f in frames for c in f.columns]
+    if len(set(all_cols)) != len(all_cols):
+        raise ValueError("concat(axis=1) with duplicate column names is not "
+                         "supported (rename first)")
+
+    IDX = "__cidx__"
+    sides = []
+    for f in frames:
+        if f._index_cols:
+            sdf = f._sdf.select(F.col(f._index_cols[0]).alias(IDX), *f.columns)
+        else:
+            sdf = (_attach_rowid(f._sdf)
+                   .select(F.col(_ROWID).alias(IDX), *f.columns))
+        sides.append(sdf)
+    out = _reduce(lambda a, b: a.join(b, on=IDX, how="full" if join == "outer"
+                                      else "inner"), sides)
+    node = Node("concat_axis1", {"join": join, "n": len(frames)},
+                *[f._expr for f in frames])
+    first = frames[0]
+    idx_name = (first._index_names[0] if first._index_names else None) \
+        if first._index_cols else None
+    if idx_name:
+        out = out.withColumnRenamed(IDX, idx_name)
+        return DataFrame(out, node, (idx_name,), (idx_name,))
+    return DataFrame(out, node, (IDX,), (None,))
 
 
 def union(left, right, distinct: bool = False):
