@@ -1619,6 +1619,39 @@ def rank_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col(val_col).alias("bucket"), "count")
 
 
+# ---------------------------------------------------------------------------
+# sketch analytics (mergeable DataSketches states — KB-per-group shuffle
+# instead of raw-column repartition; functions/sketches.py)
+# ---------------------------------------------------------------------------
+def top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy-hitters: explode → count → distributed TopK
+    (TakeOrderedAndProject — never a global sort)."""
+    from pandas_expr_spark.functions import sketches
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.top_tokens(docs, "text", k=20)
+
+
+def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantiles from KLL sketches — one pass,
+    mergeable KB states (estimates are sketch-specific → rows-only)."""
+    from pandas_expr_spark.functions import sketches
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.kll_quantiles(docs, "n_chars", [0.5, 0.9, 0.99],
+                                  by="lang")
+
+
+def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience overlap between event types via theta-sketch
+    intersections — raw data is scanned ONCE; pairwise work touches only
+    KB-sized sketch states (rows-only: estimates are sketch-specific)."""
+    from pandas_expr_spark.functions import sketches
+    from pandas_expr_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.audience_overlap(ev, "user_id", "event_type")
+
+
 def concat_axis1_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``concat(axis=1)`` — index-aligned column concat, which the reference
     explicitly rejects (``_collection.py:638-652``); here it is one n-way
@@ -1834,6 +1867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_events": streaming_sliding_events,
         "streaming_sessions_users": streaming_sessions_users,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
+        "top_tokens_documents": top_tokens_documents,
+        "kll_doclen_quantiles": kll_doclen_quantiles,
+        "audience_overlap_events": audience_overlap_events,
     }
 
 
@@ -2748,6 +2784,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
                    COUNT(*) AS count
             FROM r GROUP BY 1
+        """,
+        "top_tokens_documents": """
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            ) WHERE len(token) >= 1
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
         """,
         "concat_axis1_nation_stats": """
             SELECT COALESCE(c.k, s.k) AS nationkey,
