@@ -20,6 +20,37 @@ from pyspark.sql import types as T
 from .._dtypes import is_numeric, to_spark_type
 from .._expr import Node
 
+def _moments(c: Column, k: int):
+    """(n, [Σx..Σx^k]) as double — combined into ONE aggregate expression so
+    grouped skew/kurt/sem stay a single partial+final agg (no second scan)."""
+    x = c.cast("double")
+    sums, p = [], x
+    for _ in range(k):
+        sums.append(F.sum(p))
+        p = p * x
+    return F.count(x).cast("double"), sums
+
+
+def _skew_g1(c: Column) -> Column:
+    """pandas bias-corrected G1 (F.skewness is the population g1)."""
+    n, (s1, s2, s3) = _moments(c, 3)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    return (m3 / F.sqrt(m2 * m2 * m2)) * F.sqrt(n * (n - 1)) / (n - 2)
+
+
+def _kurt_g2(c: Column) -> Column:
+    """pandas bias-corrected excess kurtosis G2."""
+    n, (s1, s2, s3, s4) = _moments(c, 4)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m4 = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+          - 3 * m * m * m * m)
+    g2 = m4 / (m2 * m2) - 3
+    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
 _AGG_FNS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
     "prod": F.product,
@@ -39,6 +70,9 @@ _AGG_FNS: dict[str, Callable[[Column], Column]] = {
     "any": lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
     "all": lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
     "size": lambda c: F.count(F.lit(1)),
+    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+    "skew": _skew_g1,
+    "kurt": _kurt_g2,
     "collect_list": F.collect_list,
     "collect_set": F.collect_set,
     "approx_nunique": F.approx_count_distinct,
@@ -147,6 +181,9 @@ class GroupBy:
         return self._single_agg(name, numeric_only)
     def first(self): return self._single_agg("first")
     def last(self): return self._single_agg("last")
+    def sem(self, numeric_only: bool = True): return self._single_agg("sem", numeric_only)
+    def skew(self, numeric_only: bool = True): return self._single_agg("skew", numeric_only)
+    def kurt(self, numeric_only: bool = True): return self._single_agg("kurt", numeric_only)
     def nunique(self): return self._single_agg("nunique")
     def any(self): return self._single_agg("any")
     def all(self): return self._single_agg("all")

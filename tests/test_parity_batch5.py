@@ -175,3 +175,27 @@ def test_groupby_nlargest(tdf, ts_pdf):
     exp_s = (ts_pdf.sort_values(["v", "ts"], ascending=[True, True])
              .groupby("g").head(2)[["g", "v"]])
     assert_frame_eq(got_s, exp_s.reset_index(drop=True), sort_by=["g", "v"])
+
+
+# -- grouped moments ----------------------------------------------------
+def test_groupby_skew_kurt_sem(tdf, ts_pdf):
+    got = tdf[["g", "v"]].groupby("g").skew().compute().sort_values("g")
+    exp = ts_pdf.groupby("g")["v"].skew()
+    assert got["v"].tolist() == pytest.approx(exp.tolist(), rel=1e-9)
+    got_k = tdf[["g", "v"]].groupby("g").kurt().compute().sort_values("g")
+    # pandas Series groupby has no kurt until 2.x frame path; compute manually
+    exp_k = ts_pdf.groupby("g")["v"].apply(lambda s: s.kurt())
+    assert got_k["v"].tolist() == pytest.approx(exp_k.tolist(), rel=1e-9)
+    got_s = tdf[["g", "v"]].groupby("g").sem().compute().sort_values("g")
+    exp_s = ts_pdf.groupby("g")["v"].sem()
+    assert got_s["v"].tolist() == pytest.approx(exp_s.tolist(), rel=1e-9)
+
+
+def test_groupby_agg_spec_with_moments(tdf, ts_pdf):
+    got = (tdf.groupby("g").agg(s=("v", "skew"), e=("v", "sem"),
+                                m=("v", "mean"))
+           .compute().sort_values("g"))
+    exp = ts_pdf.groupby("g")["v"].agg(["skew", "sem", "mean"])
+    assert got["s"].tolist() == pytest.approx(exp["skew"].tolist(), rel=1e-9)
+    assert got["e"].tolist() == pytest.approx(exp["sem"].tolist(), rel=1e-9)
+    assert got["m"].tolist() == pytest.approx(exp["mean"].tolist(), rel=1e-9)
