@@ -58,6 +58,15 @@ HEADLINE = [
     "rollup_pricing",
     "window_lag_cumsum_orders",
     "streaming_hourly_events",
+    # batch-5+ additions: time-series, training-pipeline, sketches
+    "resample_daily_events",
+    "ffill_event_values",
+    "groupby_topn_orders",
+    "skew_sem_prices",
+    "hash_split_documents",
+    "stratified_sample_docs",
+    "top_tokens_documents",
+    "kll_doclen_quantiles",
 ]
 
 
