@@ -1596,6 +1596,23 @@ class DataFrame(FrameBase):
             w = w.sortBy(*_ensure_list(sort_by))
         w.format("parquet").saveAsTable(name)
 
+    def to_sorted_parquet(self, path: str, sort_by, mode: str = "overwrite",
+                          num_files: int | None = None) -> None:
+        """Range-clustered parquet layout: ``repartitionByRange(sort_by)``
+        + ``sortWithinPartitions(sort_by)`` before the write.
+
+        Every output file then covers a narrow, disjoint range of the sort
+        key, so its parquet footer min/max statistics actually PRUNE:
+        a reader filtering on the key skips whole files (and row groups)
+        instead of scanning them.  This is the single highest-leverage
+        layout decision for a 100 TB table that is habitually filtered on
+        one key (date, tenant, id prefix) — the poor man's Z-ORDER for the
+        1-key case, without any table-format dependency."""
+        cols = [F.col(c) for c in _ensure_list(sort_by)]
+        sdf = self._sdf.repartitionByRange(num_files, *cols) if num_files \
+            else self._sdf.repartitionByRange(*cols)
+        sdf.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
         self._sdf.write.mode(mode).option("header", header).csv(path)
 

@@ -8,7 +8,7 @@ import os
 import pandas as pd
 import pytest
 
-from conftest import assert_frame_eq
+from conftest import SF_DIR, assert_frame_eq
 
 
 @pytest.fixture()
@@ -90,3 +90,29 @@ def test_orc_roundtrip(spark, pdf, tmp_path):
     pes.from_pandas(pdf).to_orc(p)
     back = pes.read_orc(p)
     assert_frame_eq(back, pdf, sort_by=["a"])
+
+
+def test_sorted_parquet_layout_prunes(spark, tmp_path):
+    """Range-clustered write -> disjoint per-file min/max on the sort key
+    (the property that makes parquet footer stats actually prune)."""
+    import glob
+    import pyarrow.parquet as pq
+    import pandas_expr_spark as pes
+
+    li = pes.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "li_sorted")
+    li.to_sorted_parquet(out, "l_orderkey", num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["l_orderkey"]).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3  # range partitioner produced multiple files
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # disjoint key ranges -> file-level pruning
