@@ -1398,6 +1398,57 @@ class DataFrame(FrameBase):
         node = Node("melt", {"id_vars": ids, "value_vars": vals}, self._expr)
         return DataFrame(out, node, (), None)
 
+    def unstack(self, index, columns: str, values: str,
+                pivot_values: Sequence | None = None) -> "DataFrame":
+        """pandas ``unstack`` of a (index, columns)-keyed long frame into a
+        wide one: ``groupBy(index).pivot(columns).first(values)``.  Like
+        ``pivot_table``, pass ``pivot_values`` at scale to skip the eager
+        distinct-discovery scan over the pivot column."""
+        idx = _ensure_list(index)
+        piv = self._sdf.groupBy(*idx).pivot(
+            columns, list(pivot_values) if pivot_values is not None else None)
+        out = piv.agg(F.first(F.col(values)).alias(values))
+        node = Node("unstack", {"index": idx, "columns": columns}, self._expr)
+        return DataFrame(out, node, (), None)
+
+    def stack(self, id_vars, value_vars=None, var_name: str = "variable",
+              value_name: str = "value", dropna: bool = True) -> "DataFrame":
+        """pandas ``stack``: wide → long.  ``melt`` (Spark-native ``unpivot``,
+        a narrow no-shuffle op) plus the pandas default of dropping null
+        cells; ``dropna=False`` keeps them (``pandas stack(dropna=False)``)."""
+        out = self.melt(id_vars, value_vars, var_name, value_name)
+        if dropna:
+            out = DataFrame(out._sdf.filter(F.col(value_name).isNotNull()),
+                            Node("stack_dropna", {}, out._expr), (), None)
+        return out
+
+    def with_ewm(self, name: str, col: str, order_by, alpha: float,
+                 partition_by=None, adjust: bool = True,
+                 num_partitions: int | None = None) -> "DataFrame":
+        """Exponentially weighted mean (pandas ``ewm(alpha).mean()``).
+
+        Grouped (``partition_by``): exact pandas ewm per group via
+        Arrow-batched ``applyInPandas`` — one shuffle on the keys, the same
+        memory contract as any partitioned window.  Global: a distributed
+        segment scan (range-shuffle + per-partition recurrence + a tiny
+        carry fold — see ``functions/timeseries.py``) so one 100 TB ordered
+        series never funnels through a single task."""
+        from .functions import timeseries as _ts
+        pb = _ensure_list(partition_by)
+        ob = _ensure_list(order_by)
+        if pb:
+            out = _ts.ewm_mean_grouped(self._sdf, pb, col, ob, alpha,
+                                       name=name, adjust=adjust)
+        else:
+            if len(ob) != 1:
+                raise ValueError("global ewm needs exactly one order_by column")
+            if not adjust:
+                raise NotImplementedError("global ewm: adjust=True only")
+            out = _ts.ewm_mean_global(self._sdf, col, ob[0], alpha,
+                                      name=name, num_partitions=num_partitions)
+        return self._derive(out, "ewm", {"col": col, "alpha": alpha,
+                                         "partition_by": pb})
+
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, left_index: bool = False,
               right_index: bool = False, suffixes: tuple = ("_x", "_y"),

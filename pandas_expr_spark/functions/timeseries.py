@@ -1,0 +1,157 @@
+"""Time-series smoothing: exponentially weighted means at scale.
+
+pandas ``ewm`` is inherently sequential (each output depends on every prior
+row), which Spark's window functions cannot express without numeric overflow
+(the ``pow(1-a, -rownum)`` rescaling trick leaves IEEE range after a few
+hundred rows).  Two scale-aware implementations:
+
+* **Grouped** (``groupby(k).ewm(alpha).mean()``): groups must fit one
+  executor task *anyway* for any partitioned window, so Arrow-batched
+  ``applyInPandas`` running pandas' exact ``ewm`` per group is both honest
+  and as scalable as the window family — one shuffle on the keys.
+
+* **Global** (one huge ordered series): a distributed **segment scan**.
+  With ``d = 1 - alpha`` and ``adjust=True`` semantics,
+
+      num_i = sum_{j<=i} d^(i-j) x_j      y_i = num_i / den_i
+      den_i = sum_{j<=i} d^(i-j)
+
+  both satisfy the linear recurrence ``s_i = x_i + d * s_{i-1}``.  We
+  range-partition by the ordering key (partitions are then globally ordered
+  and ``spark_partition_id`` is monotone), run the recurrence *locally* per
+  partition from a zero carry, reduce each partition to a 1-row summary
+  ``(last_num, last_den, d^n_rows)``, fold the tiny summary table into
+  exclusive prefix carries (single small task — thousands of rows at 100 TB,
+  never the data itself), broadcast-join the carries back, and patch:
+
+      num_i = local_num_i + carry_num * d^(local_pos_i + 1)
+
+  ``d^(pos+1)`` underflows to 0 deep inside a partition — mathematically
+  negligible exactly when it happens.  Total cost: one range shuffle + one
+  tiny reduction, independent of series length per executor.
+
+The reference has no time-series ops at all (SURVEY §2.7: no rolling /
+expanding / ewm); this is part of the Spark-native superset.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["ewm_mean_global", "ewm_mean_grouped"]
+
+
+def ewm_mean_grouped(sdf: SparkDF, by: list[str], col: str, order_by: list[str],
+                     alpha: float, name: str = "ewm",
+                     adjust: bool = True) -> SparkDF:
+    """Exact pandas ``ewm(alpha).mean()`` per group via ``applyInPandas``.
+
+    One shuffle on the group keys; each group is computed by pandas itself
+    (identical semantics, Arrow transfer).  Same memory contract as any
+    partitioned window: a group must fit an executor task.
+    """
+    fields = list(sdf.schema.fields) + [T.StructField(name, T.DoubleType())]
+    schema = T.StructType(fields)
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        pdf[name] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    return sdf.groupBy(*by).applyInPandas(_one_group, schema)
+
+
+def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
+                    name: str = "ewm", num_partitions: int | None = None) -> SparkDF:
+    """Distributed segment-scan EWM over one globally ordered series
+    (``adjust=True``).  ``order_by`` must be unique (it defines the order).
+
+    Three stages, none of which materializes the series on fewer executors
+    than the input occupies:
+
+    1. ``repartitionByRange(order_by)`` + local sort → globally ordered
+       partitions; local recurrence per partition via ``mapInPandas``
+       (state carried across Arrow batches inside one partition).
+    2. 1-row-per-partition summary → exclusive prefix carries, folded in a
+       single tiny task (the only sequential step, O(#partitions)).
+    3. Broadcast-join carries back; patch local values with the decayed
+       carry.
+    """
+    d = 1.0 - alpha
+    n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
+    part = (sdf.repartitionByRange(n_parts, F.col(order_by))
+            .sortWithinPartitions(order_by)
+            .withColumn("__pid", F.spark_partition_id()))
+
+    fields = list(part.schema.fields) + [
+        T.StructField("__num", T.DoubleType()),
+        T.StructField("__den", T.DoubleType()),
+        T.StructField("__pos", T.LongType()),
+    ]
+    local_schema = T.StructType(fields)
+
+    def _local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas sees ONE partition as a stream of Arrow batches:
+        # carry the recurrence state across batches.
+        num = 0.0
+        den = 0.0
+        pos = -1
+        for pdf in batches:
+            x = pdf[col].to_numpy(dtype="float64")
+            nums = [0.0] * len(x)
+            dens = [0.0] * len(x)
+            positions = [0] * len(x)
+            for i, xi in enumerate(x):
+                num = xi + d * num
+                den = 1.0 + d * den
+                pos += 1
+                nums[i] = num
+                dens[i] = den
+                positions[i] = pos
+            pdf = pdf.copy()
+            pdf["__num"] = nums
+            pdf["__den"] = dens
+            pdf["__pos"] = positions
+            yield pdf
+
+    # read twice (summary + final join): persist so the scan runs once
+    local = part.mapInPandas(_local_scan, local_schema).persist()
+
+    # one row per partition: final state + total decay d^n
+    summary = (local.groupBy("__pid")
+               .agg(F.max_by("__num", "__pos").alias("last_num"),
+                    F.max_by("__den", "__pos").alias("last_den"),
+                    F.pow(F.lit(d), F.count(F.lit(1))).alias("decay")))
+
+    carry_schema = T.StructType([
+        T.StructField("__pid", T.IntegerType()),
+        T.StructField("carry_num", T.DoubleType()),
+        T.StructField("carry_den", T.DoubleType()),
+    ])
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exclusive prefix over the (tiny) partition summaries:
+        # G_p = last_p + decay_p * G_{p-1}; carry for p is G_{p-1}
+        pdf = pdf.sort_values("__pid")
+        carries, g_num, g_den = [], 0.0, 0.0
+        for _, row in pdf.iterrows():
+            carries.append((int(row["__pid"]), g_num, g_den))
+            g_num = row["last_num"] + row["decay"] * g_num
+            g_den = row["last_den"] + row["decay"] * g_den
+        return pd.DataFrame(carries, columns=["__pid", "carry_num", "carry_den"])
+
+    carries = (summary.withColumn("__one", F.lit(1)).groupBy("__one")
+               .applyInPandas(lambda pdf: _fold(pdf), carry_schema))
+
+    scale = F.pow(F.lit(d), F.col("__pos") + 1)
+    out = (local.join(F.broadcast(carries), "__pid", "left")
+           .withColumn(name,
+                       (F.col("__num") + F.coalesce(F.col("carry_num"), F.lit(0.0)) * scale)
+                       / (F.col("__den") + F.coalesce(F.col("carry_den"), F.lit(0.0)) * scale))
+           .drop("__pid", "__num", "__den", "__pos", "carry_num", "carry_den"))
+    return out

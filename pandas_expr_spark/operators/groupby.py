@@ -412,6 +412,19 @@ class GroupBy:
                .filter(F.col("__rn__") <= n).drop("__rn__"))
         return self._finish_window(out, None, op)
 
+    def ewm_mean(self, col: str, alpha: float, adjust: bool = True,
+                 name: str | None = None):
+        """pandas ``groupby(...).ewm(alpha).mean()`` for one column: exact
+        pandas ewm per group via Arrow-batched ``applyInPandas`` (one shuffle
+        on the keys; ewm is sequential, so per-group pandas is both honest
+        and as scalable as any partitioned window).  Row order within the
+        group comes from the engine index (positional rowid fallback)."""
+        from ..functions.timeseries import ewm_mean_grouped
+        sdf, order_cols, tmp = self._positional()
+        out = ewm_mean_grouped(sdf, self._by, col, order_cols, alpha,
+                               name=name or f"{col}_ewm", adjust=adjust)
+        return self._finish_window(out, tmp, "ewm")
+
     def ffill(self):
         """pandas ``groupby.ffill``: per-group forward fill of every value
         column over the positional index — ``last(ignorenulls)`` with an

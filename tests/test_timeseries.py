@@ -1,0 +1,115 @@
+"""Differential tests (vs pandas) for ewm and stack/unstack.
+
+ewm is absent in the reference (SURVEY §2.7 — no rolling/expanding/ewm at
+all); semantics target pandas ``ewm(alpha, adjust=True).mean()``.  The
+global variant is a distributed segment scan (functions/timeseries.py) and
+must agree with pandas' sequential recurrence to fp tolerance regardless of
+how many range partitions the series is split into.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import assert_frame_eq
+
+
+@pytest.fixture()
+def ewm_pdf():
+    rng = np.random.RandomState(11)
+    n = 500
+    return pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "g": [f"g{i % 7}" for i in range(n)],
+        "x": rng.randn(n) * 100.0,
+    })
+
+
+def test_ewm_global_segment_scan(spark, ewm_pdf):
+    from pandas_expr_spark import from_pandas
+    for n_parts in (1, 4, 13):
+        df = from_pandas(ewm_pdf).with_ewm(
+            "ewm", "x", order_by="k", alpha=0.3, num_partitions=n_parts)
+        got = df.compute().sort_values("k").reset_index(drop=True)
+        exp = ewm_pdf.sort_values("k").reset_index(drop=True)
+        exp["ewm"] = exp["x"].ewm(alpha=0.3, adjust=True).mean()
+        np.testing.assert_allclose(got["ewm"].to_numpy(),
+                                   exp["ewm"].to_numpy(), rtol=1e-12)
+
+
+def test_ewm_grouped_matches_pandas(spark, ewm_pdf):
+    from pandas_expr_spark import from_pandas
+    df = from_pandas(ewm_pdf).with_ewm(
+        "ewm", "x", order_by="k", partition_by="g", alpha=0.5)
+    got = df.compute().sort_values("k").reset_index(drop=True)
+    exp = ewm_pdf.sort_values("k").reset_index(drop=True)
+    exp["ewm"] = exp.groupby("g")["x"].transform(
+        lambda s: s.ewm(alpha=0.5, adjust=True).mean())
+    np.testing.assert_allclose(got["ewm"].to_numpy(),
+                               exp["ewm"].to_numpy(), rtol=1e-12)
+
+
+def test_groupby_ewm_mean(spark, ewm_pdf):
+    from pandas_expr_spark import from_pandas
+    out = (from_pandas(ewm_pdf).set_index("k")
+           .groupby("g").ewm_mean("x", alpha=0.2))
+    got = out.compute().sort_index()
+    exp = ewm_pdf.set_index("k").sort_index()
+    exp["x_ewm"] = exp.groupby("g")["x"].transform(
+        lambda s: s.ewm(alpha=0.2, adjust=True).mean())
+    np.testing.assert_allclose(got["x_ewm"].to_numpy(),
+                               exp["x_ewm"].to_numpy(), rtol=1e-12)
+
+
+def test_ewm_adjust_false_grouped(spark, ewm_pdf):
+    from pandas_expr_spark import from_pandas
+    df = from_pandas(ewm_pdf).with_ewm(
+        "ewm", "x", order_by="k", partition_by="g", alpha=0.4, adjust=False)
+    got = df.compute().sort_values("k").reset_index(drop=True)
+    exp = ewm_pdf.sort_values("k").reset_index(drop=True)
+    exp["ewm"] = exp.groupby("g")["x"].transform(
+        lambda s: s.ewm(alpha=0.4, adjust=False).mean())
+    np.testing.assert_allclose(got["ewm"].to_numpy(),
+                               exp["ewm"].to_numpy(), rtol=1e-12)
+
+
+# -- stack / unstack ---------------------------------------------------
+
+def test_unstack_round_trips_melt(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({
+        "id": [1, 1, 2, 2, 3],
+        "metric": ["a", "b", "a", "b", "a"],
+        "val": [10.0, 20.0, 30.0, 40.0, 50.0],
+    })
+    wide = from_pandas(pdf).unstack("id", "metric", "val",
+                                    pivot_values=["a", "b"])
+    got = wide.compute().sort_values("id").reset_index(drop=True)
+    exp = (pdf.pivot(index="id", columns="metric", values="val")
+           .reset_index())
+    exp.columns.name = None
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["a"].tolist() == exp["a"].tolist()
+    # id=3 has no 'b' → null, matching pandas NaN
+    assert got["b"].fillna(-1).tolist() == exp["b"].fillna(-1).tolist()
+
+
+def test_stack_drops_nulls(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3],
+        "a": [1.0, None, 3.0],
+        "b": [4.0, 5.0, None],
+    })
+    long = from_pandas(pdf).stack("id", ["a", "b"])
+    got = long.compute().sort_values(["id", "variable"]).reset_index(drop=True)
+    exp = (pdf.set_index("id").stack().rename("value").reset_index()
+           .rename(columns={"level_1": "variable"})
+           .sort_values(["id", "variable"]).reset_index(drop=True))
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["variable"].tolist() == exp["variable"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()
+
+    kept = from_pandas(pdf).stack("id", ["a", "b"], dropna=False)
+    assert len(kept.compute()) == 6
