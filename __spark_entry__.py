@@ -1747,6 +1747,61 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-series smoothing + reshape (SURVEY §2.7 superset; reference has no
+# ewm/rolling at all and rejects reshape beyond the basics)
+# ---------------------------------------------------------------------------
+def ewm_price_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exponentially weighted mean (pandas ``groupby.ewm(alpha=0.5)
+    .mean()``) of order totals per customer — Arrow-batched applyInPandas,
+    one shuffle on the keys (functions/timeseries.py).
+
+    Exact oracle: the pandas ewm kernel is a scalar recurrence
+    (``old_wt *= 1-alpha; w = (old_wt*w + cur)/(old_wt + 1); old_wt += 1``
+    with an equal-value skip), which the oracle replicates step-for-step in
+    a DuckDB recursive CTE — same IEEE ops in the same order, so the doubles
+    are bit-identical across engines with no rounding basis needed."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 100]
+    o = o.with_ewm("price_ewm", "o_totalprice",
+                   order_by=["o_orderdate", "o_orderkey"],
+                   partition_by="o_custkey", alpha=0.5)
+    return o[["o_orderkey", "o_custkey", "price_ewm"]].to_spark()
+
+
+def unstack_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``unstack``: long (nation, segment, count) → wide one-column-
+    per-segment.  ``groupBy(index).pivot(columns, pinned_values).first`` —
+    the pinned pivot values skip the eager distinct-discovery scan (the
+    100 TB rule for every pivot in this engine)."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    g = (c.groupby(["c_nationkey", "c_mktsegment"])
+         .agg(cnt=("c_custkey", "count")).reset_index())
+    return g.unstack("c_nationkey", "c_mktsegment", "cnt",
+                     pivot_values=["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                   "HOUSEHOLD", "MACHINERY"]).to_spark()
+
+
+def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``stack``: wide → long with the pandas default of dropping
+    null cells.  The wide frame left-joins a filtered supplier rollup, so
+    some nations carry a real NULL that ``stack`` must drop (and
+    ``dropna=False`` would keep) — melt is Spark-native ``unpivot``, a
+    narrow no-shuffle op."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    s = pes.read_parquet(f"{sf_dir}/supplier.parquet")
+    nc = (c.groupby("c_nationkey").agg(cust_cnt=("c_custkey", "count"))
+          .reset_index().rename(columns={"c_nationkey": "nk"}))
+    ns = (s[s.s_acctbal > 5000].groupby("s_nationkey")
+          .agg(supp_cnt=("s_suppkey", "count"))
+          .reset_index().rename(columns={"s_nationkey": "nk"}))
+    wide = nc.merge(ns, on="nk", how="left")
+    return wide.stack("nk", ["cust_cnt", "supp_cnt"]).to_spark()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1864,6 +1919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_bucket_orders": rank_bucket_orders,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_docs": stratified_sample_docs,
+        "ewm_price_per_customer": ewm_price_per_customer,
+        "unstack_segment_counts": unstack_segment_counts,
+        "stack_nation_counts": stack_nation_counts,
         "streaming_sliding_events": streaming_sliding_events,
         "streaming_sessions_users": streaming_sessions_users,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
@@ -2851,6 +2909,54 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 50 GROUP BY lang
         """,
         # minhash_near_dup_pairs / simhash_near_dups / embedding_ann_lsh /
+        # Replicates the pandas ewm(adjust=True) kernel recurrence
+        # step-for-step (old_wt *= d; skip-if-equal; w = (old_wt*w + x) /
+        # (old_wt + 1); old_wt += 1) so every double is produced by the
+        # same IEEE ops in the same order as the engine's applyInPandas
+        # path — bit-identical without any rounding basis.
+        "ewm_price_per_customer": """
+            WITH RECURSIVE o AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders WHERE o_custkey < 100
+            ),
+            r AS (
+                SELECT o_custkey, o_orderkey, rn,
+                       o_totalprice AS w, CAST(1.0 AS DOUBLE) AS ow
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.o_custkey, o.o_orderkey, o.rn,
+                       CASE WHEN r.w = o.o_totalprice THEN r.w
+                            ELSE (r.ow * 0.5 * r.w + o.o_totalprice)
+                                 / (r.ow * 0.5 + 1.0) END,
+                       r.ow * 0.5 + 1.0
+                FROM r JOIN o ON o.o_custkey = r.o_custkey
+                            AND o.rn = r.rn + 1
+            )
+            SELECT o_orderkey, o_custkey, w AS price_ewm FROM r
+        """,
+        "unstack_segment_counts": """
+            WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+                       FROM customer GROUP BY 1, 2)
+            SELECT c_nationkey,
+                   MAX(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN cnt END) AS "AUTOMOBILE",
+                   MAX(CASE WHEN c_mktsegment = 'BUILDING'   THEN cnt END) AS "BUILDING",
+                   MAX(CASE WHEN c_mktsegment = 'FURNITURE'  THEN cnt END) AS "FURNITURE",
+                   MAX(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN cnt END) AS "HOUSEHOLD",
+                   MAX(CASE WHEN c_mktsegment = 'MACHINERY'  THEN cnt END) AS "MACHINERY"
+            FROM g GROUP BY c_nationkey
+        """,
+        "stack_nation_counts": """
+            WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt
+                          FROM customer GROUP BY 1),
+                 supp AS (SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt
+                          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+            SELECT nk, 'cust_cnt' AS variable, cust_cnt AS value FROM cust
+            UNION ALL
+            SELECT c.nk, 'supp_cnt' AS variable, s.supp_cnt AS value
+            FROM cust c JOIN supp s ON c.nk = s.nk
+        """,
         # multimodal_features / sample_fraction_lineitem /
         # nunique_approx_custkeys: non-SQL-expressible (LSH banding,
         # pandas-UDF signatures, stub decodes, engine-specific sampling,
