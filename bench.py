@@ -67,6 +67,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "top_tokens_documents",
     "kll_doclen_quantiles",
+    "ewm_price_per_customer",
 ]
 
 
