@@ -167,6 +167,8 @@ class Series(FrameBase):
 
     @property
     def dtype(self) -> str:
+        if getattr(self, "_is_categorical", False):
+            return "category"
         out = self._sdf.select(self._scol.alias("__c__")).schema[0].dataType
         return to_pandas_dtype(out)
 
@@ -312,7 +314,21 @@ class Series(FrameBase):
         return self._with_scol(out, "replace", mapping=repr(mapping))
 
     def astype(self, dtype):
-        """Reference AsType ``_expr.py:1171-1206``."""
+        """Reference AsType ``_expr.py:1171-1206``.
+
+        ``category`` is engine metadata, not a physical cast (SURVEY §1.4):
+        values stay as the underlying Spark type; categories are *unknown*
+        until ``.cat.as_known()`` computes the distinct list — exactly the
+        reference's ``AsType._meta`` clearing unknown categories
+        (``_expr.py:1177-1195``).  A ``pd.CategoricalDtype`` with explicit
+        categories arrives already *known*."""
+        if str(dtype) == "category":
+            out = self._with_scol(self._scol, "astype", dtype="category")
+            out._is_categorical = True
+            cats = getattr(dtype, "categories", None)
+            out._cat_categories = list(cats) if cats is not None else None
+            out._cat_ordered = bool(getattr(dtype, "ordered", False) or False)
+            return out
         st = to_spark_type(dtype)
         return self._with_scol(self._scol.cast(st), "astype", dtype=str(dtype))
 
@@ -717,6 +733,10 @@ class Series(FrameBase):
         ser = pdf[name]
         if self._col_name is None:
             ser.name = None
+        if getattr(self, "_is_categorical", False):
+            cats = getattr(self, "_cat_categories", None)
+            ser = ser.astype(pd.CategoricalDtype(
+                categories=cats, ordered=getattr(self, "_cat_ordered", False)))
         return ser
 
 
@@ -913,8 +933,14 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.replace(mapping), "replace", {})
 
     def astype(self, dtype) -> "DataFrame":
+        # "category" is engine metadata over the physical type (SURVEY §1.4)
+        # — a frame-level no-op here; select the column as a Series for the
+        # known/unknown category machinery.
         if isinstance(dtype, Mapping):
-            casts = {c: F.col(c).cast(to_spark_type(t)) for c, t in dtype.items()}
+            casts = {c: F.col(c).cast(to_spark_type(t))
+                     for c, t in dtype.items() if str(t) != "category"}
+        elif str(dtype) == "category":
+            casts = {}
         else:
             st = to_spark_type(dtype)
             casts = {c: F.col(c).cast(st) for c in self.columns}

@@ -163,18 +163,52 @@ class CategoricalAccessor(_Accessor):
     def known(self) -> bool:
         return getattr(self._s, "_cat_categories", None) is not None
 
+    @property
+    def ordered(self) -> bool:
+        return getattr(self._s, "_cat_ordered", False)
+
+    def _tagged(self, out, cats, ordered=None):
+        out._is_categorical = True
+        out._cat_categories = cats
+        out._cat_ordered = self.ordered if ordered is None else ordered
+        return out
+
     def as_known(self):
         cats = [r[0] for r in
                 self._s._sdf.select(self._s._scol.alias("__c__"))
                 .distinct().orderBy("__c__").collect()]
-        out = self._s._with_scol(self._s._scol, "cat.as_known")
-        out._cat_categories = cats
-        return out
+        return self._tagged(self._s._with_scol(self._s._scol, "cat.as_known"),
+                            cats)
 
     def as_unknown(self):
-        out = self._s._with_scol(self._s._scol, "cat.as_unknown")
-        out._cat_categories = None
-        return out
+        return self._tagged(self._s._with_scol(self._s._scol, "cat.as_unknown"),
+                            None)
+
+    def as_ordered(self):
+        return self._tagged(self._s._with_scol(self._s._scol, "cat.as_ordered"),
+                            getattr(self._s, "_cat_categories", None), True)
+
+    def as_unordered(self):
+        return self._tagged(
+            self._s._with_scol(self._s._scol, "cat.as_unordered"),
+            getattr(self._s, "_cat_categories", None), False)
+
+    def set_categories(self, cats, ordered: bool | None = None):
+        """pandas ``cat.set_categories``: values outside the new list become
+        null (a JVM-side ``isin`` guard — no data movement)."""
+        cats = list(cats)
+        c = self._s._scol
+        scol = F.when(c.isin(cats), c).otherwise(F.lit(None))
+        return self._tagged(self._wrap(scol, "cat.set_categories"),
+                            cats, ordered)
+
+    def reorder_categories(self, cats, ordered: bool | None = None):
+        if self.known and sorted(map(str, cats)) != sorted(map(str, self._s._cat_categories)):
+            raise ValueError("items in new_categories are not the same as in "
+                             "old categories")
+        return self._tagged(
+            self._s._with_scol(self._s._scol, "cat.reorder_categories"),
+            list(cats), ordered)
 
     @property
     def categories(self):
@@ -203,17 +237,16 @@ class CategoricalAccessor(_Accessor):
         for k, v in mapping.items():
             out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
         res = self._wrap(out, "cat.rename_categories")
-        if self.known:
-            res._cat_categories = [mapping.get(c_, c_) for c_ in self._s._cat_categories]
-        return res
+        cats = ([mapping.get(c_, c_) for c_ in self._s._cat_categories]
+                if self.known else None)
+        return self._tagged(res, cats)
 
     def add_categories(self, new):
         if not self.known:
             raise ValueError("unknown categories")
         out = self._s._with_scol(self._s._scol, "cat.add_categories")
         new = new if isinstance(new, list) else [new]
-        out._cat_categories = list(self._s._cat_categories) + new
-        return out
+        return self._tagged(out, list(self._s._cat_categories) + new)
 
     def remove_categories(self, removals):
         if not self.known:
@@ -222,5 +255,5 @@ class CategoricalAccessor(_Accessor):
         c = self._s._scol
         scol = F.when(c.isin(removals), F.lit(None)).otherwise(c)
         out = self._wrap(scol, "cat.remove_categories")
-        out._cat_categories = [x for x in self._s._cat_categories if x not in removals]
-        return out
+        return self._tagged(
+            out, [x for x in self._s._cat_categories if x not in removals])

@@ -237,9 +237,13 @@ class GroupBy:
                 for fn_name in spec:
                     one(c, fn_name, f"{c}_{fn_name}")
         elif isinstance(spec, Mapping):
+            # pandas: if ANY column maps to a list, the output columns are a
+            # MultiIndex for ALL columns — flattened here to col_fn even for
+            # the scalar-string entries ({"v": ["sum"], "w": "max"} → w_max).
+            flatten_all = any(not isinstance(f, str) for f in spec.values())
             for c, fns in spec.items():
                 if isinstance(fns, str):
-                    one(c, fns, c)
+                    one(c, fns, f"{c}_{fns}" if flatten_all else c)
                 else:
                     for fn_name in fns:
                         one(c, fn_name, f"{c}_{fn_name}")

@@ -332,6 +332,47 @@ def test_cat_accessor(spark):
     assert renamed.cat.categories == ["A", "b", "c"]
 
 
+def test_astype_category_unknown_then_known(spark):
+    # astype("category") = engine metadata, unknown categories (SURVEY §1.4)
+    pdf = pd.DataFrame({"c": ["b", "a", "b", "c"]})
+    df = pes.from_pandas(pdf)
+    s = df.c.astype("category")
+    assert s.dtype == "category"
+    assert not s.cat.known
+    got = s.compute()
+    assert str(got.dtype) == "category"
+    assert sorted(got.cat.categories) == ["a", "b", "c"]
+    # explicit CategoricalDtype arrives known, preserving order + orderedness
+    cdt = pd.CategoricalDtype(["c", "b", "a"], ordered=True)
+    s2 = df.c.astype(cdt)
+    assert s2.cat.known and s2.cat.categories == ["c", "b", "a"]
+    got2 = s2.compute()
+    assert got2.dtype == cdt and got2.cat.ordered
+
+
+def test_cat_ordered_set_reorder(spark):
+    pdf = pd.DataFrame({"c": ["b", "a", "b", "c"]})
+    df = pes.from_pandas(pdf)
+    s = df.c.cat.as_known()
+    assert not s.cat.ordered
+    assert s.cat.as_ordered().cat.ordered
+    assert not s.cat.as_ordered().cat.as_unordered().cat.ordered
+    # set_categories nulls out-of-list values, like pandas
+    sub = s.cat.set_categories(["a", "b"]).compute()
+    assert sub.isna().tolist() == [False, False, False, True]
+    assert list(sub.cat.categories) == ["a", "b"]
+    ro = s.cat.reorder_categories(["c", "b", "a"])
+    assert ro.cat.categories == ["c", "b", "a"]
+    with pytest.raises(ValueError):
+        s.cat.reorder_categories(["c", "b"])
+
+
+def test_from_pandas_categorical_column(spark):
+    pdf = pd.DataFrame({"c": pd.Categorical(["x", "y", "x"]), "v": [1, 2, 3]})
+    df = pes.from_pandas(pdf)
+    assert df.compute()["c"].tolist() == ["x", "y", "x"]
+
+
 # -- describe / corr / cov / cut / qcut / get_dummies ----------------------
 def test_describe_matches_pandas(spark):
     pdf = pd.DataFrame({"a": [float(i) for i in range(50)],

@@ -63,6 +63,16 @@ def test_agg_dict(gdf, groupby_pdf):
                                   check_dtype=False)
 
 
+def test_agg_dict_mixed_list_flattens_all(gdf, groupby_pdf):
+    # pandas: one list value → MultiIndex for EVERY column; engine flattens
+    # the whole output to col_fn, including the scalar-string entries
+    got = gdf.groupby("x").agg({"y": ["sum", "mean"], "z": "max"}).compute()
+    exp = groupby_pdf.groupby("x").agg({"y": ["sum", "mean"], "z": "max"})
+    exp.columns = ["_".join(t).rstrip("_") for t in exp.columns]
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+
+
 def test_agg_named(gdf, groupby_pdf):
     got = gdf.groupby("x").agg(total=("y", "sum"), biggest=("y", "max")).compute()
     exp = groupby_pdf.groupby("x").agg(total=("y", "sum"), biggest=("y", "max"))
