@@ -1137,6 +1137,62 @@ class DataFrame(FrameBase):
         node = Node(op, {"axis": 0}, self._expr)
         return Series(long, F.col("__val__"), None, node, ("__col__",), (None,))
 
+    def agg(self, spec):
+        """pandas ``DataFrame.agg`` (whole-frame, no grouping).
+
+        ``"sum"`` / ``{"col": "fn"}`` → Series indexed by column;
+        ``["fn1", "fn2"]`` → DataFrame indexed by function name.  All forms
+        are ONE distributed aggregate pass (a single 1-row ``sdf.agg``)
+        followed by a driver-free ``stack`` reshape — never one job per
+        entry."""
+        from .operators.groupby import _AGG_FNS
+
+        def _fn(name: str):
+            fn = _AGG_FNS.get(name)
+            if fn is None:
+                raise ValueError(f"Unknown aggregation: {name!r}")
+            return fn
+
+        if isinstance(spec, str):
+            any_dtype = spec in {"min", "max", "count", "first", "last"}
+            return self._columnwise(_fn(spec), f"agg_{spec}",
+                                    numeric_only=not any_dtype)
+        if isinstance(spec, Mapping):
+            if any(not isinstance(v, str) for v in spec.values()):
+                raise NotImplementedError(
+                    "DataFrame.agg: dict values must be single function "
+                    "names; use groupby().agg for per-column lists")
+            one_row = self._sdf.agg(*[_fn(f)(F.col(c)).alias(c)
+                                      for c, f in spec.items()])
+            names = list(spec)
+            stack_expr = ", ".join(f"'{n}', cast(`{n}` as double)"
+                                   for n in names)
+            long = one_row.selectExpr(
+                f"stack({len(names)}, {stack_expr}) as (__col__, __val__)")
+            node = Node("agg", {"spec": dict(spec)}, self._expr)
+            return Series(long, F.col("__val__"), None, node,
+                          ("__col__",), (None,))
+        if isinstance(spec, (list, tuple)):
+            cols = [f.name for f in self._sdf.schema.fields
+                    if f.name in self.columns and is_numeric(f.dataType)]
+            aggs = [_fn(fn)(F.col(c)).cast("double").alias(f"{fn}__{c}")
+                    for fn in spec for c in cols]
+            one_row = self._sdf.agg(*aggs)
+            structs = ", ".join(
+                "'{fn}', struct({fields})".format(
+                    fn=fn, fields=", ".join(
+                        f"`{fn}__{c}` as `{c}`" for c in cols))
+                for fn in spec)
+            long = one_row.selectExpr(
+                f"stack({len(spec)}, {structs}) as (__fn__, __s__)")
+            out = long.select(F.col("__fn__"), *[
+                F.col(f"__s__.{c}").alias(c) for c in cols])
+            node = Node("agg", {"spec": list(spec)}, self._expr)
+            return DataFrame(out, node, ("__fn__",), (None,))
+        raise TypeError(f"Unsupported agg spec: {spec!r}")
+
+    aggregate = agg
+
     def sum(self, numeric_only: bool = True):
         return self._columnwise(F.sum, "sum", numeric_only)
 

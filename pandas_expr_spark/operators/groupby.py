@@ -214,6 +214,13 @@ class GroupBy:
         return DataFrame(out, node, (), None)
 
     # -- agg-spec compiler (reference GroupbyAggregation `_groupby.py:136-190`)
+    # aggs meaningful on non-numeric columns; anything else applied
+    # across-the-board ("sum" over a whole frame) silently skips strings
+    # rather than doing pandas' string-concatenation sum — concat-sum over
+    # a shuffled 100 TB group is an antipattern we deliberately don't port.
+    _ANY_DTYPE_AGGS = {"min", "max", "count", "first", "last", "nunique",
+                       "size"}
+
     def agg(self, spec: Any = None, **named):
         cols = self._value_columns()
         aggs: list[Column] = []
@@ -229,13 +236,17 @@ class GroupBy:
             for out_name, (col, fn_name) in named.items():
                 one(col, fn_name, out_name)
         elif isinstance(spec, str):
-            for c in cols:
+            use = cols if spec in self._ANY_DTYPE_AGGS else \
+                self._value_columns(numeric_only=True)
+            for c in use:
                 one(c, spec, c)
         elif isinstance(spec, (list, tuple)):
             # MultiIndex columns flattened to col_fn (SURVEY §7.4 naming)
+            numeric = set(self._value_columns(numeric_only=True))
             for c in cols:
                 for fn_name in spec:
-                    one(c, fn_name, f"{c}_{fn_name}")
+                    if fn_name in self._ANY_DTYPE_AGGS or c in numeric:
+                        one(c, fn_name, f"{c}_{fn_name}")
         elif isinstance(spec, Mapping):
             # pandas: if ANY column maps to a list, the output columns are a
             # MultiIndex for ALL columns — flattened here to col_fn even for

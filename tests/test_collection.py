@@ -373,6 +373,30 @@ def test_from_pandas_categorical_column(spark):
     assert df.compute()["c"].tolist() == ["x", "y", "x"]
 
 
+def test_frame_agg_dict_series_result(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0], "w": [10, 20, 30]})
+    df = pes.from_pandas(pdf)
+    got = df.agg({"v": "sum", "w": "max"}).compute().sort_index()
+    exp = pdf.agg({"v": "sum", "w": "max"}).sort_index()
+    assert got.to_dict() == exp.to_dict()
+
+
+def test_frame_agg_list_frame_result(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0], "w": [10, 20, 30]})
+    df = pes.from_pandas(pdf)
+    got = df.agg(["sum", "mean"]).compute().sort_index()
+    exp = pdf.agg(["sum", "mean"]).sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+
+
+def test_frame_agg_str(spark):
+    pdf = pd.DataFrame({"g": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})
+    df = pes.from_pandas(pdf)
+    got = df.agg("sum").compute()
+    assert got.to_dict() == {"v": 6.0}  # string column skipped
+
+
 # -- describe / corr / cov / cut / qcut / get_dummies ----------------------
 def test_describe_matches_pandas(spark):
     pdf = pd.DataFrame({"a": [float(i) for i in range(50)],

@@ -63,6 +63,22 @@ def test_agg_dict(gdf, groupby_pdf):
                                   check_dtype=False)
 
 
+def test_agg_str_skips_string_columns(spark):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "h": ["x", "y", "z"],
+                        "v": [1.0, 2.0, 3.0]})
+    # deliberate deviation from pandas string-concat sum: non-numeric value
+    # columns are skipped for numeric-only aggs instead of concatenated
+    got = pes.from_pandas(pdf).groupby("g").agg("sum").compute()
+    assert got.columns.tolist() == ["v"]
+    exp = pdf.groupby("g")[["v"]].agg("sum")
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_dtype=False)
+    # min/max stay valid on strings
+    got2 = pes.from_pandas(pdf).groupby("g").agg("max").compute()
+    assert sorted(got2.columns.tolist()) == ["h", "v"]
+
+
 def test_agg_dict_mixed_list_flattens_all(gdf, groupby_pdf):
     # pandas: one list value → MultiIndex for EVERY column; engine flattens
     # the whole output to col_fn, including the scalar-string entries
