@@ -1783,6 +1783,32 @@ def unstack_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "HOUSEHOLD", "MACHINERY"]).to_spark()
 
 
+def cumsum_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (un-partitioned) running revenue total in order-key order —
+    the distributed two-phase segment scan (``functions/scan.py``): range
+    shuffle + per-partition local scan + tiny carry fold, never a
+    single-task global window.  Integer-cents basis → BIGINT prefix sums,
+    bit-exact vs the oracle's SUM OVER (ORDER BY) window."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 500]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    s = o.set_index("o_orderkey")["price_c"].cumsum()
+    return s.to_frame("cum_price_c").reset_index().to_spark()
+
+
+def shift_diff_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ``Series.diff`` — shift expressed as an equi-join on the
+    distributed global position (``scan.global_pos``), no window at all.
+    BIGINT cent differences are engine-exact."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 500]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    d = o.set_index("o_orderkey")["price_c"].diff()
+    return d.to_frame("price_diff_c").reset_index().to_spark()
+
+
 def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas ``stack``: wide → long with the pandas default of dropping
     null cells.  The wide frame left-joins a filtered supplier rollup, so
@@ -1922,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_price_per_customer": ewm_price_per_customer,
         "unstack_segment_counts": unstack_segment_counts,
         "stack_nation_counts": stack_nation_counts,
+        "cumsum_running_revenue": cumsum_running_revenue,
+        "shift_diff_order_prices": shift_diff_order_prices,
         "streaming_sliding_events": streaming_sliding_events,
         "streaming_sessions_users": streaming_sessions_users,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
@@ -2956,6 +2984,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c.nk, 'supp_cnt' AS variable, s.supp_cnt AS value
             FROM cust c JOIN supp s ON c.nk = s.nk
+        """,
+        "cumsum_running_revenue": """
+            SELECT o_orderkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       OVER (ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_price_c
+            FROM orders WHERE o_custkey < 500
+        """,
+        "shift_diff_order_prices": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+                       FROM orders WHERE o_custkey < 500)
+            SELECT o_orderkey,
+                   price_c - LAG(price_c) OVER (ORDER BY o_orderkey)
+                       AS price_diff_c
+            FROM o
         """,
         # multimodal_features / sample_fraction_lineitem /
         # nunique_approx_custkeys: non-SQL-expressible (LSH banding,

@@ -262,13 +262,21 @@ class Series(FrameBase):
 
     def clip(self, lower=None, upper=None):
         """Reference Clip ``_expr.py:1139-1150`` →
-        ``F.least(F.greatest(col, lower), upper)``."""
+        ``F.least(F.greatest(col, lower), upper)``, with a missing-value
+        guard: Spark's greatest/least *skip* nulls and order NaN above every
+        double, which would turn missing values into the clip bounds —
+        pandas keeps them missing."""
         c = self._scol
+        clipped = c
         if lower is not None:
-            c = F.greatest(c, F.lit(lower))
+            clipped = F.greatest(clipped, F.lit(lower))
         if upper is not None:
-            c = F.least(c, F.lit(upper))
-        return self._with_scol(c, "clip", lower=lower, upper=upper)
+            clipped = F.least(clipped, F.lit(upper))
+        guard = c.isNull()
+        if isinstance(self.spark_type, (T.DoubleType, T.FloatType)):
+            guard = guard | F.isnan(c)
+        return self._with_scol(F.when(guard, c).otherwise(clipped),
+                               "clip", lower=lower, upper=upper)
 
     def isna(self):
         """Reference IsNa ``_expr.py:1209-1212``; NaN counts as missing for
@@ -527,6 +535,120 @@ class Series(FrameBase):
         node = Node("rank", {"method": method}, self._expr)
         return Series(out, F.col("__rank__"), self._col_name, node,
                       self._index_cols, self._index_names)
+
+    # -- positional family: distributed segment scans (functions/scan.py) —
+    # never a global single-task window (SURVEY §2.7 superset) -----------
+    def _ordered_base(self, extra: list[Column] | None = None):
+        """(sdf, value_name, order_cols, index_cols) with the value column
+        materialized and a positional rowid attached when no index exists."""
+        name = self._col_name or "__v__"
+        sel = [self._scol.alias(name)] + (extra or [])
+        if self._index_cols:
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols], *sel)
+            return sdf, name, list(self._index_cols), self._index_cols
+        sdf = _attach_rowid(self._sdf).select(F.col(_ROWID), *sel)
+        return sdf, name, [_ROWID], (_ROWID,)
+
+    def _cumop(self, op: str) -> "Series":
+        from .functions import scan
+        sdf, name, order, idx = self._ordered_base()
+        out = scan.prefix_scan(sdf, [(name, op, name)], order)
+        node = Node(f"cum{op}", {}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    def cumsum(self): return self._cumop("sum")
+    def cumprod(self): return self._cumop("prod")
+    def cummax(self): return self._cumop("max")
+    def cummin(self): return self._cumop("min")
+
+    def _pos_shifted(self, periods: int):
+        """Self-join on the global position: row at pos p sees the value
+        from pos p-periods.  Fully distributed — one range shuffle for the
+        position, one equi-join (no window)."""
+        from .functions import scan
+        sdf, name, order, idx = self._ordered_base()
+        pos = scan.global_pos(sdf, order).persist()
+        shifted = pos.select(
+            (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
+            F.col(name).alias("__shifted__"))
+        out = pos.join(shifted, "__pos__", "left").drop("__pos__")
+        return out, name, idx
+
+    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+        out, name, idx = self._pos_shifted(periods)
+        val = F.col("__shifted__")
+        if fill_value is not None:
+            val = F.coalesce(val, F.lit(fill_value))
+        out = out.select(*[F.col(c) for c in idx], val.alias(name))
+        node = Node("shift", {"periods": periods}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    def diff(self, periods: int = 1) -> "Series":
+        out, name, idx = self._pos_shifted(periods)
+        val = (F.col(name) - F.col("__shifted__")).alias(name)
+        out = out.select(*[F.col(c) for c in idx], val)
+        node = Node("diff", {"periods": periods}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    def pct_change(self, periods: int = 1) -> "Series":
+        out, name, idx = self._pos_shifted(periods)
+        c, prev = F.col(name), F.col("__shifted__")
+        # pandas zero-divisor semantics (x/0 → ±inf, 0/0 → NaN), not the
+        # ANSI divide-by-zero error
+        ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
+                 .when(prev != 0, c / prev)
+                 .when(c == 0, F.lit(float("nan")))
+                 .otherwise(F.lit(float("inf")) * F.signum(c)))
+        out = out.select(*[F.col(col) for col in idx],
+                         (ratio - F.lit(1)).alias(name))
+        node = Node("pct_change", {"periods": periods}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        from .functions import scan
+        sdf, name, order, _ = self._ordered_base()
+        return scan.is_monotonic(sdf, name, order, increasing=True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        from .functions import scan
+        sdf, name, order, _ = self._ordered_base()
+        return scan.is_monotonic(sdf, name, order, increasing=False)
+
+    # -- pairwise statistics ---------------------------------------------
+    def _pairwise(self, other: "Series", fn, op: str) -> Scalar:
+        if isinstance(other, Series) and other._sdf is self._sdf:
+            return Scalar(self._sdf.agg(fn(self._scol, other._scol).alias(op)),
+                          Node(op, {}, self._expr, other._expr))
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf)
+        return Scalar(joined._sdf.agg(
+            fn(F.col("__l__"), F.col("__r__")).alias(op)),
+            Node(op, {"aligned": True}, self._expr, other._expr))
+
+    def corr(self, other: "Series", method: str = "pearson") -> Scalar:
+        if method != "pearson":
+            raise NotImplementedError("corr: pearson only")
+        return self._pairwise(other, F.corr, "corr")
+
+    def cov(self, other: "Series", ddof: int = 1) -> Scalar:
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        return self._pairwise(other, fn, "cov")
+
+    def autocorr(self, lag: int = 1) -> Scalar:
+        """pandas ``Series.autocorr``: Pearson correlation with the
+        lag-shifted self — computed on the position-joined frame directly,
+        one agg, no second alignment pass."""
+        out, name, _ = self._pos_shifted(lag)
+        return Scalar(out.agg(
+            F.corr(F.col(name), F.col("__shifted__")).alias("autocorr")),
+            Node("autocorr", {"lag": lag}, self._expr))
 
     def any(self, skipna: bool = True):
         return self._reduce(F.max(F.coalesce(self._scol.cast("boolean"), F.lit(False))), "any")
@@ -1120,6 +1242,66 @@ class DataFrame(FrameBase):
         names = _ensure_list(index)
         node = Node("rename_axis", {"index": names}, self._expr)
         return DataFrame(self._sdf, node, self._index_cols, tuple(names))
+
+    # -- elementwise over all columns ------------------------------------
+    def abs(self) -> "DataFrame":
+        casts = {c: F.abs(F.col(c)) for c in self.columns
+                 if is_numeric(self._sdf.schema[c].dataType)}
+        return self._derive(self._sdf.withColumns(casts), "abs", {})
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        casts = {c: F.round(F.col(c), decimals) for c in self.columns
+                 if is_numeric(self._sdf.schema[c].dataType)}
+        return self._derive(self._sdf.withColumns(casts), "round",
+                            {"decimals": decimals})
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        casts = {}
+        for c in self.columns:
+            dt = self._sdf.schema[c].dataType
+            if not is_numeric(dt):
+                continue
+            col = F.col(c)
+            clipped = col
+            if lower is not None:
+                clipped = F.greatest(clipped, F.lit(lower))
+            if upper is not None:
+                clipped = F.least(clipped, F.lit(upper))
+            # greatest/least skip nulls and rank NaN above all doubles —
+            # guard so missing values stay missing (pandas)
+            guard = col.isNull()
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                guard = guard | F.isnan(col)
+            casts[c] = F.when(guard, col).otherwise(clipped)
+        return self._derive(self._sdf.withColumns(casts), "clip",
+                            {"lower": lower, "upper": upper})
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{prefix}{c}" for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
+
+    # -- positional family over all numeric columns: ONE distributed
+    # segment scan for the whole frame (functions/scan.py) ---------------
+    def _frame_cumop(self, op: str) -> "DataFrame":
+        from .functions import scan
+        num = [c for c in self.columns
+               if is_numeric(self._sdf.schema[c].dataType)]
+        if self._index_cols:
+            sdf, order = self._sdf, list(self._index_cols)
+            idx, names = self._index_cols, self._index_names
+        else:
+            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            idx, names = (_ROWID,), (None,)
+        out = scan.prefix_scan(sdf, [(c, op, c) for c in num], order)
+        node = Node(f"cum{op}", {"columns": num}, self._expr)
+        return DataFrame(out, node, idx, names)
+
+    def cumsum(self): return self._frame_cumop("sum")
+    def cumprod(self): return self._frame_cumop("prod")
+    def cummax(self): return self._frame_cumop("max")
+    def cummin(self): return self._frame_cumop("min")
 
     # -- reductions over all columns (reference §2.5) --------------------
     def _columnwise(self, fn: Callable[[Column], Column], op: str,

@@ -1,0 +1,229 @@
+"""Distributed prefix scans over a globally ordered frame.
+
+pandas' positional ops (``cumsum``/``cummax``/``shift``/``diff``…) assume one
+totally ordered sequence.  The naive Spark translation — a global
+``Window.orderBy(...)`` with no partition key — funnels every row through a
+single task and is unusable at 100 TB.  This module implements the classic
+two-phase parallel scan instead (same machinery as ``timeseries.py``'s EWM):
+
+1. ``repartitionByRange(order)`` + local sort → partitions are globally
+   ordered and ``spark_partition_id()`` is monotone in the order key.
+2. **Local phase**: each partition computes its own running accumulation
+   (Arrow-batched ``mapInPandas``, numpy-vectorized, state carried across
+   batches within the partition).
+3. **Carry phase**: one tiny row per partition (a JVM ``groupBy(pid)``
+   aggregate of the *source* column — Spark reuses the range-shuffle
+   exchange for both branches) is folded into exclusive prefix carries with
+   a window over the partition-summary table — thousands of rows at 100 TB,
+   never the data itself — then broadcast-joined back and combined.
+
+Total cost: one range shuffle + one tiny reduction, independent of how much
+data any single executor holds.  ``global_pos`` (the 0-based position of
+every row) powers ``shift``/``diff``/``pct_change`` as *equi-joins* on the
+position — fully distributed, no window at all.
+
+The reference has none of these ops (SURVEY §2.7 — no sort_values, no
+cumulative family); they are part of the Spark-native superset.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["prefix_scan", "global_pos", "is_monotonic"]
+
+_PID = "__pes_pid__"
+
+# op → (JVM partition-total agg, combine(local, carry) patch, pandas local fn)
+_OPS = {
+    "sum": (F.sum, lambda c, carry: c + carry, "cumsum"),
+    "prod": (F.product, lambda c, carry: c * carry, "cumprod"),
+    "max": (F.max, F.greatest, "cummax"),
+    "min": (F.min, F.least, "cummin"),
+}
+
+_IDENTITY = {"sum": 0.0, "prod": 1.0}
+
+
+def _ranged(sdf: SparkDF, order_by: list[str],
+            num_partitions: int | None) -> SparkDF:
+    n = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
+    return (sdf.repartitionByRange(n, *[F.col(c) for c in order_by])
+            .sortWithinPartitions(*order_by)
+            .withColumn(_PID, F.spark_partition_id()))
+
+
+def _out_type(dt: T.DataType, op: str) -> T.DataType:
+    if op in ("sum", "prod") and isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return T.LongType()
+    return dt
+
+
+def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
+                order_by: list[str],
+                num_partitions: int | None = None) -> SparkDF:
+    """Running accumulation(s) over the global ``order_by`` order.
+
+    ``specs`` is a list of ``(src_col, op, out_col)`` with
+    ``op ∈ {sum, prod, max, min}``.  Null inputs yield null outputs and do
+    not interrupt the accumulation (pandas ``skipna`` cumulatives).
+    Returns the input rows (range-reordered) plus one output column per
+    spec.
+    """
+    for _, op, _ in specs:
+        if op not in _OPS:
+            raise ValueError(f"prefix_scan op must be one of {list(_OPS)}, "
+                             f"got {op!r}")
+    part = _ranged(sdf, order_by, num_partitions)
+
+    src_types = {f.name: f.dataType for f in part.schema.fields}
+    # out may overwrite src in place (pandas cum* style) or be a new column
+    inplace = {out: _out_type(src_types[src], op)
+               for src, op, out in specs if out == src}
+    fields = [T.StructField(f.name, inplace.get(f.name, f.dataType),
+                            f.nullable)
+              for f in part.schema.fields]
+    fields += [T.StructField(out, _out_type(src_types[src], op))
+               for src, op, out in specs if out != src]
+    local_schema = T.StructType(fields)
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carries: dict[str, float | None] = {out: None for _, _, out in specs}
+        for pdf in batches:
+            pdf = pdf.copy()
+            for src, op, out in specs:
+                acc = getattr(pdf[src], _OPS[op][2])()
+                carry = carries[out]
+                if carry is not None:
+                    if op == "sum":
+                        acc = acc + carry
+                    elif op == "prod":
+                        acc = acc * carry
+                    elif op == "max":
+                        acc = np.maximum(acc, carry)  # NaN-propagating
+                    else:
+                        acc = np.minimum(acc, carry)
+                valid = acc.dropna()
+                if len(valid):
+                    carries[out] = valid.iloc[-1]
+                pdf[out] = acc
+            yield pdf
+
+    scanned = part.mapInPandas(_local, local_schema)
+
+    # one row per partition: JVM aggregate of the SOURCE column (the range
+    # exchange is shared with the mapInPandas branch via ReuseExchange)
+    summ = part.groupBy(_PID).agg(*[
+        _OPS[op][0](F.col(src)).alias(out) for src, op, out in specs])
+    w = (Window.orderBy(_PID)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carries = summ.select(F.col(_PID), *[
+        _OPS[op][0](F.col(out)).over(w).alias(f"__carry_{out}")
+        for _, op, out in specs])
+
+    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    patched: dict[str, Column] = {}
+    for src, op, out in specs:
+        c, carry = F.col(out), F.col(f"__carry_{out}")
+        if op in _IDENTITY:
+            carry = F.coalesce(carry, F.lit(_IDENTITY[op]))
+        combined = _OPS[op][1](c, carry)
+        # null stays null; double NaN stays NaN (greatest/least would pick
+        # around it, breaking pandas NaN propagation)
+        guard = c.isNull()
+        if isinstance(src_types[src], (T.DoubleType, T.FloatType)):
+            guard = guard | F.isnan(c)
+        patched[out] = F.when(guard, c).otherwise(combined).alias(out)
+    final = [patched.pop(f.name, F.col(f.name))
+             for f in part.schema.fields if f.name != _PID]
+    final += patched.values()  # out columns that are not in-place
+    return joined.select(*final)
+
+
+def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
+               num_partitions: int | None = None) -> SparkDF:
+    """0-based global position of every row in ``order_by`` order — the
+    distributed equivalent of ``zipWithIndex`` expressed in the DataFrame
+    API: local ``arange`` per range partition + exclusive prefix of the
+    (tiny) per-partition row counts."""
+    part = _ranged(sdf, order_by, num_partitions)
+    fields = list(part.schema.fields) + [T.StructField(name, T.LongType())]
+    schema = T.StructType(fields)
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[name] = np.arange(seen, seen + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield pdf
+
+    local = part.mapInPandas(_local, schema)
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(_PID), F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"))
+    out = (local.join(F.broadcast(offsets), _PID, "left")
+           .withColumn(name, F.col(name) + F.col("__off"))
+           .drop(_PID, "__off"))
+    return out
+
+
+def is_monotonic(sdf: SparkDF, col: str, order_by: list[str],
+                 increasing: bool = True,
+                 num_partitions: int | None = None) -> bool:
+    """pandas ``is_monotonic_increasing``/``_decreasing`` over the global
+    order: per-partition sortedness (one tiny summary row each) + boundary
+    comparison between consecutive partitions.  Any null → False (pandas).
+    Works for every orderable dtype (numbers, strings, timestamps)."""
+    part = _ranged(sdf.select(*order_by, col), order_by, num_partitions)
+    schema = T.StructType([
+        T.StructField(_PID, T.IntegerType()),
+        T.StructField("__ok", T.BooleanType()),
+        T.StructField("__nulls", T.BooleanType()),
+        T.StructField("__first", part.schema[col].dataType),
+        T.StructField("__last", part.schema[col].dataType),
+    ])
+
+    def _summ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ok, nulls, first, last, pid = True, False, None, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf[_PID].iloc[0])
+            s = pdf[col]
+            nulls = nulls or bool(s.isna().any())
+            ok = ok and bool(s.is_monotonic_increasing if increasing
+                             else s.is_monotonic_decreasing)
+            if last is not None and len(s):
+                head = s.iloc[0]
+                ok = ok and (last <= head if increasing else last >= head)
+            if first is None and len(s):
+                first = s.iloc[0]
+            if len(s):
+                last = s.iloc[-1]
+        if pid is not None:
+            yield pd.DataFrame([[pid, ok, nulls, first, last]],
+                               columns=[_PID, "__ok", "__nulls",
+                                        "__first", "__last"])
+
+    rows = sorted(part.mapInPandas(_summ, schema).collect(),
+                  key=lambda r: r[_PID])
+    if any(r["__nulls"] for r in rows) or not all(r["__ok"] for r in rows):
+        return False
+    for prev, cur in zip(rows, rows[1:]):
+        a, b = prev["__last"], cur["__first"]
+        if a is None or b is None:
+            continue
+        if (a > b) if increasing else (a < b):
+            return False
+    return True

@@ -1,0 +1,131 @@
+"""Differential tests (vs pandas) for the distributed positional family:
+cum* / shift / diff / pct_change / is_monotonic / corr / cov / autocorr.
+
+These lower to the two-phase segment scan in ``functions/scan.py`` (range
+shuffle + per-partition local scan + tiny carry fold) — results must agree
+with pandas' sequential semantics regardless of partition count.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+@pytest.fixture()
+def scan_pdf():
+    rng = np.random.RandomState(5)
+    n = 700
+    pdf = pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "v": rng.randn(n) * 10,
+        "w": rng.randint(0, 50, n).astype("int64"),
+    })
+    pdf.loc[pdf.sample(60, random_state=2).index, "v"] = np.nan
+    return pdf
+
+
+@pytest.mark.parametrize("op", ["cumsum", "cummax", "cummin"])
+def test_series_cumops_with_nulls(spark, scan_pdf, op):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    got = getattr(df["v"], op)().compute().sort_index()
+    exp = getattr(scan_pdf.set_index("k")["v"], op)()
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_series_cumprod_int(spark):
+    pdf = pd.DataFrame({"k": np.arange(20, dtype="int64"),
+                        "x": np.arange(1, 21, dtype="int64") % 5 + 1})
+    got = pes.from_pandas(pdf).set_index("k")["x"].cumprod().compute().sort_index()
+    exp = pdf.set_index("k")["x"].cumprod()
+    np.testing.assert_array_equal(got.to_numpy(), exp.to_numpy())
+
+
+def test_series_cumsum_partition_invariance(spark, scan_pdf):
+    from pandas_expr_spark.functions import scan
+    sdf = pes.from_pandas(scan_pdf).to_spark()
+    exp = scan_pdf.sort_values("k")["w"].cumsum().to_numpy()
+    for n_parts in (1, 3, 17):
+        out = scan.prefix_scan(sdf, [("w", "sum", "cw")], ["k"],
+                               num_partitions=n_parts)
+        got = (out.toPandas().sort_values("k")["cw"].to_numpy())
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_frame_cumsum(spark, scan_pdf):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    got = df.cumsum().compute().sort_index()
+    exp = scan_pdf.set_index("k").cumsum()
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+    np.testing.assert_array_equal(got["w"].to_numpy(), exp["w"].to_numpy())
+
+
+@pytest.mark.parametrize("periods", [1, 3, -2])
+def test_series_shift(spark, scan_pdf, periods):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    got = df["v"].shift(periods).compute().sort_index()
+    exp = scan_pdf.set_index("k")["v"].shift(periods)
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_series_diff_pct_change(spark, scan_pdf):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    ref = scan_pdf.set_index("k")
+    got = df["v"].diff(2).compute().sort_index()
+    np.testing.assert_allclose(got.to_numpy(), ref["v"].diff(2).to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+    # w contains zeros → exercises the x/0 → ±inf, 0/0 → NaN semantics
+    got2 = df["w"].pct_change().compute().sort_index()
+    exp2 = ref["w"].pct_change(fill_method=None)
+    np.testing.assert_allclose(got2.to_numpy(), exp2.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_is_monotonic(spark, scan_pdf):
+    inc = pes.from_pandas(
+        pd.DataFrame({"k": np.arange(40), "x": np.repeat(np.arange(20), 2)})
+    ).set_index("k")["x"]
+    assert inc.is_monotonic_increasing
+    assert not inc.is_monotonic_decreasing
+    v = pes.from_pandas(scan_pdf).set_index("k")["v"]
+    assert not v.is_monotonic_increasing  # has nulls → False like pandas
+    dec = pes.from_pandas(
+        pd.DataFrame({"k": np.arange(30), "x": -np.arange(30.0)})
+    ).set_index("k")["x"]
+    assert dec.is_monotonic_decreasing
+
+
+def test_corr_cov_autocorr(spark, scan_pdf):
+    df = pes.from_pandas(scan_pdf)
+    ref = scan_pdf
+    assert abs(df["v"].corr(df["w"]).compute() - ref["v"].corr(ref["w"])) < 1e-12
+    assert abs(df["v"].cov(df["w"]).compute() - ref["v"].cov(ref["w"])) < 1e-9
+    got = df.set_index("k")["w"].autocorr(2)
+    exp = ref.set_index("k")["w"].astype(float).autocorr(2)
+    assert abs(got.compute() - exp) < 1e-9
+
+
+def test_frame_elementwise_and_clip_guard(spark, scan_pdf):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    ref = scan_pdf.set_index("k")
+    got = df.abs().round(1).clip(upper=20).compute().sort_index()
+    exp = ref.abs().round(1).clip(upper=20)
+    # NaN rows must STAY NaN (Spark least/greatest would clamp them)
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].to_numpy(),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_array_equal(got["w"].to_numpy(), exp["w"].to_numpy())
+    assert df.add_prefix("p_").compute().columns.tolist() == ["p_v", "p_w"]
+    assert df.add_suffix("_s").compute().columns.tolist() == ["v_s", "w_s"]
+
+
+def test_series_clip_null_guard(spark):
+    pdf = pd.DataFrame({"x": [1.0, np.nan, 100.0, -5.0]})
+    got = pes.from_pandas(pdf)["x"].clip(lower=0, upper=10).compute()
+    exp = pdf["x"].clip(lower=0, upper=10)
+    np.testing.assert_allclose(np.sort(got.to_numpy()),
+                               np.sort(exp.to_numpy()), equal_nan=True)
