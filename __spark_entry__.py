@@ -1809,6 +1809,22 @@ def shift_diff_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.to_frame("price_diff_c").reset_index().to_spark()
 
 
+def rolling_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 7-row rolling revenue — prefix-sum differencing
+    (``scan.rolling_agg``): rolling_sum_i = S_i - S_{i-7}, one range
+    shuffle + one position equi-join, no window function.  Integer-cent
+    prefix sums stay below 2^53 so the double arithmetic is exact and the
+    BIGINT oracle matches bit-for-bit."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 500]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    r = o.set_index("o_orderkey")["price_c"].rolling(7).sum()
+    out = r.to_frame("roll_price_c").reset_index()
+    return out.to_spark().select(
+        "o_orderkey", F.col("roll_price_c").cast("long"))
+
+
 def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas ``stack``: wide → long with the pandas default of dropping
     null cells.  The wide frame left-joins a filtered supplier rollup, so
@@ -1950,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_nation_counts": stack_nation_counts,
         "cumsum_running_revenue": cumsum_running_revenue,
         "shift_diff_order_prices": shift_diff_order_prices,
+        "rolling_revenue_orders": rolling_revenue_orders,
         "streaming_sliding_events": streaming_sliding_events,
         "streaming_sessions_users": streaming_sessions_users,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
@@ -3000,6 +3017,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    price_c - LAG(price_c) OVER (ORDER BY o_orderkey)
                        AS price_diff_c
+            FROM o
+        """,
+        "rolling_revenue_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                              ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+                       FROM orders WHERE o_custkey < 500)
+            SELECT o_orderkey,
+                   CASE WHEN rn >= 7 THEN
+                       SUM(price_c) OVER (ORDER BY o_orderkey
+                                          ROWS BETWEEN 6 PRECEDING
+                                          AND CURRENT ROW)
+                   END AS roll_price_c
             FROM o
         """,
         # multimodal_features / sample_fraction_lineitem /

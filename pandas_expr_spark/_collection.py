@@ -608,6 +608,17 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``Series.rolling`` over the GLOBAL order — prefix-sum
+        differencing (``functions/scan.py``), one range shuffle + one
+        position equi-join, no window function.  sum/mean/count."""
+        return _SeriesRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``Series.expanding`` over the global order — the prefix
+        scan itself, guarded by the running non-null count."""
+        return _SeriesExpanding(self, min_periods)
+
     @property
     def is_monotonic_increasing(self) -> bool:
         from .functions import scan
@@ -860,6 +871,70 @@ class Series(FrameBase):
             ser = ser.astype(pd.CategoricalDtype(
                 categories=cats, ordered=getattr(self, "_cat_ordered", False)))
         return ser
+
+
+class _SeriesRolling:
+    """Global rolling window over a Series — see ``scan.rolling_agg``."""
+
+    def __init__(self, series: Series, window: int,
+                 min_periods: int | None):
+        self._s, self._window, self._minp = series, window, min_periods
+
+    def _agg(self, fn: str) -> Series:
+        from .functions import scan
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        out = scan.rolling_agg(sdf, name, order, self._window, fn,
+                               self._minp, out=name)
+        node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
+        return Series(out, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
+
+    def sum(self) -> Series: return self._agg("sum")
+    def mean(self) -> Series: return self._agg("mean")
+    def count(self) -> Series: return self._agg("count")
+
+
+class _SeriesExpanding:
+    """Global expanding window — the prefix scan itself (no join):
+    ``sum_i`` is the running null-zeroed sum, guarded by the running
+    non-null count ≥ min_periods."""
+
+    def __init__(self, series: Series, min_periods: int):
+        self._s, self._minp = series, min_periods
+
+    def _agg(self, fn: str) -> Series:
+        from .functions import scan
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        base = (sdf
+                .withColumn("__z__", F.coalesce(
+                    F.col(name).cast("double"), F.lit(0.0)))
+                .withColumn("__nn__", F.col(name).isNotNull().cast("long"))
+                .withColumn("__one__", F.lit(1).cast("long")))
+        scanned = scan.prefix_scan(
+            base, [("__z__", "sum", "__S__"), ("__nn__", "sum", "__C__"),
+                   ("__one__", "sum", "__P__")],
+            order)
+        cnt = F.col("__C__")
+        if fn == "sum":
+            val = F.col("__S__")
+        elif fn == "mean":
+            val = F.col("__S__") / cnt
+        else:
+            val = cnt.cast("double")
+        # pandas: sum/mean guard on non-null observations, count on rows
+        have = F.col("__P__") if fn == "count" else cnt
+        guarded = F.when(have >= F.lit(self._minp), val).otherwise(F.lit(None))
+        out = (scanned.withColumn(name, guarded)
+               .drop("__z__", "__nn__", "__one__", "__S__", "__C__", "__P__"))
+        node = Node(f"expanding_{fn}", {}, s._expr)
+        return Series(out, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
+
+    def sum(self) -> Series: return self._agg("sum")
+    def mean(self) -> Series: return self._agg("mean")
+    def count(self) -> Series: return self._agg("count")
 
 
 class Index(Series):

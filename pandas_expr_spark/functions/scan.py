@@ -38,7 +38,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["prefix_scan", "global_pos", "is_monotonic"]
+__all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg"]
 
 _PID = "__pes_pid__"
 
@@ -176,6 +176,62 @@ def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
            .withColumn(name, F.col(name) + F.col("__off"))
            .drop(_PID, "__off"))
     return out
+
+
+def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
+                fn: str = "mean", min_periods: int | None = None,
+                out: str = "__roll__",
+                num_partitions: int | None = None) -> SparkDF:
+    """Global (un-partitioned) pandas ``rolling(window).fn()`` as a
+    **difference of prefix sums** — no window function anywhere.
+
+    ``rolling_sum_i = S_i - S_{i-w}`` where ``S`` is the running sum of the
+    null-zeroed values; the running count of non-null values gives both the
+    ``min_periods`` guard and the mean divisor.  Cost: ONE range shuffle for
+    the prefix scan (sum and count share it) + one equi-join on the global
+    position for the ``i-w`` lookback — each fully distributed.
+
+    Supported fns: sum, mean, count.  (min/max are not prefix-decomposable;
+    use the grouped ``with_rolling`` window for partitioned data.)
+    """
+    if fn not in ("sum", "mean", "count"):
+        raise ValueError("rolling_agg: fn must be sum/mean/count "
+                         f"(got {fn!r}); min/max need with_rolling")
+    minp = window if min_periods is None else min_periods
+    zeroed = "__z__"
+    nn = "__nn__"
+    base = (sdf
+            .withColumn(zeroed, F.coalesce(F.col(col).cast("double"),
+                                           F.lit(0.0)))
+            .withColumn(nn, F.col(col).isNotNull().cast("long"))
+            .withColumn("__one__", F.lit(1).cast("long")))
+    # the prefix sum of ones IS the (1-based) global position — the three
+    # scans share one range shuffle
+    scanned = prefix_scan(base, [(zeroed, "sum", "__S__"),
+                                 (nn, "sum", "__C__"),
+                                 ("__one__", "sum", "__P__")],
+                          order_by, num_partitions)
+    pos = scanned.persist()
+    lag = pos.select((F.col("__P__") + window).alias("__P__"),
+                     F.col("__S__").alias("__Sl__"),
+                     F.col("__C__").alias("__Cl__"))
+    j = pos.join(lag, "__P__", "left")
+    wsum = F.col("__S__") - F.coalesce(F.col("__Sl__"), F.lit(0.0))
+    wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
+    if fn == "sum":
+        val = wsum
+    elif fn == "mean":
+        val = wsum / wcnt
+    else:
+        val = wcnt.cast("double")
+    # pandas guard: sum/mean need min_periods NON-NULL observations in the
+    # window; count only needs that many ROWS (min(i+1, w))
+    have = (F.least(F.col("__P__"), F.lit(window)) if fn == "count"
+            else wcnt)
+    guarded = F.when(have >= F.lit(minp), val).otherwise(F.lit(None))
+    drop = ["__P__", "__S__", "__C__", "__Sl__", "__Cl__", zeroed, nn,
+            "__one__"]
+    return j.withColumn(out, guarded).drop(*drop)
 
 
 def is_monotonic(sdf: SparkDF, col: str, order_by: list[str],

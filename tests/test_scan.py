@@ -123,6 +123,30 @@ def test_frame_elementwise_and_clip_guard(spark, scan_pdf):
     assert df.add_suffix("_s").compute().columns.tolist() == ["v_s", "w_s"]
 
 
+@pytest.mark.parametrize("w,mp", [(7, None), (7, 3), (1, None)])
+def test_series_rolling_prefix_difference(spark, scan_pdf, w, mp):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    ref = scan_pdf.set_index("k")["v"]
+    for fn in ["sum", "mean", "count"]:
+        got = getattr(df["v"].rolling(w, min_periods=mp), fn)() \
+            .compute().sort_index()
+        exp = getattr(ref.rolling(w, min_periods=mp), fn)()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_series_expanding(spark, scan_pdf):
+    df = pes.from_pandas(scan_pdf).set_index("k")
+    ref = scan_pdf.set_index("k")["v"]
+    for mp in (1, 5):
+        for fn in ["sum", "mean", "count"]:
+            got = getattr(df["v"].expanding(min_periods=mp), fn)() \
+                .compute().sort_index()
+            exp = getattr(ref.expanding(min_periods=mp), fn)()
+            np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                       rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
 def test_series_clip_null_guard(spark):
     pdf = pd.DataFrame({"x": [1.0, np.nan, 100.0, -5.0]})
     got = pes.from_pandas(pdf)["x"].clip(lower=0, upper=10).compute()
