@@ -631,6 +631,30 @@ class Series(FrameBase):
         sdf, name, order, _ = self._ordered_base()
         return scan.is_monotonic(sdf, name, order, increasing=False)
 
+    def first_valid_index(self) -> Scalar:
+        """pandas ``first_valid_index``: smallest index holding a non-null
+        value — a filtered MIN aggregate, no ordering pass."""
+        sdf, name, order, _ = self._ordered_base()
+        agg = (sdf.filter(F.col(name).isNotNull())
+               .agg(F.min(F.col(order[0])).alias("first_valid")))
+        return Scalar(agg, Node("first_valid_index", {}, self._expr))
+
+    def last_valid_index(self) -> Scalar:
+        sdf, name, order, _ = self._ordered_base()
+        agg = (sdf.filter(F.col(name).isNotNull())
+               .agg(F.max(F.col(order[0])).alias("last_valid")))
+        return Scalar(agg, Node("last_valid_index", {}, self._expr))
+
+    def repeat(self, repeats: int) -> "Series":
+        """pandas ``Series.repeat`` → ``explode(array_repeat(...))``."""
+        name = self._col_name or "__v__"
+        cols = [F.col(c) for c in self._index_cols]
+        sdf = self._sdf.select(
+            *cols, F.explode(F.array_repeat(self._scol, repeats)).alias(name))
+        node = Node("repeat", {"repeats": repeats}, self._expr)
+        return Series(sdf, F.col(name), self._col_name, node,
+                      self._index_cols, self._index_names)
+
     # -- pairwise statistics ---------------------------------------------
     def _pairwise(self, other: "Series", fn, op: str) -> Scalar:
         if isinstance(other, Series) and other._sdf is self._sdf:
@@ -1317,6 +1341,44 @@ class DataFrame(FrameBase):
         names = _ensure_list(index)
         node = Node("rename_axis", {"index": names}, self._expr)
         return DataFrame(self._sdf, node, self._index_cols, tuple(names))
+
+    def squeeze(self, axis=None):
+        """pandas ``squeeze``: a 1-column frame collapses to its Series
+        (pure metadata — no data movement)."""
+        if len(self.columns) == 1:
+            return self[self.columns[0]]
+        return self
+
+    def transpose(self):
+        raise NotImplementedError(
+            "transpose materializes rows as columns — unbounded schema "
+            "width at scale.  Collect first (df.compute().T) if the frame "
+            "is genuinely small.")
+
+    T = property(lambda self: self.transpose())
+
+    def itertuples(self, index: bool = True, name: str = "Pandas"):
+        """Driver-side row iteration via ``toLocalIterator`` — streams one
+        partition at a time instead of collecting everything.  An
+        anti-pattern in distributed pipelines; provided for pandas-parity
+        escape hatches only."""
+        from collections import namedtuple
+        cols = ([c for c in self._index_cols] if index else []) + self.columns
+        fields = (["Index"] if index else []) + self.columns
+        tup = namedtuple(name, fields, rename=True)
+        for row in self._sdf.select(*cols).toLocalIterator():
+            yield tup(*row)
+
+    def iterrows(self):
+        """Driver-side (index, pandas Series) iteration — same
+        ``toLocalIterator`` streaming caveat as ``itertuples``."""
+        idx = list(self._index_cols)
+        cols = idx + self.columns
+        for row in self._sdf.select(*cols).toLocalIterator():
+            d = row.asDict()
+            key = tuple(d.pop(c) for c in idx) if len(idx) > 1 else \
+                (d.pop(idx[0]) if idx else None)
+            yield key, pd.Series(d)
 
     # -- elementwise over all columns ------------------------------------
     def abs(self) -> "DataFrame":

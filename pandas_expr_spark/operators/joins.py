@@ -196,7 +196,7 @@ def join(left, other, on=None, how: str = "left", lsuffix: str = "",
 
 def merge_asof(left, right, on: str, by=None, direction: str = "backward",
                allow_exact_matches: bool = True,
-               suffixes: tuple = ("_x", "_y")):
+               suffixes: tuple = ("_x", "_y"), tolerance=None):
     """As-of join — for each left row, the closest right row at-or-before
     (``backward``) / at-or-after (``forward``) on ``on``, per ``by`` group.
 
@@ -205,6 +205,10 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     one window pass** (``last(..., ignorenulls=True)`` over rows-between
     unbounded-preceding) — a single shuffle on ``by``, never the O(n·m)
     range-join blow-up, so it scales to 100 TB event streams.
+
+    ``tolerance`` (a number, or ``timedelta``/``pd.Timedelta`` for
+    timestamp keys) nulls out matches farther than the bound — a pure
+    post-window filter on the carried match key, no extra shuffle.
     """
     from .._collection import DataFrame
 
@@ -223,12 +227,15 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     rsdf = right._sdf.select(
         *by, F.col(on),
         *[F.col(c).alias(rout[c]) for c in rvals],
+        F.col(on).alias("__asof_on__"),  # carried match key for tolerance
         F.lit(0).alias("__side__"))
     for c in lout.values():
         if c not in rsdf.columns:
             rsdf = rsdf.withColumn(c, F.lit(None))
     for c in rout.values():
         lsdf = lsdf.withColumn(c, F.lit(None))
+    lsdf = lsdf.withColumn("__asof_on__", F.lit(None).cast(
+        rsdf.schema["__asof_on__"].dataType))
     rsdf = rsdf.select(*lsdf.columns)
     u = lsdf.unionByName(rsdf)
 
@@ -240,18 +247,33 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     if direction == "backward":
         w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), side_order.asc())
              .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
-                  for c in rvals]
     else:
         w = (Window.partitionBy(*by).orderBy(F.col(on).desc(), side_order.asc())
              .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
-                  for c in rvals]
+    picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
+              for c in rvals]
+    picked.append(F.last("__asof_on__", ignorenulls=True).over(w)
+                  .alias("__asof_on__"))
 
     keep = [lout[c] for c in left.columns]
-    out = (u.select(*keep, F.col("__side__"), *picked)
-           .filter(F.col("__side__") == 1)
-           .select(*keep, *[rout[c] for c in rvals]))
+    out = (u.select(*keep, F.col(on).alias("__l_on__"),
+                    F.col("__side__"), *picked)
+           .filter(F.col("__side__") == 1))
+    if tolerance is not None:
+        import datetime
+        l_on, r_on = F.col("__l_on__"), F.col("__asof_on__")
+        if isinstance(tolerance, datetime.timedelta):
+            tol = F.lit(tolerance.total_seconds())
+            l_on, r_on = l_on.cast("double"), r_on.cast("double")
+        else:
+            tol = F.lit(tolerance)
+        gap = (l_on - r_on) if direction == "backward" else (r_on - l_on)
+        ok = r_on.isNotNull() & (gap <= tol)
+        out = out.select(
+            *keep, F.col("__asof_on__"),
+            *[F.when(ok, F.col(rout[c])).otherwise(F.lit(None))
+              .alias(rout[c]) for c in rvals])
+    out = out.select(*keep, *[rout[c] for c in rvals])
     node = Node("merge_asof", {"on": on, "by": tuple(by),
                                "direction": direction},
                 left._expr, right._expr)

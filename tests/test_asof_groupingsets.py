@@ -46,6 +46,35 @@ def test_merge_asof_matches_pandas(spark, trades_quotes, direction, exact):
     assert_frame_eq(got, want[["tid", "sym", "t", "px"]], sort_by=["tid"])
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tol", [5, 50])
+def test_merge_asof_tolerance(spark, trades_quotes, direction, tol):
+    import pandas_expr_spark as pes
+
+    trades, quotes = trades_quotes
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", by="sym", direction=direction, tolerance=tol)
+    got = pes.merge_asof(pes.from_pandas(trades), pes.from_pandas(quotes),
+                         on="t", by="sym", direction=direction,
+                         tolerance=tol)
+    assert_frame_eq(got, want[["tid", "sym", "t", "px"]], sort_by=["tid"])
+
+
+def test_merge_asof_tolerance_timedelta(spark, trades_quotes):
+    import pandas_expr_spark as pes
+
+    trades, quotes = trades_quotes
+    trades = trades.assign(t=pd.to_datetime(trades["t"], unit="m"))
+    quotes = quotes.assign(t=pd.to_datetime(quotes["t"], unit="m"))
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"),
+        on="t", by="sym", tolerance=pd.Timedelta("30min"))
+    got = pes.merge_asof(pes.from_pandas(trades), pes.from_pandas(quotes),
+                         on="t", by="sym", tolerance=pd.Timedelta("30min"))
+    assert_frame_eq(got, want[["tid", "sym", "t", "px"]], sort_by=["tid"])
+
+
 def test_merge_asof_direction_validation(spark, trades_quotes):
     import pandas_expr_spark as pes
     trades, quotes = trades_quotes

@@ -397,6 +397,25 @@ def test_frame_agg_str(spark):
     assert got.to_dict() == {"v": 6.0}  # string column skipped
 
 
+def test_squeeze_valid_index_repeat_iter(spark):
+    pdf = pd.DataFrame({"k": [0, 1, 2, 3, 4],
+                        "v": [None, None, 3.0, 4.0, None],
+                        "w": [1, 2, 3, 4, 5]})
+    df = pes.from_pandas(pdf).set_index("k")
+    ref = pdf.set_index("k")
+    assert isinstance(df[["v"]].squeeze(), pes.Series)
+    with pytest.raises(NotImplementedError):
+        df.T
+    assert df["v"].first_valid_index().compute() == ref["v"].first_valid_index()
+    assert df["v"].last_valid_index().compute() == ref["v"].last_valid_index()
+    got = df["w"].repeat(2).compute().sort_index()
+    assert got.tolist() == ref["w"].repeat(2).sort_index().tolist()
+    rows = list(df.itertuples())
+    assert len(rows) == 5 and {r.Index for r in rows} == {0, 1, 2, 3, 4}
+    idx, ser = next(iter(df.iterrows()))
+    assert isinstance(ser, pd.Series) and set(ser.index) == {"v", "w"}
+
+
 # -- describe / corr / cov / cut / qcut / get_dummies ----------------------
 def test_describe_matches_pandas(spark):
     pdf = pd.DataFrame({"a": [float(i) for i in range(50)],
