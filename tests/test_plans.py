@@ -128,3 +128,44 @@ def test_merge_hint_pins_shuffle_hash_join(spark):
     out2 = a.merge(b, on="k", hint="merge")
     plan2 = out2.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan2, plan2
+
+
+def test_cumsum_no_global_window(spark):
+    """Global cumsum must be the segment scan: a range-partition exchange +
+    mapInPandas, with the ONLY window operating on the tiny per-partition
+    summary table — never a WindowExec over the full input."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
+    s = df.set_index("k")["v"].cumsum()
+    plan = s._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    # the full-data branch is mapInPandas, not a window
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+    # any Window node must sit above the per-partition aggregate (tiny
+    # table), i.e. below it there is a HashAggregate on the pid
+    if "Window" in plan:
+        win_idx = plan.index("Window")
+        assert "__pes_pid__" in plan[win_idx:], plan
+
+
+def test_shift_is_position_equi_join(spark):
+    """shift lowers to an equi-join on the global position — no window, no
+    nested loop."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
+    s = df.set_index("k")["v"].shift(1)
+    plan = s._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_rolling_no_full_data_window(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
+    s = df.set_index("k")["v"].rolling(7).sum()
+    plan = s._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert "NestedLoop" not in plan, plan
