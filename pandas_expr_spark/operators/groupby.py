@@ -394,6 +394,18 @@ class GroupBy:
     def tail(self, n: int = 5):
         return self._positional_limit(n, ascending=False, op="tail")
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``groupby(...).rolling(w)`` chain: each agg is ONE
+        partitioned ``rowsBetween`` window over the positional index —
+        single shuffle on the keys, same memory contract as every grouped
+        window."""
+        return _GroupRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``groupby(...).expanding()`` chain — unbounded-preceding
+        window frames."""
+        return _GroupRolling(self, None, min_periods)
+
     def _positional_limit(self, n: int, ascending: bool, op: str):
         from pyspark.sql import Window
         sdf, order_cols, tmp = self._positional()
@@ -463,3 +475,53 @@ class GroupBy:
         out = sdf.withColumns({c: fill(F.col(c))
                                for c in self._value_columns()})
         return self._finish_window(out, tmp, "ffill" if forward else "bfill")
+
+
+class _GroupRolling:
+    """pandas ``groupby.rolling`` / ``groupby.expanding`` chain target.
+
+    Every aggregate is one partitioned ``rowsBetween`` window over the
+    positional index — Spark plans a single shuffle on the group keys; the
+    ``min_periods`` null guard follows pandas (non-null observations for
+    value aggs, window row count for ``count``)."""
+
+    _FNS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "std": F.stddev_samp, "var": F.var_samp}
+
+    def __init__(self, gb: GroupBy, window: int | None,
+                 min_periods: int | None):
+        self._gb, self._w, self._minp = gb, window, min_periods
+
+    def _agg(self, fn_name: str):
+        from pyspark.sql import Window
+        gb = self._gb
+        sdf, order_cols, tmp = gb._positional()
+        if self._w is None:  # expanding
+            lo, minp = Window.unboundedPreceding, (self._minp or 1)
+        else:
+            lo = -(self._w - 1)
+            minp = self._w if self._minp is None else self._minp
+        w = (Window.partitionBy(*gb._by)
+             .orderBy(*[F.col(c).asc() for c in order_cols])
+             .rowsBetween(lo, Window.currentRow))
+        updates = {}
+        for c in gb._value_columns(numeric_only=True):
+            nn = F.count(F.col(c)).over(w)
+            if fn_name == "count":
+                rows = F.count(F.lit(1)).over(w)
+                updates[c] = F.when(rows >= minp, nn.cast("double")) \
+                    .otherwise(F.lit(None))
+            else:
+                val = self._FNS[fn_name](F.col(c)).over(w)
+                updates[c] = F.when(nn >= minp, val).otherwise(F.lit(None))
+        out = sdf.withColumns(updates)
+        kind = "expanding" if self._w is None else "rolling"
+        return gb._finish_window(out, tmp, f"{kind}_{fn_name}")
+
+    def mean(self): return self._agg("mean")
+    def sum(self): return self._agg("sum")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+    def count(self): return self._agg("count")
+    def std(self): return self._agg("std")
+    def var(self): return self._agg("var")

@@ -209,3 +209,30 @@ def test_groupby_rank(win_df, win_pdf, method, ascending):
                                                 ascending=ascending)
     pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
                                   exp.sort_index(), check_dtype=False)
+
+
+def test_groupby_rolling_expanding_chain(spark):
+    import numpy as np
+    import pandas_expr_spark as pes
+    rng = np.random.RandomState(12)
+    n = 300
+    pdf = pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "g": [f"g{i % 5}" for i in range(n)],
+        "v": rng.randn(n) * 10,
+    })
+    pdf.loc[pdf.sample(30, random_state=5).index, "v"] = np.nan
+    df = pes.from_pandas(pdf).set_index("k")
+    ref = pdf.set_index("k")
+    for fn in ["mean", "sum", "count", "std"]:
+        got = getattr(df.groupby("g").rolling(3), fn)() \
+            .compute().sort_index()["v"]
+        exp = getattr(ref.groupby("g")["v"].rolling(3), fn)() \
+            .reset_index(0, drop=True).sort_index()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, atol=1e-9, equal_nan=True)
+    got = df.groupby("g").expanding().mean().compute().sort_index()["v"]
+    exp = (ref.groupby("g")["v"].expanding().mean()
+           .reset_index(0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-9, atol=1e-9, equal_nan=True)
