@@ -1843,6 +1843,72 @@ def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.stack("nk", ["cust_cnt", "supp_cnt"]).to_spark()
 
 
+def describe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.describe`` (pandas staple beyond reference §2.5): ONE
+    aggregation pass (count/mean/std/min/exact quartiles/max) + a JVM-side
+    ``stack`` into stat rows — nothing collects on the driver.  The gate
+    drops the ``std`` row only: stddev's partial-merge order is
+    engine-specific, while every retained stat is exact integer / dyadic
+    IEEE math on the BIGINT quantity column (quartile interpolation
+    fractions are 0/.25/.5/.75 — exact in double)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    d = (li.assign(qty=li.l_quantity.astype("int64"))[["qty"]]
+         .describe().reset_index().rename(columns={"index": "stat"}))
+    return d[d["stat"] != "std"].to_spark()
+
+
+def cut_quantity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Series.cut`` with explicit edges (beyond reference §2.5): a pure
+    JVM CASE chain — no discovery scan, no shuffle before the final agg."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.l_quantity.cut([0, 10, 25, 40, 50],
+                          labels=["low", "mid", "high", "top"])
+    g = li.assign(bucket=b).groupby("bucket").agg(n=("l_orderkey", "count"))
+    return g.to_spark()
+
+
+def get_dummies_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_dummies`` one-hot with PINNED category values (no per-column
+    distinct-discovery scan — the 100 TB contract) + per-nation sums in one
+    shuffle."""
+    import pandas_expr_spark as pes
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    d = cust[["c_nationkey", "c_mktsegment"]].get_dummies(
+        ["c_mktsegment"], values={"c_mktsegment": segs})
+    g = d.groupby("c_nationkey").agg(
+        **{f"n_{s[:4].lower()}": (f"c_mktsegment_{s}", "sum") for s in segs})
+    return g.to_spark()
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.corr`` — pairwise Pearson matrix in ONE aggregation pass
+    (n² agg expressions, stacked JVM-side).  Correlation is scale-free
+    O(1); merge-order drift is ~1e-12, so 4-dp rounding is
+    engine-stable (same tier as the avg-ratio gates)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    m = li[["l_quantity", "l_extendedprice", "l_tax"]].corr()
+    return m.round(4).to_spark()
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (coarse k-means cells from a driver sample,
+    JVM-side cell assignment, nprobe nearest cells probed) — the
+    partition-pruning scale path; recall vs brute force is checked in
+    tests.  Non-deterministic candidate set across engines → rows-only."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]]
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.ivf_topk(emb_d, q, k=10, n_cells=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1973,6 +2039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_documents": top_tokens_documents,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
+        "describe_quantity": describe_quantity,
+        "cut_quantity_bins": cut_quantity_bins,
+        "get_dummies_segments": get_dummies_segments,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "embedding_ann_ivf": embedding_ann_ivf,
     }
 
 
@@ -3032,8 +3103,68 @@ def oracle_sql() -> dict[str, str]:
                    END AS roll_price_c
             FROM o
         """,
+        "describe_quantity": """
+            WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+            SELECT 'count' AS stat, CAST(COUNT(x) AS DOUBLE) AS qty FROM t
+            UNION ALL
+            SELECT 'mean', CAST(SUM(x) AS DOUBLE) / COUNT(x) FROM t
+            UNION ALL
+            SELECT 'min', CAST(MIN(x) AS DOUBLE) FROM t
+            UNION ALL
+            SELECT '25%', quantile_cont(x, 0.25) FROM t
+            UNION ALL
+            SELECT '50%', quantile_cont(x, 0.50) FROM t
+            UNION ALL
+            SELECT '75%', quantile_cont(x, 0.75) FROM t
+            UNION ALL
+            SELECT 'max', CAST(MAX(x) AS DOUBLE) FROM t
+        """,
+        "cut_quantity_bins": """
+            SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+                        WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                        WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'high'
+                        WHEN l_quantity > 40 AND l_quantity <= 50 THEN 'top'
+                   END AS bucket,
+                   COUNT(l_orderkey) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "get_dummies_segments": """
+            SELECT c_nationkey,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_auto,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_buil,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_furn,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hous,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mach
+            FROM customer GROUP BY c_nationkey
+        """,
+        "corr_matrix_lineitem": """
+            SELECT 'l_quantity' AS "column",
+                   round(corr(l_quantity, l_quantity), 4) AS l_quantity,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS l_extendedprice,
+                   round(corr(l_quantity, l_tax), 4) AS l_tax
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   round(corr(l_extendedprice, l_quantity), 4),
+                   round(corr(l_extendedprice, l_extendedprice), 4),
+                   round(corr(l_extendedprice, l_tax), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax',
+                   round(corr(l_tax, l_quantity), 4),
+                   round(corr(l_tax, l_extendedprice), 4),
+                   round(corr(l_tax, l_tax), 4)
+            FROM lineitem
+        """,
         # multimodal_features / sample_fraction_lineitem /
-        # nunique_approx_custkeys: non-SQL-expressible (LSH banding,
-        # pandas-UDF signatures, stub decodes, engine-specific sampling,
-        # HLL sketches) → driver rows-only check.
+        # nunique_approx_custkeys / embedding_ann_ivf: non-SQL-expressible
+        # (LSH banding, pandas-UDF signatures, stub decodes, engine-specific
+        # sampling, HLL sketches, k-means cell assignment) → driver
+        # rows-only check.
     }
