@@ -1843,6 +1843,32 @@ def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.stack("nk", ["cust_cnt", "supp_cnt"]).to_spark()
 
 
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on two REAL streams: each view matched
+    to the same user's purchases within the following hour.  Watermarks on
+    both sides + the range predicate bound the join state (the equi-only
+    variant would buffer both streams forever).  Inner joins emit in the
+    matching microbatch → append-mode memory sink; oracle is the identical
+    batch equi+range join."""
+    from pandas_expr_spark.streaming import stream as st
+    views = (_events_stream(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    buys = (_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id"), F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("purchase_id")))
+    joined = st.stream_stream_join(views, buys, ["user_id"],
+                                   "view_ts", "buy_ts", within="1 hour")
+    pairs = joined.select(F.col("l.user_id").alias("user_id"),
+                          "view_id", "purchase_id")
+    with st.state_partitions(8):
+        q = st.to_memory_sink(pairs, "stream_view_purchase", "append")
+        q.awaitTermination()
+    return spark.table("stream_view_purchase")
+
+
 def describe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DataFrame.describe`` (pandas staple beyond reference §2.5): ONE
     aggregation pass (count/mean/std/min/exact quartiles/max) + a JVM-side
@@ -2039,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_documents": top_tokens_documents,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
+        "streaming_view_purchase_join": streaming_view_purchase_join,
         "describe_quantity": describe_quantity,
         "cut_quantity_bins": cut_quantity_bins,
         "get_dummies_segments": get_dummies_segments,
@@ -3102,6 +3129,17 @@ def oracle_sql() -> dict[str, str]:
                                           AND CURRENT ROW)
                    END AS roll_price_c
             FROM o
+        """,
+        "streaming_view_purchase_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id
+            FROM events v
+            JOIN events p
+              ON v.user_id = p.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         """,
         "describe_quantity": """
             WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem)

@@ -23,7 +23,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .._session import get_spark
 
 __all__ = ["read_stream", "tumbling_window_agg", "sliding_window_agg",
-           "session_window_agg", "stateful_running_agg",
+           "session_window_agg", "stream_stream_join",
+           "stateful_running_agg",
            "stateful_running_agg_tws", "stateful_stream_dedup",
            "stateful_stream_dedup_tws", "write_stream", "to_memory_sink",
            "state_partitions"]
@@ -121,6 +122,39 @@ def session_window_agg(sdf: SparkDF, ts_col: str, gap: str,
                     F.col("session.end").alias("session_end"),
                     *[F.col(k) for k in (keys or [])],
                     *[F.col(o) for o in aggs]))
+
+
+def stream_stream_join(left: SparkDF, right: SparkDF, keys: list[str],
+                       left_ts: str, right_ts: str, within: str = "1 hour",
+                       watermark: str | None = None,
+                       how: str = "inner") -> SparkDF:
+    """Watermarked stream-stream join (SURVEY §2.9 — greenfield; the
+    reference has no streams at all): right rows match left rows sharing
+    ``keys`` with ``right_ts`` in ``[left_ts, left_ts + within]``.
+
+    The time-range predicate is not just semantics — it is what lets Spark
+    BOUND the join state: each side's buffered rows are evicted once the
+    other side's watermark passes ``left_ts + within``.  An equi-only
+    stream-stream join keeps state forever — the 100 TB/day failure mode.
+    Watermarks (default = ``within``) are applied per streaming side only,
+    so the SAME call works on batch frames (identical equi+range join) for
+    tests and backfills.
+
+    Sides must use distinct timestamp/payload column names; ``keys`` may
+    share names (output keeps the left copy accessible via alias ``l``).
+    """
+    wm = watermark or within
+    l = (left.withWatermark(left_ts, wm) if left.isStreaming else left).alias("l")
+    r = (right.withWatermark(right_ts, wm) if right.isStreaming else right).alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    cond = (cond
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}")
+               <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond, how)
 
 
 def stateful_running_agg(sdf: SparkDF, keys: list[str], value_col: str,

@@ -175,3 +175,42 @@ def test_tws_gate_raises_without_protobuf(spark, events):
         pytest.skip("protobuf present; gate not exercised")
     with pytest.raises(ImportError, match="protobuf"):
         st.stateful_stream_dedup_tws(events, "event_id")
+
+
+def test_stream_stream_join_batch_unification(spark, events):
+    """stream_stream_join on BATCH frames == plain equi+range join; the
+    same helper is what the streaming gate query runs on real streams."""
+    views = (events.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("purchase_id")))
+    got = (st.stream_stream_join(views, buys, ["user_id"],
+                                 "view_ts", "buy_ts", within="1 hour")
+           .select("view_id", "purchase_id").toPandas()
+           .sort_values(["view_id", "purchase_id"]).reset_index(drop=True))
+    exp = (views.join(buys, "user_id")
+           .filter((F.col("buy_ts") >= F.col("view_ts"))
+                   & (F.col("buy_ts") <= F.col("view_ts")
+                      + F.expr("INTERVAL 1 hour")))
+           .select("view_id", "purchase_id").toPandas()
+           .sort_values(["view_id", "purchase_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+
+
+def test_stream_stream_join_left_outer(spark, events):
+    """Left-outer keeps unmatched left rows with null right columns."""
+    views = (events.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("purchase_id")))
+    out = st.stream_stream_join(views, buys, ["user_id"],
+                                "view_ts", "buy_ts", within="1 hour",
+                                how="left_outer")
+    pdf = out.toPandas()
+    assert len(pdf) >= views.count()
+    assert pdf["purchase_id"].isna().any()
