@@ -1843,6 +1843,24 @@ def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.stack("nk", ["cust_cnt", "supp_cnt"]).to_spark()
 
 
+def resample_gapfill_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``resample(fill_empty=True)`` — pandas' empty-bin materialization:
+    one user's sparse activity resampled daily; missing days appear with
+    n = 0 (count-like fills) and null value sum.  The spine is a generated
+    ``sequence`` over the persisted post-agg result — no second fact-table
+    scan."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events"))
+    ev = ev.assign(v_c=(ev.value * 100).floor())
+    ev = ev[ev.user_id == 7]
+    g = ev.resample("D", on="ts", fill_empty=True).agg(
+        n=("event_id", "count"), v_sum_c=("v_c", "sum"))
+    out = g.reset_index().to_spark()
+    return out.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "n", (F.col("v_sum_c") / 100.0).alias("value_sum"))
+
+
 def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join on two REAL streams: each view matched
     to the same user's purchases within the following hour.  Watermarks on
@@ -2065,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_documents": top_tokens_documents,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
+        "resample_gapfill_user": resample_gapfill_user,
         "streaming_view_purchase_join": streaming_view_purchase_join,
         "describe_quantity": describe_quantity,
         "cut_quantity_bins": cut_quantity_bins,
@@ -3129,6 +3148,23 @@ def oracle_sql() -> dict[str, str]:
                                           AND CURRENT ROW)
                    END AS roll_price_c
             FROM o
+        """,
+        "resample_gapfill_user": """
+            WITH t AS (
+                SELECT date_trunc('day', ts) AS d,
+                       COUNT(event_id) AS n,
+                       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v_sum_c
+                FROM events WHERE user_id = 7 GROUP BY 1
+            ), spine AS (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(d) FROM t),
+                    (SELECT MAX(d) FROM t),
+                    INTERVAL 1 DAY)) AS d
+            )
+            SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+                   COALESCE(t.n, 0) AS n,
+                   t.v_sum_c / 100.0 AS value_sum
+            FROM spine LEFT JOIN t ON spine.d = t.d
         """,
         "streaming_view_purchase_join": """
             SELECT v.user_id,

@@ -1758,17 +1758,24 @@ class DataFrame(FrameBase):
     _RESAMPLE_INTERVAL = {"s": "seconds", "min": "minutes", "t": "minutes",
                           "h": "hours", "d": "days"}
 
-    def resample(self, freq: str, on: str):
+    _RESAMPLE_STEP = {"second": "INTERVAL 1 SECOND", "minute": "INTERVAL 1 MINUTE",
+                      "hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
+                      "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH",
+                      "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR"}
+
+    def resample(self, freq: str, on: str, fill_empty: bool = False):
         """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
 
         Calendar frequencies (``h/D/W/M/Q/Y``) lower to ``date_trunc``;
         fixed multiples (``15min``, ``30s``, ``2h``…) to ``F.window(ts,
         "15 minutes").start`` — both are pure JVM-side projections, so the
         only shuffle is the grouped aggregation itself, exactly like any
-        ``groupBy``.  Unlike pandas, empty buckets are not materialized
-        (gap-filling a 100 TB time range is a generate-series join the
-        caller can do explicitly), and weeks are ISO Monday-start
-        (``date_trunc`` semantics, not pandas' Sunday-anchored ``W``)."""
+        ``groupBy``.  pandas materializes EMPTY bins; that is opt-in here
+        via ``fill_empty=True`` (a generated calendar-spine join over the
+        post-agg result — see ``Resampler``), because silently
+        generate-series-joining a 100 TB time range should be a visible
+        choice.  Weeks are ISO Monday-start (``date_trunc`` semantics, not
+        pandas' Sunday-anchored ``W``)."""
         import re
         m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
         if not m:
@@ -1777,16 +1784,19 @@ class DataFrame(FrameBase):
         unit = m.group(2).lower()
         ts = F.col(on)
         if mult == 1 and unit in self._RESAMPLE_TRUNC:
-            bucket = F.date_trunc(self._RESAMPLE_TRUNC[unit], ts)
+            trunc = self._RESAMPLE_TRUNC[unit]
+            bucket = F.date_trunc(trunc, ts)
+            step_sql = self._RESAMPLE_STEP[trunc]
         elif unit in self._RESAMPLE_INTERVAL:
             dur = f"{mult} {self._RESAMPLE_INTERVAL[unit]}"
             bucket = F.window(ts, dur).getField("start")
+            step_sql = f"INTERVAL {dur}"
         else:
             raise ValueError(f"unsupported resample freq {freq!r}")
-        from .operators.groupby import GroupBy
+        from .operators.groupby import Resampler
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})
-        return GroupBy(out, [on], sort=True)
+        return Resampler(out, on, step_sql, fill_empty=fill_empty, sort=True)
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":

@@ -79,6 +79,11 @@ _AGG_FNS: dict[str, Callable[[Column], Column]] = {
 }
 
 
+# aggregates whose empty-group value is 0 (not null) — pandas fills these
+# with 0 when resample materializes empty bins
+_COUNT_LIKE_FNS = {"count", "size", "nunique", "approx_nunique"}
+
+
 class GroupBy:
     """Reference ``GroupBy`` collection (``_groupby.py:257-335``)."""
 
@@ -157,6 +162,7 @@ class GroupBy:
         fn = _AGG_FNS[fn_name]
         aggs = [fn(F.col(c)).alias(c) for c in cols]
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set(cols) if fn_name in _COUNT_LIKE_FNS else set()
         return self._finish(out, fn_name)
 
     # -- the reference's grouped reductions (`_groupby.py:193-238`) ------
@@ -224,11 +230,14 @@ class GroupBy:
     def agg(self, spec: Any = None, **named):
         cols = self._value_columns()
         aggs: list[Column] = []
+        count_like: set[str] = set()
 
         def one(col: str, fn_name: str, alias: str):
             fn = _AGG_FNS.get(fn_name)
             if fn is None:
                 raise ValueError(f"Unknown aggregation: {fn_name!r}")
+            if fn_name in _COUNT_LIKE_FNS:
+                count_like.add(alias)
             aggs.append(fn(F.col(col)).alias(alias))
 
         if named and spec is None:
@@ -262,6 +271,7 @@ class GroupBy:
             raise TypeError(f"Unsupported agg spec: {spec!r}")
 
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = count_like
         return self._finish(out, "agg")
 
     aggregate = agg
@@ -525,3 +535,51 @@ class _GroupRolling:
     def count(self): return self._agg("count")
     def std(self): return self._agg("std")
     def var(self): return self._agg("var")
+
+
+class Resampler(GroupBy):
+    """Time-bucketed GroupBy (pandas ``df.resample(freq, on=ts)``).
+
+    With ``fill_empty=True`` it reproduces pandas' empty-bin
+    materialization: after the aggregation, a generated calendar spine
+    (``sequence(min, max, step)`` + ``explode`` — KBs even for years of
+    minute buckets) left-joins the agg result; count-like outputs
+    (count/size/nunique) fill with 0, everything else stays null (pandas
+    NaN).  The agg result is persisted first so the min/max bounds pass
+    does not recompute the upstream scan — the spine join therefore adds
+    one tiny broadcast-able join over post-agg data, never a second read
+    of the fact table."""
+
+    def __init__(self, frame, on: str, step_sql: str,
+                 fill_empty: bool = False, sort: bool = True):
+        super().__init__(frame, [on], sort=sort)
+        self._step_sql = step_sql
+        self._fill_empty = fill_empty
+
+    def __getitem__(self, key):
+        keys = [key] if isinstance(key, str) else list(key)
+        missing = [k for k in keys if k not in self._frame.columns]
+        if missing:
+            raise KeyError(missing)
+        r = Resampler(self._frame, self._by[0], self._step_sql,
+                      self._fill_empty, self._sort)
+        r._slice = keys
+        return r
+
+    def _finish(self, out, op: str):
+        if self._fill_empty:
+            on = self._by[0]
+            out = out.persist()
+            bounds = out.agg(F.min(on).alias("__lo__"),
+                             F.max(on).alias("__hi__"))
+            spine = bounds.select(F.explode(F.sequence(
+                F.col("__lo__"), F.col("__hi__"),
+                F.expr(self._step_sql))).alias(on))
+            filled = spine.join(out, on, "left")
+            zero = {c: F.coalesce(F.col(c), F.lit(0))
+                    for c in getattr(self, "_count_like", set())
+                    if c in filled.columns}
+            if zero:
+                filled = filled.withColumns(zero)
+            out = filled
+        return super()._finish(out, op)
