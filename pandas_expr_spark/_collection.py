@@ -1996,6 +1996,49 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.withColumn(name, val),
                             "rolling", {"col": col, "window": window, "fn": fn})
 
+    _DUR_US = {"s": 1_000_000, "sec": 1_000_000, "second": 1_000_000,
+               "seconds": 1_000_000, "min": 60_000_000, "t": 60_000_000,
+               "minute": 60_000_000, "minutes": 60_000_000,
+               "h": 3_600_000_000, "hour": 3_600_000_000,
+               "hours": 3_600_000_000, "d": 86_400_000_000,
+               "day": 86_400_000_000, "days": 86_400_000_000,
+               "w": 604_800_000_000}
+
+    @classmethod
+    def _duration_us(cls, duration: str) -> int:
+        import re
+        m = re.fullmatch(r"(\d+)\s*([a-zA-Z]+)", duration.strip())
+        if not m or m.group(2).lower() not in cls._DUR_US:
+            raise ValueError(f"cannot parse duration {duration!r}")
+        return int(m.group(1)) * cls._DUR_US[m.group(2).lower()]
+
+    def with_time_rolling(self, name: str, col: str, partition_by,
+                          ts_col: str, duration: str, fn: str = "mean",
+                          min_periods: int = 1,
+                          closed: str = "right") -> "DataFrame":
+        """pandas time-offset rolling (``rolling("7D", on=ts)``): a
+        ``rangeBetween`` frame over epoch MICROseconds — all rows of the
+        partition with ts in ``(t - duration, t]`` (pandas default
+        ``closed='right'``; ``'both'`` includes the left edge).  Value-based
+        frames mean tied timestamps share one frame, exactly like pandas.
+        Epoch micros (``unix_micros``), never ``unix_timestamp`` — second
+        truncation would silently merge sub-second neighbors.  One shuffle
+        on the partition keys; time-based min_periods defaults to 1
+        (pandas semantics, unlike count windows)."""
+        if closed not in ("right", "both"):
+            raise ValueError("closed must be 'right' or 'both'")
+        dur = self._duration_us(duration)
+        lo = -(dur - 1) if closed == "right" else -dur
+        agg = self._ROLL_FNS[fn]
+        w = (Window.partitionBy(*_ensure_list(partition_by))
+             .orderBy(F.unix_micros(F.col(ts_col)))
+             .rangeBetween(lo, Window.currentRow))
+        val = F.when(F.count(F.col(col)).over(w) >= min_periods,
+                     agg(F.col(col)).over(w))
+        return self._derive(self._sdf.withColumn(name, val),
+                            "time_rolling",
+                            {"col": col, "duration": duration, "fn": fn})
+
     def with_expanding(self, name: str, col: str, partition_by, order_by,
                        fn: str = "mean", min_periods: int = 1) -> "DataFrame":
         """pandas ``expanding().fn()`` per group: unbounded-preceding frame
