@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame as SparkDF, SparkSession, functions as F
 
-__all__ = ["load_table", "ns_timestamp_columns"]
+__all__ = ["load_table", "ns_timestamp_columns", "normalize_ts"]
 
 _NS_COLS_CACHE: dict[str, list[str]] = {}
 
@@ -39,6 +39,23 @@ def ns_timestamp_columns(path: str) -> list[str]:
     return cols
 
 
+def normalize_ts(sdf: SparkDF, col: str = "ts") -> SparkDF:
+    """Normalize an event-time column to TIMESTAMP (LTZ) whatever the source
+    layout: int64 nanos (legacy nanosAsLong reads), TIMESTAMP_NTZ (µs parquet
+    without tz under Spark 4's inferTimestampNTZ), or already-LTZ.  Works on
+    batch AND streaming DataFrames (type dispatch is on the analyzed schema,
+    no data read).  Watermarks/windows require LTZ; the session timezone is
+    pinned to UTC so the NTZ cast is value-preserving."""
+    from pyspark.sql import types as T
+    dt = sdf.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # integer `div` — double division loses precision above 2^53
+        return sdf.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return sdf.withColumn(col, F.col(col).cast("timestamp"))
+    return sdf
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
     """Read ``{sf_dir}/{name}.parquet`` with ns→µs timestamp normalization."""
     path = f"{sf_dir}/{name}.parquet"
@@ -52,4 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
         # integer `div` — double division loses precision above 2^53
         # (epoch-ns ≈ 1.7e18), which would skew µs values by ±128 ns
         sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # µs parquet timestamps without a timezone arrive as TIMESTAMP_NTZ under
+    # Spark 4's inferTimestampNTZ.  Normalize to TIMESTAMP (LTZ): the session
+    # timezone is pinned to UTC (_session.py) so the cast is value-preserving,
+    # and event-time features (withWatermark, streaming windows) require LTZ.
+    from pyspark.sql import types as T
+    ntz = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        sdf = sdf.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return sdf
