@@ -1210,6 +1210,26 @@ def melt_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   var_name="metric", value_name="val").to_spark()
 
 
+def period_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period dtype workflow (SURVEY §1.4; reference ToTimestamp
+    ``_expr.py:1159-1168``): orders → month *period* via
+    ``dt.to_period('M')`` (stored as period-start timestamp, pure
+    ``date_trunc`` — codegen, no shuffle), grouped revenue per period,
+    then the period index → period-END timestamps via
+    ``to_timestamp(how='end')`` (start + 1 month - 1µs, column
+    arithmetic).  One hash-shuffle groupBy total."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(month=o.o_orderdate.dt.to_period("M"))
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    g = o.groupby("month").agg(n=("o_orderkey", "count"),
+                               rev_c=("price_c", "sum"))
+    out = g.to_timestamp(freq="M", how="end")
+    sdf = out.reset_index().to_spark()
+    return sdf.select(F.col("month").alias("month_end"), F.col("n"),
+                      (F.col("rev_c") / 100.0).alias("revenue"))
+
+
 def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (generalizes rollup/cube — one shuffle)."""
     import pandas_expr_spark as pes
@@ -1232,9 +1252,10 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = st.read_stream("parquet", sf_dir,
                          schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
                          options={"pathGlobFilter": "events.parquet"})
-    # ns-int64 parquet timestamp → TimestampType (same conversion as
-    # sources.tables.load_table), required for watermarks/windows
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize event time whatever the parquet layout (int64-nanos,
+    # TIMESTAMP_NTZ, or LTZ) — required for watermarks/windows
+    from pandas_expr_spark.sources.tables import normalize_ts
+    src = normalize_ts(src, "ts")
     # integer-cents before the agg so the windowed SUM is order-independent
     src = src.withColumn("value_c", F.floor(F.col("value") * 100))
     agg = st.tumbling_window_agg(
@@ -1299,7 +1320,8 @@ def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = st.read_stream("parquet", sf_dir,
                          schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
                          options={"pathGlobFilter": "events.parquet"})
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pandas_expr_spark.sources.tables import normalize_ts
+    src = normalize_ts(src, "ts")
     run = st.stateful_running_agg(src, ["user_id"], "value")
     with st.state_partitions(8):
         q = st.to_memory_sink(run, "stream_stateful_running", "update")
@@ -1669,13 +1691,15 @@ def concat_axis1_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark, sf_dir):
-    """readStream over the events parquet with the ns→micros ts fix."""
+    """readStream over the events parquet with event-time normalization
+    (int64-nanos / NTZ / LTZ all handled by normalize_ts)."""
+    from pandas_expr_spark.sources.tables import normalize_ts
     from pandas_expr_spark.streaming import stream as st
     src = st.read_stream(
         "parquet", sf_dir,
         schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
         options={"pathGlobFilter": "events.parquet"})
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(src, "ts")
 
 
 def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1962,7 +1986,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks the first 50
+    # entries per round.  Round 1 covered the original first 50 (all of
+    # TPC-H + the core frame-op battery) — those are green in
+    # CORRECTNESS_r01.json and now live after position 50.  This round's
+    # first 50 = the 3 round-1 hash-artifact queries (oracles fixed) +
+    # one representative per operator family that had no driver row yet:
+    # streaming, asof/interval joins, window/scan, grouped positional,
+    # rollup/grouping-sets, resample, reshape, set-ops, elementwise,
+    # stats, and the LLM-pipeline batteries (dedup, similarity, splits,
+    # sketches, multimodal).
     return {
+        # -- round-1 hash artifacts, oracles fixed this round --
+        "q12_priority_shipping": q12_priority_shipping,
+        "events_sessions": events_sessions,
+        "doc_token_stats": doc_token_stats,
+        # -- streaming (real readStream shapes) --
+        "streaming_hourly_events": streaming_hourly_events,
+        "streaming_sliding_events": streaming_sliding_events,
+        "streaming_sessions_users": streaming_sessions_users,
+        "streaming_view_purchase_join": streaming_view_purchase_join,
+        "streaming_dedup_users": streaming_dedup_users,
+        "streaming_enriched_segments": streaming_enriched_segments,
+        # -- specialized joins --
+        "asof_join_events": asof_join_events,
+        "interval_join_shipments": interval_join_shipments,
+        # -- window / distributed scan family --
+        "window_lag_cumsum_orders": window_lag_cumsum_orders,
+        "rolling_expanding_orders": rolling_expanding_orders,
+        "cumsum_running_revenue": cumsum_running_revenue,
+        "rank_bucket_orders": rank_bucket_orders,
+        "ewm_price_per_customer": ewm_price_per_customer,
+        # -- grouped positional / apply --
+        "groupby_topn_orders": groupby_topn_orders,
+        "grouped_apply_demean": grouped_apply_demean,
+        "groupby_nunique_median": groupby_nunique_median,
+        "skew_sem_prices": skew_sem_prices,
+        "ffill_event_values": ffill_event_values,
+        # -- multi-level aggregation --
+        "rollup_pricing": rollup_pricing,
+        "grouping_sets_pricing": grouping_sets_pricing,
+        # -- time series --
+        "resample_daily_events": resample_daily_events,
+        # -- reshape --
+        "stack_nation_counts": stack_nation_counts,
+        "unstack_segment_counts": unstack_segment_counts,
+        "pivot_status_priority": pivot_status_priority,
+        "melt_customer_metrics": melt_customer_metrics,
+        # -- set ops --
+        "intersect_except_nations": intersect_except_nations,
+        # -- elementwise / expression --
+        "eval_query_charges": eval_query_charges,
+        "map_dict_flags": map_dict_flags,
+        "apply_udf_name_len": apply_udf_name_len,
+        "align_add_balances": align_add_balances,
+        "combine_first_balances": combine_first_balances,
+        # -- dedup / stats / misc frame ops --
+        "dedup_keep_first_orders": dedup_keep_first_orders,
+        "idx_extremes_orders": idx_extremes_orders,
+        "quantile_prices": quantile_prices,
+        "describe_quantity": describe_quantity,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "explode_tokens": explode_tokens,
+        "period_month_revenue": period_month_revenue,
+        "cat_codes_segments": cat_codes_segments,
+        # -- LLM-pipeline batteries --
+        "doc_lang_id": doc_lang_id,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "similarity_topk": similarity_topk,
+        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "multimodal_meta": multimodal_meta,
+        "hash_split_documents": hash_split_documents,
+        "stratified_sample_docs": stratified_sample_docs,
+        "top_tokens_documents": top_tokens_documents,
+        # ---- position 50+: green in CORRECTNESS_r01 or rows-only ----
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -1975,7 +2072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
-        "q12_priority_shipping": q12_priority_shipping,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2007,88 +2103,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_ops_customers": str_ops_customers,
         "dt_ops_orders": dt_ops_orders,
         "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
         "events_json_props": events_json_props,
-        "doc_token_stats": doc_token_stats,
         "doc_fingerprint_dedup": doc_fingerprint_dedup,
         "doc_exact_dedup_count": doc_exact_dedup_count,
         "doc_quality": doc_quality,
-        "doc_lang_id": doc_lang_id,
-        "similarity_topk": similarity_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ann_lsh": embedding_ann_lsh,
         "multimodal_features": multimodal_features,
-        "multimodal_meta": multimodal_meta,
-        "asof_join_events": asof_join_events,
-        "rollup_pricing": rollup_pricing,
         "cube_pricing": cube_pricing,
         "head_sorted_nations": head_sorted_nations,
-        "idx_extremes_orders": idx_extremes_orders,
         "mode_quantity": mode_quantity,
-        "quantile_prices": quantile_prices,
-        "explode_tokens": explode_tokens,
-        "combine_first_balances": combine_first_balances,
         "replace_dropna_priorities": replace_dropna_priorities,
-        "intersect_except_nations": intersect_except_nations,
-        "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "window_diff_pct_orders": window_diff_pct_orders,
-        "rolling_expanding_orders": rolling_expanding_orders,
-        "groupby_nunique_median": groupby_nunique_median,
-        "interval_join_shipments": interval_join_shipments,
-        "pivot_status_priority": pivot_status_priority,
-        "melt_customer_metrics": melt_customer_metrics,
-        "grouping_sets_pricing": grouping_sets_pricing,
-        "streaming_hourly_events": streaming_hourly_events,
-        "streaming_enriched_segments": streaming_enriched_segments,
-        "events_sliding_windows": events_sliding_windows,
         "streaming_stateful_running": streaming_stateful_running,
-        "streaming_dedup_users": streaming_dedup_users,
+        "events_sliding_windows": events_sliding_windows,
         "sample_fraction_lineitem": sample_fraction_lineitem,
-        "eval_query_charges": eval_query_charges,
         "math_abs_clip_floor": math_abs_clip_floor,
         "tail_orders": tail_orders,
         "nlargest_parts": nlargest_parts,
         "value_counts_normalized": value_counts_normalized,
-        "dedup_keep_first_orders": dedup_keep_first_orders,
         "concat_inner_lineitem": concat_inner_lineitem,
-        "merge_indicator_nations": merge_indicator_nations,
         "cross_join_flags": cross_join_flags,
-        "map_dict_flags": map_dict_flags,
-        "apply_udf_name_len": apply_udf_name_len,
-        "align_add_balances": align_add_balances,
-        "cat_codes_segments": cat_codes_segments,
-        "grouped_apply_demean": grouped_apply_demean,
-        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "merge_indicator_nations": merge_indicator_nations,
         "nunique_approx_custkeys": nunique_approx_custkeys,
-        "resample_daily_events": resample_daily_events,
         "crosstab_status_priority": crosstab_status_priority,
         "duplicated_parts": duplicated_parts,
-        "ffill_event_values": ffill_event_values,
-        "groupby_topn_orders": groupby_topn_orders,
-        "skew_sem_prices": skew_sem_prices,
-        "rank_bucket_orders": rank_bucket_orders,
-        "hash_split_documents": hash_split_documents,
-        "stratified_sample_docs": stratified_sample_docs,
-        "ewm_price_per_customer": ewm_price_per_customer,
-        "unstack_segment_counts": unstack_segment_counts,
-        "stack_nation_counts": stack_nation_counts,
-        "cumsum_running_revenue": cumsum_running_revenue,
         "shift_diff_order_prices": shift_diff_order_prices,
         "rolling_revenue_orders": rolling_revenue_orders,
-        "streaming_sliding_events": streaming_sliding_events,
-        "streaming_sessions_users": streaming_sessions_users,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
-        "top_tokens_documents": top_tokens_documents,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
         "resample_gapfill_user": resample_gapfill_user,
-        "streaming_view_purchase_join": streaming_view_purchase_join,
-        "describe_quantity": describe_quantity,
         "cut_quantity_bins": cut_quantity_bins,
         "get_dummies_segments": get_dummies_segments,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
         "embedding_ann_ivf": embedding_ann_ivf,
     }
 
@@ -2270,10 +2318,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_shipping": """
             SELECT l.l_linestatus,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
             GROUP BY 1
@@ -2553,7 +2601,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
             SELECT user_id,
-                   SUM(new_session) AS n_sessions,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM flagged GROUP BY user_id
         """,
@@ -2565,8 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-                   SUM(n_chars) AS total_chars,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    MIN(len(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
                    MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
             FROM documents GROUP BY lang
@@ -2648,7 +2696,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
             SELECT 'unknown' AS media_format, COUNT(*) AS n,
-                   SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+                   CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT))
+                        AS BIGINT) AS total_bytes
             FROM documents
         """,
         "asof_join_events": """
@@ -2756,7 +2805,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "interval_join_shipments": """
-            SELECT l.l_shipdate, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok
+            SELECT l.l_shipdate, COUNT(*) AS n,
+                   CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_ok
             FROM (SELECT l_shipdate FROM lineitem WHERE l_quantity >= 49) l
             JOIN orders o
               ON l.l_shipdate BETWEEN o.o_orderdate
@@ -2783,6 +2833,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
             FROM customer
+        """,
+        "period_month_revenue": """
+            SELECT date_trunc('month', o_orderdate)
+                     + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS month_end,
+                   COUNT(o_orderkey) AS n,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM orders GROUP BY 1
         """,
         "grouping_sets_pricing": """
             SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n,
@@ -2896,10 +2954,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouped_apply_demean": """
             SELECT c_custkey, c_mktsegment,
-                   COUNT(*) OVER (PARTITION BY c_mktsegment)
+                   CAST(COUNT(*) OVER (PARTITION BY c_mktsegment)
                      * CAST(FLOOR(c_acctbal * 100) AS BIGINT)
                    - SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
-                       OVER (PARTITION BY c_mktsegment) AS dev_c
+                       OVER (PARTITION BY c_mktsegment) AS BIGINT) AS dev_c
             FROM customer
         """,
         "embedding_cosine_pairs": """
@@ -3042,7 +3100,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
             SELECT user_id,
-                   SUM(new_session) AS n_sessions,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM flagged GROUP BY user_id
         """,
@@ -3057,11 +3115,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN bkt < 800000 THEN 'train'
                         WHEN bkt < 900000 THEN 'val'
                         ELSE 'test' END AS split,
-                   COUNT(*) AS n, SUM(n_chars) AS chars
+                   COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM b GROUP BY 1
         """,
         "stratified_sample_docs": """
-            SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum FROM (
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
                 SELECT lang, doc_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang

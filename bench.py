@@ -114,15 +114,21 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the measured run will surface errors
 
+    # Fault isolation: one broken query costs a -1 entry, never the whole
+    # run — the JSON line is always printed.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            print(f"[bench] {name} FAILED: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

@@ -40,6 +40,18 @@ __all__ = ["DataFrame", "Series", "Index", "Scalar", "new_collection"]
 _ROWID = "__pes_rowid__"
 
 
+def _restore_period_index(idx, index_cols, period_freq: dict):
+    """Re-wrap a computed DatetimeIndex as a PeriodIndex when the engine
+    carries period freq metadata (single-level only; the stored values are
+    period starts, so ``to_period`` is exact)."""
+    if period_freq and len(index_cols) == 1 and index_cols[0] in period_freq:
+        try:
+            return idx.to_period(period_freq[index_cols[0]])
+        except Exception:
+            return idx
+    return idx
+
+
 def _ensure_list(x) -> list:
     if x is None:
         return []
@@ -68,6 +80,13 @@ class FrameBase:
     """Common machinery for DataFrame/Series/Index/Scalar
     (reference ``FrameBase``, ``_collection.py:66-320``)."""
 
+    # Period representation (SURVEY §1.4; reference ToTimestamp
+    # _expr.py:1159-1168): Spark has no PeriodDtype, so a period index
+    # column is stored as its START timestamp with freq metadata here
+    # (driver-side, {index_col_name: pandas freqstr}).  See
+    # functions/timeseries.py period_* helpers.
+    _index_period_freq: dict = {}
+
     def __init__(self, sdf: SparkDF, expr: Node,
                  index_cols: tuple[str, ...] = (),
                  index_names: tuple | None = None):
@@ -76,6 +95,32 @@ class FrameBase:
         self._index_cols = tuple(index_cols)
         self._index_names = tuple(index_names) if index_names is not None \
             else tuple(None for _ in index_cols)
+
+    def to_timestamp(self, freq: str | None = None, how: str = "start"):
+        """PeriodIndex → DatetimeIndex (reference ToTimestamp
+        ``_expr.py:1159-1168``).  The index already stores period starts,
+        so ``how='start'`` is the identity and ``how='end'`` is pure
+        column arithmetic (start + one period - 1µs) — no shuffle."""
+        from .functions.timeseries import period_to_timestamp_col
+        freqs = dict(self._index_period_freq)
+        if not freqs:
+            if freq is None:
+                raise ValueError(
+                    "to_timestamp: index has no period freq metadata; "
+                    "pass freq= explicitly")
+            freqs = {c: freq for c in self._index_cols}
+        sdf = self._sdf
+        for c, f in freqs.items():
+            sdf = sdf.withColumn(
+                c, period_to_timestamp_col(F.col(c), freq or f, how))
+        node = Node("to_timestamp", {"freq": freq, "how": how}, self._expr)
+        if isinstance(self, Series):
+            out = type(self)(sdf, self._scol, self._col_name, node,
+                             self._index_cols, self._index_names)
+        else:
+            out = DataFrame(sdf, node, self._index_cols, self._index_names)
+        out._index_period_freq = {}
+        return out
 
     # -- plan introspection (reference _collection.py:115-124, _expr.py:103-108)
     @property
@@ -887,7 +932,12 @@ class Series(FrameBase):
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))
             pdf.index.names = list(self._index_names)
+            pdf.index = _restore_period_index(
+                pdf.index, self._index_cols, self._index_period_freq)
         ser = pdf[name]
+        vfreq = getattr(self, "_period_value_freq", None) or {}
+        if name in vfreq:
+            ser = ser.dt.to_period(vfreq[name])
         if self._col_name is None:
             ser.name = None
         if getattr(self, "_is_categorical", False):
@@ -1011,14 +1061,33 @@ class DataFrame(FrameBase):
     def _derive(self, sdf: SparkDF, op: str, params: dict | None = None,
                 index_cols=None, index_names=None) -> "DataFrame":
         node = Node(op, params or {}, self._expr)
-        return DataFrame(sdf, node,
-                         self._index_cols if index_cols is None else tuple(index_cols),
-                         self._index_names if index_names is None else tuple(index_names))
+        out = DataFrame(sdf, node,
+                        self._index_cols if index_cols is None else tuple(index_cols),
+                        self._index_names if index_names is None else tuple(index_names))
+        # carry period metadata for surviving columns (driver-side only)
+        if self._index_period_freq:
+            pf = {c: f for c, f in self._index_period_freq.items()
+                  if c in out._index_cols}
+            if pf:
+                out._index_period_freq = pf
+        vfreq = getattr(self, "_period_value_freq", None) or {}
+        if vfreq:
+            names = set(sdf.columns)
+            vf = {c: f for c, f in vfreq.items() if c in names}
+            if vf:
+                out._period_value_freq = vf
+        return out
 
     def _col(self, name: str) -> Series:
         node = Node("projection", {"columns": name}, self._expr)
-        return Series(self._sdf, F.col(name), name, node,
-                      self._index_cols, self._index_names)
+        s = Series(self._sdf, F.col(name), name, node,
+                   self._index_cols, self._index_names)
+        if self._index_period_freq:
+            s._index_period_freq = dict(self._index_period_freq)
+        vfreq = getattr(self, "_period_value_freq", None) or {}
+        if name in vfreq:
+            s._period_value_freq = {name: vfreq[name]}
+        return s
 
     # -- projection / filter (reference Projection/Filter `_expr.py:1355-1422`)
     def __getitem__(self, key):
@@ -1076,7 +1145,17 @@ class DataFrame(FrameBase):
             else:
                 new_cols[k] = F.lit(v)
         sdf = sdf.withColumns(new_cols)
-        return self._derive(sdf, "assign", {"columns": list(kwargs)})
+        out = self._derive(sdf, "assign", {"columns": list(kwargs)})
+        # a Series produced by dt.to_period carries period-value metadata
+        vf = dict(getattr(out, "_period_value_freq", None) or {})
+        for k, v in kwargs.items():
+            if isinstance(v, Series):
+                svf = getattr(v, "_period_value_freq", None) or {}
+                if svf:
+                    vf[k] = next(iter(svf.values()))
+        if vf:
+            out._period_value_freq = vf
+        return out
 
     def drop(self, labels=None, columns=None, axis: int = 1, errors: str = "raise") -> "DataFrame":
         """Reference Drop ``_expr.py:1296-1306``."""
@@ -1320,7 +1399,14 @@ class DataFrame(FrameBase):
             for k in keys:
                 sdf = sdf.withColumn(f"__idxcopy_{k}__", F.col(k))
         node = Node("set_index", {"keys": keys, "drop": drop}, self._expr)
-        return DataFrame(sdf, node, tuple(keys), tuple(keys))
+        out = DataFrame(sdf, node, tuple(keys), tuple(keys))
+        # a period-valued data column (from dt.to_period) becomes a
+        # period index: carry its freq into the index metadata
+        vfreq = getattr(self, "_period_value_freq", None) or {}
+        pf = {k: vfreq[k] for k in keys if k in vfreq}
+        if pf:
+            out._index_period_freq = pf
+        return out
 
     def reset_index(self, drop: bool = False) -> "DataFrame":
         sdf = self._sdf
@@ -2135,6 +2221,11 @@ class DataFrame(FrameBase):
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))
             pdf.index.names = list(self._index_names)
+            pdf.index = _restore_period_index(
+                pdf.index, self._index_cols, self._index_period_freq)
+        for c, f in (getattr(self, "_period_value_freq", None) or {}).items():
+            if c in pdf.columns:
+                pdf[c] = pdf[c].dt.to_period(f)
         return pdf
 
 

@@ -150,6 +150,29 @@ class DatetimeAccessor(_Accessor):
             pat = pat.replace(k, v)
         return self._wrap(F.date_format(self._s._scol, pat), "dt.strftime")
 
+    def to_period(self, freq: str):
+        """Timestamp → period (SURVEY §1.4): stored as the period's START
+        timestamp (``date_trunc``) with the freq recorded as driver-side
+        metadata, so a later ``to_timestamp`` can reconstruct either edge.
+        Pure column expression — whole-stage codegen, no shuffle."""
+        from .timeseries import period_start_col
+        s = self._wrap(period_start_col(self._s._scol, freq), "dt.to_period")
+        s._period_value_freq = {s._col_name: freq}
+        return s
+
+    def to_timestamp(self, freq: str | None = None, how: str = "start"):
+        """Period-valued series → timestamps (pandas ``.dt.to_timestamp``
+        for PeriodDtype).  Uses the freq recorded by ``to_period`` /
+        ``from_pandas`` unless overridden."""
+        from .timeseries import period_to_timestamp_col
+        vf = getattr(self._s, "_period_value_freq", {}) or {}
+        f = freq or vf.get(self._s._col_name)
+        if f is None:
+            raise ValueError("dt.to_timestamp: series has no period freq "
+                             "metadata; pass freq=")
+        return self._wrap(period_to_timestamp_col(self._s._scol, f, how),
+                          "dt.to_timestamp")
+
 
 class CategoricalAccessor(_Accessor):
     """Reference ``CategoricalAccessor`` (``_categorical.py:39-120``).

@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ewm_mean_global", "ewm_mean_grouped"]
+__all__ = ["ewm_mean_global", "ewm_mean_grouped",
+           "period_start_col", "period_to_timestamp_col"]
 
 
 def ewm_mean_grouped(sdf: SparkDF, by: list[str], col: str, order_by: list[str],
@@ -155,3 +156,60 @@ def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
                        / (F.col("__den") + F.coalesce(F.col("carry_den"), F.lit(0.0)) * scale))
            .drop("__pid", "__num", "__den", "__pos", "carry_num", "carry_den"))
     return out
+
+
+# --------------------------------------------------------------------------
+# Period representation (SURVEY §1.4; reference ToTimestamp _expr.py:1159-1168)
+#
+# Spark has no PeriodDtype.  A pandas period is represented as its
+# **start timestamp** plus driver-side freq metadata carried on the
+# collection wrapper; ``to_timestamp(how="start")`` is then the identity
+# and ``how="end"`` is ``start + <one period> - 1 microsecond`` (pandas'
+# nanosecond period-end floors to the same microsecond, so differential
+# tests agree after the ns→µs cast).  Pure column arithmetic — stays in
+# whole-stage codegen, no shuffle, scale-free.
+# --------------------------------------------------------------------------
+
+# pandas freqstr → (Spark INTERVAL literal, date_trunc unit)
+_PERIOD_FREQ = {
+    "D": ("1 DAY", "day"),
+    "W": ("7 DAY", "week"),
+    "M": ("1 MONTH", "month"),
+    "ME": ("1 MONTH", "month"),
+    "MS": ("1 MONTH", "month"),
+    "Q": ("3 MONTH", "quarter"),
+    "QE": ("3 MONTH", "quarter"),
+    "Y": ("1 YEAR", "year"),
+    "YE": ("1 YEAR", "year"),
+    "A": ("1 YEAR", "year"),
+    "H": ("1 HOUR", "hour"),
+    "T": ("1 MINUTE", "minute"),
+    "MIN": ("1 MINUTE", "minute"),
+    "S": ("1 SECOND", "second"),
+}
+
+
+def _norm_freq(freq: str) -> tuple[str, str]:
+    """Normalize a pandas freqstr ('D', 'M', 'Q-DEC', 'W-SUN', 'min', …)."""
+    key = str(freq).split("-")[0].upper()
+    if key not in _PERIOD_FREQ:
+        raise ValueError(f"unsupported period freq: {freq!r}")
+    return _PERIOD_FREQ[key]
+
+
+def period_start_col(col, freq: str):
+    """Truncate a timestamp column to its containing period's start
+    (``Series.dt.to_period``)."""
+    _, unit = _norm_freq(freq)
+    return F.date_trunc(unit, col)
+
+
+def period_to_timestamp_col(col, freq: str, how: str = "start"):
+    """Convert a stored period-start column per pandas ``to_timestamp``."""
+    if how in ("start", "s", "begin"):
+        return col
+    if how in ("end", "e", "finish"):
+        interval, _ = _norm_freq(freq)
+        return (col + F.expr(f"INTERVAL {interval}")
+                - F.expr("INTERVAL 1 MICROSECOND"))
+    raise ValueError(f"how must be 'start' or 'end', got {how!r}")

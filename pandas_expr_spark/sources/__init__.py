@@ -152,7 +152,14 @@ def read_jdbc(url: str, table: str, properties: dict | None = None,
 
 def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
     """Reference PandasIO ``io/io.py:17-20``: in-memory data as a leaf.
-    The pandas index is preserved as engine index columns."""
+    The pandas index is preserved as engine index columns.
+
+    Period columns (SURVEY §1.4; reference ToTimestamp
+    ``_expr.py:1159-1168``): Spark has no PeriodDtype, so each period
+    index level / data column is stored as its **start timestamp** with
+    the pandas freqstr recorded as driver-side metadata on the wrapper —
+    ``to_timestamp`` then converts with pure column arithmetic."""
+    import pandas as _pd
     spark = get_spark()
     index_cols: tuple[str, ...] = ()
     index_names: tuple = ()
@@ -166,11 +173,27 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
         index_cols = tuple(names)
         index_names = tuple(n if not str(n).startswith("__index_") else None
                             for n in names)
+    period_freq: dict[str, str] = {}
+    for c in pdf.columns:
+        if isinstance(pdf[c].dtype, _pd.PeriodDtype):
+            # freq.freqstr is offset-style in pandas 2.2+ ('ME'); periods
+            # use the un-suffixed alias ('M') — normalize for to_period
+            base, _, anchor = pdf[c].dtype.freq.freqstr.partition("-")
+            base = {"ME": "M", "QE": "Q", "YE": "Y"}.get(base, base)
+            period_freq[c] = base + ("-" + anchor if anchor else "")
+            pdf = pdf.assign(**{c: pdf[c].dt.to_timestamp(how="start")})
     sdf = spark.createDataFrame(pdf)
     if npartitions:
         sdf = sdf.repartition(npartitions)
     node = Node("from_pandas", {"columns": list(pdf.columns)})
-    return DataFrame(sdf, node, index_cols, index_names or None)
+    out = DataFrame(sdf, node, index_cols, index_names or None)
+    idx_pf = {c: f for c, f in period_freq.items() if c in index_cols}
+    val_pf = {c: f for c, f in period_freq.items() if c not in index_cols}
+    if idx_pf:
+        out._index_period_freq = idx_pf
+    if val_pf:
+        out._period_value_freq = val_pf
+    return out
 
 
 def _is_default_index(pdf) -> bool:

@@ -43,6 +43,18 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if sc != oc:
         problems.append(f"columns {sc} vs {oc}")
         return problems
+    # The driver hashes stringified values, so int64 `4743` vs float64
+    # `4743.0` is a hash MISMATCH even though numerically equal.  Emulate
+    # that strictly: flag any int-vs-float kind divergence.
+    for c in sc:
+        ka = "f" if pd.api.types.is_float_dtype(spark_df[c]) else (
+            "i" if pd.api.types.is_integer_dtype(spark_df[c]) else "o")
+        kb = "f" if pd.api.types.is_float_dtype(oracle_df[c]) else (
+            "i" if pd.api.types.is_integer_dtype(oracle_df[c]) else "o")
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (driver hash would differ)")
     a, b = normalize(spark_df), normalize(oracle_df)
     if len(a) == len(b):
         for c in a.columns:

@@ -163,3 +163,47 @@ def test_resample_fill_empty_single_agg_count(spark, sparse_ts_pdf):
            .sort_values("ts").reset_index(drop=True))
     exp = sparse_ts_pdf.resample("h", on="ts")["v"].count().reset_index()
     assert got["v"].tolist() == exp["v"].tolist()
+
+
+# --------------------------------------------------------------------------
+# Period / to_timestamp (SURVEY §1.4; reference ToTimestamp
+# _expr.py:1159-1168, reference tests/test_collection.py:251-256)
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("how", ["start", "end"])
+@pytest.mark.parametrize("freq", ["D", "M", "h"])
+def test_to_timestamp_differential(spark, how, freq):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"x": range(12), "y": [float(i) for i in range(12)]})
+    pdf.index = pd.period_range("2019-12-31", freq=freq, periods=len(pdf))
+    df = pes.from_pandas(pdf)
+    got = df.to_timestamp(how=how).compute().sort_index()
+    exp = pdf.to_timestamp(how=how)
+    # pandas period-end is ns-precision (…999999999); Spark is µs — the
+    # µs cast floors both to the same value
+    exp_idx = exp.index.values.astype("datetime64[us]")
+    assert (got.index.values.astype("datetime64[us]") == exp_idx).all()
+    assert (got["x"].values == exp["x"].values).all()
+    # series form converts the index identically
+    gs = df.x.to_timestamp(how=how).compute().sort_index()
+    es = pdf.x.to_timestamp(how=how)
+    assert (gs.index.values.astype("datetime64[us]")
+            == es.index.values.astype("datetime64[us]")).all()
+    assert (gs.values == es.values).all()
+
+
+def test_period_roundtrip_and_to_period(spark):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"x": range(5)},
+                       index=pd.period_range("2023-01", freq="M", periods=5))
+    df = pes.from_pandas(pdf)
+    rt = df.compute().sort_index()
+    assert isinstance(rt.index, pd.PeriodIndex)
+    assert rt.index.equals(pdf.index)
+    # dt.to_period on a timestamp column, pandas-differential
+    ts = pd.DataFrame({"t": pd.date_range("2024-01-15", periods=10, freq="7D"),
+                       "v": range(10)})
+    d2 = pes.from_pandas(ts)
+    got = d2.assign(p=d2.t.dt.to_period("M")).compute()["p"]
+    exp = ts["t"].dt.to_period("M")
+    assert str(got.dtype) == "period[M]"
+    assert (got.sort_index().values == exp.values).all()
