@@ -945,6 +945,47 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb_d, q, k=10, num_planes=6, multiprobe=1)
 
 
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE embedding-dedup path, gated EXACTLY: banded
+    random-hyperplane LSH (``functions/dedup.py embedding_near_dup_pairs``,
+    8 planes × 4 bands — O(n) bucketing, never a crossJoin) must recover
+    every near-dup pair the brute-force oracle finds.  The test corpus has
+    no high-cosine pairs, so true near-dups are planted deterministically:
+    vec_id < 25 get a perturbed copy ``v[i] * (1 + 0.05·sin(i + vec_id))``
+    (cosine ≈ 0.9994 to the original, SQL-expressible — no RNG), and the
+    0.99 threshold isolates exactly those planted pairs.  A missed pair =
+    a missing row = driver hash mismatch, so this IS a recall gate for
+    the plan you'd run at 100 TB."""
+    from pandas_expr_spark.functions import dedup
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    # deterministic perturbed copies; (i+1) matches DuckDB's 1-based
+    # list_transform index so both engines plant identical vectors
+    pert = (emb.filter(F.col("vec_id") < 25)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.expr("transform(embedding, (x, i) -> x * (1.0d + 0.05d "
+                           "* sin(cast(i + 1 + vec_id as double))))")
+                    .alias("embedding")))
+    aug = emb.select("vec_id", "embedding").unionByName(pert)
+    pairs = dedup.embedding_near_dup_pairs(aug, cosine_threshold=0.99,
+                                           num_planes=8, bands=4, seed=42)
+    return pairs.select("id_a", "id_b",
+                        F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY §2.10, the row the reference leaves empty):
+    document → chunk rows via a registered ``pyspark.sql.udtf`` lateral
+    join.  Python-per-row is deliberate here — the gate proves the UDTF
+    API; the JVM-side ``chunk_expr`` twin (same oracle, tests) is the
+    100 TB path.  Restricted to doc_id < 200 to bound the Python cost."""
+    from pandas_expr_spark.functions import udtf as u
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return u.chunk_documents(docs, chunk_size=50, use_udtf=True)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→bytes payloads, format sniff + stub
     feature decode over mapInPandas.  Rows-only check."""
@@ -2045,9 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_orders": dedup_keep_first_orders,
         "idx_extremes_orders": idx_extremes_orders,
         "quantile_prices": quantile_prices,
-        "describe_quantity": describe_quantity,
         "corr_matrix_lineitem": corr_matrix_lineitem,
-        "explode_tokens": explode_tokens,
         "period_month_revenue": period_month_revenue,
         "cat_codes_segments": cat_codes_segments,
         # -- LLM-pipeline batteries --
@@ -2055,7 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "similarity_topk": similarity_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "multimodal_meta": multimodal_meta,
+        "udtf_chunk_documents": udtf_chunk_documents,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_docs": stratified_sample_docs,
         "top_tokens_documents": top_tokens_documents,
@@ -2135,6 +2176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
         "resample_gapfill_user": resample_gapfill_user,
+        "explode_tokens": explode_tokens,
+        "describe_quantity": describe_quantity,
         "cut_quantity_bins": cut_quantity_bins,
         "get_dummies_segments": get_dummies_segments,
         "embedding_ann_ivf": embedding_ann_ivf,
@@ -2970,6 +3013,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "udtf_chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   array_to_string(list_slice(toks, i * 50 + 1, (i + 1) * 50),
+                                   ' ') AS chunk_text,
+                   CAST(len(list_slice(toks, i * 50 + 1, (i + 1) * 50)) AS INT)
+                     AS n_chunk_tokens
+            FROM t, UNNEST(range(CAST(ceil(len(toks) / 50.0) AS BIGINT)))
+                    AS u(i)
+        """,
+        "embedding_near_dup_lsh": """
+            WITH aug AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                         i -> embedding[i]::DOUBLE
+                              * (1.0 + 0.05 * sin(CAST(i + vec_id AS DOUBLE))))
+                     AS v
+              FROM embeddings WHERE vec_id < 25
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.99
         """,
         "resample_daily_events": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

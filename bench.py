@@ -68,6 +68,9 @@ HEADLINE = [
     "top_tokens_documents",
     "kll_doclen_quantiles",
     "ewm_price_per_customer",
+    # round-2 additions: period workflow, scalable embedding dedup
+    "period_month_revenue",
+    "embedding_near_dup_lsh",
 ]
 
 

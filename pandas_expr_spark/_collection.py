@@ -40,6 +40,37 @@ __all__ = ["DataFrame", "Series", "Index", "Scalar", "new_collection"]
 _ROWID = "__pes_rowid__"
 
 
+def _avg_rank_join(sdf: SparkDF, col: str, out_col: str) -> SparkDF:
+    """Average-tie rank of ``col`` appended as ``out_col`` — computed on the
+    distinct-value table (window over values, not rows) and joined back, so
+    no global row window (Series.rank's scale contract)."""
+    counts = (sdf.filter(F.col(col).isNotNull())
+              .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt__")))
+    w = Window.orderBy(F.col(col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("__cnt__").over(w)
+    r = cum - F.col("__cnt__") + (F.col("__cnt__") + 1) / 2.0
+    ranks = counts.select(F.col(col), r.alias(out_col))
+    return sdf.join(ranks, on=col, how="left")
+
+
+def _var_fn(ddof: int):
+    """Column-expression variance for ANY ddof (SURVEY §2.5): built-ins for
+    the common 0/1, else the sufficient-statistic identity
+    (Σx² - (Σx)²/n) / (n - ddof) — still one distributed agg pass."""
+    if ddof == 1:
+        return F.var_samp
+    if ddof == 0:
+        return F.var_pop
+
+    def fn(c: Column) -> Column:
+        x = c.cast("double")
+        n = F.count(x)
+        return ((F.sum(x * x) - F.sum(x) * F.sum(x) / n)
+                / (n - F.lit(ddof)))
+    return fn
+
+
 def _restore_period_index(idx, index_cols, period_freq: dict):
     """Re-wrap a computed DatetimeIndex as a PeriodIndex when the engine
     carries period freq metadata (single-level only; the stored values are
@@ -133,6 +164,12 @@ class FrameBase:
     def tree_repr(self) -> str:
         return self._expr.tree_repr()
 
+    def visualize(self, filename: str | None = None, format: str = "png"):
+        """Graphviz rendering of the logical plan (reference ``visualize``
+        ``_expr.py:718-814``); falls back to DOT source when graphviz
+        isn't installed."""
+        return self._expr.visualize(filename, format)
+
     def explain(self, mode: str = "formatted") -> None:
         """Spark physical-plan introspection (SURVEY §2.11)."""
         self.to_spark().explain(mode)
@@ -225,6 +262,20 @@ class Series(FrameBase):
     def size(self) -> Scalar:
         return Scalar(self._sdf.agg(F.count(F.lit(1)).alias("size")),
                       Node("size", {}, self._expr))
+
+    @property
+    def nbytes(self) -> Scalar:
+        """pandas ``Series.nbytes`` (reference NBytes ``_reductions.py``):
+        row count × the dtype's pandas itemsize (object/string columns are
+        8-byte pointers, matching pandas' ``.nbytes``)."""
+        itemsize = {
+            T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+            T.TimestampNTZType: 8, T.IntegerType: 4, T.FloatType: 4,
+            T.DateType: 8, T.ShortType: 2, T.ByteType: 1, T.BooleanType: 1,
+        }.get(type(self.spark_type), 8)
+        return Scalar(self._sdf.agg(
+            (F.count(F.lit(1)) * F.lit(itemsize)).alias("nbytes")),
+            Node("nbytes", {"itemsize": itemsize}, self._expr))
 
     def __len__(self) -> int:
         return self._sdf.count()
@@ -556,8 +607,9 @@ class Series(FrameBase):
         distinct-value table (orders of magnitude smaller), and join back on
         v (AQE broadcasts when small).  Nulls get null rank (pandas NaN)."""
         name = self._col_name or "__v__"
-        sdf = self._sdf.select(self._scol.alias(name))
-        counts = (sdf.filter(F.col(name).isNotNull())
+        sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                               self._scol.alias(name))
+        counts = (sdf.select(name).filter(F.col(name).isNotNull())
                   .groupBy(name).agg(F.count(F.lit(1)).alias("__cnt__")))
         order = F.col(name).asc() if ascending else F.col(name).desc()
         w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding,
@@ -713,9 +765,25 @@ class Series(FrameBase):
             Node(op, {"aligned": True}, self._expr, other._expr))
 
     def corr(self, other: "Series", method: str = "pearson") -> Scalar:
-        if method != "pearson":
-            raise NotImplementedError("corr: pearson only")
-        return self._pairwise(other, F.corr, "corr")
+        if method == "pearson":
+            return self._pairwise(other, F.corr, "corr")
+        if method == "spearman":
+            # rank-transform both sides (distinct-value rank table +
+            # join-back — the same scale-safe shape as Series.rank, no
+            # global window), then Pearson on the ranks.
+            if isinstance(other, Series) and other._sdf is self._sdf:
+                pair = self._sdf.select(self._scol.alias("__l__"),
+                                        other._scol.alias("__r__"))
+            else:
+                lf = self.to_frame("__l__")
+                rf = other.to_frame("__r__")
+                pair = _align_frames(lf, rf)._sdf.select("__l__", "__r__")
+            ranked = _avg_rank_join(_avg_rank_join(pair, "__l__", "__lrk__"),
+                                    "__r__", "__rrk__")
+            return Scalar(ranked.agg(
+                F.corr(F.col("__lrk__"), F.col("__rrk__")).alias("corr")),
+                Node("corr", {"method": "spearman"}, self._expr, other._expr))
+        raise NotImplementedError("corr: method must be pearson or spearman")
 
     def cov(self, other: "Series", ddof: int = 1) -> Scalar:
         fn = F.covar_samp if ddof == 1 else F.covar_pop
@@ -1076,6 +1144,12 @@ class DataFrame(FrameBase):
             vf = {c: f for c, f in vfreq.items() if c in names}
             if vf:
                 out._period_value_freq = vf
+        cmeta = getattr(self, "_cat_meta", None) or {}
+        if cmeta:
+            names = set(sdf.columns)
+            cm = {c: v for c, v in cmeta.items() if c in names}
+            if cm:
+                out._cat_meta = cm
         return out
 
     def _col(self, name: str) -> Series:
@@ -1146,15 +1220,22 @@ class DataFrame(FrameBase):
                 new_cols[k] = F.lit(v)
         sdf = sdf.withColumns(new_cols)
         out = self._derive(sdf, "assign", {"columns": list(kwargs)})
-        # a Series produced by dt.to_period carries period-value metadata
+        # a Series produced by dt.to_period carries period-value metadata;
+        # a categorical Series with known categories carries _cat_meta
         vf = dict(getattr(out, "_period_value_freq", None) or {})
+        cm = dict(getattr(out, "_cat_meta", None) or {})
         for k, v in kwargs.items():
             if isinstance(v, Series):
                 svf = getattr(v, "_period_value_freq", None) or {}
                 if svf:
                     vf[k] = next(iter(svf.values()))
+                if getattr(v, "_is_categorical", False) and \
+                        getattr(v, "_cat_categories", None):
+                    cm[k] = list(v._cat_categories)
         if vf:
             out._period_value_freq = vf
+        if cm:
+            out._cat_meta = cm
         return out
 
     def drop(self, labels=None, columns=None, axis: int = 1, errors: str = "raise") -> "DataFrame":
@@ -1236,15 +1317,23 @@ class DataFrame(FrameBase):
         # "category" is engine metadata over the physical type (SURVEY §1.4)
         # — a frame-level no-op here; select the column as a Series for the
         # known/unknown category machinery.
+        cat_meta = dict(getattr(self, "_cat_meta", None) or {})
         if isinstance(dtype, Mapping):
             casts = {c: F.col(c).cast(to_spark_type(t))
                      for c, t in dtype.items() if str(t) != "category"}
+            for c, t in dtype.items():
+                cats = getattr(t, "categories", None)
+                if str(t) == "category" and cats is not None:
+                    cat_meta[c] = list(cats)
         elif str(dtype) == "category":
             casts = {}
         else:
             st = to_spark_type(dtype)
             casts = {c: F.col(c).cast(st) for c in self.columns}
-        return self._derive(self._sdf.withColumns(casts), "astype", {})
+        out = self._derive(self._sdf.withColumns(casts), "astype", {})
+        if cat_meta:
+            out._cat_meta = cat_meta
+        return out
 
     def combine_first(self, other: "DataFrame") -> "DataFrame":
         """Reference CombineFirst ``_expr.py:1005-1031``: index-aligned null
@@ -1280,9 +1369,23 @@ class DataFrame(FrameBase):
     # -- sampling / dedup ------------------------------------------------
     def sample(self, frac: float | None = None, n: int | None = None,
                replace: bool = False, random_state: int | None = None) -> "DataFrame":
-        """Reference Sample ``_expr.py:1055-1070``."""
+        """Reference Sample ``_expr.py:1055-1070``.
+
+        ``n=`` costs one count() action, then oversampled Bernoulli +
+        ``limit(n)`` — the standard distributed exact-n sample (a global
+        shuffle-to-one-task sort would be the naive alternative)."""
         if frac is None:
-            raise NotImplementedError("sample(n=...) requires a count; use frac")
+            if n is None:
+                raise ValueError("sample: pass frac= or n=")
+            total = self._sdf.count()
+            if n >= total:
+                return self._derive(self._sdf, "sample", {"n": n})
+            # oversample so P(fewer than n rows) is negligible, then cap
+            frac_n = min(1.0, n / total * 1.2 + 10.0 / total)
+            sampled = self._sdf.sample(withReplacement=replace,
+                                       fraction=frac_n, seed=random_state)
+            return self._derive(sampled.limit(n), "sample",
+                                {"n": n, "seed": random_state})
         return self._derive(
             self._sdf.sample(withReplacement=replace, fraction=frac, seed=random_state),
             "sample", {"frac": frac, "replace": replace, "seed": random_state})
@@ -1614,12 +1717,12 @@ class DataFrame(FrameBase):
         return self._columnwise(F.count, "count", numeric_only)
 
     def var(self, ddof: int = 1, numeric_only: bool = True):
-        fn = F.var_samp if ddof == 1 else F.var_pop
+        fn = _var_fn(ddof)
         return self._columnwise(fn, "var", numeric_only)
 
     def std(self, ddof: int = 1, numeric_only: bool = True):
-        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._columnwise(fn, "std", numeric_only)
+        vfn = _var_fn(ddof)
+        return self._columnwise(lambda c: F.sqrt(vfn(c)), "std", numeric_only)
 
     def mode(self, numeric_only: bool = False):
         raise NotImplementedError("DataFrame.mode: use Series.mode per column")
@@ -1718,17 +1821,40 @@ class DataFrame(FrameBase):
         return DataFrame(stacked, node, ("column",), (None,))
 
     def corr(self, method: str = "pearson") -> "DataFrame":
-        """pandas ``df.corr()`` (pearson): pairwise Pearson correlation
-        matrix via ``F.corr`` — single pass, no shuffle beyond the agg."""
-        if method != "pearson":
-            raise NotImplementedError("corr: only pearson")
-        return self._pairwise(F.corr, "corr")
+        """pandas ``df.corr()``: pairwise correlation matrix via ``F.corr``
+        — single pass, no shuffle beyond the agg.  ``spearman`` rank-
+        transforms every numeric column first (distinct-value rank tables,
+        one value-shuffle per column, no global row window) then runs the
+        same Pearson pass on the ranks."""
+        if method == "pearson":
+            return self._pairwise(F.corr, "corr")
+        if method == "spearman":
+            cols = self._numeric_columns()
+            sdf = self._sdf
+            for c in cols:
+                sdf = _avg_rank_join(sdf, c, f"__rk_{c}__")
+            sdf = sdf.select(*[F.col(f"__rk_{c}__").alias(c) for c in cols])
+            ranked = DataFrame(sdf, Node("rank_all", {"columns": cols},
+                                         self._expr))
+            return ranked._pairwise(F.corr, "corr")
+        raise NotImplementedError("corr: method must be pearson or spearman")
 
     def cov(self, ddof: int = 1) -> "DataFrame":
-        """pandas ``df.cov()``: pairwise sample covariance matrix."""
-        if ddof != 1:
-            raise NotImplementedError("cov: only ddof=1 (covar_samp)")
-        return self._pairwise(F.covar_samp, "cov")
+        """pandas ``df.cov()``: pairwise covariance matrix (any ddof via
+        the sufficient-statistic identity, same single-pass plan)."""
+        if ddof == 1:
+            return self._pairwise(F.covar_samp, "cov")
+        if ddof == 0:
+            return self._pairwise(F.covar_pop, "cov")
+
+        def fn(a: Column, b: Column) -> Column:
+            x, y = a.cast("double"), b.cast("double")
+            n = F.count(F.when(x.isNotNull() & y.isNotNull(), 1))
+            sx = F.sum(F.when(y.isNotNull(), x))
+            sy = F.sum(F.when(x.isNotNull(), y))
+            sxy = F.sum(x * y)
+            return (sxy - sx * sy / n) / (n - F.lit(ddof))
+        return self._pairwise(fn, "cov")
 
     def get_dummies(self, columns: Sequence[str],
                     values: Mapping[str, Sequence] | None = None,
@@ -1756,7 +1882,7 @@ class DataFrame(FrameBase):
 
     # -- groupby / join / concat (operators/) ----------------------------
     def groupby(self, by, sort: bool = True, as_index: bool = True,
-                dropna: bool = True, observed: bool = False):
+                dropna: bool = True, observed: bool = True):
         from .operators.groupby import GroupBy
         by = _ensure_list(by)
         bad = [b for b in by if not isinstance(b, str)]
@@ -1766,7 +1892,8 @@ class DataFrame(FrameBase):
         missing = [b for b in by if b not in self.columns]
         if missing:
             raise KeyError(missing)
-        return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna)
+        return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna,
+                       observed=observed)
 
     def rollup(self, by, sort: bool = True):
         """Hierarchical subtotals (Spark-native multi-grouping-set agg —

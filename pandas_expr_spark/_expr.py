@@ -176,3 +176,65 @@ class Node(Expr):
         for dep in self.dependencies:
             lines.append(dep.tree_repr(indent + 2))
         return "\n".join(lines)
+
+
+def to_dot(expr: Expr, graph_attrs: dict | None = None) -> str:
+    """DOT source for the expression tree (reference ``visualize``
+    ``_expr.py:718-814``) — dependency-free; ``Expr.visualize`` renders it
+    with graphviz when installed, else returns/saves this source."""
+    lines = ["digraph plan {", '  rankdir="BT";',
+             '  node [shape=box, fontname="monospace", fontsize=10];']
+    for k, v in (graph_attrs or {}).items():
+        lines.append(f'  graph [{k}="{v}"];')
+    seen: dict[str, str] = {}
+    counter = [0]
+
+    def nid(e: Expr) -> str:
+        name = e._name
+        if name not in seen:
+            seen[name] = f"n{counter[0]}"
+            counter[0] += 1
+        return seen[name]
+
+    emitted: set[str] = set()
+
+    def emit(e: Expr) -> None:
+        i = nid(e)
+        if i in emitted:
+            return
+        emitted.add(i)
+        label = getattr(e, "op", type(e).__name__)
+        summary = e._operand_summary()
+        if summary:
+            summary = summary.replace("\\", "\\\\").replace('"', '\\"')
+            label = f"{label}\\n{summary[:60]}"
+        lines.append(f'  {i} [label="{label}"];')
+        for dep in e.dependencies:
+            emit(dep)
+            lines.append(f"  {nid(dep)} -> {i};")
+
+    emit(expr)
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def _expr_visualize(self, filename: str | None = None, format: str = "png"):
+    """Render the plan tree.  With graphviz installed returns a
+    ``graphviz.Source`` (and writes ``filename`` if given); otherwise
+    returns the DOT source string (written to ``filename``.dot if given)."""
+    dot = to_dot(self)
+    try:
+        import graphviz
+    except ImportError:
+        if filename:
+            with open(filename + ".dot", "w") as f:
+                f.write(dot)
+        return dot
+    src = graphviz.Source(dot)
+    if filename:
+        src.render(filename, format=format, cleanup=True)
+    return src
+
+
+Expr.to_dot = lambda self: to_dot(self)
+Expr.visualize = _expr_visualize

@@ -77,7 +77,24 @@ class StringAccessor(_Accessor):
 
     def cat(self, others=None, sep: str = ""):
         if others is None:
-            raise NotImplementedError("str.cat reduction form")
+            # reduction form: concatenate ALL values into one string.
+            # Inherently a global fold — ordered by the engine index when
+            # one exists (sort_array over (idx, value) structs), else
+            # partition order (documented; a 100 TB global concat is a
+            # driver-sized result by definition).
+            from .._collection import Scalar
+            from .._expr import Node
+            s = self._s
+            if s._index_cols:
+                st = F.struct(*[F.col(c) for c in s._index_cols],
+                              s._scol.alias("__v__"))
+                arr = F.sort_array(F.collect_list(st))
+                joined = F.array_join(
+                    F.transform(arr, lambda x: x["__v__"]), sep)
+            else:
+                joined = F.array_join(F.collect_list(s._scol), sep)
+            return Scalar(s._sdf.agg(joined.alias("cat")),
+                          Node("str.cat", {"sep": sep}, s._expr))
         cols = [self._s._scol] + [o._scol for o in others]
         return self._wrap(F.concat_ws(sep, *cols), "str.cat")
 

@@ -271,24 +271,37 @@ def simhash_pairs(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
 def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              cosine_threshold: float = 0.95,
-                             num_planes: int = 8, seed: int = 42) -> SparkDF:
+                             num_planes: int = 8, seed: int = 42,
+                             bands: int = 1) -> SparkDF:
     """Embedding-cosine near-dup pairs, LSH-bucketed.
 
     Random-hyperplane signature (sign bits packed into one long, JVM-side dot
     products via ``F.aggregate``/``zip_with``) buckets the vectors; exact
-    cosine is verified only within buckets.  At 100 TB this is the standard
-    two-stage ANN-join: O(n) bucketing shuffle + per-bucket quadratic verify.
+    cosine is verified only within buckets.  With ``bands`` > 1 this is
+    banded OR-amplification (mirrors the MinHash LSH banding above): a pair
+    is a candidate if it shares ANY band's bucket, so recall for
+    high-cosine pairs approaches 1 while each band still prunes
+    ~(1 - 1/2^num_planes) of random pairs.  At 100 TB this is the standard
+    two-stage ANN-join: O(bands·n) bucketing shuffle + per-bucket quadratic
+    verify + one pair-dedup shuffle — never an all-pairs crossJoin.
     """
     from .similarity import _dot, _norm, random_hyperplane_bucket
-    bucket = random_hyperplane_bucket(vec_col, num_planes=num_planes, seed=seed)
-    sb = sdf.select(F.col(id_col), F.col(vec_col), bucket.alias("__bkt__"))
+    buckets = [random_hyperplane_bucket(vec_col, num_planes=num_planes,
+                                        seed=seed + 7919 * j)
+               for j in range(bands)]
+    sb = sdf.select(F.col(id_col), F.col(vec_col),
+                    F.posexplode(F.array(*buckets)).alias("__band__", "__bkt__"))
     a = sb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a__"),
-                  "__bkt__")
+                  "__band__", "__bkt__")
     b = sb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b__"),
-                  "__bkt__")
-    cos = _dot("__v_a__", "__v_b__") / (_norm("__v_a__") * _norm("__v_b__"))
-    return (a.join(b, "__bkt__")
+                  "__band__", "__bkt__")
+    cand = (a.join(b, ["__band__", "__bkt__"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cos)
+            .select("id_a", "id_b", "__v_a__", "__v_b__"))
+    if bands > 1:
+        # a pair can collide in several bands — verify each pair once
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    cos = _dot("__v_a__", "__v_b__") / (_norm("__v_a__") * _norm("__v_b__"))
+    return (cand.withColumn("cosine", cos)
             .filter(F.col("cosine") >= cosine_threshold)
             .select("id_a", "id_b", "cosine"))

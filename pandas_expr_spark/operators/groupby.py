@@ -90,7 +90,8 @@ class GroupBy:
     def __init__(self, frame, by: list[str], sort: bool = True,
                  as_index: bool = True, dropna: bool = True,
                  slice_: list[str] | None = None, kind: str = "groupby",
-                 sets: list[list[str]] | None = None):
+                 sets: list[list[str]] | None = None,
+                 observed: bool = True):
         self._frame = frame
         self._by = by
         self._sort = sort
@@ -102,6 +103,14 @@ class GroupBy:
         # shuffle, subtotal rows marked by NULL keys; SURVEY §2.5 noted gap)
         self._kind = kind
         self._sets = sets
+        # pandas groupby(observed=False) on categorical keys: emit a row for
+        # every known category even if absent from the data.  Known
+        # categories come from the frame's categorical metadata (_cat_meta,
+        # populated by assign/astype with a known CategoricalDtype).
+        self._observed = observed
+        self._cats = {b: cats for b, cats in
+                      (getattr(frame, "_cat_meta", None) or {}).items()
+                      if b in by and cats}
 
     # -- slicing (reference `_groupby.py:320-335`) -----------------------
     def __getitem__(self, key):
@@ -147,6 +156,8 @@ class GroupBy:
 
     def _finish(self, out, op: str):
         from .._collection import DataFrame, Series
+        if self._kind == "groupby" and not self._observed and self._cats:
+            out = self._complete_unobserved(out)
         if self._sort:
             out = out.orderBy(*[F.col(b).asc() for b in self._by])
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
@@ -156,6 +167,29 @@ class GroupBy:
         if self._as_index and self._slice is not None and len(value_cols) == 1:
             return Series(out, F.col(value_cols[0]), value_cols[0], node, idx, names)
         return DataFrame(out, node, idx, names)
+
+    def _complete_unobserved(self, out):
+        """Left-join the aggregate onto the full category spine so
+        unobserved categories appear (count-like aggs filled with 0, the
+        rest NULL — pandas semantics).  The spine is driver-side category
+        metadata crossed with the observed values of any non-categorical
+        key: tiny, broadcast into the join — no extra data shuffle."""
+        spark = out.sparkSession
+        spine = None
+        for b in self._by:
+            if b in self._cats:
+                bt = out.schema[b].dataType
+                cdf = spark.createDataFrame(
+                    [(v,) for v in self._cats[b]], T.StructType(
+                        [T.StructField(b, bt)]))
+            else:
+                cdf = out.select(b).distinct()
+            spine = cdf if spine is None else spine.crossJoin(cdf)
+        filled = F.broadcast(spine).join(out, self._by, "left")
+        zero = {c: F.coalesce(F.col(c), F.lit(0))
+                for c in getattr(self, "_count_like", set())
+                if c in filled.columns}
+        return filled.withColumns(zero) if zero else filled
 
     def _single_agg(self, fn_name: str, numeric_only: bool = False):
         cols = self._value_columns(numeric_only)
@@ -174,17 +208,32 @@ class GroupBy:
     def mean(self, numeric_only: bool = True): return self._single_agg("mean", numeric_only)
     def median(self, numeric_only: bool = True): return self._single_agg("median", numeric_only)
     def var(self, ddof: int = 1, numeric_only: bool = True):
-        if ddof not in (0, 1):
-            raise NotImplementedError("groupby.var: ddof ∈ {0,1}")
-        name = "var" if ddof == 1 else "var_pop"
-        _AGG_FNS.setdefault("var_pop", F.var_pop)
-        return self._single_agg(name, numeric_only)
+        if ddof in (0, 1):
+            name = "var" if ddof == 1 else "var_pop"
+            _AGG_FNS.setdefault("var_pop", F.var_pop)
+            return self._single_agg(name, numeric_only)
+        return self._moment_agg(ddof, sqrt=False)
     def std(self, ddof: int = 1, numeric_only: bool = True):
-        if ddof not in (0, 1):
-            raise NotImplementedError("groupby.std: ddof ∈ {0,1}")
-        name = "std" if ddof == 1 else "std_pop"
-        _AGG_FNS.setdefault("std_pop", F.stddev_pop)
-        return self._single_agg(name, numeric_only)
+        if ddof in (0, 1):
+            name = "std" if ddof == 1 else "std_pop"
+            _AGG_FNS.setdefault("std_pop", F.stddev_pop)
+            return self._single_agg(name, numeric_only)
+        return self._moment_agg(ddof, sqrt=True)
+
+    def _moment_agg(self, ddof: int, sqrt: bool):
+        """General-``ddof`` grouped var/std via sufficient statistics
+        (SURVEY §2.5: n, Σx, Σx²) — one shuffle with map-side partial
+        aggregation, same plan shape as the built-in var/std."""
+        cols = self._value_columns(True)
+        aggs = []
+        for c in cols:
+            x = F.col(c).cast("double")
+            n = F.count(x)
+            v = (F.sum(x * x) - F.sum(x) * F.sum(x) / n) / (n - F.lit(ddof))
+            aggs.append((F.sqrt(v) if sqrt else v).alias(c))
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, "std" if sqrt else "var")
     def first(self): return self._single_agg("first")
     def last(self): return self._single_agg("last")
     def sem(self, numeric_only: bool = True): return self._single_agg("sem", numeric_only)

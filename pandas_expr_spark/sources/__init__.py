@@ -173,6 +173,14 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
         index_cols = tuple(names)
         index_names = tuple(n if not str(n).startswith("__index_") else None
                             for n in names)
+    cat_meta: dict[str, list] = {}
+    for c in pdf.columns:
+        if isinstance(pdf[c].dtype, _pd.CategoricalDtype):
+            # categories are engine metadata (SURVEY §1.4); values are
+            # stored as the physical category dtype
+            cat_meta[c] = list(pdf[c].dtype.categories)
+            pdf = pdf.assign(**{c: pdf[c].astype(
+                pdf[c].dtype.categories.dtype)})
     period_freq: dict[str, str] = {}
     for c in pdf.columns:
         if isinstance(pdf[c].dtype, _pd.PeriodDtype):
@@ -193,6 +201,8 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
         out._index_period_freq = idx_pf
     if val_pf:
         out._period_value_freq = val_pf
+    if cat_meta:
+        out._cat_meta = cat_meta
     return out
 
 

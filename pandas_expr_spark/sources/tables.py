@@ -39,19 +39,38 @@ def ns_timestamp_columns(path: str) -> list[str]:
     return cols
 
 
+def _require_utc(spark: SparkSession) -> None:
+    """The NTZ→LTZ cast is value-preserving ONLY under a UTC session
+    timezone (``_session.py`` pins it; don't rely on that by convention —
+    a non-UTC caller would silently shift every event time)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"timestamp normalization requires a UTC session timezone "
+            f"(spark.sql.session.timeZone={tz!r}); set it to 'UTC' or "
+            f"convert with to_utc_timestamp explicitly")
+
+
 def normalize_ts(sdf: SparkDF, col: str = "ts") -> SparkDF:
     """Normalize an event-time column to TIMESTAMP (LTZ) whatever the source
-    layout: int64 nanos (legacy nanosAsLong reads), TIMESTAMP_NTZ (µs parquet
-    without tz under Spark 4's inferTimestampNTZ), or already-LTZ.  Works on
-    batch AND streaming DataFrames (type dispatch is on the analyzed schema,
-    no data read).  Watermarks/windows require LTZ; the session timezone is
-    pinned to UTC so the NTZ cast is value-preserving."""
+    layout: int64 **epoch-nanoseconds** (legacy nanosAsLong reads — a plain
+    long column holding anything else, e.g. epoch-millis or an id, would be
+    misconverted, so only pass true ns-epoch columns), TIMESTAMP_NTZ (µs
+    parquet without tz under Spark 4's inferTimestampNTZ), or already-LTZ.
+    Works on batch AND streaming DataFrames (type dispatch is on the
+    analyzed schema, no data read).  Watermarks/windows require LTZ; the
+    session timezone must be UTC so the NTZ cast is value-preserving
+    (checked)."""
     from pyspark.sql import types as T
+    if col not in sdf.columns:
+        raise ValueError(f"normalize_ts: column {col!r} not in schema "
+                         f"{sdf.columns}")
     dt = sdf.schema[col].dataType
     if isinstance(dt, T.LongType):
         # integer `div` — double division loses precision above 2^53
         return sdf.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if isinstance(dt, T.TimestampNTZType):
+        _require_utc(sdf.sparkSession)
         return sdf.withColumn(col, F.col(col).cast("timestamp"))
     return sdf
 
@@ -77,5 +96,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
     ntz = [f.name for f in sdf.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
+        _require_utc(spark)
         sdf = sdf.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return sdf

