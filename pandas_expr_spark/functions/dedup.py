@@ -289,8 +289,13 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
     buckets = [random_hyperplane_bucket(vec_col, num_planes=num_planes,
                                         seed=seed + 7919 * j)
                for j in range(bands)]
+    # persist the bucketed projection: the self-join would otherwise
+    # evaluate the bands×planes signature HOFs once per join SIDE (same
+    # contract as brute_force_pairs / the MinHash LSH path — at scale you
+    # would write the bucketed table out instead)
     sb = sdf.select(F.col(id_col), F.col(vec_col),
                     F.posexplode(F.array(*buckets)).alias("__band__", "__bkt__"))
+    sb = sb.persist()
     a = sb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a__"),
                   "__band__", "__bkt__")
     b = sb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b__"),

