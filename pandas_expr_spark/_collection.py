@@ -182,6 +182,19 @@ class FrameBase:
     simplify = optimize
     lower_once = optimize
 
+    def copy(self):
+        """Reference ``copy`` (collections are immutable — a new wrapper
+        over the same plan is an exact copy)."""
+        import copy as _copy
+        return _copy.copy(self)
+
+    @property
+    def dask(self):
+        """Reference ``.dask`` exposes the materialized task graph; the
+        Spark-native analogue of "the thing the scheduler executes" is the
+        lowered Spark DataFrame (its physical plan is Catalyst's)."""
+        return self._sdf
+
     # -- execution --------------------------------------------------------
     def to_spark(self) -> SparkDF:
         """The lowered Spark DataFrame (index columns included)."""
@@ -443,6 +456,26 @@ class Series(FrameBase):
     def where(self, cond: "Series", other=None):
         return self._with_scol(
             F.when(cond._scol, self._scol).otherwise(F.lit(other)), "where")
+
+    def dropna(self) -> "Series":
+        """Reference DropnaSeries — a null filter on the anchored column."""
+        node = Node("dropna", {}, self._expr)
+        return Series(self._sdf.filter(self._scol.isNotNull()), self._scol,
+                      self._col_name, node, self._index_cols,
+                      self._index_names)
+
+    def memory_usage(self, index: bool = True, deep: bool = False) -> Scalar:
+        """pandas ``Series.memory_usage``: value bytes (= ``nbytes``)
+        plus 8 bytes/row for the index when requested."""
+        per_row = 8 if index else 0
+        itemsize_agg = self.nbytes._sdf
+        if per_row:
+            return Scalar(self._sdf.agg(
+                (F.count(F.lit(1)) * F.lit(per_row)).alias("__idx__"))
+                .crossJoin(itemsize_agg)
+                .select((F.col("__idx__") + F.col("nbytes")).alias("memory_usage")),
+                Node("memory_usage", {"index": index}, self._expr))
+        return Scalar(itemsize_agg, Node("memory_usage", {}, self._expr))
 
     def map(self, arg, na_action=None):
         """Reference Map ``_expr.py:1264-1272``.  dict arg → chained CASE WHEN
@@ -1083,6 +1116,18 @@ class Index(Series):
     """The engine-managed index as a collection
     (reference ``Index``, ``_collection.py:561-579``)."""
 
+    def to_frame(self, index: bool = True, name=None) -> "DataFrame":
+        """Reference ``Index.to_frame``: the index values as a one-column
+        DataFrame (optionally keeping themselves as the index)."""
+        out_name = name if name is not None else (self._col_name or "index")
+        sdf = self._sdf.select(self._scol.alias(out_name))
+        node = Node("index_to_frame", {"name": out_name}, self._expr)
+        if index:
+            idx_col = f"__idxcopy_{out_name}__"
+            sdf = sdf.withColumn(idx_col, F.col(out_name))
+            return DataFrame(sdf, node, (idx_col,), (self._col_name,))
+        return DataFrame(sdf, node, (), ())
+
 
 # --------------------------------------------------------------------------
 # DataFrame
@@ -1334,6 +1379,18 @@ class DataFrame(FrameBase):
         if cat_meta:
             out._cat_meta = cat_meta
         return out
+
+    def map(self, func, na_action=None) -> "DataFrame":
+        """pandas ``DataFrame.map`` (elementwise, née applymap): the
+        Series.map machinery applied per column — dicts stay JVM-side CASE
+        chains; callables go through one Arrow pandas UDF per column."""
+        out = self
+        for c in self.columns:
+            out = out.assign(**{c: out[c].map(func, na_action=na_action)})
+        node = Node("map_frame", {}, self._expr)
+        return DataFrame(out._sdf, node, out._index_cols, out._index_names)
+
+    applymap = map
 
     def combine_first(self, other: "DataFrame") -> "DataFrame":
         """Reference CombineFirst ``_expr.py:1005-1031``: index-aligned null

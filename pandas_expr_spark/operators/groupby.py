@@ -326,6 +326,8 @@ class GroupBy:
     aggregate = agg
 
     # -- grouped UDFs (SURVEY §2.10, absent in reference) ----------------
+
+    aggregate = agg
     def apply(self, func: Callable[[pd.DataFrame], pd.DataFrame], schema):
         """Grouped-map UDF via Arrow-batched ``applyInPandas``."""
         if isinstance(schema, str):

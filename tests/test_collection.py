@@ -543,3 +543,27 @@ def test_rank_preserves_index(spark):
     exp = pdf["v"].rank()
     assert got.index.tolist() == exp.index.tolist()
     assert got.tolist() == exp.tolist()
+
+
+def test_parity_small_surface(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [4.0, 5.0, 6.0]})
+    df = pes.from_pandas(pdf)
+    # Series.dropna
+    assert df.a.dropna().compute().tolist() == [1.0, 3.0]
+    # DataFrame.map elementwise (dict arg stays JVM-side)
+    got = df.map({1.0: 10.0, 4.0: 40.0}).compute()
+    exp = pdf.map(lambda x: {1.0: 10.0, 4.0: 40.0}.get(x))
+    assert got["a"].fillna(-1).tolist() == exp["a"].fillna(-1).tolist()
+    # copy + dask accessor
+    cp = df.copy()
+    assert cp is not df and cp.to_spark() is df.to_spark()
+    assert df.dask is df.to_spark()
+    # Index.to_frame
+    idx = pes.from_pandas(pd.DataFrame({"v": [1, 2]}, index=[7, 9])).index
+    fr = idx.to_frame(name="k").compute()
+    assert sorted(fr["k"].tolist()) == [7, 9]
+    # Series.memory_usage
+    assert df.b.memory_usage(index=False).compute() == pdf.b.memory_usage(index=False)
+    # groupby aggregate alias
+    g = df.groupby("b").aggregate(n=("a", "count")).compute()
+    assert len(g) == 3
