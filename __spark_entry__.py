@@ -974,6 +974,16 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards (``functions/packing.py``):
+    md5-bucketed concat-and-chop pack positions, one bucket-shuffle + one
+    PARTITIONED window cumsum (never global).  Exact SQL oracle."""
+    from pandas_expr_spark.functions import packing
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_documents(docs, budget=512, n_buckets=16)
+
+
 def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surface (SURVEY §2.10, the row the reference leaves empty):
     document → chunk rows via a registered ``pyspark.sql.udtf`` lateral
@@ -2055,7 +2065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window / distributed scan family --
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "rolling_expanding_orders": rolling_expanding_orders,
-        "cumsum_running_revenue": cumsum_running_revenue,
         "rank_bucket_orders": rank_bucket_orders,
         "ewm_price_per_customer": ewm_price_per_customer,
         # -- grouped positional / apply --
@@ -2097,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "multimodal_meta": multimodal_meta,
         "udtf_chunk_documents": udtf_chunk_documents,
+        "pack_sequences_documents": pack_sequences_documents,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_docs": stratified_sample_docs,
         "top_tokens_documents": top_tokens_documents,
@@ -2173,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_diff_order_prices": shift_diff_order_prices,
         "rolling_revenue_orders": rolling_revenue_orders,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
+        "cumsum_running_revenue": cumsum_running_revenue,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
         "resample_gapfill_user": resample_gapfill_user,
@@ -3013,6 +3024,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "pack_sequences_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 % 16 AS bucket,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                         AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, bucket, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+                FROM base
+            )
+            SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(FLOOR(prev / 512.0) AS BIGINT) AS bin_id,
+                   CAST(prev % 512 AS BIGINT) AS offset
+            FROM cum
         """,
         "udtf_chunk_documents": """
             WITH t AS (

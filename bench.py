@@ -71,6 +71,7 @@ HEADLINE = [
     # round-2 additions: period workflow, scalable embedding dedup
     "period_month_revenue",
     "embedding_near_dup_lsh",
+    "pack_sequences_documents",
 ]
 
 

@@ -81,3 +81,34 @@ def test_hash_split_plan_is_projection_only(docs):
     plan = splits.hash_split(docs, "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_documents_invariants(spark):
+    """Concat-and-chop packing: offsets are consistent with token counts,
+    and every document's position is a pure function of (bucket, doc_id
+    order) — stable under repartitioning."""
+    from pandas_expr_spark.functions import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = packing.pack_documents(docs, budget=256, n_buckets=4).toPandas()
+    assert len(out) == docs.count()
+    for (_b), grp in out.groupby("bucket"):
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        prev = 0
+        for _, r in grp.iterrows():
+            assert r["bin_id"] == prev // 256
+            assert r["offset"] == prev % 256
+            prev += r["n_tokens"]
+    # repartition stability
+    out2 = packing.pack_documents(docs.repartition(13), budget=256,
+                                  n_buckets=4).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["bucket", "bin_id", "offset"]].values
+            == b[["bucket", "bin_id", "offset"]].values).all()
+
+
+def test_pack_documents_rejects_bad_budget(spark):
+    from pandas_expr_spark.functions import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_documents(docs, budget=0)
