@@ -974,6 +974,19 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-trigram fraction (``text.repetition_ratio``) —
+    the Gopher-style repetition quality filter.  Per-doc rows (no float
+    aggregation → no summation-order drift), exact SQL oracle."""
+    from pandas_expr_spark.functions import text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.round(text.repetition_ratio("text", n=3), 4).alias("rep3"),
+        F.round(text.repetition_ratio("text", n=2), 4).alias("rep2"))
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards (``functions/packing.py``):
     md5-bucketed concat-and-chop pack positions, one bucket-shuffle + one
@@ -2075,7 +2088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_event_values": ffill_event_values,
         # -- multi-level aggregation --
         "rollup_pricing": rollup_pricing,
-        "grouping_sets_pricing": grouping_sets_pricing,
         # -- time series --
         "resample_daily_events": resample_daily_events,
         # -- reshape --
@@ -2107,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "udtf_chunk_documents": udtf_chunk_documents,
         "pack_sequences_documents": pack_sequences_documents,
+        "doc_repetition": doc_repetition,
         "hash_split_documents": hash_split_documents,
         "stratified_sample_docs": stratified_sample_docs,
         "top_tokens_documents": top_tokens_documents,
@@ -2184,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_orders": rolling_revenue_orders,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
         "cumsum_running_revenue": cumsum_running_revenue,
+        "grouping_sets_pricing": grouping_sets_pricing,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
         "resample_gapfill_user": resample_gapfill_user,
@@ -3024,6 +3038,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "doc_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                         AS sh3,
+                       greatest(len(toks) - 2, 1) AS tot3,
+                       list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                         AS sh2,
+                       greatest(len(toks) - 1, 1) AS tot2
+                FROM t
+            )
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(sh3)) / CAST(tot3 AS DOUBLE), 4)
+                     AS rep3,
+                   ROUND(1.0 - len(list_distinct(sh2)) / CAST(tot2 AS DOUBLE), 4)
+                     AS rep2
+            FROM sh
         """,
         "pack_sequences_documents": """
             WITH base AS (

@@ -18,7 +18,7 @@ from pyspark.sql import Column, functions as F
 __all__ = ["token_count", "word_tokens", "char_ngrams", "word_shingles",
            "punct_ratio", "digit_ratio", "stopword_ratio", "avg_token_len",
            "quality_score", "lang_id", "lang_score", "fingerprint",
-           "bpe_ish_token_count"]
+           "bpe_ish_token_count", "repetition_ratio"]
 
 _WS = r"\s+"
 
@@ -209,3 +209,17 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
     return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Within-document repetition (Gopher-style quality signal): fraction
+    of duplicated word n-grams, ``1 - distinct/total``.  Pure JVM array
+    expression — narrow map, no shuffle; heavily templated/spammy docs
+    score high and are the standard pretraining filter target."""
+    toks = word_tokens(col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double")
+            / total.cast("double"))

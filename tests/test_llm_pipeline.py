@@ -266,3 +266,18 @@ def test_chunk_udtf_matches_jvm_expr(spark):
          .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (a["n_chunk_tokens"] <= 50).all() and (a["n_chunk_tokens"] > 0).all()
+
+
+def test_repetition_ratio(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "a b c a b c a b c",          # heavy trigram repetition
+        "one two three four five six", # no repetition
+        "x y",                         # shorter than n
+    ]})
+    sdf = spark.createDataFrame(pdf)
+    out = (sdf.select("doc_id", text.repetition_ratio("text", n=3).alias("r"))
+           .toPandas().set_index("doc_id")["r"])
+    # doc 1: 7 trigrams, 3 distinct -> 1 - 3/7
+    assert out[1] == pytest.approx(1 - 3 / 7)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
