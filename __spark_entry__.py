@@ -1058,6 +1058,20 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[["event_id", "user_id", "view_value"]].to_spark()
 
 
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest'): closest view either side of each
+    purchase (tie → backward).  Both direction windows share ONE user_id
+    shuffle; oracle is an argmin-by-distance row_number query."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet")
+    left = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+    right = ev[ev.event_type == "view"][["user_id", "ts", "value"]] \
+        .rename(columns={"value": "view_value"})
+    out = pes.merge_asof(left, right, on="ts", by="user_id",
+                         direction="nearest")
+    return out[["event_id", "user_id", "view_value"]].to_spark()
+
+
 def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (Spark-native multi-group agg, one shuffle)."""
     import pandas_expr_spark as pes
@@ -2074,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_segments": streaming_enriched_segments,
         # -- specialized joins --
         "asof_join_events": asof_join_events,
+        "asof_nearest_events": asof_nearest_events,
         "interval_join_shipments": interval_join_shipments,
         # -- window / distributed scan family --
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
@@ -2101,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_query_charges": eval_query_charges,
         "map_dict_flags": map_dict_flags,
         "apply_udf_name_len": apply_udf_name_len,
-        "align_add_balances": align_add_balances,
         "combine_first_balances": combine_first_balances,
         # -- dedup / stats / misc frame ops --
         "dedup_keep_first_orders": dedup_keep_first_orders,
@@ -2197,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_orders": rolling_revenue_orders,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
         "cumsum_running_revenue": cumsum_running_revenue,
+        "align_add_balances": align_add_balances,
         "grouping_sets_pricing": grouping_sets_pricing,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
@@ -2776,6 +2791,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.view_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_nearest_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts AS rts, value AS view_value
+                       FROM events WHERE event_type = 'view'),
+                 cand AS (
+                   SELECT l.event_id, l.user_id, r.view_value,
+                          ROW_NUMBER() OVER (PARTITION BY l.event_id
+                              ORDER BY abs(epoch_us(l.ts) - epoch_us(r.rts)),
+                                       CASE WHEN r.rts <= l.ts THEN 0
+                                            ELSE 1 END,
+                                       r.rts) AS rn
+                   FROM l LEFT JOIN r USING (user_id))
+            SELECT event_id, user_id, view_value FROM cand WHERE rn = 1
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n,

@@ -1411,6 +1411,40 @@ class DataFrame(FrameBase):
         return DataFrame(joined._sdf.select(*out_cols), node,
                          joined._index_cols, joined._index_names)
 
+    def update(self, other: "DataFrame") -> "DataFrame":
+        """pandas ``DataFrame.update``: overwrite self's values with
+        other's non-null values at matching index labels — a LEFT index
+        join + reversed coalesce (self's row set and columns unchanged)."""
+        joined, lcols, rcols = _index_outer_join(self, other, how="left")
+        out_cols = [F.col(c) for c in joined._index_cols]
+        for name in self.columns:
+            l = lcols[name]
+            r = rcols.get(name)
+            if r is not None:
+                out_cols.append(F.coalesce(F.col(r), F.col(l)).alias(name))
+            else:
+                out_cols.append(F.col(l).alias(name))
+        node = Node("update", {}, self._expr, other._expr)
+        return DataFrame(joined._sdf.select(*out_cols), node,
+                         joined._index_cols, joined._index_names)
+
+    def where(self, cond: "Series", other=None) -> "DataFrame":
+        """pandas ``DataFrame.where`` with a same-anchor boolean Series:
+        per-column ``CASE WHEN`` — pure projection, no shuffle."""
+        if not isinstance(cond, Series) or cond._sdf is not self._sdf:
+            raise ValueError("DataFrame.where requires a boolean Series "
+                             "derived from the same frame")
+        reps = {c: F.when(cond._scol, F.col(c)).otherwise(F.lit(other))
+                for c in self.columns}
+        return self._derive(self._sdf.withColumns(reps), "where", {})
+
+    def mask(self, cond: "Series", other=None) -> "DataFrame":
+        """pandas ``DataFrame.mask`` — complement of ``where``."""
+        if not isinstance(cond, Series) or cond._sdf is not self._sdf:
+            raise ValueError("DataFrame.mask requires a boolean Series "
+                             "derived from the same frame")
+        return self.where(cond._with_scol(~cond._scol, "invert"), other)
+
     def align(self, other: "DataFrame", join: str = "outer"):
         """Reference ``_Align`` ``_expr.py:958-978``."""
         joined, lcols, rcols = _index_outer_join(self, other, how=join)

@@ -243,6 +243,30 @@ class GroupBy:
     def any(self): return self._single_agg("any")
     def all(self): return self._single_agg("all")
 
+    def idxmin(self, numeric_only: bool = True):
+        return self._idx_extreme(F.min_by, "idxmin", numeric_only)
+
+    def idxmax(self, numeric_only: bool = True):
+        return self._idx_extreme(F.max_by, "idxmax", numeric_only)
+
+    def _idx_extreme(self, fn, op: str, numeric_only: bool):
+        """pandas grouped ``idxmin``/``idxmax``: the INDEX label of each
+        group's extreme row, per value column — ``F.min_by``/``F.max_by``
+        on the engine index column (one shuffle, same plan as any grouped
+        agg).  Requires an explicit index (set_index first); a positional
+        index would force a global row-id materialization."""
+        idx_cols = self._frame._index_cols
+        if not idx_cols:
+            raise ValueError(
+                f"groupby.{op} needs an explicit index (use set_index); "
+                "the implicit positional index is not materialized")
+        idx = F.col(idx_cols[0])
+        cols = self._value_columns(numeric_only)
+        aggs = [fn(idx, F.col(c)).alias(c) for c in cols]
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, op)
+
     def size(self):
         from .._collection import DataFrame, Series
         out = self._grouping(self._grouped_sdf()).agg(

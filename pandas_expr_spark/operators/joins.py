@@ -194,11 +194,24 @@ def join(left, other, on=None, how: str = "left", lsuffix: str = "",
                  suffixes=suffixes)
 
 
+def _numeric_cast(dtype):
+    """Seconds-valued double cast for distance arithmetic on the asof key
+    (TIMESTAMP_NTZ must hop through TIMESTAMP first — session tz is UTC)."""
+    from pyspark.sql import types as T
+
+    def num(c):
+        if isinstance(dtype, T.TimestampNTZType):
+            c = c.cast("timestamp")
+        return c.cast("double")
+    return num
+
+
 def merge_asof(left, right, on: str, by=None, direction: str = "backward",
                allow_exact_matches: bool = True,
                suffixes: tuple = ("_x", "_y"), tolerance=None):
     """As-of join — for each left row, the closest right row at-or-before
-    (``backward``) / at-or-after (``forward``) on ``on``, per ``by`` group.
+    (``backward``), at-or-after (``forward``), or closest either way
+    (``nearest``, tie → backward) on ``on``, per ``by`` group.
 
     Absent in the reference (SURVEY §2.3 flags it as the stretch item);
     pandas ``merge_asof`` semantics, Spark-first plan: **union both sides +
@@ -212,8 +225,9 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     """
     from .._collection import DataFrame
 
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' "
+                         "or 'nearest'")
     by = _ensure_list(by) or []
 
     collide = (set(left.columns) & set(right.columns)) - {on} - set(by)
@@ -244,30 +258,65 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     # (side 0 < 1); disallowed → after (negate the side tag).
     side_order = F.col("__side__") if allow_exact_matches \
         else -F.col("__side__")
-    if direction == "backward":
-        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), side_order.asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-    else:
-        w = (Window.partitionBy(*by).orderBy(F.col(on).desc(), side_order.asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-    picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
-              for c in rvals]
-    picked.append(F.last("__asof_on__", ignorenulls=True).over(w)
-                  .alias("__asof_on__"))
-
+    wb = (Window.partitionBy(*by).orderBy(F.col(on).asc(), side_order.asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*by).orderBy(F.col(on).desc(), side_order.asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
     keep = [lout[c] for c in left.columns]
-    out = (u.select(*keep, F.col(on).alias("__l_on__"),
-                    F.col("__side__"), *picked)
-           .filter(F.col("__side__") == 1))
+
+    if direction == "nearest":
+        # both directions over the SAME by-shuffle (two sorts, one
+        # exchange), then per row pick whichever match key is closer
+        # (tie → backward, pandas behavior)
+        picked = []
+        for c in rvals:
+            picked.append(F.last(rout[c], ignorenulls=True).over(wb)
+                          .alias("__b_" + rout[c]))
+            picked.append(F.last(rout[c], ignorenulls=True).over(wf)
+                          .alias("__f_" + rout[c]))
+        picked.append(F.last("__asof_on__", ignorenulls=True).over(wb)
+                      .alias("__b_on__"))
+        picked.append(F.last("__asof_on__", ignorenulls=True).over(wf)
+                      .alias("__f_on__"))
+        step = (u.select(*keep, F.col(on).alias("__l_on__"),
+                         F.col("__side__"), *picked)
+                .filter(F.col("__side__") == 1))
+        l_on = F.col("__l_on__")
+        b_on, f_on = F.col("__b_on__"), F.col("__f_on__")
+        num = _numeric_cast(step.schema["__l_on__"].dataType)
+        use_b = F.when(f_on.isNull(), F.lit(True)).when(
+            b_on.isNull(), F.lit(False)).otherwise(
+            (num(l_on) - num(b_on)) <= (num(f_on) - num(l_on)))
+        chosen_on = F.when(use_b, b_on).otherwise(f_on)
+        out = step.select(
+            *keep, F.col("__l_on__"), chosen_on.alias("__asof_on__"),
+            *[F.when(use_b, F.col("__b_" + rout[c]))
+              .otherwise(F.col("__f_" + rout[c])).alias(rout[c])
+              for c in rvals])
+    else:
+        w = wb if direction == "backward" else wf
+        picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
+                  for c in rvals]
+        picked.append(F.last("__asof_on__", ignorenulls=True).over(w)
+                      .alias("__asof_on__"))
+        out = (u.select(*keep, F.col(on).alias("__l_on__"),
+                        F.col("__side__"), *picked)
+               .filter(F.col("__side__") == 1))
     if tolerance is not None:
         import datetime
         l_on, r_on = F.col("__l_on__"), F.col("__asof_on__")
         if isinstance(tolerance, datetime.timedelta):
             tol = F.lit(tolerance.total_seconds())
-            l_on, r_on = l_on.cast("double"), r_on.cast("double")
+            num = _numeric_cast(out.schema["__l_on__"].dataType)
+            l_on, r_on = num(l_on), num(r_on)
         else:
             tol = F.lit(tolerance)
-        gap = (l_on - r_on) if direction == "backward" else (r_on - l_on)
+        if direction == "backward":
+            gap = l_on - r_on
+        elif direction == "forward":
+            gap = r_on - l_on
+        else:
+            gap = F.abs(l_on - r_on)
         ok = r_on.isNotNull() & (gap <= tol)
         out = out.select(
             *keep, F.col("__asof_on__"),

@@ -29,7 +29,7 @@ def trades_quotes():
     return trades, quotes
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("exact", [True, False])
 def test_merge_asof_matches_pandas(spark, trades_quotes, direction, exact):
     import pandas_expr_spark as pes
@@ -46,7 +46,7 @@ def test_merge_asof_matches_pandas(spark, trades_quotes, direction, exact):
     assert_frame_eq(got, want[["tid", "sym", "t", "px"]], sort_by=["tid"])
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tol", [5, 50])
 def test_merge_asof_tolerance(spark, trades_quotes, direction, tol):
     import pandas_expr_spark as pes
@@ -80,7 +80,7 @@ def test_merge_asof_direction_validation(spark, trades_quotes):
     trades, quotes = trades_quotes
     with pytest.raises(ValueError):
         pes.merge_asof(pes.from_pandas(trades), pes.from_pandas(quotes),
-                       on="t", by="sym", direction="nearest")
+                       on="t", by="sym", direction="sideways")
 
 
 def test_rollup_matches_pandas_concat(spark, gdf, groupby_pdf):

@@ -567,3 +567,27 @@ def test_parity_small_surface(spark):
     # groupby aggregate alias
     g = df.groupby("b").aggregate(n=("a", "count")).compute()
     assert len(g) == 3
+
+
+def test_update_and_frame_where_mask(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]},
+                       index=[0, 1, 2])
+    upd = pd.DataFrame({"a": [9.0, None]}, index=[1, 2])
+    df = pes.from_pandas(pdf)
+    got = df.update(pes.from_pandas(upd)).compute().sort_index()
+    exp = pdf.copy()
+    exp.update(upd)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+    # frame-level where/mask with a same-anchor condition
+    got_w = df.where(df.a > 1.5, other=-1.0).compute().sort_index()
+    exp_w = pdf.where(pdf.a > 1.5, other=-1.0)
+    pd.testing.assert_frame_equal(got_w, exp_w, check_dtype=False,
+                                  check_names=False)
+    got_m = df.mask(df.a > 1.5, other=-1.0).compute().sort_index()
+    exp_m = pdf.mask(pdf.a > 1.5, other=-1.0)
+    pd.testing.assert_frame_equal(got_m, exp_m, check_dtype=False,
+                                  check_names=False)
+    with pytest.raises(ValueError, match="same frame"):
+        other = pes.from_pandas(pdf)
+        df.where(other.a > 1)

@@ -283,3 +283,22 @@ def test_frame_general_ddof(spark, groupby_pdf):
         exp = groupby_pdf.var(ddof=ddof)
         for c in exp.index:
             assert abs(got[c] - exp[c]) < 1e-9 * max(1, abs(exp[c]))
+
+
+def test_groupby_idxmin_idxmax(spark, groupby_pdf):
+    from pandas_expr_spark import from_pandas
+    pdf = groupby_pdf.copy()
+    pdf.index = pd.Index(range(100, 200), name="rid")
+    df = from_pandas(pdf)
+    got_mx = df.groupby("x").idxmax().compute().sort_index()
+    exp_mx = pdf.groupby("x").idxmax().sort_index()
+    got_mn = df.groupby("x").idxmin().compute().sort_index()
+    exp_mn = pdf.groupby("x").idxmin().sort_index()
+    for c in ("y", "z"):
+        assert got_mx[c].tolist() == exp_mx[c].tolist() or c == "z"
+        assert got_mn[c].tolist() == exp_mn[c].tolist() or c == "z"
+    # z is constant 1 → ties; pandas picks first occurrence, Spark min_by
+    # is tie-nondeterministic, so only check y strictly and z membership
+    assert set(got_mx["z"]) <= set(pdf.index)
+    with pytest.raises(ValueError, match="explicit index"):
+        from_pandas(groupby_pdf).groupby("x").idxmax().compute()
