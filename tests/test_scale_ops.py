@@ -66,3 +66,44 @@ def test_bucketed_table_join_no_shuffle(spark):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_packing_window_is_partitioned(spark):
+    """Sequence packing must never plan a global window (SinglePartition
+    funnels 100 TB through one task)."""
+    from pandas_expr_spark.functions import packing
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = packing.pack_documents(docs, budget=512, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_observed_spine_is_broadcast(spark):
+    """groupby(observed=False)'s category spine must broadcast — never a
+    shuffled join against a 3-row literal table."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({
+        "k": pd.Categorical(["a", "a", "b"], categories=["a", "b", "c"]),
+        "v": [1, 2, 3]})
+    g = pes.from_pandas(pdf).groupby("k", observed=False).agg(
+        n=("v", "count"))
+    plan = g.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """direction='nearest' runs both direction windows over ONE by-key
+    exchange (two sorts, no second shuffle of the union)."""
+    import pandas as pd
+    import pandas_expr_spark as pes
+    t = pd.DataFrame({"k": ["a", "b"] * 5, "t": range(10)})
+    q = pd.DataFrame({"k": ["a", "b"] * 3, "t": range(6), "v": range(6)})
+    out = pes.merge_asof(pes.from_pandas(t), pes.from_pandas(q),
+                         on="t", by="k", direction="nearest")
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}\n{plan[:1500]}"
