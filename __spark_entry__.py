@@ -1927,6 +1927,24 @@ def rolling_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("roll_price_c").cast("long"))
 
 
+def rolling_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 7-row rolling min AND max — the van Herk two-pass block
+    algorithm (``scan.rolling_minmax``): per-block prefix/suffix extremes
+    over block-partitioned windows (bounded tasks, never a global window)
+    + one position join.  Integer cents → exact BIGINT oracle."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 500]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    s = o.set_index("o_orderkey")["price_c"]
+    mn = s.rolling(7).min().to_frame("roll_min_c").reset_index()
+    mx = s.rolling(7).max().to_frame("roll_max_c").reset_index()
+    out = mn.merge(mx, on="o_orderkey")
+    return out.to_spark().select(
+        "o_orderkey", F.col("roll_min_c").cast("long"),
+        F.col("roll_max_c").cast("long"))
+
+
 def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas ``stack``: wide → long with the pandas default of dropping
     null cells.  The wide frame left-joins a filtered supplier rollup, so
@@ -2093,13 +2111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window / distributed scan family --
         "window_lag_cumsum_orders": window_lag_cumsum_orders,
         "rolling_expanding_orders": rolling_expanding_orders,
+        "rolling_minmax_orders": rolling_minmax_orders,
         "rank_bucket_orders": rank_bucket_orders,
         "ewm_price_per_customer": ewm_price_per_customer,
         # -- grouped positional / apply --
         "groupby_topn_orders": groupby_topn_orders,
         "grouped_apply_demean": grouped_apply_demean,
         "groupby_nunique_median": groupby_nunique_median,
-        "skew_sem_prices": skew_sem_prices,
         "ffill_event_values": ffill_event_values,
         # -- multi-level aggregation --
         "rollup_pricing": rollup_pricing,
@@ -2212,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
         "cumsum_running_revenue": cumsum_running_revenue,
         "align_add_balances": align_add_balances,
+        "skew_sem_prices": skew_sem_prices,
         "grouping_sets_pricing": grouping_sets_pricing,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
@@ -3368,6 +3387,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    price_c - LAG(price_c) OVER (ORDER BY o_orderkey)
                        AS price_diff_c
+            FROM o
+        """,
+        "rolling_minmax_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                              ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+                       FROM orders WHERE o_custkey < 500)
+            SELECT o_orderkey,
+                   CASE WHEN rn >= 7 THEN
+                       MIN(price_c) OVER (ORDER BY o_orderkey
+                                          ROWS BETWEEN 6 PRECEDING
+                                          AND CURRENT ROW)
+                   END AS roll_min_c,
+                   CASE WHEN rn >= 7 THEN
+                       MAX(price_c) OVER (ORDER BY o_orderkey
+                                          ROWS BETWEEN 6 PRECEDING
+                                          AND CURRENT ROW)
+                   END AS roll_max_c
             FROM o
         """,
         "rolling_revenue_orders": """

@@ -1068,6 +1068,21 @@ class _SeriesRolling:
     def sum(self) -> Series: return self._agg("sum")
     def mean(self) -> Series: return self._agg("mean")
     def count(self) -> Series: return self._agg("count")
+    def var(self) -> Series: return self._agg("var")
+    def std(self) -> Series: return self._agg("std")
+
+    def _minmax(self, fn: str) -> Series:
+        from .functions import scan
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        out = scan.rolling_minmax(sdf, name, order, self._window, fn,
+                                  self._minp, out=name)
+        node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
+        return Series(out, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
+
+    def min(self) -> Series: return self._minmax("min")
+    def max(self) -> Series: return self._minmax("max")
 
 
 class _SeriesExpanding:
@@ -1087,22 +1102,43 @@ class _SeriesExpanding:
                     F.col(name).cast("double"), F.lit(0.0)))
                 .withColumn("__nn__", F.col(name).isNotNull().cast("long"))
                 .withColumn("__one__", F.lit(1).cast("long")))
-        scanned = scan.prefix_scan(
-            base, [("__z__", "sum", "__S__"), ("__nn__", "sum", "__C__"),
-                   ("__one__", "sum", "__P__")],
-            order)
+        specs = [("__z__", "sum", "__S__"), ("__nn__", "sum", "__C__"),
+                 ("__one__", "sum", "__P__")]
+        drop = ["__z__", "__nn__", "__one__", "__S__", "__C__", "__P__"]
+        if fn in ("var", "std"):
+            base = base.withColumn("__z2__", F.col("__z__") * F.col("__z__"))
+            specs.append(("__z2__", "sum", "__S2__"))
+            drop += ["__z2__", "__S2__"]
+        if fn in ("min", "max"):
+            # prefix min/max IS the expanding extreme — same single scan.
+            # Null inputs are filled with the identity (±inf) so the scan
+            # carries through them (pandas cummin/cummax would emit NaN AT
+            # the null positions, but expanding().min() does not).
+            ident = float("inf") if fn == "min" else float("-inf")
+            base = base.withColumn("__zm__", F.coalesce(
+                F.col(name).cast("double"), F.lit(ident)))
+            specs.append(("__zm__", fn, "__M__"))
+            drop += ["__zm__", "__M__"]
+        scanned = scan.prefix_scan(base, specs, order)
         cnt = F.col("__C__")
         if fn == "sum":
             val = F.col("__S__")
         elif fn == "mean":
             val = F.col("__S__") / cnt
+        elif fn in ("var", "std"):
+            n = cnt.cast("double")
+            v = (F.col("__S2__") - F.col("__S__") * F.col("__S__") / n) \
+                / (n - F.lit(1))
+            v = F.greatest(v, F.lit(0.0))
+            val = F.sqrt(v) if fn == "std" else v
+        elif fn in ("min", "max"):
+            val = F.col("__M__")
         else:
             val = cnt.cast("double")
         # pandas: sum/mean guard on non-null observations, count on rows
         have = F.col("__P__") if fn == "count" else cnt
         guarded = F.when(have >= F.lit(self._minp), val).otherwise(F.lit(None))
-        out = (scanned.withColumn(name, guarded)
-               .drop("__z__", "__nn__", "__one__", "__S__", "__C__", "__P__"))
+        out = (scanned.withColumn(name, guarded).drop(*drop))
         node = Node(f"expanding_{fn}", {}, s._expr)
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
@@ -1110,6 +1146,10 @@ class _SeriesExpanding:
     def sum(self) -> Series: return self._agg("sum")
     def mean(self) -> Series: return self._agg("mean")
     def count(self) -> Series: return self._agg("count")
+    def var(self) -> Series: return self._agg("var")
+    def std(self) -> Series: return self._agg("std")
+    def min(self) -> Series: return self._agg("min")
+    def max(self) -> Series: return self._agg("max")
 
 
 class Index(Series):

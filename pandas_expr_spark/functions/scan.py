@@ -38,7 +38,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg"]
+__all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg",
+           "rolling_minmax"]
 
 _PID = "__pes_pid__"
 
@@ -191,30 +192,38 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
     the prefix scan (sum and count share it) + one equi-join on the global
     position for the ``i-w`` lookback — each fully distributed.
 
-    Supported fns: sum, mean, count.  (min/max are not prefix-decomposable;
-    use the grouped ``with_rolling`` window for partitioned data.)
+    Supported fns: sum, mean, count, var, std (var/std add one more shared
+    prefix scan — sum of squares — and use the sufficient-statistic
+    identity; document the usual cancellation caveat for |mean| >> std).
+    min/max are not sum-decomposable — see ``rolling_minmax``.
     """
-    if fn not in ("sum", "mean", "count"):
-        raise ValueError("rolling_agg: fn must be sum/mean/count "
-                         f"(got {fn!r}); min/max need with_rolling")
+    if fn not in ("sum", "mean", "count", "var", "std"):
+        raise ValueError("rolling_agg: fn must be sum/mean/count/var/std "
+                         f"(got {fn!r}); min/max: rolling_minmax")
     minp = window if min_periods is None else min_periods
     zeroed = "__z__"
     nn = "__nn__"
+    need_sq = fn in ("var", "std")
     base = (sdf
             .withColumn(zeroed, F.coalesce(F.col(col).cast("double"),
                                            F.lit(0.0)))
             .withColumn(nn, F.col(col).isNotNull().cast("long"))
             .withColumn("__one__", F.lit(1).cast("long")))
-    # the prefix sum of ones IS the (1-based) global position — the three
+    specs = [(zeroed, "sum", "__S__"), (nn, "sum", "__C__"),
+             ("__one__", "sum", "__P__")]
+    if need_sq:
+        base = base.withColumn("__z2__", F.col(zeroed) * F.col(zeroed))
+        specs.append(("__z2__", "sum", "__S2__"))
+    # the prefix sum of ones IS the (1-based) global position — all
     # scans share one range shuffle
-    scanned = prefix_scan(base, [(zeroed, "sum", "__S__"),
-                                 (nn, "sum", "__C__"),
-                                 ("__one__", "sum", "__P__")],
-                          order_by, num_partitions)
+    scanned = prefix_scan(base, specs, order_by, num_partitions)
     pos = scanned.persist()
-    lag = pos.select((F.col("__P__") + window).alias("__P__"),
-                     F.col("__S__").alias("__Sl__"),
-                     F.col("__C__").alias("__Cl__"))
+    lag_cols = [(F.col("__P__") + window).alias("__P__"),
+                F.col("__S__").alias("__Sl__"),
+                F.col("__C__").alias("__Cl__")]
+    if need_sq:
+        lag_cols.append(F.col("__S2__").alias("__S2l__"))
+    lag = pos.select(*lag_cols)
     j = pos.join(lag, "__P__", "left")
     wsum = F.col("__S__") - F.coalesce(F.col("__Sl__"), F.lit(0.0))
     wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
@@ -222,6 +231,13 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
         val = wsum
     elif fn == "mean":
         val = wsum / wcnt
+    elif fn in ("var", "std"):
+        wsq = F.col("__S2__") - F.coalesce(F.col("__S2l__"), F.lit(0.0))
+        n = wcnt.cast("double")
+        v = (wsq - wsum * wsum / n) / (n - F.lit(1))
+        # guard tiny negative from cancellation
+        v = F.greatest(v, F.lit(0.0))
+        val = F.sqrt(v) if fn == "std" else v
     else:
         val = wcnt.cast("double")
     # pandas guard: sum/mean need min_periods NON-NULL observations in the
@@ -231,6 +247,67 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
     guarded = F.when(have >= F.lit(minp), val).otherwise(F.lit(None))
     drop = ["__P__", "__S__", "__C__", "__Sl__", "__Cl__", zeroed, nn,
             "__one__"]
+    if need_sq:
+        drop += ["__z2__", "__S2__", "__S2l__"]
+    return j.withColumn(out, guarded).drop(*drop)
+
+
+def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
+                   fn: str = "min", min_periods: int | None = None,
+                   out: str = "__roll__",
+                   num_partitions: int | None = None) -> SparkDF:
+    """Global sliding min/max — the van Herk/Gil-Werman two-pass block
+    algorithm, distributed:
+
+    block = ``floor((pos-1)/window)`` (size = ``window`` rows, so every
+    sliding window spans at most two blocks).  Per block compute the
+    running PREFIX extreme (ordered asc) and running SUFFIX extreme
+    (ordered desc) — both are windows PARTITIONED by block (bounded by
+    ``window`` rows per task, never global).  Then
+    ``sliding(i) = extreme(suffix[start], prefix[i])`` where
+    ``start = i-window+1``, fetched with one equi-join on the global
+    position.  Head windows (start in i's own block) use ``prefix[i]``
+    alone.  Cost: one range shuffle (position) + one block-partitioned
+    window pass + one position join.
+    """
+    if fn not in ("min", "max"):
+        raise ValueError(f"rolling_minmax: fn must be min/max, got {fn!r}")
+    minp = window if min_periods is None else min_periods
+    agg = F.min if fn == "min" else F.max
+    nn = "__nn__"
+    base = (sdf
+            .withColumn(nn, F.col(col).isNotNull().cast("long"))
+            .withColumn("__one__", F.lit(1).cast("long")))
+    scanned = prefix_scan(base, [(nn, "sum", "__C__"),
+                                 ("__one__", "sum", "__P__")],
+                          order_by, num_partitions)
+    blk = F.floor((F.col("__P__") - 1) / window)
+    pos = scanned.withColumn("__blk__", blk).persist()
+    wpre = (Window.partitionBy("__blk__").orderBy(F.col("__P__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wsuf = (Window.partitionBy("__blk__").orderBy(F.col("__P__").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    marked = (pos.withColumn("__pre__", agg(F.col(col)).over(wpre))
+              .withColumn("__suf__", agg(F.col(col)).over(wsuf)))
+    start = F.col("__P__") - window + 1
+    suf_at_start = (marked
+                    .select(F.col("__P__").alias("__SP__"),
+                            F.col("__suf__").alias("__suf_s__"),
+                            F.col("__blk__").alias("__blk_s__")))
+    j = (marked.withColumn("__SP__", F.greatest(start, F.lit(1)))
+         .join(suf_at_start, "__SP__", "left"))
+    both = F.when(F.col("__blk_s__") < F.col("__blk__"),
+                  F.least(F.col("__suf_s__"), F.col("__pre__"))
+                  if fn == "min"
+                  else F.greatest(F.col("__suf_s__"), F.col("__pre__")))         .otherwise(F.col("__pre__"))
+    # min_periods guard on non-null observations in the window
+    lagc = marked.select((F.col("__P__") + window).alias("__P__"),
+                         F.col("__C__").alias("__Cl__"))
+    j = j.join(lagc, "__P__", "left")
+    wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
+    guarded = F.when(wcnt >= F.lit(minp), both).otherwise(F.lit(None))
+    drop = ["__P__", "__C__", "__Cl__", "__SP__", "__blk__", "__blk_s__",
+            "__pre__", "__suf__", "__suf_s__", nn, "__one__"]
     return j.withColumn(out, guarded).drop(*drop)
 
 

@@ -153,3 +153,28 @@ def test_series_clip_null_guard(spark):
     exp = pdf["x"].clip(lower=0, upper=10)
     np.testing.assert_allclose(np.sort(got.to_numpy()),
                                np.sort(exp.to_numpy()), equal_nan=True)
+
+
+@pytest.mark.parametrize("fn", ["var", "std", "min", "max"])
+def test_rolling_extended_matches_pandas(spark, scan_pdf, fn):
+    from pandas_expr_spark import from_pandas
+    pdf = scan_pdf.set_index("k")
+    df = from_pandas(pdf)
+    for w, mp in [(5, None), (7, 3)]:
+        got = getattr(df["v"].rolling(w, min_periods=mp), fn)() \
+            .compute().sort_index()
+        exp = getattr(pdf["v"].rolling(w, min_periods=mp), fn)()
+        pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                       check_names=False, atol=1e-9)
+
+
+@pytest.mark.parametrize("fn", ["var", "std", "min", "max"])
+def test_expanding_extended_matches_pandas(spark, scan_pdf, fn):
+    from pandas_expr_spark import from_pandas
+    pdf = scan_pdf.set_index("k")
+    df = from_pandas(pdf)
+    got = getattr(df["v"].expanding(min_periods=2), fn)() \
+        .compute().sort_index()
+    exp = getattr(pdf["v"].expanding(min_periods=2), fn)()
+    pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                   check_names=False, atol=1e-9)
