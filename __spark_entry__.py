@@ -924,12 +924,63 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH exact-gated end-to-end: candidates from banded
+    signatures (64 perms × 16 bands — miss probability < 1e-7 for
+    Jaccard ≥ 0.9 pairs) are verified with EXACT trigram Jaccard ≥ 0.85,
+    and the result must equal the oracle's exhaustive inverted-index
+    Jaccard join.  Planted truth: exact copies (J = 1) of doc_id < 20 and
+    two-token-appended near copies (J ≈ 0.9+) of long docs 20-39.  A
+    single missed pair = missing row = driver hash mismatch, so this is a
+    hard recall gate for the MinHash path at its production shape."""
+    from pandas_expr_spark.functions import dedup, text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (docs.filter(F.col("doc_id") < 20)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+                        & (F.col("n_chars") >= 300))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"),
+                                         F.lit(" zzqxa zzqxb"))))
+    aug = docs.unionByName(exact).unionByName(near) \
+        .select("doc_id", "text").persist()
+    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16)
+    sh = aug.select(F.col("doc_id"),
+                    tx.word_shingles("text", 3).alias("__sh__"))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("__sh__").alias("__sa__"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("__sh__").alias("__sb__"))
+    jac = (F.size(F.array_intersect("__sa__", "__sb__")).cast("double")
+           / F.size(F.array_union("__sa__", "__sb__")))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.85)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤4 pairs (pandas-UDF signature + band join) —
     rows-only check."""
     from pandas_expr_spark.functions import dedup
     aug = _augmented_docs(spark, sf_dir)
     return dedup.simhash_pairs(aug, max_hamming=4)
+
+
+def simhash_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash determinism gate: exact text copies have IDENTICAL
+    signatures (Hamming 0), and Hamming ≤ 3 pairs are GUARANTEED
+    candidates by pigeonhole (4 × 16-bit chunks) — so every planted pair
+    MUST surface.  Restricted to the planted id range so the oracle is
+    closed-form SQL; organic near-dups keep the rows-only
+    ``simhash_near_dups`` check."""
+    from pandas_expr_spark.functions import dedup
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(aug, max_hamming=3)
+    return (pairs.filter((F.col("id_b") >= 100000)
+                         & (F.col("id_a") == F.col("id_b") - 100000))
+            .select("id_a", "id_b", "hamming"))
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,20 +1443,27 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running count/sum over availableNow micro-batches.  Arrow group state is
-    engine-specific → rows-only check."""
+    running count/sum over availableNow micro-batches.  EXACT-gated: the
+    final accumulated state per key (max over the update-mode sink's
+    emissions) must equal the batch totals — integer-cents accumulation so
+    the double group-state sum is order-independent and bit-exact vs the
+    SQL oracle."""
     from pandas_expr_spark.streaming import stream as st
     src = st.read_stream("parquet", sf_dir,
                          schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
                          options={"pathGlobFilter": "events.parquet"})
     from pandas_expr_spark.sources.tables import normalize_ts
     src = normalize_ts(src, "ts")
-    run = st.stateful_running_agg(src, ["user_id"], "value")
+    src = src.withColumn("value_c", F.floor(F.col("value") * 100)
+                         .cast("double"))
+    run = st.stateful_running_agg(src, ["user_id"], "value_c")
     with st.state_partitions(8):
         q = st.to_memory_sink(run, "stream_stateful_running", "update")
         q.awaitTermination()
     out = spark.table("stream_stateful_running")
-    return out.select("user_id", "running_count")
+    return (out.groupBy("user_id")
+            .agg(F.max("running_count").alias("n_events"),
+                 (F.max("running_sum") / 100.0).alias("total")))
 
 
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2127,11 +2185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_nation_counts": stack_nation_counts,
         "unstack_segment_counts": unstack_segment_counts,
         "pivot_status_priority": pivot_status_priority,
-        "melt_customer_metrics": melt_customer_metrics,
         # -- set ops --
         "intersect_except_nations": intersect_except_nations,
         # -- elementwise / expression --
-        "eval_query_charges": eval_query_charges,
         "map_dict_flags": map_dict_flags,
         "apply_udf_name_len": apply_udf_name_len,
         "combine_first_balances": combine_first_balances,
@@ -2145,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-pipeline batteries --
         "doc_lang_id": doc_lang_id,
         "ngram_jaccard_dups": ngram_jaccard_dups,
+        "minhash_verified_dups": minhash_verified_dups,
+        "simhash_planted_dups": simhash_planted_dups,
         "similarity_topk": similarity_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -2231,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumsum_running_revenue": cumsum_running_revenue,
         "align_add_balances": align_add_balances,
         "skew_sem_prices": skew_sem_prices,
+        "melt_customer_metrics": melt_customer_metrics,
+        "eval_query_charges": eval_query_charges,
         "grouping_sets_pricing": grouping_sets_pricing,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
@@ -2796,6 +2856,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nn nb ON nb.doc_id = id_b
             WHERE c / (na.n + nb.n - c) >= 0.9
         """,
+        "simhash_planted_dups": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id < 50
+        """,
+        "minhash_verified_dups": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 200000, text || ' zzqxa zzqxb' FROM documents
+              WHERE doc_id >= 20 AND doc_id < 40 AND n_chars >= 300
+            ), tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM aug
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM tok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), nn AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ROUND(c / (na.n + nb.n - c), 4) AS jaccard
+            FROM common
+            JOIN nn na ON na.doc_id = id_a
+            JOIN nn nb ON nb.doc_id = id_b
+            WHERE c / (na.n + nb.n - c) >= 0.85
+        """,
         "multimodal_meta": """
             SELECT 'unknown' AS media_format, COUNT(*) AS n,
                    CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT))
@@ -2970,6 +3062,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, COUNT(event_id) AS n,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
             FROM events GROUP BY 1
+        """,
+        "streaming_stateful_running": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total
+            FROM events GROUP BY user_id
         """,
         "streaming_dedup_users": """
             SELECT DISTINCT user_id FROM events
