@@ -131,10 +131,14 @@ def lsh_topk(sdf: SparkDF, query_vec, k: int = 10, vec_col: str = "embedding",
     for i in range(num_planes):
         if float(qv @ planes[i]) >= 0:
             qsig |= (1 << i)
+    # probe every bucket within Hamming distance `multiprobe` of the
+    # query's signature (mp=1 → single-bit flips, mp=2 adds two-bit, …)
     probes = {qsig}
-    if multiprobe:
-        for i in range(num_planes):
-            probes.add(qsig ^ (1 << i))
+    frontier = {qsig}
+    for _ in range(max(0, int(multiprobe))):
+        frontier = {s ^ (1 << i) for s in frontier
+                    for i in range(num_planes)} - probes
+        probes |= frontier
     bucket = random_hyperplane_bucket(vec_col, num_planes, len(query_vec), seed)
     candidates = sdf.withColumn("__bkt__", bucket).filter(
         F.col("__bkt__").isin([int(p) for p in probes]))

@@ -281,3 +281,22 @@ def test_repetition_ratio(spark):
     assert out[1] == pytest.approx(1 - 3 / 7)
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_lsh_topk_multiprobe_widens(emb):
+    """multiprobe=k probes all buckets within Hamming k — candidate sets
+    (and thus recall) must be monotonically non-decreasing in k."""
+    pdf = emb.toPandas()
+    q = list(map(float, pdf["embedding"].iloc[2]))
+    import numpy as np
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    cos = (mat @ np.array(q)) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    exact = set(pdf["vec_id"].values[np.argsort(-cos)[:10]].tolist())
+    last = -1.0
+    for mp in (0, 1, 3):
+        ann = set(similarity.lsh_topk(emb, q, k=10, num_planes=6,
+                                      multiprobe=mp).toPandas()["vec_id"])
+        rec = len(ann & exact) / 10
+        assert rec >= last
+        last = rec
+    assert last >= 0.5  # Hamming-3 of 6 planes probes most buckets
