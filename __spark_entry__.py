@@ -943,8 +943,10 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("doc_id", F.col("doc_id") + 200000)
             .withColumn("text", F.concat(F.col("text"),
                                          F.lit(" zzqxa zzqxb"))))
-    aug = docs.unionByName(exact).unionByName(near) \
-        .select("doc_id", "text").persist()
+    aug = (docs.unionByName(exact).unionByName(near)
+           .select("doc_id", "text")
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+           .persist())
     cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16)
     sh = aug.select(F.col("doc_id"),
                     tx.word_shingles("text", 3).alias("__sh__"))
@@ -1176,10 +1178,12 @@ def quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas_expr_spark as pes
     li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
     s = li["l_extendedprice"]
-    med = s.median().to_spark().select(F.col("median").alias("p50"))
-    q25 = s.quantile(0.25).to_spark().select(F.col("quantile").alias("p25"))
-    q90 = s.quantile(0.9).to_spark().select(F.col("quantile").alias("p90"))
-    return med.crossJoin(q25).crossJoin(q90)
+    # list form = ONE aggregation pass for all three percentiles
+    qs = s.quantile([0.25, 0.5, 0.9]).to_spark()
+    return qs.agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("quantile"))).alias("p50"),
+        F.max(F.when(F.col("q") == 0.25, F.col("quantile"))).alias("p25"),
+        F.max(F.when(F.col("q") == 0.9, F.col("quantile"))).alias("p90"))
 
 
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -860,9 +860,26 @@ class Series(FrameBase):
         node = Node("mode", {}, self._expr)
         return Series(top, F.col("__v__"), self._col_name, node)
 
-    def quantile(self, q: float = 0.5, approx: bool = False):
+    def quantile(self, q: float | Sequence[float] = 0.5,
+                 approx: bool = False):
         """Exact interpolating percentile by default (pandas semantics);
-        ``approx=True`` → t-digest ``percentile_approx`` for the 100 TB path."""
+        ``approx=True`` → t-digest ``percentile_approx`` for the 100 TB
+        path.  A LIST of quantiles computes all of them in ONE
+        aggregation pass (pandas returns a q-indexed Series) — three
+        separate calls would be three full scans."""
+        if isinstance(q, (list, tuple)):
+            qs = [float(x) for x in q]
+            agg = (F.percentile_approx(self._scol, F.lit(qs), 10000)
+                   if approx else F.percentile(self._scol, F.lit(qs)))
+            one = self._sdf.agg(agg.alias("__qv__")).select(
+                F.explode(F.arrays_zip(
+                    F.lit(qs).alias("q"),
+                    F.col("__qv__").alias("quantile"))).alias("__z__"))
+            out = one.select(F.col("__z__.q").alias("q"),
+                             F.col("__z__.quantile").alias("quantile"))
+            node = Node("quantile", {"q": qs}, self._expr)
+            return Series(out, F.col("quantile"), self._col_name, node,
+                          ("q",), (None,))
         if approx:
             return self._reduce(F.percentile_approx(self._scol, q, 10000), "quantile")
         return self._reduce(F.percentile(self._scol, F.lit(q)), "quantile")

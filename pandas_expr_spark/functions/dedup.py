@@ -135,9 +135,13 @@ def minhash_lsh_pairs(sdf: SparkDF, text_col: str = "text",
     buckets).  Pairs are deduped across bands with ``distinct()``.
     """
     rows_per_band = num_perm // bands
-    with_sig = sdf.select(F.col(id_col),
-                          minhash_signature(text_col, num_perm, shingle_n, seed)
-                          .alias("__sig__"))
+    # spread the signature computation across the cluster even when the
+    # source is a single parquet split (per-row HOF cost dominates)
+    npart = sdf.sparkSession.sparkContext.defaultParallelism
+    with_sig = (sdf.repartition(npart, id_col)
+                .select(F.col(id_col),
+                        minhash_signature(text_col, num_perm, shingle_n, seed)
+                        .alias("__sig__")))
     bb = _banded(with_sig, id_col, "__sig__", bands, rows_per_band)
     # Both sides of the self-join read bb; persist the (id, band, bucket)
     # table — tiny (bands rows/doc) even at 100 TB corpus scale — so the
@@ -188,9 +192,15 @@ def ngram_jaccard_pairs(sdf: SparkDF, text_col: str = "text",
     sharing ≥1 shingle appear, and the length-ratio prune drops hopeless
     pairs before the count-agg shuffle.
     """
-    sh = (sdf.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
+    # Repartition before the shingle computation: a documents table read
+    # from few parquet splits would otherwise run the (expensive) per-row
+    # array building on 1-2 cores; the inverted index is persisted because
+    # BOTH self-join sides consume it (one shingle pass, not two).
+    npart = sdf.sparkSession.sparkContext.defaultParallelism
+    sh = (sdf.repartition(npart, id_col)
+          .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
           .withColumn("__n__", F.size("__sh__")))
-    inv = sh.select(id_col, "__n__", F.explode("__sh__").alias("__s__"))
+    inv = sh.select(id_col, "__n__", F.explode("__sh__").alias("__s__")).persist()
     a = inv.select(F.col(id_col).alias("id_a"), F.col("__n__").alias("n_a"),
                    F.col("__s__"))
     b = inv.select(F.col(id_col).alias("id_b"), F.col("__n__").alias("n_b"),

@@ -591,3 +591,10 @@ def test_update_and_frame_where_mask(spark):
     with pytest.raises(ValueError, match="same frame"):
         other = pes.from_pandas(pdf)
         df.where(other.a > 1)
+
+
+def test_quantile_list_single_pass(base, base_pdf):
+    got = base.y.quantile([0.25, 0.5, 0.9]).compute().sort_index()
+    exp = base_pdf.y.quantile([0.25, 0.5, 0.9]).sort_index()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got.tolist() == pytest.approx(exp.tolist())
