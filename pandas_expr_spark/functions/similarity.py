@@ -70,8 +70,12 @@ def brute_force_pairs(sdf: SparkDF, cosine_threshold: float = 0.95,
     Norms are precomputed once and the (id, vec, norm) projection persisted
     so the self-join reads it from memory instead of re-deriving per side.
     """
-    e = sdf.select(F.col(id_col), F.col(vec_col),
-                   _norm(vec_col).alias("__n__")).persist()
+    # spread the O(n²) compare work across the cluster even when the
+    # source is a single parquet split
+    npart = sdf.sparkSession.sparkContext.defaultParallelism
+    e = (sdf.repartition(npart, id_col)
+         .select(F.col(id_col), F.col(vec_col),
+                 _norm(vec_col).alias("__n__")).persist())
     a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"),
                  F.col("__n__").alias("__na__"))
     b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"),
