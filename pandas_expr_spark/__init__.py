@@ -47,6 +47,11 @@ class DataFrame(_DataFrameImpl):
         pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
         f = from_pandas(pdf)
         super().__init__(f._sdf, f._expr, f._index_cols, f._index_names or ())
+        # carry driver-side dtype metadata (period freqs, known categories)
+        for attr in ("_index_period_freq", "_period_value_freq", "_cat_meta"):
+            v = getattr(f, attr, None)
+            if v:
+                setattr(self, attr, v)
 
 
 __all__ = [
