@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["image_meta_schema", "attach_media_meta", "decode_image_features",
-           "resize_images", "sample_video_frames", "audio_features"]
+           "resize_images", "sample_video_frames", "audio_features",
+           "parse_image_header", "parse_wav_header", "image_header_meta",
+           "wav_header_meta"]
 
 IMAGE_FEATURE_DIM = 16
 
@@ -156,3 +158,99 @@ def audio_features(sdf: SparkDF, binary_col: str = "payload",
             yield pd.DataFrame({id_col: pdf[id_col], "duration_s": durs, "rms": rms})
 
     return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL header parsing — pure-stdlib ``struct``, no codec libraries needed.
+# Dimensions / sample rates live in fixed-offset container headers, so
+# "how big is this image" and "how long is this clip" are answerable at
+# 100 TB WITHOUT decoding pixels: an Arrow-batched pandas_udf reads a few
+# dozen bytes per row.  (Pixel/spectrogram decode remains the stubbed
+# PIL/librosa integration point above.)
+# ---------------------------------------------------------------------------
+def parse_image_header(payload: bytes) -> tuple[str | None, int, int]:
+    """(format, width, height) from PNG / GIF / BMP / JPEG headers."""
+    import struct
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)
+    if b[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return "jpeg", w, h
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            i += 2 + seglen
+        return "jpeg", 0, 0
+    return None, 0, 0
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, float]:
+    """(sample_rate, channels, duration_s) from a RIFF/WAVE header."""
+    import struct
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return 0, 0, 0.0
+    i = 12
+    rate, channels, byte_rate, data_len = 0, 0, 0, 0
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate, byte_rate = struct.unpack("<HII", b[i + 10:i + 20])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)
+    dur = (data_len / byte_rate) if byte_rate else 0.0
+    return rate, channels, dur
+
+
+def image_header_meta(sdf: SparkDF, binary_col: str = "payload") -> SparkDF:
+    """Real (format, width, height) columns via header parsing — Arrow
+    pandas_udf, a few bytes read per row, no codec dependency."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StructType([
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType())]))
+    def _hdr(s: pd.Series) -> pd.DataFrame:
+        rows = [parse_image_header(v) for v in s]
+        return pd.DataFrame(rows, columns=["fmt", "width", "height"])
+
+    out = sdf.withColumn("__h__", _hdr(F.col(binary_col)))
+    return (out.withColumn("img_format", F.col("__h__.fmt"))
+            .withColumn("img_width", F.col("__h__.width"))
+            .withColumn("img_height", F.col("__h__.height"))
+            .drop("__h__"))
+
+
+def wav_header_meta(sdf: SparkDF, binary_col: str = "payload") -> SparkDF:
+    """Real (sample_rate, channels, duration_s) via RIFF header parsing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StructType([
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("dur", T.DoubleType())]))
+    def _hdr(s: pd.Series) -> pd.DataFrame:
+        rows = [parse_wav_header(v) for v in s]
+        return pd.DataFrame(rows, columns=["rate", "channels", "dur"])
+
+    out = sdf.withColumn("__h__", _hdr(F.col(binary_col)))
+    return (out.withColumn("sample_rate", F.col("__h__.rate"))
+            .withColumn("channels", F.col("__h__.channels"))
+            .withColumn("duration_s", F.col("__h__.dur"))
+            .drop("__h__"))

@@ -300,3 +300,37 @@ def test_lsh_topk_multiprobe_widens(emb):
         assert rec >= last
         last = rec
     assert last >= 0.5  # Hamming-3 of 6 planes probes most buckets
+
+
+def test_image_and_wav_header_parsing(spark):
+    """REAL header decoding (no codec libs): constructed valid PNG/GIF/BMP/
+    WAV payloads must yield their true dimensions / audio params through
+    the Arrow-batched parser."""
+    import struct
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 30)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+           + b"\x00" * 20)
+    rate, ch, secs = 16000, 1, 2.0
+    n_data = int(rate * ch * 2 * secs)
+    wav = (b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+           + b"data" + struct.pack("<I", n_data) + b"\x00" * 8)
+    pdf = pd.DataFrame({"media_id": [1, 2, 3, 4],
+                        "payload": [png, gif, bmp, wav]})
+    sdf = spark.createDataFrame(pdf)
+    img = multimodal.image_header_meta(sdf).toPandas().set_index("media_id")
+    assert (img.loc[1, "img_format"], img.loc[1, "img_width"],
+            img.loc[1, "img_height"]) == ("png", 640, 480)
+    assert (img.loc[2, "img_format"], img.loc[2, "img_width"],
+            img.loc[2, "img_height"]) == ("gif", 320, 200)
+    assert (img.loc[3, "img_format"], img.loc[3, "img_width"],
+            img.loc[3, "img_height"]) == ("bmp", 800, 600)
+    assert img.loc[4, "img_format"] is None
+    au = multimodal.wav_header_meta(sdf).toPandas().set_index("media_id")
+    assert au.loc[4, "sample_rate"] == rate
+    assert au.loc[4, "channels"] == ch
+    assert au.loc[4, "duration_s"] == pytest.approx(secs)
+    assert au.loc[1, "sample_rate"] == 0
