@@ -1040,6 +1040,24 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.repetition_ratio("text", n=2), 4).alias("rep2"))
 
 
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A C4-style cleaning pipeline as ONE composed plan: stopword-ratio
+    floor (gibberish filter) ∧ repetition-ratio ceiling (template/spam
+    filter) ∧ length band — all pure JVM column expressions fused into a
+    single narrow scan + one aggregation.  The survival stats per source
+    are exact-gated against the identical SQL predicates."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    keep = ((tx.stopword_ratio("text") >= 0.05)
+            & (tx.repetition_ratio("text", 3) <= 0.2)
+            & F.col("n_chars").between(100, 100000))
+    return (docs.filter(keep)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("kept_chars")))
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards (``functions/packing.py``):
     md5-bucketed concat-and-chop pack positions, one bucket-shuffle + one
@@ -2215,7 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": pack_sequences_documents,
         "doc_repetition": doc_repetition,
         "hash_split_documents": hash_split_documents,
-        "stratified_sample_docs": stratified_sample_docs,
+        "clean_corpus_pipeline": clean_corpus_pipeline,
         "top_tokens_documents": top_tokens_documents,
         # ---- position 50+: green in CORRECTNESS_r01 or rows-only ----
         "q1_pricing_summary": q1_pricing_summary,
@@ -2295,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_sem_prices": skew_sem_prices,
         "melt_customer_metrics": melt_customer_metrics,
         "eval_query_charges": eval_query_charges,
+        "stratified_sample_docs": stratified_sample_docs,
         "grouping_sets_pricing": grouping_sets_pricing,
         "kll_doclen_quantiles": kll_doclen_quantiles,
         "audience_overlap_events": audience_overlap_events,
@@ -3212,6 +3231,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - len(list_distinct(sh2)) / CAST(tot2 AS DOUBLE), 4)
                      AS rep2
             FROM sh
+        """,
+        "clean_corpus_pipeline": f"""
+            WITH t AS (
+                SELECT source, n_chars,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       regexp_split_to_array(lower(trim(text)), '\\s+')
+                         AS ltoks
+                FROM documents
+            ), m AS (
+                SELECT source, n_chars,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(len(list_filter(ltoks,
+                                x -> list_contains({_STOPWORDS_SQL}, x)))
+                                AS DOUBLE) / len(toks)
+                       ELSE 0 END AS stop_ratio,
+                       1.0 - CAST(len(list_distinct(list_transform(
+                               range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 2), ' '))))
+                             AS DOUBLE) / greatest(len(toks) - 2, 1) AS rep3
+                FROM t
+            )
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+            FROM m
+            WHERE stop_ratio >= 0.05 AND rep3 <= 0.2
+              AND n_chars BETWEEN 100 AND 100000
+            GROUP BY source
         """,
         "pack_sequences_documents": """
             WITH base AS (
