@@ -1,0 +1,27 @@
+"""LLM-data-pipeline and analytics function modules.
+
+Convenience re-exports so users can ``from pandas_expr_spark.functions
+import dedup, similarity, ...`` or reach common entry points directly.
+"""
+
+from . import (accessors, dedup, multimodal, packing, scan, similarity,
+               sketches, splits, text, timeseries, udtf)
+from .dedup import (embedding_near_dup_pairs, minhash_lsh_dedup,
+                    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+from .packing import pack_documents
+from .similarity import brute_force_pairs, cosine_topk, ivf_topk, lsh_topk
+from .splits import hash_bucket, hash_sample, hash_split, stratified_downsample
+from .text import (lang_id, quality_score, repetition_ratio, stopword_ratio,
+                   token_count)
+from .udtf import chunk_documents
+
+__all__ = [
+    "accessors", "dedup", "multimodal", "packing", "scan", "similarity",
+    "sketches", "splits", "text", "timeseries", "udtf",
+    "embedding_near_dup_pairs", "minhash_lsh_dedup", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_pairs", "pack_documents",
+    "brute_force_pairs", "cosine_topk", "ivf_topk", "lsh_topk",
+    "hash_bucket", "hash_sample", "hash_split", "stratified_downsample",
+    "lang_id", "quality_score", "repetition_ratio", "stopword_ratio",
+    "token_count", "chunk_documents",
+]
