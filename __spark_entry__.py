@@ -2013,16 +2013,18 @@ def rolling_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     over block-partitioned windows (bounded tasks, never a global window)
     + one position join.  Integer cents → exact BIGINT oracle."""
     import pandas_expr_spark as pes
+    from pandas_expr_spark.functions import scan
     o = pes.read_parquet(f"{sf_dir}/orders.parquet")
     o = o[o.o_custkey < 500]
     o = o.assign(price_c=(o.o_totalprice * 100).floor())
-    s = o.set_index("o_orderkey")["price_c"]
-    mn = s.rolling(7).min().to_frame("roll_min_c").reset_index()
-    mx = s.rolling(7).max().to_frame("roll_max_c").reset_index()
-    out = mn.merge(mx, on="o_orderkey")
-    return out.to_spark().select(
-        "o_orderkey", F.col("roll_min_c").cast("long"),
-        F.col("roll_max_c").cast("long"))
+    sdf = o.to_spark().select("o_orderkey", "price_c")
+    # min AND max share one scan + block-window pass + position join
+    out = scan.rolling_minmax(sdf, "price_c", ["o_orderkey"], 7,
+                              fn=["min", "max"],
+                              out=["roll_min_c", "roll_max_c"])
+    return out.select("o_orderkey",
+                      F.col("roll_min_c").cast("long").alias("roll_min_c"),
+                      F.col("roll_max_c").cast("long").alias("roll_max_c"))
 
 
 def stack_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,10 +68,16 @@ HEADLINE = [
     "top_tokens_documents",
     "kll_doclen_quantiles",
     "ewm_price_per_customer",
-    # round-2 additions: period workflow, scalable embedding dedup
+    # round-2 additions: period workflow, scalable embedding dedup,
+    # training-shard packing, text-quality pipeline
     "period_month_revenue",
     "embedding_near_dup_lsh",
     "pack_sequences_documents",
+    "doc_repetition",
+    "clean_corpus_pipeline",
+    "minhash_verified_dups",
+    "rolling_minmax_orders",
+    "asof_nearest_events",
 ]
 
 

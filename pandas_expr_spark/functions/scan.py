@@ -253,8 +253,8 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
 
 
 def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
-                   fn: str = "min", min_periods: int | None = None,
-                   out: str = "__roll__",
+                   fn="min", min_periods: int | None = None,
+                   out="__roll__",
                    num_partitions: int | None = None) -> SparkDF:
     """Global sliding min/max — the van Herk/Gil-Werman two-pass block
     algorithm, distributed:
@@ -269,11 +269,18 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
     position.  Head windows (start in i's own block) use ``prefix[i]``
     alone.  Cost: one range shuffle (position) + one block-partitioned
     window pass + one position join.
+
+    ``fn``/``out`` may be lists — min AND max then share the SAME scan,
+    block windows, and position join (one pass total).
     """
-    if fn not in ("min", "max"):
-        raise ValueError(f"rolling_minmax: fn must be min/max, got {fn!r}")
+    fns = [fn] if isinstance(fn, str) else list(fn)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(fns) != len(outs):
+        raise ValueError("rolling_minmax: fn and out must have equal length")
+    for f in fns:
+        if f not in ("min", "max"):
+            raise ValueError(f"rolling_minmax: fn must be min/max, got {f!r}")
     minp = window if min_periods is None else min_periods
-    agg = F.min if fn == "min" else F.max
     nn = "__nn__"
     base = (sdf
             .withColumn(nn, F.col(col).isNotNull().cast("long"))
@@ -287,28 +294,38 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
             .rowsBetween(Window.unboundedPreceding, 0))
     wsuf = (Window.partitionBy("__blk__").orderBy(F.col("__P__").desc())
             .rowsBetween(Window.unboundedPreceding, 0))
-    marked = (pos.withColumn("__pre__", agg(F.col(col)).over(wpre))
-              .withColumn("__suf__", agg(F.col(col)).over(wsuf)))
+    marked = pos
+    for i, f in enumerate(fns):
+        agg = F.min if f == "min" else F.max
+        marked = (marked
+                  .withColumn(f"__pre{i}__", agg(F.col(col)).over(wpre))
+                  .withColumn(f"__suf{i}__", agg(F.col(col)).over(wsuf)))
     start = F.col("__P__") - window + 1
-    suf_at_start = (marked
-                    .select(F.col("__P__").alias("__SP__"),
-                            F.col("__suf__").alias("__suf_s__"),
-                            F.col("__blk__").alias("__blk_s__")))
+    suf_at_start = marked.select(
+        F.col("__P__").alias("__SP__"),
+        F.col("__blk__").alias("__blk_s__"),
+        *[F.col(f"__suf{i}__").alias(f"__suf_s{i}__")
+          for i in range(len(fns))])
     j = (marked.withColumn("__SP__", F.greatest(start, F.lit(1)))
          .join(suf_at_start, "__SP__", "left"))
-    both = F.when(F.col("__blk_s__") < F.col("__blk__"),
-                  F.least(F.col("__suf_s__"), F.col("__pre__"))
-                  if fn == "min"
-                  else F.greatest(F.col("__suf_s__"), F.col("__pre__")))         .otherwise(F.col("__pre__"))
     # min_periods guard on non-null observations in the window
     lagc = marked.select((F.col("__P__") + window).alias("__P__"),
                          F.col("__C__").alias("__Cl__"))
     j = j.join(lagc, "__P__", "left")
     wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
-    guarded = F.when(wcnt >= F.lit(minp), both).otherwise(F.lit(None))
     drop = ["__P__", "__C__", "__Cl__", "__SP__", "__blk__", "__blk_s__",
-            "__pre__", "__suf__", "__suf_s__", nn, "__one__"]
-    return j.withColumn(out, guarded).drop(*drop)
+            nn, "__one__"]
+    for i, (f, o) in enumerate(zip(fns, outs)):
+        combine = (F.least(F.col(f"__suf_s{i}__"), F.col(f"__pre{i}__"))
+                   if f == "min"
+                   else F.greatest(F.col(f"__suf_s{i}__"),
+                                   F.col(f"__pre{i}__")))
+        both = F.when(F.col("__blk_s__") < F.col("__blk__"), combine) \
+            .otherwise(F.col(f"__pre{i}__"))
+        j = j.withColumn(o, F.when(wcnt >= F.lit(minp), both)
+                         .otherwise(F.lit(None)))
+        drop += [f"__pre{i}__", f"__suf{i}__", f"__suf_s{i}__"]
+    return j.drop(*drop)
 
 
 def is_monotonic(sdf: SparkDF, col: str, order_by: list[str],
