@@ -2007,6 +2007,21 @@ def rolling_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("roll_price_c").cast("long"))
 
 
+def grouped_rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().rolling() chain: per-customer 3-row rolling sum of order
+    prices — ONE partitioned rowsBetween window (single shuffle on the
+    keys), exact BIGINT oracle."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_custkey < 300]
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    g = (o.set_index("o_orderkey")[["o_custkey", "price_c"]]
+         .groupby("o_custkey").rolling(3).sum())
+    sdf = g.to_spark()
+    return sdf.select(F.col("o_orderkey"), F.col("o_custkey"),
+                      F.col("price_c").cast("long").alias("roll_sum_c"))
+
+
 def rolling_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 7-row rolling min AND max — the van Herk two-pass block
     algorithm (``scan.rolling_minmax``): per-block prefix/suffix extremes
@@ -2309,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_parts": duplicated_parts,
         "shift_diff_order_prices": shift_diff_order_prices,
         "rolling_revenue_orders": rolling_revenue_orders,
+        "grouped_rolling_orders": grouped_rolling_orders,
         "concat_axis1_nation_stats": concat_axis1_nation_stats,
         "cumsum_running_revenue": cumsum_running_revenue,
         "align_add_balances": align_add_balances,
@@ -3537,6 +3553,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    price_c - LAG(price_c) OVER (ORDER BY o_orderkey)
                        AS price_diff_c
+            FROM o
+        """,
+        "grouped_rolling_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                AS price_c
+                       FROM orders WHERE o_custkey < 300)
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderkey) >= 3
+                        THEN SUM(price_c) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderkey
+                                                ROWS BETWEEN 2 PRECEDING
+                                                AND CURRENT ROW)
+                   END AS roll_sum_c
             FROM o
         """,
         "rolling_minmax_orders": """
