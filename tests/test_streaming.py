@@ -214,3 +214,30 @@ def test_stream_stream_join_left_outer(spark, events):
     pdf = out.toPandas()
     assert len(pdf) >= views.count()
     assert pdf["purchase_id"].isna().any()
+
+
+def test_checkpoint_restart_exactly_once(spark, events):
+    """Exactly-once across restarts: a second run from the SAME checkpoint
+    must process only files added after the first run — no reprocessing,
+    no duplicates in the file sink."""
+    d = tempfile.mkdtemp()
+    try:
+        first = events.filter(F.col("event_id") % 2 == 0)
+        second = events.filter(F.col("event_id") % 2 == 1)
+        first.write.mode("overwrite").parquet(f"{d}/in")
+        stream = st.read_stream("parquet", f"{d}/in", schema=events.schema)
+        q = st.write_stream(stream.select("event_id"), f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(f"{d}/out").count()
+        assert n1 == first.count()
+        # append new files, restart from the same checkpoint
+        second.write.mode("append").parquet(f"{d}/in")
+        stream2 = st.read_stream("parquet", f"{d}/in", schema=events.schema)
+        q2 = st.write_stream(stream2.select("event_id"), f"{d}/out",
+                             f"{d}/ckpt")
+        q2.awaitTermination(120)
+        out = spark.read.parquet(f"{d}/out")
+        assert out.count() == events.count()          # union, no dups
+        assert out.distinct().count() == events.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
