@@ -15,6 +15,7 @@ exactly like the reference's ``as_known`` which computes ``.unique()``
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, Window, functions as F
 
 
@@ -35,8 +36,27 @@ class StringAccessor(_Accessor):
     def lstrip(self): return self._wrap(F.ltrim(self._s._scol), "str.lstrip")
     def rstrip(self): return self._wrap(F.rtrim(self._s._scol), "str.rstrip")
     def len(self): return self._wrap(F.length(self._s._scol), "str.len")
-    def title(self): return self._wrap(F.initcap(self._s._scol), "str.title")
-    capitalize = title
+    def title(self):
+        """pandas ``str.title`` capitalizes the start of every ALPHA run
+        (``"a,b"`` → ``"A,B"``); Spark's ``initcap`` only after whitespace
+        — exact parity needs Python's titlecasing, so this is an
+        Arrow-batched pandas_udf (cheap per-row string op)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        @pandas_udf(T.StringType())
+        def _title(s: pd.Series) -> pd.Series:
+            return s.str.title()
+        return self._wrap(_title(self._s._scol), "str.title")
+
+    def capitalize(self):
+        """pandas ``str.capitalize``: first char upper, rest lower — pure
+        JVM expression."""
+        c = self._s._scol
+        out = F.concat(F.upper(F.substring(c, 1, 1)),
+                       F.lower(c.substr(F.lit(2), F.length(c))))
+        return self._wrap(F.when(c.isNull(), F.lit(None)).otherwise(out),
+                          "str.capitalize")
 
     def contains(self, pat: str, regex: bool = True):
         c = self._s._scol
@@ -99,11 +119,17 @@ class StringAccessor(_Accessor):
         return self._wrap(F.concat_ws(sep, *cols), "str.cat")
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        # Spark lpad/rpad TRUNCATE values longer than width; pandas never
+        # truncates — guard with the original value
+        c = self._s._scol
         fn = F.lpad if side == "left" else F.rpad
-        return self._wrap(fn(self._s._scol, width, fillchar), "str.pad")
+        out = F.when(F.length(c) >= width, c).otherwise(fn(c, width, fillchar))
+        return self._wrap(out, "str.pad")
 
     def zfill(self, width: int):
-        return self._wrap(F.lpad(self._s._scol, width, "0"), "str.zfill")
+        c = self._s._scol
+        out = F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0"))
+        return self._wrap(out, "str.zfill")
 
     def repeat(self, n: int):
         return self._wrap(F.repeat(self._s._scol, n), "str.repeat")

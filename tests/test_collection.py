@@ -598,3 +598,49 @@ def test_quantile_list_single_pass(base, base_pdf):
     exp = base_pdf.y.quantile([0.25, 0.5, 0.9]).sort_index()
     assert got.index.tolist() == exp.index.tolist()
     assert got.tolist() == pytest.approx(exp.tolist())
+
+
+def test_str_accessor_extended(spark):
+    pdf = pd.DataFrame({"s": ["  Hello World ", "foo_bar-baz", "Spark SQL",
+                              "", "a,b,c"]})
+    df = pes.from_pandas(pdf)
+    for op in ("strip", "lstrip", "rstrip", "title"):
+        assert_series_eq(getattr(df.s.str, op)(), getattr(pdf.s.str, op)(),
+                         check_name=False)
+    assert_series_eq(df.s.str.endswith("c"), pdf.s.str.endswith("c"),
+                     check_name=False)
+    assert_series_eq(df.s.str.pad(12, side="left", fillchar="*"),
+                     pdf.s.str.pad(12, side="left", fillchar="*"),
+                     check_name=False)
+    assert_series_eq(df.s.str.zfill(10), pdf.s.str.zfill(10),
+                     check_name=False)
+    assert_series_eq(df.s.str.repeat(2), pdf.s.str.repeat(2),
+                     check_name=False)
+    assert_series_eq(df.s.str.find("a"), pdf.s.str.find("a"),
+                     check_name=False)
+    got = df.s.str.split(",", regex=False).compute()
+    exp = pdf.s.str.split(",", regex=False)
+    assert [list(x) for x in got.sort_index()] == [list(x) for x in exp]
+
+
+def test_dt_accessor_extended(spark):
+    ts = pd.date_range("2023-11-30 22:15:45", periods=8, freq="53h")
+    pdf = pd.DataFrame({"t": ts})
+    df = pes.from_pandas(pdf)
+    for fld in ("minute", "second", "dayofyear", "quarter", "week"):
+        exp = getattr(pdf.t.dt, "isocalendar")().week.astype("int32") \
+            if fld == "week" else getattr(pdf.t.dt, fld)
+        assert_series_eq(getattr(df.t.dt, fld), exp, check_name=False)
+    assert_series_eq(df.t.dt.date, pdf.t.dt.date, check_name=False)
+    assert_series_eq(df.t.dt.strftime("%Y-%m-%d %H:%M"),
+                     pdf.t.dt.strftime("%Y-%m-%d %H:%M"), check_name=False)
+    assert_series_eq(df.t.dt.floor("D"), pdf.t.dt.floor("D"),
+                     check_name=False)
+
+
+def test_str_title_capitalize_semantics(spark):
+    pdf = pd.DataFrame({"s": ["a,b,c", "foo_bar-baz", "HELLO world", ""]})
+    df = pes.from_pandas(pdf)
+    assert_series_eq(df.s.str.title(), pdf.s.str.title(), check_name=False)
+    assert_series_eq(df.s.str.capitalize(), pdf.s.str.capitalize(),
+                     check_name=False)
