@@ -937,13 +937,16 @@ class Series(FrameBase):
 
     def idxmin(self, skipna: bool = True):
         """Reference IdxMin ``_reductions.py:142-152`` → ``F.min_by`` over the
-        index column (no sort, single agg)."""
-        return self._idx_extreme(F.min_by, "idxmin")
+        index column (no sort, single agg).  Ties break to the SMALLEST
+        index label (pandas returns the first occurrence; min-label is the
+        distributed-deterministic analogue) via a (value, index) struct
+        ordering."""
+        return self._idx_extreme("idxmin")
 
     def idxmax(self, skipna: bool = True):
-        return self._idx_extreme(F.max_by, "idxmax")
+        return self._idx_extreme("idxmax")
 
-    def _idx_extreme(self, fn, op: str) -> Scalar:
+    def _idx_extreme(self, op: str) -> Scalar:
         if self._index_cols:
             idx = F.col(self._index_cols[0])
             sdf = self._sdf
@@ -951,7 +954,24 @@ class Series(FrameBase):
             sdf = _attach_rowid(self._sdf)
             idx = F.col(_ROWID)
         valid = sdf.filter(self._scol.isNotNull())
-        return Scalar(valid.agg(fn(idx, self._scol).alias(op)), Node(op, {}, self._expr))
+        # min_by over a (value', idx) struct — struct comparison is
+        # lexicographic, so value ties resolve to the smallest index in
+        # ONE aggregation.  idxmax negates numeric values to reuse the
+        # same min ordering; non-numeric values fall back to a two-pass
+        # (extreme value → min index among equals).
+        if op == "idxmin":
+            agg = F.min_by(idx, F.struct(self._scol.alias("__v__"),
+                                         idx.alias("__i__")))
+        elif is_numeric(self.spark_type):
+            agg = F.min_by(idx, F.struct((-self._scol.cast("double"))
+                                         .alias("__v__"), idx.alias("__i__")))
+        else:
+            m = valid.agg(F.max(self._scol).alias("__m__"))
+            hit = valid.join(F.broadcast(m),
+                             self._scol.eqNullSafe(F.col("__m__")))
+            return Scalar(hit.agg(F.min(idx).alias(op)),
+                          Node(op, {}, self._expr))
+        return Scalar(valid.agg(agg.alias(op)), Node(op, {}, self._expr))
 
     # ------------------------------------------------------------------
     # distinct / frequency (reference §2.5)

@@ -109,8 +109,10 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
 
     cond = None
     for lk, rk in zip(left_keys, right_keys):
-        c = l2[lmap[lk]].eqNullSafe(r2[rmap[rk]]) if how == "outer" \
-            else (l2[lmap[lk]] == r2[rmap[rk]])
+        # pandas matches NaN join keys for EVERY how; `<=>` is still an
+        # equi-join predicate for Catalyst (hash/sort-merge join, no
+        # nested-loop downgrade)
+        c = l2[lmap[lk]].eqNullSafe(r2[rmap[rk]])
         cond = c if cond is None else (cond & c)
 
     spark_how = {"inner": "inner", "left": "left", "right": "right",

@@ -644,3 +644,29 @@ def test_str_title_capitalize_semantics(spark):
     assert_series_eq(df.s.str.title(), pdf.s.str.title(), check_name=False)
     assert_series_eq(df.s.str.capitalize(), pdf.s.str.capitalize(),
                      check_name=False)
+
+
+def test_merge_nan_keys_match_pandas(spark):
+    pl = pd.DataFrame({"k": [1, 2, 2, None], "v": [1.0, 2.0, 3.0, 4.0]})
+    pr = pd.DataFrame({"k": [2, 3, None], "w": [10.0, 20.0, 30.0]})
+    for how in ("inner", "left", "right", "outer"):
+        got = (pes.merge(pes.from_pandas(pl), pes.from_pandas(pr),
+                         on="k", how=how).compute()
+               .sort_values(["v", "w"], na_position="last")
+               .reset_index(drop=True))
+        exp = (pl.merge(pr, on="k", how=how)
+               .sort_values(["v", "w"], na_position="last")
+               .reset_index(drop=True))
+        assert len(got) == len(exp), how
+        for c in ("k", "v", "w"):
+            assert (got[c].fillna(-9) == exp[c].fillna(-9)).all(), (how, c)
+
+
+def test_idx_extreme_tie_first_label(spark):
+    pt = pd.DataFrame({"v": [3.0, 3.0, 1.0, 1.0]}, index=[10, 11, 12, 9])
+    df = pes.from_pandas(pt)
+    # min index label among ties (pandas first-occurrence analogue)
+    assert df["v"].idxmax().compute() == 10
+    assert df["v"].idxmin().compute() == 9
+    ps = pd.DataFrame({"s": ["b", "b", "a"]}, index=[5, 4, 3])
+    assert pes.from_pandas(ps)["s"].idxmax().compute() == 4  # non-numeric path
