@@ -407,8 +407,9 @@ class Series(FrameBase):
         """Reference Isin ``_expr.py:1133-1136``.  For large value lists this
         should become a broadcast semi-join; literal ``isin`` is fine for the
         reference's list-sized inputs (Catalyst converts long IN-lists to a
-        hash set)."""
-        return self._with_scol(self._scol.isin(list(values)), "isin")
+        hash set).  Null inputs yield False (pandas), not SQL's null."""
+        return self._with_scol(
+            F.coalesce(self._scol.isin(list(values)), F.lit(False)), "isin")
 
     def between(self, left, right, inclusive: str = "both"):
         """Reference Between ``_expr.py:1153-1156``."""
@@ -1799,7 +1800,8 @@ class DataFrame(FrameBase):
 
     # -- reductions over all columns (reference §2.5) --------------------
     def _columnwise(self, fn: Callable[[Column], Column], op: str,
-                    numeric_only: bool = True) -> Series:
+                    numeric_only: bool = True,
+                    out_type: str = "double") -> Series:
         fields = [f for f in self._sdf.schema.fields if f.name in self.columns]
         if numeric_only:
             fields = [f for f in fields if is_numeric(f.dataType)]
@@ -1807,7 +1809,8 @@ class DataFrame(FrameBase):
         one_row = self._sdf.agg(*aggs)
         # unpivot to (column, value) long form → pandas Series on compute
         names = [f.name for f in fields]
-        stack_expr = ", ".join(f"'{n}', cast(`{n}` as double)" for n in names)
+        stack_expr = ", ".join(f"'{n}', cast(`{n}` as {out_type})"
+                               for n in names)
         long = one_row.selectExpr(
             f"stack({len(names)}, {stack_expr}) as (__col__, __val__)")
         node = Node(op, {"axis": 0}, self._expr)
@@ -1882,7 +1885,15 @@ class DataFrame(FrameBase):
         return self._columnwise(F.max, "max", numeric_only)
 
     def count(self, numeric_only: bool = False):
-        return self._columnwise(F.count, "count", numeric_only)
+        # pandas count() is int64-valued
+        return self._columnwise(F.count, "count", numeric_only,
+                                out_type="long")
+
+    def nunique(self, dropna: bool = True):
+        """pandas ``DataFrame.nunique``: distinct non-null count per
+        column, int64-valued — one aggregation pass."""
+        return self._columnwise(F.countDistinct, "nunique",
+                                numeric_only=False, out_type="long")
 
     def var(self, ddof: int = 1, numeric_only: bool = True):
         fn = _var_fn(ddof)

@@ -670,3 +670,20 @@ def test_idx_extreme_tie_first_label(spark):
     assert df["v"].idxmin().compute() == 9
     ps = pd.DataFrame({"s": ["b", "b", "a"]}, index=[5, 4, 3])
     assert pes.from_pandas(ps)["s"].idxmax().compute() == 4  # non-numeric path
+
+
+def test_isin_null_count_nunique_semantics(spark):
+    p = pd.DataFrame({"a": [1, 2, 2, 3], "b": [1.0, None, 3.0, 4.0],
+                      "c": ["x", "y", "y", None]})
+    d = pes.from_pandas(p)
+    # pandas isin: null input -> False (never null)
+    got = d["c"].isin(["x"]).compute()
+    assert got.notna().all()
+    assert sorted(got.tolist()) == sorted(p["c"].isin(["x"]).tolist())
+    # count is int64-valued
+    gc = d.count().compute()
+    assert dict(gc) == dict(p.count())
+    assert str(gc.dtype) == "int64"
+    # frame nunique
+    gn = d.nunique().compute()
+    assert dict(gn) == dict(p.nunique())
