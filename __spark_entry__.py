@@ -1058,6 +1058,27 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("kept_chars")))
 
 
+def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster assignment (``functions/components.py``): near-dup PAIRS
+    → connected components → every doc mapped to its cluster's canonical
+    id, even when duplicates chain (A~B~C, A!~C).  Large-star/small-star —
+    O(log n) rounds of groupBy-min + equi-join, no global sort — vs a
+    DuckDB recursive-CTE reachability oracle.  Edges here are a
+    deterministic SQL-expressible graph (consecutive doc_ids sharing a
+    lang → chains of varying length, the shape that breaks naive one-hop
+    label propagation)."""
+    from pandas_expr_spark.functions import components
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select((F.col("doc_id") - F.lit(1)).alias("doc_id"),
+                      F.col("doc_id").alias("dst"), F.col("lang").alias("lang2"))
+    edges = (docs.join(nxt, ["doc_id"])
+             .filter(F.col("lang") == F.col("lang2"))
+             .select(F.col("doc_id").alias("src"), "dst"))
+    cc = components.dup_clusters(edges, "src", "dst")
+    return cc.orderBy("doc_id")
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards (``functions/packing.py``):
     md5-bucketed concat-and-chop pack positions, one bucket-shuffle + one
@@ -2251,8 +2272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "hash_split_documents": hash_split_documents,
         "clean_corpus_pipeline": clean_corpus_pipeline,
-        "top_tokens_documents": top_tokens_documents,
+        "doc_dup_components": doc_dup_components,
         # ---- position 50+: green in CORRECTNESS_r01 or rows-only ----
+        "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -3422,6 +3444,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(rk / 1000) AS BIGINT) AS bucket,
                    COUNT(*) AS count
             FROM r GROUP BY 1
+        """,
+        "doc_dup_components": """
+            WITH RECURSIVE e AS (
+                SELECT d1.doc_id AS u, d2.doc_id AS v
+                FROM documents d1 JOIN documents d2
+                  ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+            ),
+            edges AS (
+                SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT eg.v, w.comp FROM walk w JOIN edges eg ON eg.u = w.node
+            )
+            SELECT node AS doc_id,
+                   MIN(comp) AS cluster_id,
+                   (node = MIN(comp)) AS is_canonical
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         "top_tokens_documents": """
             SELECT token, COUNT(*) AS n FROM (

@@ -4,8 +4,9 @@ Convenience re-exports so users can ``from pandas_expr_spark.functions
 import dedup, similarity, ...`` or reach common entry points directly.
 """
 
-from . import (accessors, dedup, multimodal, packing, scan, similarity,
-               sketches, splits, text, timeseries, udtf)
+from . import (accessors, components, dedup, multimodal, packing, scan,
+               similarity, sketches, splits, text, timeseries, udtf)
+from .components import connected_components, dup_clusters
 from .dedup import (embedding_near_dup_pairs, minhash_lsh_dedup,
                     minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
 from .packing import pack_documents
@@ -16,8 +17,9 @@ from .text import (lang_id, quality_score, repetition_ratio, stopword_ratio,
 from .udtf import chunk_documents
 
 __all__ = [
-    "accessors", "dedup", "multimodal", "packing", "scan", "similarity",
-    "sketches", "splits", "text", "timeseries", "udtf",
+    "accessors", "components", "dedup", "multimodal", "packing", "scan",
+    "similarity", "sketches", "splits", "text", "timeseries", "udtf",
+    "connected_components", "dup_clusters",
     "embedding_near_dup_pairs", "minhash_lsh_dedup", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "pack_documents",
     "brute_force_pairs", "cosine_topk", "ivf_topk", "lsh_topk",

@@ -1,0 +1,119 @@
+"""Connected components over an edge list — dup-cluster assignment.
+
+The missing link in a dedup pipeline: MinHash/SimHash/embedding LSH produce
+near-duplicate *pairs*, but deduplicating a corpus needs *clusters* — every
+document mapped to one canonical representative, even when duplicates chain
+(A~B, B~C but A!~C).  That is connected components on the pair graph.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame ops:
+
+* large-star: for each node ``u``, attach every *larger* neighbor to the
+  minimum of ``u``'s neighborhood (including ``u``).
+* small-star: orient edges toward the smaller endpoint; attach each node and
+  its smaller neighbors to the minimum of that closed neighborhood.
+
+Both rounds are one groupBy (min) + one join per iteration — pure
+hash-shuffles, no global sort — and converge in O(log n) iterations even on
+path graphs (plain min-label propagation needs O(diameter)).  Designed for
+100 TB scale:
+
+* every iteration is ``groupBy(u).min`` (map-side partial agg) + an
+  equi-join on ``u`` — AQE handles skewed hub nodes;
+* lineage is cut each iteration with ``localCheckpoint`` (a real cluster
+  would set a checkpoint dir; the iteration count is ~log of the longest
+  chain, so ~20 covers any realistic dup graph);
+* convergence is detected with an O(1)-row aggregate fingerprint
+  (count + sum of ``xxhash64`` over the canonical edges), not a
+  ``subtract().count()`` anti-join.
+
+Reference parity: the reference engine (pandas-expr) has no graph operator;
+this extends the dedup battery the same way ``minhash_lsh_dedup`` does, per
+the LLM-pipeline mandate.  See also reference README.md for the dedup
+use-case framing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+__all__ = ["connected_components", "dup_clusters"]
+
+
+def _canon(e: SparkDF) -> SparkDF:
+    """Canonical undirected edge set: (min, max), no loops, distinct."""
+    return (e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+
+
+def _fingerprint(e: SparkDF) -> tuple[int, int]:
+    # bit_xor never overflows (ANSI-safe); edges are distinct so xor is a
+    # faithful set fingerprint.
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h")).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: SparkDF, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> SparkDF:
+    """Map every node of the undirected graph ``edges`` to its component's
+    minimum node id.
+
+    Returns a DataFrame ``(node, component)`` covering every node that
+    appears in ``edges`` (isolated nodes never enter an edge list; callers
+    wanting them keep the left-join to the full node set on their side).
+
+    Node ids must be an orderable type (int/str); component = min id.
+    """
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+
+    for _ in range(max_iter):
+        # ---- large-star: nbrs lists every directed (u, v); attach each
+        # v > u to m(u) = min(N(u) ∪ {u}).
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+                    .select("u", F.least("mn", "u").alias("m")))
+        large = (nbrs.join(mins, "u")
+                     .filter(F.col("v") > F.col("u"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        e = _canon(large)
+
+        # ---- small-star: edges already oriented (u > v after swapping);
+        # attach u and each smaller neighbor to m = min(N_small(u) ∪ {u}).
+        oriented = e.select(F.col("v").alias("u"), F.col("u").alias("v"))  # canon has u < v; now u > v
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (oriented.join(mins, "u")
+                         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                         .union(mins.select(F.col("u"), F.col("m").alias("v"))))
+        e = _canon(small).localCheckpoint(eager=True)
+
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Fixed point is a star forest: every edge is (root, member) with
+    # root = component minimum.  Roots map to themselves.
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node")).distinct() \
+             .withColumn("component", F.col("node"))
+    return members.union(roots).distinct()
+
+
+def dup_clusters(pairs: SparkDF, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 25) -> SparkDF:
+    """Turn near-duplicate pairs into cluster assignments.
+
+    Returns ``(doc_id, cluster_id, is_canonical)`` — ``cluster_id`` is the
+    minimum doc id of the connected component and the canonical row is the
+    one to keep.  Compose with ``minhash_lsh_pairs`` /
+    ``embedding_near_dup_pairs`` for the full dedup path.
+    """
+    cc = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("cluster_id"),
+                     (F.col("node") == F.col("component")).alias("is_canonical"))
