@@ -1079,6 +1079,63 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("doc_id")
 
 
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (``functions/text.py``): deterministic synthetic PII
+    (emails/IPs/SSNs/phones keyed off doc_id — identical CASE/concat in the
+    oracle) injected into the corpus, then counted per kind and redacted;
+    per-source totals + redacted-length delta.  Pure JVM regexp — narrow
+    map, no shuffle."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" host 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit(" call 555-867-5309")).otherwise(F.lit("")))
+    d = docs.withColumn("t", injected)
+    return (d.select(
+                "source",
+                tx.pii_count("t", "email").alias("e"),
+                tx.pii_count("t", "ssn").alias("s"),
+                tx.pii_count("t", "ipv4").alias("i"),
+                tx.pii_count("t", "phone").alias("p"),
+                (F.length("t") - F.length(tx.redact_pii("t"))).alias("dl"))
+            .groupBy("source")
+            .agg(F.sum("e").cast("long").alias("n_email"),
+                 F.sum("s").cast("long").alias("n_ssn"),
+                 F.sum("i").cast("long").alias("n_ipv4"),
+                 F.sum("p").cast("long").alias("n_phone"),
+                 F.sum("dl").cast("long").alias("redacted_delta"))
+            .orderBy("source"))
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (``functions/dedup.py decontaminate``):
+    eval set = every 97th doc; training docs flagged when any word 3-gram
+    also occurs in the eval set.  Eval shingles are broadcast — the corpus
+    is scanned once, never shuffled on text; per-doc shared-shingle counts
+    vs an exhaustive SQL shingle-join oracle."""
+    from pandas_expr_spark.functions import dedup
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = dedup.decontaminate(train, ev, n=3)
+    return (out.select("doc_id",
+                       F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams"),
+                       "contaminated")
+            .orderBy("doc_id"))
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training shards (``functions/packing.py``):
     md5-bucketed concat-and-chop pack positions, one bucket-shuffle + one
@@ -2274,6 +2331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_pipeline": clean_corpus_pipeline,
         "doc_dup_components": doc_dup_components,
         # ---- position 50+: green in CORRECTNESS_r01 or rows-only ----
+        # (new this round — rotate into the first-50 window in round 3)
+        "doc_pii_redaction": doc_pii_redaction,
+        "doc_decontaminate": doc_decontaminate,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3464,6 +3524,65 @@ def oracle_sql() -> dict[str, str]:
                    MIN(comp) AS cluster_id,
                    (node = MIN(comp)) AS is_canonical
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "doc_pii_redaction": r"""
+            WITH t AS (
+                SELECT source,
+                       text
+                       || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                               || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.'
+                               || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0 THEN ' call 555-867-5309'
+                          ELSE '' END AS t
+                FROM documents
+            )
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+                       AS n_email,
+                   CAST(SUM(len(regexp_extract_all(t,
+                        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS BIGINT) AS n_ssn,
+                   CAST(SUM(len(regexp_extract_all(t,
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
+                       AS n_ipv4,
+                   CAST(SUM(len(regexp_extract_all(t,
+                        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))) AS BIGINT)
+                       AS n_phone,
+                   CAST(SUM(len(t) - len(
+                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'),
+                            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g'),
+                            '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PII]', 'g')))
+                        AS BIGINT) AS redacted_delta
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "doc_decontaminate": """
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM tok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), ev AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT sh.doc_id, COUNT(*) AS n
+                FROM sh JOIN ev USING (s)
+                WHERE sh.doc_id % 97 <> 0
+                GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
         """,
         "top_tokens_documents": """
             SELECT token, COUNT(*) AS n FROM (

@@ -320,3 +320,39 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
     return (cand.withColumn("cosine", cos)
             .filter(F.col("cosine") >= cosine_threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ------------------------------------------------------- decontamination
+def decontaminate(docs: SparkDF, eval_docs: SparkDF, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  broadcast_eval: bool = True) -> SparkDF:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation set.
+
+    Adds ``n_shared_ngrams`` (distinct shingles also present anywhere in
+    the eval set) and ``contaminated`` to ``docs``.  Scale shape: the eval
+    set is tiny relative to a 100 TB corpus, so its distinct-shingle table
+    is **broadcast** — the whole check is a narrow broadcast-hash join over
+    the exploded training shingles plus one groupBy on doc id; the corpus
+    is scanned once and never shuffled on text.  Set
+    ``broadcast_eval=False`` for a (rare) large eval set to fall back to a
+    shuffle join.
+    """
+    from .text import word_shingles
+
+    doc_sh = docs.select(F.col(id_col),
+                         F.explode(word_shingles(text_col, n)).alias("__sh__"))
+    ev = (eval_docs.select(F.explode(word_shingles(text_col, n)).alias("__sh__"))
+          .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (doc_sh.join(ev, "__sh__")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+    return (docs.join(hits, id_col, "left")
+            .withColumn("n_shared_ngrams",
+                        F.coalesce("n_shared_ngrams", F.lit(0)))
+            .withColumn("contaminated", F.col("n_shared_ngrams") > 0))
+
+
+__all__ += ["decontaminate"]

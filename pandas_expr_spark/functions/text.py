@@ -223,3 +223,41 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     return (F.lit(1.0)
             - F.size(F.array_distinct(sh)).cast("double")
             / total.cast("double"))
+
+# ------------------------------------------------------------------- PII
+# Patterns restricted to the regex subset valid in BOTH Java regex (Spark,
+# executes JVM-side in whole-stage codegen) and RE2 (DuckDB oracle): no
+# lookarounds, no backrefs.  Real pipelines extend this table; the operator
+# contract — deterministic text→redacted-text / text→count Columns, narrow
+# map, no shuffle — is what scales to 100 TB.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+# Redaction order: email first (an ipv4/phone pattern could otherwise match
+# digit runs inside a numeric e-mail domain), then the digit patterns from
+# most to least specific.
+_PII_ORDER = ["email", "ssn", "ipv4", "phone"]
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (``PII_PATTERNS`` key) — JVM regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None,
+               token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``.  Chained JVM
+    ``regexp_replace`` — one narrow map over the corpus, no Python, no
+    shuffle; safe to run inline in any ingest pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in (kinds if kinds is not None else _PII_ORDER):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], token)
+    return c
+
+
+__all__ += ["PII_PATTERNS", "pii_count", "redact_pii"]

@@ -334,3 +334,45 @@ def test_image_and_wav_header_parsing(spark):
     assert au.loc[4, "channels"] == ch
     assert au.loc[4, "duration_s"] == pytest.approx(secs)
     assert au.loc[1, "sample_rate"] == 0
+
+
+def test_pii_count_and_redact(spark):
+    from pandas_expr_spark.functions import text as tx
+    from pyspark.sql import functions as F
+    rows = [
+        (1, "mail me at jo.smith+x@sub.example.co today"),
+        (2, "server 192.168.0.1 and ssn 123-45-6789"),
+        (3, "call 555-867-5309 or 555.123.4567"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, t: string")
+    got = (df.select("id",
+                     tx.pii_count("t", "email").alias("e"),
+                     tx.pii_count("t", "ipv4").alias("i"),
+                     tx.pii_count("t", "ssn").alias("s"),
+                     tx.pii_count("t", "phone").alias("p"),
+                     tx.redact_pii("t").alias("r"))
+           .orderBy("id").collect())
+    assert [(r.e, r.i, r.s, r.p) for r in got] == [
+        (1, 0, 0, 0), (0, 1, 1, 0), (0, 0, 0, 2), (0, 0, 0, 0)]
+    assert got[0].r == "mail me at [PII] today"
+    assert got[1].r == "server [PII] and ssn [PII]"
+    assert got[2].r == "call [PII] or [PII]"
+    assert got[3].r == "nothing sensitive here"
+
+
+def test_decontaminate_flags_and_broadcast(spark):
+    from pandas_expr_spark.functions.dedup import decontaminate
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),       # shares 'alpha beta gamma'
+         (2, "zeta eta theta iota"),          # clean
+         (3, "x y alpha beta gamma z")],      # shares via middle
+        "doc_id: long, text: string")
+    ev = spark.createDataFrame([(99, "alpha beta gamma epsilon")],
+                               "doc_id: long, text: string")
+    out = decontaminate(train, ev, n=3)
+    got = {r.doc_id: (r.n_shared_ngrams, r.contaminated) for r in out.collect()}
+    assert got[1][1] and got[3][1] and not got[2][1]
+    assert got[2][0] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
