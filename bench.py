@@ -78,6 +78,10 @@ HEADLINE = [
     "minhash_verified_dups",
     "rolling_minmax_orders",
     "asof_nearest_events",
+    # round-2 late additions: dup clustering, PII scrub, decontamination
+    "doc_dup_components",
+    "doc_pii_redaction",
+    "doc_decontaminate",
 ]
 
 

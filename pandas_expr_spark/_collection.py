@@ -658,9 +658,25 @@ class Series(FrameBase):
             r = cum.cast("double")
         elif method == "dense":
             r = F.row_number().over(Window.orderBy(order)).cast("double")
+        elif method == "first":
+            # tie-break by appearance order: per-value 'before' count from
+            # the distinct-value table + row_number within the equal-value
+            # partition ordered by the engine index (rowid when implicit).
+            # The window is bounded by the value partition — never global.
+            base_sdf, vname, order_cols, idx = self._ordered_base()
+            ranks = counts.select(F.col(name), before.alias("__before__"))
+            out = base_sdf.join(ranks, on=vname, how="left")
+            wv = Window.partitionBy(vname).orderBy(
+                *[F.col(c).asc() for c in order_cols])
+            out = out.withColumn(
+                "__rank__",
+                (F.col("__before__") + F.row_number().over(wv)).cast("double"))
+            node = Node("rank", {"method": method}, self._expr)
+            return Series(out, F.col("__rank__"), self._col_name, node, idx,
+                          self._index_names if self._index_cols else (None,))
         else:
             raise ValueError(f"rank method {method!r} not supported "
-                             "(average/min/max/dense)")
+                             "(average/min/max/dense/first)")
         ranks = counts.select(F.col(name), r.alias("__rank__"))
         out = sdf.join(ranks, on=name, how="left")
         node = Node("rank", {"method": method}, self._expr)
@@ -680,18 +696,31 @@ class Series(FrameBase):
         sdf = _attach_rowid(self._sdf).select(F.col(_ROWID), *sel)
         return sdf, name, [_ROWID], (_ROWID,)
 
-    def _cumop(self, op: str) -> "Series":
+    def _cumop(self, op: str, skipna: bool = True) -> "Series":
         from .functions import scan
         sdf, name, order, idx = self._ordered_base()
-        out = scan.prefix_scan(sdf, [(name, op, name)], order)
-        node = Node(f"cum{op}", {}, self._expr)
+        if skipna:
+            out = scan.prefix_scan(sdf, [(name, op, name)], order)
+        else:
+            # pandas skipna=False: NaN poisons the accumulation from its
+            # first occurrence on — a second cummax scan over a null flag,
+            # fused into the SAME single-pass segment scan.
+            flag = "__nullseen__"
+            base = sdf.withColumn(
+                flag, F.when(F.col(name).isNull(), F.lit(1)).otherwise(F.lit(0)))
+            out = scan.prefix_scan(base, [(name, op, name), (flag, "max", flag)],
+                                   order)
+            out = (out.withColumn(name, F.when(F.col(flag) == 1, F.lit(None))
+                                  .otherwise(F.col(name)))
+                   .drop(flag))
+        node = Node(f"cum{op}", {"skipna": skipna}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def cumsum(self): return self._cumop("sum")
-    def cumprod(self): return self._cumop("prod")
-    def cummax(self): return self._cumop("max")
-    def cummin(self): return self._cumop("min")
+    def cumsum(self, skipna: bool = True): return self._cumop("sum", skipna)
+    def cumprod(self, skipna: bool = True): return self._cumop("prod", skipna)
+    def cummax(self, skipna: bool = True): return self._cumop("max", skipna)
+    def cummin(self, skipna: bool = True): return self._cumop("min", skipna)
 
     def _pos_shifted(self, periods: int):
         """Self-join on the global position: row at pos p sees the value
@@ -1779,7 +1808,7 @@ class DataFrame(FrameBase):
 
     # -- positional family over all numeric columns: ONE distributed
     # segment scan for the whole frame (functions/scan.py) ---------------
-    def _frame_cumop(self, op: str) -> "DataFrame":
+    def _frame_cumop(self, op: str, skipna: bool = True) -> "DataFrame":
         from .functions import scan
         num = [c for c in self.columns
                if is_numeric(self._sdf.schema[c].dataType)]
@@ -1789,14 +1818,29 @@ class DataFrame(FrameBase):
         else:
             sdf, order = _attach_rowid(self._sdf), [_ROWID]
             idx, names = (_ROWID,), (None,)
-        out = scan.prefix_scan(sdf, [(c, op, c) for c in num], order)
-        node = Node(f"cum{op}", {"columns": num}, self._expr)
+        specs = [(c, op, c) for c in num]
+        flags = {}
+        if not skipna:
+            # one extra cummax-over-null-flag spec per column, same pass
+            for c in num:
+                fl = f"__nullseen_{c}__"
+                flags[c] = fl
+                sdf = sdf.withColumn(
+                    fl, F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0)))
+                specs.append((fl, "max", fl))
+        out = scan.prefix_scan(sdf, specs, order)
+        for c, fl in flags.items():
+            out = out.withColumn(c, F.when(F.col(fl) == 1, F.lit(None))
+                                 .otherwise(F.col(c)))
+        if flags:
+            out = out.drop(*flags.values())
+        node = Node(f"cum{op}", {"columns": num, "skipna": skipna}, self._expr)
         return DataFrame(out, node, idx, names)
 
-    def cumsum(self): return self._frame_cumop("sum")
-    def cumprod(self): return self._frame_cumop("prod")
-    def cummax(self): return self._frame_cumop("max")
-    def cummin(self): return self._frame_cumop("min")
+    def cumsum(self, skipna: bool = True): return self._frame_cumop("sum", skipna)
+    def cumprod(self, skipna: bool = True): return self._frame_cumop("prod", skipna)
+    def cummax(self, skipna: bool = True): return self._frame_cumop("max", skipna)
+    def cummin(self, skipna: bool = True): return self._frame_cumop("min", skipna)
 
     # -- reductions over all columns (reference §2.5) --------------------
     def _columnwise(self, fn: Callable[[Column], Column], op: str,
@@ -2522,7 +2566,7 @@ class DataFrame(FrameBase):
     # ------------------------------------------------------------------
     def compute(self) -> pd.DataFrame:
         pdf = self._sdf.toPandas()
-        if _ROWID in pdf.columns:
+        if _ROWID in pdf.columns and _ROWID not in self._index_cols:
             pdf = pdf.drop(columns=[_ROWID])
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))

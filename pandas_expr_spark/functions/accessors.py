@@ -49,6 +49,18 @@ class StringAccessor(_Accessor):
             return s.str.title()
         return self._wrap(_title(self._s._scol), "str.title")
 
+    def swapcase(self):
+        """Per-character case swap, JVM-side: split to chars →
+        ``transform`` (lower if it equals its upper-candidate, else upper)
+        → concat.  Caseless chars are fixed points of both mappings, so
+        the single equality test suffices."""
+        c = self._s._scol
+        swapped = F.transform(
+            F.split(c, ""),
+            lambda ch: F.when(ch == F.lower(ch), F.upper(ch))
+                        .otherwise(F.lower(ch)))
+        return self._wrap(F.concat_ws("", swapped), "str.swapcase")
+
     def capitalize(self):
         """pandas ``str.capitalize``: first char upper, rest lower — pure
         JVM expression."""

@@ -387,9 +387,14 @@ class GroupBy:
 
     def _finish_window(self, out, drop_col, op: str):
         from .._collection import DataFrame
-        if drop_col:
-            out = out.drop(drop_col)
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        if drop_col:
+            # The rowid attached by _positional() IS the original row label
+            # (pandas keeps the caller's index through positional grouped
+            # ops) — keep it as the anonymous engine index instead of
+            # dropping it, or the label↔row association dies in the group
+            # shuffle.
+            return DataFrame(out, node, (drop_col,), (None,))
         return DataFrame(out, node, self._frame._index_cols,
                          self._frame._index_names)
 

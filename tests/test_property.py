@@ -65,3 +65,74 @@ def test_drop_duplicates_keep_matches_pandas(spark, data, keep):
     a = got.sort_values("k").reset_index(drop=True)["v"].fillna(-9)
     b = exp.sort_values("k").reset_index(drop=True)["v"].fillna(-9)
     assert np.allclose(a.values, b.values)
+
+
+@given(data=_frames(), how=st.sampled_from(["inner", "left", "outer"]))
+@settings(**_SETTINGS)
+def test_merge_matches_pandas_incl_nan_keys(spark, data, how):
+    ks, vs = data
+    # float keys with NaN: pandas matches NaN==NaN in merge; engine must too
+    left = pd.DataFrame({"k": pd.array(vs, dtype="float64")[:20], "a": range(len(vs[:20]))})
+    right = pd.DataFrame({"k": pd.array(vs, dtype="float64")[::-1][:20],
+                          "b": range(len(vs[:20]))})
+    got = (pes.from_pandas(left).merge(pes.from_pandas(right), on="k", how=how)
+           .compute().sort_values(["a", "b"], na_position="last")
+           .reset_index(drop=True))
+    exp = (left.merge(right, on="k", how=how)
+           .sort_values(["a", "b"], na_position="last").reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["k", "a", "b"]:
+        assert np.allclose(got[c].fillna(-9).values.astype(float),
+                           exp[c].fillna(-9).values.astype(float))
+
+
+@given(data=_frames(),
+       method=st.sampled_from(["average", "min", "max", "first", "dense"]))
+@settings(**_SETTINGS)
+def test_series_rank_methods_match_pandas(spark, data, method):
+    ks, vs = data
+    pdf = pd.DataFrame({"k": ks, "v": pd.array(vs, dtype="float64")})
+    got = pes.from_pandas(pdf).v.rank(method=method).compute().sort_index()
+    exp = pdf.v.rank(method=method)
+    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values)
+
+
+@given(data=_frames(), w=st.integers(min_value=1, max_value=5),
+       mp=st.integers(min_value=1, max_value=3),
+       agg=st.sampled_from(["sum", "mean", "min", "max", "std"]))
+@settings(**_SETTINGS)
+def test_grouped_rolling_matches_pandas(spark, data, w, mp, agg):
+    ks, vs = data
+    mp = min(mp, w)
+    pdf = pd.DataFrame({"k": ks, "v": pd.array(vs, dtype="float64")})
+    df = pes.from_pandas(pdf)
+    got = (getattr(df.groupby("k").rolling(w, min_periods=mp), agg)()
+           .compute().sort_index()["v"])
+    exp = (getattr(pdf.groupby("k")["v"].rolling(w, min_periods=mp), agg)()
+           .reset_index(0, drop=True).sort_index())
+    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values)
+
+
+@given(ss=st.lists(st.text(alphabet="aB c-9é", max_size=12),
+                   min_size=1, max_size=25),
+       op=st.sampled_from(["upper", "lower", "title", "capitalize",
+                           "strip", "swapcase"]))
+@settings(**_SETTINGS)
+def test_str_ops_match_pandas(spark, ss, op):
+    pdf = pd.DataFrame({"s": pd.array(ss, dtype="object")})
+    got = getattr(pes.from_pandas(pdf).s.str, op)().compute().sort_index()
+    exp = getattr(pdf.s.str, op)()
+    assert got.tolist() == exp.tolist()
+
+
+@given(data=_frames(), skipna=st.booleans())
+@settings(**_SETTINGS)
+def test_cumsum_cummax_match_pandas(spark, data, skipna):
+    ks, vs = data
+    pdf = pd.DataFrame({"k": ks, "v": pd.array(vs, dtype="float64")})
+    df = pes.from_pandas(pdf)
+    for op in ["cumsum", "cummax"]:
+        got = getattr(df.v, op)(skipna=skipna).compute().sort_index()
+        exp = getattr(pdf.v, op)(skipna=skipna)
+        assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values,
+                           equal_nan=True)
