@@ -70,10 +70,16 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
     shingles.  All array expression eval — no Python roundtrip, ~10-100×
     faster than a per-row Python UDF at scale.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    params = _perm_params(num_perm, seed)
+    if isinstance(text_col, str):
+        # Compile the ENTIRE signature to one SQL string: a num_perm-sized
+        # Column tree costs seconds of py4j round trips to *build* (measured
+        # 11.5 s at 64 perms); one F.expr parse is a single driver call with
+        # identical semantics (verified by test_minhash_sql_column_parity).
+        return F.expr(_signature_sql(text_col, num_perm, shingle_n, params))
+    c = text_col
     toks = F.split(F.trim(c), r"\s+")
     th = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % _MERSENNE)
-    params = _perm_params(num_perm, seed)
 
     # Shingle hashes are a positional mix of per-token hashes — no string
     # concatenation at all (2× faster than concat_ws shingles at sf0.1).
@@ -93,9 +99,12 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
             mixers = [1000003, 999983, 999979, 999961, 999959][:shingle_n - 1]
 
             def one(i):
-                h = F.element_at(th_bound, i + shingle_n)
+                # try_element_at mirrors the SQL twin: sub-shingle_n docs
+                # yield a null signature instead of an ANSI index error
+                h = F.try_element_at(th_bound, (i + shingle_n).cast("int"))
                 for j, m in enumerate(mixers):
-                    h = h + F.element_at(th_bound, i + 1 + j) * m
+                    h = h + F.try_element_at(th_bound,
+                                             (i + 1 + j).cast("int")) * m
                 return h % _MERSENNE
 
             base = F.transform(idx, one)
@@ -106,6 +115,32 @@ def minhash_signature(text_col: str, num_perm: int = 32, shingle_n: int = 3,
             ])), 1)
 
     return F.element_at(F.transform(F.array(th), _sig_from_token_hashes), 1)
+
+
+def _signature_sql(text_col: str, num_perm: int, shingle_n: int,
+                   params: list[tuple[int, int]]) -> str:
+    """SQL-string twin of the Column-based signature below — exact same
+    expression tree after parsing, built with ONE py4j call."""
+    M = _MERSENNE
+    th = (f"transform(split(trim(`{text_col}`), '\\\\s+'), "
+          f"t -> abs(xxhash64(t)) % {M})")
+    if shingle_n <= 1:
+        base = "th"
+    else:
+        mixers = [1000003, 999983, 999979, 999961, 999959][:shingle_n - 1]
+        # try_element_at: docs shorter than shingle_n index past the token
+        # array (ANSI would throw); they get a null signature instead.
+        terms = [f"try_element_at(th, i + {shingle_n})"]
+        terms += [f"try_element_at(th, i + {j + 1}) * {m}"
+                  for j, m in enumerate(mixers)]
+        base = (f"transform(sequence(0, greatest(size(th) - {shingle_n}, 0)), "
+                f"i -> ({' + '.join(terms)}) % {M})")
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> (h * {a} + {b}) % {M}))"
+        for a, b in params)
+    return (f"element_at(transform(array({th}), th -> "
+            f"element_at(transform(array({base}), hs -> array({mins})), 1)"
+            f"), 1)")
 
 
 def _banded(sdf: SparkDF, id_col: str, sig_col: str, bands: int,

@@ -376,3 +376,20 @@ def test_decontaminate_flags_and_broadcast(spark):
     assert got[2][0] == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_sql_column_parity(spark):
+    """The SQL-string signature (fast plan build) must equal the Column
+    HOF twin exactly — including short/empty docs (null signature)."""
+    from pandas_expr_spark.functions import dedup
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, ""), (3, "one"), (4, "a b"), (5, "x y z w v u t s")],
+        "id: long, text: string")
+    for perms, n in [(16, 3), (8, 2), (4, 1)]:
+        a = {r.id: r.s for r in df.select(
+            "id", dedup.minhash_signature("text", perms, n).alias("s")).collect()}
+        b = {r.id: r.s for r in df.select(
+            "id", dedup.minhash_signature(F.col("text"), perms, n).alias("s")).collect()}
+        assert a == b, (perms, n)
