@@ -632,6 +632,34 @@ class Series(FrameBase):
 
     kurtosis = kurt
 
+    def unstack(self, level: int = -1, fill_value=None,
+                pivot_values: Sequence | None = None) -> "DataFrame":
+        """pandas ``Series.unstack``: pivot one MultiIndex level into
+        columns — ``groupBy(remaining levels).pivot(level).first(value)``.
+        One shuffle on the kept levels; like ``pivot_table``, pass
+        ``pivot_values`` at scale to skip the distinct-discovery scan of
+        the pivoted level."""
+        if len(self._index_cols) < 2:
+            raise ValueError("unstack requires a MultiIndex (>= 2 index "
+                             "levels); use to_frame() for flat series")
+        idx_cols = list(self._index_cols)
+        names = list(self._index_names or (None,) * len(idx_cols))
+        lvl = level if level >= 0 else len(idx_cols) + level
+        piv = idx_cols[lvl]
+        keep = [c for i, c in enumerate(idx_cols) if i != lvl]
+        keep_names = tuple(n for i, n in enumerate(names) if i != lvl)
+        name = self._col_name or "__v__"
+        sdf = self._sdf.select(*idx_cols, self._scol.alias(name))
+        out = (sdf.groupBy(*keep)
+               .pivot(piv, list(pivot_values) if pivot_values is not None
+                      else None)
+               .agg(F.first(name)))
+        if fill_value is not None:
+            out = out.fillna(fill_value,
+                             subset=[c for c in out.columns if c not in keep])
+        node = Node("unstack", {"level": lvl}, self._expr)
+        return DataFrame(out, node, tuple(keep), keep_names)
+
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
         """pandas ``Series.rank`` (whole-series).  A naive global window
         (``Window.orderBy(v)`` with no partition) funnels ALL rows through
@@ -1462,6 +1490,21 @@ class DataFrame(FrameBase):
             "dropna", {"how": how, "thresh": thresh, "subset": subset})
 
     def replace(self, to_replace, value=None) -> "DataFrame":
+        if (isinstance(to_replace, dict)
+                and any(isinstance(v, dict) for v in to_replace.values())):
+            # pandas per-column form {"col": {old: new, ...}} — Spark's
+            # native replace has no nested-dict signature; lower to CASE
+            # projections (narrow map, no shuffle).
+            upd = {}
+            for col, m in to_replace.items():
+                if not isinstance(m, dict):
+                    m = {m: value}
+                c, out = F.col(col), F.col(col)
+                for k, v in m.items():
+                    out = F.when(c.eqNullSafe(F.lit(k)), F.lit(v)) \
+                        .otherwise(out)
+                upd[col] = out
+            return self._derive(self._sdf.withColumns(upd), "replace", {})
         mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
         return self._derive(self._sdf.replace(mapping), "replace", {})
 

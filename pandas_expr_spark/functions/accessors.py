@@ -187,6 +187,46 @@ class DatetimeAccessor(_Accessor):
     def date(self): return self._wrap(F.to_date(self._s._scol), "dt.date")
     @property
     def week(self): return self._wrap(F.weekofyear(self._s._scol), "dt.week")
+    weekofyear = week
+
+    @property
+    def days_in_month(self):
+        c = self._s._scol
+        return self._wrap(F.dayofmonth(F.last_day(c)), "dt.days_in_month")
+    daysinmonth = days_in_month
+
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._s._scol) == 1, "dt.is_month_start")
+
+    @property
+    def is_month_end(self):
+        c = self._s._scol
+        return self._wrap(F.to_date(c) == F.last_day(c), "dt.is_month_end")
+
+    @property
+    def is_quarter_start(self):
+        c = self._s._scol
+        return self._wrap((F.dayofmonth(c) == 1) & ((F.month(c) - 1) % 3 == 0),
+                          "dt.is_quarter_start")
+
+    @property
+    def is_quarter_end(self):
+        c = self._s._scol
+        return self._wrap((F.to_date(c) == F.last_day(c))
+                          & (F.month(c) % 3 == 0), "dt.is_quarter_end")
+
+    @property
+    def is_year_start(self):
+        c = self._s._scol
+        return self._wrap((F.month(c) == 1) & (F.dayofmonth(c) == 1),
+                          "dt.is_year_start")
+
+    @property
+    def is_year_end(self):
+        c = self._s._scol
+        return self._wrap((F.month(c) == 12) & (F.dayofmonth(c) == 31),
+                          "dt.is_year_end")
 
     def floor(self, freq: str):
         spark_freq = {"D": "day", "H": "hour", "h": "hour", "T": "minute",
