@@ -1048,7 +1048,10 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-gated against the identical SQL predicates."""
     from pandas_expr_spark.functions import text as tx
     from pandas_expr_spark.sources.tables import load_table
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the per-doc text expressions across cores: the local documents
+    # file is one indivisible row group, and the n-gram exprs dominate
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     keep = ((tx.stopword_ratio("text") >= 0.05)
             & (tx.repetition_ratio("text", 3) <= 0.2)
             & F.col("n_chars").between(100, 100000))

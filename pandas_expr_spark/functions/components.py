@@ -68,7 +68,9 @@ def connected_components(edges: SparkDF, src: str = "src", dst: str = "dst",
     Node ids must be an orderable type (int/str); component = min id.
     """
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoint: the fingerprint aggregate is the materializing
+    # action, so each round costs ONE job instead of two
+    e = e.localCheckpoint(eager=False)
     prev = _fingerprint(e)
 
     for _ in range(max_iter):
@@ -89,7 +91,7 @@ def connected_components(edges: SparkDF, src: str = "src", dst: str = "dst",
         small = (oriented.join(mins, "u")
                          .select(F.col("v").alias("u"), F.col("m").alias("v"))
                          .union(mins.select(F.col("u"), F.col("m").alias("v"))))
-        e = _canon(small).localCheckpoint(eager=True)
+        e = _canon(small).localCheckpoint(eager=False)
 
         cur = _fingerprint(e)
         if cur == prev:

@@ -375,6 +375,10 @@ def decontaminate(docs: SparkDF, eval_docs: SparkDF, text_col: str = "text",
     """
     from .text import word_shingles
 
+    # spread the shingle computation cluster-wide even when the source is a
+    # single indivisible parquet row group (same pattern as minhash_lsh_pairs)
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(npart, id_col)
     doc_sh = docs.select(F.col(id_col),
                          F.explode(word_shingles(text_col, n)).alias("__sh__"))
     ev = (eval_docs.select(F.explode(word_shingles(text_col, n)).alias("__sh__"))
