@@ -919,12 +919,46 @@ class Series(FrameBase):
         return Series(top, F.col("__v__"), self._col_name, node)
 
     def quantile(self, q: float | Sequence[float] = 0.5,
-                 approx: bool = False):
+                 approx: bool = False, interpolation: str = "linear"):
         """Exact interpolating percentile by default (pandas semantics);
         ``approx=True`` → t-digest ``percentile_approx`` for the 100 TB
         path.  A LIST of quantiles computes all of them in ONE
         aggregation pass (pandas returns a q-indexed Series) — three
-        separate calls would be three full scans."""
+        separate calls would be three full scans.
+
+        ``interpolation`` in {linear, lower, higher, nearest, midpoint}
+        follows pandas.  The non-linear modes need the exact rank h =
+        (n-1)q, so they pay one extra count pass, then read the bracketing
+        order statistics via ``percentile`` at integer-rank fractions
+        (still a single aggregation scan)."""
+        if interpolation != "linear":
+            if approx or isinstance(q, (list, tuple)):
+                raise NotImplementedError(
+                    "interpolation other than 'linear' supports a single "
+                    "exact quantile")
+            import math
+            n = int(self._sdf.agg(
+                F.count(self._scol).alias("n")).collect()[0]["n"])
+            if n == 0:
+                return self._reduce(F.lit(float("nan")), "quantile")
+            h = (n - 1) * float(q)
+            lo, hi = math.floor(h), math.ceil(h)
+
+            def at(k: int) -> Column:
+                frac = (k / (n - 1)) if n > 1 else 0.0
+                return F.percentile(self._scol, F.lit(frac))
+
+            if interpolation == "lower":
+                agg = at(lo)
+            elif interpolation == "higher":
+                agg = at(hi)
+            elif interpolation == "nearest":
+                agg = at(lo if (h - lo) <= 0.5 else hi)
+            elif interpolation == "midpoint":
+                agg = (at(lo) + at(hi)) / 2
+            else:
+                raise ValueError(f"unknown interpolation {interpolation!r}")
+            return self._reduce(agg, "quantile")
         if isinstance(q, (list, tuple)):
             qs = [float(x) for x in q]
             agg = (F.percentile_approx(self._scol, F.lit(qs), 10000)
@@ -1706,6 +1740,29 @@ class DataFrame(FrameBase):
             cols.append(c)
         return self._derive(self._sdf.orderBy(*cols), "sort",
                             {"by": by, "ascending": list(asc)})
+
+    def sort_index(self, ascending: bool | Sequence[bool] = True,
+                   na_position: str = "last") -> "DataFrame":
+        """pandas ``DataFrame.sort_index`` — a range-partitioned sort on
+        the engine index columns (a no-op for the implicit positional
+        index, which is already in order)."""
+        if not self._index_cols:
+            return self
+        idx = list(self._index_cols)
+        asc = ascending if isinstance(ascending, (list, tuple)) \
+            else [ascending] * len(idx)
+        cols = []
+        for b, a in zip(idx, asc):
+            c = F.col(b)
+            if a:
+                c = c.asc_nulls_last() if na_position == "last" \
+                    else c.asc_nulls_first()
+            else:
+                c = c.desc_nulls_last() if na_position == "last" \
+                    else c.desc_nulls_first()
+            cols.append(c)
+        return self._derive(self._sdf.orderBy(*cols), "sort_index",
+                            {"ascending": list(asc)})
 
     def head(self, n: int = 5) -> "DataFrame":
         """Reference Head ``_expr.py:1471-1492``.  After ``sort_values`` this

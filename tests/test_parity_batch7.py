@@ -1,0 +1,105 @@
+"""Differential wave 7 (vs eager pandas): sort orders, astype round trips,
+value_counts dropna, quantile interpolation, index-join merges, where/mask,
+groupby dict-of-list aggs, sort_index descending."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def pdf7():
+    rng = np.random.RandomState(23)
+    n = 150
+    return pd.DataFrame({
+        "g": [f"g{i % 6}" for i in range(n)],
+        "x": [float(v) if v % 5 else np.nan
+              for v in rng.randint(0, 40, n)],
+        "v": rng.randint(-20, 20, n).astype("int64"),
+    })
+
+
+@pytest.fixture()
+def df7(spark, pdf7):
+    from pandas_expr_spark import from_pandas
+    return from_pandas(pdf7)
+
+
+def test_sort_values_multi_key_na_position(df7, pdf7):
+    for asc, napos in [([True, False], "last"), ([False, True], "first")]:
+        got = (df7.sort_values(["g", "x"], ascending=asc, na_position=napos)
+               .compute().reset_index(drop=True))
+        exp = (pdf7.sort_values(["g", "x"], ascending=asc, na_position=napos)
+               .reset_index(drop=True))
+        assert got["g"].tolist() == exp["g"].tolist()
+        np.testing.assert_allclose(got["x"].fillna(-999).values,
+                                   exp["x"].fillna(-999).values)
+
+
+def test_astype_round_trips(df7, pdf7):
+    got = df7.v.astype("string").astype("int64").compute().sort_index()
+    exp = pdf7.v.astype("string").astype("int64")
+    assert got.tolist() == exp.tolist()
+    got = df7.v.astype("float64").compute().sort_index()
+    assert got.tolist() == pdf7.v.astype("float64").tolist()
+    # float -> int truncates toward zero in pandas; engine must match
+    f = pdf7.assign(f=pdf7.v * 1.7)
+    from pandas_expr_spark import from_pandas
+    got = from_pandas(f).f.astype("int64").compute().sort_index()
+    assert got.tolist() == f.f.astype("int64").tolist()
+
+
+def test_value_counts_dropna_false(df7, pdf7):
+    got = df7.x.value_counts(dropna=False).compute()
+    exp = pdf7.x.value_counts(dropna=False)
+    gd = {(-999.0 if pd.isna(k) else k): v for k, v in got.to_dict().items()}
+    ed = {(-999.0 if pd.isna(k) else k): v for k, v in exp.to_dict().items()}
+    assert gd == ed
+
+
+def test_quantile_interpolations(df7, pdf7):
+    for interp in ["linear", "lower", "higher", "nearest", "midpoint"]:
+        got = float(df7.v.quantile(0.37, interpolation=interp))
+        exp = float(pdf7.v.quantile(0.37, interpolation=interp))
+        assert got == pytest.approx(exp), interp
+
+
+def test_merge_on_index(spark):
+    import pandas_expr_spark as pes
+    a = pd.DataFrame({"v": [1, 2, 3]}, index=pd.Index([10, 20, 30], name="k"))
+    b = pd.DataFrame({"w": [5, 6]}, index=pd.Index([20, 30], name="k"))
+    got = (pes.from_pandas(a).merge(pes.from_pandas(b), left_index=True,
+                                    right_index=True)
+           .compute().sort_index())
+    exp = a.merge(b, left_index=True, right_index=True).sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_series_where_mask(df7, pdf7):
+    got = df7.v.where(df7.v > 0, -1).compute().sort_index()
+    exp = pdf7.v.where(pdf7.v > 0, -1)
+    assert got.tolist() == exp.tolist()
+    got = df7.v.mask(df7.v > 0).compute().sort_index()
+    exp = pdf7.v.mask(pdf7.v > 0)
+    np.testing.assert_allclose(got.fillna(-99).values, exp.fillna(-99).values)
+
+
+def test_groupby_agg_dict_of_lists(df7, pdf7):
+    got = (df7.groupby("g").agg({"v": ["sum", "max"], "x": "mean"})
+           .compute().sort_index())
+    exp = pdf7.groupby("g").agg({"v": ["sum", "max"], "x": "mean"})
+    # engine flattens MultiIndex columns to the same (col, fn) labels
+    g = got[sorted(got.columns.map(str))]
+    e = exp.copy()
+    e.columns = [str(c) for c in e.columns.to_flat_index()] \
+        if hasattr(e.columns, "to_flat_index") else e.columns
+    e = e[sorted(e.columns)]
+    np.testing.assert_allclose(
+        np.asarray(g, dtype=float), np.asarray(e, dtype=float))
+
+
+def test_sort_index_descending(df7, pdf7):
+    got = df7.set_index("v").sort_index(ascending=False).compute()
+    exp = pdf7.set_index("v").sort_index(ascending=False, kind="stable")
+    assert got.index.tolist() == exp.index.tolist()
