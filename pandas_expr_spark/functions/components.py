@@ -67,6 +67,21 @@ def connected_components(edges: SparkDF, src: str = "src", dst: str = "dst",
 
     Node ids must be an orderable type (int/str); component = min id.
     """
+    spark = edges.sparkSession
+    # Catalyst's constraint propagation can crash rewriting Union plans
+    # under checkpoint (NoSuchElementException in rewriteConstraints, seen
+    # at ~2M edges); the iterative star plans gain nothing from inferred
+    # constraints, so disable it for the loop and restore after.
+    prop_key = "spark.sql.constraintPropagation.enabled"
+    prop_prev = spark.conf.get(prop_key, "true")
+    spark.conf.set(prop_key, "false")
+    try:
+        return _cc_loop(edges, src, dst, max_iter)
+    finally:
+        spark.conf.set(prop_key, prop_prev)
+
+
+def _cc_loop(edges: SparkDF, src: str, dst: str, max_iter: int) -> SparkDF:
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     # lazy checkpoint: the fingerprint aggregate is the materializing
     # action, so each round costs ONE job instead of two
