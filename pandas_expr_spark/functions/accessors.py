@@ -149,6 +149,133 @@ class StringAccessor(_Accessor):
     def find(self, sub: str):
         return self._wrap(F.instr(self._s._scol, sub) - 1, "str.find")
 
+    def rfind(self, sub: str):
+        """Highest 0-based index of ``sub`` (-1 if absent): locate the
+        reversed needle in the reversed haystack — pure JVM, no regex."""
+        c = self._s._scol
+        rloc = F.locate(sub[::-1], F.reverse(c))
+        out = F.when(rloc == 0, F.lit(-1)) \
+            .otherwise(F.length(c) - rloc - (len(sub) - 1))
+        return self._wrap(out, "str.rfind")
+
+    def count(self, pat: str):
+        """Occurrences of the regex ``pat`` (pandas counts regex matches)."""
+        return self._wrap(F.regexp_count(self._s._scol, F.lit(pat)),
+                          "str.count")
+
+    def findall(self, pat: str):
+        # pandas: a single capture group yields the group, else the whole
+        # match — mirror via the regexp_extract_all group index
+        import re as _re
+        idx = 1 if _re.compile(pat).groups == 1 else 0
+        return self._wrap(
+            F.regexp_extract_all(self._s._scol, F.lit(pat), F.lit(idx)),
+            "str.findall")
+
+    def fullmatch(self, pat: str):
+        return self._wrap(self._s._scol.rlike(f"^(?:{pat})$"), "str.fullmatch")
+
+    def center(self, width: int, fillchar: str = " "):
+        """pandas ``str.center``: pad both sides; when the padding is odd
+        the extra fill char goes on the right (Python semantics)."""
+        c = self._s._scol
+        total = F.lit(width) - F.length(c)
+        left = F.floor(total / 2).cast("int")
+        out = F.when(F.length(c) >= width, c).otherwise(
+            F.concat(F.repeat(F.lit(fillchar), left), c,
+                     F.repeat(F.lit(fillchar),
+                              (total - left).cast("int"))))
+        return self._wrap(out, "str.center")
+
+    def ljust(self, width: int, fillchar: str = " "):
+        return self.pad(width, side="right", fillchar=fillchar)
+
+    def rjust(self, width: int, fillchar: str = " "):
+        return self.pad(width, side="left", fillchar=fillchar)
+
+    def removeprefix(self, prefix: str):
+        c = self._s._scol
+        out = F.when(c.startswith(prefix),
+                     F.substring(c, len(prefix) + 1, 2 ** 31 - 1)).otherwise(c)
+        return self._wrap(out, "str.removeprefix")
+
+    def removesuffix(self, suffix: str):
+        c = self._s._scol
+        out = F.when(c.endswith(suffix),
+                     F.substring(c, 1, F.length(c) - len(suffix))) \
+            .otherwise(c)
+        return self._wrap(out, "str.removesuffix")
+
+    def slice_replace(self, start: int = 0, stop: int | None = None,
+                      repl: str = ""):
+        c = self._s._scol
+        head = F.substring(c, 1, start)
+        tail = (F.substring(c, stop + 1, 2 ** 31 - 1)
+                if stop is not None else F.lit(""))
+        return self._wrap(F.concat(head, F.lit(repl), tail),
+                          "str.slice_replace")
+
+    def translate(self, table: dict):
+        """pandas ``str.translate`` restricted to 1-char → 1-char/None
+        mappings (Spark ``translate``; ``None`` deletes).  Multi-char
+        replacements raise — use ``str.replace``."""
+        src, dst = "", ""
+        for k, v in table.items():
+            kc = chr(k) if isinstance(k, int) else k
+            if v is None:
+                vc = ""
+            else:
+                vc = chr(v) if isinstance(v, int) else v
+            if len(kc) != 1 or len(vc) > 1:
+                raise ValueError("translate supports 1-char keys and "
+                                 "1-char/None values")
+            # Spark translate deletes chars beyond dst length — deletions
+            # must come LAST so positional pairing stays aligned
+            if vc:
+                src, dst = kc + src, vc + dst
+            else:
+                src = src + kc
+        return self._wrap(F.translate(self._s._scol, src, dst),
+                          "str.translate")
+
+    def normalize(self, form: str):
+        """Unicode normalization (NFC/NFKC/NFD/NFKD) — Arrow-batched
+        pandas_udf (no JVM builtin; same precedent as ``str.title``)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        @pandas_udf(T.StringType())
+        def _norm(s: pd.Series) -> pd.Series:
+            return s.str.normalize(form)
+        return self._wrap(_norm(self._s._scol), "str.normalize")
+
+    def isnumeric(self):
+        return self._wrap(self._s._scol.rlike(r"^\p{N}+$"), "str.isnumeric")
+
+    def islower(self):
+        c = self._s._scol
+        return self._wrap((c == F.lower(c)) & (c != F.upper(c)), "str.islower")
+
+    def isupper(self):
+        c = self._s._scol
+        return self._wrap((c == F.upper(c)) & (c != F.lower(c)), "str.isupper")
+
+    def isspace(self):
+        return self._wrap(self._s._scol.rlike(r"^\s+$"), "str.isspace")
+
+    def istitle(self):
+        """Python ``istitle``.  Unicode 'cased' covers more than Lu/Ll
+        (titlecase Lt, letter-numerals like Ⅻ), which Java regex categories
+        can't express — exact parity needs Python's casing tables, so this
+        is an Arrow-batched pandas_udf (same precedent as ``str.title``)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        @pandas_udf(T.BooleanType())
+        def _istitle(s: pd.Series) -> pd.Series:
+            return s.str.istitle()
+        return self._wrap(_istitle(self._s._scol), "str.istitle")
+
     def isdigit(self):
         return self._wrap(self._s._scol.rlike(r"^[0-9]+$"), "str.isdigit")
 

@@ -103,3 +103,39 @@ def test_sort_index_descending(df7, pdf7):
     got = df7.set_index("v").sort_index(ascending=False).compute()
     exp = pdf7.set_index("v").sort_index(ascending=False, kind="stable")
     assert got.index.tolist() == exp.index.tolist()
+
+
+def test_str_batch8_methods(spark):
+    """New string-accessor breadth vs eager pandas."""
+    import pandas_expr_spark as pes
+    ss = ["Hello World", "ab", "", "  ", "aaa bbb aaa", "123", "Ⅻ42",
+          "MiXeD", "UPPER", "lower", "Title Case Here", "a-b-c", "xxyyxx"]
+    pdf = pd.DataFrame({"s": pd.array(ss, dtype="object")})
+    df = pes.from_pandas(pdf)
+    cases = [
+        ("rfind", ("a",)), ("count", ("a",)), ("findall", (r"[a-z]+",)),
+        ("fullmatch", (r"[A-Za-z ]+",)), ("center", (8, "*")),
+        ("ljust", (8, ".")), ("rjust", (8, ".")),
+        ("removeprefix", ("He",)), ("removesuffix", ("xx",)),
+        ("slice_replace", (1, 3, "ZZ")),
+        ("isnumeric", ()), ("islower", ()), ("isupper", ()),
+        ("isspace", ()), ("istitle", ()),
+    ]
+    for name, args in cases:
+        got = getattr(df.s.str, name)(*args).compute().sort_index()
+        exp = getattr(pdf.s.str, name)(*args)
+        g = [list(x) if isinstance(x, (list, np.ndarray)) else x
+             for x in got.tolist()]
+        e = [list(x) if isinstance(x, (list, np.ndarray)) else x
+             for x in exp.tolist()]
+        assert g == e, (name, g, e)
+    # translate: char->char and deletion
+    tbl = str.maketrans({"a": "A", "-": None})
+    got = df.s.str.translate(tbl).compute().sort_index().tolist()
+    exp = pdf.s.str.translate(tbl).tolist()
+    assert got == exp
+    # normalize
+    pdf2 = pd.DataFrame({"s": ["é", "café", "A"]})
+    got = (pes.from_pandas(pdf2).s.str.normalize("NFC")
+           .compute().sort_index().tolist())
+    assert got == pdf2.s.str.normalize("NFC").tolist()
