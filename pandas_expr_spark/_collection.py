@@ -2143,6 +2143,33 @@ class DataFrame(FrameBase):
         node = Node(op, {"columns": cols}, self._expr)
         return DataFrame(stacked, node, ("column",), (None,))
 
+    def corrwith(self, other: "DataFrame", method: str = "pearson") -> "Series":
+        """pandas ``df.corrwith(other)``: per-column Pearson correlation
+        over the index intersection.  One index equi-join + ONE aggregation
+        pass computing every shared numeric column's ``F.corr`` — no
+        per-column scans."""
+        if method != "pearson":
+            raise NotImplementedError("corrwith supports method='pearson'")
+        common = [c for c in self.columns
+                  if c in other.columns
+                  and is_numeric(self._sdf.schema[c].dataType)
+                  and is_numeric(other._sdf.schema[c].dataType)]
+        if not common:
+            raise ValueError("no shared numeric columns to correlate")
+        joined, lmap, rmap = _index_outer_join(self, other, "inner")
+        row = joined._sdf.agg(*[
+            F.corr(F.col(lmap[c]).cast("double"),
+                   F.col(rmap[c]).cast("double")).alias(c) for c in common])
+        pairs = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("k"), F.col(c).alias("v"))
+            for c in common])).alias("__z__")
+        out = (row.select(pairs)
+               .select(F.col("__z__.k").alias("__cw_idx__"),
+                       F.col("__z__.v").alias("__cw__")))
+        node = Node("corrwith", {"columns": common}, self._expr, other._expr)
+        return Series(out, F.col("__cw__"), None, node,
+                      ("__cw_idx__",), (None,))
+
     def corr(self, method: str = "pearson") -> "DataFrame":
         """pandas ``df.corr()``: pairwise correlation matrix via ``F.corr``
         — single pass, no shuffle beyond the agg.  ``spearman`` rank-

@@ -139,3 +139,14 @@ def test_str_batch8_methods(spark):
     got = (pes.from_pandas(pdf2).s.str.normalize("NFC")
            .compute().sort_index().tolist())
     assert got == pdf2.s.str.normalize("NFC").tolist()
+
+
+def test_corrwith_matches_pandas(spark, pdf7, df7):
+    other_p = pdf7.copy()
+    other_p["v"] = other_p["v"] * 2 + 1
+    other_p["x"] = other_p["x"].fillna(0) - other_p["v"]
+    import pandas_expr_spark as pes
+    got = df7.corrwith(pes.from_pandas(other_p)).compute().sort_index()
+    exp = pdf7.corrwith(other_p, numeric_only=True).sort_index()
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+    assert got.index.tolist() == exp.index.tolist()
