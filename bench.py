@@ -95,10 +95,6 @@ def build_session(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
-        # split hint so small single-file tables scan cluster-wide; big
-        # scans exceed it naturally (see _session.py note)
-        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
-        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

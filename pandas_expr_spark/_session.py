@@ -26,16 +26,13 @@ _DEFAULT_CONFS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Keep scans well-sized: 128 MiB splits are the right default at 100 TB.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # ...but never let a SMALL scan serialize the cluster: this is a split
-    # *hint* that pads tiny files out to cluster width (a 3 MB single-file
-    # table otherwise scans on ONE core and every narrow text op behind it
-    # runs 32x slower locally).  At 100 TB scans exceed this naturally, so
-    # the hint is a no-op there.
-    "spark.sql.files.minPartitionNum": "64",
-    # the hint is floored by openCostInBytes (default 4 MiB keeps a 3 MB
-    # file whole); 64 KiB keeps many-small-file scans sane while letting
-    # single small files actually split
-    "spark.sql.files.openCostInBytes": "65536",
+    # NOTE: do NOT add spark.sql.files.minPartitionNum/openCostInBytes
+    # split hints here.  They pad small scans with empty slices, which
+    # perturbs the rowid/self-join position machinery (zipWithIndex over
+    # the scan RDD) into duplicating rows — observed as 3 window gates
+    # returning partition-dependent rowcounts.  Small single-row-group
+    # files can't split anyway; operators that need width repartition
+    # explicitly (minhash/decontaminate/cleaning pattern).
     "spark.ui.enabled": "false",
     # read TIMESTAMP(NANOS) parquet columns as long (Spark has no ns type);
     # sources.load_table converts them to microsecond timestamps

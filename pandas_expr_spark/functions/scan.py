@@ -56,10 +56,24 @@ _IDENTITY = {"sum": 0.0, "prod": 1.0}
 
 def _ranged(sdf: SparkDF, order_by: list[str],
             num_partitions: int | None) -> SparkDF:
+    """Range-partition + locally sort, then MATERIALIZE (eager
+    localCheckpoint) before returning.
+
+    Every scan-family op consumes the ranged table from TWO plan branches
+    (per-row pass + per-partition offsets/totals).  Exchange reuse is not
+    guaranteed to fire, and `repartitionByRange`'s boundary sampling is
+    only *usually* deterministic across re-executions — padding the input
+    scan with empty slices was observed to diverge the two executions'
+    boundaries, silently corrupting global positions (duplicate __P__,
+    fan-out joins).  Materializing once makes both branches read the same
+    blocks, whatever the upstream partitioning does.  Cost: one extra
+    write/read of the ranged data — the price of a correct distributed
+    ordering primitive, not avoidable by sampling luck at 100 TB."""
     n = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
-    return (sdf.repartitionByRange(n, *[F.col(c) for c in order_by])
+    part = (sdf.repartitionByRange(n, *[F.col(c) for c in order_by])
             .sortWithinPartitions(*order_by)
             .withColumn(_PID, F.spark_partition_id()))
+    return part.localCheckpoint(eager=True)
 
 
 def _out_type(dt: T.DataType, op: str) -> T.DataType:
