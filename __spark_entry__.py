@@ -1082,6 +1082,29 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("doc_id")
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (``functions/clustering.py``): Lloyd's with
+    driver-held centroid literals, JVM argmin assignment, and a
+    (cluster, dim)-grouped avg shuffle per iteration.  Planted truth: 8
+    well-separated axis clusters built by an identical deterministic
+    expression in both engines (margin 10 vs 0.1 noise, so libm-ulp sin
+    differences cannot flip an assignment); k-means must recover the
+    partition EXACTLY, with labels canonicalized to min vec_id per
+    cluster."""
+    from pandas_expr_spark.functions import clustering
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", F.expr(
+        "transform(sequence(0, 63), j -> CAST(CASE WHEN j = vec_id % 8 "
+        "THEN 10.0 ELSE 0.0 END + 0.1 * sin(CAST(vec_id * 64 + j AS DOUBLE)) "
+        "AS DOUBLE))").alias("embedding"))
+    out = clustering.kmeans_assign(planted, k=8, max_iter=5)
+    canon = out.groupBy("cluster").agg(F.min("vec_id").alias("rep"))
+    return (out.join(F.broadcast(canon), "cluster")
+            .select("vec_id", F.col("rep").alias("cluster_rep"))
+            .orderBy("vec_id"))
+
+
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (``functions/text.py``): deterministic synthetic PII
     (emails/IPs/SSNs/phones keyed off doc_id — identical CASE/concat in the
@@ -2337,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new this round — rotate into the first-50 window in round 3)
         "doc_pii_redaction": doc_pii_redaction,
         "doc_decontaminate": doc_decontaminate,
+        "embedding_kmeans": embedding_kmeans,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3527,6 +3551,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(comp) AS cluster_id,
                    (node = MIN(comp)) AS is_canonical
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "embedding_kmeans": """
+            SELECT vec_id, CAST(vec_id % 8 AS BIGINT) AS cluster_rep
+            FROM embeddings ORDER BY vec_id
         """,
         "doc_pii_redaction": r"""
             WITH t AS (

@@ -133,6 +133,8 @@ class StringAccessor(_Accessor):
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         # Spark lpad/rpad TRUNCATE values longer than width; pandas never
         # truncates — guard with the original value
+        if side == "both":
+            return self.center(width, fillchar)
         c = self._s._scol
         fn = F.lpad if side == "left" else F.rpad
         out = F.when(F.length(c) >= width, c).otherwise(fn(c, width, fillchar))

@@ -393,3 +393,25 @@ def test_minhash_sql_column_parity(spark):
         b = {r.id: r.s for r in df.select(
             "id", dedup.minhash_signature(F.col("text"), perms, n).alias("s")).collect()}
         assert a == b, (perms, n)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from pandas_expr_spark.functions.clustering import kmeans_assign
+    from pyspark.sql import functions as F
+    # 5 well-separated axis clusters in 16-d, 40 vectors each
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 15), j -> CAST(CASE WHEN j = id % 5 "
+               "THEN 8.0 ELSE 0.0 END + 0.05 * sin(CAST(id * 16 + j AS DOUBLE)) "
+               "AS DOUBLE))").alias("embedding"))
+    out = kmeans_assign(df, k=5, max_iter=6)
+    rows = out.select("vec_id", "cluster").collect()
+    # every planted group maps to exactly one kmeans label and vice versa
+    by_truth = {}
+    for r in rows:
+        by_truth.setdefault(r.vec_id % 5, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in by_truth.values()), by_truth
+    assert len({next(iter(v)) for v in by_truth.values()}) == 5
+    # deterministic across runs
+    rows2 = kmeans_assign(df, k=5, max_iter=6).select("vec_id", "cluster").collect()
+    assert {(r.vec_id, r.cluster) for r in rows} == {(r.vec_id, r.cluster) for r in rows2}
