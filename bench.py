@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_dup_components",
     "doc_pii_redaction",
     "doc_decontaminate",
+    "embedding_kmeans",
 ]
 
 

@@ -1414,6 +1414,22 @@ class DataFrame(FrameBase):
         out = self.assign(**{key: value})
         self._sdf, self._expr = out._sdf, out._expr
 
+    def __delitem__(self, key: str):
+        """``del df[col]`` rebinds to a drop (reference ``test_del``)."""
+        out = self.drop(columns=[key])
+        self._sdf, self._expr = out._sdf, out._expr
+
+    def __dir__(self):
+        """Columns appear in ``dir(df)`` for tab completion (reference
+        ``test_dir``)."""
+        return sorted(set(super().__dir__()) | set(map(str, self.columns)))
+
+    def __contains__(self, key) -> bool:
+        return key in self.columns
+
+    def __iter__(self):
+        return iter(self.columns)
+
     def assign(self, **kwargs) -> "DataFrame":
         """Reference Assign ``_expr.py:1309-1341`` → ``withColumns``."""
         sdf = self._sdf

@@ -150,3 +150,15 @@ def test_corrwith_matches_pandas(spark, pdf7, df7):
     exp = pdf7.corrwith(other_p, numeric_only=True).sort_index()
     np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
     assert got.index.tolist() == exp.index.tolist()
+
+
+def test_del_dir_contains_iter(spark, pdf7, df7):
+    import pandas_expr_spark as pes
+    d = pes.from_pandas(pdf7)
+    del d["x"]
+    assert list(d.columns) == ["g", "v"]
+    assert "v" in dir(d) and "g" in d and "x" not in d
+    assert list(iter(d)) == ["g", "v"]
+    got = d.compute().sort_index()
+    exp = pdf7.drop(columns=["x"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
