@@ -293,6 +293,16 @@ class Series(FrameBase):
     def __len__(self) -> int:
         return self._sdf.count()
 
+    ndim = 1
+
+    @property
+    def shape(self) -> tuple:
+        return (len(self),)
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
+
     # ------------------------------------------------------------------
     # binops — same-anchor composes Columns; cross-anchor aligns on index
     # (pandas alignment, reference Binop `_expr.py:1519-1621`)
@@ -1322,6 +1332,18 @@ class DataFrame(FrameBase):
 
     def __len__(self) -> int:
         return self._sdf.count()
+
+    ndim = 2
+
+    @property
+    def shape(self) -> tuple:
+        """(rows, cols).  The row count is an eager action (Python's
+        ``len`` protocol forces it anyway); column count is metadata."""
+        return (len(self), len(self.columns))
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
 
     @property
     def size(self) -> Scalar:

@@ -162,3 +162,11 @@ def test_del_dir_contains_iter(spark, pdf7, df7):
     got = d.compute().sort_index()
     exp = pdf7.drop(columns=["x"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_shape_ndim_empty(spark, pdf7, df7):
+    assert df7.ndim == 2 and df7.v.ndim == 1
+    assert df7.shape == pdf7.shape
+    assert df7.v.shape == pdf7.v.shape
+    assert not df7.empty
+    assert df7[df7.v > 10**9].empty
