@@ -139,7 +139,10 @@ def test_cumsum_no_global_window(spark):
     df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
     s = df.set_index("k")["v"].cumsum()
     plan = s._sdf._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan, plan
+    # the range exchange now materializes behind _ranged's eager
+    # localCheckpoint (determinism fix), so the visible plan reads from
+    # the checkpointed RDD instead of showing rangepartitioning inline
+    assert "rangepartitioning" in plan or "ExistingRDD" in plan, plan
     # the full-data branch is mapInPandas, not a window
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
     # any Window node must sit above the per-partition aggregate (tiny
@@ -167,7 +170,9 @@ def test_rolling_no_full_data_window(spark):
     df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
     s = df.set_index("k")["v"].rolling(7).sum()
     plan = s._sdf._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan, plan
+    # see test_cumsum_no_global_window: the range exchange sits behind the
+    # checkpoint boundary now
+    assert "rangepartitioning" in plan or "ExistingRDD" in plan, plan
     assert "NestedLoop" not in plan, plan
 
 
