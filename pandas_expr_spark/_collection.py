@@ -2269,15 +2269,34 @@ class DataFrame(FrameBase):
         return self._derive(out, "get_dummies", {"columns": columns})
 
     # -- groupby / join / concat (operators/) ----------------------------
-    def groupby(self, by, sort: bool = True, as_index: bool = True,
-                dropna: bool = True, observed: bool = True):
+    def groupby(self, by=None, sort: bool = True, as_index: bool = True,
+                dropna: bool = True, observed: bool = True, level=None):
         from .operators.groupby import GroupBy
+        if by is None:
+            # pandas groupby(level=...): group on index levels — the index
+            # IS a column in the engine, so resolve level numbers/names to
+            # index column names and group on those
+            if level is None:
+                raise TypeError("groupby requires 'by' or 'level'")
+            if not self._index_cols:
+                raise ValueError("groupby(level=...) needs an explicit index")
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            names = list(self._index_names or ())
+            by = []
+            for lv in levels:
+                if isinstance(lv, int):
+                    by.append(self._index_cols[lv])
+                elif lv in names:
+                    by.append(self._index_cols[names.index(lv)])
+                else:
+                    raise KeyError(lv)
         by = _ensure_list(by)
         bad = [b for b in by if not isinstance(b, str)]
         if bad:
             # reference raises on foreign-Series grouping (`_groupby.py:267-303`)
             raise TypeError("groupby only supports column names")
-        missing = [b for b in by if b not in self.columns]
+        missing = [b for b in by
+                   if b not in self.columns and b not in self._index_cols]
         if missing:
             raise KeyError(missing)
         return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna,

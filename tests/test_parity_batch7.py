@@ -170,3 +170,15 @@ def test_shape_ndim_empty(spark, pdf7, df7):
     assert df7.v.shape == pdf7.v.shape
     assert not df7.empty
     assert df7[df7.v > 10**9].empty
+
+
+def test_groupby_level(spark, pdf7, df7):
+    got = df7.set_index("g").groupby(level=0).v.sum().compute().sort_index()
+    exp = pdf7.set_index("g").groupby(level=0).v.sum().sort_index()
+    assert got.to_dict() == exp.to_dict()
+    got = (df7.set_index("g").groupby(level="g").v.mean()
+           .compute().sort_index())
+    exp = pdf7.set_index("g").groupby(level="g").v.mean().sort_index()
+    np.testing.assert_allclose(got.values, exp.values)
+    with pytest.raises((KeyError, ValueError, TypeError)):
+        df7.groupby(level=0)  # no explicit index
