@@ -385,17 +385,29 @@ class Series(FrameBase):
         guard: Spark's greatest/least *skip* nulls and order NaN above every
         double, which would turn missing values into the clip bounds —
         pandas keeps them missing."""
+        def _bound(b):
+            # Series bound: same-anchor column composes directly (pandas
+            # elementwise clip); cross-anchor needs an explicit align first
+            if isinstance(b, Series):
+                if b._sdf is not self._sdf:
+                    raise ValueError("clip with a Series bound requires the "
+                                     "same frame; align first")
+                return b._scol
+            return F.lit(b)
+
         c = self._scol
         clipped = c
         if lower is not None:
-            clipped = F.greatest(clipped, F.lit(lower))
+            clipped = F.greatest(clipped, _bound(lower))
         if upper is not None:
-            clipped = F.least(clipped, F.lit(upper))
+            clipped = F.least(clipped, _bound(upper))
         guard = c.isNull()
         if isinstance(self.spark_type, (T.DoubleType, T.FloatType)):
             guard = guard | F.isnan(c)
+        def _p(b):
+            return "<series>" if isinstance(b, Series) else b
         return self._with_scol(F.when(guard, c).otherwise(clipped),
-                               "clip", lower=lower, upper=upper)
+                               "clip", lower=_p(lower), upper=_p(upper))
 
     def isna(self):
         """Reference IsNa ``_expr.py:1209-1212``; NaN counts as missing for
@@ -1138,6 +1150,12 @@ class Series(FrameBase):
     def rename(self, name: str) -> "Series":
         return self._with_scol(self._scol, "rename", name=name)
 
+    def to_list(self) -> list:
+        """Eager values as a Python list (pandas ``tolist``)."""
+        return self.compute().tolist()
+
+    tolist = to_list
+
     def head(self, n: int = 5) -> "Series":
         f = self.to_frame(self._col_name or "__v__")
         out = f._sdf.limit(n)
@@ -1441,6 +1459,61 @@ class DataFrame(FrameBase):
         out = self.drop(columns=[key])
         self._sdf, self._expr = out._sdf, out._expr
 
+    def pop(self, key: str) -> "Series":
+        """pandas ``pop``: return the column as a Series and drop it from
+        the frame in place."""
+        s = self._col(key)
+        out = self.drop(columns=[key])
+        self._sdf, self._expr = out._sdf, out._expr
+        return s
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """pandas ``insert``: in-place positional column insert."""
+        if column in self.columns:
+            raise ValueError(f"column {column!r} already exists")
+        out = self.assign(**{column: value})
+        cols = [c for c in out.columns if c != column]
+        cols.insert(loc, column)
+        out = out[cols]
+        self._sdf, self._expr = out._sdf, out._expr
+
+    def take(self, indices) -> "DataFrame":
+        """pandas ``take``: rows by ordinal position, in the requested
+        order.  Positions come from the distributed rowid; the result
+        orders by the rank of each position in ``indices`` (a literal
+        array — bounded by the caller's list size, as in pandas)."""
+        idx = [int(i) for i in indices]
+        if self._index_cols:
+            base, order = self._sdf, list(self._index_cols)
+            from .functions import scan
+            pos = scan.global_pos(base, order, "__take_pos__")
+        else:
+            pos = _attach_rowid(self._sdf).withColumnRenamed(
+                _ROWID, "__take_pos__")
+        out = (pos.filter(F.col("__take_pos__").isin(idx))
+               .withColumn("__ord__", F.array_position(
+                   F.lit(idx), F.col("__take_pos__")))
+               .orderBy("__ord__")
+               .drop("__ord__"))
+        node = Node("take", {"n": len(idx)}, self._expr)
+        if self._index_cols:
+            return DataFrame(out.drop("__take_pos__"), node,
+                             self._index_cols, self._index_names)
+        # default index: the position IS the pandas label — keep it
+        return DataFrame(out, node, ("__take_pos__",), (None,))
+
+    def reindex(self, columns=None) -> "DataFrame":
+        """pandas ``reindex(columns=)``: select in the given order; names
+        absent from the frame become all-null columns."""
+        if columns is None:
+            raise NotImplementedError("reindex supports columns= only")
+        sel = [F.col(c) if c in self.columns else F.lit(None).alias(c)
+               for c in columns]
+        idx = [F.col(c) for c in self._index_cols]
+        node = Node("reindex", {"columns": list(columns)}, self._expr)
+        return DataFrame(self._sdf.select(*idx, *sel), node,
+                         self._index_cols, self._index_names)
+
     def __dir__(self):
         """Columns appear in ``dir(df)`` for tab completion (reference
         ``test_dir``)."""
@@ -1499,8 +1572,13 @@ class DataFrame(FrameBase):
                 raise KeyError(missing)
         return self._derive(self._sdf.drop(*cols), "drop", {"columns": cols})
 
-    def rename(self, columns: Mapping[str, str] | None = None) -> "DataFrame":
-        """Reference RenameFrame ``_expr.py:1034-1052``."""
+    def rename(self, columns=None) -> "DataFrame":
+        """Reference RenameFrame ``_expr.py:1034-1052``.  ``columns`` may
+        be a mapping or a callable applied to every column name (pandas)."""
+        if columns is None:
+            return self
+        if callable(columns):
+            columns = {c: columns(c) for c in self.columns}
         if not columns:
             return self
         return self._derive(self._sdf.withColumnsRenamed(dict(columns)),
@@ -2054,16 +2132,47 @@ class DataFrame(FrameBase):
 
     aggregate = agg
 
-    def sum(self, numeric_only: bool = True):
+    def _row_reduce(self, op: str) -> Series:
+        """Row-wise (axis=1) reduction across numeric columns with pandas
+        skipna semantics — a JVM array filter + aggregate, narrow map."""
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name in self.columns and is_numeric(f.dataType)]
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        ok = F.filter(arr, lambda x: x.isNotNull() & ~F.isnan(x))
+        n = F.size(ok)
+        total = F.aggregate(ok, F.lit(0.0), lambda a, x: a + x)
+        if op == "sum":
+            out = total                           # pandas: empty row -> 0.0
+        elif op == "mean":
+            out = F.when(n > 0, total / n)        # all-NaN row -> NaN
+        elif op == "min":
+            out = F.array_min(ok)
+        elif op == "max":
+            out = F.array_max(ok)
+        else:
+            raise ValueError(op)
+        node = Node(f"{op}_axis1", {}, self._expr)
+        return Series(self._sdf, out, None, node,
+                      self._index_cols, self._index_names)
+
+    def sum(self, numeric_only: bool = True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("sum")
         return self._columnwise(F.sum, "sum", numeric_only)
 
-    def mean(self, numeric_only: bool = True):
+    def mean(self, numeric_only: bool = True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("mean")
         return self._columnwise(F.avg, "mean", numeric_only)
 
-    def min(self, numeric_only: bool = True):
+    def min(self, numeric_only: bool = True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("min")
         return self._columnwise(F.min, "min", numeric_only)
 
-    def max(self, numeric_only: bool = True):
+    def max(self, numeric_only: bool = True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("max")
         return self._columnwise(F.max, "max", numeric_only)
 
     def count(self, numeric_only: bool = False):

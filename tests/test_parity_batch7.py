@@ -182,3 +182,43 @@ def test_groupby_level(spark, pdf7, df7):
     np.testing.assert_allclose(got.values, exp.values)
     with pytest.raises((KeyError, ValueError, TypeError)):
         df7.groupby(level=0)  # no explicit index
+
+
+def test_axis1_reductions(spark, pdf7):
+    import pandas_expr_spark as pes
+    d = pes.from_pandas(pdf7)
+    for op in ["sum", "mean", "min", "max"]:
+        got = getattr(d, op)(axis=1).compute().sort_index()
+        exp = getattr(pdf7[["x", "v"]], op)(axis=1)
+        np.testing.assert_allclose(got.fillna(-9).values,
+                                   exp.fillna(-9).values, rtol=1e-12), op
+
+
+def test_pop_insert_take_reindex_rename(spark):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"g": list("abcde"), "v": [1, 2, 3, 4, 5],
+                        "w": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    d = pes.from_pandas(pdf)
+    p = pdf.copy()
+    s = d.pop("w"); se = p.pop("w")
+    assert list(d.columns) == list(p.columns)
+    assert s.compute().sort_index().tolist() == se.tolist()
+    d.insert(1, "z", d.v * 2); p.insert(1, "z", p.v * 2)
+    assert list(d.columns) == list(p.columns)
+    got = d.take([3, 0, 2]).compute()
+    exp = p.take([3, 0, 2])
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got.index.tolist() == exp.index.tolist()
+    got = d.reindex(columns=["v", "g", "nope"]).compute().sort_index()
+    exp = p.reindex(columns=["v", "g", "nope"])
+    assert list(got.columns) == list(exp.columns)
+    assert got["nope"].isna().all()
+    got = d.rename(columns=str.upper).compute().sort_index()
+    assert list(got.columns) == [c.upper() for c in p.columns]
+
+
+def test_clip_series_bound_and_tolist(spark, pdf7, df7):
+    got = df7.v.clip(lower=df7.x).compute().sort_index()
+    exp = pdf7.v.clip(lower=pdf7.x)
+    np.testing.assert_allclose(got.fillna(-9).values, exp.fillna(-9).values)
+    assert df7.v.to_list() == pdf7.v.tolist()
