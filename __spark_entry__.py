@@ -2274,6 +2274,32 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb_d, q, k=10, n_cells=16, nprobe=4)
 
 
+def groupby_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby.filter`` (SQL-predicate form): keep the order ROWS
+    of customers with ≥ 8 orders — one keys-agg computing the HAVING
+    predicate + a left-semi join back, zero Python."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    kept = o.groupby("o_custkey").filter("count(*) >= 8")
+    kept = kept.assign(price_c=(kept.o_totalprice * 100).floor())
+    out = kept[["o_orderkey", "o_custkey", "price_c"]].reset_index(drop=True)
+    return out.to_spark()
+
+
+def groupby_ohlc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby.ohlc`` in o_orderkey row order: open/high/low/close
+    of integer-cents order totals per customer — min_by/max_by on the
+    engine index make first/last part of the SAME single agg shuffle."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = o.assign(price_c=(o.o_totalprice * 100).floor())
+    o = o.set_index("o_orderkey")
+    out = o.groupby("o_custkey")[["price_c"]].ohlc()
+    return out.reset_index().to_spark()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2450,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_quantity_bins": cut_quantity_bins,
         "get_dummies_segments": get_dummies_segments,
         "embedding_ann_ivf": embedding_ann_ivf,
+        "groupby_filter_rows": groupby_filter_rows,
+        "groupby_ohlc_orders": groupby_ohlc_orders,
     }
 
 
@@ -3879,6 +3907,25 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_tax, l_extendedprice), 4),
                    round(corr(l_tax, l_tax), 4)
             FROM lineitem
+        """,
+        "groupby_filter_rows": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders
+            WHERE o_custkey IN (SELECT o_custkey FROM orders
+                                GROUP BY o_custkey HAVING COUNT(*) >= 8)
+        """,
+        "groupby_ohlc_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS price_c
+                       FROM orders)
+            SELECT o_custkey,
+                   arg_min(price_c, o_orderkey) AS price_c_open,
+                   MAX(price_c) AS price_c_high,
+                   MIN(price_c) AS price_c_low,
+                   arg_max(price_c, o_orderkey) AS price_c_close
+            FROM o GROUP BY o_custkey
         """,
         # multimodal_features / sample_fraction_lineitem /
         # nunique_approx_custkeys / embedding_ann_ivf: non-SQL-expressible

@@ -566,6 +566,186 @@ class GroupBy:
                                for c in self._value_columns()})
         return self._finish_window(out, tmp, "ffill" if forward else "bfill")
 
+    def filter(self, func):
+        """pandas ``groupby.filter``: keep the rows of groups passing a
+        group-level predicate.
+
+        Two forms, both distributed:
+
+        * ``str`` — an aggregate SQL predicate over the group (a HAVING
+          clause), e.g. ``"sum(value) > 100"`` or ``"count(*) >= 3"``.
+          Lowered to one keys-aggregation computing the predicate plus a
+          left-semi join back — two key shuffles, zero Python.  This is the
+          form to use at scale.
+        * callable — the pandas signature (``lambda g: bool``), evaluated
+          per group via Arrow-batched ``applyInPandas``.  Honest but moves
+          group data through Python; prefer the SQL form.
+        """
+        from .._collection import DataFrame
+        sdf, order_cols, tmp = self._positional()
+        if isinstance(func, str):
+            if self._dropna:
+                for b in self._by:
+                    sdf = sdf.filter(F.col(b).isNotNull())
+            keep = (sdf.groupBy(*self._by)
+                    .agg(F.expr(func).alias("__keep__"))
+                    .filter(F.col("__keep__")).drop("__keep__"))
+            out = sdf.join(keep, self._by, "left_semi")
+        else:
+            schema = sdf.schema
+            by = self._by
+            hidden = [tmp] if tmp else []
+
+            def _flt(g: pd.DataFrame) -> pd.DataFrame:
+                return g if func(g.drop(columns=hidden)) else g.iloc[0:0]
+
+            grouped = sdf
+            if self._dropna:
+                for b in by:
+                    grouped = grouped.filter(F.col(b).isNotNull())
+            out = grouped.groupBy(*by).applyInPandas(_flt, schema)
+        return self._finish_window(out, tmp, "filter")
+
+    def ngroup(self, ascending: bool = True):
+        """pandas ``groupby.ngroup``: the group's number, dense-numbered in
+        sorted key order.  The rank is computed on the DISTINCT key table
+        (small) with a single-partition window, then joined back — never a
+        global window over the fact rows."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        keys = sdf.select(*self._by).na.drop(subset=self._by).distinct()
+        order = [F.col(b).asc() if ascending else F.col(b).desc()
+                 for b in self._by]
+        mapping = keys.withColumn(
+            "ngroup", F.dense_rank().over(Window.orderBy(*order)) - 1)
+        # no broadcast hint: the key table's size is data-dependent — let
+        # AQE pick broadcast vs shuffle join at runtime
+        out = sdf.join(mapping, self._by, "left")
+        return self._finish_window(out, tmp, "ngroup")
+
+    def diff(self, periods: int = 1):
+        """pandas ``groupby.diff`` — one positional window per group."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        w = Window.partitionBy(*self._by).orderBy(
+            *[F.col(c).asc() for c in order_cols])
+        out = sdf.withColumns({
+            c: F.col(c) - F.lag(c, periods).over(w)
+            for c in self._value_columns(numeric_only=True)})
+        return self._finish_window(out, tmp, "diff")
+
+    def pct_change(self, periods: int = 1):
+        """pandas ``groupby.pct_change`` with pandas zero-divisor semantics
+        (x/0 → ±inf, 0/0 → NaN) instead of the ANSI error."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        w = Window.partitionBy(*self._by).orderBy(
+            *[F.col(c).asc() for c in order_cols])
+        updates = {}
+        for name in self._value_columns(numeric_only=True):
+            c, prev = F.col(name), F.lag(name, periods).over(w)
+            ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
+                     .when(prev != 0, c / prev)
+                     .when(c == 0, F.lit(float("nan")))
+                     .otherwise(F.lit(float("inf")) * F.signum(c)))
+            updates[name] = ratio - F.lit(1)
+        out = sdf.withColumns(updates)
+        return self._finish_window(out, tmp, "pct_change")
+
+    def ohlc(self):
+        """pandas ``groupby.ohlc``: open/high/low/close per value column in
+        row order — ``min_by``/``max_by`` on the positional index give
+        first/last, so the whole thing is ONE agg shuffle (columns named
+        ``col_open`` … ``col_close``, pandas' MultiIndex flattened)."""
+        sdf, order_cols, tmp = self._positional()
+        pos = F.struct(*[F.col(c) for c in order_cols])
+        aggs = []
+        for c in self._value_columns(numeric_only=True):
+            col = F.col(c)
+            aggs += [F.min_by(col, pos).alias(f"{c}_open"),
+                     F.max(col).alias(f"{c}_high"),
+                     F.min(col).alias(f"{c}_low"),
+                     F.max_by(col, pos).alias(f"{c}_close")]
+        grouped = sdf
+        if self._dropna:
+            for b in self._by:
+                grouped = grouped.filter(F.col(b).isNotNull())
+        out = grouped.groupBy(*self._by).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, "ohlc")
+
+    def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)):
+        """pandas ``groupby.describe`` (count/mean/std/min/percentiles/max
+        per numeric column), MultiIndex flattened to ``col_stat``.  Exact
+        percentiles via ``F.percentile`` — still one partial+final agg."""
+        aggs = []
+        for c in self._value_columns(numeric_only=True):
+            col = F.col(c)
+            aggs += [F.count(col).cast("double").alias(f"{c}_count"),
+                     F.avg(col).alias(f"{c}_mean"),
+                     F.stddev_samp(col).alias(f"{c}_std"),
+                     F.min(col).cast("double").alias(f"{c}_min")]
+            for p in percentiles:
+                aggs.append(F.percentile(col, F.lit(p))
+                            .alias(f"{c}_{int(p * 100)}%"))
+            aggs.append(F.max(col).cast("double").alias(f"{c}_max"))
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, "describe")
+
+    def sample(self, n: int | None = None, frac: float | None = None,
+               seed: int = 0):
+        """Per-group sampling without replacement: deterministic hash order
+        within each group (seeded xxhash64 of the row position) + one
+        row-number window — a single shuffle on the keys, no RNG state.
+        ``n`` keeps exactly min(n, group size) rows; ``frac`` keeps
+        ``round(frac * size)`` per pandas."""
+        from pyspark.sql import Window
+        if (n is None) == (frac is None):
+            raise ValueError("sample: pass exactly one of n / frac")
+        sdf, order_cols, tmp = self._positional()
+        h = F.xxhash64(*[F.col(c) for c in order_cols], F.lit(seed))
+        w = Window.partitionBy(*self._by).orderBy(h.asc())
+        cnt_w = Window.partitionBy(*self._by)
+        rn = F.row_number().over(w)
+        if n is not None:
+            keep = rn <= F.lit(n)
+        else:
+            keep = rn <= F.round(F.count(F.lit(1)).over(cnt_w) * F.lit(frac))
+        out = sdf.withColumn("__keep__", keep).filter("__keep__").drop("__keep__")
+        return self._finish_window(out, tmp, "sample")
+
+    def corr(self):
+        """Grouped Pearson correlation of exactly two sliced columns
+        (``gb[["a","b"]].corr()`` flattened to one ``corr`` value per group
+        — the full pandas per-group matrix is just this number mirrored)."""
+        return self._pairwise(lambda a, b: F.corr(a, b), "corr")
+
+    def cov(self, ddof: int = 1):
+        """Grouped covariance of exactly two sliced columns."""
+        if ddof == 1:
+            return self._pairwise(lambda a, b: F.covar_samp(a, b), "cov")
+        if ddof == 0:
+            return self._pairwise(lambda a, b: F.covar_pop(a, b), "cov")
+        return self._pairwise(
+            lambda a, b: (F.sum(a * b) - F.sum(a) * F.sum(b) / F.count(a))
+            / (F.count(a) - F.lit(ddof)), "cov")
+
+    def _pairwise(self, fn, op: str):
+        cols = self._value_columns(numeric_only=True)
+        if len(cols) != 2:
+            raise ValueError(
+                f"groupby.{op} needs exactly two sliced numeric columns, "
+                f"e.g. gb[['a','b']].{op}(); got {cols}")
+        a0, b0 = F.col(cols[0]).cast("double"), F.col(cols[1]).cast("double")
+        # pairwise-complete rows only (pandas semantics): mask each side on
+        # the other's nullness so n / Σa / Σb / Σab all see the same rows
+        both = a0.isNotNull() & b0.isNotNull()
+        a, b = F.when(both, a0), F.when(both, b0)
+        out = self._grouping(self._grouped_sdf()).agg(fn(a, b).alias(op))
+        self._count_like = set()
+        return self._finish(out, op)
+
 
 class _GroupRolling:
     """pandas ``groupby.rolling`` / ``groupby.expanding`` chain target.

@@ -302,3 +302,85 @@ def test_groupby_idxmin_idxmax(spark, groupby_pdf):
     assert set(got_mx["z"]) <= set(pdf.index)
     with pytest.raises(ValueError, match="explicit index"):
         from_pandas(groupby_pdf).groupby("x").idxmax().compute()
+
+
+# -- wave 9: filter / ngroup / diff / pct_change / ohlc / describe / sample /
+#    pairwise corr-cov ---------------------------------------------------------
+
+def test_groupby_filter_sql_and_callable(win_df, win_pdf):
+    # SQL (HAVING) form — the scale path
+    got = win_df.groupby("k").filter("sum(u) > 70").compute()
+    exp = win_pdf.groupby("k").filter(lambda g: g["u"].sum() > 70)
+    pd.testing.assert_frame_equal(got.sort_index()[["v", "u"]],
+                                  exp.sort_index()[["v", "u"]],
+                                  check_dtype=False)
+    # callable form — pandas parity
+    got2 = win_df.groupby("k").filter(lambda g: g["v"].mean() < 3).compute()
+    exp2 = win_pdf.groupby("k").filter(lambda g: g["v"].mean() < 3)
+    pd.testing.assert_frame_equal(got2.sort_index()[["v", "u"]],
+                                  exp2.sort_index()[["v", "u"]],
+                                  check_dtype=False)
+
+
+def test_groupby_ngroup(win_df, win_pdf):
+    for asc in (True, False):
+        got = win_df.groupby("k").ngroup(ascending=asc).compute()["ngroup"]
+        exp = win_pdf.groupby("k").ngroup(ascending=asc)
+        pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
+                                       check_dtype=False, check_names=False)
+
+
+def test_groupby_diff_pct_change(win_df, win_pdf):
+    for periods in (1, 2):
+        got = win_df.groupby("k").diff(periods).compute()
+        exp = win_pdf.groupby("k")[["v", "u"]].diff(periods)
+        pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
+                                      exp.sort_index(), check_dtype=False)
+    gotp = win_df.groupby("k").pct_change().compute()
+    expp = win_pdf.groupby("k")[["v", "u"]].pct_change(fill_method=None)
+    pd.testing.assert_frame_equal(gotp[["v", "u"]].sort_index(),
+                                  expp.sort_index(), check_dtype=False)
+
+
+def test_groupby_ohlc(win_df, win_pdf):
+    got = win_df.groupby("k")[["u"]].ohlc().compute().sort_index()
+    exp = win_pdf.groupby("k")[["u"]].ohlc().sort_index()
+    exp.columns = ["_".join(c) for c in exp.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+
+
+def test_groupby_describe(win_df, win_pdf):
+    got = win_df.groupby("k")[["u"]].describe().compute().sort_index()
+    exp = win_pdf.groupby("k")[["u"]].describe().sort_index()
+    exp.columns = ["_".join(c) for c in exp.columns]
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False,
+                                  check_names=False)
+
+
+def test_groupby_sample_invariants(win_df, win_pdf):
+    out = win_df.groupby("k").sample(n=4, seed=7).compute()
+    assert out.groupby("k").size().le(4).all()
+    assert (out.groupby("k").size() == 4).all()  # every group has ≥4 rows
+    # deterministic across calls
+    again = win_df.groupby("k").sample(n=4, seed=7).compute()
+    pd.testing.assert_frame_equal(out.sort_index(), again.sort_index())
+    frac = win_df.groupby("k").sample(frac=0.5, seed=7).compute()
+    sizes = win_pdf.groupby("k").size()
+    assert frac.groupby("k").size().tolist() == [round(s * 0.5) for s in sizes]
+
+
+def test_groupby_pairwise_corr_cov(win_df, win_pdf):
+    got = win_df.groupby("k")[["v", "u"]].corr().compute()
+    exp = win_pdf.groupby("k").apply(
+        lambda g: g["v"].corr(g["u"]), include_groups=False)
+    assert got.sort_index().values == pytest.approx(
+        exp.sort_index().values, rel=1e-12)
+    for ddof in (0, 1, 2):
+        gotc = win_df.groupby("k")[["v", "u"]].cov(ddof=ddof).compute()
+        expc = win_pdf.groupby("k").apply(
+            lambda g: g[["v", "u"]].dropna().pipe(
+                lambda d: ((d["v"] - d["v"].mean()) * (d["u"] - d["u"].mean())).sum()
+                / (len(d) - ddof)), include_groups=False)
+        assert gotc.sort_index().values == pytest.approx(
+            expc.sort_index().values, rel=1e-12)
