@@ -2300,6 +2300,35 @@ def groupby_ohlc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.reset_index().to_spark()
 
 
+def interpolate_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Series.interpolate`` (linear) over the global event order —
+    distributed neighbor-position scans + position equi-joins, no global
+    window.  Every 7th event's value is nulled, then reconstructed."""
+    import pandas_expr_spark as pes
+    e = pes.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    e = e[e.user_id < 30]
+    e = e.assign(v=(e.value * 100).floor())
+    e = e.assign(v=e.v.mask(e.event_id % 7 == 0))
+    e = e.set_index("event_id")
+    out = e["v"].interpolate().round(4).to_frame().reset_index()
+    return out.to_spark()
+
+
+def asfreq_hourly_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``asfreq('h', method='pad')``: hourly max-value series for one
+    user, missing hours forward-filled — spine generation + the engine's
+    merge_asof (one shuffle)."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["ts", "user_id", "value"])
+    ev = ev[ev.user_id == 7]
+    ev = ev.assign(vc=(ev.value * 100).floor())
+    hourly = ev.resample("h", on="ts").agg(vmax=("vc", "max")).reset_index()
+    out = hourly.asfreq("h", on="ts", method="pad")
+    return out[["ts", "vmax"]].to_spark()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2478,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": embedding_ann_ivf,
         "groupby_filter_rows": groupby_filter_rows,
         "groupby_ohlc_orders": groupby_ohlc_orders,
+        "interpolate_event_values": interpolate_event_values,
+        "asfreq_hourly_user": asfreq_hourly_user,
     }
 
 
@@ -3926,6 +3957,52 @@ def oracle_sql() -> dict[str, str]:
                    MIN(price_c) AS price_c_low,
                    arg_max(price_c, o_orderkey) AS price_c_close
             FROM o GROUP BY o_custkey
+        """,
+        "interpolate_event_values": """
+            WITH e AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS p
+              FROM events WHERE user_id < 30
+            ), m AS (
+              SELECT event_id, v, p,
+                     last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+                       OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pp,
+                     last_value(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                                END IGNORE NULLS)
+                       OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pv,
+                     first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+                       OVER (ORDER BY p ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS np,
+                     first_value(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                                 END IGNORE NULLS)
+                       OVER (ORDER BY p ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nv
+              FROM e
+            )
+            SELECT event_id,
+                   ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                              WHEN pp IS NULL THEN NULL
+                              WHEN np IS NULL THEN pv
+                              ELSE pv + (nv - pv) * (p - pp) / (np - pp)
+                         END, 4) AS v
+            FROM m
+        """,
+        "asfreq_hourly_user": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts,
+                     MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS vmax
+              FROM events WHERE user_id = 7 GROUP BY 1
+            ), spine AS (
+              SELECT unnest(generate_series((SELECT MIN(ts) FROM h),
+                                            (SELECT MAX(ts) FROM h),
+                                            INTERVAL 1 HOUR)) AS ts
+            )
+            SELECT s.ts, h.vmax
+            FROM spine s ASOF LEFT JOIN h ON s.ts >= h.ts
         """,
         # multimodal_features / sample_fraction_lineitem /
         # nunique_approx_custkeys / embedding_ann_ivf: non-SQL-expressible

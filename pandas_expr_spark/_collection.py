@@ -83,6 +83,32 @@ def _restore_period_index(idx, index_cols, period_freq: dict):
     return idx
 
 
+_FREQ_UNIT = {  # pandas offset alias → make_interval slot + per-period count
+    "s": ("secs", 1), "S": ("secs", 1), "min": ("mins", 1), "T": ("mins", 1),
+    "h": ("hours", 1), "H": ("hours", 1), "d": ("days", 1), "D": ("days", 1),
+    "w": ("weeks", 1), "W": ("weeks", 1), "M": ("months", 1),
+    "MS": ("months", 1), "Q": ("months", 3), "Y": ("years", 1),
+    "A": ("years", 1),
+}
+
+
+def _freq_interval(freq: str, periods: int = 1):
+    """pandas offset alias ("D", "2h", "3M", …) → a Spark interval Column
+    scaled by ``periods`` (negative ok) via ``make_interval``."""
+    import re
+    m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+    if not m or m.group(2) not in _FREQ_UNIT:
+        raise ValueError(f"cannot parse frequency {freq!r}")
+    mult = int(m.group(1)) if m.group(1) else 1
+    slot, per = _FREQ_UNIT[m.group(2)]
+    n = F.lit(mult * per * periods)
+    zero = F.lit(0)
+    args = {k: (n if k == slot else zero)
+            for k in ("years", "months", "weeks", "days", "hours", "mins")}
+    args["secs"] = n.cast("double") if slot == "secs" else F.lit(0.0)
+    return F.make_interval(**args)
+
+
 def _ensure_list(x) -> list:
     if x is None:
         return []
@@ -785,7 +811,13 @@ class Series(FrameBase):
         out = pos.join(shifted, "__pos__", "left").drop("__pos__")
         return out, name, idx
 
-    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+    def shift(self, periods: int = 1, fill_value=None,
+              freq: str | None = None) -> "Series":
+        if freq is not None:
+            # pandas shift(freq=): move the TIMESTAMPS by periods*freq —
+            # a pure projection (no reorder, no join, no shuffle)
+            return self._with_scol(
+                self._scol + _freq_interval(freq, periods), "shift_freq")
         out, name, idx = self._pos_shifted(periods)
         val = F.col("__shifted__")
         if fill_value is not None:
@@ -815,6 +847,66 @@ class Series(FrameBase):
         out = out.select(*[F.col(col) for col in idx],
                          (ratio - F.lit(1)).alias(name))
         node = Node("pct_change", {"periods": periods}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    def interpolate(self, method: str = "linear",
+                    limit: int | None = None) -> "Series":
+        """pandas ``Series.interpolate`` over the global order, distributed:
+        one global-position pass (range shuffle), two prefix scans for the
+        nearest non-null neighbor positions (sentinel-encoded max scans —
+        the backward one runs forward over the negated position), then two
+        equi-joins on the neighbor positions to fetch their values.  No
+        global window anywhere.
+
+        ``linear``: prev + (next-prev)·(pos-pp)/(np-pp); trailing nulls
+        take the last valid value and leading nulls stay null (pandas
+        ``limit_direction='forward'`` default).  ``pad``/``ffill``: previous
+        valid value.  ``limit`` caps the fill distance after a valid row.
+        """
+        if method not in ("linear", "pad", "ffill"):
+            raise ValueError(f"interpolate: method {method!r} not supported "
+                             "(linear/pad/ffill)")
+        from .functions import scan
+        SENT = -(1 << 62)
+        sdf, name, order, idx = self._ordered_base()
+        pos = scan.global_pos(sdf, order)
+        v = F.col(name)
+        base = (pos
+                .withColumn("__pv__", F.when(v.isNotNull(), F.col("__pos__"))
+                            .otherwise(F.lit(SENT)))
+                .withColumn("__negpos__", -F.col("__pos__"))
+                .withColumn("__nvn__", F.when(v.isNotNull(), -F.col("__pos__"))
+                            .otherwise(F.lit(SENT))))
+        s1 = scan.prefix_scan(base, [("__pv__", "max", "__pp__")], ["__pos__"])
+        s2 = scan.prefix_scan(s1, [("__nvn__", "max", "__npn__")],
+                              ["__negpos__"])
+        s2 = (s2.withColumn("__pp__", F.when(F.col("__pp__") != SENT,
+                                             F.col("__pp__")))
+              .withColumn("__np__", F.when(F.col("__npn__") != SENT,
+                                           -F.col("__npn__"))))
+        vals = (s2.filter(v.isNotNull())
+                .select(F.col("__pos__").alias("__vp__"),
+                        v.cast("double").alias("__vv__")))
+        j = (s2.join(vals.withColumnRenamed("__vp__", "__pp__")
+                     .withColumnRenamed("__vv__", "__prev__"), "__pp__", "left")
+             .join(vals.withColumnRenamed("__vp__", "__np__")
+                   .withColumnRenamed("__vv__", "__next__"), "__np__", "left"))
+        p, pp, np_, prev, nxt = (F.col("__pos__"), F.col("__pp__"),
+                                 F.col("__np__"), F.col("__prev__"),
+                                 F.col("__next__"))
+        if method == "linear":
+            filled = (F.when(np_.isNotNull(),
+                             prev + (nxt - prev) * (p - pp) / (np_ - pp))
+                      .otherwise(prev))
+        else:
+            filled = prev
+        if limit is not None:
+            filled = F.when((p - pp) <= F.lit(limit), filled)
+        out_val = F.when(v.isNotNull(), v.cast("double")).otherwise(
+            F.when(pp.isNotNull(), filled))
+        out = j.select(*[F.col(c) for c in idx], out_val.alias(name))
+        node = Node("interpolate", {"method": method}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
@@ -1174,7 +1266,9 @@ class Series(FrameBase):
 
     @property
     def dt(self):
-        from .functions.accessors import DatetimeAccessor
+        from .functions.accessors import DatetimeAccessor, TimedeltaAccessor
+        if isinstance(self.spark_type, T.DayTimeIntervalType):
+            return TimedeltaAccessor(self)
         return DatetimeAccessor(self)
 
     @property
@@ -2526,6 +2620,43 @@ class DataFrame(FrameBase):
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})
         return Resampler(out, on, step_sql, fill_empty=fill_empty, sort=True)
+
+    def asfreq(self, freq: str, on: str,
+               method: str | None = None) -> "DataFrame":
+        """pandas ``asfreq`` re-expressed for an explicit timestamp column:
+        generate the calendar spine (min → max at ``freq`` steps — one tiny
+        bounds agg + ``sequence``/``explode``), then either exact-match the
+        data rows (``method=None`` → left equi-join, missing instants null)
+        or as-of backward-match them (``method='pad'/'ffill'`` → the
+        engine's ``merge_asof``, one shuffle).  The spine is KBs even for
+        years of minute steps — never a second scan of the fact table."""
+        import re
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        if not m:
+            raise ValueError(f"cannot parse asfreq freq {freq!r}")
+        mult = int(m.group(1)) if m.group(1) else 1
+        unit = m.group(2).lower()
+        if mult == 1 and unit in self._RESAMPLE_TRUNC:
+            step_sql = self._RESAMPLE_STEP[self._RESAMPLE_TRUNC[unit]]
+        elif unit in self._RESAMPLE_INTERVAL:
+            step_sql = f"INTERVAL {mult} {self._RESAMPLE_INTERVAL[unit]}"
+        else:
+            raise ValueError(f"unsupported asfreq freq {freq!r}")
+        bounds = self._sdf.agg(F.min(on).alias("__lo__"),
+                               F.max(on).alias("__hi__"))
+        spine_sdf = bounds.select(F.explode(F.sequence(
+            F.col("__lo__"), F.col("__hi__"), F.expr(step_sql))).alias(on))
+        node = Node("asfreq", {"freq": freq, "on": on}, self._expr)
+        if method is None:
+            out = spine_sdf.join(self._sdf, on, "left")
+            return DataFrame(out, node, (), None)
+        if method not in ("pad", "ffill"):
+            raise ValueError(f"asfreq: method {method!r} not supported")
+        from .operators.joins import merge_asof
+        spine = DataFrame(spine_sdf, node, (), None)
+        right = DataFrame(self._sdf, self._expr, (), None)
+        return merge_asof(spine, right, on=on, direction="backward",
+                          suffixes=("", "_r"))
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":

@@ -365,6 +365,79 @@ class DatetimeAccessor(_Accessor):
 
     truncate = floor
 
+    _FIXED_US = {"S": 1_000_000, "s": 1_000_000, "T": 60_000_000,
+                 "min": 60_000_000, "H": 3_600_000_000, "h": 3_600_000_000,
+                 "D": 86_400_000_000, "d": 86_400_000_000}
+
+    def _fixed_step(self, freq: str) -> int:
+        import re
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        if not m or m.group(2) not in self._FIXED_US:
+            raise ValueError(f"dt.round/ceil: fixed frequency expected "
+                             f"(s/min/h/D multiples), got {freq!r}")
+        return (int(m.group(1)) if m.group(1) else 1) * self._FIXED_US[m.group(2)]
+
+    def _micros(self):
+        """Epoch micros + a caster back to the column's own timestamp
+        flavor (``unix_micros`` rejects TIMESTAMP_NTZ; under the engine's
+        pinned UTC session the NTZ↔LTZ cast is value-preserving)."""
+        from pyspark.sql import types as T
+        c = self._s._scol
+        dt = self._s.spark_type
+        if isinstance(dt, T.TimestampNTZType):
+            return (F.unix_micros(c.cast("timestamp")),
+                    lambda e: F.timestamp_micros(e).cast("timestamp_ntz"))
+        return F.unix_micros(c), F.timestamp_micros
+
+    def round(self, freq: str):
+        """pandas ``dt.round``: nearest multiple of a fixed frequency, halves
+        to EVEN multiples (pandas/numpy banker's rule) — pure epoch-micros
+        arithmetic, whole-stage codegen."""
+        step = F.lit(self._fixed_step(freq))
+        e, back = self._micros()
+        # floor-mod (pmod) so pre-1970 timestamps round correctly too
+        r = F.pmod(e, step)
+        base = e - r
+        q = F.floor(base / step)
+        up = (r > step / 2) | ((r * 2 == step) & (F.pmod(q, 2) == 1))
+        rounded = F.when(up, base + step).otherwise(base)
+        return self._wrap(back(rounded), "dt.round")
+
+    def ceil(self, freq: str):
+        """pandas ``dt.ceil``: smallest multiple of the fixed freq ≥ ts."""
+        step = F.lit(self._fixed_step(freq))
+        e, back = self._micros()
+        r = F.pmod(e, step)
+        return self._wrap(back(
+            F.when(r == 0, e).otherwise(e - r + step)), "dt.ceil")
+
+    def normalize(self):
+        """pandas ``dt.normalize``: midnight of the same day."""
+        return self._wrap(F.date_trunc("day", self._s._scol), "dt.normalize")
+
+    @property
+    def time(self):
+        """Wall-clock time as an ``HH:mm:ss`` string (Spark has no TIME
+        dtype; pandas returns ``datetime.time`` objects)."""
+        return self._wrap(F.date_format(self._s._scol, "HH:mm:ss"),
+                          "dt.time")
+
+    def tz_localize(self, tz: str):
+        """Interpret the (timezone-naive) wall-clock values as ``tz`` local
+        time and return the corresponding UTC instants
+        (``to_utc_timestamp``).  ``tz_localize("UTC")`` is the identity, as
+        in pandas with a UTC session."""
+        return self._wrap(F.to_utc_timestamp(self._s._scol, tz),
+                          "dt.tz_localize")
+
+    def tz_convert(self, tz: str):
+        """Render UTC instants as ``tz`` wall-clock values
+        (``from_utc_timestamp``) — the engine stores naive-UTC timestamps,
+        so "converting" produces the shifted wall clock, matching what
+        pandas displays after ``tz_convert``."""
+        return self._wrap(F.from_utc_timestamp(self._s._scol, tz),
+                          "dt.tz_convert")
+
     def strftime(self, fmt: str):
         # translate common strftime directives to Spark's pattern letters
         trans = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
@@ -396,6 +469,54 @@ class DatetimeAccessor(_Accessor):
                              "metadata; pass freq=")
         return self._wrap(period_to_timestamp_col(self._s._scol, f, how),
                           "dt.to_timestamp")
+
+
+class TimedeltaAccessor(_Accessor):
+    """``ser.dt.*`` for DAY-TIME INTERVAL columns (pandas TimedeltaDtype).
+
+    A timestamp difference in the engine is Spark's
+    ``DayTimeIntervalType``; components come from ``extract`` and the total
+    from the component sum — all pure column expressions."""
+
+    def _total_us(self):
+        """Signed total microseconds — components via ``extract`` (which is
+        sign-preserving per component), recombined so the floor-division
+        below reproduces pandas' normalized representation (e.g. -61 s →
+        -1 days +23:58:59)."""
+        c = self._s._scol
+        d = F.extract(F.lit("DAY"), c).cast("double")
+        h = F.extract(F.lit("HOUR"), c).cast("double")
+        m = F.extract(F.lit("MINUTE"), c).cast("double")
+        s = F.extract(F.lit("SECOND"), c).cast("double")
+        return ((d * 86400 + h * 3600 + m * 60 + s) * 1_000_000) \
+            .cast("decimal(28,0)")
+
+    def total_seconds(self):
+        """pandas ``dt.total_seconds()`` — fractional seconds preserved."""
+        return self._wrap(self._total_us().cast("double") / 1e6,
+                          "dt.total_seconds")
+
+    @property
+    def days(self):
+        """pandas ``dt.days``: floor division (negative durations normalize
+        to -1 days + positive time-of-day, as pandas does)."""
+        return self._wrap(F.floor(self._total_us() / 86_400_000_000)
+                          .cast("long"), "dt.days")
+
+    @property
+    def seconds(self):
+        """Whole seconds within the (floor-normalized) day component."""
+        t = self._total_us()
+        rem = t - F.floor(t / 86_400_000_000).cast("decimal(28,0)") \
+            * 86_400_000_000
+        return self._wrap(F.floor(rem / 1_000_000).cast("long"),
+                          "dt.seconds")
+
+    @property
+    def microseconds(self):
+        t = self._total_us()
+        rem = t - F.floor(t / 1_000_000).cast("decimal(28,0)") * 1_000_000
+        return self._wrap(rem.cast("long"), "dt.microseconds")
 
 
 class CategoricalAccessor(_Accessor):

@@ -207,3 +207,113 @@ def test_period_roundtrip_and_to_period(spark):
     exp = ts["t"].dt.to_period("M")
     assert str(got.dtype) == "period[M]"
     assert (got.sort_index().values == exp.values).all()
+
+
+# -- wave 10: dt round/ceil/normalize/tz, timedelta accessor, shift(freq),
+#    interpolate, asfreq ------------------------------------------------------
+
+def _ts_pdf():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:30", "2024-01-01 00:01:30", "2024-01-01 00:02:45",
+        "2024-03-05 11:59:59.5", "2024-03-05 12:00:00.5", "2024-07-31 23:30:00",
+    ], format="mixed")
+    return pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+
+
+def test_dt_round_ceil_normalize(spark):
+    import pandas_expr_spark as pes
+    pdf = _ts_pdf()
+    df = pes.from_pandas(pdf)
+    for freq in ("min", "h", "D", "2min", "30s"):
+        got = df["ts"].dt.round(freq).compute()
+        exp = pdf["ts"].dt.round(freq)
+        assert list(got) == list(exp), f"round {freq}"
+        gotc = df["ts"].dt.ceil(freq).compute()
+        expc = pdf["ts"].dt.ceil(freq)
+        assert list(gotc) == list(expc), f"ceil {freq}"
+    got_n = df["ts"].dt.normalize().compute()
+    assert list(got_n) == list(pdf["ts"].dt.normalize())
+
+
+def test_dt_tz_localize_convert(spark):
+    import pandas_expr_spark as pes
+    pdf = _ts_pdf()
+    df = pes.from_pandas(pdf)
+    tz = "America/New_York"
+    got = df["ts"].dt.tz_localize(tz).compute()
+    exp = (pdf["ts"].dt.tz_localize(tz, ambiguous="NaT")
+           .dt.tz_convert("UTC").dt.tz_localize(None))
+    assert list(got) == list(exp)
+    got2 = df["ts"].dt.tz_convert(tz).compute()
+    exp2 = (pdf["ts"].dt.tz_localize("UTC").dt.tz_convert(tz)
+            .dt.tz_localize(None))
+    assert list(got2) == list(exp2)
+
+
+def test_timedelta_accessor(spark):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({
+        "a": pd.to_datetime(["2024-01-03 05:00:00.25", "2024-01-01 00:00:01",
+                             "2023-12-31 23:59:00"], format="mixed"),
+        "b": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:00",
+                             "2024-01-01 00:00:00"]),
+    })
+    df = pes.from_pandas(pdf)
+    d = df["a"] - df["b"]
+    exp = pdf["a"] - pdf["b"]
+    assert list(d.dt.total_seconds().compute()) == pytest.approx(
+        list(exp.dt.total_seconds()))
+    assert list(d.dt.days.compute()) == list(exp.dt.days)
+    assert list(d.dt.seconds.compute()) == list(exp.dt.seconds)
+    assert list(d.dt.microseconds.compute()) == list(exp.dt.microseconds)
+
+
+def test_shift_freq(spark):
+    import pandas_expr_spark as pes
+    pdf = _ts_pdf()
+    df = pes.from_pandas(pdf)
+    # freq="M" deviates deliberately: the engine adds a calendar month
+    # (make_interval), pandas' to_offset("M") snaps to month END
+    for periods, freq in ((1, "D"), (2, "h"), (-3, "min"), (2, "D")):
+        got = df["ts"].shift(periods, freq=freq).compute()
+        exp = pdf["ts"] + periods * pd.tseries.frequencies.to_offset(freq)
+        assert list(got) == list(exp), (periods, freq)
+
+
+@pytest.mark.parametrize("method", ["linear", "pad"])
+def test_interpolate_matches_pandas(spark, method):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"v": [None, 1.0, None, None, 4.0, None, 10.0, None,
+                              None]},
+                       index=pd.Index(range(9), name="i"))
+    df = pes.from_pandas(pdf)
+    got = df["v"].interpolate(method=method).compute().sort_index()
+    exp = pdf["v"].interpolate(method=method)
+    pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                   check_names=False, check_index_type=False)
+
+
+def test_interpolate_limit(spark):
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"v": [1.0, None, None, None, 5.0]},
+                       index=pd.Index(range(5), name="i"))
+    df = pes.from_pandas(pdf)
+    got = df["v"].interpolate(limit=2).compute().sort_index()
+    exp = pdf["v"].interpolate(limit=2)
+    pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                   check_names=False, check_index_type=False)
+
+
+def test_asfreq(spark):
+    import pandas_expr_spark as pes
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00",
+                         "2024-01-01 05:00"])
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0]})
+    df = pes.from_pandas(pdf)
+    got = df.asfreq("h", on="ts").compute().sort_values("ts").reset_index(drop=True)
+    exp = (pdf.set_index("ts").asfreq("h").reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    gotp = df.asfreq("h", on="ts", method="pad").compute() \
+        .sort_values("ts").reset_index(drop=True)
+    expp = pdf.set_index("ts").asfreq("h", method="pad").reset_index()
+    pd.testing.assert_frame_equal(gotp, expp, check_dtype=False)
