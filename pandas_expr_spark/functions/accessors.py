@@ -596,8 +596,13 @@ class CategoricalAccessor(_Accessor):
             for i, cat in enumerate(cats):
                 out = F.when(c == F.lit(cat), F.lit(i)).otherwise(out)
             return self._wrap(out.cast("int"), "cat.codes")
-        w = Window.orderBy(self._s._scol)
-        return self._wrap((F.dense_rank().over(w) - 1).cast("int"), "cat.codes")
+        # unknown categories: codes depend only on the VALUE, so rank the
+        # distinct-value table and join back (Series.rank dense machinery)
+        # instead of a global dense_rank window over every row — the latter
+        # funnels the whole table through one task at 100 TB.  Nulls code
+        # to -1 (pandas).
+        r = self._s.rank(method="dense")
+        return (r - 1).fillna(-1).astype("int")
 
     def rename_categories(self, mapping: dict):
         c = self._s._scol

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg",
-           "rolling_minmax"]
+           "rolling_minmax", "last_scan"]
 
 _PID = "__pes_pid__"
 
@@ -55,7 +55,8 @@ _IDENTITY = {"sum": 0.0, "prod": 1.0}
 
 
 def _ranged(sdf: SparkDF, order_by: list[str],
-            num_partitions: int | None) -> SparkDF:
+            num_partitions: int | None,
+            descending: list[bool] | None = None) -> SparkDF:
     """Range-partition + locally sort, then MATERIALIZE (eager
     localCheckpoint) before returning.
 
@@ -70,8 +71,11 @@ def _ranged(sdf: SparkDF, order_by: list[str],
     write/read of the ranged data — the price of a correct distributed
     ordering primitive, not avoidable by sampling luck at 100 TB."""
     n = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
-    part = (sdf.repartitionByRange(n, *[F.col(c) for c in order_by])
-            .sortWithinPartitions(*order_by)
+    desc = descending or [False] * len(order_by)
+    keys = [F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(order_by, desc)]
+    part = (sdf.repartitionByRange(n, *keys)
+            .sortWithinPartitions(*keys)
             .withColumn(_PID, F.spark_partition_id()))
     return part.localCheckpoint(eager=True)
 
@@ -161,6 +165,76 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
     final = [patched.pop(f.name, F.col(f.name))
              for f in part.schema.fields if f.name != _PID]
     final += patched.values()  # out columns that are not in-place
+    return joined.select(*final)
+
+
+def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
+              descending: list[bool] | None = None,
+              num_partitions: int | None = None) -> SparkDF:
+    """Global forward-fill of ``cols`` in the total ``order_by`` order —
+    the "carry the last non-null value" scan.
+
+    Powers the no-``by`` asof join (``merge_asof`` with no grouping keys)
+    and a global ``ffill``: the naive plan is a
+    ``last(..., ignorenulls=True)`` over an UNPARTITIONED window — every
+    row through one task.  Here, same two-phase shape as ``prefix_scan``:
+    range-partition + local pandas ``ffill`` per partition, then one tiny
+    summary row per partition (its last non-null value per column, taken
+    from the partition's final ffilled row — order-exact, no reliance on
+    aggregate traversal order), exclusive-prefix folded with
+    ``last(ignorenulls)`` over the #partitions-row summary table,
+    broadcast back, ``coalesce``d in.
+
+    ``descending[i]`` reverses key *i* — a descending scan of the same
+    keys is a backward-fill, which is how the forward/"nearest" asof
+    directions reuse this primitive.
+    """
+    part = _ranged(sdf, order_by, num_partitions, descending)
+    schema = part.schema
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            pdf = pdf.copy()
+            if carry is not None and len(pdf):
+                pdf[cols] = pd.concat(
+                    [carry[cols], pdf[cols]], ignore_index=True
+                ).ffill().iloc[1:].reset_index(drop=True)
+            else:
+                pdf[cols] = pdf[cols].ffill()
+            if len(pdf):
+                carry = pdf.iloc[[-1]]
+            yield pdf
+
+    scanned = part.mapInPandas(_local, schema)
+
+    summ_fields = [schema[_PID]] + [
+        T.StructField(c, schema[c].dataType, True) for c in cols]
+    summ_schema = T.StructType(summ_fields)
+
+    def _summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = None
+        vals: dict = {c: None for c in cols}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = pdf[_PID].iloc[0]
+            for c in cols:
+                nn = pdf[c].dropna()
+                if len(nn):
+                    vals[c] = nn.iloc[-1]
+        if pid is not None:
+            yield pd.DataFrame([{_PID: pid, **vals}])
+
+    summ = part.mapInPandas(_summary, summ_schema)
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    carries = summ.select(F.col(_PID), *[
+        F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}")
+        for c in cols])
+    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    final = [F.coalesce(F.col(f.name), F.col(f"__carry_{f.name}"))
+             .alias(f.name) if f.name in cols else F.col(f.name)
+             for f in schema.fields if f.name != _PID]
     return joined.select(*final)
 
 

@@ -266,7 +266,37 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
           .rowsBetween(Window.unboundedPreceding, 0))
     keep = [lout[c] for c in left.columns]
 
-    if direction == "nearest":
+    # With `by` keys the windows above shuffle once on `by` — fine.  With
+    # NO keys they'd be global windows (all rows through one task), so the
+    # no-`by` path instead runs the distributed `last_scan` ffill over the
+    # union in (on, side) range order — same semantics, fully parallel.
+    if not by:
+        from ..functions.scan import last_scan
+        u = u.withColumn("__sk__", side_order)
+        if direction == "nearest":
+            btwins = {("__b_" + rout[c]): rout[c] for c in rvals}
+            btwins["__b_on__"] = "__asof_on__"
+            ftwins = {("__f_" + rout[c]): rout[c] for c in rvals}
+            ftwins["__f_on__"] = "__asof_on__"
+            for t, srcc in {**btwins, **ftwins}.items():
+                u = u.withColumn(t, F.col(srcc))
+            filled = last_scan(u, list(btwins), [on, "__sk__"])
+            filled = last_scan(filled, list(ftwins), [on, "__sk__"],
+                               descending=[True, False])
+            step = (filled.filter(F.col("__side__") == 1)
+                    .select(*keep, F.col(on).alias("__l_on__"),
+                            F.col("__side__"), *[F.col(t) for t in
+                                                 [*btwins, *ftwins]]))
+        else:
+            desc = [False, False] if direction == "backward" \
+                else [True, False]
+            fill = [rout[c] for c in rvals] + ["__asof_on__"]
+            filled = last_scan(u, fill, [on, "__sk__"], descending=desc)
+            out = (filled.filter(F.col("__side__") == 1)
+                   .select(*keep, F.col(on).alias("__l_on__"),
+                           F.col("__side__"),
+                           *[F.col(c) for c in fill]))
+    elif direction == "nearest":
         # both directions over the SAME by-shuffle (two sorts, one
         # exchange), then per row pick whichever match key is closer
         # (tie → backward, pandas behavior)
@@ -283,6 +313,7 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
         step = (u.select(*keep, F.col(on).alias("__l_on__"),
                          F.col("__side__"), *picked)
                 .filter(F.col("__side__") == 1))
+    if direction == "nearest":
         l_on = F.col("__l_on__")
         b_on, f_on = F.col("__b_on__"), F.col("__f_on__")
         num = _numeric_cast(step.schema["__l_on__"].dataType)
@@ -295,7 +326,7 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
             *[F.when(use_b, F.col("__b_" + rout[c]))
               .otherwise(F.col("__f_" + rout[c])).alias(rout[c])
               for c in rvals])
-    else:
+    elif by:
         w = wb if direction == "backward" else wf
         picked = [F.last(rout[c], ignorenulls=True).over(w).alias(rout[c])
                   for c in rvals]

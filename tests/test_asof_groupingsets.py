@@ -47,6 +47,31 @@ def test_merge_asof_matches_pandas(spark, trades_quotes, direction, exact):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_merge_asof_no_by_matches_pandas(spark, direction, exact):
+    """No-`by` asof takes the distributed last_scan path (no global
+    window) — differential vs pandas with values spanning many range
+    partitions so cross-partition carries are exercised."""
+    import pandas_expr_spark as pes
+
+    rng = np.random.RandomState(11)
+    trades = pd.DataFrame({
+        "tid": range(300),
+        "t": np.sort(rng.randint(0, 5000, 300)).astype("int64"),
+    }).drop_duplicates("t", keep="last")
+    quotes = pd.DataFrame({
+        "t": np.sort(rng.randint(0, 5000, 200)).astype("int64"),
+        "px": rng.rand(200) * 100,
+    }).drop_duplicates("t", keep="last")
+    want = pd.merge_asof(trades, quotes, on="t", direction=direction,
+                         allow_exact_matches=exact)
+    got = pes.merge_asof(pes.from_pandas(trades), pes.from_pandas(quotes),
+                         on="t", direction=direction,
+                         allow_exact_matches=exact)
+    assert_frame_eq(got, want[["tid", "t", "px"]], sort_by=["tid"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tol", [5, 50])
 def test_merge_asof_tolerance(spark, trades_quotes, direction, tol):
     import pandas_expr_spark as pes
