@@ -1864,6 +1864,23 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.reset_index().to_spark().select("event_type", "n_filled", "fill_sum")
 
 
+def ffill_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-grouped forward-fill over the whole table (``Series.ffill`` in
+    event_id order) — the distributed ``last_scan`` path (range shuffle +
+    per-partition fill + tiny carry fold), NOT a global window; then
+    re-aggregated per event_type.  Cents basis keeps sums engine-exact."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events"))
+    ev = ev.set_index("event_id")
+    v_c = (ev.value * 100).floor().where(ev.event_type != "click")
+    filled = ev.assign(v_f=v_c)[["event_type", "v_f"]].ffill()
+    g = filled.groupby("event_type").agg(n_filled=("v_f", "count"),
+                                         fill_sum_c=("v_f", "sum"))
+    g = g.assign(fill_sum=g["fill_sum_c"] / 100.0)
+    return g.reset_index().to_spark().select("event_type", "n_filled", "fill_sum")
+
+
 def groupby_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per priority — ``groupby.nlargest`` as ONE row-number
     window (partial top-n inside the sort; never a per-group pandas apply)."""
@@ -2509,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_ohlc_orders": groupby_ohlc_orders,
         "interpolate_event_values": interpolate_event_values,
         "asfreq_hourly_user": asfreq_hourly_user,
+        "ffill_global_events": ffill_global_events,
     }
 
 
@@ -3531,6 +3549,20 @@ def oracle_sql() -> dict[str, str]:
                                        THEN CAST(FLOOR(value * 100) AS BIGINT)
                                   END IGNORE NULLS)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_f
+                FROM events
+            ) GROUP BY event_type
+        """,
+        "ffill_global_events": """
+            SELECT event_type, COUNT(v_f) AS n_filled,
+                   SUM(v_f) / 100.0 AS fill_sum
+            FROM (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type <> 'click'
+                                       THEN CAST(FLOOR(value * 100) AS BIGINT)
+                                  END IGNORE NULLS)
+                       OVER (ORDER BY event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS v_f
                 FROM events

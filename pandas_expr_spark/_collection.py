@@ -910,6 +910,27 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
+    def ffill(self) -> "Series":
+        """pandas ``Series.ffill`` over the global order — the distributed
+        ``last_scan`` (range shuffle + per-partition fill + tiny per-
+        partition carry fold), never a global window.  Dtype-preserving,
+        unlike ``interpolate('pad')`` which promotes to double."""
+        return self._fill_scan(False)
+
+    def bfill(self) -> "Series":
+        """pandas ``Series.bfill`` — the same scan traversed in reverse
+        key order."""
+        return self._fill_scan(True)
+
+    def _fill_scan(self, descending: bool) -> "Series":
+        from .functions import scan
+        sdf, name, order, idx = self._ordered_base()
+        out = scan.last_scan(sdf, [name], order,
+                             descending=[descending] * len(order))
+        node = Node("bfill" if descending else "ffill", {}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``Series.rolling`` over the GLOBAL order — prefix-sum
         differencing (``functions/scan.py``), one range shuffle + one
@@ -2145,6 +2166,29 @@ class DataFrame(FrameBase):
         if flags:
             out = out.drop(*flags.values())
         node = Node(f"cum{op}", {"columns": num, "skipna": skipna}, self._expr)
+        return DataFrame(out, node, idx, names)
+
+    def ffill(self) -> "DataFrame":
+        """pandas ``DataFrame.ffill`` — every column forward-filled in the
+        global index order in ONE distributed ``last_scan`` pass (one range
+        shuffle for the whole frame, no global window)."""
+        return self._frame_fill(False)
+
+    def bfill(self) -> "DataFrame":
+        return self._frame_fill(True)
+
+    def _frame_fill(self, descending: bool) -> "DataFrame":
+        from .functions import scan
+        if self._index_cols:
+            sdf, order = self._sdf, list(self._index_cols)
+            idx, names = self._index_cols, self._index_names
+        else:
+            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            idx, names = (_ROWID,), (None,)
+        out = scan.last_scan(sdf, list(self.columns), order,
+                             descending=[descending] * len(order))
+        node = Node("bfill" if descending else "ffill",
+                    {"columns": list(self.columns)}, self._expr)
         return DataFrame(out, node, idx, names)
 
     def cumsum(self, skipna: bool = True): return self._frame_cumop("sum", skipna)

@@ -178,3 +178,30 @@ def test_expanding_extended_matches_pandas(spark, scan_pdf, fn):
     exp = getattr(pdf["v"].expanding(min_periods=2), fn)()
     pd.testing.assert_series_equal(got, exp, check_dtype=False,
                                    check_names=False, atol=1e-9)
+
+
+def test_ffill_bfill_matches_pandas(spark):
+    """Global ffill/bfill through last_scan — nulls spanning partition
+    boundaries, mixed dtypes, both traversal directions."""
+    from pandas_expr_spark import from_pandas
+    rng = np.random.RandomState(3)
+    n = 500
+    pdf = pd.DataFrame({
+        "k": np.arange(n),
+        "v": np.where(rng.rand(n) < 0.4, np.nan, rng.rand(n) * 100),
+        "s": [None if rng.rand() < 0.5 else f"tok{i % 7}" for i in range(n)],
+    }).set_index("k")
+    # long null runs to force cross-partition carries
+    pdf.iloc[50:200, pdf.columns.get_loc("v")] = np.nan
+    df = from_pandas(pdf)
+    pd.testing.assert_series_equal(
+        df["v"].ffill().compute().sort_index(), pdf["v"].ffill(),
+        check_dtype=False, check_names=False)
+    pd.testing.assert_series_equal(
+        df["v"].bfill().compute().sort_index(), pdf["v"].bfill(),
+        check_dtype=False, check_names=False)
+    got = df.ffill().compute().sort_index()
+    exp = pdf.ffill()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    got_b = df.bfill().compute().sort_index()
+    pd.testing.assert_frame_equal(got_b, pdf.bfill(), check_dtype=False)
