@@ -962,6 +962,39 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (`dedup.dedup_against`): a new BATCH — exact
+    copies of doc_id < 20, near copies (two appended tokens) of long docs
+    20-39, and 40 synthetic fresh docs — checked against the full corpus.
+    The banded corpus×batch join's verified result must EXACTLY equal the
+    oracle's exhaustive trigram-Jaccard ground truth: a missed planted
+    copy or a false fresh-doc flag = row mismatch.  Hard recall gate for
+    the production (persisted-signature) dedup shape."""
+    from pandas_expr_spark.functions import dedup
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    exact = (docs.filter(F.col("doc_id") < 20)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+                        & (F.col("n_chars") >= 300))
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" zzqxa zzqxb")).alias("text")))
+    fresh = (docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+             .select((F.col("doc_id") + 300000).alias("doc_id"),
+                     F.concat_ws(" ",
+                                 F.concat(F.lit("qqa"), F.col("doc_id")),
+                                 F.concat(F.lit("qqb"), F.col("doc_id")),
+                                 F.concat(F.lit("qqc"), F.col("doc_id")),
+                                 F.concat(F.lit("qqd"), F.col("doc_id")),
+                                 F.concat(F.lit("qqe"), F.col("doc_id")))
+                     .alias("text")))
+    batch = exact.unionByName(near).unionByName(fresh)
+    return dedup.dedup_against(corpus, batch, num_perm=64, bands=16,
+                               jaccard_threshold=0.85)
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤4 pairs (pandas-UDF signature + band join) —
     rows-only check."""
@@ -2527,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_event_values": interpolate_event_values,
         "asfreq_hourly_user": asfreq_hourly_user,
         "ffill_global_events": ffill_global_events,
+        "doc_incremental_dedup": doc_incremental_dedup,
     }
 
 
@@ -3114,6 +3148,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN nn na ON na.doc_id = id_a
             JOIN nn nb ON nb.doc_id = id_b
             WHERE c / (na.n + nb.n - c) >= 0.85
+        """,
+        "doc_incremental_dedup": """
+            WITH batch AS (
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 200000, text || ' zzqxa zzqxb' FROM documents
+              WHERE doc_id >= 20 AND doc_id < 40 AND n_chars >= 300
+              UNION ALL
+              SELECT doc_id + 300000,
+                     'qqa' || doc_id || ' qqb' || doc_id || ' qqc' || doc_id
+                     || ' qqd' || doc_id || ' qqe' || doc_id
+              FROM documents WHERE doc_id >= 40 AND doc_id < 80
+            ), ctok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents
+            ), btok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM batch
+            ), csh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM ctok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), bsh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM btok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), cn AS (
+                SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id
+            ), bn AS (
+                SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id
+            ), common AS (
+                SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                       COUNT(*) AS c
+                FROM bsh b JOIN csh c ON b.s = c.s
+                GROUP BY 1, 2
+            ), matched AS (
+                SELECT batch_id, MIN(corpus_id) AS dup_of
+                FROM common
+                JOIN bn ON bn.doc_id = common.batch_id
+                JOIN cn ON cn.doc_id = common.corpus_id
+                WHERE common.c / (bn.n + cn.n - common.c) >= 0.85
+                GROUP BY batch_id
+            )
+            SELECT b.doc_id AS batch_id, m.dup_of IS NOT NULL AS is_dup,
+                   m.dup_of
+            FROM batch b LEFT JOIN matched m ON m.batch_id = b.doc_id
         """,
         "multimodal_meta": """
             SELECT 'unknown' AS media_format, COUNT(*) AS n,

@@ -83,6 +83,9 @@ HEADLINE = [
     "doc_pii_redaction",
     "doc_decontaminate",
     "embedding_kmeans",
+    # continuation-3 additions: incremental corpus dedup, global ffill scan
+    "doc_incremental_dedup",
+    "ffill_global_events",
 ]
 
 

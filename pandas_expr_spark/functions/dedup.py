@@ -394,4 +394,61 @@ def decontaminate(docs: SparkDF, eval_docs: SparkDF, text_col: str = "text",
             .withColumn("contaminated", F.col("n_shared_ngrams") > 0))
 
 
-__all__ += ["decontaminate"]
+def dedup_against(corpus: SparkDF, batch: SparkDF, text_col: str = "text",
+                  id_col: str = "doc_id", num_perm: int = 64,
+                  bands: int = 16, shingle_n: int = 3,
+                  jaccard_threshold: float = 0.85,
+                  seed: int = 42) -> SparkDF:
+    """Incremental near-dup check: flag each BATCH doc that near-duplicates
+    any CORPUS doc — the production shape where yesterday's corpus keeps
+    its (id, band, bucket) signature table persisted and only today's
+    (much smaller) batch is signed fresh.
+
+    Scale shape: each side is signed independently (JVM HOF signatures —
+    no text shuffle), banded, and the two bucket tables **equi-join on
+    (band, bucket)** — never corpus × batch.  Candidate pairs are verified
+    with EXACT shingle Jaccard; both shingle tables are pruned to
+    candidate docs by semi-joins first, so verification cost scales with
+    candidate volume, not corpus size.
+
+    Returns ``(batch_id, is_dup, dup_of)`` — ``dup_of`` is the smallest
+    matching corpus id (deterministic canonical), null when no match.
+    """
+    rows_per_band = num_perm // bands
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def bucketed(sdf: SparkDF, out: str) -> SparkDF:
+        sig = (sdf.repartition(npart, id_col)
+               .select(F.col(id_col).alias(out),
+                       minhash_signature(text_col, num_perm, shingle_n,
+                                         seed).alias("__sig__")))
+        return _banded(sig, out, "__sig__", bands, rows_per_band)
+
+    cand = (bucketed(batch, "batch_id")
+            .join(bucketed(corpus, "corpus_id"), ["band", "bucket"])
+            .select("batch_id", "corpus_id").distinct())
+    cand = cand.persist()
+    b_sh = (batch.join(cand.select(F.col("batch_id").alias(id_col)),
+                       id_col, "left_semi")
+            .repartition(npart, id_col)
+            .select(F.col(id_col).alias("batch_id"),
+                    word_shingles(text_col, shingle_n).alias("__shb__")))
+    c_sh = (corpus.join(cand.select(F.col("corpus_id").alias(id_col)),
+                        id_col, "left_semi")
+            .repartition(npart, id_col)
+            .select(F.col(id_col).alias("corpus_id"),
+                    word_shingles(text_col, shingle_n).alias("__shc__")))
+    jac = (F.size(F.array_intersect("__shb__", "__shc__")).cast("double")
+           / F.size(F.array_union("__shb__", "__shc__")))
+    ver = (cand.join(b_sh, "batch_id").join(c_sh, "corpus_id")
+           .withColumn("__jac__", jac)
+           .filter(F.col("__jac__") >= jaccard_threshold)
+           .groupBy("batch_id")
+           .agg(F.min("corpus_id").alias("dup_of")))
+    ids = batch.select(F.col(id_col).alias("batch_id"))
+    return (ids.join(ver, "batch_id", "left")
+            .withColumn("is_dup", F.col("dup_of").isNotNull())
+            .select("batch_id", "is_dup", "dup_of"))
+
+
+__all__ += ["decontaminate", "dedup_against"]

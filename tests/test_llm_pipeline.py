@@ -415,3 +415,27 @@ def test_kmeans_recovers_planted_clusters(spark):
     # deterministic across runs
     rows2 = kmeans_assign(df, k=5, max_iter=6).select("vec_id", "cluster").collect()
     assert {(r.vec_id, r.cluster) for r in rows} == {(r.vec_id, r.cluster) for r in rows2}
+
+
+def test_dedup_against_incremental(spark):
+    """Batch-vs-corpus dedup: exact copy and near copy flagged with the
+    right canonical corpus id; genuinely new doc untouched."""
+    from pandas_expr_spark.functions.dedup import dedup_against
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    corpus = spark.createDataFrame(
+        [(10, base),
+         (11, "completely different corpus material about spark engines "
+              "and distributed query planning at scale")],
+        "doc_id: long, text: string")
+    batch = spark.createDataFrame(
+        [(100, base),                      # exact copy of 10
+         (101, base + " extra token"),     # near copy of 10
+         (102, "fresh unseen content qq1 qq2 qq3 qq4 qq5 qq6 qq7")],
+        "doc_id: long, text: string")
+    out = dedup_against(corpus, batch, num_perm=64, bands=16,
+                        jaccard_threshold=0.8)
+    got = {r.batch_id: (r.is_dup, r.dup_of) for r in out.collect()}
+    assert got[100] == (True, 10)
+    assert got[101] == (True, 10)
+    assert got[102] == (False, None)
