@@ -1641,6 +1641,37 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_users").select("user_id")
 
 
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest (streaming × dedup crossover): the incoming document
+    stream is fingerprinted per micro-batch and broadcast-joined against a
+    STATIC corpus fingerprint table — no state store; the persisted corpus
+    *is* the state, exactly how a production ingest gate flags docs already
+    present in yesterday's corpus.  Corpus = fingerprints of doc_id % 3 == 0;
+    a non-corpus incoming doc is a dup iff its normalized-text md5 exists
+    there.  Exact oracle (same md5 in DuckDB)."""
+    from pandas_expr_spark.streaming import stream as st
+    from pandas_expr_spark.functions.text import fingerprint
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = st.read_stream("parquet", sf_dir, schema=schema,
+                         options={"pathGlobFilter": "documents.parquet"})
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .filter(F.col("doc_id") % 3 == 0)
+              .select(fingerprint("text").alias("fp")).distinct())
+    inc = (src.withColumn("fp", fingerprint("text"))
+           .join(F.broadcast(corpus.withColumn("__hit__", F.lit(1))),
+                 "fp", "left")
+           .withColumn("is_dup", (F.col("doc_id") % 3 != 0)
+                       & F.col("__hit__").isNotNull()))
+    agg = inc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"))
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_dedup_ingest", "complete")
+        q.awaitTermination()
+    return spark.table("stream_dedup_ingest").select("source", "n_docs",
+                                                     "n_dups")
+
+
 def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Sample §2.2 — seeded Bernoulli sample.  Sampling is
     engine-specific → driver rows-only check."""
@@ -2561,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asfreq_hourly_user": asfreq_hourly_user,
         "ffill_global_events": ffill_global_events,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "streaming_dedup_ingest": streaming_dedup_ingest,
     }
 
 
@@ -3148,6 +3180,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nn na ON na.doc_id = id_a
             JOIN nn nb ON nb.doc_id = id_b
             WHERE c / (na.n + nb.n - c) >= 0.85
+        """,
+        "streaming_dedup_ingest": f"""
+            WITH fps AS (
+                SELECT doc_id, source, {_FP} AS fp FROM documents
+            ), corpus AS (
+                SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0
+                                 AND fp IN (SELECT fp FROM corpus)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+            FROM fps GROUP BY source
         """,
         "doc_incremental_dedup": """
             WITH batch AS (

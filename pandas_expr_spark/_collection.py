@@ -472,7 +472,18 @@ class Series(FrameBase):
                                value=value)
 
     def replace(self, to_replace, value=None):
-        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        if isinstance(to_replace, dict):
+            mapping = to_replace
+        elif isinstance(to_replace, (list, tuple, set)):
+            # list → scalar, or list → equal-length list (pandas forms)
+            vals = value if isinstance(value, (list, tuple)) \
+                else [value] * len(to_replace)
+            if len(vals) != len(to_replace):
+                raise ValueError("replace: to_replace and value lists must "
+                                 "have equal length")
+            mapping = dict(zip(to_replace, vals))
+        else:
+            mapping = {to_replace: value}
         c = self._scol
         out = c
         for k, v in mapping.items():
@@ -708,7 +719,8 @@ class Series(FrameBase):
         node = Node("unstack", {"level": lvl}, self._expr)
         return DataFrame(out, node, tuple(keep), keep_names)
 
-    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False) -> "Series":
         """pandas ``Series.rank`` (whole-series).  A naive global window
         (``Window.orderBy(v)`` with no partition) funnels ALL rows through
         one task — unusable at 100 TB.  Instead: ranks depend only on the
@@ -747,6 +759,11 @@ class Series(FrameBase):
             out = out.withColumn(
                 "__rank__",
                 (F.col("__before__") + F.row_number().over(wv)).cast("double"))
+            if pct:
+                den = counts.agg(F.sum("__cnt__").alias("__den__"))
+                out = (out.crossJoin(F.broadcast(den))
+                       .withColumn("__rank__",
+                                   F.col("__rank__") / F.col("__den__")))
             node = Node("rank", {"method": method}, self._expr)
             return Series(out, F.col("__rank__"), self._col_name, node, idx,
                           self._index_names if self._index_cols else (None,))
@@ -754,6 +771,17 @@ class Series(FrameBase):
             raise ValueError(f"rank method {method!r} not supported "
                              "(average/min/max/dense/first)")
         ranks = counts.select(F.col(name), r.alias("__rank__"))
+        if pct:
+            # pandas: divide by non-NA count — except dense, which divides
+            # by the number of DISTINCT non-NA values.  One broadcast
+            # 1-row cross join over the (already tiny) rank table.
+            den = counts.agg(
+                (F.count(F.lit(1)) if method == "dense"
+                 else F.sum("__cnt__")).alias("__den__"))
+            ranks = (ranks.crossJoin(F.broadcast(den))
+                     .withColumn("__rank__",
+                                 F.col("__rank__") / F.col("__den__"))
+                     .drop("__den__"))
         out = sdf.join(ranks, on=name, how="left")
         node = Node("rank", {"method": method}, self._expr)
         return Series(out, F.col("__rank__"), self._col_name, node,
@@ -1770,7 +1798,17 @@ class DataFrame(FrameBase):
                         .otherwise(out)
                 upd[col] = out
             return self._derive(self._sdf.withColumns(upd), "replace", {})
-        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        if isinstance(to_replace, dict):
+            mapping = to_replace
+        elif isinstance(to_replace, (list, tuple, set)):
+            vals = value if isinstance(value, (list, tuple)) \
+                else [value] * len(to_replace)
+            if len(vals) != len(to_replace):
+                raise ValueError("replace: to_replace and value lists must "
+                                 "have equal length")
+            mapping = dict(zip(to_replace, vals))
+        else:
+            mapping = {to_replace: value}
         return self._derive(self._sdf.replace(mapping), "replace", {})
 
     def astype(self, dtype) -> "DataFrame":
@@ -2168,6 +2206,50 @@ class DataFrame(FrameBase):
         node = Node(f"cum{op}", {"columns": num, "skipna": skipna}, self._expr)
         return DataFrame(out, node, idx, names)
 
+    def idxmin(self, skipna: bool = True) -> "Series":
+        """Per-column index label of the minimum — ONE aggregation pass for
+        the whole frame (``min_by`` over (value, index) structs; value ties
+        break to the smallest label like ``Series.idxmin``), then an
+        ``unpivot`` of the 1-row result into a column-indexed Series."""
+        return self._frame_idx_extreme("idxmin")
+
+    def idxmax(self, skipna: bool = True) -> "Series":
+        return self._frame_idx_extreme("idxmax")
+
+    def _frame_idx_extreme(self, op: str) -> "Series":
+        from pyspark.sql import types as T
+        if self._index_cols:
+            sdf, idx = self._sdf, F.col(self._index_cols[0])
+            iname = self._index_names[0] if self._index_names else None
+        else:
+            sdf, idx = _attach_rowid(self._sdf), F.col(_ROWID)
+            iname = None
+        aggs = []
+        for c in self.columns:
+            col, dt = F.col(c), self._sdf.schema[c].dataType
+            valid = col.isNotNull()
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                valid = valid & ~F.isnan(col)
+            if op == "idxmin":
+                key = F.when(valid, F.struct(col.alias("__v__"),
+                                             idx.alias("__i__")))
+                aggs.append(F.min_by(idx, key).alias(c))
+            elif is_numeric(dt):
+                key = F.when(valid, F.struct((-col.cast("double"))
+                                             .alias("__v__"),
+                                             idx.alias("__i__")))
+                aggs.append(F.min_by(idx, key).alias(c))
+            else:
+                # non-numeric: max_by on the bare value — ties resolve to
+                # an arbitrary label (documented divergence; negation has
+                # no analogue for strings)
+                aggs.append(F.max_by(idx, F.when(valid, col)).alias(c))
+        row = sdf.agg(*aggs)
+        out = row.unpivot([], list(self.columns), "__col__", "__val__")
+        node = Node(op, {"columns": list(self.columns)}, self._expr)
+        return Series(out, F.col("__val__"), None, node,
+                      ("__col__",), (None,))
+
     def ffill(self) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the
         global index order in ONE distributed ``last_scan`` pass (one range
@@ -2270,9 +2352,10 @@ class DataFrame(FrameBase):
 
     aggregate = agg
 
-    def _row_reduce(self, op: str) -> Series:
+    def _row_reduce(self, op: str, skipna: bool = True) -> Series:
         """Row-wise (axis=1) reduction across numeric columns with pandas
-        skipna semantics — a JVM array filter + aggregate, narrow map."""
+        skipna semantics — a JVM array filter + aggregate, narrow map.
+        ``skipna=False``: any null/NaN in the row poisons the result."""
         cols = [f.name for f in self._sdf.schema.fields
                 if f.name in self.columns and is_numeric(f.dataType)]
         arr = F.array(*[F.col(c).cast("double") for c in cols])
@@ -2289,28 +2372,34 @@ class DataFrame(FrameBase):
             out = F.array_max(ok)
         else:
             raise ValueError(op)
-        node = Node(f"{op}_axis1", {}, self._expr)
+        if not skipna:
+            out = F.when(n == F.lit(len(cols)), out)
+        node = Node(f"{op}_axis1", {"skipna": skipna}, self._expr)
         return Series(self._sdf, out, None, node,
                       self._index_cols, self._index_names)
 
-    def sum(self, numeric_only: bool = True, axis: int = 0):
+    def sum(self, numeric_only: bool = True, axis: int = 0,
+            skipna: bool = True):
         if axis in (1, "columns"):
-            return self._row_reduce("sum")
+            return self._row_reduce("sum", skipna)
         return self._columnwise(F.sum, "sum", numeric_only)
 
-    def mean(self, numeric_only: bool = True, axis: int = 0):
+    def mean(self, numeric_only: bool = True, axis: int = 0,
+             skipna: bool = True):
         if axis in (1, "columns"):
-            return self._row_reduce("mean")
+            return self._row_reduce("mean", skipna)
         return self._columnwise(F.avg, "mean", numeric_only)
 
-    def min(self, numeric_only: bool = True, axis: int = 0):
+    def min(self, numeric_only: bool = True, axis: int = 0,
+            skipna: bool = True):
         if axis in (1, "columns"):
-            return self._row_reduce("min")
+            return self._row_reduce("min", skipna)
         return self._columnwise(F.min, "min", numeric_only)
 
-    def max(self, numeric_only: bool = True, axis: int = 0):
+    def max(self, numeric_only: bool = True, axis: int = 0,
+            skipna: bool = True):
         if axis in (1, "columns"):
-            return self._row_reduce("max")
+            return self._row_reduce("max", skipna)
         return self._columnwise(F.max, "max", numeric_only)
 
     def count(self, numeric_only: bool = False):

@@ -99,13 +99,64 @@ class StringAccessor(_Accessor):
             out = F.replace(c, F.lit(pat), F.lit(repl))
         return self._wrap(out, "str.replace")
 
-    def extract(self, pat: str, group: int = 1):
-        return self._wrap(F.regexp_extract(self._s._scol, pat, group), "str.extract")
+    def extract(self, pat: str, group: int | None = None):
+        """pandas ``str.extract``: one column per capture group — a Series
+        for a single group, a DataFrame for several.  Non-matching rows are
+        null (Spark's ``regexp_extract`` alone returns ``''`` — guarded
+        with an ``rlike`` test, all JVM-side).  ``(?P<name>...)`` group
+        names become column names; unnamed groups get ``"0"``, ``"1"``, …
+        (string labels — Spark columns are strings)."""
+        import re
+        cpat = re.compile(pat)
+        # Python spells named groups (?P<name>...); Java wants (?<name>...)
+        jpat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+        c = self._s._scol
+        hit = c.rlike(jpat)
 
-    def split(self, pat: str = r"\s+", regex: bool = True):
+        def one(i: int):
+            return F.when(hit, F.regexp_extract(c, jpat, i))
+
+        if group is not None:
+            return self._wrap(one(group), "str.extract")
+        names = {v: k for k, v in cpat.groupindex.items()}
+        if cpat.groups <= 1:
+            return self._wrap(one(1), "str.extract")
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        s = self._s
+        sdf = s._sdf.select(
+            *[F.col(ic) for ic in s._index_cols],
+            *[one(i).alias(names.get(i, str(i - 1)))
+              for i in range(1, cpat.groups + 1)])
+        node = Node("str.extract", {"pat": pat}, s._expr)
+        return _PDF(sdf, node, s._index_cols, s._index_names)
+
+    def split(self, pat: str = r"\s+", regex: bool = True, n: int = -1,
+              expand: bool = False):
+        """pandas ``str.split``.  ``expand=True`` widens to one column per
+        token position — the width is the corpus max token count, which is
+        data-dependent, so it is discovered with one tiny ``max(size)``
+        aggregate first (an eager scan, same documented contract as
+        ``get_dummies``); rows with fewer tokens pad with null
+        (``try_element_at``)."""
         import re
         p = pat if regex else re.escape(pat)
-        return self._wrap(F.split(self._s._scol, p), "str.split")
+        limit = n + 1 if n and n > 0 else -1
+        arr = F.split(self._s._scol, p, limit)
+        if not expand:
+            return self._wrap(arr, "str.split")
+        s = self._s
+        base = s._sdf.select(*[F.col(ic) for ic in s._index_cols],
+                             arr.alias("__toks__"))
+        width = base.agg(F.max(F.size("__toks__"))).collect()[0][0] or 0
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        sdf = base.select(
+            *[F.col(ic) for ic in s._index_cols],
+            *[F.try_element_at("__toks__", F.lit(i + 1)).alias(str(i))
+              for i in range(width)])
+        node = Node("str.split", {"pat": pat, "expand": True}, s._expr)
+        return _PDF(sdf, node, s._index_cols, s._index_names)
 
     def cat(self, others=None, sep: str = ""):
         if others is None:

@@ -220,6 +220,21 @@ class GroupBy:
             return self._single_agg(name, numeric_only)
         return self._moment_agg(ddof, sqrt=True)
 
+    def quantile(self, q: float = 0.5, interpolation: str = "linear"):
+        """Grouped quantile — Spark's EXACT ``percentile`` aggregate
+        (linear interpolation, the pandas default) in one shuffle with
+        map-side partials.  Non-linear interpolations raise; use
+        ``median``/``agg`` with ``percentile_approx`` for sketched
+        variants at extreme cardinality."""
+        if interpolation != "linear":
+            raise ValueError("groupby.quantile supports interpolation="
+                             "'linear' only")
+        cols = self._value_columns(True)
+        aggs = [F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, "quantile")
+
     def _moment_agg(self, ddof: int, sqrt: bool):
         """General-``ddof`` grouped var/std via sufficient statistics
         (SURVEY §2.5: n, Σx, Σx²) — one shuffle with map-side partial

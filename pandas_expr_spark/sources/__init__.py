@@ -191,6 +191,19 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
             period_freq[c] = base + ("-" + anchor if anchor else "")
             pdf = pdf.assign(**{c: pdf[c].dt.to_timestamp(how="start")})
     sdf = spark.createDataFrame(pdf)
+    # pandas NaN *is* missing; the Arrow path delivers float NaN as Spark
+    # NaN, which Spark treats as a real (largest) value in sorts,
+    # comparisons, percentile and covar — silently diverging from every
+    # pandas skipna contract.  Normalize to null at the ingest boundary so
+    # the whole engine sees one missing representation.  (NaN *produced*
+    # downstream, e.g. 0/0, keeps Spark semantics — matching pandas, where
+    # a computed NaN is also missing.)
+    from pyspark.sql import types as T
+    nan_fixes = {f.name: F.nanvl(F.col(f.name), F.lit(None))
+                 for f in sdf.schema.fields
+                 if isinstance(f.dataType, (T.DoubleType, T.FloatType))}
+    if nan_fixes:
+        sdf = sdf.withColumns(nan_fixes)
     if npartitions:
         sdf = sdf.repartition(npartitions)
     node = Node("from_pandas", {"columns": list(pdf.columns)})

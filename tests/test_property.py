@@ -110,7 +110,10 @@ def test_grouped_rolling_matches_pandas(spark, data, w, mp, agg):
            .compute().sort_index()["v"])
     exp = (getattr(pdf.groupby("k")["v"].rolling(w, min_periods=mp), agg)()
            .reset_index(0, drop=True).sort_index())
-    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values)
+    # atol 1e-7: rolling std of near-identical values is exactly 0 from the
+    # engine's sufficient statistics but ~1e-8 from pandas' accumulation
+    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values,
+                       atol=1e-7)
 
 
 @given(ss=st.lists(st.text(alphabet="aB c-9é", max_size=12),
