@@ -2411,6 +2411,68 @@ def asfreq_hourly_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: Gopher rule filters + logistic quality scoring,
+# token-budget source mixing, SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document rule filter (Rae et al. 2021 §A1.1 public
+    thresholds) + logistic quality score (``functions/curation.py``).
+    One narrow JVM map over the corpus — one let-bound tokenization per
+    row, no shuffle, no UDF.  Oracle replicates every rule in SQL."""
+    from pandas_expr_spark.functions import curation
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", *curation.gopher_rules("text"),
+                        F.round(curation.quality_logit("text"), 4)
+                        .alias("q_logit"))
+            .orderBy("doc_id"))
+
+
+def mix_budget_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (``curation.budget_sample``): per source,
+    keep documents in deterministic md5 order until 600 whitespace tokens
+    are used.  Two-phase hash-histogram plan — bucket histogram cumsum +
+    broadcast semi-join for whole buckets, exact window only inside the
+    one boundary bucket per source (~1/1024 of the data) — so no source
+    is ever sorted in a single task.  Oracle = SQL window cumsum over the
+    identical (bucket, md5, doc_id) order."""
+    from pandas_expr_spark.functions import curation, text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", tx.token_count("text").cast("long"))
+    kept = curation.budget_sample(docs, budget=600, token_col="n_tokens",
+                                  source_col="source", key_col="doc_id")
+    return kept.select("doc_id", "source", "n_tokens").orderBy("doc_id")
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — k-means clusters, then within-cluster
+    cosine pruning keeping the smallest id (``clustering.semantic_dedup``).
+    Planted truth: 8 axis clusters (margin 10) each split into 3 cosine
+    subgroups by a secondary axis weight 4·(vec_id%3) — same-subgroup
+    cosine ≥ 0.999, cross-subgroup ≤ 0.96, cross-cluster ≈ 0, so with
+    threshold 0.98 the survivor set is EXACTLY one representative (min
+    vec_id) per (cluster, subgroup); 0.01·sin noise cannot flip any
+    margin.  Cluster labels canonicalized to min surviving vec_id."""
+    from pandas_expr_spark.functions import clustering
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", F.expr(
+        "transform(sequence(0, 63), j -> CAST("
+        "CASE WHEN j = vec_id % 8 THEN 10.0 ELSE 0.0 END "
+        "+ CASE WHEN j = 8 + (vec_id % 8) THEN 4.0 * (vec_id % 3) "
+        "ELSE 0.0 END "
+        "+ 0.01 * sin(CAST(vec_id * 64 + j AS DOUBLE)) AS DOUBLE))"
+    ).alias("embedding"))
+    kept = clustering.semantic_dedup(planted, k=8, threshold=0.98,
+                                     max_iter=5)
+    canon = kept.groupBy("cluster").agg(F.min("vec_id").alias("rep"))
+    return (kept.join(F.broadcast(canon), "cluster")
+            .select("vec_id", F.col("rep").alias("cluster_rep"))
+            .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2497,6 +2559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": doc_pii_redaction,
         "doc_decontaminate": doc_decontaminate,
         "embedding_kmeans": embedding_kmeans,
+        "doc_gopher_quality": doc_gopher_quality,
+        "mix_budget_sources": mix_budget_sources,
+        "semdedup_embeddings": semdedup_embeddings,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3769,6 +3834,101 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": """
             SELECT vec_id, CAST(vec_id % 8 AS BIGINT) AS cluster_rep
             FROM embeddings ORDER BY vec_id
+        """,
+        "semdedup_embeddings": """
+            -- planted truth: survivor = min vec_id per (vec_id%8 cluster,
+            -- vec_id%3 cosine subgroup); its cluster rep = min surviving
+            -- vec_id in the %8 cluster = the cluster index itself
+            SELECT vec_id, CAST(vec_id % 8 AS BIGINT) AS cluster_rep
+            FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings e2
+                WHERE e2.vec_id < e.vec_id
+                  AND e2.vec_id % 8 = e.vec_id % 8
+                  AND e2.vec_id % 3 = e.vec_id % 3)
+            ORDER BY vec_id
+        """,
+        "doc_gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ), f AS (
+                SELECT doc_id, text, ws, len(ws) AS n,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(list_sum(list_transform(ws, x -> len(x)))
+                                AS DOUBLE) / len(ws)
+                       ELSE 0.0 END AS mean_len,
+                       (len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) / 3
+                           AS sym,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(len(list_filter(ws,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                                AS DOUBLE) / len(ws)
+                       ELSE 0.0 END AS alpha_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(ws, x -> lower(x))),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stop_hits,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> list_contains(
+                                    ['the','a','of','to','and','is','in',
+                                     'it','that','for'], x))) AS DOUBLE)
+                           / len(ws)
+                       ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN len(text) > 0 THEN
+                           CAST(len(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                   '', 'g')) AS DOUBLE)
+                           / len(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(text) > 0 THEN
+                           CAST(len(text) - len(regexp_replace(text, '[0-9]',
+                                                               '', 'g'))
+                                AS DOUBLE) / len(text)
+                       ELSE 0.0 END AS digit_ratio
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   ROUND(mean_len, 4) AS mean_word_len,
+                   n BETWEEN 50 AND 100000 AS r_word_count,
+                   mean_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+                   (CASE WHEN n > 0 THEN CAST(sym AS DOUBLE) / n
+                         ELSE 0.0 END) <= 0.1 AS r_symbol,
+                   alpha_frac >= 0.8 AS r_alpha,
+                   stop_hits >= 2 AS r_stopwords,
+                   (n BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+                       AND ((CASE WHEN n > 0 THEN CAST(sym AS DOUBLE) / n
+                                  ELSE 0.0 END) <= 0.1)
+                       AND (alpha_frac >= 0.8) AND (stop_hits >= 2)
+                       AS passes_gopher,
+                   ROUND(1.0 / (1.0 + exp(-(
+                       -1.0 + 6.0 * stop_ratio - 8.0 * punct_ratio
+                       - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
+                       + 0.25 * ln(1 + len(text))))), 4) AS q_logit
+            FROM f ORDER BY doc_id
+        """,
+        "mix_budget_sources": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(concat('0x', substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, tok,
+                       SUM(tok) OVER (PARTITION BY source
+                                      ORDER BY b, h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM t
+            )
+            SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens
+            FROM c WHERE run <= 600 ORDER BY doc_id
         """,
         "doc_pii_redaction": r"""
             WITH t AS (

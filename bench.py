@@ -86,6 +86,11 @@ HEADLINE = [
     # continuation-3 additions: incremental corpus dedup, global ffill scan
     "doc_incremental_dedup",
     "ffill_global_events",
+    # continuation-4 additions: curation battery (Gopher rules + logit
+    # scoring, token-budget mixing, SemDeDup)
+    "doc_gopher_quality",
+    "mix_budget_sources",
+    "semdedup_embeddings",
 ]
 
 

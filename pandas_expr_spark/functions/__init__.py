@@ -4,10 +4,11 @@ Convenience re-exports so users can ``from pandas_expr_spark.functions
 import dedup, similarity, ...`` or reach common entry points directly.
 """
 
-from . import (accessors, clustering, components, dedup, multimodal,
-               packing, scan, similarity, sketches, splits, text,
-               timeseries, udtf)
-from .clustering import kmeans_assign, nearest_centroid
+from . import (accessors, clustering, components, curation, dedup,
+               multimodal, packing, scan, similarity, sketches, splits,
+               text, timeseries, udtf)
+from .clustering import kmeans_assign, nearest_centroid, semantic_dedup
+from .curation import budget_sample, gopher_rules, quality_logit
 from .components import connected_components, dup_clusters
 from .dedup import (decontaminate, embedding_near_dup_pairs,
                     minhash_lsh_dedup, minhash_lsh_pairs,
@@ -20,9 +21,10 @@ from .text import (lang_id, pii_count, quality_score, redact_pii,
 from .udtf import chunk_documents
 
 __all__ = [
-    "accessors", "clustering", "components", "dedup", "multimodal",
-    "packing", "scan", "similarity", "sketches", "splits", "text",
-    "timeseries", "udtf", "kmeans_assign", "nearest_centroid",
+    "accessors", "clustering", "components", "curation", "dedup",
+    "multimodal", "packing", "scan", "similarity", "sketches", "splits",
+    "text", "timeseries", "udtf", "kmeans_assign", "nearest_centroid",
+    "semantic_dedup", "budget_sample", "gopher_rules", "quality_logit",
     "connected_components", "dup_clusters",
     "decontaminate", "embedding_near_dup_pairs", "minhash_lsh_dedup",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_pairs",

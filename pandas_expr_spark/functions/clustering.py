@@ -111,3 +111,53 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
 
     return sdf.withColumn("cluster",
                           nearest_centroid(vec_col, centroids))
+
+
+def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8,
+                   threshold: float = 0.98, max_iter: int = 5) -> SparkDF:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then WITHIN each cluster drop every vector that has a
+    lower-id cosine neighbor above ``threshold`` — keeping one canonical
+    representative (the smallest id) per semantic near-dup group.
+
+    Why clustering first: global near-dup search is O(n²); restricting
+    candidate pairs to same-cluster members bounds the quadratic to
+    Σᵢ cᵢ² — THE SemDeDup design point.  At 100 TB you pick k so the
+    largest cluster's pair count stays tractable (k ≈ n / desired
+    cluster size); skewed clusters are visible in the (cluster, count)
+    histogram before the join runs.
+
+    Plan: one k-means pass (see ``kmeans_assign``), one unit-normalize
+    projection (persisted — BOTH self-join sides reuse it, otherwise the
+    normalization and the k-means assignment recompute per side), one
+    cluster-keyed equi self-join with ``id <`` + JVM dot-product filter,
+    one left-anti join back.  No UDFs anywhere.
+
+    Returns the input rows that SURVIVE dedup (with their ``cluster``).
+    """
+    clustered = kmeans_assign(sdf, vec_col=vec_col, id_col=id_col, k=k,
+                              max_iter=max_iter)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    unit = (clustered
+            .withColumn("__u__", F.transform(F.col(vec_col),
+                                             lambda x: x / norm))
+            .localCheckpoint(eager=False))
+
+    a = unit.select(F.col(id_col).alias("__ida__"), "cluster",
+                    F.col("__u__").alias("__ua__"))
+    b = unit.select(F.col(id_col).alias("__idb__"), "cluster",
+                    F.col("__u__").alias("__ub__"))
+    cos = F.aggregate(F.zip_with("__ua__", "__ub__", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, d: acc + d)
+    dup_ids = (a.join(b, "cluster")
+               .filter(F.col("__ida__") < F.col("__idb__"))
+               .filter(cos >= threshold)
+               .select(F.col("__idb__").alias(id_col))
+               .distinct())
+    return (unit.join(dup_ids, id_col, "left_anti")
+            .drop("__u__"))
+
+
+__all__ += ["semantic_dedup"]

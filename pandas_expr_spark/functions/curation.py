@@ -1,0 +1,197 @@
+"""Corpus-curation operators for LLM training-data pipelines: rule-based
+quality filtering (Gopher-style document rules), a logistic quality
+scorer, and token-budget source mixing.
+
+The reference engine (phofl/pandas-expr) stops at generic frame ops; these
+extend the LLM battery (``text``/``dedup``/``splits``) with the curation
+steps a 100 TB pretraining pipeline runs between "raw crawl" and
+"training mix":
+
+* **Rule filters** (`gopher_rules`) — the public document-level heuristics
+  from the Gopher corpus paper (Rae et al. 2021, §A1.1): word-count
+  bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+  fraction, stop-word evidence.  Pure JVM column expressions — a narrow
+  map over the corpus, no shuffle, exactly reproducible in ANSI SQL.
+* **Model-based scoring** (`quality_logit`) — a linear-in-features
+  logistic scorer (the shape of fastText/CCNet-style quality classifiers)
+  with fixed public-heuristic weights; swap the weight vector for a
+  trained one without changing the plan.  Still a narrow JVM map.
+* **Token-budget mixing** (`budget_sample`) — "take N tokens per source,
+  deterministically".  The naive plan (per-source window cumsum) puts an
+  entire source in ONE task — the classic skew killer when a source is
+  10 TB.  Here: a two-phase hash-histogram plan (see the function
+  docstring) whose only per-row work is a hash + broadcast-join lookup.
+
+Everything is md5/deterministic — no RNG — so results are stable across
+runs, cluster sizes, and engines (DuckDB-checkable bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
+
+from pandas_expr_spark.functions import text as _text
+
+__all__ = ["gopher_rules", "quality_logit", "budget_sample"]
+
+
+# Gopher §A1.1 thresholds (public paper values)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+# the Gopher stop-word evidence list (paper uses a small English set)
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _occurrences(c: Column, token: str) -> Column:
+    """Count of a literal substring, JVM-side (no regex)."""
+    return ((F.length(c) - F.length(F.replace(c, F.lit(token), F.lit(""))))
+            / F.lit(len(token))).cast("long")
+
+
+def gopher_rules(col: Column | str) -> list[Column]:
+    """Gopher-style document quality flags as named columns:
+
+    ``n_words``, ``mean_word_len``, and one boolean per rule
+    (``r_word_count``, ``r_mean_len``, ``r_symbol``, ``r_alpha``,
+    ``r_stopwords``) plus the conjunction ``passes_gopher``.
+
+    All pure ``F.*`` expressions over ONE let-bound tokenization (the
+    token array is computed once per row via the 1-element-transform
+    let-binding trick — see NOTES_r1.md — not once per referencing rule).
+    A 100 TB corpus pays exactly one narrow map stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _text.word_tokens(c)
+
+    def _rules(t):
+        n = F.size(t)
+        total_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+        mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+        # symbols: '#' occurrences + '...' runs, per word
+        sym = _occurrences(c, "#") + _occurrences(c, "...")
+        sym_ratio = F.when(n > 0, sym / n).otherwise(F.lit(0.0))
+        alpha_frac = F.when(
+            n > 0,
+            F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n
+        ).otherwise(F.lit(0.0))
+        stop_hits = F.size(F.array_intersect(
+            F.transform(t, F.lower),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])))
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            F.round(mean_len, 4).alias("mean_word_len"),
+            n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("r_word_count"),
+            mean_len.between(GOPHER_MIN_MEAN_WORD_LEN,
+                             GOPHER_MAX_MEAN_WORD_LEN).alias("r_mean_len"),
+            (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO).alias("r_symbol"),
+            (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC).alias("r_alpha"),
+            (stop_hits >= GOPHER_MIN_STOPWORD_HITS).alias("r_stopwords"),
+        )
+
+    s = F.element_at(F.transform(F.array(toks), _rules), 1)
+    fields = ["n_words", "mean_word_len", "r_word_count", "r_mean_len",
+              "r_symbol", "r_alpha", "r_stopwords"]
+    out = [s[f].alias(f) for f in fields]
+    passes = (s["r_word_count"] & s["r_mean_len"] & s["r_symbol"]
+              & s["r_alpha"] & s["r_stopwords"]).alias("passes_gopher")
+    return out + [passes]
+
+
+# fixed public-heuristic weights: reward stop-word density and 3-8 char
+# mean word length; penalize punctuation/digit noise.  A trained
+# fastText/CCNet-style classifier drops in by replacing these numbers —
+# the plan shape (one narrow JVM map) is identical.
+_LOGIT_WEIGHTS = {
+    "bias": -1.0,
+    "stopword_ratio": 6.0,
+    "punct_ratio": -8.0,
+    "digit_ratio": -4.0,
+    "mean_len_centered": -0.5,   # |mean_word_len - 5.5|
+    "log_len": 0.25,             # ln(1 + n_chars)
+}
+
+
+def quality_logit(col: Column | str,
+                  weights: dict[str, float] | None = None) -> Column:
+    """Logistic quality score in (0, 1): sigmoid of a linear model over
+    JVM-extracted text features (stop-word ratio, punctuation ratio,
+    digit ratio, centered mean word length, log length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = weights or _LOGIT_WEIGHTS
+    z = (F.lit(w["bias"])
+         + F.lit(w["stopword_ratio"]) * _text.stopword_ratio(c)
+         + F.lit(w["punct_ratio"]) * _text.punct_ratio(c)
+         + F.lit(w["digit_ratio"]) * _text.digit_ratio(c)
+         + F.lit(w["mean_len_centered"])
+         * F.abs(_text.avg_token_len(c) - F.lit(5.5))
+         + F.lit(w["log_len"]) * F.log1p(F.length(c)))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def budget_sample(sdf: SparkDF, budget: int, token_col: Column | str,
+                  source_col: str = "source", key_col: str = "doc_id",
+                  salt: str = "", n_buckets: int = 1024) -> SparkDF:
+    """Deterministic token-budget sampling per source: order each source's
+    documents by md5(key), keep the prefix whose running token total stays
+    ≤ ``budget``.  Greedy-prefix semantics — reproducible across runs and
+    engines (the oracle is a SQL window cumsum).
+
+    Scale design — the naive per-source window cumsum sorts EVERY row of a
+    source in one task (a 10 TB source = one 10 TB task).  Instead:
+
+    1. hash every row to one of ``n_buckets`` ordered buckets
+       (first 8 md5 hex chars, like ``splits.hash_bucket``);
+    2. aggregate a (source, bucket) token histogram — tiny (sources ×
+       buckets rows), map-side combined;
+    3. cumsum the histogram per source (window over the TINY table),
+       giving each bucket's exclusive prefix total;
+    4. every bucket whose inclusive total ≤ budget is taken whole
+       (broadcast semi join — no sort of the big side at all);
+    5. only the single boundary bucket per source (~1/n_buckets of the
+       data) is sorted exactly: window cumsum within (source, bucket) by
+       (md5, key), kept while prefix + running ≤ budget.
+
+    The big table is touched by: one narrow hash projection, one partial
+    aggregation, one broadcast join, and a window over 1/n_buckets of one
+    bucket — no full sort, no skewed partition.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+              % n_buckets)
+    base = sdf.withColumn("__h__", h).withColumn("__b__", bucket) \
+              .withColumn("__tok__", tok.cast("long"))
+
+    hist = (base.groupBy(source_col, "__b__")
+            .agg(F.sum("__tok__").alias("__btok__")))
+    wh = (Window.partitionBy(source_col).orderBy("__b__")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    hist = hist.withColumn("__cum__", F.sum("__btok__").over(wh)) \
+               .withColumn("__prev__", F.col("__cum__") - F.col("__btok__"))
+
+    full = hist.filter(F.col("__cum__") <= budget) \
+               .select(source_col, "__b__")
+    taken_full = base.join(F.broadcast(full), [source_col, "__b__"],
+                           "left_semi")
+
+    boundary = hist.filter((F.col("__cum__") > budget)
+                           & (F.col("__prev__") < budget)) \
+                   .select(source_col, "__b__",
+                           (F.lit(budget) - F.col("__prev__"))
+                           .alias("__room__"))
+    wb = (Window.partitionBy(source_col, "__b__").orderBy("__h__", key_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    taken_boundary = (base.join(F.broadcast(boundary),
+                                [source_col, "__b__"])
+                      .withColumn("__run__", F.sum("__tok__").over(wb))
+                      .filter(F.col("__run__") <= F.col("__room__"))
+                      .drop("__room__", "__run__"))
+
+    return (taken_full.unionByName(taken_boundary)
+            .drop("__h__", "__b__", "__tok__"))
