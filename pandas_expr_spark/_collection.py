@@ -863,7 +863,15 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def pct_change(self, periods: int = 1) -> "Series":
+    def pct_change(self, periods: int = 1,
+                   fill_method: str | None = "pad") -> "Series":
+        # pandas (current) default pad-fills missing values before the
+        # ratio (deprecated but live); fill_method=None computes raw
+        if fill_method in ("pad", "ffill"):
+            return self.ffill().pct_change(periods, fill_method=None)
+        if fill_method is not None:
+            raise ValueError(f"fill_method must be 'pad'/'ffill'/None, "
+                             f"got {fill_method!r}")
         out, name, idx = self._pos_shifted(periods)
         c, prev = F.col(name), F.col("__shifted__")
         # pandas zero-divisor semantics (x/0 → ±inf, 0/0 → NaN), not the
@@ -1168,15 +1176,23 @@ class Series(FrameBase):
         return self._with_scol(expr, "cut", n_bins=len(edges) - 1)
 
     def qcut(self, q: int | Sequence[float],
-             labels: Sequence[str] | None = None) -> "Series":
+             labels: Sequence[str] | None = None,
+             duplicates: str = "raise") -> "Series":
         """pandas ``pd.qcut``: quantile-based bins.  Edges come from one
         small exact-percentile aggregation (an eager driver action, like
-        pandas itself); binning is then a JVM-side CASE chain."""
+        pandas itself); binning is then a JVM-side CASE chain.
+        ``duplicates='raise'/'drop'`` matches pandas: repeated quantile
+        edges error unless dropped."""
         probs = [i / q for i in range(q + 1)] if isinstance(q, int) else list(q)
         row = self._sdf.agg(
             F.percentile(self._scol, F.array(*[F.lit(p) for p in probs]))
         ).collect()[0][0]
-        edges = list(dict.fromkeys(float(v) for v in row))  # dedupe, keep order
+        raw = [float(v) for v in row]
+        edges = list(dict.fromkeys(raw))  # dedupe, keep order
+        if len(edges) < len(raw) and duplicates != "drop":
+            raise ValueError(
+                "Bin edges must be unique. You can drop duplicate edges "
+                "by setting the 'duplicates' kwarg")
         if len(edges) < 2:
             raise ValueError("qcut: all values identical — no bins")
         # pandas includes the minimum in the first bin: nudge the left edge
@@ -1945,6 +1961,14 @@ class DataFrame(FrameBase):
         if keep == "any":
             return self._derive(self._sdf.dropDuplicates(subset), "drop_duplicates",
                                 {"subset": subset})
+        if keep is False:
+            # pandas keep=False: drop EVERY member of a >1 group — a
+            # windowed count on the subset keys (one shuffle, no ordering)
+            w = Window.partitionBy(*subset)
+            out = (self._sdf.withColumn("__n__", F.count(F.lit(1)).over(w))
+                   .filter(F.col("__n__") == 1).drop("__n__"))
+            return self._derive(out, "drop_duplicates",
+                                {"subset": subset, "keep": keep})
         if self._index_cols:
             sdf, order_col = self._sdf, self._index_cols[0]
         else:

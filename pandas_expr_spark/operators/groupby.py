@@ -649,15 +649,27 @@ class GroupBy:
             for c in self._value_columns(numeric_only=True)})
         return self._finish_window(out, tmp, "diff")
 
-    def pct_change(self, periods: int = 1):
+    def pct_change(self, periods: int = 1, fill_method: str | None = "pad"):
         """pandas ``groupby.pct_change`` with pandas zero-divisor semantics
-        (x/0 → ±inf, 0/0 → NaN) instead of the ANSI error."""
+        (x/0 → ±inf, 0/0 → NaN) instead of the ANSI error.  The (current,
+        deprecated-default) ``fill_method='pad'`` forward-fills within the
+        group before the ratio; ``None`` computes on the raw values."""
         from pyspark.sql import Window
+        if fill_method not in ("pad", "ffill", None):
+            raise ValueError(f"fill_method must be 'pad'/'ffill'/None, "
+                             f"got {fill_method!r}")
         sdf, order_cols, tmp = self._positional()
         w = Window.partitionBy(*self._by).orderBy(
             *[F.col(c).asc() for c in order_cols])
+        vcols = self._value_columns(numeric_only=True)
+        if fill_method is not None:
+            # separate projection — nesting last() inside lag() is illegal
+            sdf = sdf.withColumns({
+                name: F.last(name, ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))
+                for name in vcols})
         updates = {}
-        for name in self._value_columns(numeric_only=True):
+        for name in vcols:
             c, prev = F.col(name), F.lag(name, periods).over(w)
             ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
                      .when(prev != 0, c / prev)

@@ -336,7 +336,7 @@ def test_groupby_diff_pct_change(win_df, win_pdf):
         exp = win_pdf.groupby("k")[["v", "u"]].diff(periods)
         pd.testing.assert_frame_equal(got[["v", "u"]].sort_index(),
                                       exp.sort_index(), check_dtype=False)
-    gotp = win_df.groupby("k").pct_change().compute()
+    gotp = win_df.groupby("k").pct_change(fill_method=None).compute()
     expp = win_pdf.groupby("k")[["v", "u"]].pct_change(fill_method=None)
     pd.testing.assert_frame_equal(gotp[["v", "u"]].sort_index(),
                                   expp.sort_index(), check_dtype=False)

@@ -98,8 +98,8 @@ def test_diff_pct_change_periods(df6, pdf6):
         exp = pdf6.v.diff(periods=p)
         np.testing.assert_allclose(got.fillna(-99).values,
                                    exp.fillna(-99).values)
-    # engine matches the non-deprecated pandas semantic: no pad before ratio
-    got = df6.x.pct_change().compute().sort_index()
+    # explicit fill_method=None on both sides (pad default tested in batch 9)
+    got = df6.x.pct_change(fill_method=None).compute().sort_index()
     exp = pdf6.x.pct_change(fill_method=None)
     np.testing.assert_allclose(got.fillna(-99).values,
                                exp.fillna(-99).values)
