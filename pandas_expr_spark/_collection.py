@@ -946,32 +946,37 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def ffill(self) -> "Series":
+    def ffill(self, limit: int | None = None) -> "Series":
         """pandas ``Series.ffill`` over the global order — the distributed
         ``last_scan`` (range shuffle + per-partition fill + tiny per-
         partition carry fold), never a global window.  Dtype-preserving,
-        unlike ``interpolate('pad')`` which promotes to double."""
-        return self._fill_scan(False)
+        unlike ``interpolate('pad')`` which promotes to double.
+        ``limit=k`` fills at most k rows past each non-null."""
+        return self._fill_scan(False, limit)
 
-    def bfill(self) -> "Series":
+    def bfill(self, limit: int | None = None) -> "Series":
         """pandas ``Series.bfill`` — the same scan traversed in reverse
         key order."""
-        return self._fill_scan(True)
+        return self._fill_scan(True, limit)
 
-    def _fill_scan(self, descending: bool) -> "Series":
+    def _fill_scan(self, descending: bool,
+                   limit: int | None = None) -> "Series":
         from .functions import scan
         sdf, name, order, idx = self._ordered_base()
         out = scan.last_scan(sdf, [name], order,
-                             descending=[descending] * len(order))
+                             descending=[descending] * len(order),
+                             limit=limit)
         node = Node("bfill" if descending else "ffill", {}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
         """pandas ``Series.rolling`` over the GLOBAL order — prefix-sum
         differencing (``functions/scan.py``), one range shuffle + one
-        position equi-join, no window function.  sum/mean/count."""
-        return _SeriesRolling(self, window, min_periods)
+        position equi-join, no window function.  sum/mean/count/var/std/
+        min/max; ``center=True`` shifts the window per pandas."""
+        return _SeriesRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
         """pandas ``Series.expanding`` over the global order — the prefix
@@ -1368,15 +1373,16 @@ class _SeriesRolling:
     """Global rolling window over a Series — see ``scan.rolling_agg``."""
 
     def __init__(self, series: Series, window: int,
-                 min_periods: int | None):
+                 min_periods: int | None, center: bool = False):
         self._s, self._window, self._minp = series, window, min_periods
+        self._center = center
 
     def _agg(self, fn: str) -> Series:
         from .functions import scan
         s = self._s
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_agg(sdf, name, order, self._window, fn,
-                               self._minp, out=name)
+                               self._minp, out=name, center=self._center)
         node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
@@ -1392,7 +1398,7 @@ class _SeriesRolling:
         s = self._s
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_minmax(sdf, name, order, self._window, fn,
-                                  self._minp, out=name)
+                                  self._minp, out=name, center=self._center)
         node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
@@ -2274,16 +2280,17 @@ class DataFrame(FrameBase):
         return Series(out, F.col("__val__"), None, node,
                       ("__col__",), (None,))
 
-    def ffill(self) -> "DataFrame":
+    def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the
         global index order in ONE distributed ``last_scan`` pass (one range
         shuffle for the whole frame, no global window)."""
-        return self._frame_fill(False)
+        return self._frame_fill(False, limit)
 
-    def bfill(self) -> "DataFrame":
-        return self._frame_fill(True)
+    def bfill(self, limit: int | None = None) -> "DataFrame":
+        return self._frame_fill(True, limit)
 
-    def _frame_fill(self, descending: bool) -> "DataFrame":
+    def _frame_fill(self, descending: bool,
+                    limit: int | None = None) -> "DataFrame":
         from .functions import scan
         if self._index_cols:
             sdf, order = self._sdf, list(self._index_cols)
@@ -2292,7 +2299,8 @@ class DataFrame(FrameBase):
             sdf, order = _attach_rowid(self._sdf), [_ROWID]
             idx, names = (_ROWID,), (None,)
         out = scan.last_scan(sdf, list(self.columns), order,
-                             descending=[descending] * len(order))
+                             descending=[descending] * len(order),
+                             limit=limit)
         node = Node("bfill" if descending else "ffill",
                     {"columns": list(self.columns)}, self._expr)
         return DataFrame(out, node, idx, names)

@@ -170,7 +170,8 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
 
 def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
               descending: list[bool] | None = None,
-              num_partitions: int | None = None) -> SparkDF:
+              num_partitions: int | None = None,
+              limit: int | None = None) -> SparkDF:
     """Global forward-fill of ``cols`` in the total ``order_by`` order —
     the "carry the last non-null value" scan.
 
@@ -188,9 +189,19 @@ def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
     ``descending[i]`` reverses key *i* — a descending scan of the same
     keys is a backward-fill, which is how the forward/"nearest" asof
     directions reuse this primitive.
+
+    ``limit=k`` (pandas ``ffill(limit=k)``): fill at most ``k`` rows past
+    each non-null.  Same two-phase shape — the local pass tracks the gap
+    since the last non-null across its batches, and the cross-partition
+    patch carries the GLOBAL POSITION of each column's last non-null so a
+    leading null is filled only when its distance ≤ k (a fully-null
+    partition between the carrier and the reader just widens the
+    distance).
     """
     part = _ranged(sdf, order_by, num_partitions, descending)
     schema = part.schema
+    if limit is not None:
+        return _last_scan_limited(part, cols, limit)
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -238,6 +249,112 @@ def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
     return joined.select(*final)
 
 
+def _last_scan_limited(part: SparkDF, cols: list[str], limit: int) -> SparkDF:
+    """``last_scan`` with pandas ``limit=`` semantics over an already
+    range-partitioned input (``_PID`` attached).  One extra long column
+    (the within-partition row offset) rides along so the cross-partition
+    patch can compute each row's distance to the carried non-null."""
+    schema = part.schema
+    loff = "__loff__"
+    local_schema = T.StructType(list(schema.fields)
+                                + [T.StructField(loff, T.LongType())])
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        state: dict = {c: (None, None) for c in cols}  # (value, gap)
+        for pdf in batches:
+            pdf = pdf.copy()
+            n = len(pdf)
+            pdf[loff] = np.arange(seen, seen + n, dtype="int64")
+            seen += n
+            for c in cols:
+                s = pdf[c]
+                nn = s.notna().to_numpy()
+                filled = s.ffill(limit=limit)
+                val, gap = state[c]
+                if nn.any():
+                    first_nn = int(nn.argmax())
+                    last_nn = n - 1 - int(nn[::-1].argmax())
+                    if val is not None and first_nn > 0:
+                        k = min(first_nn, max(limit - gap, 0))
+                        if k > 0:
+                            filled.iloc[:k] = val
+                    state[c] = (s.iloc[last_nn], n - 1 - last_nn)
+                else:
+                    if val is not None:
+                        k = min(n, max(limit - gap, 0))
+                        if k > 0:
+                            filled.iloc[:k] = val
+                        state[c] = (val, gap + n)
+                pdf[c] = filled
+            yield pdf
+
+    scanned = part.mapInPandas(_local, local_schema)
+
+    summ_fields = [schema[_PID], T.StructField("__n__", T.LongType())]
+    for c in cols:
+        summ_fields += [T.StructField(c, schema[c].dataType, True),
+                        T.StructField(f"__t_{c}__", T.LongType())]
+    summ_schema = T.StructType(summ_fields)
+
+    def _summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, total = None, 0
+        vals: dict = {c: None for c in cols}
+        trail: dict = {c: 0 for c in cols}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = pdf[_PID].iloc[0]
+            for c in cols:
+                nn = pdf[c].notna().to_numpy()
+                if nn.any():
+                    last_nn = len(pdf) - 1 - int(nn[::-1].argmax())
+                    vals[c] = pdf[c].iloc[last_nn]
+                    trail[c] = len(pdf) - 1 - last_nn
+                else:
+                    trail[c] += len(pdf)
+            total += len(pdf)
+        if pid is not None:
+            row = {_PID: pid, "__n__": total}
+            for c in cols:
+                row[c] = vals[c]
+                row[f"__t_{c}__"] = trail[c]
+            yield pd.DataFrame([row])
+
+    summ = part.mapInPandas(_summary, summ_schema)
+    w_ex = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    summ = summ.withColumn(
+        "__S__", F.coalesce(F.sum("__n__").over(w_ex), F.lit(0)))
+    # pack (value, its global position) so the ignorenulls fold carries a
+    # CONSISTENT pair; a fully-null partition contributes no pack row but
+    # its __n__ still widens every later distance via __S__
+    packs = {c: F.when(
+        F.col(c).isNotNull(),
+        F.struct(F.col(c).alias("v"),
+                 (F.col("__S__") + F.col("__n__") - F.col(f"__t_{c}__")
+                  - 1).alias("g"))) for c in cols}
+    summ = summ.withColumns({f"__pack_{c}__": packs[c] for c in cols})
+    carries = summ.select(
+        F.col(_PID), F.col("__S__"),
+        *[F.last(f"__pack_{c}__", ignorenulls=True).over(w_ex)
+          .alias(f"__carry_{c}") for c in cols])
+    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    final = []
+    for f in schema.fields:
+        if f.name == _PID:
+            continue
+        if f.name in cols:
+            carry = F.col(f"__carry_{f.name}")
+            dist = F.col("__S__") + F.col(loff) - carry["g"]
+            patched = F.when(
+                F.col(f.name).isNull() & carry.isNotNull()
+                & (dist <= F.lit(limit)), carry["v"]).otherwise(F.col(f.name))
+            final.append(patched.alias(f.name))
+        else:
+            final.append(F.col(f.name))
+    return joined.select(*final)
+
+
 def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
                num_partitions: int | None = None) -> SparkDF:
     """0-based global position of every row in ``order_by`` order — the
@@ -270,7 +387,8 @@ def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
 def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
                 fn: str = "mean", min_periods: int | None = None,
                 out: str = "__roll__",
-                num_partitions: int | None = None) -> SparkDF:
+                num_partitions: int | None = None,
+                center: bool = False) -> SparkDF:
     """Global (un-partitioned) pandas ``rolling(window).fn()`` as a
     **difference of prefix sums** — no window function anywhere.
 
@@ -279,6 +397,12 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
     ``min_periods`` guard and the mean divisor.  Cost: ONE range shuffle for
     the prefix scan (sum and count share it) + one equi-join on the global
     position for the ``i-w`` lookback — each fully distributed.
+
+    ``center=True`` (pandas): the window at position ``i`` covers
+    ``[i-w+1+lead, i+lead]`` with ``lead = (w-1) // 2`` — the same prefix
+    difference read at two shifted positions, so it adds ONE more position
+    equi-join (the forward edge) plus a broadcast single-row total for the
+    tail windows that truncate at ``n``.
 
     Supported fns: sum, mean, count, var, std (var/std add one more shared
     prefix scan — sum of squares — and use the sufficient-statistic
@@ -289,6 +413,7 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
         raise ValueError("rolling_agg: fn must be sum/mean/count/var/std "
                          f"(got {fn!r}); min/max: rolling_minmax")
     minp = window if min_periods is None else min_periods
+    lead = (window - 1) // 2 if center else 0
     zeroed = "__z__"
     nn = "__nn__"
     need_sq = fn in ("var", "std")
@@ -306,44 +431,79 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
     # scans share one range shuffle
     scanned = prefix_scan(base, specs, order_by, num_partitions)
     pos = scanned.persist()
-    lag_cols = [(F.col("__P__") + window).alias("__P__"),
+    lag_cols = [(F.col("__P__") + window - lead).alias("__P__"),
                 F.col("__S__").alias("__Sl__"),
                 F.col("__C__").alias("__Cl__")]
     if need_sq:
         lag_cols.append(F.col("__S2__").alias("__S2l__"))
     lag = pos.select(*lag_cols)
     j = pos.join(lag, "__P__", "left")
-    wsum = F.col("__S__") - F.coalesce(F.col("__Sl__"), F.lit(0.0))
-    wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
+    if lead:
+        # forward edge: prefix totals read at position P+lead; rows whose
+        # forward edge passes the end of the data fall back to the global
+        # totals (the window truncates at n) — one tiny broadcast row
+        fwd_cols = [(F.col("__P__") - lead).alias("__P__"),
+                    F.col("__S__").alias("__Sf__"),
+                    F.col("__C__").alias("__Cf__")]
+        if need_sq:
+            fwd_cols.append(F.col("__S2__").alias("__S2f__"))
+        j = j.join(pos.select(*fwd_cols), "__P__", "left")
+        tot_cols = [F.max("__P__").alias("__Pt__"),
+                    F.max_by("__S__", "__P__").alias("__St__"),
+                    F.max_by("__C__", "__P__").alias("__Ct__")]
+        if need_sq:
+            tot_cols.append(F.max_by("__S2__", "__P__").alias("__S2t__"))
+        j = j.crossJoin(F.broadcast(pos.agg(*tot_cols)))
+        hiS = F.coalesce(F.col("__Sf__"), F.col("__St__"))
+        hiC = F.coalesce(F.col("__Cf__"), F.col("__Ct__"))
+    else:
+        hiS, hiC = F.col("__S__"), F.col("__C__")
+    wsum = hiS - F.coalesce(F.col("__Sl__"), F.lit(0.0))
+    wcnt = hiC - F.coalesce(F.col("__Cl__"), F.lit(0))
     if fn == "sum":
         val = wsum
     elif fn == "mean":
-        val = wsum / wcnt
+        # empty-window guard (min_periods=0): pandas yields NaN, ANSI errors
+        val = F.when(wcnt > 0, wsum / wcnt)
     elif fn in ("var", "std"):
-        wsq = F.col("__S2__") - F.coalesce(F.col("__S2l__"), F.lit(0.0))
+        hiS2 = (F.coalesce(F.col("__S2f__"), F.col("__S2t__")) if lead
+                else F.col("__S2__"))
+        wsq = hiS2 - F.coalesce(F.col("__S2l__"), F.lit(0.0))
         n = wcnt.cast("double")
-        v = (wsq - wsum * wsum / n) / (n - F.lit(1))
-        # guard tiny negative from cancellation
-        v = F.greatest(v, F.lit(0.0))
+        # ddof=1: a 0/1-observation window is NaN in pandas and a
+        # DIVIDE_BY_ZERO under ANSI — guard BEFORE dividing; the inner
+        # greatest() clips tiny negative cancellation residue
+        v = F.when(n >= 2, F.greatest(
+            (wsq - wsum * wsum / n) / (n - F.lit(1)), F.lit(0.0)))
         val = F.sqrt(v) if fn == "std" else v
     else:
         val = wcnt.cast("double")
     # pandas guard: sum/mean need min_periods NON-NULL observations in the
-    # window; count only needs that many ROWS (min(i+1, w))
-    have = (F.least(F.col("__P__"), F.lit(window)) if fn == "count"
-            else wcnt)
+    # window; count only needs that many ROWS in the (possibly truncated)
+    # window: min(P+lead, n) - max(P+lead-w, 0)
+    if fn == "count":
+        hi_pos = (F.least(F.col("__P__") + lead, F.col("__Pt__")) if lead
+                  else F.col("__P__"))
+        have = hi_pos - F.greatest(F.col("__P__") + lead - window, F.lit(0))
+    else:
+        have = wcnt
     guarded = F.when(have >= F.lit(minp), val).otherwise(F.lit(None))
     drop = ["__P__", "__S__", "__C__", "__Sl__", "__Cl__", zeroed, nn,
             "__one__"]
     if need_sq:
         drop += ["__z2__", "__S2__", "__S2l__"]
+    if lead:
+        drop += ["__Sf__", "__Cf__", "__Pt__", "__St__", "__Ct__"]
+        if need_sq:
+            drop += ["__S2f__", "__S2t__"]
     return j.withColumn(out, guarded).drop(*drop)
 
 
 def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
                    fn="min", min_periods: int | None = None,
                    out="__roll__",
-                   num_partitions: int | None = None) -> SparkDF:
+                   num_partitions: int | None = None,
+                   center: bool = False) -> SparkDF:
     """Global sliding min/max — the van Herk/Gil-Werman two-pass block
     algorithm, distributed:
 
@@ -360,6 +520,12 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
 
     ``fn``/``out`` may be lists — min AND max then share the SAME scan,
     block windows, and position join (one pass total).
+
+    ``center=True``: the window shifts forward by ``lead = (w-1) // 2`` —
+    the prefix extreme is read at row ``min(P+lead, n)`` (one more
+    position join + a broadcast totals row for the truncated tail,
+    where the suffix of the window's start block already covers the
+    whole ``[start, n]`` window when both ends share a block).
     """
     fns = [fn] if isinstance(fn, str) else list(fn)
     outs = [out] if isinstance(out, str) else list(out)
@@ -369,6 +535,7 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
         if f not in ("min", "max"):
             raise ValueError(f"rolling_minmax: fn must be min/max, got {f!r}")
     minp = window if min_periods is None else min_periods
+    lead = (window - 1) // 2 if center else 0
     nn = "__nn__"
     base = (sdf
             .withColumn(nn, F.col(col).isNotNull().cast("long"))
@@ -388,7 +555,7 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
         marked = (marked
                   .withColumn(f"__pre{i}__", agg(F.col(col)).over(wpre))
                   .withColumn(f"__suf{i}__", agg(F.col(col)).over(wsuf)))
-    start = F.col("__P__") - window + 1
+    start = F.col("__P__") - window + 1 + lead
     suf_at_start = marked.select(
         F.col("__P__").alias("__SP__"),
         F.col("__blk__").alias("__blk_s__"),
@@ -397,22 +564,60 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
     j = (marked.withColumn("__SP__", F.greatest(start, F.lit(1)))
          .join(suf_at_start, "__SP__", "left"))
     # min_periods guard on non-null observations in the window
-    lagc = marked.select((F.col("__P__") + window).alias("__P__"),
+    lagc = marked.select((F.col("__P__") + window - lead).alias("__P__"),
                          F.col("__C__").alias("__Cl__"))
     j = j.join(lagc, "__P__", "left")
-    wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
+    if lead:
+        # forward edge of the centered window: prefix extremes + running
+        # count read at row P+lead; truncated-tail rows fall back to the
+        # global totals row (prefix at n / blk(n) / C(n))
+        fwd = marked.select(
+            (F.col("__P__") - lead).alias("__P__"),
+            F.col("__blk__").alias("__blk_h__"),
+            F.col("__C__").alias("__Cf__"),
+            *[F.col(f"__pre{i}__").alias(f"__pre_h{i}__")
+              for i in range(len(fns))])
+        j = j.join(fwd, "__P__", "left")
+        tot = marked.agg(
+            F.max("__P__").alias("__Pt__"),
+            F.max("__blk__").alias("__blk_t__"),
+            F.max_by("__C__", "__P__").alias("__Ct__"),
+            *[F.max_by(f"__pre{i}__", "__P__").alias(f"__pre_t{i}__")
+              for i in range(len(fns))])
+        j = j.crossJoin(F.broadcast(tot))
+        # fall back to the totals row ONLY for truncated-tail positions —
+        # a null prefix/blk from the join is legitimate (all-null block
+        # head), not a missed join, so coalesce() would be wrong here
+        truncated = (F.col("__P__") + lead) > F.col("__Pt__")
+        blk_hi = (F.when(truncated, F.col("__blk_t__"))
+                  .otherwise(F.col("__blk_h__")))
+        wcnt = (F.when(truncated, F.col("__Ct__")).otherwise(F.col("__Cf__"))
+                - F.coalesce(F.col("__Cl__"), F.lit(0)))
+    else:
+        truncated = F.lit(False)
+        blk_hi = F.col("__blk__")
+        wcnt = F.col("__C__") - F.coalesce(F.col("__Cl__"), F.lit(0))
     drop = ["__P__", "__C__", "__Cl__", "__SP__", "__blk__", "__blk_s__",
             nn, "__one__"]
+    if lead:
+        drop += ["__blk_h__", "__Cf__", "__Pt__", "__blk_t__", "__Ct__"]
     for i, (f, o) in enumerate(zip(fns, outs)):
-        combine = (F.least(F.col(f"__suf_s{i}__"), F.col(f"__pre{i}__"))
-                   if f == "min"
-                   else F.greatest(F.col(f"__suf_s{i}__"),
-                                   F.col(f"__pre{i}__")))
-        both = F.when(F.col("__blk_s__") < F.col("__blk__"), combine) \
-            .otherwise(F.col(f"__pre{i}__"))
+        pre_hi = (F.when(truncated, F.col(f"__pre_t{i}__"))
+                  .otherwise(F.col(f"__pre_h{i}__"))
+                  if lead else F.col(f"__pre{i}__"))
+        combine = (F.least(F.col(f"__suf_s{i}__"), pre_hi) if f == "min"
+                   else F.greatest(F.col(f"__suf_s{i}__"), pre_hi))
+        # same-block: a non-truncated window IS the block prefix up to hi
+        # (head windows); a truncated one IS the start row's block suffix
+        same_blk = (F.when(truncated, F.col(f"__suf_s{i}__"))
+                    .otherwise(pre_hi))
+        both = F.when(F.col("__blk_s__") < blk_hi, combine) \
+            .otherwise(same_blk)
         j = j.withColumn(o, F.when(wcnt >= F.lit(minp), both)
                          .otherwise(F.lit(None)))
         drop += [f"__pre{i}__", f"__suf{i}__", f"__suf_s{i}__"]
+        if lead:
+            drop += [f"__pre_h{i}__", f"__pre_t{i}__"]
     return j.drop(*drop)
 
 

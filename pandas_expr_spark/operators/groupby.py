@@ -499,12 +499,13 @@ class GroupBy:
     def tail(self, n: int = 5):
         return self._positional_limit(n, ascending=False, op="tail")
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
         """pandas ``groupby(...).rolling(w)`` chain: each agg is ONE
         partitioned ``rowsBetween`` window over the positional index —
         single shuffle on the keys, same memory contract as every grouped
-        window."""
-        return _GroupRolling(self, window, min_periods)
+        window.  ``center=True`` shifts the frame forward by ``(w-1) // 2``."""
+        return _GroupRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
         """pandas ``groupby(...).expanding()`` chain — unbounded-preceding
@@ -557,25 +558,29 @@ class GroupBy:
                                name=name or f"{col}_ewm", adjust=adjust)
         return self._finish_window(out, tmp, "ewm")
 
-    def ffill(self):
+    def ffill(self, limit: int | None = None):
         """pandas ``groupby.ffill``: per-group forward fill of every value
         column over the positional index — ``last(ignorenulls)`` with an
-        unbounded-preceding frame, one shuffle total for all columns."""
-        return self._fill(forward=True)
+        unbounded-preceding frame, one shuffle total for all columns.
+        ``limit=k`` just bounds the frame at ``-k`` rows (the last
+        non-null within the previous k rows IS the pandas fill)."""
+        return self._fill(forward=True, limit=limit)
 
-    def bfill(self):
-        return self._fill(forward=False)
+    def bfill(self, limit: int | None = None):
+        return self._fill(forward=False, limit=limit)
 
-    def _fill(self, forward: bool):
+    def _fill(self, forward: bool, limit: int | None = None):
         from pyspark.sql import Window
         sdf, order_cols, tmp = self._positional()
         base = Window.partitionBy(*self._by).orderBy(
             *[F.col(c).asc() for c in order_cols])
+        lo = Window.unboundedPreceding if limit is None else -limit
         if forward:
-            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w = base.rowsBetween(lo, Window.currentRow)
             fill = lambda c: F.last(c, ignorenulls=True).over(w)
         else:
-            w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            hi = Window.unboundedFollowing if limit is None else limit
+            w = base.rowsBetween(Window.currentRow, hi)
             fill = lambda c: F.first(c, ignorenulls=True).over(w)
         out = sdf.withColumns({c: fill(F.col(c))
                                for c in self._value_columns()})
@@ -786,21 +791,24 @@ class _GroupRolling:
             "std": F.stddev_samp, "var": F.var_samp}
 
     def __init__(self, gb: GroupBy, window: int | None,
-                 min_periods: int | None):
+                 min_periods: int | None, center: bool = False):
         self._gb, self._w, self._minp = gb, window, min_periods
+        self._center = center
 
     def _agg(self, fn_name: str):
         from pyspark.sql import Window
         gb = self._gb
         sdf, order_cols, tmp = gb._positional()
         if self._w is None:  # expanding
-            lo, minp = Window.unboundedPreceding, (self._minp or 1)
+            lo, hi = Window.unboundedPreceding, Window.currentRow
+            minp = self._minp or 1
         else:
-            lo = -(self._w - 1)
+            lead = (self._w - 1) // 2 if self._center else 0
+            lo, hi = -(self._w - 1) + lead, lead
             minp = self._w if self._minp is None else self._minp
         w = (Window.partitionBy(*gb._by)
              .orderBy(*[F.col(c).asc() for c in order_cols])
-             .rowsBetween(lo, Window.currentRow))
+             .rowsBetween(lo, hi))
         updates = {}
         for c in gb._value_columns(numeric_only=True):
             nn = F.count(F.col(c)).over(w)

@@ -144,3 +144,87 @@ def test_mean_axis1_with_nulls(spark):
     got = pes.from_pandas(pdf).mean(axis=1).compute()
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("w,mp", [(3, None), (4, 2), (5, 1), (2, 1)])
+def test_rolling_center_sum_family(spark, w, mp):
+    rng = np.random.RandomState(7)
+    v = rng.rand(60)
+    v[rng.rand(60) < 0.2] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    df = pes.from_pandas(pdf)
+    for agg in ("sum", "mean", "count", "var", "std"):
+        exp = getattr(pdf.v.rolling(w, min_periods=mp, center=True), agg)()
+        got = getattr(df.v.rolling(w, min_periods=mp, center=True),
+                      agg)().compute().sort_index()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, equal_nan=True,
+                                   err_msg=f"{agg} w={w} mp={mp}")
+
+
+@pytest.mark.parametrize("w,mp", [(3, None), (4, 2), (7, 1)])
+def test_rolling_center_minmax(spark, w, mp):
+    rng = np.random.RandomState(11)
+    v = rng.randint(-50, 50, 60).astype(float)
+    v[rng.rand(60) < 0.25] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    df = pes.from_pandas(pdf)
+    for agg in ("min", "max"):
+        exp = getattr(pdf.v.rolling(w, min_periods=mp, center=True), agg)()
+        got = getattr(df.v.rolling(w, min_periods=mp, center=True),
+                      agg)().compute().sort_index()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=0, equal_nan=True,
+                                   err_msg=f"{agg} w={w} mp={mp}")
+
+
+@pytest.mark.parametrize("limit", [1, 2, 5])
+def test_ffill_bfill_limit_global(spark, limit):
+    rng = np.random.RandomState(3)
+    v = rng.rand(80)
+    v[rng.rand(80) < 0.6] = np.nan   # long null runs to cross partitions
+    pdf = pd.DataFrame({"v": v})
+    df = pes.from_pandas(pdf)
+    for meth in ("ffill", "bfill"):
+        exp = getattr(pdf.v, meth)(limit=limit)
+        got = getattr(df.v, meth)(limit=limit).compute().sort_index()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=0, equal_nan=True,
+                                   err_msg=f"{meth} limit={limit}")
+
+
+def test_frame_ffill_limit(spark):
+    pdf = pd.DataFrame({
+        "a": [1.0] + [np.nan] * 6 + [2.0, np.nan, np.nan],
+        "b": [np.nan, np.nan, 3.0] + [np.nan] * 7,
+    })
+    exp = pdf.ffill(limit=2)
+    got = pes.from_pandas(pdf).ffill(limit=2).compute().sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+
+
+def test_grouped_ffill_limit(spark):
+    pdf = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 2, 2],
+        "v": [1.0, np.nan, np.nan, np.nan, np.nan, 5.0, np.nan, np.nan],
+    })
+    exp = pdf.groupby("k").v.ffill(limit=1)
+    got = (pes.from_pandas(pdf).groupby("k").ffill(limit=1)
+           .compute()["v"].sort_index())
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=0, equal_nan=True)
+
+
+def test_grouped_rolling_center(spark):
+    pdf = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2, 2, 2],
+        "v": [1.0, 2.0, np.nan, 4.0, 5.0, 10.0, 20.0, 30.0],
+    })
+    exp = (pdf.groupby("k").rolling(3, min_periods=1, center=True)
+           .v.mean().reset_index(drop=True))
+    got = (pes.from_pandas(pdf).groupby("k")
+           .rolling(3, min_periods=1, center=True).mean()
+           .compute()["v"].sort_index().reset_index(drop=True))
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
