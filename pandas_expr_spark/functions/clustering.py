@@ -80,7 +80,14 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
     worse — any expression-derived vector column gets inlined into every
     per-centroid ``zip_with``, multiplying its cost k-fold per row
     (measured 9 s/iteration on a derived column vs 0.5 s materialized).
+    The explicit repartition matters on narrow inputs: a single-row-group
+    parquet scan is ONE indivisible partition, which would run every
+    Lloyd's iteration single-task (measured 2× end-to-end on the sf0.1
+    gate); checkpointing preserves partitioning, so widen first.
     """
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < par:
+        sdf = sdf.repartition(par)
     sdf = sdf.localCheckpoint(eager=True)
     ordered = sdf.orderBy(id_col).select(vec_col)
     sample = np.array([r[0] for r in ordered.limit(sample_size).collect()],
