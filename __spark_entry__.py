@@ -2472,6 +2472,25 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def epoch_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source mixing (``curation.epoch_sample``): every
+    source gets a deterministic replication factor 0.3 + 0.35·(src_num %
+    4) — rows replicate floor(f) times plus an md5-bucket fraction for the
+    boundary epoch.  No RNG, no shuffle (one generator projection); the
+    oracle reproduces the exact same replicas via unnest(range) + md5."""
+    from pandas_expr_spark.functions import curation
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    f = (F.lit(0.3) + F.lit(0.35)
+         * (F.substring("source", 4, 10).cast("int") % 4))
+    mixed = curation.epoch_sample(docs.select("doc_id", "source"), f)
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("epoch").cast("long").alias("epoch_sum"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2562,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": doc_gopher_quality,
         "mix_budget_sources": mix_budget_sources,
         "semdedup_embeddings": semdedup_embeddings,
+        "epoch_mix_sources": epoch_mix_sources,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3910,6 +3930,33 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "epoch_mix_sources": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       -- CAST to DOUBLE: DuckDB would otherwise compute in
+                       -- DECIMAL and diverge from Spark's IEEE double
+                       CAST(0.3 AS DOUBLE) + CAST(0.35 AS DOUBLE)
+                       * (CAST(substring(source, 4, 10) AS INT) % 4) AS fac
+                FROM documents
+            ), reps AS (
+                SELECT doc_id, source, fac, CAST(e AS BIGINT) AS epoch
+                FROM f, unnest(range(0, GREATEST(CAST(ceil(fac) AS BIGINT),
+                                                 1))) AS t(e)
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(SUM(epoch) AS BIGINT) AS epoch_sum
+            FROM reps
+            WHERE epoch < CAST(floor(fac) AS BIGINT)
+               OR (epoch = CAST(floor(fac) AS BIGINT)
+                   AND CAST(concat('0x', substring(
+                            md5(CAST(doc_id AS VARCHAR) || '#'
+                                || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000
+                       < (fac - floor(fac)) * 1000000)
+            GROUP BY source ORDER BY source
         """,
         "mix_budget_sources": r"""
             WITH t AS (

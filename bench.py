@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_gopher_quality",
     "mix_budget_sources",
     "semdedup_embeddings",
+    "epoch_mix_sources",
 ]
 
 

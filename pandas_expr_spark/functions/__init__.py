@@ -8,7 +8,8 @@ from . import (accessors, clustering, components, curation, dedup,
                multimodal, packing, scan, similarity, sketches, splits,
                text, timeseries, udtf)
 from .clustering import kmeans_assign, nearest_centroid, semantic_dedup
-from .curation import budget_sample, gopher_rules, quality_logit
+from .curation import (budget_sample, epoch_sample, gopher_rules,
+                       quality_logit)
 from .components import connected_components, dup_clusters
 from .dedup import (decontaminate, embedding_near_dup_pairs,
                     minhash_lsh_dedup, minhash_lsh_pairs,
@@ -24,7 +25,8 @@ __all__ = [
     "accessors", "clustering", "components", "curation", "dedup",
     "multimodal", "packing", "scan", "similarity", "sketches", "splits",
     "text", "timeseries", "udtf", "kmeans_assign", "nearest_centroid",
-    "semantic_dedup", "budget_sample", "gopher_rules", "quality_logit",
+    "semantic_dedup", "budget_sample", "epoch_sample", "gopher_rules",
+    "quality_logit",
     "connected_components", "dup_clusters",
     "decontaminate", "embedding_near_dup_pairs", "minhash_lsh_dedup",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_pairs",

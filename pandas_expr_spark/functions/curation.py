@@ -31,8 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
 from pandas_expr_spark.functions import text as _text
+from pandas_expr_spark.functions.splits import hash_bucket
 
-__all__ = ["gopher_rules", "quality_logit", "budget_sample"]
+__all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample"]
 
 
 # Gopher §A1.1 thresholds (public paper values)
@@ -195,3 +196,41 @@ def budget_sample(sdf: SparkDF, budget: int, token_col: Column | str,
 
     return (taken_full.unionByName(taken_boundary)
             .drop("__h__", "__b__", "__tok__"))
+
+
+def epoch_sample(sdf: SparkDF, factor: Column, key_col: str = "doc_id",
+                 epoch_col: str = "epoch", salt: str = "") -> SparkDF:
+    """Deterministic per-row replication by a fractional factor — the
+    "N epochs of source X" mixing op of pretraining-data recipes
+    (factor 2.3 → every row appears twice, plus a 30% deterministic
+    subset a third time).
+
+    ``factor`` is a per-row Column (typically a CASE over the source).
+    Replica ``e < floor(f)`` is always kept; the boundary replica
+    ``e = floor(f)`` survives iff the row's md5 bucket (salted with the
+    replica number, so successive fractional draws are independent)
+    falls under ``frac(f)``.  No RNG — the sample is reproducible across
+    runs, engines and partitionings, and the same document always gets
+    the same replicas (incremental reprocessing-safe).
+
+    Scale: one narrow projection + one generator (``explode``) whose
+    output is exactly the mixed dataset — no shuffle at all.  Keep the
+    factor expression CHEAP: columns projected next to a generator are
+    re-evaluated per exploded row (measured trap — see NOTES).
+    """
+    f = factor.cast("double")
+    # sequence(0, n) is DESCENDING when n < 0 — clamp, then let the keep
+    # filter drop the spurious epoch-0 row of factor-0 rows
+    top = F.greatest(F.ceil(f).cast("long") - 1, F.lit(0))
+    e = F.col(epoch_col)
+    out = (sdf.withColumn("__f__", f)
+           .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), top)))
+           .withColumn("__full__", F.floor(F.col("__f__")).cast("long")))
+    frac_bucket = hash_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                 e.cast("string")), salt=salt)
+    keep = (e < F.col("__full__")) | (
+        (e == F.col("__full__"))
+        & (frac_bucket
+           < (F.col("__f__") - F.col("__full__")) * F.lit(1_000_000)))
+    return out.filter(keep).drop("__f__", "__full__")

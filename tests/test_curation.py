@@ -109,3 +109,33 @@ def test_semantic_dedup_planted(spark):
     # survivors of one k-means cluster share one cluster label
     labels = {r["vec_id"] % 4: r["cluster"] for r in kept.collect()}
     assert len(set(labels.values())) == 4
+
+
+@pytest.mark.parametrize("factor", [0.0, 0.4, 1.0, 2.3, 3.0])
+def test_epoch_sample_replication(spark, factor):
+    import hashlib
+    n = 200
+    sdf = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = curation.epoch_sample(sdf, F.lit(factor)).collect()
+    import math
+    full = math.floor(factor)
+    frac = factor - full
+
+    def boundary_kept(i):
+        h = hashlib.md5(f"{i}#{full}".encode()).hexdigest()
+        return (int(h[:8], 16) % 1_000_000) < frac * 1_000_000
+
+    exp_rows = sorted((i, e) for i in range(n)
+                      for e in range(full + (1 if boundary_kept(i) else 0)))
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == exp_rows
+
+
+def test_epoch_sample_deterministic_across_partitionings(spark):
+    f = F.lit(1.5)
+    a = curation.epoch_sample(
+        spark.range(500).select(F.col("id").alias("doc_id")).repartition(1), f)
+    b = curation.epoch_sample(
+        spark.range(500).select(F.col("id").alias("doc_id")).repartition(17), f)
+    ka = sorted((r["doc_id"], r["epoch"]) for r in a.collect())
+    kb = sorted((r["doc_id"], r["epoch"]) for r in b.collect())
+    assert ka == kb and len(ka) > 500
