@@ -18,7 +18,8 @@ from ._expr import Expr, Node, tokenize
 from ._session import get_spark
 from .operators.joins import interval_join, merge, merge_asof, salted_join
 from .operators.setops import concat, except_, intersect, union
-from .sources import (from_pandas, from_spark, read_csv, read_jdbc, read_json,
+from .sources import (from_pandas, from_spark, read_binary, read_csv,
+                      read_jdbc, read_json, read_text,
                       read_orc, read_parquet)
 
 __version__ = "0.1.0"
@@ -58,6 +59,7 @@ __all__ = [
     "DataFrame", "Series", "Index", "Scalar",
     "Expr", "Node", "tokenize",
     "read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
+    "read_text", "read_binary",
     "from_pandas", "from_spark",
     "concat", "merge", "merge_asof", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut",

@@ -29,6 +29,7 @@ from .._expr import Node, tokenize
 from .._session import get_spark
 
 __all__ = ["read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
+           "read_text", "read_binary",
            "from_pandas", "from_spark"]
 
 # token → lowered SparkDF (per-session scan cache)
@@ -131,6 +132,55 @@ def read_orc(path: str, columns: Sequence[str] | None = None, **kwargs) -> DataF
         sdf = sdf.select(*columns)
         node = Node("projection", {"columns": list(columns)}, node)
     return DataFrame(sdf, node)
+
+
+def read_text(path: str, whole: bool = False,
+              line_sep: str | None = None, **kwargs) -> DataFrame:
+    """Plain-text source.  ``whole=False`` (default): one row per line
+    (column ``value``) — splittable, scales to any file size.
+    ``whole=True``: one row per FILE (``path``, ``value``) via
+    ``wholetext`` — each file must fit in one task; use for
+    document-per-file corpora where the file is the record."""
+    token = tokenize("read_text", path, whole, line_sep)
+
+    def build(spark):
+        r = spark.read
+        if line_sep is not None:
+            r = r.option("lineSep", line_sep)
+        if whole:
+            # option("wholetext", ...) is ignored by the text reader —
+            # only the .text(wholetext=) parameter takes effect
+            return (r.text(path, wholetext=True)
+                    .select(F.input_file_name().alias("path"), "value"))
+        return r.text(path)
+
+    return DataFrame(_cached_scan(token, build),
+                     Node("read_text", {"path": path, "whole": whole}))
+
+
+def read_binary(path: str, path_glob: str | None = None,
+                recursive: bool = False, **kwargs) -> DataFrame:
+    """Binary-file source (images/audio/video payloads) → columns
+    ``path``, ``modificationTime``, ``length``, ``content`` (binary) —
+    the ingestion end of the multimodal pipeline
+    (``functions/multimodal.py`` consumes the payload column).
+
+    Scale note: one row per file, a file never splits — fine for media
+    objects (MBs), wrong for single giant archives; shard those upstream.
+    ``pathGlobFilter`` pushes the name filter into file listing, so a
+    directory of mixed types lists only the matching files."""
+    token = tokenize("read_binary", path, path_glob, recursive)
+
+    def build(spark):
+        r = spark.read.format("binaryFile")
+        if path_glob is not None:
+            r = r.option("pathGlobFilter", path_glob)
+        if recursive:
+            r = r.option("recursiveFileLookup", True)
+        return r.load(path)
+
+    return DataFrame(_cached_scan(token, build),
+                     Node("read_binary", {"path": path}))
 
 
 def read_jdbc(url: str, table: str, properties: dict | None = None,

@@ -116,3 +116,38 @@ def test_sorted_parquet_layout_prunes(spark, tmp_path):
     assert len(ranges) >= 3  # range partitioner produced multiple files
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo  # disjoint key ranges -> file-level pruning
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    import pandas_expr_spark as pes
+    d = tmp_path / "txts"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2\n")
+    (d / "b.txt").write_text("only\n")
+    lines = pes.read_text(str(d)).compute()
+    assert sorted(lines["value"]) == ["line1", "line2", "only"]
+    whole = pes.read_text(str(d), whole=True).compute()
+    assert len(whole) == 2
+    joined = {p.rsplit("/", 1)[-1]: v for p, v in
+              zip(whole["path"], whole["value"])}
+    assert joined["a.txt"] == "line1\nline2\n"
+
+
+def test_read_binary_glob_and_payload(spark, tmp_path):
+    import pandas_expr_spark as pes
+    d = tmp_path / "bins"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x89IMG\x00\x01")
+    (d / "y.img").write_bytes(b"\x89IMG\x00\x02\x03")
+    (d / "skip.txt").write_text("nope")
+    df = pes.read_binary(str(d), path_glob="*.img")
+    out = df.compute()
+    assert len(out) == 2
+    assert sorted(out["length"]) == [6, 7]
+    payloads = sorted(bytes(b) for b in out["content"])
+    assert payloads[0].startswith(b"\x89IMG")
+    # feeds the multimodal plumbing directly
+    from pandas_expr_spark.functions import multimodal
+    meta = multimodal.attach_media_meta(
+        df.to_spark().selectExpr("path as media_id", "content as payload"))
+    assert meta.count() == 2
