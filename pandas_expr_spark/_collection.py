@@ -2205,6 +2205,191 @@ class DataFrame(FrameBase):
     def add_suffix(self, suffix: str) -> "DataFrame":
         return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
 
+    def filter(self, items=None, like: str | None = None,
+               regex: str | None = None, axis: int = 1) -> "DataFrame":
+        """pandas ``DataFrame.filter``: select columns by exact list,
+        substring, or regex — pure metadata (column pruning reaches the
+        scan)."""
+        if axis not in (1, "columns"):
+            raise NotImplementedError("filter(axis=0) needs row labels; "
+                                      "use boolean masks instead")
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError("pass exactly one of items, like, regex")
+        if items is not None:
+            keep = [c for c in items if c in self.columns]
+        elif like is not None:
+            keep = [c for c in self.columns if like in c]
+        else:
+            import re as _re
+            pat = _re.compile(regex)
+            keep = [c for c in self.columns if pat.search(c)]
+        return self[keep]
+
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        """pandas ``truncate``: keep index within [before, after] — a pair
+        of pushdown-friendly range predicates on the index column."""
+        if not self._index_cols:
+            raise ValueError("truncate needs an index — set_index first")
+        c = F.col(self._index_cols[0])
+        sdf = self._sdf
+        if before is not None:
+            sdf = sdf.filter(c >= F.lit(before))
+        if after is not None:
+            sdf = sdf.filter(c <= F.lit(after))
+        return self._derive(sdf, "truncate",
+                            {"before": before, "after": after})
+
+    def between_time(self, start_time: str, end_time: str,
+                     inclusive: str = "both") -> "DataFrame":
+        """pandas ``between_time`` on a datetime index: time-of-day range
+        filter.  ``HH:mm:ss`` strings compare lexicographically, so the
+        whole predicate is one JVM ``date_format`` + string compares —
+        wraps midnight when start > end, exactly like pandas."""
+        if not self._index_cols:
+            raise ValueError("between_time needs a datetime index")
+        tod = F.date_format(F.col(self._index_cols[0]), "HH:mm:ss.SSS")
+        s, e = _normalize_tod(start_time), _normalize_tod(end_time)
+        lo = tod >= s if inclusive in ("both", "left") else tod > s
+        hi = tod <= e if inclusive in ("both", "right") else tod < e
+        cond = (lo & hi) if s <= e else (lo | hi)
+        return self._derive(self._sdf.filter(cond), "between_time",
+                            {"start": start_time, "end": end_time})
+
+    def at_time(self, time: str) -> "DataFrame":
+        """pandas ``at_time``: rows whose index time-of-day equals ``time``."""
+        if not self._index_cols:
+            raise ValueError("at_time needs a datetime index")
+        tod = F.date_format(F.col(self._index_cols[0]), "HH:mm:ss.SSS")
+        return self._derive(self._sdf.filter(tod == _normalize_tod(time)),
+                            "at_time", {"time": time})
+
+    def swaplevel(self, i: int = -2, j: int = -1) -> "DataFrame":
+        """Swap two index levels — pure metadata."""
+        cols, names = list(self._index_cols), list(self._index_names)
+        cols[i], cols[j] = cols[j], cols[i]
+        names[i], names[j] = names[j], names[i]
+        return self._derive(self._sdf, "swaplevel", {"i": i, "j": j},
+                            index_cols=cols, index_names=names)
+
+    def reorder_levels(self, order) -> "DataFrame":
+        """Rearrange index levels by position or name — pure metadata."""
+        idx = [self._index_names.index(o) if isinstance(o, str) else o
+               for o in order]
+        cols = [self._index_cols[i] for i in idx]
+        names = [self._index_names[i] for i in idx]
+        return self._derive(self._sdf, "reorder_levels", {"order": order},
+                            index_cols=cols, index_names=names)
+
+    def droplevel(self, level) -> "DataFrame":
+        """Remove index level(s) — drops the backing column(s)."""
+        levels = [level] if not isinstance(level, (list, tuple)) else level
+        idx = [self._index_names.index(v) if isinstance(v, str) else v
+               for v in levels]
+        idx = [i % len(self._index_cols) for i in idx]
+        drop = [self._index_cols[i] for i in idx]
+        cols = [c for k, c in enumerate(self._index_cols) if k not in idx]
+        names = [n for k, n in enumerate(self._index_names) if k not in idx]
+        if not cols:
+            raise ValueError("cannot drop all index levels")
+        return self._derive(self._sdf.drop(*drop), "droplevel",
+                            {"level": level}, index_cols=cols,
+                            index_names=names)
+
+    def set_axis(self, labels, axis: int = 1) -> "DataFrame":
+        """pandas ``set_axis(axis=1)``: replace column names positionally.
+        (axis=0 would relabel rows — not representable lazily.)"""
+        if axis not in (1, "columns"):
+            raise NotImplementedError("set_axis(axis=0) not supported")
+        labels = list(labels)
+        if len(labels) != len(self.columns):
+            raise ValueError(f"expected {len(self.columns)} labels, "
+                             f"got {len(labels)}")
+        return self.rename(columns=dict(zip(self.columns, labels)))
+
+    def items(self):
+        """Iterate (name, Series) pairs — lazy Series per column."""
+        for c in self.columns:
+            yield c, self[c]
+
+    def keys(self):
+        return self.columns
+
+    def to_dict(self, orient: str = "dict"):
+        """Eager: materialize via Arrow then delegate to pandas."""
+        return self.compute().to_dict(orient=orient)
+
+    def to_records(self, index: bool = True):
+        return self.compute().to_records(index=index)
+
+    def infer_objects(self) -> "DataFrame":
+        """No-op: Spark schemas are always concrete (pandas parity shim)."""
+        return self
+
+    def convert_dtypes(self) -> "DataFrame":
+        """No-op: Spark columns are already nullable typed columns."""
+        return self
+
+    def pivot(self, *, columns: str, index: str | None = None,
+              values=None, pivot_values: Sequence | None = None) -> "DataFrame":
+        """pandas ``DataFrame.pivot`` (no aggregation): one
+        ``groupBy(index).pivot(columns)`` pass taking the single value per
+        cell; raises like pandas if any (index, columns) pair is
+        duplicated (one extra count-check aggregation — skip it at scale
+        by pre-deduping).  Pass ``pivot_values`` to pin the output columns
+        and avoid Spark's distinct-discovery scan."""
+        if index is None:
+            if not self._index_cols:
+                raise ValueError("pivot needs index= or an engine index")
+            idx_cols = list(self._index_cols)
+        else:
+            idx_cols = [index]
+        vals = ([values] if isinstance(values, str) else
+                list(values) if values is not None else
+                [c for c in self.columns if c not in idx_cols + [columns]])
+        dup = (self._sdf.groupBy(*idx_cols, columns)
+               .agg(F.count(F.lit(1)).alias("__n__"))
+               .filter(F.col("__n__") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "Index contains duplicate entries, cannot reshape")
+        g = self._sdf.groupBy(*idx_cols)
+        p = g.pivot(columns, list(pivot_values)) if pivot_values is not None \
+            else g.pivot(columns)
+        out = p.agg(*[F.first(v).alias(v) for v in vals])
+        if len(vals) == 1:
+            # single value column: pandas names output columns by the
+            # pivot values alone — Spark does too
+            pass
+        return DataFrame(out, Node("pivot", {"columns": columns},
+                                   self._expr),
+                         tuple(idx_cols), tuple(idx_cols))
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """pandas ``DataFrame.compare``: rows where any shared column
+        differs, emitted as ``col_self`` / ``col_other`` pairs (pandas'
+        MultiIndex columns flattened).  One index equi-join; null-safe
+        inequality matches pandas NaN-equals-NaN semantics."""
+        if not self._index_cols or other._index_cols != self._index_cols:
+            raise ValueError("compare needs both frames indexed alike")
+        shared = [c for c in self.columns if c in other.columns]
+        a = self._sdf.select(*self._index_cols,
+                             *[F.col(c).alias(f"__a_{c}__") for c in shared])
+        b = other._sdf.select(*other._index_cols,
+                              *[F.col(c).alias(f"__b_{c}__") for c in shared])
+        j = a.join(b, list(self._index_cols), "inner")
+        neq = [~F.col(f"__a_{c}__").eqNullSafe(F.col(f"__b_{c}__"))
+               for c in shared]
+        any_diff = neq[0]
+        for n in neq[1:]:
+            any_diff = any_diff | n
+        sel = [F.col(c) for c in self._index_cols]
+        for c, n in zip(shared, neq):
+            sel.append(F.when(n, F.col(f"__a_{c}__")).alias(f"{c}_self"))
+            sel.append(F.when(n, F.col(f"__b_{c}__")).alias(f"{c}_other"))
+        out = j.filter(any_diff).select(*sel)
+        return DataFrame(out, Node("compare", {}, self._expr),
+                         self._index_cols, self._index_names)
+
     # -- positional family over all numeric columns: ONE distributed
     # segment scan for the whole frame (functions/scan.py) ---------------
     def _frame_cumop(self, op: str, skipna: bool = True) -> "DataFrame":
@@ -3229,3 +3414,14 @@ def new_collection(sdf: SparkDF, expr: Node, index_cols=(), index_names=None):
     ``_collection.py:589-600``): 1 data column → Series handled by callers;
     here we return DataFrame by default."""
     return DataFrame(sdf, expr, tuple(index_cols), index_names)
+
+
+def _normalize_tod(t: str) -> str:
+    """'9:30' / '09:30:00' / '09:30:00.5' → zero-padded 'HH:mm:ss.SSS' so
+    lexicographic string comparison equals time-of-day comparison."""
+    parts = t.split(".")
+    hms = parts[0].split(":")
+    while len(hms) < 3:
+        hms.append("0")
+    ms = (parts[1] + "000")[:3] if len(parts) > 1 else "000"
+    return ":".join(p.zfill(2) for p in hms) + "." + ms

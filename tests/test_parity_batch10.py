@@ -1,0 +1,106 @@
+"""Differential parity sweep 10 — frame-surgery and time-selection APIs:
+filter(items/like/regex), truncate, between_time/at_time, swaplevel/
+droplevel/reorder_levels, set_axis, pivot, compare, to_dict."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+@pytest.fixture()
+def tdf(spark):
+    ts = pd.date_range("2024-01-01", periods=48, freq="45min")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(48.0),
+                        "w": np.arange(48.0) * 2})
+    return pdf, pes.from_pandas(pdf)
+
+
+def test_filter_items_like_regex(tdf):
+    pdf, df = tdf
+    assert df.filter(items=["v"]).columns == ["v"]
+    assert df.filter(like="t").columns == list(pdf.filter(like="t").columns)
+    assert df.filter(regex="^[vw]$").columns == \
+        list(pdf.filter(regex="^[vw]$").columns)
+
+
+def test_truncate_matches_pandas(tdf):
+    pdf, df = tdf
+    p = pdf.set_index("ts").truncate(before="2024-01-01 06:00",
+                                     after="2024-01-02 00:00")
+    g = (df.set_index("ts")
+         .truncate(before=pd.Timestamp("2024-01-01 06:00"),
+                   after=pd.Timestamp("2024-01-02 00:00")).compute())
+    pd.testing.assert_frame_equal(g.sort_index(), p, check_freq=False)
+
+
+@pytest.mark.parametrize("start,end", [("09:00", "17:00"),
+                                       ("22:30", "02:15")])
+def test_between_time_incl_wrap(tdf, start, end):
+    pdf, df = tdf
+    p = pdf.set_index("ts").between_time(start, end)
+    g = df.set_index("ts").between_time(start, end).compute().sort_index()
+    pd.testing.assert_frame_equal(g, p.sort_index(), check_freq=False)
+
+
+def test_at_time(tdf):
+    pdf, df = tdf
+    p = pdf.set_index("ts").at_time("12:00")
+    g = df.set_index("ts").at_time("12:00").compute().sort_index()
+    pd.testing.assert_frame_equal(g, p.sort_index(), check_freq=False)
+
+
+def test_swaplevel_droplevel_reorder(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"],
+                        "v": [1.0, 2.0, 3.0]})
+    df = pes.from_pandas(pdf).set_index(["a", "b"])
+    sw = df.swaplevel().compute()
+    assert list(sw.index.names) == ["b", "a"]
+    ro = df.reorder_levels(["b", "a"]).compute()
+    assert list(ro.index.names) == ["b", "a"]
+    dl = df.droplevel("a").compute()
+    assert list(dl.index.names) == ["b"]
+    pd.testing.assert_frame_equal(
+        dl.sort_index(), pdf.set_index(["a", "b"]).droplevel("a").sort_index())
+
+
+def test_set_axis_items_keys_to_dict(spark):
+    pdf = pd.DataFrame({"x": [1, 2], "y": [3.0, 4.0]})
+    df = pes.from_pandas(pdf)
+    assert df.set_axis(["p", "q"]).columns == ["p", "q"]
+    assert dict(df.items())["y"].compute().tolist() == [3.0, 4.0]
+    assert df.keys() == ["x", "y"]
+    assert df.to_dict("list") == pdf.to_dict("list")
+    assert df.infer_objects() is df and df.convert_dtypes() is df
+
+
+def test_pivot_matches_pandas_and_raises_on_dup(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2], "c": ["a", "b", "a", "b"],
+                        "v": [10.0, 20.0, 30.0, 40.0]})
+    exp = pdf.pivot(index="k", columns="c", values="v")
+    got = (pes.from_pandas(pdf).pivot(index="k", columns="c", values="v")
+           .compute().sort_index())
+    pd.testing.assert_frame_equal(got, exp, check_names=False,
+                                  check_dtype=False)
+    dup = pd.concat([pdf, pdf.iloc[[0]]])
+    with pytest.raises(ValueError, match="duplicate"):
+        pes.from_pandas(dup).pivot(index="k", columns="c", values="v")
+
+
+def test_compare_matches_pandas(spark):
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [1.0, 2.0, 3.0],
+                      "y": ["p", "q", "r"]})
+    b = pd.DataFrame({"k": [1, 2, 3], "x": [1.0, 9.0, 3.0],
+                      "y": ["p", "q", "z"]})
+    exp = a.set_index("k").compare(b.set_index("k"))
+    got = (pes.from_pandas(a).set_index("k")
+           .compare(pes.from_pandas(b).set_index("k")).compute()
+           .sort_index())
+    # flattened columns x_self/x_other ↔ pandas (x, self)/(x, other)
+    flat = exp.copy()
+    flat.columns = [f"{c}_{s}" for c, s in exp.columns]
+    pd.testing.assert_frame_equal(got[flat.columns], flat,
+                                  check_dtype=False)
