@@ -2491,6 +2491,45 @@ def epoch_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def between_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``between_time`` incl. midnight wrap (22:30–02:15): a pure
+    time-of-day string-compare predicate (JVM date_format) — pushdown-
+    friendly, no shuffle.  Oracle = strftime range in DuckDB."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["ts", "event_id", "user_id"])
+    out = ev.set_index("ts").between_time("22:30", "02:15").reset_index()
+    r = out.to_spark().select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_id", "user_id")
+    return r.orderBy("event_id")
+
+
+def pivot_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``DataFrame.pivot`` (non-agg): one row per customer, one
+    column per order priority, cell = the single max-price order's cents
+    (pre-deduped so pivot's duplicate check passes).  Spark
+    ``groupBy().pivot(values pinned — no discovery scan).first()``; oracle
+    = conditional MAX aggregation."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority",
+                                  "o_totalprice"])
+    o = o.assign(cents=(o.o_totalprice * 100).round(0))
+    top = (o.groupby(["o_custkey", "o_orderpriority"])
+           .agg(cents=("cents", "max")).reset_index())
+    wide = top.pivot(index="o_custkey", columns="o_orderpriority",
+                     values="cents",
+                     pivot_values=["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                   "4-NOT SPECIFIED", "5-LOW"])
+    r = wide.to_spark()
+    cols = {"1-URGENT": "p1", "2-HIGH": "p2", "3-MEDIUM": "p3",
+            "4-NOT SPECIFIED": "p4", "5-LOW": "p5"}
+    sel = [F.col("o_custkey")] + [
+        F.col(f"`{c}`").cast("long").alias(a) for c, a in cols.items()]
+    return r.select(*sel).orderBy("o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2582,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_budget_sources": mix_budget_sources,
         "semdedup_embeddings": semdedup_embeddings,
         "epoch_mix_sources": epoch_mix_sources,
+        "between_time_events": between_time_events,
+        "pivot_customer_priority": pivot_customer_priority,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3930,6 +3971,28 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "between_time_events": """
+            SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   event_id, user_id
+            FROM events
+            WHERE strftime(ts, '%H:%M:%S.%g') >= '22:30:00.000'
+               OR strftime(ts, '%H:%M:%S.%g') <= '02:15:00.000'
+            ORDER BY event_id
+        """,
+        "pivot_customer_priority": """
+            SELECT o_custkey,
+                   CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN round(o_totalprice * 100, 0) END) AS BIGINT) AS p1,
+                   CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN round(o_totalprice * 100, 0) END) AS BIGINT) AS p2,
+                   CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN round(o_totalprice * 100, 0) END) AS BIGINT) AS p3,
+                   CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                            THEN round(o_totalprice * 100, 0) END) AS BIGINT) AS p4,
+                   CAST(MAX(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN round(o_totalprice * 100, 0) END) AS BIGINT) AS p5
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         "epoch_mix_sources": """
             WITH f AS (
