@@ -983,6 +983,31 @@ class Series(FrameBase):
         scan itself, guarded by the running non-null count."""
         return _SeriesExpanding(self, min_periods)
 
+    def ewm(self, com: float | None = None, span: float | None = None,
+            halflife: float | None = None, alpha: float | None = None,
+            adjust: bool = True):
+        """pandas ``Series.ewm(...)`` chain (``.mean()``) over the GLOBAL
+        order — the distributed segment-scan recurrence in
+        ``functions/timeseries.py`` (range shuffle + per-partition local
+        recurrence + tiny decayed-carry fold), never a single-task pass."""
+        import math
+        given = [x is not None for x in (com, span, halflife, alpha)]
+        if sum(given) != 1:
+            raise ValueError("pass exactly one of com, span, halflife, alpha")
+        if com is not None:
+            a = 1.0 / (1.0 + com)
+        elif span is not None:
+            a = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            a = 1.0 - math.exp(-math.log(2.0) / halflife)
+        else:
+            a = alpha
+        if not adjust:
+            raise NotImplementedError("global ewm: adjust=True only "
+                                      "(use with_ewm(partition_by=...) for "
+                                      "grouped adjust=False)")
+        return _SeriesEwm(self, a)
+
     @property
     def is_monotonic_increasing(self) -> bool:
         from .functions import scan
@@ -1405,6 +1430,26 @@ class _SeriesRolling:
 
     def min(self) -> Series: return self._minmax("min")
     def max(self) -> Series: return self._minmax("max")
+
+
+class _SeriesEwm:
+    """pandas ``Series.ewm(...)`` chain target — delegates to the
+    distributed global EWM segment scan."""
+
+    def __init__(self, series: Series, alpha: float):
+        self._s, self._alpha = series, alpha
+
+    def mean(self) -> Series:
+        from .functions import timeseries as _ts
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        if len(order) != 1:
+            raise ValueError("global ewm needs exactly one order column")
+        out = _ts.ewm_mean_global(sdf, name, order[0], self._alpha,
+                                  name=name)
+        node = Node("ewm_mean", {"alpha": self._alpha}, s._expr)
+        return Series(out, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
 
 
 class _SeriesExpanding:

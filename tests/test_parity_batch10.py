@@ -104,3 +104,14 @@ def test_compare_matches_pandas(spark):
     flat.columns = [f"{c}_{s}" for c, s in exp.columns]
     pd.testing.assert_frame_equal(got[flat.columns], flat,
                                   check_dtype=False)
+
+
+@pytest.mark.parametrize("kw", [{"alpha": 0.3}, {"span": 5},
+                                {"com": 2.0}, {"halflife": 3.0}])
+def test_series_ewm_chain(spark, kw):
+    rng = np.random.RandomState(5)
+    v = rng.rand(50)
+    pdf = pd.DataFrame({"v": v})
+    exp = pdf.v.ewm(**kw).mean()
+    got = pes.from_pandas(pdf).v.ewm(**kw).mean().compute().sort_index()
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
