@@ -2530,6 +2530,42 @@ def pivot_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(*sel).orderBy("o_custkey")
 
 
+def streaming_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the documents stream run through the SAME
+    curation expressions as batch (Gopher rules + PII scrub are pure
+    column expressions, so they lift to Structured Streaming unchanged) —
+    per-source counts of rule-passing docs, redacted-length delta, token
+    totals, in one availableNow pass.  Oracle = identical batch SQL."""
+    from pandas_expr_spark.functions import curation, text as tx
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream(
+        "parquet", sf_dir,
+        schema=spark.read.parquet(f"{sf_dir}/documents.parquet").schema,
+        options={"pathGlobFilter": "documents.parquet"})
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"),
+                        F.lit("@test.org"))).otherwise(F.lit("")))
+    d = src.withColumn("t", injected)
+    passes = curation.gopher_rules("t")[-1]   # the conjunction column
+    enriched = d.select(
+        "source", passes,
+        tx.token_count("t").alias("ntok"),
+        (F.length("t") - F.length(tx.redact_pii("t"))).alias("dl"))
+    agg = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("passes_gopher").cast("long")).alias("n_pass"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.sum("dl").cast("long").alias("redacted_delta"))
+    with st.state_partitions(8):
+        q = st.to_memory_sink(agg, "stream_quality_curation", "complete")
+        q.awaitTermination()
+    return (spark.table("stream_quality_curation")
+            .select("source", "n_docs", "n_pass", "total_tokens",
+                    "redacted_delta").orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2623,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix_sources": epoch_mix_sources,
         "between_time_events": between_time_events,
         "pivot_customer_priority": pivot_customer_priority,
+        "streaming_quality_curation": streaming_quality_curation,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -3971,6 +4008,60 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "streaming_quality_curation": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       text || CASE WHEN doc_id % 7 = 0
+                               THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                                    || '@test.org'
+                               ELSE '' END AS t
+                FROM documents
+            ), f AS (
+                SELECT source, t,
+                       regexp_split_to_array(trim(t), '\s+') AS ws
+                FROM d
+            ), g AS (
+                SELECT source,
+                       len(ws) AS n,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(list_sum(list_transform(ws, x -> len(x)))
+                                AS DOUBLE) / len(ws) ELSE 0.0 END AS mean_len,
+                       (len(t) - len(replace(t, '#', '')))
+                       + (len(t) - len(replace(t, '...', ''))) / 3 AS sym,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(len(list_filter(ws,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                                AS DOUBLE) / len(ws) ELSE 0.0 END AS alpha_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(ws, x -> lower(x))),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stop_hits,
+                       len(t) - len(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               regexp_replace(t,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '[PII]', 'g'),
+                               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'),
+                               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                               '[PII]', 'g'),
+                               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                               '[PII]', 'g')) AS dl
+                FROM f
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000
+                                  AND mean_len BETWEEN 3.0 AND 10.0
+                                  AND (CASE WHEN n > 0
+                                       THEN CAST(sym AS DOUBLE) / n
+                                       ELSE 0.0 END) <= 0.1
+                                  AND alpha_frac >= 0.8
+                                  AND stop_hits >= 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(SUM(dl) AS BIGINT) AS redacted_delta
+            FROM g GROUP BY source ORDER BY source
         """,
         "between_time_events": """
             SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
