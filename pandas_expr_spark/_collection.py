@@ -153,6 +153,17 @@ class FrameBase:
         self._index_names = tuple(index_names) if index_names is not None \
             else tuple(None for _ in index_cols)
 
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``pipe``: ``df.pipe(f, *a)`` == ``f(df, *a)`` — method
+        chaining for user functions; ``(f, 'name')`` form supported."""
+        if isinstance(func, tuple):
+            func, target = func
+            if target in kwargs:
+                raise ValueError(f"{target} is both pipe target and kwarg")
+            kwargs[target] = self
+            return func(*args, **kwargs)
+        return func(self, *args, **kwargs)
+
     def to_timestamp(self, freq: str | None = None, how: str = "start"):
         """PeriodIndex → DatetimeIndex (reference ToTimestamp
         ``_expr.py:1159-1168``).  The index already stores period starts,

@@ -115,3 +115,12 @@ def test_series_ewm_chain(spark, kw):
     exp = pdf.v.ewm(**kw).mean()
     got = pes.from_pandas(pdf).v.ewm(**kw).mean().compute().sort_index()
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
+
+
+def test_pipe(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3]})
+    df = pes.from_pandas(pdf)
+    got = df.pipe(lambda d, k: d[d.x > k], 1).compute()
+    assert got.x.tolist() == [2, 3]
+    got2 = df.x.pipe((lambda k, s: s + k, "s"), 10).compute()
+    assert got2.tolist() == [11, 12, 13]
