@@ -2362,6 +2362,33 @@ class DataFrame(FrameBase):
                              f"got {len(labels)}")
         return self.rename(columns=dict(zip(self.columns, labels)))
 
+    def value_counts(self, subset: Sequence[str] | None = None,
+                     sort: bool = True, ascending: bool = False,
+                     normalize: bool = False,
+                     dropna: bool = True) -> Series:
+        """pandas ``DataFrame.value_counts``: row-combination frequencies —
+        one hash-shuffle groupBy over the subset columns."""
+        subset = _ensure_list(subset) or self.columns
+        sdf = self._sdf
+        if dropna:
+            for c in subset:
+                sdf = sdf.filter(F.col(c).isNotNull())
+        out = sdf.groupBy(*subset).agg(F.count(F.lit(1)).alias("count"))
+        val = "count"
+        if normalize:
+            out = out.withColumn(
+                "proportion",
+                F.col("count") / F.sum("count").over(Window.partitionBy()))
+            out = out.drop("count")
+            val = "proportion"
+        if sort:
+            out = out.orderBy(F.col(val).asc() if ascending
+                              else F.col(val).desc(),
+                              *[F.col(c).asc() for c in subset])
+        node = Node("frame_value_counts", {"subset": subset}, self._expr)
+        return Series(out, F.col(val), val, node, tuple(subset),
+                      tuple(subset))
+
     def items(self):
         """Iterate (name, Series) pairs — lazy Series per column."""
         for c in self.columns:

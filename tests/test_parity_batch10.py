@@ -124,3 +124,21 @@ def test_pipe(spark):
     assert got.x.tolist() == [2, 3]
     got2 = df.x.pipe((lambda k, s: s + k, "s"), 10).compute()
     assert got2.tolist() == [11, 12, 13]
+
+
+def test_frame_value_counts(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"]})
+    exp = pdf.value_counts()
+    got = pes.from_pandas(pdf).value_counts().compute()
+    assert sorted(got.tolist()) == sorted(exp.tolist())
+    gn = pes.from_pandas(pdf).value_counts(normalize=True).compute()
+    np.testing.assert_allclose(sorted(gn.tolist()),
+                               sorted(pdf.value_counts(normalize=True)))
+
+
+def test_series_autocorr(spark):
+    pdf = pd.DataFrame({"v": [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0]})
+    for lag in (1, 2):
+        exp = pdf.v.autocorr(lag)
+        got = pes.from_pandas(pdf).v.autocorr(lag).compute()
+        assert got == pytest.approx(exp, rel=1e-12)
