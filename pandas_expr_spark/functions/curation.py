@@ -175,6 +175,10 @@ def budget_sample(sdf: SparkDF, budget: int, token_col: Column | str,
           .rowsBetween(Window.unboundedPreceding, 0))
     hist = hist.withColumn("__cum__", F.sum("__btok__").over(wh)) \
                .withColumn("__prev__", F.col("__cum__") - F.col("__btok__"))
+    # materialize the TINY histogram once — both the full-bucket and the
+    # boundary branch broadcast from it; without this each branch re-runs
+    # the full aggregation pass over the big table (verified in the plan)
+    hist = hist.localCheckpoint(eager=False)
 
     full = hist.filter(F.col("__cum__") <= budget) \
                .select(source_col, "__b__")
