@@ -16,7 +16,8 @@ from __future__ import annotations
 from ._collection import DataFrame as _DataFrameImpl, Index, Scalar, Series
 from ._expr import Expr, Node, tokenize
 from ._session import get_spark
-from .operators.joins import interval_join, merge, merge_asof, salted_join
+from .operators.joins import (interval_join, merge, merge_asof,
+                              merge_ordered, salted_join)
 from .operators.setops import concat, except_, intersect, union
 from .sources import (from_pandas, from_spark, read_binary, read_csv,
                       read_jdbc, read_json, read_text,
@@ -61,7 +62,7 @@ __all__ = [
     "read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc",
     "read_text", "read_binary",
     "from_pandas", "from_spark",
-    "concat", "merge", "merge_asof", "interval_join", "salted_join", "union", "intersect", "except_",
+    "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut",
     "get_spark",
 ]

@@ -439,3 +439,25 @@ def salted_join(left, right, on, how: str = "inner", salt: int = 16):
     node = Node("salted_join", {"on": on, "salt": salt, "how": how},
                 left._expr, right._expr)
     return DataFrame(joined, node, (), None)
+
+
+def merge_ordered(left, right, on=None, left_on=None, right_on=None,
+                  how: str = "outer", fill_method: str | None = None,
+                  suffixes: tuple = ("_x", "_y")):
+    """pandas ``merge_ordered``: an ordered (outer by default) merge with
+    optional forward-fill of the gaps — the combine-two-time-series op.
+
+    Plan: the ordinary hash merge (one shuffle on the keys) + the
+    distributed ``last_scan`` forward fill in key order (one range
+    shuffle) when ``fill_method='ffill'`` — never a global window."""
+    out = merge(left, right, how=how, on=on, left_on=left_on,
+                right_on=right_on, suffixes=suffixes)
+    keys = ([on] if isinstance(on, str) else list(on)) if on is not None \
+        else ([left_on] if isinstance(left_on, str) else list(left_on))
+    if fill_method in ("ffill", "pad"):
+        filled = out.set_index(keys).ffill().reset_index()
+        out = filled[[c for c in out.columns]]
+    elif fill_method is not None:
+        raise ValueError(f"fill_method must be 'ffill' or None, "
+                         f"got {fill_method!r}")
+    return out.sort_values(keys)

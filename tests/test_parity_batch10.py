@@ -142,3 +142,24 @@ def test_series_autocorr(spark):
         exp = pdf.v.autocorr(lag)
         got = pes.from_pandas(pdf).v.autocorr(lag).compute()
         assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_merge_ordered_ffill(spark):
+    a = pd.DataFrame({"t": [1, 3, 5], "x": [10.0, 30.0, 50.0]})
+    b = pd.DataFrame({"t": [2, 3, 6], "y": ["b", "c", "f"]})
+    exp = pd.merge_ordered(a, b, on="t", fill_method="ffill")
+    got = (pes.merge_ordered(pes.from_pandas(a), pes.from_pandas(b),
+                             on="t", fill_method="ffill")
+           .compute().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+def test_merge_ordered_no_fill(spark):
+    a = pd.DataFrame({"t": [1, 3], "x": [10.0, 30.0]})
+    b = pd.DataFrame({"t": [2, 3], "y": [1, 2]})
+    exp = pd.merge_ordered(a, b, on="t")
+    got = (pes.merge_ordered(pes.from_pandas(a), pes.from_pandas(b), on="t")
+           .compute().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
