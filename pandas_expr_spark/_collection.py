@@ -1442,6 +1442,26 @@ class _SeriesRolling:
     def min(self) -> Series: return self._minmax("min")
     def max(self) -> Series: return self._minmax("max")
 
+    def apply(self, func, raw: bool = True) -> Series:
+        """pandas ``rolling(...).apply(func)`` for an arbitrary Python
+        window function — the distributed halo-block pattern
+        (``scan.rolling_apply``): blocks of rows + a ``window-1`` halo
+        copy run exact pandas locally per block, Arrow-batched.  This is
+        the slow path by construction — prefer the JVM aggs when the
+        function is expressible."""
+        from .functions import scan
+        if self._center:
+            raise NotImplementedError("rolling.apply with center=True")
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        out = scan.rolling_apply(sdf, name, order, self._window, func,
+                                 self._minp, out="__ra__", raw=raw)
+        res = out.select(*[F.col(c) for c in idx],
+                         F.col("__ra__").alias(name))
+        node = Node("rolling_apply", {"window": self._window}, s._expr)
+        return Series(res, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
+
 
 class _SeriesEwm:
     """pandas ``Series.ewm(...)`` chain target — delegates to the

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg",
-           "rolling_minmax", "last_scan"]
+           "rolling_minmax", "rolling_apply", "last_scan"]
 
 _PID = "__pes_pid__"
 
@@ -670,3 +670,53 @@ def is_monotonic(sdf: SparkDF, col: str, order_by: list[str],
         if (a > b) if increasing else (a < b):
             return False
     return True
+
+
+def rolling_apply(sdf: SparkDF, col: str, order_by: list[str], window: int,
+                  func, min_periods: int | None = None,
+                  out: str = "__roll__", raw: bool = True,
+                  block_rows: int = 4096,
+                  num_partitions: int | None = None) -> SparkDF:
+    """Global ``rolling(window).apply(func)`` for an ARBITRARY Python
+    window function — the halo-block pattern:
+
+    1. one range shuffle assigns global positions (``global_pos``);
+    2. rows are grouped into blocks of ``block_rows``; each block also
+       receives a HALO copy of the previous block's last ``window-1``
+       rows (a narrow projection + union — the only data duplication,
+       ``(w-1)/block_rows`` overhead);
+    3. one ``applyInPandas`` per block runs the exact pandas
+       ``rolling(...).apply(func)`` locally (halo rows provide the
+       cross-boundary windows and are dropped from the output).
+
+    Each block is an independent task — a 100 TB series runs
+    ``n/block_rows``-wide, never through one executor.  The Python func
+    runs Arrow-batched per block (this IS the slow path; use the
+    JVM rolling aggs whenever the function is expressible)."""
+    minp = window if min_periods is None else min_periods
+    if window > block_rows:
+        block_rows = window * 2
+    pos = global_pos(sdf.select(*order_by, col), order_by, "__pos__",
+                     num_partitions)
+    blk = (F.col("__pos__") / block_rows).cast("long")
+    main = pos.withColumn("__blk__", blk).withColumn("__halo__", F.lit(False))
+    halo = (pos.filter(F.col("__pos__") % block_rows >= block_rows
+                       - (window - 1))
+            .withColumn("__blk__", blk + 1)
+            .withColumn("__halo__", F.lit(True)))
+    both = main.unionByName(halo)
+
+    schema = T.StructType([T.StructField("__pos__", T.LongType()),
+                           T.StructField(out, T.DoubleType())])
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__pos__")
+        r = (pdf[col].rolling(window, min_periods=minp)
+             .apply(func, raw=raw))
+        keep = ~pdf["__halo__"].to_numpy()
+        return pd.DataFrame({"__pos__": pdf["__pos__"].to_numpy()[keep],
+                             out: r.to_numpy()[keep]})
+
+    res = both.groupBy("__blk__").applyInPandas(_block, schema)
+    # join results back to the original rows by position
+    return (pos.join(res, "__pos__", "left").drop("__pos__"))

@@ -205,3 +205,36 @@ def test_ffill_bfill_matches_pandas(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     got_b = df.bfill().compute().sort_index()
     pd.testing.assert_frame_equal(got_b, pdf.bfill(), check_dtype=False)
+
+
+def test_rolling_apply_halo_blocks(spark):
+    import numpy as np
+    import pandas as pd
+    from pandas_expr_spark.functions import scan
+
+    rng = np.random.RandomState(9)
+    v = rng.rand(200)
+    v[rng.rand(200) < 0.15] = np.nan
+    pdf = pd.DataFrame({"rowid": range(200), "v": v})
+    sdf = spark.createDataFrame(pdf)
+    func = lambda a: np.nanmax(a) - np.nanmin(a)
+    # tiny blocks force many halo boundaries
+    out = scan.rolling_apply(sdf, "v", ["rowid"], 7, func,
+                             min_periods=3, out="r", block_rows=16)
+    got = out.orderBy("rowid").toPandas()["r"].to_numpy()
+    exp = pdf.v.rolling(7, min_periods=3).apply(func, raw=True).to_numpy()
+    np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
+
+
+def test_series_rolling_apply(spark):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+
+    pdf = pd.DataFrame({"v": np.arange(60.0)})
+    exp = pdf.v.rolling(5, min_periods=2).apply(
+        lambda a: (a * a).sum(), raw=True)
+    got = (pes.from_pandas(pdf).v.rolling(5, min_periods=2)
+           .apply(lambda a: (a * a).sum()).compute().sort_index())
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
