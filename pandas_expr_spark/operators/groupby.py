@@ -831,6 +831,33 @@ class _GroupRolling:
     def std(self): return self._agg("std")
     def var(self): return self._agg("var")
 
+    def apply(self, func, raw: bool = True):
+        """pandas ``groupby.rolling(w).apply(func)`` — exact pandas per
+        group via Arrow-batched ``applyInPandas`` (one shuffle on the
+        keys; the Python func is the slow path by construction)."""
+        gb = self._gb
+        if self._w is None:
+            raise NotImplementedError("expanding().apply not supported")
+        sdf, order_cols, tmp = gb._positional()
+        w = self._w
+        minp = self._w if self._minp is None else self._minp
+        vcols = gb._value_columns(numeric_only=True)
+        fields = [T.StructField(f.name, T.DoubleType() if f.name in vcols
+                                else f.dataType, True)
+                  for f in sdf.schema.fields]
+        schema = T.StructType(fields)
+        names = [f.name for f in fields]
+
+        def _fn(pdf):
+            pdf = pdf.sort_values(order_cols).copy()
+            for c in vcols:
+                pdf[c] = (pdf[c].rolling(w, min_periods=minp)
+                          .apply(func, raw=raw))
+            return pdf[names]
+
+        out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
+        return gb._finish_window(out, tmp, "rolling_apply")
+
 
 class Resampler(GroupBy):
     """Time-bucketed GroupBy (pandas ``df.resample(freq, on=ts)``).

@@ -384,3 +384,18 @@ def test_groupby_pairwise_corr_cov(win_df, win_pdf):
                 / (len(d) - ddof)), include_groups=False)
         assert gotc.sort_index().values == pytest.approx(
             expc.sort_index().values, rel=1e-12)
+
+
+def test_grouped_rolling_apply(win_df, win_pdf):
+    import numpy as np
+    func = lambda a: a.max() - a.min()
+    exp = (win_pdf.groupby("k")[["v", "u"]]
+           .rolling(3, min_periods=2).apply(func, raw=True)
+           .reset_index(drop=True))
+    got = (win_df.groupby("k").rolling(3, min_periods=2).apply(func)
+           .compute()[["v", "u"]].sort_index().reset_index(drop=True))
+    # pandas output is ordered by (k, position); engine preserves row
+    # labels — compare per-group sorted multisets
+    np.testing.assert_allclose(
+        np.sort(got.fillna(-9).to_numpy(), axis=0),
+        np.sort(exp.fillna(-9).to_numpy(), axis=0), rtol=1e-12)
