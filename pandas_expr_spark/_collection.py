@@ -1483,6 +1483,62 @@ class _SeriesEwm:
                       s._index_names if s._index_cols else (None,))
 
 
+class _FrameRolling:
+    """pandas ``DataFrame.rolling`` — every numeric column in ONE shared
+    prefix scan + ONE position join (``scan.rolling_agg_frame``); min/max
+    fall back to one van Herk block pass per column."""
+
+    def __init__(self, frame: "DataFrame", window: int,
+                 min_periods: int | None, center: bool):
+        self._f, self._window = frame, window
+        self._minp, self._center = min_periods, center
+
+    def _base(self):
+        f = self._f
+        if f._index_cols:
+            return f._sdf, list(f._index_cols), f._index_cols, f._index_names
+        sdf = _attach_rowid(f._sdf)
+        return sdf, [_ROWID], (_ROWID,), (None,)
+
+    def _numeric(self):
+        f = self._f
+        return [c for c in f.columns
+                if is_numeric(f._sdf.schema[c].dataType)]
+
+    def _agg(self, fn: str) -> "DataFrame":
+        from .functions import scan
+        sdf, order, idx, names = self._base()
+        num = self._numeric()
+        out = scan.rolling_agg_frame(sdf, num, order, self._window, fn,
+                                     self._minp, center=self._center)
+        out = out.select(*[F.col(c) for c in idx], *num)
+        return DataFrame(out, Node(f"frame_rolling_{fn}",
+                                   {"window": self._window}, self._f._expr),
+                         idx, names)
+
+    def _minmax(self, fn: str) -> "DataFrame":
+        from .functions import scan
+        sdf, order, idx, names = self._base()
+        num = self._numeric()
+        cur = sdf
+        for c in num:
+            cur = scan.rolling_minmax(cur, c, order, self._window, fn,
+                                      self._minp, out=c,
+                                      center=self._center)
+        out = cur.select(*[F.col(c) for c in idx], *num)
+        return DataFrame(out, Node(f"frame_rolling_{fn}",
+                                   {"window": self._window}, self._f._expr),
+                         idx, names)
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")
+    def min(self): return self._minmax("min")
+    def max(self): return self._minmax("max")
+
+
 class _SeriesExpanding:
     """Global expanding window — the prefix scan itself (no join):
     ``sum_i`` is the running null-zeroed sum, guarded by the running
@@ -2567,6 +2623,13 @@ class DataFrame(FrameBase):
         node = Node(op, {"columns": list(self.columns)}, self._expr)
         return Series(out, F.col("__val__"), None, node,
                       ("__col__",), (None,))
+
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
+        """pandas ``DataFrame.rolling``: all numeric columns share ONE
+        distributed prefix scan + ONE position join (sum/mean/count/
+        var/std); min/max run the van Herk block pass per column."""
+        return _FrameRolling(self, window, min_periods, center)
 
     def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["prefix_scan", "global_pos", "is_monotonic", "rolling_agg",
-           "rolling_minmax", "rolling_apply", "last_scan"]
+           "rolling_minmax", "rolling_apply", "rolling_agg_frame", "last_scan"]
 
 _PID = "__pes_pid__"
 
@@ -720,3 +720,94 @@ def rolling_apply(sdf: SparkDF, col: str, order_by: list[str], window: int,
     res = both.groupBy("__blk__").applyInPandas(_block, schema)
     # join results back to the original rows by position
     return (pos.join(res, "__pos__", "left").drop("__pos__"))
+
+
+def rolling_agg_frame(sdf: SparkDF, cols: list[str], order_by: list[str],
+                      window: int, fn: str = "mean",
+                      min_periods: int | None = None,
+                      center: bool = False,
+                      num_partitions: int | None = None) -> SparkDF:
+    """Frame-wide rolling sum/mean/count/var/std: ALL columns share ONE
+    prefix scan (one range shuffle) and ONE position equi-join — the
+    per-column marginal cost is two running sums, not a pass.  Results
+    overwrite ``cols`` in place (double-typed)."""
+    if fn not in ("sum", "mean", "count", "var", "std"):
+        raise ValueError(f"rolling_agg_frame: fn {fn!r} unsupported")
+    minp = window if min_periods is None else min_periods
+    lead = (window - 1) // 2 if center else 0
+    need_sq = fn in ("var", "std")
+    base = sdf.withColumn("__one__", F.lit(1).cast("long"))
+    specs = [("__one__", "sum", "__P__")]
+    for c in cols:
+        base = (base
+                .withColumn(f"__z_{c}__", F.coalesce(
+                    F.col(c).cast("double"), F.lit(0.0)))
+                .withColumn(f"__nn_{c}__",
+                            F.col(c).isNotNull().cast("long")))
+        specs += [(f"__z_{c}__", "sum", f"__S_{c}__"),
+                  (f"__nn_{c}__", "sum", f"__C_{c}__")]
+        if need_sq:
+            base = base.withColumn(f"__z2_{c}__",
+                                   F.col(f"__z_{c}__") * F.col(f"__z_{c}__"))
+            specs.append((f"__z2_{c}__", "sum", f"__S2_{c}__"))
+    scanned = prefix_scan(base, specs, order_by, num_partitions)
+    pos = scanned.persist()
+
+    sc_cols = [f"__S_{c}__" for c in cols] + [f"__C_{c}__" for c in cols] \
+        + ([f"__S2_{c}__" for c in cols] if need_sq else [])
+    lag = pos.select((F.col("__P__") + window - lead).alias("__P__"),
+                     *[F.col(x).alias(f"{x}l") for x in sc_cols])
+    j = pos.join(lag, "__P__", "left")
+    if lead:
+        fwd = pos.select((F.col("__P__") - lead).alias("__P__"),
+                         *[F.col(x).alias(f"{x}f") for x in sc_cols])
+        j = j.join(fwd, "__P__", "left")
+        tot = pos.agg(F.max("__P__").alias("__Pt__"),
+                      *[F.max_by(x, "__P__").alias(f"{x}t")
+                        for x in sc_cols])
+        j = j.crossJoin(F.broadcast(tot))
+        truncated = (F.col("__P__") + lead) > F.col("__Pt__")
+
+    updates, drop = {}, ["__P__", "__one__"]
+    for c in cols:
+        S, C = f"__S_{c}__", f"__C_{c}__"
+        if lead:
+            hiS = F.when(truncated, F.col(f"{S}t")).otherwise(F.col(f"{S}f"))
+            hiC = F.when(truncated, F.col(f"{C}t")).otherwise(F.col(f"{C}f"))
+        else:
+            hiS, hiC = F.col(S), F.col(C)
+        wsum = hiS - F.coalesce(F.col(f"{S}l"), F.lit(0.0))
+        wcnt = hiC - F.coalesce(F.col(f"{C}l"), F.lit(0))
+        if fn == "sum":
+            val = wsum
+        elif fn == "mean":
+            val = F.when(wcnt > 0, wsum / wcnt)
+        elif fn == "count":
+            val = wcnt.cast("double")
+        else:
+            S2 = f"__S2_{c}__"
+            hiS2 = (F.when(truncated, F.col(f"{S2}t"))
+                    .otherwise(F.col(f"{S2}f")) if lead else F.col(S2))
+            wsq = hiS2 - F.coalesce(F.col(f"{S2}l"), F.lit(0.0))
+            n = wcnt.cast("double")
+            v = F.when(n >= 2, F.greatest(
+                (wsq - wsum * wsum / n) / (n - F.lit(1)), F.lit(0.0)))
+            val = F.sqrt(v) if fn == "std" else v
+        if fn == "count":
+            hi_pos = (F.least(F.col("__P__") + lead, F.col("__Pt__"))
+                      if lead else F.col("__P__"))
+            have = hi_pos - F.greatest(F.col("__P__") + lead - window,
+                                       F.lit(0))
+        else:
+            have = wcnt
+        updates[c] = F.when(have >= F.lit(minp), val)
+        drop += [S, C, f"{S}l", f"{C}l", f"__z_{c}__", f"__nn_{c}__"]
+        if need_sq:
+            drop += [f"__S2_{c}__", f"__S2_{c}__l", f"__z2_{c}__"]
+        if lead:
+            drop += [f"{S}f", f"{C}f", f"{S}t", f"{C}t"]
+            if need_sq:
+                drop += [f"__S2_{c}__f", f"__S2_{c}__t"]
+    if lead:
+        drop += ["__Pt__"]
+    return j.withColumns(updates).drop(*drop)

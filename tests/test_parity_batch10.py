@@ -163,3 +163,22 @@ def test_merge_ordered_no_fill(spark):
            .compute().reset_index(drop=True))
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
                                   check_dtype=False)
+
+
+@pytest.mark.parametrize("center", [False, True])
+def test_frame_rolling_all_aggs(spark, center):
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({"a": rng.rand(40), "b": rng.rand(40) * 10,
+                        "s": ["x"] * 40})
+    pdf.loc[rng.rand(40) < 0.2, "a"] = np.nan
+    df = pes.from_pandas(pdf)
+    for agg in ("sum", "mean", "count", "var", "std", "min", "max"):
+        exp = getattr(pdf[["a", "b"]].rolling(4, min_periods=2,
+                                              center=center), agg)()
+        got = getattr(df.rolling(4, min_periods=2, center=center),
+                      agg)().compute().sort_index()[["a", "b"]]
+        # atol: var/std via sufficient statistics carry ~1e-13 cancellation
+        # residue whose exact value depends on partition summation order
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, atol=1e-10, equal_nan=True,
+                                   err_msg=f"{agg} center={center}")
