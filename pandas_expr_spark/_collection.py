@@ -1539,6 +1539,78 @@ class _FrameRolling:
     def max(self): return self._minmax("max")
 
 
+class _FrameExpanding:
+    """pandas ``DataFrame.expanding`` — every numeric column in ONE
+    shared prefix scan (no join at all: the prefix IS the answer)."""
+
+    def __init__(self, frame: "DataFrame", min_periods: int):
+        self._f, self._minp = frame, min_periods
+
+    def _agg(self, fn: str) -> "DataFrame":
+        from .functions import scan
+        f = self._f
+        if f._index_cols:
+            sdf, order = f._sdf, list(f._index_cols)
+            idx, names = f._index_cols, f._index_names
+        else:
+            sdf, order = _attach_rowid(f._sdf), [_ROWID]
+            idx, names = (_ROWID,), (None,)
+        num = [c for c in f.columns
+               if is_numeric(f._sdf.schema[c].dataType)]
+        base = sdf.withColumn("__one__", F.lit(1).cast("long"))
+        specs = [("__one__", "sum", "__P__")]
+        need_sq = fn in ("var", "std")
+        for c in num:
+            base = (base.withColumn(f"__z_{c}__", F.coalesce(
+                        F.col(c).cast("double"), F.lit(0.0)))
+                    .withColumn(f"__nn_{c}__",
+                                F.col(c).isNotNull().cast("long")))
+            specs += [(f"__z_{c}__", "sum", f"__S_{c}__"),
+                      (f"__nn_{c}__", "sum", f"__C_{c}__")]
+            if need_sq:
+                base = base.withColumn(
+                    f"__z2_{c}__", F.col(f"__z_{c}__") * F.col(f"__z_{c}__"))
+                specs.append((f"__z2_{c}__", "sum", f"__S2_{c}__"))
+            if fn in ("min", "max"):
+                ident = float("inf") if fn == "min" else float("-inf")
+                base = base.withColumn(f"__zm_{c}__", F.coalesce(
+                    F.col(c).cast("double"), F.lit(ident)))
+                specs.append((f"__zm_{c}__", fn, f"__M_{c}__"))
+        scanned = scan.prefix_scan(base, specs, order)
+        updates = {}
+        for c in num:
+            cnt = F.col(f"__C_{c}__")
+            if fn == "sum":
+                val = F.col(f"__S_{c}__")
+            elif fn == "mean":
+                val = F.when(cnt > 0, F.col(f"__S_{c}__") / cnt)
+            elif fn in ("var", "std"):
+                n = cnt.cast("double")
+                v = F.when(n >= 2, F.greatest(
+                    (F.col(f"__S2_{c}__")
+                     - F.col(f"__S_{c}__") * F.col(f"__S_{c}__") / n)
+                    / (n - F.lit(1)), F.lit(0.0)))
+                val = F.sqrt(v) if fn == "std" else v
+            elif fn in ("min", "max"):
+                val = F.col(f"__M_{c}__")
+            else:
+                val = cnt.cast("double")
+            have = F.col("__P__") if fn == "count" else cnt
+            updates[c] = F.when(have >= F.lit(self._minp), val)
+        out = scanned.withColumns(updates).select(
+            *[F.col(c) for c in idx], *num)
+        return DataFrame(out, Node(f"frame_expanding_{fn}", {},
+                                   self._f._expr), idx, names)
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+
+
 class _SeriesExpanding:
     """Global expanding window — the prefix scan itself (no join):
     ``sum_i`` is the running null-zeroed sum, guarded by the running
@@ -1581,9 +1653,11 @@ class _SeriesExpanding:
             val = F.col("__S__") / cnt
         elif fn in ("var", "std"):
             n = cnt.cast("double")
-            v = (F.col("__S2__") - F.col("__S__") * F.col("__S__") / n) \
-                / (n - F.lit(1))
-            v = F.greatest(v, F.lit(0.0))
+            # ddof=1: 0/1-observation prefixes are NaN in pandas and a
+            # DIVIDE_BY_ZERO under ANSI — guard BEFORE dividing
+            v = F.when(n >= 2, F.greatest(
+                (F.col("__S2__") - F.col("__S__") * F.col("__S__") / n)
+                / (n - F.lit(1)), F.lit(0.0)))
             val = F.sqrt(v) if fn == "std" else v
         elif fn in ("min", "max"):
             val = F.col("__M__")
@@ -2630,6 +2704,11 @@ class DataFrame(FrameBase):
         distributed prefix scan + ONE position join (sum/mean/count/
         var/std); min/max run the van Herk block pass per column."""
         return _FrameRolling(self, window, min_periods, center)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``DataFrame.expanding``: all numeric columns in ONE
+        shared prefix scan — no join, the prefix IS the answer."""
+        return _FrameExpanding(self, min_periods)
 
     def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the

@@ -182,3 +182,27 @@ def test_frame_rolling_all_aggs(spark, center):
         np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                    rtol=1e-9, atol=1e-10, equal_nan=True,
                                    err_msg=f"{agg} center={center}")
+
+
+def test_frame_expanding_all_aggs(spark):
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({"a": rng.rand(30), "b": rng.rand(30) * 5})
+    pdf.loc[rng.rand(30) < 0.25, "a"] = np.nan
+    df = pes.from_pandas(pdf)
+    for agg in ("sum", "mean", "count", "var", "std", "min", "max"):
+        exp = getattr(pdf.expanding(min_periods=2), agg)()
+        got = getattr(df.expanding(min_periods=2), agg)() \
+            .compute().sort_index()[["a", "b"]]
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, atol=1e-10, equal_nan=True,
+                                   err_msg=agg)
+
+
+def test_series_expanding_var_minp1(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 4.0, np.nan, 8.0]})
+    for fn in ("var", "std"):
+        got = getattr(pes.from_pandas(pdf).v.expanding(min_periods=1),
+                      fn)().compute().sort_index()
+        exp = getattr(pdf.v.expanding(min_periods=1), fn)()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-12, equal_nan=True)
