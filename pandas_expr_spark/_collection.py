@@ -653,10 +653,13 @@ class Series(FrameBase):
             n = F.count(self._scol)
             sd = F.stddev_samp(self._scol) if ddof == 1 \
                 else F.stddev_pop(self._scol)
-            return self._reduce(sd / F.sqrt(n), "sem", skipna)
+            # n = 0 → NaN in pandas; /0 is an ANSI error
+            return self._reduce(F.when(n > 0, sd / F.sqrt(n)),
+                                "sem", skipna)
         n, (s1, s2) = self._moment_sums(2)
         sd = F.sqrt((s2 - s1 * s1 / n) / (n - ddof))
-        return self._reduce(sd / F.sqrt(n), "sem", skipna)
+        return self._reduce(F.when(n > ddof, sd / F.sqrt(n)),
+                            "sem", skipna)
 
     def _moment_sums(self, k: int) -> tuple[Column, list[Column]]:
         """(n, [Σx, Σx², … Σx^k]) in ONE aggregation.  For integral inputs
@@ -685,7 +688,11 @@ class Series(FrameBase):
         m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
         # m2^1.5 as sqrt(m2*m2*m2): correctly rounded, engine-portable
         g1 = m3 / F.sqrt(m2 * m2 * m2)
-        agg = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+        core = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+        # pandas edges: n < 3 -> NaN; zero variance -> 0.0 (ANSI would
+        # error on the /0 before the result is even read)
+        agg = (F.when(n < 3, F.lit(None).cast("double"))
+               .when(m2 <= 0, F.lit(0.0)).otherwise(core))
         return self._reduce(agg, "skew", skipna)
 
     def kurt(self, skipna: bool = True):
@@ -697,7 +704,9 @@ class Series(FrameBase):
         m4 = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
               - 3 * m * m * m * m)
         g2 = m4 / (m2 * m2) - 3
-        agg = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        core = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        agg = (F.when(n < 4, F.lit(None).cast("double"))
+               .when(m2 <= 0, F.lit(0.0)).otherwise(core))
         return self._reduce(agg, "kurt", skipna)
 
     kurtosis = kurt

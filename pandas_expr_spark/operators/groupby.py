@@ -32,23 +32,30 @@ def _moments(c: Column, k: int):
 
 
 def _skew_g1(c: Column) -> Column:
-    """pandas bias-corrected G1 (F.skewness is the population g1)."""
+    """pandas bias-corrected G1 (F.skewness is the population g1).
+    pandas edges: n < 3 → NaN; zero variance → 0.0 — both guarded BEFORE
+    the division (ANSI would error on /0)."""
     n, (s1, s2, s3) = _moments(c, 3)
     m = s1 / n
     m2 = s2 / n - m * m
     m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
-    return (m3 / F.sqrt(m2 * m2 * m2)) * F.sqrt(n * (n - 1)) / (n - 2)
+    core = (m3 / F.sqrt(m2 * m2 * m2)) * F.sqrt(n * (n - 1)) / (n - 2)
+    return (F.when(n < 3, F.lit(None).cast("double"))
+            .when(m2 <= 0, F.lit(0.0)).otherwise(core))
 
 
 def _kurt_g2(c: Column) -> Column:
-    """pandas bias-corrected excess kurtosis G2."""
+    """pandas bias-corrected excess kurtosis G2.
+    pandas edges: n < 4 → NaN; zero variance → 0.0 (guarded, see skew)."""
     n, (s1, s2, s3, s4) = _moments(c, 4)
     m = s1 / n
     m2 = s2 / n - m * m
     m4 = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
           - 3 * m * m * m * m)
     g2 = m4 / (m2 * m2) - 3
-    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    core = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return (F.when(n < 4, F.lit(None).cast("double"))
+            .when(m2 <= 0, F.lit(0.0)).otherwise(core))
 
 
 _AGG_FNS: dict[str, Callable[[Column], Column]] = {

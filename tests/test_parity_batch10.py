@@ -206,3 +206,28 @@ def test_series_expanding_var_minp1(spark):
         exp = getattr(pdf.v.expanding(min_periods=1), fn)()
         np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                    rtol=1e-12, equal_nan=True)
+
+
+def test_skew_kurt_sem_edges(spark):
+    cases = [("skew", [1.0, 2.0]), ("skew", [2.0, 2.0, 2.0]),
+             ("kurt", [1.0, 2.0, 3.0]), ("kurt", [3.0] * 5),
+             ("sem", [4.0])]
+    for fn, data in cases:
+        got = getattr(pes.from_pandas(pd.DataFrame({"v": data})).v,
+                      fn)().compute()
+        exp = getattr(pd.Series(data), fn)()
+        g_na = got is None or (isinstance(got, float) and np.isnan(got))
+        assert (g_na and np.isnan(exp)) or \
+            got == pytest.approx(exp), (fn, data, got, exp)
+
+
+def test_grouped_skew_kurt_tiny_groups(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 2, 3, 4, 4, 4, 4],
+                        "v": [1.0, 2.0, 1.0, 3.0, 5.0, 2.0,
+                              1.0, 1.0, 1.0, 1.0]})
+    df = pes.from_pandas(pdf)
+    for fn in ("skew", "kurt", "sem"):
+        got = df.groupby("k").agg(o=("v", fn)).compute().o
+        exp = pdf.groupby("k").v.apply(lambda s: getattr(s, fn)())
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, equal_nan=True, err_msg=fn)
