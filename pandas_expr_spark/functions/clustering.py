@@ -147,9 +147,13 @@ def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",
                               max_iter=max_iter)
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
                               F.lit(0.0), lambda a, x: a + x))
+    # zero vectors normalize to the zero vector (cos 0 with everything —
+    # never a near-dup) instead of an ANSI divide-by-zero
     unit = (clustered
             .withColumn("__u__", F.transform(F.col(vec_col),
-                                             lambda x: x / norm))
+                                             lambda x: F.when(
+                                                 norm > 0, x / norm)
+                                             .otherwise(F.lit(0.0))))
             .localCheckpoint(eager=False))
 
     a = unit.select(F.col(id_col).alias("__ida__"), "cluster",

@@ -330,7 +330,7 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
     two-stage ANN-join: O(bands·n) bucketing shuffle + per-bucket quadratic
     verify + one pair-dedup shuffle — never an all-pairs crossJoin.
     """
-    from .similarity import _dot, _norm, random_hyperplane_bucket
+    from .similarity import _cosine, _dot, _norm, random_hyperplane_bucket
     buckets = [random_hyperplane_bucket(vec_col, num_planes=num_planes,
                                         seed=seed + 7919 * j)
                for j in range(bands)]
@@ -351,7 +351,7 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
     if bands > 1:
         # a pair can collide in several bands — verify each pair once
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    cos = _dot("__v_a__", "__v_b__") / (_norm("__v_a__") * _norm("__v_b__"))
+    cos = _cosine(_dot("__v_a__", "__v_b__"), _norm("__v_a__"), _norm("__v_b__"))
     return (cand.withColumn("cosine", cos)
             .filter(F.col("cosine") >= cosine_threshold)
             .select("id_a", "id_b", "cosine"))

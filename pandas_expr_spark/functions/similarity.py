@@ -34,6 +34,14 @@ def _norm(a: Column | str) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """dot/(na*nb) with the zero-vector guard: cosine against a zero
+    vector is undefined → null (pandas/np convention is NaN; ANSI division
+    would hard-error the whole query on one bad row)."""
+    d = na * nb
+    return F.when(d > 0, dot / d)
+
+
 def _lit_vec(vec) -> Column:
     # ONE py4j call for the whole array literal — per-element F.lit would
     # cost a JVM round trip each (measured: ~2.5 s of driver-side analysis
@@ -50,7 +58,7 @@ def cosine_topk(sdf: SparkDF, query_vec, k: int = 10,
     map-side top-k per partition then a driver merge of k·partitions rows.
     """
     q = _lit_vec(query_vec)
-    cos = _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    cos = _cosine(_dot(vec_col, q), _norm(vec_col), _norm(q))
     out = (sdf.select(F.col(id_col), cos.alias("cosine"))
            .orderBy(F.desc("cosine"), F.asc(id_col))
            .limit(k))
@@ -80,7 +88,7 @@ def brute_force_pairs(sdf: SparkDF, cosine_threshold: float = 0.95,
                  F.col("__n__").alias("__na__"))
     b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"),
                  F.col("__n__").alias("__nb__"))
-    cos = _dot("__va__", "__vb__") / (F.col("__na__") * F.col("__nb__"))
+    cos = _cosine(_dot("__va__", "__vb__"), F.col("__na__"), F.col("__nb__"))
     out = (a.crossJoin(b)
            .filter(F.col("id_a") < F.col("id_b"))
            .withColumn("cosine", cos)
