@@ -66,8 +66,10 @@ def _var_fn(ddof: int):
     def fn(c: Column) -> Column:
         x = c.cast("double")
         n = F.count(x)
-        return ((F.sum(x * x) - F.sum(x) * F.sum(x) / n)
-                / (n - F.lit(ddof)))
+        # n ≤ ddof → NaN in pandas; the raw /0 is an ANSI error
+        return F.when(n > ddof,
+                      (F.sum(x * x) - F.sum(x) * F.sum(x) / n)
+                      / (n - F.lit(ddof)))
     return fn
 
 
@@ -632,7 +634,7 @@ class Series(FrameBase):
         # exact decimal power sums, then double arithmetic — Σx·Σx in the
         # input's integer type would overflow int64 (Σx ≈ 1e10 squared)
         n, (s1, s2) = self._moment_sums(2)
-        agg = (s2 - s1 * s1 / n) / (n - ddof)
+        agg = F.when(n > ddof, (s2 - s1 * s1 / n) / (n - ddof))
         return self._reduce(agg, "var", skipna)
 
     def std(self, ddof: int = 1, skipna: bool = True):
@@ -3048,7 +3050,8 @@ class DataFrame(FrameBase):
             sx = F.sum(F.when(y.isNotNull(), x))
             sy = F.sum(F.when(x.isNotNull(), y))
             sxy = F.sum(x * y)
-            return (sxy - sx * sy / n) / (n - F.lit(ddof))
+            return F.when(n > ddof,
+                          (sxy - sx * sy / n) / (n - F.lit(ddof)))
         return self._pairwise(fn, "cov")
 
     def get_dummies(self, columns: Sequence[str],

@@ -77,7 +77,9 @@ _AGG_FNS: dict[str, Callable[[Column], Column]] = {
     "any": lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
     "all": lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
     "size": lambda c: F.count(F.lit(1)),
-    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+    # all-null group → count 0 → /0 would ANSI-error; pandas yields NaN
+    "sem": lambda c: F.when(F.count(c) > 0,
+                            F.stddev_samp(c) / F.sqrt(F.count(c))),
     "skew": _skew_g1,
     "kurt": _kurt_g2,
     "collect_list": F.collect_list,
@@ -251,7 +253,10 @@ class GroupBy:
         for c in cols:
             x = F.col(c).cast("double")
             n = F.count(x)
-            v = (F.sum(x * x) - F.sum(x) * F.sum(x) / n) / (n - F.lit(ddof))
+            # n ≤ ddof → NaN in pandas; the raw /0 is an ANSI error
+            v = F.when(n > ddof,
+                       (F.sum(x * x) - F.sum(x) * F.sum(x) / n)
+                       / (n - F.lit(ddof)))
             aggs.append((F.sqrt(v) if sqrt else v).alias(c))
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set()
@@ -767,8 +772,10 @@ class GroupBy:
         if ddof == 0:
             return self._pairwise(lambda a, b: F.covar_pop(a, b), "cov")
         return self._pairwise(
-            lambda a, b: (F.sum(a * b) - F.sum(a) * F.sum(b) / F.count(a))
-            / (F.count(a) - F.lit(ddof)), "cov")
+            lambda a, b: F.when(
+                F.count(a) > ddof,
+                (F.sum(a * b) - F.sum(a) * F.sum(b) / F.count(a))
+                / (F.count(a) - F.lit(ddof))), "cov")
 
     def _pairwise(self, fn, op: str):
         cols = self._value_columns(numeric_only=True)

@@ -231,3 +231,22 @@ def test_grouped_skew_kurt_tiny_groups(spark):
         exp = pdf.groupby("k").v.apply(lambda s: getattr(s, fn)())
         np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                    rtol=1e-9, equal_nan=True, err_msg=fn)
+
+
+def test_general_ddof_small_n(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    df = pes.from_pandas(pdf)
+    # n ≤ ddof → NaN, not an ANSI error
+    assert df.v.var(ddof=3).compute() is None or \
+        np.isnan(df.v.var(ddof=3).compute())
+    got = df.groupby("k").agg(o=("v", "var")).compute().o
+    exp = pdf.groupby("k").v.var()
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
+    # all-null group sem
+    pdf2 = pd.DataFrame({"k": [1, 1, 2], "v": [np.nan, np.nan, 3.0]})
+    got2 = pes.from_pandas(pdf2).groupby("k").agg(o=("v", "sem")) \
+        .compute().o
+    exp2 = pdf2.groupby("k").v.sem()
+    np.testing.assert_allclose(got2.to_numpy(), exp2.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
