@@ -2716,6 +2716,78 @@ class DataFrame(FrameBase):
         var/std); min/max run the van Herk block pass per column."""
         return _FrameRolling(self, window, min_periods, center)
 
+    def interpolate(self, method: str = "linear",
+                    limit: int | None = None) -> "DataFrame":
+        """pandas ``DataFrame.interpolate`` over the global order: every
+        numeric column shares ONE position pass and ONE pair of
+        sentinel-encoded neighbor scans (multi-spec ``prefix_scan``); only
+        the neighbor-value fetches (two position equi-joins per column)
+        are per-column.  Same semantics as ``Series.interpolate``
+        (linear/pad, forward limit direction)."""
+        if method not in ("linear", "pad", "ffill"):
+            raise ValueError(f"interpolate: method {method!r} not supported")
+        from .functions import scan
+        SENT = -(1 << 62)
+        if self._index_cols:
+            sdf, order = self._sdf, list(self._index_cols)
+            idx, names = self._index_cols, self._index_names
+        else:
+            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            idx, names = (_ROWID,), (None,)
+        num = [c for c in self.columns
+               if is_numeric(self._sdf.schema[c].dataType)]
+        other = [c for c in self.columns if c not in num]
+        pos = scan.global_pos(sdf, order)
+        base = pos.withColumn("__negpos__", -F.col("__pos__"))
+        fwd_specs, bwd_specs = [], []
+        for c in num:
+            v = F.col(c)
+            base = (base
+                    .withColumn(f"__pv_{c}__",
+                                F.when(v.isNotNull(), F.col("__pos__"))
+                                .otherwise(F.lit(SENT)))
+                    .withColumn(f"__nv_{c}__",
+                                F.when(v.isNotNull(), -F.col("__pos__"))
+                                .otherwise(F.lit(SENT))))
+            fwd_specs.append((f"__pv_{c}__", "max", f"__ppr_{c}__"))
+            bwd_specs.append((f"__nv_{c}__", "max", f"__npr_{c}__"))
+        s1 = scan.prefix_scan(base, fwd_specs, ["__pos__"])
+        s2 = scan.prefix_scan(s1, bwd_specs, ["__negpos__"])
+        j = s2
+        filled = {}
+        for c in num:
+            v = F.col(c)
+            pp_c, np_c = f"__pp_{c}__", f"__np_{c}__"
+            j = (j.withColumn(pp_c, F.when(F.col(f"__ppr_{c}__") != SENT,
+                                           F.col(f"__ppr_{c}__")))
+                 .withColumn(np_c, F.when(F.col(f"__npr_{c}__") != SENT,
+                                          -F.col(f"__npr_{c}__"))))
+            vals = (s2.filter(v.isNotNull())
+                    .select(F.col("__pos__").alias(pp_c),
+                            v.cast("double").alias(f"__prev_{c}__")))
+            nvals = (s2.filter(v.isNotNull())
+                     .select(F.col("__pos__").alias(np_c),
+                             v.cast("double").alias(f"__next_{c}__")))
+            j = j.join(vals, pp_c, "left").join(nvals, np_c, "left")
+            p = F.col("__pos__")
+            pp, np_ = F.col(pp_c), F.col(np_c)
+            prev, nxt = F.col(f"__prev_{c}__"), F.col(f"__next_{c}__")
+            if method == "linear":
+                f_ = (F.when(np_.isNotNull(),
+                             prev + (nxt - prev) * (p - pp) / (np_ - pp))
+                      .otherwise(prev))
+            else:
+                f_ = prev
+            if limit is not None:
+                f_ = F.when((p - pp) <= F.lit(limit), f_)
+            filled[c] = F.when(v.isNotNull(), v.cast("double")).otherwise(
+                F.when(pp.isNotNull(), f_))
+        out = j.withColumns(filled).select(
+            *[F.col(c) for c in idx],
+            *[F.col(c) for c in self.columns])
+        return DataFrame(out, Node("frame_interpolate", {"method": method},
+                                   self._expr), idx, names)
+
     def expanding(self, min_periods: int = 1):
         """pandas ``DataFrame.expanding``: all numeric columns in ONE
         shared prefix scan — no join, the prefix IS the answer."""

@@ -250,3 +250,18 @@ def test_general_ddof_small_n(spark):
     exp2 = pdf2.groupby("k").v.sem()
     np.testing.assert_allclose(got2.to_numpy(), exp2.to_numpy(),
                                rtol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("method,limit", [("linear", None), ("pad", None),
+                                          ("linear", 2)])
+def test_frame_interpolate(spark, method, limit):
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({"a": rng.rand(50), "b": rng.rand(50) * 5,
+                        "s": ["t"] * 50})
+    pdf.loc[rng.rand(50) < 0.35, "a"] = np.nan
+    pdf.loc[rng.rand(50) < 0.35, "b"] = np.nan
+    exp = pdf[["a", "b"]].interpolate(method=method, limit=limit)
+    got = (pes.from_pandas(pdf).interpolate(method=method, limit=limit)
+           .compute().sort_index()[["a", "b"]])
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
