@@ -2566,6 +2566,41 @@ def streaming_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "redacted_delta").orderBy("source"))
 
 
+def rolling_center_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling window (``rolling(5, center=True)``) over the
+    global order — the distributed prefix-difference read at two shifted
+    positions (scan.rolling_agg center path), never a global window.
+    Integer-cents sum keeps the oracle exact; min_periods default (=w)
+    nulls the truncated edges exactly like the SQL COUNT guard."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    o = o.assign(cents=(o.o_totalprice * 100).floor()).set_index("o_orderkey")
+    s = o.cents.rolling(5, center=True).sum()
+    out = s.to_frame("csum").reset_index()
+    r = out.to_spark()
+    return (r.select("o_orderkey", F.col("csum").cast("long").alias("csum"))
+            .orderBy("o_orderkey"))
+
+
+def ffill_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded forward fill (``ffill(limit=3)``) over the global event
+    order — the position-carrying ``last_scan`` (fill distance computed
+    against the origin's global position, so cross-partition gaps count
+    exactly).  Oracle: LAST_VALUE IGNORE NULLS over a 3-PRECEDING frame."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "value"])
+    ev = ev.assign(v=(ev.value * 1000).floor())
+    ev = ev.assign(v=ev.v.mask(ev.v % 3 == 0))         # deterministic holes
+    s = ev.set_index("event_id").v.ffill(limit=3)
+    out = s.to_frame("v_filled").reset_index()
+    r = out.to_spark()
+    return (r.select("event_id",
+                     F.col("v_filled").cast("long").alias("v_filled"))
+            .orderBy("event_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2660,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "between_time_events": between_time_events,
         "pivot_customer_priority": pivot_customer_priority,
         "streaming_quality_curation": streaming_quality_curation,
+        "rolling_center_orders": rolling_center_orders,
+        "ffill_limit_events": ffill_limit_events,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4008,6 +4045,29 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "rolling_center_orders": """
+            SELECT o_orderkey,
+                   CASE WHEN COUNT(*) OVER w = 5
+                        THEN CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                                  OVER w AS BIGINT) END AS csum
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            ORDER BY o_orderkey
+        """,
+        "ffill_limit_events": """
+            WITH t AS (
+                SELECT event_id,
+                       CASE WHEN CAST(floor(value * 1000) AS BIGINT) % 3 <> 0
+                            THEN CAST(floor(value * 1000) AS BIGINT) END AS v
+                FROM events
+            )
+            SELECT event_id,
+                   COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS v_filled
+            FROM t ORDER BY event_id
         """,
         "streaming_quality_curation": r"""
             WITH d AS (
