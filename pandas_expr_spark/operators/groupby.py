@@ -511,6 +511,18 @@ class GroupBy:
     def tail(self, n: int = 5):
         return self._positional_limit(n, ascending=False, op="tail")
 
+    def resample(self, freq: str, on: str):
+        """pandas ``groupby(keys).resample(freq, on=ts)``: per-entity time
+        bucketing — the group keys simply precede the time bucket in ONE
+        grouped aggregation (one shuffle on (keys, bucket), identical
+        memory contract to plain groupby; the bucket projection is pure
+        JVM date_trunc/window)."""
+        base = self._frame.resample(freq, on)   # bucketizes the frame
+        r = Resampler(base._frame, on, base._step_sql, fill_empty=False,
+                      sort=self._sort, extra_by=self._by)
+        r._slice = self._slice
+        return r
+
     def rolling(self, window: int, min_periods: int | None = None,
                 center: bool = False):
         """pandas ``groupby(...).rolling(w)`` chain: each agg is ONE
@@ -887,8 +899,16 @@ class Resampler(GroupBy):
     of the fact table."""
 
     def __init__(self, frame, on: str, step_sql: str,
-                 fill_empty: bool = False, sort: bool = True):
-        super().__init__(frame, [on], sort=sort)
+                 fill_empty: bool = False, sort: bool = True,
+                 extra_by: list[str] | None = None):
+        # grouped resample (pandas ``groupby(k).resample(freq)``): the
+        # group keys precede the time bucket; fill_empty is batch-only
+        # (a per-group calendar spine is a different, opt-in product)
+        self._extra_by = list(extra_by or [])
+        if self._extra_by and fill_empty:
+            raise NotImplementedError("fill_empty with grouped resample")
+        super().__init__(frame, self._extra_by + [on], sort=sort)
+        self._on = on
         self._step_sql = step_sql
         self._fill_empty = fill_empty
 
@@ -897,14 +917,15 @@ class Resampler(GroupBy):
         missing = [k for k in keys if k not in self._frame.columns]
         if missing:
             raise KeyError(missing)
-        r = Resampler(self._frame, self._by[0], self._step_sql,
-                      self._fill_empty, self._sort)
+        r = Resampler(self._frame, self._on, self._step_sql,
+                      self._fill_empty, self._sort,
+                      extra_by=self._extra_by)
         r._slice = keys
         return r
 
     def _finish(self, out, op: str):
         if self._fill_empty:
-            on = self._by[0]
+            on = self._on
             out = out.persist()
             bounds = out.agg(F.min(on).alias("__lo__"),
                              F.max(on).alias("__hi__"))

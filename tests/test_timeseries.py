@@ -317,3 +317,25 @@ def test_asfreq(spark):
         .sort_values("ts").reset_index(drop=True)
     expp = pdf.set_index("ts").asfreq("h", method="pad").reset_index()
     pd.testing.assert_frame_equal(gotp, expp, check_dtype=False)
+
+
+def test_grouped_resample_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+
+    ts = pd.date_range("2024-01-01", periods=60, freq="7h")
+    pdf = pd.DataFrame({"k": [i % 3 for i in range(60)], "ts": ts,
+                        "v": np.arange(60.0)})
+    got = (pes.from_pandas(pdf).groupby("k").resample("D", on="ts")
+           .agg(s=("v", "sum"), n=("v", "count")).reset_index().compute()
+           .sort_values(["k", "ts"]).reset_index(drop=True))
+    exp = (pdf.set_index("ts").groupby("k").v.resample("D")
+           .agg(["sum", "count"]).reset_index())
+    # engine (documented) does not materialize empty per-group bins
+    exp = (exp[exp["count"] > 0].sort_values(["k", "ts"])
+           .reset_index(drop=True))
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.ts.tolist() == exp.ts.tolist()
+    assert got.s.tolist() == exp["sum"].tolist()
+    assert got.n.tolist() == exp["count"].tolist()
