@@ -2601,6 +2601,27 @@ def ffill_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def grouped_resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby(user).resample('D', on=ts)`` — per-entity calendar
+    bucketing as ONE grouped aggregation on (user, day): the group keys
+    simply precede the time bucket (no per-group pass, no window).
+    Oracle = GROUP BY user, date_trunc."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events")
+                        .select("user_id", "ts", "value"))
+    ev = ev[ev.user_id < 40]
+    ev = ev.assign(vc=(ev.value * 100).floor())
+    out = (ev.groupby("user_id").resample("D", on="ts")
+           .agg(total=("vc", "sum"), n=("vc", "count")).reset_index())
+    r = out.to_spark()
+    return (r.select("user_id",
+                     F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     F.col("total").cast("long").alias("total"),
+                     F.col("n").cast("long").alias("n"))
+            .orderBy("user_id", "day"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2697,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_curation": streaming_quality_curation,
         "rolling_center_orders": rolling_center_orders,
         "ffill_limit_events": ffill_limit_events,
+        "grouped_resample_user_daily": grouped_resample_user_daily,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4045,6 +4067,16 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "grouped_resample_user_daily": """
+            SELECT user_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE user_id < 40
+            GROUP BY user_id, date_trunc('day', ts)
+            ORDER BY user_id, day
         """,
         "rolling_center_orders": """
             SELECT o_orderkey,
