@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -2622,6 +2622,46 @@ def grouped_resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "day"))
 
 
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-mix pipeline as ONE composed lazy plan:
+    Gopher rule filter → exact fingerprint dedup (keep min doc id) →
+    deterministic 90% train split → per-source token budget (500) →
+    fractional-epoch mixing → per-source stats.  Every stage is the
+    already-gated operator (curation/splits/text modules) — this gate
+    proves they COMPOSE without materialization barriers; the oracle
+    replays the identical SQL stage by stage."""
+    from pandas_expr_spark.functions import curation, splits, text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    flags = curation.gopher_rules("text")
+    # the synthetic corpus has no stop-word/symbol variance — gate on the
+    # two LENGTH rules so the pipeline actually carries rows (the full
+    # conjunction is exact-gated separately in doc_gopher_quality)
+    passes = flags[2] & flags[3]          # r_word_count & r_mean_len
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    d = (docs.withColumn("__pass__", passes).filter(F.col("__pass__"))
+         .withColumn("__fp__", fp))
+    w = Window.partitionBy("__fp__")
+    deduped = (d.withColumn("__min_id__", F.min("doc_id").over(w))
+               .filter(F.col("doc_id") == F.col("__min_id__")))
+    train = deduped.filter(splits.hash_bucket("doc_id", salt="split")
+                           < 900_000)
+    train = train.withColumn("n_tokens",
+                             tx.token_count("text").cast("long"))
+    kept = curation.budget_sample(train, 500, token_col="n_tokens",
+                                  source_col="source", key_col="doc_id")
+    f = (F.lit(0.5) + F.lit(0.25)
+         * (F.substring("source", 4, 10).cast("int") % 3))
+    mixed = curation.epoch_sample(kept.select("doc_id", "source",
+                                              "n_tokens"), f)
+    return (mixed.groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2719,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_center_orders": rolling_center_orders,
         "ffill_limit_events": ffill_limit_events,
         "grouped_resample_user_daily": grouped_resample_user_daily,
+        "training_mix_pipeline": training_mix_pipeline,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4067,6 +4108,58 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "training_mix_pipeline": """
+            WITH gp AS (      -- stage 1: gopher filter (same rules battery)
+                SELECT doc_id, source, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, source, text FROM gp
+                WHERE len(ws) BETWEEN 50 AND 100000
+                  AND (CASE WHEN len(ws) > 0 THEN
+                        CAST(list_sum(list_transform(ws, x -> len(x)))
+                             AS DOUBLE) / len(ws) ELSE 0.0 END)
+                      BETWEEN 3.0 AND 10.0
+            ), dd AS (        -- stage 2: exact fingerprint dedup, min id
+                SELECT * FROM g
+                QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY
+                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+            ), tr AS (        -- stage 3: 90% train split
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(concat('0x', substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+                FROM dd
+                WHERE CAST(concat('0x', substring(
+                          md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+                          AS BIGINT) % 1000000 < 900000
+            ), bud AS (       -- stage 4: 500-token budget per source
+                SELECT doc_id, source, tok FROM (
+                    SELECT *, SUM(tok) OVER (PARTITION BY source
+                                             ORDER BY b, h, doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS run
+                    FROM tr) WHERE run <= 500
+            ), mx AS (        -- stage 5: fractional epochs
+                SELECT doc_id, source, tok, CAST(e AS BIGINT) AS epoch,
+                       CAST(0.5 AS DOUBLE) + CAST(0.25 AS DOUBLE)
+                       * (CAST(substring(source, 4, 10) AS INT) % 3) AS fac
+                FROM bud, unnest(range(0, 3)) AS t(e)
+            )
+            SELECT source,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens
+            FROM mx
+            WHERE epoch < CAST(floor(fac) AS BIGINT)
+               OR (epoch = CAST(floor(fac) AS BIGINT)
+                   AND CAST(concat('0x', substring(
+                        md5(CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 < (fac - floor(fac)) * 1000000)
+            GROUP BY source ORDER BY source
         """,
         "grouped_resample_user_daily": """
             SELECT user_id,

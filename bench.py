@@ -92,6 +92,7 @@ HEADLINE = [
     "mix_budget_sources",
     "semdedup_embeddings",
     "epoch_mix_sources",
+    "training_mix_pipeline",
 ]
 
 
