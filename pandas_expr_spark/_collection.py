@@ -522,6 +522,47 @@ class Series(FrameBase):
         st = to_spark_type(dtype)
         return self._with_scol(self._scol.cast(st), "astype", dtype=str(dtype))
 
+    def truncate(self, before=None, after=None) -> "Series":
+        """pandas ``Series.truncate`` on the engine index — range
+        predicates (pushdown-friendly)."""
+        if not self._index_cols:
+            raise ValueError("truncate needs an index")
+        c = F.col(self._index_cols[0])
+        sdf = self._sdf
+        if before is not None:
+            sdf = sdf.filter(c >= F.lit(before))
+        if after is not None:
+            sdf = sdf.filter(c <= F.lit(after))
+        node = Node("truncate", {"before": before, "after": after},
+                    self._expr)
+        return Series(sdf, self._scol, self._col_name, node,
+                      self._index_cols, self._index_names)
+
+    def between_time(self, start_time: str, end_time: str,
+                     inclusive: str = "both") -> "Series":
+        """pandas ``Series.between_time`` on a datetime index — see
+        ``DataFrame.between_time`` (same string-compare predicate)."""
+        if not self._index_cols:
+            raise ValueError("between_time needs a datetime index")
+        tod = F.date_format(F.col(self._index_cols[0]), "HH:mm:ss.SSS")
+        s, e = _normalize_tod(start_time), _normalize_tod(end_time)
+        lo = tod >= s if inclusive in ("both", "left") else tod > s
+        hi = tod <= e if inclusive in ("both", "right") else tod < e
+        cond = (lo & hi) if s <= e else (lo | hi)
+        node = Node("between_time", {"start": start_time, "end": end_time},
+                    self._expr)
+        return Series(self._sdf.filter(cond), self._scol, self._col_name,
+                      node, self._index_cols, self._index_names)
+
+    def at_time(self, time: str) -> "Series":
+        if not self._index_cols:
+            raise ValueError("at_time needs a datetime index")
+        tod = F.date_format(F.col(self._index_cols[0]), "HH:mm:ss.SSS")
+        node = Node("at_time", {"time": time}, self._expr)
+        return Series(self._sdf.filter(tod == _normalize_tod(time)),
+                      self._scol, self._col_name, node,
+                      self._index_cols, self._index_names)
+
     def mask(self, cond: "Series", other=None):
         return self._with_scol(
             F.when(cond._scol, F.lit(other)).otherwise(self._scol), "mask")

@@ -265,3 +265,17 @@ def test_frame_interpolate(spark, method, limit):
            .compute().sort_index()[["a", "b"]])
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-12, equal_nan=True)
+
+
+def test_series_time_selection(tdf):
+    pdf, df = tdf
+    s = df.set_index("ts").v
+    ps = pdf.set_index("ts").v
+    got = s.between_time("09:00", "17:00").compute().sort_index()
+    exp = ps.between_time("09:00", "17:00")
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy())
+    got2 = s.at_time("12:00").compute().sort_index()
+    np.testing.assert_allclose(got2.to_numpy(), ps.at_time("12:00").to_numpy())
+    got3 = s.truncate(before=pd.Timestamp("2024-01-01 12:00")).compute()
+    exp3 = ps.truncate(before="2024-01-01 12:00")
+    assert len(got3) == len(exp3)
