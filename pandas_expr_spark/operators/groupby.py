@@ -93,6 +93,15 @@ _AGG_FNS: dict[str, Callable[[Column], Column]] = {
 _COUNT_LIKE_FNS = {"count", "size", "nunique", "approx_nunique"}
 
 
+def _callable_agg(f):
+    """Wrap an arbitrary Python reducer (pd.Series → scalar) as an Arrow
+    GROUPED_AGG pandas_udf (the Series→float type hints select the
+    grouped-aggregate eval type)."""
+    def _w(s: pd.Series) -> float:
+        return float(f(s))
+    return F.pandas_udf(_w, "double")
+
+
 class GroupBy:
     """Reference ``GroupBy`` collection (``_groupby.py:257-335``)."""
 
@@ -332,7 +341,20 @@ class GroupBy:
         aggs: list[Column] = []
         count_like: set[str] = set()
 
-        def one(col: str, fn_name: str, alias: str):
+        udf_aggs: list[Column] = []
+        order: list[str] = []
+
+        def one(col: str, fn_name, alias: str):
+            order.append(alias)
+            if callable(fn_name) and not isinstance(fn_name, str):
+                # arbitrary Python reducer → Arrow GROUPED_AGG pandas_udf
+                # (Series → scalar; slow path by construction, but still
+                # one distributed aggregation — never a driver collect).
+                # Spark cannot mix these with JVM aggregates in one agg,
+                # so they collect separately and key-join back below.
+                udf_aggs.append(
+                    _callable_agg(fn_name)(F.col(col)).alias(alias))
+                return
             fn = _AGG_FNS.get(fn_name)
             if fn is None:
                 raise ValueError(f"Unknown aggregation: {fn_name!r}")
@@ -370,7 +392,19 @@ class GroupBy:
         else:
             raise TypeError(f"Unsupported agg spec: {spec!r}")
 
-        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        sdf = self._grouped_sdf()
+        if udf_aggs and aggs:
+            if self._kind != "groupby":
+                raise NotImplementedError(
+                    "callable aggregations cannot mix with rollup/cube/"
+                    "grouping_sets")
+            a = sdf.groupBy(*self._by).agg(*aggs)
+            b = sdf.groupBy(*self._by).agg(*udf_aggs)
+            out = a.join(b, list(self._by), "inner")                    .select(*self._by, *order)
+        elif udf_aggs:
+            out = self._grouping(sdf).agg(*udf_aggs)
+        else:
+            out = self._grouping(sdf).agg(*aggs)
         self._count_like = count_like
         return self._finish(out, "agg")
 

@@ -399,3 +399,15 @@ def test_grouped_rolling_apply(win_df, win_pdf):
     np.testing.assert_allclose(
         np.sort(got.fillna(-9).to_numpy(), axis=0),
         np.sort(exp.fillna(-9).to_numpy(), axis=0), rtol=1e-12)
+
+
+def test_agg_python_callable(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 2], "v": [1.0, 5.0, 2.0, 8.0, 4.0]})
+    got = (pes.from_pandas(pdf).groupby("k")
+           .agg(rng=("v", lambda s: s.max() - s.min()),
+                s=("v", "sum")).compute())
+    exp = pdf.groupby("k").v.agg(lambda s: s.max() - s.min())
+    assert got.rng.tolist() == exp.tolist()
+    assert got.s.tolist() == pdf.groupby("k").v.sum().tolist()
