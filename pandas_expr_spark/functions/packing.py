@@ -55,3 +55,38 @@ def pack_documents(sdf: SparkDF, budget: int = 512, n_buckets: int = 16,
         id_col, "bucket", "n_tokens",
         F.floor(F.col("__prev__") / budget).cast("bigint").alias("bin_id"),
         (F.col("__prev__") % budget).cast("bigint").alias("offset"))
+
+
+def write_training_shards(sdf: SparkDF, path: str, budget: int = 512,
+                          n_buckets: int = 16, id_col: str = "doc_id",
+                          text_col: str = "text", salt: str = "",
+                          mode: str = "overwrite") -> SparkDF:
+    """Materialize the training corpus as shard files + return a MANIFEST.
+
+    Pipeline: ``pack_documents`` assigns every doc a ``(bucket, bin_id)``
+    pack position → the corpus is written ``partitionBy(bucket)`` (one
+    directory per shard family; a training loader partition-prunes its
+    shard without touching the rest) → the manifest is ONE distributed
+    aggregation over the written files: per (bucket, bin) doc count,
+    token total, and id range.  Everything stays distributed — no file
+    listing on the driver, no collect.
+
+    Returns the manifest DataFrame (also written to ``{path}/_manifest``).
+    """
+    packed = pack_documents(sdf, budget, n_buckets, id_col, text_col, salt)
+    full = packed.join(sdf, id_col)
+    (full.repartition("bucket")
+         .write.partitionBy("bucket").mode(mode).parquet(path))
+    spark = sdf.sparkSession
+    manifest = (spark.read.parquet(path)
+                .groupBy("bucket", "bin_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.min(id_col).alias("min_id"),
+                     F.max(id_col).alias("max_id"))
+                .orderBy("bucket", "bin_id"))
+    manifest.write.mode(mode).parquet(f"{path}/_manifest")
+    return manifest
+
+
+__all__ += ["write_training_shards"]

@@ -439,3 +439,22 @@ def test_dedup_against_incremental(spark):
     assert got[100] == (True, 10)
     assert got[101] == (True, 10)
     assert got[102] == (False, None)
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    from pandas_expr_spark.functions import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    manifest = packing.write_training_shards(docs, path, budget=256,
+                                             n_buckets=4)
+    rows = manifest.collect()
+    assert {r["bucket"] for r in rows} <= set(range(4))
+    # every doc accounted for exactly once
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # shard read-back partition-prunes by bucket
+    back = spark.read.parquet(path).filter("bucket = 1")
+    assert back.count() == sum(r["n_docs"] for r in rows if r["bucket"] == 1)
+    # token totals consistent
+    import pyspark.sql.functions as F
+    total = spark.read.parquet(path).agg(F.sum("n_tokens")).first()[0]
+    assert total == sum(r["n_tokens"] for r in rows)
