@@ -139,3 +139,44 @@ def test_cumsum_cummax_match_pandas(spark, data, skipna):
         exp = getattr(pdf.v, op)(skipna=skipna)
         assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values,
                            equal_nan=True)
+
+
+@given(data=_frames())
+@settings(**_SETTINGS)
+def test_frame_rolling_center_matches_pandas(spark, data):
+    ks, vs = data
+    pdf = pd.DataFrame({"a": pd.array(vs, dtype="float64"),
+                        "b": [float(k) for k in ks]})
+    df = pes.from_pandas(pdf)
+    exp = pdf.rolling(3, min_periods=1, center=True).sum()
+    got = (df.rolling(3, min_periods=1, center=True).sum()
+           .compute().sort_index()[["a", "b"]])
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(data=_frames(), limit=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_ffill_limit_matches_pandas(spark, data, limit):
+    _, vs = data
+    pdf = pd.DataFrame({"v": pd.array(vs, dtype="float64")})
+    got = (pes.from_pandas(pdf).v.ffill(limit=limit)
+           .compute().sort_index())
+    exp = pdf.v.ffill(limit=limit)
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=0, equal_nan=True)
+
+
+@given(data=_frames())
+@settings(**_SETTINGS)
+def test_grouped_pct_change_pad_matches_pandas(spark, data):
+    ks, vs = data
+    pdf = pd.DataFrame({"k": ks, "v": pd.array(vs, dtype="float64")})
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        exp = pdf.groupby("k").v.pct_change()
+    got = (pes.from_pandas(pdf).groupby("k").pct_change()
+           .compute()["v"].sort_index())
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
