@@ -1591,6 +1591,32 @@ class _FrameRolling:
     def max(self): return self._minmax("max")
 
 
+class _FrameEwm:
+    """pandas ``DataFrame.ewm`` chain target — one shared ranged pass."""
+
+    def __init__(self, frame: "DataFrame", alpha: float):
+        self._f, self._alpha = frame, alpha
+
+    def mean(self) -> "DataFrame":
+        from .functions import timeseries as _ts
+        f = self._f
+        if f._index_cols:
+            sdf, order = f._sdf, f._index_cols[0]
+            idx, names = f._index_cols, f._index_names
+            if len(f._index_cols) != 1:
+                raise ValueError("frame ewm needs a single-level index")
+        else:
+            sdf, order = _attach_rowid(f._sdf), _ROWID
+            idx, names = (_ROWID,), (None,)
+        num = [c for c in f.columns
+               if is_numeric(f._sdf.schema[c].dataType)]
+        out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha)
+        out = out.select(*[F.col(c) for c in idx], *num)
+        return DataFrame(out, Node("frame_ewm_mean",
+                                   {"alpha": self._alpha}, f._expr),
+                         idx, names)
+
+
 class _FrameExpanding:
     """pandas ``DataFrame.expanding`` — every numeric column in ONE
     shared prefix scan (no join at all: the prefix IS the answer)."""
@@ -2833,6 +2859,29 @@ class DataFrame(FrameBase):
         """pandas ``DataFrame.expanding``: all numeric columns in ONE
         shared prefix scan — no join, the prefix IS the answer."""
         return _FrameExpanding(self, min_periods)
+
+    def ewm(self, com: float | None = None, span: float | None = None,
+            halflife: float | None = None, alpha: float | None = None,
+            adjust: bool = True):
+        """pandas ``DataFrame.ewm(...)`` chain (``.mean()``): every
+        numeric column through ONE shared ranged pass — the per-partition
+        recurrence carries per-column (num, den) state in the same Arrow
+        stream (``timeseries.ewm_mean_global_multi``)."""
+        import math
+        given = [x is not None for x in (com, span, halflife, alpha)]
+        if sum(given) != 1:
+            raise ValueError("pass exactly one of com, span, halflife, alpha")
+        if com is not None:
+            a = 1.0 / (1.0 + com)
+        elif span is not None:
+            a = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            a = 1.0 - math.exp(-math.log(2.0) / halflife)
+        else:
+            a = alpha
+        if not adjust:
+            raise NotImplementedError("global ewm: adjust=True only")
+        return _FrameEwm(self, a)
 
     def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the

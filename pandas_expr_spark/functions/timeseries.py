@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ewm_mean_global", "ewm_mean_grouped",
+__all__ = ["ewm_mean_global", "ewm_mean_global_multi", "ewm_mean_grouped",
            "period_start_col", "period_to_timestamp_col"]
 
 
@@ -213,3 +213,91 @@ def period_to_timestamp_col(col, freq: str, how: str = "start"):
         return (col + F.expr(f"INTERVAL {interval}")
                 - F.expr("INTERVAL 1 MICROSECOND"))
     raise ValueError(f"how must be 'start' or 'end', got {how!r}")
+
+
+def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
+                          alpha: float,
+                          num_partitions: int | None = None) -> SparkDF:
+    """``ewm_mean_global`` for SEVERAL columns in ONE ranged pass: the
+    per-partition recurrence carries (num, den) state per column through
+    the same Arrow stream, the partition-summary fold carries one
+    (num, den) pair per column, and a single broadcast join patches all
+    columns at once.  Results overwrite ``cols`` in place."""
+    d = 1.0 - alpha
+    n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
+    part = (sdf.repartitionByRange(n_parts, F.col(order_by))
+            .sortWithinPartitions(order_by)
+            .withColumn("__pid", F.spark_partition_id()))
+
+    fields = [T.StructField(f.name, T.DoubleType() if f.name in cols
+                            else f.dataType, True)
+              for f in part.schema.fields]
+    for c in cols:
+        fields += [T.StructField(f"__num_{c}", T.DoubleType()),
+                   T.StructField(f"__den_{c}", T.DoubleType())]
+    fields.append(T.StructField("__pos", T.LongType()))
+    local_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def _local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = {c: (0.0, 0.0) for c in cols}
+        pos = -1
+        for pdf in batches:
+            pdf = pdf.copy()
+            n = len(pdf)
+            for c in cols:
+                x = pdf[c].to_numpy(dtype="float64")
+                num, den = state[c]
+                nums, dens = [0.0] * n, [0.0] * n
+                for i in range(n):
+                    num = x[i] + d * num
+                    den = 1.0 + d * den
+                    nums[i] = num
+                    dens[i] = den
+                state[c] = (num, den)
+                pdf[f"__num_{c}"] = nums
+                pdf[f"__den_{c}"] = dens
+            pdf["__pos"] = range(pos + 1, pos + 1 + n)
+            pos += n
+            yield pdf[names]
+
+    local = part.mapInPandas(_local_scan, local_schema).persist()
+    summary = (local.groupBy("__pid")
+               .agg(F.pow(F.lit(d), F.count(F.lit(1))).alias("decay"),
+                    *[a for c in cols for a in
+                      (F.max_by(f"__num_{c}", "__pos").alias(f"ln_{c}"),
+                       F.max_by(f"__den_{c}", "__pos").alias(f"ld_{c}"))]))
+
+    carry_fields = [T.StructField("__pid", T.IntegerType())]
+    for c in cols:
+        carry_fields += [T.StructField(f"cn_{c}", T.DoubleType()),
+                         T.StructField(f"cd_{c}", T.DoubleType())]
+    carry_schema = T.StructType(carry_fields)
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__pid")
+        g = {c: (0.0, 0.0) for c in cols}
+        rows = []
+        for _, row in pdf.iterrows():
+            r = {"__pid": int(row["__pid"])}
+            for c in cols:
+                gn, gd = g[c]
+                r[f"cn_{c}"], r[f"cd_{c}"] = gn, gd
+                g[c] = (row[f"ln_{c}"] + row["decay"] * gn,
+                        row[f"ld_{c}"] + row["decay"] * gd)
+            rows.append(r)
+        return pd.DataFrame(rows, columns=[f.name for f in carry_fields])
+
+    carries = (summary.withColumn("__one", F.lit(1)).groupBy("__one")
+               .applyInPandas(lambda pdf: _fold(pdf), carry_schema))
+
+    scale = F.pow(F.lit(d), F.col("__pos") + 1)
+    out = local.join(F.broadcast(carries), "__pid", "left")
+    updates, drop = {}, ["__pid", "__pos"]
+    for c in cols:
+        updates[c] = ((F.col(f"__num_{c}")
+                       + F.coalesce(F.col(f"cn_{c}"), F.lit(0.0)) * scale)
+                      / (F.col(f"__den_{c}")
+                         + F.coalesce(F.col(f"cd_{c}"), F.lit(0.0)) * scale))
+        drop += [f"__num_{c}", f"__den_{c}", f"cn_{c}", f"cd_{c}"]
+    return out.withColumns(updates).drop(*drop)

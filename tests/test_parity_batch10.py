@@ -279,3 +279,13 @@ def test_series_time_selection(tdf):
     got3 = s.truncate(before=pd.Timestamp("2024-01-01 12:00")).compute()
     exp3 = ps.truncate(before="2024-01-01 12:00")
     assert len(got3) == len(exp3)
+
+
+def test_frame_ewm_mean(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"a": rng.rand(60), "b": rng.rand(60) * 4,
+                        "s": ["x"] * 60})
+    exp = pdf[["a", "b"]].ewm(span=7).mean()
+    got = (pes.from_pandas(pdf).ewm(span=7).mean()
+           .compute().sort_index()[["a", "b"]])
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
