@@ -382,13 +382,19 @@ class GroupBy:
             # pandas: if ANY column maps to a list, the output columns are a
             # MultiIndex for ALL columns — flattened here to col_fn even for
             # the scalar-string entries ({"v": ["sum"], "w": "max"} → w_max).
-            flatten_all = any(not isinstance(f, str) for f in spec.values())
+            flatten_all = any(not isinstance(f, str) and not callable(f)
+                              for f in spec.values())
             for c, fns in spec.items():
                 if isinstance(fns, str):
                     one(c, fns, f"{c}_{fns}" if flatten_all else c)
+                elif callable(fns):
+                    fn_label = getattr(fns, "__name__", "fn")
+                    one(c, fns, f"{c}_{fn_label}" if flatten_all else c)
                 else:
                     for fn_name in fns:
-                        one(c, fn_name, f"{c}_{fn_name}")
+                        label = fn_name if isinstance(fn_name, str) \
+                            else getattr(fn_name, "__name__", "fn")
+                        one(c, fn_name, f"{c}_{label}")
         else:
             raise TypeError(f"Unsupported agg spec: {spec!r}")
 
@@ -556,6 +562,26 @@ class GroupBy:
                       sort=self._sort, extra_by=self._by)
         r._slice = self._slice
         return r
+
+    def ewm(self, com: float | None = None, span: float | None = None,
+            halflife: float | None = None, alpha: float | None = None,
+            adjust: bool = True):
+        """pandas ``groupby(keys).ewm(...)`` chain (``.mean()``): exact
+        pandas ewm per group via ONE Arrow ``applyInPandas`` over all
+        value columns — one shuffle on the keys."""
+        import math
+        given = [x is not None for x in (com, span, halflife, alpha)]
+        if sum(given) != 1:
+            raise ValueError("pass exactly one of com, span, halflife, alpha")
+        if com is not None:
+            a = 1.0 / (1.0 + com)
+        elif span is not None:
+            a = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            a = 1.0 - math.exp(-math.log(2.0) / halflife)
+        else:
+            a = alpha
+        return _GroupEwm(self, a, adjust)
 
     def rolling(self, window: int, min_periods: int | None = None,
                 center: bool = False):
@@ -917,6 +943,34 @@ class _GroupRolling:
 
         out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
         return gb._finish_window(out, tmp, "rolling_apply")
+
+
+class _GroupEwm:
+    """pandas ``groupby.ewm`` chain target — exact per-group pandas ewm,
+    Arrow-batched, every value column in one pass."""
+
+    def __init__(self, gb: GroupBy, alpha: float, adjust: bool):
+        self._gb, self._alpha, self._adjust = gb, alpha, adjust
+
+    def mean(self):
+        gb = self._gb
+        sdf, order_cols, tmp = gb._positional()
+        vcols = gb._value_columns(numeric_only=True)
+        alpha, adjust = self._alpha, self._adjust
+        fields = [T.StructField(f.name, T.DoubleType() if f.name in vcols
+                                else f.dataType, True)
+                  for f in sdf.schema.fields]
+        schema = T.StructType(fields)
+        names = [f.name for f in fields]
+
+        def _fn(pdf):
+            pdf = pdf.sort_values(order_cols).copy()
+            for c in vcols:
+                pdf[c] = pdf[c].ewm(alpha=alpha, adjust=adjust).mean()
+            return pdf[names]
+
+        out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
+        return gb._finish_window(out, tmp, "ewm_mean")
 
 
 class Resampler(GroupBy):

@@ -411,3 +411,18 @@ def test_agg_python_callable(spark):
     exp = pdf.groupby("k").v.agg(lambda s: s.max() - s.min())
     assert got.rng.tolist() == exp.tolist()
     assert got.s.tolist() == pdf.groupby("k").v.sum().tolist()
+
+
+def test_grouped_ewm_chain_and_callable_dict(spark):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2], "v": [1.0, 2.0, 4.0, 3.0, 9.0]})
+    got = (pes.from_pandas(pdf).groupby("k").ewm(alpha=0.4).mean()
+           .compute()["v"].sort_index())
+    exp = pdf.groupby("k").v.ewm(alpha=0.4).mean().reset_index(drop=True)
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-12)
+    g2 = (pes.from_pandas(pdf).groupby("k")
+          .agg({"v": lambda s: s.max() - s.min()}).compute())
+    e2 = pdf.groupby("k").agg({"v": lambda s: s.max() - s.min()})
+    assert g2.v.tolist() == e2.v.tolist()
