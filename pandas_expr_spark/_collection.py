@@ -270,6 +270,45 @@ class Scalar(FrameBase):
     def __int__(self):
         return int(self.compute())
 
+    def __bool__(self):
+        return bool(self.compute())
+
+    # -- lazy scalar algebra (reference scalars stay expressions) --------
+    # scalar∘scalar cross-joins two 1×1 frames (Catalyst folds it into a
+    # single plan; both aggregates still run distributed), scalar∘literal
+    # is a projection — no eager collect anywhere.
+    def _binop(self, other, fn, op: str, reverse: bool = False):
+        a = F.col("__a__")
+        if isinstance(other, Scalar):
+            lhs = self._sdf.select(F.col(self._sdf.columns[0]).alias("__a__"))
+            rhs = other._sdf.select(
+                F.col(other._sdf.columns[0]).alias("__b__"))
+            pair = lhs.crossJoin(rhs)
+            b = F.col("__b__")
+            node = Node("scalar_" + op, {}, self._expr, other._expr)
+        else:
+            pair = self._sdf.select(
+                F.col(self._sdf.columns[0]).alias("__a__"))
+            b = F.lit(other)
+            node = Node("scalar_" + op, {"other": other}, self._expr)
+        expr = fn(b, a) if reverse else fn(a, b)
+        return Scalar(pair.select(expr.alias("__r__")), node)
+
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b, "add")
+    def __radd__(self, o): return self._binop(o, lambda a, b: a + b, "add", True)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b, "sub")
+    def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, "sub", True)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b, "mul")
+    def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
+    def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
+    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
+    def __neg__(self): return self._binop(-1, lambda a, b: a * b, "neg")
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b, "gt")
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b, "ge")
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b, "le")
+
 
 # --------------------------------------------------------------------------
 # Series

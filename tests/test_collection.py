@@ -687,3 +687,14 @@ def test_isin_null_count_nunique_semantics(spark):
     # frame nunique
     gn = d.nunique().compute()
     assert dict(gn) == dict(p.nunique())
+
+
+def test_scalar_lazy_algebra(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    df = pes.from_pandas(pd.DataFrame({"v": [1.0, 2.0, 3.0]}))
+    assert (df.v.sum() + 1).compute() == 7.0
+    assert (df.v.sum() / df.v.count()).compute() == 2.0
+    assert (10 - df.v.max()).compute() == 7.0
+    assert (df.v.mean() > 1.5).compute() is True
+    assert ((df.v.sum() - df.v.mean()) * 2).compute() == 8.0
