@@ -278,6 +278,9 @@ class Scalar(FrameBase):
     # single plan; both aggregates still run distributed), scalar∘literal
     # is a projection — no eager collect anywhere.
     def _binop(self, other, fn, op: str, reverse: bool = False):
+        if isinstance(other, (Series, DataFrame)):
+            # let Series/DataFrame reflected dunders handle scalar∘frame
+            return NotImplemented
         a = F.col("__a__")
         if isinstance(other, Scalar):
             lhs = self._sdf.select(F.col(self._sdf.columns[0]).alias("__a__"))
@@ -392,6 +395,18 @@ class Series(FrameBase):
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
                 return self._with_scol(fn(l, r), op)
             return self._aligned_binop(other, fn, op, reflexive)
+        if isinstance(other, Scalar):
+            # `s > s.mean()` — the 1×1 scalar frame broadcast-cross-joins
+            # in (Catalyst: BroadcastNestedLoopJoin over ONE row); both
+            # sides stay lazy, the aggregate still runs distributed
+            rhs = F.broadcast(other._sdf.select(
+                F.col(other._sdf.columns[0]).alias("__scalar__")))
+            joined = self._sdf.crossJoin(rhs)
+            lit = F.col("__scalar__")
+            l, r = (lit, self._scol) if reflexive else (self._scol, lit)
+            node = Node(op, {"scalar": True}, self._expr, other._expr)
+            return Series(joined, fn(l, r), self._col_name, node,
+                          self._index_cols, self._index_names)
         lit = F.lit(other)
         l, r = (lit, self._scol) if reflexive else (self._scol, lit)
         return self._with_scol(fn(l, r), op, params_other=repr(other))
@@ -1919,12 +1934,22 @@ class DataFrame(FrameBase):
             return self._derive(self._sdf.select(*cols), "projection",
                                 {"columns": list(key)})
         if isinstance(key, Series):
-            if key._sdf is not self._sdf:
-                raise ValueError(
-                    "Boolean mask must derive from the same frame "
-                    "(pandas-expr semantics: df[df.x > 1])")
-            return self._derive(self._sdf.filter(key._scol), "filter",
-                                {"predicate": key._expr.op})
+            if key._sdf is self._sdf:
+                return self._derive(self._sdf.filter(key._scol), "filter",
+                                    {"predicate": key._expr.op})
+            # scalar-augmented mask (`df[df.v > df.v.mean()]`): the mask's
+            # plan is this frame's plan + broadcast scalar column(s) — it
+            # still CARRIES every frame column, so filter there and
+            # project this frame's columns back out
+            needed = list(self._index_cols) + self.columns
+            if all(c in key._sdf.columns for c in needed):
+                out = (key._sdf.filter(key._scol)
+                       .select(*[F.col(c) for c in needed]))
+                return self._derive(out, "filter",
+                                    {"predicate": key._expr.op})
+            raise ValueError(
+                "Boolean mask must derive from the same frame "
+                "(pandas-expr semantics: df[df.x > 1])")
         raise TypeError(f"Unsupported key type: {type(key)}")
 
     def __getattr__(self, name: str):

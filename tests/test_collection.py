@@ -698,3 +698,19 @@ def test_scalar_lazy_algebra(spark):
     assert (10 - df.v.max()).compute() == 7.0
     assert (df.v.mean() > 1.5).compute() is True
     assert ((df.v.sum() - df.v.mean()) * 2).compute() == 8.0
+
+
+def test_series_scalar_binop_and_filter(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0], "k": [1, 1, 2, 2]})
+    df = pes.from_pandas(pdf)
+    # pandas idiom: filter by an aggregate of the same frame
+    out = df[df.v > df.v.mean()].compute()
+    assert sorted(out.v.tolist()) == [3.0, 4.0]
+    # demean with a lazy scalar
+    z = (df.v - df.v.mean()).compute().sort_index()
+    assert z.tolist() == [-1.5, -0.5, 0.5, 1.5]
+    # scalar on the left
+    z2 = (df.v.max() - df.v).compute().sort_index()
+    assert z2.tolist() == [3.0, 2.0, 1.0, 0.0]
