@@ -31,9 +31,44 @@ def cut(series, bins, labels=None, right: bool = True):
     return series.cut(bins, labels=labels, right=right)
 
 
-def qcut(series, q, labels=None):
+def qcut(series, q, labels=None, duplicates: str = "raise"):
     """pandas ``pd.qcut`` (quantile bins) — see ``Series.qcut``."""
-    return series.qcut(q, labels=labels)
+    return series.qcut(q, labels=labels, duplicates=duplicates)
+
+
+def melt(frame, id_vars, value_vars=None, var_name: str = "variable",
+         value_name: str = "value"):
+    """pandas ``pd.melt`` — see ``DataFrame.melt``."""
+    return frame.melt(id_vars, value_vars, var_name, value_name)
+
+
+def pivot_table(frame, values, index, columns, aggfunc: str = "mean",
+                pivot_values=None):
+    """pandas ``pd.pivot_table`` — see ``DataFrame.pivot_table``."""
+    return frame.pivot_table(values, index, columns, aggfunc,
+                             pivot_values=pivot_values)
+
+
+def pivot(frame, *, columns, index=None, values=None, pivot_values=None):
+    """pandas ``pd.pivot`` — see ``DataFrame.pivot``."""
+    return frame.pivot(columns=columns, index=index, values=values,
+                       pivot_values=pivot_values)
+
+
+def crosstab(frame, index, columns, values=None, aggfunc=None):
+    """pandas ``pd.crosstab`` re-anchored on a frame's columns — see
+    ``DataFrame.crosstab``."""
+    if values is not None or aggfunc is not None:
+        return frame.crosstab(index, columns, values=values,
+                              aggfunc=aggfunc or "count")
+    return frame.crosstab(index, columns)
+
+
+def get_dummies(frame, columns, values=None, prefix_sep: str = "_",
+                dtype: str = "int"):
+    """pandas ``pd.get_dummies`` — see ``DataFrame.get_dummies``."""
+    return frame.get_dummies(columns, values=values,
+                             prefix_sep=prefix_sep, dtype=dtype)
 
 
 class DataFrame(_DataFrameImpl):
@@ -63,6 +98,7 @@ __all__ = [
     "read_text", "read_binary",
     "from_pandas", "from_spark",
     "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
-    "cut", "qcut",
+    "cut", "qcut", "melt", "pivot", "pivot_table", "crosstab",
+    "get_dummies",
     "get_spark",
 ]

@@ -714,3 +714,22 @@ def test_series_scalar_binop_and_filter(spark):
     # scalar on the left
     z2 = (df.v.max() - df.v).compute().sort_index()
     assert z2.tolist() == [3.0, 2.0, 1.0, 0.0]
+
+
+def test_module_level_wrappers(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"k": [1, 1, 2], "a": [1.0, 2.0, 3.0],
+                        "b": [4.0, 5.0, 6.0]})
+    df = pes.from_pandas(pdf)
+    assert len(pes.melt(df, ["k"]).compute()) == 6
+    d = pes.get_dummies(df, ["k"], values={"k": [1, 2]}).compute()
+    assert "k_1" in d.columns and "k_2" in d.columns
+    pt = pes.pivot_table(df, "a", "k", "b",
+                         pivot_values=[4.0, 5.0, 6.0]).compute()
+    assert len(pt) == 2
+    ct = pes.crosstab(df, "k", "b").compute()
+    assert len(ct) == 2
+    pv = pes.pivot(df[["k", "b", "a"]], index="k", columns="b",
+                   values="a", pivot_values=[4.0, 5.0, 6.0]).compute()
+    assert len(pv) == 2
