@@ -720,16 +720,16 @@ def test_module_level_wrappers(spark):
     import pandas as pd
     import pandas_expr_spark as pes
     pdf = pd.DataFrame({"k": [1, 1, 2], "a": [1.0, 2.0, 3.0],
-                        "b": [4.0, 5.0, 6.0]})
+                        "b": ["x", "y", "x"]})
     df = pes.from_pandas(pdf)
-    assert len(pes.melt(df, ["k"]).compute()) == 6
+    assert len(pes.melt(df, ["k", "b"]).compute()) == 3
     d = pes.get_dummies(df, ["k"], values={"k": [1, 2]}).compute()
     assert "k_1" in d.columns and "k_2" in d.columns
     pt = pes.pivot_table(df, "a", "k", "b",
-                         pivot_values=[4.0, 5.0, 6.0]).compute()
+                         pivot_values=["x", "y"]).compute()
     assert len(pt) == 2
     ct = pes.crosstab(df, "k", "b").compute()
     assert len(ct) == 2
     pv = pes.pivot(df[["k", "b", "a"]], index="k", columns="b",
-                   values="a", pivot_values=[4.0, 5.0, 6.0]).compute()
+                   values="a", pivot_values=["x", "y"]).compute()
     assert len(pv) == 2
