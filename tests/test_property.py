@@ -110,10 +110,13 @@ def test_grouped_rolling_matches_pandas(spark, data, w, mp, agg):
            .compute().sort_index()["v"])
     exp = (getattr(pdf.groupby("k")["v"].rolling(w, min_periods=mp), agg)()
            .reset_index(0, drop=True).sort_index())
-    # atol 1e-7: rolling std of near-identical values is exactly 0 from the
-    # engine's sufficient statistics but ~1e-8 from pandas' accumulation
+    # atol 1e-6: pandas' rolling var uses a Welford-style UPDATE that
+    # carries residue from values that already LEFT the window (a window
+    # {1e-5, 0} after a 100.0 passed through yields 7.23e-6 from pandas vs
+    # the exact 7.07e-6 the engine computes from the window's own
+    # sufficient statistics) — the engine is the more accurate side here
     assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values,
-                       atol=1e-7)
+                       atol=1e-6)
 
 
 @given(ss=st.lists(st.text(alphabet="aB c-9é", max_size=12),
