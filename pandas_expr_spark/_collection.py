@@ -992,11 +992,15 @@ class Series(FrameBase):
         out, name, idx = self._pos_shifted(periods)
         c, prev = F.col(name), F.col("__shifted__")
         # pandas zero-divisor semantics (x/0 → ±inf, 0/0 → NaN), not the
-        # ANSI divide-by-zero error
+        # ANSI divide-by-zero error.  IEEE sign rule incl. NEGATIVE zero:
+        # x/-0.0 = -sign(x)·inf — ±0.0 is distinguishable only via its
+        # string form ("-0.0"), signum gives 0 for both
+        neg_zero = prev.cast("string").startswith("-")
+        inf_sign = F.when(neg_zero, -F.signum(c)).otherwise(F.signum(c))
         ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
                  .when(prev != 0, c / prev)
                  .when(c == 0, F.lit(float("nan")))
-                 .otherwise(F.lit(float("inf")) * F.signum(c)))
+                 .otherwise(F.lit(float("inf")) * inf_sign))
         out = out.select(*[F.col(col) for col in idx],
                          (ratio - F.lit(1)).alias(name))
         node = Node("pct_change", {"periods": periods}, self._expr)

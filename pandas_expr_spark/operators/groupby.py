@@ -760,10 +760,14 @@ class GroupBy:
         updates = {}
         for name in vcols:
             c, prev = F.col(name), F.lag(name, periods).over(w)
+            # IEEE negative-zero divisor: x/-0.0 = -sign(x)·inf (see
+            # Series.pct_change)
+            neg_zero = prev.cast("string").startswith("-")
+            inf_sign = F.when(neg_zero, -F.signum(c)).otherwise(F.signum(c))
             ratio = (F.when(prev.isNull(), F.lit(None).cast("double"))
                      .when(prev != 0, c / prev)
                      .when(c == 0, F.lit(float("nan")))
-                     .otherwise(F.lit(float("inf")) * F.signum(c)))
+                     .otherwise(F.lit(float("inf")) * inf_sign))
             updates[name] = ratio - F.lit(1)
         out = sdf.withColumns(updates)
         return self._finish_window(out, tmp, "pct_change")
