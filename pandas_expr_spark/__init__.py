@@ -36,6 +36,29 @@ def qcut(series, q, labels=None, duplicates: str = "raise"):
     return series.qcut(q, labels=labels, duplicates=duplicates)
 
 
+def to_datetime(series, errors: str = "raise", format: str | None = None):
+    """pandas ``pd.to_datetime`` for engine Series: JVM ``to_timestamp``.
+    ``errors='coerce'`` lowers to ``try_to_timestamp`` (malformed → null)
+    instead of the ANSI parse error."""
+    from pyspark.sql import functions as F
+    c = series._scol
+    if format is not None:
+        expr = (F.try_to_timestamp(c, F.lit(format)) if errors == "coerce"
+                else F.to_timestamp(c, format))
+    else:
+        expr = (F.try_to_timestamp(c) if errors == "coerce"
+                else F.to_timestamp(c))
+    return series._with_scol(expr, "to_datetime")
+
+
+def to_numeric(series, errors: str = "raise"):
+    """pandas ``pd.to_numeric``: cast to double; ``errors='coerce'`` uses
+    ``try_cast`` semantics (malformed → null, no ANSI error)."""
+    c = series._scol
+    expr = c.try_cast("double") if errors == "coerce" else c.cast("double")
+    return series._with_scol(expr, "to_numeric")
+
+
 def melt(frame, id_vars, value_vars=None, var_name: str = "variable",
          value_name: str = "value"):
     """pandas ``pd.melt`` — see ``DataFrame.melt``."""
@@ -99,6 +122,6 @@ __all__ = [
     "from_pandas", "from_spark",
     "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut", "melt", "pivot", "pivot_table", "crosstab",
-    "get_dummies",
+    "get_dummies", "to_datetime", "to_numeric",
     "get_spark",
 ]

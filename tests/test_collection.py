@@ -733,3 +733,19 @@ def test_module_level_wrappers(spark):
     pv = pes.pivot(df[["k", "b", "a"]], index="k", columns="b",
                    values="a", pivot_values=["x", "y"]).compute()
     assert len(pv) == 2
+
+
+def test_to_datetime_to_numeric_coerce(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    df = pes.from_pandas(pd.DataFrame({
+        "s": ["2024-01-02 03:04:05", "oops", None],
+        "n": ["1.5", "x", "3"]}))
+    dt = pes.to_datetime(df.s, errors="coerce").compute()
+    assert dt.notna().tolist() == [True, False, False]
+    assert str(dt.iloc[0]) == "2024-01-02 03:04:05"
+    nm = pes.to_numeric(df.n, errors="coerce").compute()
+    assert nm.fillna(-1).tolist() == [1.5, -1.0, 3.0]
+    import pytest as _pt
+    with _pt.raises(Exception):
+        pes.to_numeric(df.n).compute()   # ANSI raise like pandas default
