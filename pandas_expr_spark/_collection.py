@@ -1924,6 +1924,21 @@ class DataFrame(FrameBase):
             s._period_value_freq = {name: vfreq[name]}
         return s
 
+    @property
+    def loc(self) -> "_LocIndexer":
+        """Label-based selection (pragmatic lazy subset): boolean masks,
+        ``df.loc[:, cols]`` column slices, and index-label equality/isin
+        lookups — each lowers to the same filter/projection plans as the
+        bracket operators."""
+        return _LocIndexer(self)
+
+    @property
+    def iloc(self) -> "_ILocIndexer":
+        """Positional selection (lazy subset): ``iloc[:n]`` (limit),
+        ``iloc[a:b]`` (global-position range — one distributed position
+        pass, no full sort), ``iloc[:, j]`` positional columns."""
+        return _ILocIndexer(self)
+
     # -- projection / filter (reference Projection/Filter `_expr.py:1355-1422`)
     def __getitem__(self, key):
         if isinstance(key, str):
@@ -3912,3 +3927,93 @@ def _normalize_tod(t: str) -> str:
         hms.append("0")
     ms = (parts[1] + "000")[:3] if len(parts) > 1 else "000"
     return ":".join(p.zfill(2) for p in hms) + "." + ms
+
+
+class _LocIndexer:
+    """Pragmatic lazy ``df.loc``: masks, column slices, label lookups."""
+
+    def __init__(self, frame: "DataFrame"):
+        self._f = frame
+
+    def _rows(self, key):
+        f = self._f
+        if isinstance(key, slice):
+            if key.start is None and key.stop is None:
+                return f
+            raise NotImplementedError(
+                "loc label slices are not supported; use truncate()")
+        if isinstance(key, Series):
+            return f[key]
+        if not f._index_cols:
+            raise ValueError("label lookup needs an index — set_index first")
+        idx = F.col(f._index_cols[0])
+        if isinstance(key, (list, tuple)):
+            cond = idx.isin(list(key))
+        else:
+            cond = idx == F.lit(key)
+        return f._derive(f._sdf.filter(cond), "loc", {"label": repr(key)})
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+            out = self._rows(rows)
+            if isinstance(cols, slice):
+                if cols.start is None and cols.stop is None:
+                    return out
+                raise NotImplementedError("loc column label slices")
+            return out[cols if isinstance(cols, (list, tuple)) else [cols]] \
+                if isinstance(cols, (list, tuple)) else out[cols]
+        return self._rows(key)
+
+
+class _ILocIndexer:
+    """Pragmatic lazy ``df.iloc``: head/range slices and positional
+    column selection.  Row ranges use the distributed global position
+    (one range pass), never a single-task window."""
+
+    def __init__(self, frame: "DataFrame"):
+        self._f = frame
+
+    def __getitem__(self, key):
+        f = self._f
+        cols = None
+        if isinstance(key, tuple) and len(key) == 2:
+            key, cols = key
+        out = self._row_slice(key)
+        if cols is not None:
+            names = f.columns
+            if isinstance(cols, slice):
+                sel = names[cols]
+            elif isinstance(cols, (list, tuple)):
+                sel = [names[c] for c in cols]
+            else:
+                sel = [names[cols]]
+            out = out[sel]
+        return out
+
+    def _row_slice(self, key):
+        f = self._f
+        if isinstance(key, slice):
+            if key.step not in (None, 1):
+                raise NotImplementedError("iloc step slices")
+            start, stop = key.start or 0, key.stop
+            if start < 0 or (stop is not None and stop < 0):
+                raise NotImplementedError("negative iloc positions")
+            if start == 0 and stop is None:
+                return f
+            if start == 0:
+                return f.head(stop)
+            from .functions import scan
+            if f._index_cols:
+                sdf, order = f._sdf, list(f._index_cols)
+            else:
+                sdf, order = _attach_rowid(f._sdf), [_ROWID]
+            pos = scan.global_pos(sdf, order)
+            cond = F.col("__pos__") >= start
+            if stop is not None:
+                cond = cond & (F.col("__pos__") < stop)
+            out = pos.filter(cond).drop("__pos__")
+            if not f._index_cols:
+                out = out.drop(_ROWID)
+            return f._derive(out, "iloc", {"start": start, "stop": stop})
+        raise NotImplementedError("iloc supports slices (use loc for labels)")

@@ -749,3 +749,17 @@ def test_to_datetime_to_numeric_coerce(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         pes.to_numeric(df.n).compute()   # ANSI raise like pandas default
+
+
+def test_loc_iloc_pragmatic(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"k": [10, 20, 30, 40], "v": [1.0, 2.0, 3.0, 4.0]})
+    df = pes.from_pandas(pdf).set_index("k")
+    assert df.loc[20].compute().v.tolist() == [2.0]
+    assert sorted(df.loc[[10, 30]].compute().v.tolist()) == [1.0, 3.0]
+    assert df.loc[df.v > 2, ["v"]].compute().v.tolist() == [3.0, 4.0]
+    d2 = pes.from_pandas(pdf)
+    assert d2.iloc[1:3].compute().v.tolist() == [2.0, 3.0]
+    assert d2.iloc[:2, [1]].compute().columns.tolist() == ["v"]
+    assert len(d2.iloc[:3].compute()) == 3
