@@ -326,3 +326,19 @@ def to_memory_sink(sdf: SparkDF, name: str, output_mode: str = "complete"):
     """Memory sink for tests/debug: query results visible as table ``name``."""
     return (sdf.writeStream.format("memory").queryName(name)
             .outputMode(output_mode).trigger(availableNow=True).start())
+
+
+def foreach_batch_sink(sdf: SparkDF, fn, checkpoint: str,
+                       output_mode: str = "update",
+                       trigger_once: bool = True):
+    """``foreachBatch`` sink — the escape hatch for per-micro-batch custom
+    writes (idempotent upserts, multi-sink fan-out, JDBC merges).  ``fn``
+    receives ``(batch_df, batch_id)``; Spark guarantees the pair is
+    replayed with the SAME batch_id after a failure, so an
+    idempotent-by-batch-id ``fn`` gives exactly-once end to end."""
+    w = (sdf.writeStream.foreachBatch(fn)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -241,3 +241,25 @@ def test_checkpoint_restart_exactly_once(spark, events):
         assert out.distinct().count() == events.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    from pandas_expr_spark.streaming import stream as st
+    src = st.read_stream(
+        "parquet", "/root/testdata/sf0.001",
+        schema=spark.read.parquet(
+            "/root/testdata/sf0.001/nation.parquet").schema,
+        options={"pathGlobFilter": "nation.parquet"})
+    out_dir = str(tmp_path / "batches")
+    seen = []
+
+    def fn(batch_df, batch_id):
+        seen.append(batch_id)
+        (batch_df.write.mode("append")
+         .parquet(f"{out_dir}/b{batch_id}"))
+
+    q = st.foreach_batch_sink(src, fn, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert seen, "no batch delivered"
+    total = sum(spark.read.parquet(f"{out_dir}/b{b}").count() for b in seen)
+    assert total == 25
