@@ -551,6 +551,48 @@ class GroupBy:
     def tail(self, n: int = 5):
         return self._positional_limit(n, ascending=False, op="tail")
 
+    def interpolate(self, method: str = "linear",
+                    limit: int | None = None):
+        """pandas ``groupby.interpolate``: per-group linear/pad fill of
+        interior nulls — prev/next non-null value AND position come from
+        four ``last/first(ignorenulls)`` window passes over ONE shuffle on
+        the keys (a group is the partition, exactly like every other
+        grouped positional op; no applyInPandas)."""
+        from pyspark.sql import Window
+        if method not in ("linear", "pad", "ffill"):
+            raise ValueError(f"interpolate: method {method!r} unsupported")
+        sdf, order_cols, tmp = self._positional()
+        wb = (Window.partitionBy(*self._by)
+              .orderBy(*[F.col(c).asc() for c in order_cols])
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wf = (Window.partitionBy(*self._by)
+              .orderBy(*[F.col(c).asc() for c in order_cols])
+              .rowsBetween(0, Window.unboundedFollowing))
+        pos_w = (Window.partitionBy(*self._by)
+                 .orderBy(*[F.col(c).asc() for c in order_cols]))
+        sdf = sdf.withColumn("__gp__", F.row_number().over(pos_w))
+        updates = {}
+        for c in self._value_columns(numeric_only=True):
+            v = F.col(c).cast("double")
+            pv = F.when(v.isNotNull(), F.col("__gp__"))
+            prev = F.last(v, ignorenulls=True).over(wb)
+            pp = F.last(pv, ignorenulls=True).over(wb)
+            nxt = F.first(v, ignorenulls=True).over(wf)
+            np_ = F.first(pv, ignorenulls=True).over(wf)
+            p = F.col("__gp__")
+            if method == "linear":
+                fill = (F.when(np_.isNotNull() & pp.isNotNull() & (np_ != pp),
+                               prev + (nxt - prev) * (p - pp) / (np_ - pp))
+                        .otherwise(prev))
+            else:
+                fill = prev
+            if limit is not None:
+                fill = F.when((p - pp) <= F.lit(limit), fill)
+            updates[c] = F.when(v.isNotNull(), v).otherwise(
+                F.when(pp.isNotNull(), fill))
+        out = sdf.withColumns(updates).drop("__gp__")
+        return self._finish_window(out, tmp, "interpolate")
+
     def resample(self, freq: str, on: str):
         """pandas ``groupby(keys).resample(freq, on=ts)``: per-entity time
         bucketing — the group keys simply precede the time bucket in ONE

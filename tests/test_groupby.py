@@ -426,3 +426,23 @@ def test_grouped_ewm_chain_and_callable_dict(spark):
           .agg({"v": lambda s: s.max() - s.min()}).compute())
     e2 = pdf.groupby("k").agg({"v": lambda s: s.max() - s.min()})
     assert g2.v.tolist() == e2.v.tolist()
+
+
+@pytest.mark.parametrize("method,limit", [("linear", None), ("pad", None),
+                                          ("linear", 1)])
+def test_grouped_interpolate(spark, method, limit):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+    rng = np.random.RandomState(8)
+    pdf = pd.DataFrame({"k": [i % 3 for i in range(40)], "v": rng.rand(40)})
+    pdf.loc[rng.rand(40) < 0.4, "v"] = np.nan
+    got = (pes.from_pandas(pdf).groupby("k")
+           .interpolate(method=method, limit=limit)
+           .compute()["v"].sort_index())
+    exp = (pdf.groupby("k").v
+           .apply(lambda s: s.interpolate(method=method if method == "linear"
+                                          else "pad", limit=limit))
+           .reset_index(0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
