@@ -3131,6 +3131,29 @@ class DataFrame(FrameBase):
         return self._columnwise(F.countDistinct, "nunique",
                                 numeric_only=False, out_type="long")
 
+    def median(self, numeric_only: bool = True):
+        return self._columnwise(F.median, "median", numeric_only)
+
+    def skew(self, numeric_only: bool = True):
+        """pandas ``DataFrame.skew`` — the same bias-corrected one-pass G1
+        per column (see ``operators.groupby._skew_g1``)."""
+        from .operators.groupby import _skew_g1
+        return self._columnwise(_skew_g1, "skew", numeric_only)
+
+    def kurt(self, numeric_only: bool = True):
+        from .operators.groupby import _kurt_g2
+        return self._columnwise(_kurt_g2, "kurt", numeric_only)
+
+    kurtosis = kurt
+
+    def sem(self, ddof: int = 1, numeric_only: bool = True):
+        fn = (lambda c: F.when(F.count(c) > 0,
+                               F.stddev_samp(c) / F.sqrt(F.count(c)))) \
+            if ddof == 1 else \
+            (lambda c: F.when(F.count(c) > 0,
+                              F.stddev_pop(c) / F.sqrt(F.count(c))))
+        return self._columnwise(fn, "sem", numeric_only)
+
     def var(self, ddof: int = 1, numeric_only: bool = True):
         fn = _var_fn(ddof)
         return self._columnwise(fn, "var", numeric_only)

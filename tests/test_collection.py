@@ -763,3 +763,17 @@ def test_loc_iloc_pragmatic(spark):
     assert d2.iloc[1:3].compute().v.tolist() == [2.0, 3.0]
     assert d2.iloc[:2, [1]].compute().columns.tolist() == ["v"]
     assert len(d2.iloc[:3].compute()) == 3
+
+
+def test_frame_stat_reductions(spark):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame({"a": rng.rand(30) * 10, "b": rng.randn(30),
+                        "s": ["x"] * 30})
+    df = pes.from_pandas(pdf)
+    for m in ("median", "skew", "kurt", "sem"):
+        got = sorted(getattr(df, m)().compute().tolist())
+        exp = sorted(getattr(pdf[["a", "b"]], m)().tolist())
+        np.testing.assert_allclose(got, exp, rtol=1e-9, err_msg=m)
