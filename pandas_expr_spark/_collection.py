@@ -3134,6 +3134,25 @@ class DataFrame(FrameBase):
     def median(self, numeric_only: bool = True):
         return self._columnwise(F.median, "median", numeric_only)
 
+    def quantile(self, q: float = 0.5, numeric_only: bool = True):
+        return self._columnwise(lambda c: F.percentile(c, q),
+                                "quantile", numeric_only)
+
+    def prod(self, numeric_only: bool = True):
+        return self._columnwise(F.product, "prod", numeric_only)
+
+    product = prod
+
+    def any(self, bool_only: bool = False):
+        return self._columnwise(
+            lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
+            "any", numeric_only=False, out_type="boolean")
+
+    def all(self, bool_only: bool = False):
+        return self._columnwise(
+            lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
+            "all", numeric_only=False, out_type="boolean")
+
     def skew(self, numeric_only: bool = True):
         """pandas ``DataFrame.skew`` — the same bias-corrected one-pass G1
         per column (see ``operators.groupby._skew_g1``)."""

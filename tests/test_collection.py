@@ -777,3 +777,18 @@ def test_frame_stat_reductions(spark):
         got = sorted(getattr(df, m)().compute().tolist())
         exp = sorted(getattr(pdf[["a", "b"]], m)().tolist())
         np.testing.assert_allclose(got, exp, rtol=1e-9, err_msg=m)
+
+
+def test_frame_quantile_prod_any_all(spark):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 8.0], "b": [4.0, 6.0, 8.0, 2.0],
+                        "c": [True, False, True, True]})
+    df = pes.from_pandas(pdf)
+    np.testing.assert_allclose(sorted(df.quantile(0.5).compute()),
+                               sorted(pdf[["a", "b"]].quantile(0.5)))
+    np.testing.assert_allclose(sorted(df.prod().compute()),
+                               sorted(pdf[["a", "b"]].prod()))
+    assert df[["c"]].any().compute().tolist() == [True]
+    assert df[["c"]].all().compute().tolist() == [False]
