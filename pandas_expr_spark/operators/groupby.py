@@ -551,6 +551,14 @@ class GroupBy:
     def tail(self, n: int = 5):
         return self._positional_limit(n, ascending=False, op="tail")
 
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``GroupBy.pipe``: ``g.pipe(f, *a) == f(g, *a)``."""
+        if isinstance(func, tuple):
+            func, target = func
+            kwargs[target] = self
+            return func(*args, **kwargs)
+        return func(self, *args, **kwargs)
+
     def interpolate(self, method: str = "linear",
                     limit: int | None = None):
         """pandas ``groupby.interpolate``: per-group linear/pad fill of
