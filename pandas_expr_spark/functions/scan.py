@@ -404,6 +404,14 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
     equi-join (the forward edge) plus a broadcast single-row total for the
     tail windows that truncate at ``n``.
 
+    Known optimization path (not yet taken): when ``w`` is much smaller
+    than a partition, the ``i-w`` lookback is LOCAL for all but the first
+    ``w`` rows of each partition — a per-partition ``w``-row halo carry
+    (the last_scan carry generalized from 1 row to ``w``) would replace
+    the position hash join with a broadcast of ``w × #partitions`` rows.
+    The join is linear and fully distributed as is; revisit if profiles
+    ever show it dominating at extreme scale.
+
     Supported fns: sum, mean, count, var, std (var/std add one more shared
     prefix scan — sum of squares — and use the sufficient-statistic
     identity; document the usual cancellation caveat for |mean| >> std).
