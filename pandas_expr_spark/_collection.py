@@ -3131,6 +3131,28 @@ class DataFrame(FrameBase):
         return self._columnwise(F.countDistinct, "nunique",
                                 numeric_only=False, out_type="long")
 
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False) -> "DataFrame":
+        """pandas ``DataFrame.rank``: every numeric column through the
+        scale-safe Series rank (distinct-value rank table + join-back, no
+        global window), reassembled by one index equi-join per column."""
+        from .operators.setops import concat
+        base = self
+        attached = False
+        if not base._index_cols:
+            sdf = _attach_rowid(base._sdf)
+            base = DataFrame(sdf, Node("rowid", {}, base._expr),
+                             (_ROWID,), (None,))
+            attached = True
+        num = [c for c in base.columns
+               if is_numeric(base._sdf.schema[c].dataType)]
+        frames = [base[c].rank(method=method, ascending=ascending,
+                               pct=pct).to_frame(c) for c in num]
+        out = concat(frames, axis=1) if len(frames) > 1 else frames[0]
+        if attached:
+            out = out.reset_index(drop=True)
+        return out
+
     def median(self, numeric_only: bool = True):
         return self._columnwise(F.median, "median", numeric_only)
 

@@ -792,3 +792,19 @@ def test_frame_quantile_prod_any_all(spark):
                                sorted(pdf[["a", "b"]].prod()))
     assert df[["c"]].any().compute().tolist() == [True]
     assert df[["c"]].all().compute().tolist() == [False]
+
+
+@pytest.mark.parametrize("method", ["average", "min", "dense"])
+def test_frame_rank(spark, method):
+    import numpy as np
+    import pandas as pd
+    import pandas_expr_spark as pes
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame({"a": rng.randint(0, 5, 20).astype(float),
+                        "b": rng.rand(20), "s": ["x"] * 20})
+    pdf.loc[3, "a"] = np.nan
+    got = (pes.from_pandas(pdf).rank(method=method)
+           .compute().sort_index()[["a", "b"]])
+    exp = pdf[["a", "b"]].rank(method=method)
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12, equal_nan=True)
