@@ -1474,6 +1474,23 @@ class Series(FrameBase):
     def explode(self) -> "Series":
         return self._with_scol(F.explode_outer(self._scol), "explode")
 
+    def repeat(self, repeats: int) -> "Series":
+        """pandas ``Series.repeat`` (scalar count): one generator
+        projection (``explode(sequence)``), no shuffle."""
+        if repeats < 0:
+            raise ValueError("repeats must be non-negative")
+        sdf, name, order, idx = self._ordered_base()
+        if repeats == 0:
+            # sequence(1, 0) is a DESCENDING 2-element sequence, not empty
+            out = sdf.filter(F.lit(False))
+        else:
+            out = sdf.withColumn(
+                "__rep__", F.explode(F.sequence(F.lit(1), F.lit(repeats)))) \
+                .drop("__rep__")
+        node = Node("repeat", {"repeats": repeats}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
     # -- accessors (wired in functions/accessors.py) ---------------------
     @property
     def str(self):

@@ -808,3 +808,12 @@ def test_frame_rank(spark, method):
     exp = pdf[["a", "b"]].rank(method=method)
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-12, equal_nan=True)
+
+
+def test_series_repeat(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({"v": [1.0, 2.0]})
+    got = pes.from_pandas(pdf).v.repeat(3).compute()
+    assert sorted(got.tolist()) == sorted(pdf.v.repeat(3).tolist())
+    assert len(pes.from_pandas(pdf).v.repeat(0).compute()) == 0
