@@ -2662,6 +2662,22 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (``text.unigram_logprob``): corpus
+    counts → smoothed token probabilities → per-doc mean log-prob, two
+    distributed passes (the KenLM/CCNet perplexity-filter shape with a
+    real, exactly-reproducible model).  Oracle replays both passes in
+    SQL; values rounded to 4dp (log of identical IEEE ratios)."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.unigram_logprob(docs)
+    return (out.select("doc_id",
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       F.round("avg_logprob", 4).alias("avg_logprob"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2760,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_limit_events": ffill_limit_events,
         "grouped_resample_user_daily": grouped_resample_user_daily,
         "training_mix_pipeline": training_mix_pipeline,
+        "doc_unigram_ppl": doc_unigram_ppl,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4108,6 +4125,25 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "doc_unigram_ppl": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(
+                    regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+            ), vocab AS (
+                SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+            ), tot AS (
+                SELECT SUM(c) AS N, COUNT(*) AS V FROM vocab
+            ), probs AS (
+                SELECT t, (c + 0.5) / (N + 0.5 * (V + 1)) AS p
+                FROM vocab, tot
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(ln(p)), 4) AS avg_logprob
+            FROM tok JOIN probs USING (t)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "training_mix_pipeline": """
             WITH gp AS (      -- stage 1: gopher filter (same rules battery)

@@ -93,6 +93,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "epoch_mix_sources",
     "training_mix_pipeline",
+    "doc_unigram_ppl",
 ]
 
 

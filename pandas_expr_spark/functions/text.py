@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import string
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
 __all__ = ["token_count", "word_tokens", "char_ngrams", "word_shingles",
            "punct_ratio", "digit_ratio", "stopword_ratio", "avg_token_len",
@@ -274,3 +274,45 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None,
 
 
 __all__ += ["PII_PATTERNS", "pii_count", "redact_pii"]
+
+
+def unigram_logprob(docs: SparkDF, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    smoothing: float = 0.5) -> SparkDF:
+    """Corpus-derived unigram language-model score per document — the
+    shape of KenLM/CCNet perplexity quality filters, with the simplest
+    real model (add-k smoothed unigrams) instead of a stubbed external
+    LM.
+
+    Two passes, both distributed:
+
+    1. corpus unigram counts: one explode → hash-agg shuffle (map-side
+       combined); the vocabulary table is (token, count) — small relative
+       to the corpus, joined back BROADCAST when it fits (Spark decides
+       via AQE thresholds; at web scale bucket it instead);
+    2. per-doc mean log-prob: explode again → join token probabilities →
+       one groupBy(doc) average.  Unseen tokens take the smoothed floor
+       ``k / (N + k·(V+1))``.
+
+    Returns (id_col, n_tokens, avg_logprob) — lower = more surprising
+    under the corpus distribution (spam/gibberish shows up at both
+    extremes).  Deterministic — exactly SQL-checkable."""
+    toks = docs.select(F.col(id_col),
+                       F.explode(word_tokens(text_col)).alias("__t__"))
+    vocab = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    totals = vocab.agg(
+        F.sum("__c__").alias("__N__"),
+        F.count(F.lit(1)).alias("__V__")).collect()[0]
+    n_total, v_size = totals["__N__"], totals["__V__"]
+    denom = float(n_total) + smoothing * (v_size + 1)
+    probs = vocab.select(
+        "__t__", ((F.col("__c__") + F.lit(smoothing)) / F.lit(denom))
+        .alias("__p__"))
+    floor = smoothing / denom
+    scored = (toks.join(probs, "__t__", "left")
+              .withColumn("__lp__", F.log(F.coalesce(F.col("__p__"),
+                                                     F.lit(floor)))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg("__lp__").alias("avg_logprob")))
+
