@@ -2678,6 +2678,31 @@ def doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document representation (``text.tfidf_terms``) + the most
+    characteristic term per document (deterministic max_by on
+    (tfidf, term) with ties to the lexicographically smallest term) —
+    two agg shuffles + a broadcast IDF join.  Oracle replays TF/DF/IDF
+    in SQL."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx.tfidf_terms(docs)
+    # deterministic top term: order by (tfidf desc, term asc) via window
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    top = (t.withColumn("__rn__", F.row_number().over(w))
+           .filter(F.col("__rn__") == 1)
+           .select("doc_id", F.col("term").alias("top_term"),
+                   F.round("tfidf", 4).alias("top_tfidf")))
+    stats = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return (top.join(stats, "doc_id")
+            .select("doc_id", "top_term", "top_tfidf",
+                    F.col("n_terms").cast("long").alias("n_terms"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2777,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_resample_user_daily": grouped_resample_user_daily,
         "training_mix_pipeline": training_mix_pipeline,
         "doc_unigram_ppl": doc_unigram_ppl,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4125,6 +4151,35 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "doc_tfidf_top_terms": r"""
+            WITH pairs AS (
+                SELECT doc_id, unnest(
+                    regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM pairs GROUP BY doc_id, term
+            ), n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+            idf AS (
+                SELECT term,
+                       ln((nd + 1.0) / (COUNT(*) + 1)) + 1.0 AS idf
+                FROM tf, n GROUP BY term, nd
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf
+                FROM tf JOIN idf USING (term)
+            )
+            SELECT doc_id, term AS top_term,
+                   ROUND(tfidf, 4) AS top_tfidf,
+                   CAST(cnt AS BIGINT) AS n_terms
+            FROM (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+                FROM scored)
+            WHERE rn = 1 ORDER BY doc_id
         """,
         "doc_unigram_ppl": r"""
             WITH tok AS (

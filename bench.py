@@ -94,6 +94,7 @@ HEADLINE = [
     "epoch_mix_sources",
     "training_mix_pipeline",
     "doc_unigram_ppl",
+    "doc_tfidf_top_terms",
 ]
 
 

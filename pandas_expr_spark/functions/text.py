@@ -316,3 +316,30 @@ def unigram_logprob(docs: SparkDF, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.avg("__lp__").alias("avg_logprob")))
 
+
+
+def tfidf_terms(docs: SparkDF, text_col: str = "text",
+                id_col: str = "doc_id") -> SparkDF:
+    """Per-document TF-IDF term scores — the classic sparse document
+    representation, fully distributed:
+
+    * TF: explode → (doc, term) counts (one hash-agg shuffle);
+    * DF: distinct (doc, term) → per-term document frequency (second
+      agg over the already-shuffled pairs);
+    * IDF = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style); the IDF
+      table is vocabulary-sized — broadcast-joined back.
+
+    Returns (id_col, term, tf, tfidf).  Deterministic and exactly
+    SQL-reproducible."""
+    pairs = docs.select(F.col(id_col),
+                        F.explode(word_tokens(text_col)).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()
+    df_tbl = (tf.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("__df__")))
+    idf = df_tbl.select(
+        "term", (F.log((F.lit(float(n_docs + 1)))
+                       / (F.col("__df__") + 1)) + 1.0).alias("__idf__"))
+    return (tf.join(idf, "term")
+            .select(id_col, "term", "tf",
+                    (F.col("tf") * F.col("__idf__")).alias("tfidf")))
