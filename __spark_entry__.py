@@ -2703,6 +2703,22 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (``text.bm25_scores``) for a fixed
+    3-term query — top-20 documents by (score desc, id asc).  The corpus
+    is only ever exploded on the QUERY terms (array_intersect filter),
+    never on its full vocabulary; IDF is a broadcast join.  Pairs with
+    the ANN embedding gates as the hybrid-search lexical leg."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.bm25_scores(docs, ["query", "join", "table"])
+    return (out.select("doc_id", F.round("bm25", 4).alias("bm25"),
+                       F.col("n_matched").cast("long").alias("n_matched"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2803,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_pipeline": training_mix_pipeline,
         "doc_unigram_ppl": doc_unigram_ppl,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "doc_bm25_search": doc_bm25_search,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4151,6 +4168,35 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "doc_bm25_search": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(ws) AS dl, ws FROM tok
+            ), stats AS (
+                SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base
+            ), pairs AS (
+                SELECT doc_id, dl, q.term,
+                       len(list_filter(ws, x -> x = q.term)) AS tf
+                FROM base, (SELECT unnest(['query','join','table']) AS term) q
+                WHERE list_contains(ws, q.term)
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+            ), scored AS (
+                SELECT p.doc_id,
+                       ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * (1.2 + 1)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+                           AS sc
+                FROM pairs p JOIN dfreq d USING (term), stats s
+            )
+            SELECT doc_id, ROUND(SUM(sc), 4) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
         "doc_tfidf_top_terms": r"""
             WITH pairs AS (

@@ -95,6 +95,7 @@ HEADLINE = [
     "training_mix_pipeline",
     "doc_unigram_ppl",
     "doc_tfidf_top_terms",
+    "doc_bm25_search",
 ]
 
 

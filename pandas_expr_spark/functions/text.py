@@ -343,3 +343,44 @@ def tfidf_terms(docs: SparkDF, text_col: str = "text",
     return (tf.join(idf, "term")
             .select(id_col, "term", "tf",
                     (F.col("tf") * F.col("__idf__")).alias("tfidf")))
+
+
+def bm25_scores(docs: SparkDF, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> SparkDF:
+    """Okapi BM25 document scores for a fixed query — the lexical
+    retrieval ranking that pairs with the ANN embedding path for hybrid
+    search over a corpus.
+
+    Plan: per-doc term frequencies for the QUERY TERMS ONLY (an
+    ``array_intersect``-style filtered explode — the corpus is never
+    shuffled on its full vocabulary), corpus stats (N, avg doc length)
+    from one tiny agg, per-term document frequencies from one agg over
+    the filtered pairs, IDF broadcast back.  Standard Robertson IDF
+    ``ln(1 + (N-df+0.5)/(df+0.5))``."""
+    toks = docs.select(F.col(id_col),
+                       word_tokens(text_col).alias("__ts__"))
+    toks = toks.withColumn("__dl__", F.size("__ts__"))
+    stats = toks.agg(F.count(F.lit(1)).alias("N"),
+                     F.avg("__dl__").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["N"], float(stats["avgdl"])
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    pairs = (toks.select(id_col, "__dl__",
+                         F.explode(F.array_intersect("__ts__", qlit))
+                         .alias("term"),
+                         F.col("__ts__"))
+             .withColumn("tf", F.size(F.filter(
+                 "__ts__", lambda x: x == F.col("term"))))
+             .drop("__ts__"))
+    dfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df__"))
+    idf = dfreq.select("term", F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df__") + 0.5)
+        / (F.col("__df__") + 0.5)).alias("__idf__"))
+    scored = (pairs.join(F.broadcast(idf), "term")
+              .withColumn("__s__", F.col("__idf__") * F.col("tf")
+                          * (k1 + 1) / (F.col("tf") + k1 * (
+                              1 - b + b * F.col("__dl__") / avgdl))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("__s__").alias("bm25"),
+                 F.count(F.lit(1)).alias("n_matched")))
