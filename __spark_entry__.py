@@ -2719,6 +2719,47 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking ⊕ embedding-cosine ranking
+    fused by Reciprocal Rank Fusion (score = Σ 1/(60 + rank)) — the
+    standard RAG-retrieval composition, here as ONE plan over the
+    already-gated legs.  Both rankings are deterministic (score desc,
+    id asc); the oracle replays BM25, cosine, and the fusion in SQL."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = tx.bm25_scores(docs, ["query", "join", "table"])
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_r = (lex.withColumn("r_lex", F.row_number().over(wl))
+             .filter(F.col("r_lex") <= 50).select("doc_id", "r_lex"))
+
+    # deterministic literal query vector (same expression in the oracle)
+    qv = [float((i * 37) % 11 - 5) for i in range(64)]
+    from pandas_expr_spark.functions.similarity import _cosine, _dot, _norm, _lit_vec
+    q = _lit_vec(qv)
+    cos = _cosine(_dot("embedding", q), _norm("embedding"), _norm(q))
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    vec_r = (emb.select(F.col("vec_id").alias("doc_id"),
+                        cos.alias("cosine"))
+             .withColumn("r_vec", F.row_number().over(wv))
+             .filter(F.col("r_vec") <= 50).select("doc_id", "r_vec"))
+
+    fused = (lex_r.join(vec_r, "doc_id", "outer")
+             .withColumn("rrf", F.round(
+                 F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                 + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)), 6)))
+    return (fused.select("doc_id", "rrf",
+                         F.coalesce("r_lex", F.lit(-1)).cast("long")
+                         .alias("r_lex"),
+                         F.coalesce("r_vec", F.lit(-1)).cast("long")
+                         .alias("r_vec"))
+            .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2820,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_ppl": doc_unigram_ppl,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "doc_bm25_search": doc_bm25_search,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "top_tokens_documents": top_tokens_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
@@ -4168,6 +4210,61 @@ def oracle_sql() -> dict[str, str]:
                        - 4.0 * digit_ratio - 0.5 * abs(mean_len - 5.5)
                        + 0.25 * ln(1 + len(text))))), 4) AS q_logit
             FROM f ORDER BY doc_id
+        """,
+        "hybrid_search_rrf": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(ws) AS dl, ws FROM tok
+            ), stats AS (
+                SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base
+            ), pairs AS (
+                SELECT doc_id, dl, q.term,
+                       len(list_filter(ws, x -> x = q.term)) AS tf
+                FROM base, (SELECT unnest(['query','join','table']) AS term) q
+                WHERE list_contains(ws, q.term)
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+            ), bm AS (
+                SELECT p.doc_id, SUM(
+                       ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * (1.2 + 1)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)))
+                           AS bm25
+                FROM pairs p JOIN dfreq d USING (term), stats s
+                GROUP BY p.doc_id
+            ), lex AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                           AS r_lex
+                FROM bm QUALIFY r_lex <= 50
+            ), qv AS (
+                SELECT list_transform(range(0, 64),
+                           i -> CAST((i * 37) % 11 - 5 AS DOUBLE)) AS v
+            ), cosd AS (
+                SELECT vec_id AS doc_id,
+                       list_dot_product(embedding::DOUBLE[], (SELECT v FROM qv))
+                       / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                          * sqrt(list_dot_product((SELECT v FROM qv),
+                                                  (SELECT v FROM qv))))
+                           AS cosine
+                FROM embeddings
+            ), vec AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                           AS r_vec
+                FROM cosd QUALIFY r_vec <= 50
+            )
+            SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / (60 + r_lex), 0)
+                         + COALESCE(1.0 / (60 + r_vec), 0), 6) AS rrf,
+                   CAST(COALESCE(r_lex, -1) AS BIGINT) AS r_lex,
+                   CAST(COALESCE(r_vec, -1) AS BIGINT) AS r_vec
+            FROM lex FULL OUTER JOIN vec USING (doc_id)
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "doc_bm25_search": r"""
             WITH tok AS (

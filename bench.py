@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_unigram_ppl",
     "doc_tfidf_top_terms",
     "doc_bm25_search",
+    "hybrid_search_rrf",
 ]
 
 
