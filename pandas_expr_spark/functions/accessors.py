@@ -59,7 +59,9 @@ class StringAccessor(_Accessor):
             F.split(c, ""),
             lambda ch: F.when(ch == F.lower(ch), F.upper(ch))
                         .otherwise(F.lower(ch)))
-        return self._wrap(F.concat_ws("", swapped), "str.swapcase")
+        # concat_ws maps NULL input to '' — keep pandas' null propagation
+        return self._wrap(F.when(c.isNotNull(), F.concat_ws("", swapped)),
+                          "str.swapcase")
 
     def capitalize(self):
         """pandas ``str.capitalize``: first char upper, rest lower — pure
@@ -178,8 +180,16 @@ class StringAccessor(_Accessor):
                 joined = F.array_join(F.collect_list(s._scol), sep)
             return Scalar(s._sdf.agg(joined.alias("cat")),
                           Node("str.cat", {"sep": sep}, s._expr))
+        if not isinstance(others, (list, tuple)):
+            others = [others]
         cols = [self._s._scol] + [o._scol for o in others]
-        return self._wrap(F.concat_ws(sep, *cols), "str.cat")
+        # pandas na_rep=None: ANY null operand nulls the row — concat_ws
+        # would silently skip nulls instead
+        non_null = cols[0].isNotNull()
+        for c in cols[1:]:
+            non_null = non_null & c.isNotNull()
+        return self._wrap(F.when(non_null, F.concat_ws(sep, *cols)),
+                          "str.cat")
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         # Spark lpad/rpad TRUNCATE values longer than width; pandas never

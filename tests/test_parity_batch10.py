@@ -289,3 +289,15 @@ def test_frame_ewm_mean(spark):
     got = (pes.from_pandas(pdf).ewm(span=7).mean()
            .compute().sort_index()[["a", "b"]])
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
+
+
+def test_str_swapcase_cat_null_propagation(spark):
+    pdf = pd.DataFrame({"a": ["x", None, "z"], "b": ["1", "2", None]})
+    df = pes.from_pandas(pdf)
+    sw = df.a.str.swapcase().compute().sort_index()
+    assert sw.astype(object).where(sw.notna(), None).tolist() \
+        == ["X", None, "Z"]
+    ct = df.a.str.cat(df.b, sep="-").compute().sort_index()
+    exp = pdf.a.str.cat(pdf.b, sep="-")
+    assert ct.astype(object).where(ct.notna(), None).tolist() \
+        == exp.astype(object).where(exp.notna(), None).tolist()
