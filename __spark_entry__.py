@@ -887,7 +887,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_expr_spark.functions import text
     from pandas_expr_spark.sources.tables import load_table
-    docs = load_table(spark, sf_dir, "documents")
+    # widen first: the local documents parquet is ONE indivisible row
+    # group and the marker cascade dominates — same pattern as
+    # clean_corpus_pipeline / training_mix_pipeline
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return (docs.withColumn("pred_lang", text.lang_id("text"))
             .groupBy("pred_lang")
             .agg(F.count(F.lit(1)).alias("n")))
@@ -2421,7 +2425,9 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, no shuffle, no UDF.  Oracle replicates every rule in SQL."""
     from pandas_expr_spark.functions import curation
     from pandas_expr_spark.sources.tables import load_table
-    docs = load_table(spark, sf_dir, "documents")
+    # widen first: single-row-group local parquet + per-row tokenization
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     return (docs.select("doc_id", *curation.gopher_rules("text"),
                         F.round(curation.quality_logit("text"), 4)
                         .alias("q_logit"))
@@ -2770,80 +2776,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries per round.  Round 1 covered the original first 50 (all of
-    # TPC-H + the core frame-op battery) — those are green in
-    # CORRECTNESS_r01.json and now live after position 50.  This round's
-    # first 50 = the 3 round-1 hash-artifact queries (oracles fixed) +
-    # one representative per operator family that had no driver row yet:
-    # streaming, asof/interval joins, window/scan, grouped positional,
-    # rollup/grouping-sets, resample, reshape, set-ops, elementwise,
-    # stats, and the LLM-pipeline batteries (dedup, similarity, splits,
-    # sketches, multimodal).
+    # entries per round.  Rounds 1+2 produced driver-green rows for 97
+    # distinct queries; this round's window leads with the 67 queries
+    # that have never had a driver row (local oracle green for all of
+    # them — scripts/check_oracle.py).  Positions 1-50 close 50 of the
+    # 67; the remaining 17 sit at 51-67 for the round-4 window.
     return {
-        # -- round-1 hash artifacts, oracles fixed this round --
-        "q12_priority_shipping": q12_priority_shipping,
-        "events_sessions": events_sessions,
-        "doc_token_stats": doc_token_stats,
-        # -- streaming (real readStream shapes) --
-        "streaming_hourly_events": streaming_hourly_events,
-        "streaming_sliding_events": streaming_sliding_events,
-        "streaming_sessions_users": streaming_sessions_users,
-        "streaming_view_purchase_join": streaming_view_purchase_join,
-        "streaming_dedup_users": streaming_dedup_users,
-        "streaming_enriched_segments": streaming_enriched_segments,
-        # -- specialized joins --
-        "asof_join_events": asof_join_events,
-        "asof_nearest_events": asof_nearest_events,
-        "interval_join_shipments": interval_join_shipments,
-        # -- window / distributed scan family --
-        "window_lag_cumsum_orders": window_lag_cumsum_orders,
-        "rolling_expanding_orders": rolling_expanding_orders,
-        "rolling_minmax_orders": rolling_minmax_orders,
-        "rank_bucket_orders": rank_bucket_orders,
-        "ewm_price_per_customer": ewm_price_per_customer,
-        # -- grouped positional / apply --
-        "groupby_topn_orders": groupby_topn_orders,
-        "grouped_apply_demean": grouped_apply_demean,
-        "groupby_nunique_median": groupby_nunique_median,
-        "ffill_event_values": ffill_event_values,
-        # -- multi-level aggregation --
-        "rollup_pricing": rollup_pricing,
-        # -- time series --
-        "resample_daily_events": resample_daily_events,
-        # -- reshape --
-        "stack_nation_counts": stack_nation_counts,
-        "unstack_segment_counts": unstack_segment_counts,
-        "pivot_status_priority": pivot_status_priority,
-        # -- set ops --
-        "intersect_except_nations": intersect_except_nations,
-        # -- elementwise / expression --
-        "map_dict_flags": map_dict_flags,
-        "apply_udf_name_len": apply_udf_name_len,
-        "combine_first_balances": combine_first_balances,
-        # -- dedup / stats / misc frame ops --
-        "dedup_keep_first_orders": dedup_keep_first_orders,
-        "idx_extremes_orders": idx_extremes_orders,
-        "quantile_prices": quantile_prices,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
-        "period_month_revenue": period_month_revenue,
-        "cat_codes_segments": cat_codes_segments,
-        # -- LLM-pipeline batteries --
-        "doc_lang_id": doc_lang_id,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "minhash_verified_dups": minhash_verified_dups,
-        "simhash_planted_dups": simhash_planted_dups,
-        "similarity_topk": similarity_topk,
-        "embedding_cosine_pairs": embedding_cosine_pairs,
-        "embedding_near_dup_lsh": embedding_near_dup_lsh,
-        "multimodal_meta": multimodal_meta,
-        "udtf_chunk_documents": udtf_chunk_documents,
-        "pack_sequences_documents": pack_sequences_documents,
-        "doc_repetition": doc_repetition,
-        "hash_split_documents": hash_split_documents,
-        "clean_corpus_pipeline": clean_corpus_pipeline,
-        "doc_dup_components": doc_dup_components,
-        # ---- position 50+: green in CORRECTNESS_r01 or rows-only ----
-        # (new this round — rotate into the first-50 window in round 3)
+        # ---- never driver-checked (round-3 window: first 50) ----
         "doc_pii_redaction": doc_pii_redaction,
         "doc_decontaminate": doc_decontaminate,
         "embedding_kmeans": embedding_kmeans,
@@ -2863,6 +2802,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": doc_bm25_search,
         "hybrid_search_rrf": hybrid_search_rrf,
         "top_tokens_documents": top_tokens_documents,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "multimodal_features": multimodal_features,
+        "cube_pricing": cube_pricing,
+        "head_sorted_nations": head_sorted_nations,
+        "mode_quantity": mode_quantity,
+        "replace_dropna_priorities": replace_dropna_priorities,
+        "window_diff_pct_orders": window_diff_pct_orders,
+        "streaming_stateful_running": streaming_stateful_running,
+        "events_sliding_windows": events_sliding_windows,
+        "sample_fraction_lineitem": sample_fraction_lineitem,
+        "math_abs_clip_floor": math_abs_clip_floor,
+        "tail_orders": tail_orders,
+        "nlargest_parts": nlargest_parts,
+        "value_counts_normalized": value_counts_normalized,
+        "concat_inner_lineitem": concat_inner_lineitem,
+        "cross_join_flags": cross_join_flags,
+        "merge_indicator_nations": merge_indicator_nations,
+        "nunique_approx_custkeys": nunique_approx_custkeys,
+        "crosstab_status_priority": crosstab_status_priority,
+        "duplicated_parts": duplicated_parts,
+        "shift_diff_order_prices": shift_diff_order_prices,
+        "rolling_revenue_orders": rolling_revenue_orders,
+        "grouped_rolling_orders": grouped_rolling_orders,
+        "concat_axis1_nation_stats": concat_axis1_nation_stats,
+        "cumsum_running_revenue": cumsum_running_revenue,
+        "align_add_balances": align_add_balances,
+        "skew_sem_prices": skew_sem_prices,
+        "melt_customer_metrics": melt_customer_metrics,
+        "eval_query_charges": eval_query_charges,
+        # ---- never driver-checked overflow (round-4 window) ----
+        "stratified_sample_docs": stratified_sample_docs,
+        "grouping_sets_pricing": grouping_sets_pricing,
+        "kll_doclen_quantiles": kll_doclen_quantiles,
+        "audience_overlap_events": audience_overlap_events,
+        "resample_gapfill_user": resample_gapfill_user,
+        "explode_tokens": explode_tokens,
+        "describe_quantity": describe_quantity,
+        "cut_quantity_bins": cut_quantity_bins,
+        "get_dummies_segments": get_dummies_segments,
+        "embedding_ann_ivf": embedding_ann_ivf,
+        "groupby_filter_rows": groupby_filter_rows,
+        "groupby_ohlc_orders": groupby_ohlc_orders,
+        "interpolate_event_values": interpolate_event_values,
+        "asfreq_hourly_user": asfreq_hourly_user,
+        "ffill_global_events": ffill_global_events,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "streaming_dedup_ingest": streaming_dedup_ingest,
+        # ---- driver-green in r01/r02 (stable tail) ----
+        "q12_priority_shipping": q12_priority_shipping,
+        "events_sessions": events_sessions,
+        "doc_token_stats": doc_token_stats,
+        "streaming_hourly_events": streaming_hourly_events,
+        "streaming_sliding_events": streaming_sliding_events,
+        "streaming_sessions_users": streaming_sessions_users,
+        "streaming_view_purchase_join": streaming_view_purchase_join,
+        "streaming_dedup_users": streaming_dedup_users,
+        "streaming_enriched_segments": streaming_enriched_segments,
+        "asof_join_events": asof_join_events,
+        "asof_nearest_events": asof_nearest_events,
+        "interval_join_shipments": interval_join_shipments,
+        "window_lag_cumsum_orders": window_lag_cumsum_orders,
+        "rolling_expanding_orders": rolling_expanding_orders,
+        "rolling_minmax_orders": rolling_minmax_orders,
+        "rank_bucket_orders": rank_bucket_orders,
+        "ewm_price_per_customer": ewm_price_per_customer,
+        "groupby_topn_orders": groupby_topn_orders,
+        "grouped_apply_demean": grouped_apply_demean,
+        "groupby_nunique_median": groupby_nunique_median,
+        "ffill_event_values": ffill_event_values,
+        "rollup_pricing": rollup_pricing,
+        "resample_daily_events": resample_daily_events,
+        "stack_nation_counts": stack_nation_counts,
+        "unstack_segment_counts": unstack_segment_counts,
+        "pivot_status_priority": pivot_status_priority,
+        "intersect_except_nations": intersect_except_nations,
+        "map_dict_flags": map_dict_flags,
+        "apply_udf_name_len": apply_udf_name_len,
+        "combine_first_balances": combine_first_balances,
+        "dedup_keep_first_orders": dedup_keep_first_orders,
+        "idx_extremes_orders": idx_extremes_orders,
+        "quantile_prices": quantile_prices,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "period_month_revenue": period_month_revenue,
+        "cat_codes_segments": cat_codes_segments,
+        "doc_lang_id": doc_lang_id,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "minhash_verified_dups": minhash_verified_dups,
+        "simhash_planted_dups": simhash_planted_dups,
+        "similarity_topk": similarity_topk,
+        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "multimodal_meta": multimodal_meta,
+        "udtf_chunk_documents": udtf_chunk_documents,
+        "pack_sequences_documents": pack_sequences_documents,
+        "doc_repetition": doc_repetition,
+        "hash_split_documents": hash_split_documents,
+        "clean_corpus_pipeline": clean_corpus_pipeline,
+        "doc_dup_components": doc_dup_components,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -2910,54 +2949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dedup": doc_fingerprint_dedup,
         "doc_exact_dedup_count": doc_exact_dedup_count,
         "doc_quality": doc_quality,
-        "minhash_near_dup_pairs": minhash_near_dup_pairs,
-        "simhash_near_dups": simhash_near_dups,
-        "embedding_ann_lsh": embedding_ann_lsh,
-        "multimodal_features": multimodal_features,
-        "cube_pricing": cube_pricing,
-        "head_sorted_nations": head_sorted_nations,
-        "mode_quantity": mode_quantity,
-        "replace_dropna_priorities": replace_dropna_priorities,
-        "window_diff_pct_orders": window_diff_pct_orders,
-        "streaming_stateful_running": streaming_stateful_running,
-        "events_sliding_windows": events_sliding_windows,
-        "sample_fraction_lineitem": sample_fraction_lineitem,
-        "math_abs_clip_floor": math_abs_clip_floor,
-        "tail_orders": tail_orders,
-        "nlargest_parts": nlargest_parts,
-        "value_counts_normalized": value_counts_normalized,
-        "concat_inner_lineitem": concat_inner_lineitem,
-        "cross_join_flags": cross_join_flags,
-        "merge_indicator_nations": merge_indicator_nations,
-        "nunique_approx_custkeys": nunique_approx_custkeys,
-        "crosstab_status_priority": crosstab_status_priority,
-        "duplicated_parts": duplicated_parts,
-        "shift_diff_order_prices": shift_diff_order_prices,
-        "rolling_revenue_orders": rolling_revenue_orders,
-        "grouped_rolling_orders": grouped_rolling_orders,
-        "concat_axis1_nation_stats": concat_axis1_nation_stats,
-        "cumsum_running_revenue": cumsum_running_revenue,
-        "align_add_balances": align_add_balances,
-        "skew_sem_prices": skew_sem_prices,
-        "melt_customer_metrics": melt_customer_metrics,
-        "eval_query_charges": eval_query_charges,
-        "stratified_sample_docs": stratified_sample_docs,
-        "grouping_sets_pricing": grouping_sets_pricing,
-        "kll_doclen_quantiles": kll_doclen_quantiles,
-        "audience_overlap_events": audience_overlap_events,
-        "resample_gapfill_user": resample_gapfill_user,
-        "explode_tokens": explode_tokens,
-        "describe_quantity": describe_quantity,
-        "cut_quantity_bins": cut_quantity_bins,
-        "get_dummies_segments": get_dummies_segments,
-        "embedding_ann_ivf": embedding_ann_ivf,
-        "groupby_filter_rows": groupby_filter_rows,
-        "groupby_ohlc_orders": groupby_ohlc_orders,
-        "interpolate_event_values": interpolate_event_values,
-        "asfreq_hourly_user": asfreq_hourly_user,
-        "ffill_global_events": ffill_global_events,
-        "doc_incremental_dedup": doc_incremental_dedup,
-        "streaming_dedup_ingest": streaming_dedup_ingest,
     }
 
 

@@ -338,8 +338,10 @@ class Series(FrameBase):
     def _with_scol(self, scol: Column, op: str, name: str | None = None,
                    **params) -> "Series":
         node = Node(op, {"name": name or self._col_name, **params}, self._expr)
-        return Series(self._sdf, scol, name or self._col_name, node,
-                      self._index_cols, self._index_names)
+        out = Series(self._sdf, scol, name or self._col_name, node,
+                     self._index_cols, self._index_names)
+        out._mask_anchor = getattr(self, "_mask_anchor", None)
+        return out
 
     @property
     def dtype(self) -> str:
@@ -405,8 +407,10 @@ class Series(FrameBase):
             lit = F.col("__scalar__")
             l, r = (lit, self._scol) if reflexive else (self._scol, lit)
             node = Node(op, {"scalar": True}, self._expr, other._expr)
-            return Series(joined, fn(l, r), self._col_name, node,
-                          self._index_cols, self._index_names)
+            out = Series(joined, fn(l, r), self._col_name, node,
+                         self._index_cols, self._index_names)
+            out._mask_anchor = getattr(self, "_mask_anchor", None)
+            return out
         lit = F.lit(other)
         l, r = (lit, self._scol) if reflexive else (self._scol, lit)
         return self._with_scol(fn(l, r), op, params_other=repr(other))
@@ -1123,11 +1127,7 @@ class Series(FrameBase):
             a = 1.0 - math.exp(-math.log(2.0) / halflife)
         else:
             a = alpha
-        if not adjust:
-            raise NotImplementedError("global ewm: adjust=True only "
-                                      "(use with_ewm(partition_by=...) for "
-                                      "grouped adjust=False)")
-        return _SeriesEwm(self, a)
+        return _SeriesEwm(self, a, adjust)
 
     @property
     def is_monotonic_increasing(self) -> bool:
@@ -1569,20 +1569,21 @@ class _SeriesRolling:
     def min(self) -> Series: return self._minmax("min")
     def max(self) -> Series: return self._minmax("max")
 
-    def apply(self, func, raw: bool = True) -> Series:
+    def apply(self, func, raw: bool = False) -> Series:
         """pandas ``rolling(...).apply(func)`` for an arbitrary Python
         window function — the distributed halo-block pattern
-        (``scan.rolling_apply``): blocks of rows + a ``window-1`` halo
-        copy run exact pandas locally per block, Arrow-batched.  This is
-        the slow path by construction — prefer the JVM aggs when the
-        function is expressible."""
+        (``scan.rolling_apply``): blocks of rows + a two-sided halo copy
+        (``window-1`` rows back, ``(w-1)//2`` forward when centered) run
+        exact pandas locally per block, Arrow-batched.  ``raw`` defaults
+        to False like pandas (func receives a Series).  This is the slow
+        path by construction — prefer the JVM aggs when the function is
+        expressible."""
         from .functions import scan
-        if self._center:
-            raise NotImplementedError("rolling.apply with center=True")
         s = self._s
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_apply(sdf, name, order, self._window, func,
-                                 self._minp, out="__ra__", raw=raw)
+                                 self._minp, out="__ra__", raw=raw,
+                                 center=self._center)
         res = out.select(*[F.col(c) for c in idx],
                          F.col("__ra__").alias(name))
         node = Node("rolling_apply", {"window": self._window}, s._expr)
@@ -1594,8 +1595,8 @@ class _SeriesEwm:
     """pandas ``Series.ewm(...)`` chain target — delegates to the
     distributed global EWM segment scan."""
 
-    def __init__(self, series: Series, alpha: float):
-        self._s, self._alpha = series, alpha
+    def __init__(self, series: Series, alpha: float, adjust: bool = True):
+        self._s, self._alpha, self._adjust = series, alpha, adjust
 
     def mean(self) -> Series:
         from .functions import timeseries as _ts
@@ -1604,7 +1605,7 @@ class _SeriesEwm:
         if len(order) != 1:
             raise ValueError("global ewm needs exactly one order column")
         out = _ts.ewm_mean_global(sdf, name, order[0], self._alpha,
-                                  name=name)
+                                  name=name, adjust=self._adjust)
         node = Node("ewm_mean", {"alpha": self._alpha}, s._expr)
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
@@ -1669,8 +1670,9 @@ class _FrameRolling:
 class _FrameEwm:
     """pandas ``DataFrame.ewm`` chain target — one shared ranged pass."""
 
-    def __init__(self, frame: "DataFrame", alpha: float):
-        self._f, self._alpha = frame, alpha
+    def __init__(self, frame: "DataFrame", alpha: float,
+                 adjust: bool = True):
+        self._f, self._alpha, self._adjust = frame, alpha, adjust
 
     def mean(self) -> "DataFrame":
         from .functions import timeseries as _ts
@@ -1685,7 +1687,8 @@ class _FrameEwm:
             idx, names = (_ROWID,), (None,)
         num = [c for c in f.columns
                if is_numeric(f._sdf.schema[c].dataType)]
-        out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha)
+        out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha,
+                                        adjust=self._adjust)
         out = out.select(*[F.col(c) for c in idx], *num)
         return DataFrame(out, Node("frame_ewm_mean",
                                    {"alpha": self._alpha}, f._expr),
@@ -1934,6 +1937,9 @@ class DataFrame(FrameBase):
         node = Node("projection", {"columns": name}, self._expr)
         s = Series(self._sdf, F.col(name), name, node,
                    self._index_cols, self._index_names)
+        # lineage token: lets __getitem__ accept scalar-augmented masks
+        # derived from THIS frame while rejecting same-schema foreign frames
+        s._mask_anchor = self._sdf
         if self._index_period_freq:
             s._index_period_freq = dict(self._index_period_freq)
         vfreq = getattr(self, "_period_value_freq", None) or {}
@@ -1976,9 +1982,14 @@ class DataFrame(FrameBase):
             # scalar-augmented mask (`df[df.v > df.v.mean()]`): the mask's
             # plan is this frame's plan + broadcast scalar column(s) — it
             # still CARRIES every frame column, so filter there and
-            # project this frame's columns back out
+            # project this frame's columns back out.  The _mask_anchor
+            # lineage token (set in _col, propagated through _with_scol and
+            # the Scalar cross-join) restricts this to masks actually
+            # derived from THIS frame: a same-schema FOREIGN frame's mask
+            # would silently return the foreign frame's rows otherwise.
             needed = list(self._index_cols) + self.columns
-            if all(c in key._sdf.columns for c in needed):
+            if (getattr(key, "_mask_anchor", None) is self._sdf
+                    and all(c in key._sdf.columns for c in needed)):
                 out = (key._sdf.filter(key._scol)
                        .select(*[F.col(c) for c in needed]))
                 return self._derive(out, "filter",
@@ -2979,9 +2990,7 @@ class DataFrame(FrameBase):
             a = 1.0 - math.exp(-math.log(2.0) / halflife)
         else:
             a = alpha
-        if not adjust:
-            raise NotImplementedError("global ewm: adjust=True only")
-        return _FrameEwm(self, a)
+        return _FrameEwm(self, a, adjust)
 
     def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the
@@ -3646,10 +3655,9 @@ class DataFrame(FrameBase):
         else:
             if len(ob) != 1:
                 raise ValueError("global ewm needs exactly one order_by column")
-            if not adjust:
-                raise NotImplementedError("global ewm: adjust=True only")
             out = _ts.ewm_mean_global(self._sdf, col, ob[0], alpha,
-                                      name=name, num_partitions=num_partitions)
+                                      name=name, num_partitions=num_partitions,
+                                      adjust=adjust)
         return self._derive(out, "ewm", {"col": col, "alpha": alpha,
                                          "partition_by": pb})
 

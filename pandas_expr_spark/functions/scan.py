@@ -682,7 +682,8 @@ def is_monotonic(sdf: SparkDF, col: str, order_by: list[str],
 
 def rolling_apply(sdf: SparkDF, col: str, order_by: list[str], window: int,
                   func, min_periods: int | None = None,
-                  out: str = "__roll__", raw: bool = True,
+                  out: str = "__roll__", raw: bool = False,
+                  center: bool = False,
                   block_rows: int = 4096,
                   num_partitions: int | None = None) -> SparkDF:
     """Global ``rolling(window).apply(func)`` for an ARBITRARY Python
@@ -708,18 +709,32 @@ def rolling_apply(sdf: SparkDF, col: str, order_by: list[str], window: int,
                      num_partitions)
     blk = (F.col("__pos__") / block_rows).cast("long")
     main = pos.withColumn("__blk__", blk).withColumn("__halo__", F.lit(False))
-    halo = (pos.filter(F.col("__pos__") % block_rows >= block_rows
-                       - (window - 1))
+    # centered windows look FORWARD `lead` rows and BACK window-1-lead rows
+    # (pandas: trailing window shifted back by (w-1)//2) — halo sizes follow
+    lead = (window - 1) // 2 if center else 0
+    back = window - 1 - lead
+    parts = [main]
+    if back > 0:
+        parts.append(
+            pos.filter(F.col("__pos__") % block_rows >= block_rows - back)
             .withColumn("__blk__", blk + 1)
             .withColumn("__halo__", F.lit(True)))
-    both = main.unionByName(halo)
+    if lead > 0:
+        parts.append(
+            pos.filter((F.col("__pos__") % block_rows < lead)
+                       & (F.col("__pos__") >= block_rows))
+            .withColumn("__blk__", blk - 1)
+            .withColumn("__halo__", F.lit(True)))
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
 
     schema = T.StructType([T.StructField("__pos__", T.LongType()),
                            T.StructField(out, T.DoubleType())])
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__pos__")
-        r = (pdf[col].rolling(window, min_periods=minp)
+        r = (pdf[col].rolling(window, min_periods=minp, center=center)
              .apply(func, raw=raw))
         keep = ~pdf["__halo__"].to_numpy()
         return pd.DataFrame({"__pos__": pdf["__pos__"].to_numpy()[keep],

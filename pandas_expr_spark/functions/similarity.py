@@ -69,15 +69,29 @@ def cosine_topk(sdf: SparkDF, query_vec, k: int = 10,
 
 def brute_force_pairs(sdf: SparkDF, cosine_threshold: float = 0.95,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      round_to: int | None = None) -> SparkDF:
+                      round_to: int | None = None,
+                      max_vectors: int = 200_000) -> SparkDF:
     """All-pairs cosine similarity join (id_a < id_b) — the exact baseline
     the LSH/IVF paths approximate.  O(n²): correct at any scale but only
     *fast* up to ~10⁵ vectors; beyond that use ``embedding_near_dup_pairs``
     (random-hyperplane LSH) or ``ivf_topk``.
 
+    ``max_vectors`` is a hard size guard: above it the n² plan would run
+    for days on a real corpus, so the call REFUSES (one cheap count)
+    rather than silently launching it.  Raise the bound explicitly (or
+    pass ``max_vectors=None``) only for a deliberate exact baseline run.
+
     Norms are precomputed once and the (id, vec, norm) projection persisted
     so the self-join reads it from memory instead of re-deriving per side.
     """
+    if max_vectors is not None:
+        n = sdf.count()
+        if n > max_vectors:
+            raise ValueError(
+                f"brute_force_pairs: {n} vectors exceeds the O(n²) guard "
+                f"({max_vectors}); use embedding_near_dup_pairs (banded "
+                f"LSH) or ivf_topk, or pass max_vectors=None for a "
+                f"deliberate exact baseline run")
     # spread the O(n²) compare work across the cluster even when the
     # source is a single parquet split
     npart = sdf.sparkSession.sparkContext.defaultParallelism

@@ -68,9 +68,10 @@ def ewm_mean_grouped(sdf: SparkDF, by: list[str], col: str, order_by: list[str],
 
 
 def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
-                    name: str = "ewm", num_partitions: int | None = None) -> SparkDF:
-    """Distributed segment-scan EWM over one globally ordered series
-    (``adjust=True``).  ``order_by`` must be unique (it defines the order).
+                    name: str = "ewm", num_partitions: int | None = None,
+                    adjust: bool = True) -> SparkDF:
+    """Distributed segment-scan EWM over one globally ordered series.
+    ``order_by`` must be unique (it defines the order).
 
     Three stages, none of which materializes the series on fewer executors
     than the input occupies:
@@ -82,7 +83,19 @@ def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
        single tiny task (the only sequential step, O(#partitions)).
     3. Broadcast-join carries back; patch local values with the decayed
        carry.
+
+    ``adjust=False`` (pandas' recursive form) dispatches to the affine
+    segment scan (`_ewm_noadjust_multi`): pandas resets the old weight to
+    1 after every observation, so the state is not linear in (num, den),
+    but each row's value IS affine in the partition's first blended
+    observation — see that function's docstring.
+    Nulls follow pandas ``ignore_na=False``: weights keep decaying, no
+    new observation is added, and the prior mean carries through.
     """
+    if not adjust:
+        staged = sdf.withColumn(name, F.col(col).cast("double"))
+        return _ewm_noadjust_multi(staged, [name], order_by, alpha,
+                                   num_partitions)
     d = 1.0 - alpha
     n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
     part = (sdf.repartitionByRange(n_parts, F.col(order_by))
@@ -108,9 +121,13 @@ def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
             dens = [0.0] * len(x)
             positions = [0] * len(x)
             for i, xi in enumerate(x):
-                num = xi + d * num
-                den = 1.0 + d * den
                 pos += 1
+                if xi == xi:          # non-NaN observation
+                    num = xi + d * num
+                    den = 1.0 + d * den
+                else:                 # pandas ignore_na=False: weights
+                    num = d * num     # keep decaying, no new observation;
+                    den = d * den     # num/den carries the prior mean
                 nums[i] = num
                 dens[i] = den
                 positions[i] = pos
@@ -144,18 +161,175 @@ def ewm_mean_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
             carries.append((int(row["__pid"]), g_num, g_den))
             g_num = row["last_num"] + row["decay"] * g_num
             g_den = row["last_den"] + row["decay"] * g_den
-        return pd.DataFrame(carries, columns=["__pid", "carry_num", "carry_den"])
+        return pd.DataFrame(carries,
+                            columns=["__pid", "carry_num", "carry_den"])
 
     carries = (summary.withColumn("__one", F.lit(1)).groupBy("__one")
                .applyInPandas(lambda pdf: _fold(pdf), carry_schema))
 
     scale = F.pow(F.lit(d), F.col("__pos") + 1)
+    num_t = F.col("__num") + F.coalesce(F.col("carry_num"), F.lit(0.0)) * scale
+    den_t = F.col("__den") + F.coalesce(F.col("carry_den"), F.lit(0.0)) * scale
     out = (local.join(F.broadcast(carries), "__pid", "left")
            .withColumn(name,
-                       (F.col("__num") + F.coalesce(F.col("carry_num"), F.lit(0.0)) * scale)
-                       / (F.col("__den") + F.coalesce(F.col("carry_den"), F.lit(0.0)) * scale))
-           .drop("__pid", "__num", "__den", "__pos", "carry_num", "carry_den"))
+                       # den == 0 ⇔ no observation seen yet (leading NaNs)
+                       F.when(den_t > 0, num_t / den_t))
+           .drop("__pid", "__num", "__den", "__pos",
+                 "carry_num", "carry_den"))
     return out
+
+
+def _ewm_noadjust_multi(sdf: SparkDF, cols: list[str], order_by: str,
+                        alpha: float,
+                        num_partitions: int | None = None) -> SparkDF:
+    """pandas ``ewm(alpha, adjust=False).mean()`` (ignore_na=False) as a
+    distributed segment scan, overwriting ``cols`` in place.
+
+    pandas' recursion (per its Cython kernel) keeps a carried mean y and
+    an old-weight w: every row after the first observation decays
+    ``w *= 1-α``; an observation then blends ``y = (w·y + α·x)/(w + α)``
+    and RESETS ``w = 1``.  The reset makes (num, den) non-linear, but
+    within a partition every row's value is AFFINE in y1 — the blended
+    value at the partition's FIRST local observation:
+
+        y_row = A_row · y1 + B_row
+
+    with (A, B) computed locally (A multiplies by w/(w+α) at each later
+    observation; w evolves locally because it resets at each obs).  Only
+    y1 depends on upstream state, through the carried (y_in, w_in):
+    ``w1 = w_in · d^(p_first+1)``, ``y1 = (w1·y_in + α·x_first)/(w1+α)``
+    — or ``y1 = x_first`` when no observation precedes the partition.
+    The tiny driver fold walks partition summaries computing (y_in, y1)
+    per partition; a broadcast join patches rows.  Same cost envelope as
+    the adjusted scan: one range shuffle + one O(#partitions) fold.
+    Rows before the partition's first observation output the carried
+    mean y_in (null before the global first observation).
+    """
+    d = 1.0 - alpha
+    n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
+    part = (sdf.repartitionByRange(n_parts, F.col(order_by))
+            .sortWithinPartitions(order_by)
+            .withColumn("__pid", F.spark_partition_id()))
+
+    fields = [T.StructField(f.name, T.DoubleType() if f.name in cols
+                            else f.dataType, True)
+              for f in part.schema.fields]
+    for c in cols:
+        fields += [T.StructField(f"__a_{c}", T.DoubleType()),
+                   T.StructField(f"__b_{c}", T.DoubleType()),
+                   T.StructField(f"__bf_{c}", T.BooleanType()),
+                   # per-partition constants replicated per row; reduced
+                   # via max_by(__pos) in the summary
+                   T.StructField(f"__fp_{c}", T.LongType()),
+                   T.StructField(f"__fx_{c}", T.DoubleType()),
+                   T.StructField(f"__w_{c}", T.DoubleType())]
+    fields.append(T.StructField("__pos", T.LongType()))
+    local_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def _local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per column: (a, b) affine coeffs vs y1, w old-weight,
+        # first-obs (pos, x); state persists across Arrow batches
+        st = {c: {"a": 1.0, "b": 0.0, "w": 1.0,
+                  "fp": -1, "fx": float("nan")} for c in cols}
+        pos = -1
+        for pdf in batches:
+            pdf = pdf.copy()
+            n = len(pdf)
+            for c in cols:
+                x = pdf[c].to_numpy(dtype="float64")
+                s = st[c]
+                a_l = [0.0] * n
+                b_l = [0.0] * n
+                bf_l = [False] * n
+                for i in range(n):
+                    xi = x[i]
+                    if s["fp"] < 0:
+                        if xi == xi:
+                            s["fp"], s["fx"] = pos + 1 + i, float(xi)
+                            s["a"], s["b"], s["w"] = 1.0, 0.0, 1.0
+                            bf_l[i] = False
+                        else:
+                            bf_l[i] = True
+                    else:
+                        s["w"] *= d
+                        if xi == xi:
+                            denom = s["w"] + alpha
+                            s["a"] = s["a"] * (s["w"] / denom)
+                            s["b"] = (s["w"] * s["b"] + alpha * xi) / denom
+                            s["w"] = 1.0
+                    a_l[i] = s["a"]
+                    b_l[i] = s["b"]
+                pdf[f"__a_{c}"] = a_l
+                pdf[f"__b_{c}"] = b_l
+                pdf[f"__bf_{c}"] = bf_l
+                pdf[f"__fp_{c}"] = s["fp"]
+                pdf[f"__fx_{c}"] = s["fx"]
+                pdf[f"__w_{c}"] = s["w"]
+            pdf["__pos"] = range(pos + 1, pos + 1 + n)
+            pos += n
+            yield pdf[names]
+
+    local = part.mapInPandas(_local_scan, local_schema).persist()
+
+    summary = (local.groupBy("__pid")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    *[a for c in cols for a in
+                      (F.max_by(f"__a_{c}", "__pos").alias(f"la_{c}"),
+                       F.max_by(f"__b_{c}", "__pos").alias(f"lb_{c}"),
+                       F.max_by(f"__fp_{c}", "__pos").alias(f"fp_{c}"),
+                       F.max_by(f"__fx_{c}", "__pos").alias(f"fx_{c}"),
+                       F.max_by(f"__w_{c}", "__pos").alias(f"lw_{c}"))]))
+
+    carry_fields = [T.StructField("__pid", T.IntegerType())]
+    for c in cols:
+        carry_fields += [T.StructField(f"cy_{c}", T.DoubleType()),
+                         T.StructField(f"cy1_{c}", T.DoubleType())]
+    carry_schema = T.StructType(carry_fields)
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__pid")
+        g = {c: (float("nan"), 1.0) for c in cols}   # (y, w) entering
+        rows = []
+        for _, row in pdf.iterrows():
+            r = {"__pid": int(row["__pid"])}
+            for c in cols:
+                y_in, w_in = g[c]
+                r[f"cy_{c}"] = y_in
+                fp = int(row[f"fp_{c}"])
+                if fp >= 0:                       # partition observed
+                    if y_in != y_in:              # global first obs here
+                        y1 = float(row[f"fx_{c}"])
+                    else:
+                        w1 = w_in * d ** (fp + 1)
+                        y1 = ((w1 * y_in + alpha * row[f"fx_{c}"])
+                              / (w1 + alpha))
+                    r[f"cy1_{c}"] = y1
+                    g[c] = (row[f"la_{c}"] * y1 + row[f"lb_{c}"],
+                            float(row[f"lw_{c}"]))
+                else:
+                    r[f"cy1_{c}"] = float("nan")
+                    g[c] = (y_in, w_in * d ** int(row["n_rows"]))
+            rows.append(r)
+        return pd.DataFrame(rows, columns=[f.name for f in carry_fields])
+
+    carries = (summary.withColumn("__one", F.lit(1)).groupBy("__one")
+               .applyInPandas(lambda pdf: _fold(pdf), carry_schema))
+
+    out = local.join(F.broadcast(carries), "__pid", "left")
+    updates, drop = {}, ["__pid", "__pos"]
+    for c in cols:
+        val = F.when(F.col(f"__bf_{c}"),
+                     # before the first local obs → carried mean (NaN →
+                     # null before the global first observation)
+                     F.when(F.col(f"cy_{c}") == F.col(f"cy_{c}"),
+                            F.col(f"cy_{c}"))) \
+            .otherwise(F.col(f"__a_{c}") * F.col(f"cy1_{c}")
+                       + F.col(f"__b_{c}"))
+        updates[c] = val
+        drop += [f"__a_{c}", f"__b_{c}", f"__bf_{c}", f"__fp_{c}",
+                 f"__fx_{c}", f"__w_{c}", f"cy_{c}", f"cy1_{c}"]
+    return out.withColumns(updates).drop(*drop)
 
 
 # --------------------------------------------------------------------------
@@ -217,12 +391,18 @@ def period_to_timestamp_col(col, freq: str, how: str = "start"):
 
 def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
                           alpha: float,
-                          num_partitions: int | None = None) -> SparkDF:
+                          num_partitions: int | None = None,
+                          adjust: bool = True) -> SparkDF:
     """``ewm_mean_global`` for SEVERAL columns in ONE ranged pass: the
     per-partition recurrence carries (num, den) state per column through
     the same Arrow stream, the partition-summary fold carries one
     (num, den) pair per column, and a single broadcast join patches all
-    columns at once.  Results overwrite ``cols`` in place."""
+    columns at once.  Results overwrite ``cols`` in place.
+    ``adjust=False`` dispatches to the affine scan
+    (``_ewm_noadjust_multi`` — see its docstring)."""
+    if not adjust:
+        return _ewm_noadjust_multi(sdf, cols, order_by, alpha,
+                                   num_partitions)
     d = 1.0 - alpha
     n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
     part = (sdf.repartitionByRange(n_parts, F.col(order_by))
@@ -250,8 +430,13 @@ def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
                 num, den = state[c]
                 nums, dens = [0.0] * n, [0.0] * n
                 for i in range(n):
-                    num = x[i] + d * num
-                    den = 1.0 + d * den
+                    xi = x[i]
+                    if xi == xi:      # non-NaN (pandas ignore_na=False)
+                        num = xi + d * num
+                        den = 1.0 + d * den
+                    else:
+                        num = d * num
+                        den = d * den
                     nums[i] = num
                     dens[i] = den
                 state[c] = (num, den)
@@ -295,9 +480,10 @@ def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
     out = local.join(F.broadcast(carries), "__pid", "left")
     updates, drop = {}, ["__pid", "__pos"]
     for c in cols:
-        updates[c] = ((F.col(f"__num_{c}")
-                       + F.coalesce(F.col(f"cn_{c}"), F.lit(0.0)) * scale)
-                      / (F.col(f"__den_{c}")
-                         + F.coalesce(F.col(f"cd_{c}"), F.lit(0.0)) * scale))
+        num_t = (F.col(f"__num_{c}")
+                 + F.coalesce(F.col(f"cn_{c}"), F.lit(0.0)) * scale)
+        den_t = (F.col(f"__den_{c}")
+                 + F.coalesce(F.col(f"cd_{c}"), F.lit(0.0)) * scale)
+        updates[c] = F.when(den_t > 0, num_t / den_t)
         drop += [f"__num_{c}", f"__den_{c}", f"cn_{c}", f"cd_{c}"]
     return out.withColumns(updates).drop(*drop)

@@ -404,9 +404,16 @@ class GroupBy:
                 raise NotImplementedError(
                     "callable aggregations cannot mix with rollup/cube/"
                     "grouping_sets")
-            a = sdf.groupBy(*self._by).agg(*aggs)
-            b = sdf.groupBy(*self._by).agg(*udf_aggs)
-            out = a.join(b, list(self._by), "inner")                    .select(*self._by, *order)
+            # null-safe key join: with dropna=False a null-key group must
+            # survive the re-join (plain equi-join drops it: null != null)
+            a = sdf.groupBy(*self._by).agg(*aggs).alias("__a")
+            b = sdf.groupBy(*self._by).agg(*udf_aggs).alias("__b")
+            cond = None
+            for k in self._by:
+                c = F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}"))
+                cond = c if cond is None else (cond & c)
+            out = (a.join(b, cond, "inner")
+                   .select(*[F.col(f"__a.{k}") for k in self._by], *order))
         elif udf_aggs:
             out = self._grouping(sdf).agg(*udf_aggs)
         else:
@@ -971,10 +978,11 @@ class _GroupRolling:
     def std(self): return self._agg("std")
     def var(self): return self._agg("var")
 
-    def apply(self, func, raw: bool = True):
+    def apply(self, func, raw: bool = False):
         """pandas ``groupby.rolling(w).apply(func)`` — exact pandas per
         group via Arrow-batched ``applyInPandas`` (one shuffle on the
-        keys; the Python func is the slow path by construction)."""
+        keys; the Python func is the slow path by construction).
+        ``raw`` defaults to False like pandas (func receives a Series)."""
         gb = self._gb
         if self._w is None:
             raise NotImplementedError("expanding().apply not supported")
@@ -988,10 +996,12 @@ class _GroupRolling:
         schema = T.StructType(fields)
         names = [f.name for f in fields]
 
+        center = self._center
+
         def _fn(pdf):
             pdf = pdf.sort_values(order_cols).copy()
             for c in vcols:
-                pdf[c] = (pdf[c].rolling(w, min_periods=minp)
+                pdf[c] = (pdf[c].rolling(w, min_periods=minp, center=center)
                           .apply(func, raw=raw))
             return pdf[names]
 

@@ -392,7 +392,8 @@ def test_grouped_rolling_apply(win_df, win_pdf):
     exp = (win_pdf.groupby("k")[["v", "u"]]
            .rolling(3, min_periods=2).apply(func, raw=True)
            .reset_index(drop=True))
-    got = (win_df.groupby("k").rolling(3, min_periods=2).apply(func)
+    got = (win_df.groupby("k").rolling(3, min_periods=2)
+           .apply(func, raw=True)
            .compute()[["v", "u"]].sort_index().reset_index(drop=True))
     # pandas output is ordered by (k, position); engine preserves row
     # labels — compare per-group sorted multisets
