@@ -2062,17 +2062,41 @@ class DataFrame(FrameBase):
         # default index: the position IS the pandas label — keep it
         return DataFrame(out, node, ("__take_pos__",), (None,))
 
-    def reindex(self, columns=None) -> "DataFrame":
-        """pandas ``reindex(columns=)``: select in the given order; names
-        absent from the frame become all-null columns."""
-        if columns is None:
-            raise NotImplementedError("reindex supports columns= only")
-        sel = [F.col(c) if c in self.columns else F.lit(None).alias(c)
-               for c in columns]
-        idx = [F.col(c) for c in self._index_cols]
-        node = Node("reindex", {"columns": list(columns)}, self._expr)
-        return DataFrame(self._sdf.select(*idx, *sel), node,
-                         self._index_cols, self._index_names)
+    def reindex(self, index=None, columns=None) -> "DataFrame":
+        """pandas ``reindex``: ``columns=`` selects in the given order
+        (absent names become all-null columns); ``index=`` aligns rows to
+        the given labels — the driver-held label list becomes a tiny
+        broadcast frame left-joined on the index (absent labels yield
+        null rows, pandas NaN), never a full-frame shuffle."""
+        out = self
+        if index is not None:
+            if not out._index_cols:
+                raise ValueError(
+                    "reindex(index=) needs an index — set_index first")
+            if len(out._index_cols) != 1:
+                raise NotImplementedError(
+                    "reindex(index=) supports a single-level index")
+            icol = out._index_cols[0]
+            labels = list(index)
+            spark = out._sdf.sparkSession
+            dtype = out._sdf.schema[icol].dataType
+            lbl = spark.createDataFrame(
+                [(l,) for l in labels],
+                T.StructType([T.StructField(icol, dtype)]))
+            joined = F.broadcast(lbl).join(out._sdf, icol, "left")
+            node = Node("reindex", {"index_n": len(labels)}, out._expr)
+            out = DataFrame(joined, node, out._index_cols,
+                            out._index_names)
+        if columns is not None:
+            sel = [F.col(c) if c in out.columns else F.lit(None).alias(c)
+                   for c in columns]
+            idx = [F.col(c) for c in out._index_cols]
+            node = Node("reindex", {"columns": list(columns)}, out._expr)
+            out = DataFrame(out._sdf.select(*idx, *sel), node,
+                            out._index_cols, out._index_names)
+        if index is None and columns is None:
+            raise NotImplementedError("reindex needs index= or columns=")
+        return out
 
     def __dir__(self):
         """Columns appear in ``dir(df)`` for tab completion (reference
@@ -2691,10 +2715,34 @@ class DataFrame(FrameBase):
                             index_names=names)
 
     def set_axis(self, labels, axis: int = 1) -> "DataFrame":
-        """pandas ``set_axis(axis=1)``: replace column names positionally.
-        (axis=0 would relabel rows — not representable lazily.)"""
+        """pandas ``set_axis``: axis=1 replaces column names positionally;
+        axis=0 relabels rows — the driver-held label list joins in by
+        distributed global position (one ranged pass + a broadcast join
+        on the tiny (pos, label) frame) and becomes the new index.
+        Row relabeling is inherently a driver-list-sized operation —
+        pandas users call it on frames whose labels fit in memory."""
+        if axis in (0, "index"):
+            labels = list(labels)
+            from .functions.scan import global_pos
+            if self._index_cols:
+                sdf, order = self._sdf, list(self._index_cols)
+            else:
+                sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            n = sdf.count()
+            if len(labels) != n:
+                raise ValueError(f"expected {n} labels, got {len(labels)}")
+            pos = global_pos(sdf, order, "__pos__")
+            spark = self._sdf.sparkSession
+            lbl = spark.createDataFrame(
+                [(i, l) for i, l in enumerate(labels)],
+                ["__pos__", "__sa_idx__"])
+            out = (pos.join(F.broadcast(lbl), "__pos__")
+                   .drop("__pos__", *[c for c in order
+                                      if c not in self.columns]))
+            node = Node("set_axis", {"axis": 0, "n": n}, self._expr)
+            return DataFrame(out, node, ("__sa_idx__",), (None,))
         if axis not in (1, "columns"):
-            raise NotImplementedError("set_axis(axis=0) not supported")
+            raise NotImplementedError(f"set_axis: unknown axis {axis!r}")
         labels = list(labels)
         if len(labels) != len(self.columns):
             raise ValueError(f"expected {len(self.columns)} labels, "
@@ -3229,8 +3277,37 @@ class DataFrame(FrameBase):
         vfn = _var_fn(ddof)
         return self._columnwise(lambda c: F.sqrt(vfn(c)), "std", numeric_only)
 
-    def mode(self, numeric_only: bool = False):
-        raise NotImplementedError("DataFrame.mode: use Series.mode per column")
+    def mode(self, numeric_only: bool = False) -> "DataFrame":
+        """pandas ``DataFrame.mode``: row i holds each column's i-th
+        smallest mode; columns with fewer modes pad with null.
+
+        Per column: hash-groupBy count → broadcast max-count join →
+        distributed ``global_pos`` rank over the (output-sized) mode set;
+        the per-column mode frames then full-outer-join on the rank.
+        Every stage is a shuffle on the mode set, never a global window
+        over the input (reference Mode ``_reductions.py:242-255`` is
+        Series-only; SURVEY §2.5)."""
+        from .functions.scan import global_pos
+        cols = [c for c in self.columns
+                if not numeric_only or is_numeric(self._sdf.schema[c].dataType)]
+        if not cols:
+            raise ValueError("mode: no columns to aggregate")
+        frames = []
+        for c in cols:
+            counted = (self._sdf.filter(F.col(c).isNotNull())
+                       .groupBy(c).agg(F.count(F.lit(1)).alias("__n__")))
+            maxn = counted.agg(F.max("__n__").alias("__m__"))
+            top = (counted
+                   .join(F.broadcast(maxn), F.col("__n__") == F.col("__m__"))
+                   .select(c))
+            frames.append(global_pos(top, [c], "__pos__")
+                          .select("__pos__", c))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.join(f, "__pos__", "outer")
+        out = out.select("__pos__", *cols)
+        node = Node("frame_mode", {"columns": cols}, self._expr)
+        return DataFrame(out, node, ("__pos__",), (None,))
 
     def var_columns(self, ddof: int = 1) -> Series:
         """Row-wise variance across columns (reference VarColumns
@@ -3326,12 +3403,17 @@ class DataFrame(FrameBase):
         return DataFrame(stacked, node, ("column",), (None,))
 
     def corrwith(self, other: "DataFrame", method: str = "pearson") -> "Series":
-        """pandas ``df.corrwith(other)``: per-column Pearson correlation
-        over the index intersection.  One index equi-join + ONE aggregation
+        """pandas ``df.corrwith(other)``: per-column correlation over the
+        index intersection.  Pearson: one index equi-join + ONE aggregation
         pass computing every shared numeric column's ``F.corr`` — no
-        per-column scans."""
-        if method != "pearson":
-            raise NotImplementedError("corrwith supports method='pearson'")
+        per-column scans.  Spearman follows pandas ``nancorr``: per column,
+        mask to pairwise-complete rows, average-tie rank BOTH sides on the
+        distinct-value table (no global row window), then Pearson on the
+        ranks — one rank shuffle pair per column, unavoidable because each
+        pair's completeness mask differs."""
+        if method not in ("pearson", "spearman"):
+            raise NotImplementedError(
+                "corrwith supports method='pearson'/'spearman'")
         common = [c for c in self.columns
                   if c in other.columns
                   and is_numeric(self._sdf.schema[c].dataType)
@@ -3339,6 +3421,26 @@ class DataFrame(FrameBase):
         if not common:
             raise ValueError("no shared numeric columns to correlate")
         joined, lmap, rmap = _index_outer_join(self, other, "inner")
+        if method == "spearman":
+            outs = None
+            for c in common:
+                pair = (joined._sdf
+                        .select(F.col(lmap[c]).cast("double").alias("__l__"),
+                                F.col(rmap[c]).cast("double").alias("__r__"))
+                        .filter(F.col("__l__").isNotNull()
+                                & F.col("__r__").isNotNull()))
+                ranked = _avg_rank_join(
+                    _avg_rank_join(pair, "__l__", "__lrk__"),
+                    "__r__", "__rrk__")
+                one = (ranked.agg(F.corr("__lrk__", "__rrk__")
+                                  .alias("__cw__"))
+                       .select(F.lit(c).alias("__cw_idx__"), "__cw__"))
+                outs = one if outs is None else outs.unionByName(one)
+            node = Node("corrwith", {"columns": common,
+                                     "method": "spearman"},
+                        self._expr, other._expr)
+            return Series(outs, F.col("__cw__"), None, node,
+                          ("__cw_idx__",), (None,))
         row = joined._sdf.agg(*[
             F.corr(F.col(lmap[c]).cast("double"),
                    F.col(rmap[c]).cast("double")).alias(c) for c in common])
@@ -4083,14 +4185,24 @@ class _ILocIndexer:
     def _row_slice(self, key):
         f = self._f
         if isinstance(key, slice):
-            if key.step not in (None, 1):
-                raise NotImplementedError("iloc step slices")
-            start, stop = key.start or 0, key.stop
-            if start < 0 or (stop is not None and stop < 0):
-                raise NotImplementedError("negative iloc positions")
-            if start == 0 and stop is None:
+            step = 1 if key.step is None else key.step
+            if step <= 0:
+                raise NotImplementedError("iloc negative step (reversal)")
+            start, stop = key.start, key.stop
+            if (start is not None and start < 0) or \
+                    (stop is not None and stop < 0):
+                # negative positions anchor to the end: ONE count job
+                # resolves them to absolute offsets, then the same
+                # distributed position pass applies
+                n = f._sdf.count()
+                if start is not None and start < 0:
+                    start = max(0, n + start)
+                if stop is not None and stop < 0:
+                    stop = max(0, n + stop)
+            start = start or 0
+            if step == 1 and start == 0 and stop is None:
                 return f
-            if start == 0:
+            if step == 1 and start == 0:
                 return f.head(stop)
             from .functions import scan
             if f._index_cols:
@@ -4101,8 +4213,11 @@ class _ILocIndexer:
             cond = F.col("__pos__") >= start
             if stop is not None:
                 cond = cond & (F.col("__pos__") < stop)
+            if step != 1:
+                cond = cond & ((F.col("__pos__") - start) % step == 0)
             out = pos.filter(cond).drop("__pos__")
             if not f._index_cols:
                 out = out.drop(_ROWID)
-            return f._derive(out, "iloc", {"start": start, "stop": stop})
+            return f._derive(out, "iloc", {"start": start, "stop": stop,
+                                           "step": step})
         raise NotImplementedError("iloc supports slices (use loc for labels)")

@@ -608,14 +608,16 @@ class GroupBy:
         out = sdf.withColumns(updates).drop("__gp__")
         return self._finish_window(out, tmp, "interpolate")
 
-    def resample(self, freq: str, on: str):
+    def resample(self, freq: str, on: str, fill_empty: bool = False):
         """pandas ``groupby(keys).resample(freq, on=ts)``: per-entity time
         bucketing — the group keys simply precede the time bucket in ONE
         grouped aggregation (one shuffle on (keys, bucket), identical
         memory contract to plain groupby; the bucket projection is pure
-        JVM date_trunc/window)."""
+        JVM date_trunc/window).  ``fill_empty=True`` materializes each
+        group's empty bins from a per-group calendar spine."""
         base = self._frame.resample(freq, on)   # bucketizes the frame
-        r = Resampler(base._frame, on, base._step_sql, fill_empty=False,
+        r = Resampler(base._frame, on, base._step_sql,
+                      fill_empty=fill_empty,
                       sort=self._sort, extra_by=self._by)
         r._slice = self._slice
         return r
@@ -984,11 +986,12 @@ class _GroupRolling:
         keys; the Python func is the slow path by construction).
         ``raw`` defaults to False like pandas (func receives a Series)."""
         gb = self._gb
-        if self._w is None:
-            raise NotImplementedError("expanding().apply not supported")
         sdf, order_cols, tmp = gb._positional()
         w = self._w
-        minp = self._w if self._minp is None else self._minp
+        if w is None:                       # expanding().apply
+            minp = 1 if self._minp is None else self._minp
+        else:
+            minp = w if self._minp is None else self._minp
         vcols = gb._value_columns(numeric_only=True)
         fields = [T.StructField(f.name, T.DoubleType() if f.name in vcols
                                 else f.dataType, True)
@@ -1001,12 +1004,18 @@ class _GroupRolling:
         def _fn(pdf):
             pdf = pdf.sort_values(order_cols).copy()
             for c in vcols:
-                pdf[c] = (pdf[c].rolling(w, min_periods=minp, center=center)
-                          .apply(func, raw=raw))
+                if w is None:
+                    pdf[c] = (pdf[c].expanding(min_periods=minp)
+                              .apply(func, raw=raw))
+                else:
+                    pdf[c] = (pdf[c].rolling(w, min_periods=minp,
+                                             center=center)
+                              .apply(func, raw=raw))
             return pdf[names]
 
         out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
-        return gb._finish_window(out, tmp, "rolling_apply")
+        kind = "expanding_apply" if w is None else "rolling_apply"
+        return gb._finish_window(out, tmp, kind)
 
 
 class _GroupEwm:
@@ -1054,11 +1063,10 @@ class Resampler(GroupBy):
                  fill_empty: bool = False, sort: bool = True,
                  extra_by: list[str] | None = None):
         # grouped resample (pandas ``groupby(k).resample(freq)``): the
-        # group keys precede the time bucket; fill_empty is batch-only
-        # (a per-group calendar spine is a different, opt-in product)
+        # group keys precede the time bucket; fill_empty generates one
+        # calendar spine PER GROUP (each group's own min..max, pandas
+        # semantics) — see _finish
         self._extra_by = list(extra_by or [])
-        if self._extra_by and fill_empty:
-            raise NotImplementedError("fill_empty with grouped resample")
         super().__init__(frame, self._extra_by + [on], sort=sort)
         self._on = on
         self._step_sql = step_sql
@@ -1079,12 +1087,23 @@ class Resampler(GroupBy):
         if self._fill_empty:
             on = self._on
             out = out.persist()
-            bounds = out.agg(F.min(on).alias("__lo__"),
-                             F.max(on).alias("__hi__"))
-            spine = bounds.select(F.explode(F.sequence(
-                F.col("__lo__"), F.col("__hi__"),
-                F.expr(self._step_sql))).alias(on))
-            filled = spine.join(out, on, "left")
+            if self._extra_by:
+                # per-group spine: each group's own min..max (pandas
+                # grouped-resample semantics); post-agg data, one
+                # groupBy + sequence/explode + equi-join
+                bounds = out.groupBy(*self._extra_by).agg(
+                    F.min(on).alias("__lo__"), F.max(on).alias("__hi__"))
+                spine = bounds.select(*self._extra_by, F.explode(F.sequence(
+                    F.col("__lo__"), F.col("__hi__"),
+                    F.expr(self._step_sql))).alias(on))
+                filled = spine.join(out, self._extra_by + [on], "left")
+            else:
+                bounds = out.agg(F.min(on).alias("__lo__"),
+                                 F.max(on).alias("__hi__"))
+                spine = bounds.select(F.explode(F.sequence(
+                    F.col("__lo__"), F.col("__hi__"),
+                    F.expr(self._step_sql))).alias(on))
+                filled = spine.join(out, on, "left")
             zero = {c: F.coalesce(F.col(c), F.lit(0))
                     for c in getattr(self, "_count_like", set())
                     if c in filled.columns}
