@@ -158,6 +158,22 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # per-query regression tracking vs the committed baseline bench
+    # (BENCH_r02.json — the first completed driver bench): queries >1.5×
+    # slower and >0.5 s absolute get listed so round verdicts don't need
+    # manual comparison
+    regressions = []
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r02.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh).get("queries", {})
+        for name, t in timings.items():
+            b = base.get(name, -1.0)
+            if t >= 0 and b > 0 and t > 1.5 * b and t - b > 0.5:
+                regressions.append({"query": name, "now": t, "baseline": b})
+    except Exception:
+        pass  # baseline file absent/unreadable → no regression list
     print(
         json.dumps(
             {
@@ -167,6 +183,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "regressions": regressions,
             }
         )
     )
