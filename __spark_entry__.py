@@ -2769,6 +2769,92 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# Round-3 gates: the parameter-guard lifts (DataFrame.mode, extended iloc,
+# reindex(index=), corrwith spearman, grouped resample fill_empty) each get
+# an exact SQL oracle so the driver can hash-check them.
+# --------------------------------------------------------------------------
+
+def mode_frame_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.mode (SURVEY §2.5 Mode, frame-wide): per-column mode sets
+    rank-aligned — hash count + broadcast max-count join + distributed
+    global_pos per column, outer-joined on rank.  Oracle replicates the
+    rank alignment with ROW_NUMBER over each column's max-count values."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_returnflag", "l_linestatus", "l_quantity"]]
+    r = li.mode().to_spark()
+    return r.select(F.col("__pos__").alias("rk"), "l_returnflag",
+                    "l_linestatus",
+                    F.col("l_quantity").cast("bigint").alias("l_quantity"))
+
+
+def iloc_slice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iloc positive step slice (iloc[100:1000:7]) over the index order —
+    one distributed position pass + modular filter, no global sort."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    r = o.iloc[100:1000:7].to_spark()
+    return r.select("o_orderkey", "o_totalprice")
+
+
+def iloc_tail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iloc negative positions (iloc[-100:-10]): one count resolves the
+    offsets, then the same position pass."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    r = o.iloc[-100:-10].to_spark()
+    return r.select("o_orderkey", "o_totalprice")
+
+
+def reindex_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reindex(index=) row alignment: driver-held label list broadcast
+    left-joined on the index; absent labels yield null rows."""
+    import pandas_expr_spark as pes
+    n = pes.read_parquet(f"{sf_dir}/nation.parquet").set_index("n_nationkey")
+    r = n.reindex(index=[0, 5, 30, 7, 11]).to_spark()
+    return r.select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+                    "n_name")
+
+
+def corrwith_spearman_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corrwith(method='spearman'): pairwise-complete mask + average-tie
+    ranks on the distinct-value table, then Pearson on ranks.  Oracle
+    computes the same average-tie rank (min rank + (ties-1)/2) with
+    window functions."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    f1 = (o[["o_orderkey", "o_totalprice", "o_custkey"]]
+          .rename(columns={"o_totalprice": "x", "o_custkey": "y"})
+          .set_index("o_orderkey"))
+    o2 = o.assign(dom=o.o_orderdate.dt.day)
+    o2 = o2.assign(x=o2.dom, y=o2.dom)
+    f2 = o2[["o_orderkey", "x", "y"]].set_index("o_orderkey")
+    s = f1.corrwith(f2, method="spearman")
+    return s.to_spark().select(
+        F.col("__cw_idx__").alias("col"),
+        F.round(F.col("__cw__"), 6).alias("rho"))
+
+
+def resample_gapfill_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(user).resample('D', fill_empty=True): per-group calendar
+    spine (each group's own min..max) materializes empty daily bins;
+    count-like aggs fill 0.  Oracle = per-group generate_series spine."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events")
+                        .select("user_id", "ts", "value"))
+    ev = ev[ev.user_id < 20]
+    out = (ev.groupby("user_id").resample("D", "ts", fill_empty=True)
+           .agg(n=("value", "count")).reset_index())
+    r = out.to_spark()
+    return (r.select("user_id",
+                     F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     F.col("n").cast("bigint").alias("n"))
+            .orderBy("user_id", "day"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2851,6 +2937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_global_events": ffill_global_events,
         "doc_incremental_dedup": doc_incremental_dedup,
         "streaming_dedup_ingest": streaming_dedup_ingest,
+        # ---- new round-3 gates (round-4 window, after the 17) ----
+        "mode_frame_lineitem": mode_frame_lineitem,
+        "iloc_slice_orders": iloc_slice_orders,
+        "iloc_tail_orders": iloc_tail_orders,
+        "reindex_nation_keys": reindex_nation_keys,
+        "corrwith_spearman_orders": corrwith_spearman_orders,
+        "resample_gapfill_grouped": resample_gapfill_grouped,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -2975,6 +3068,77 @@ def oracle_sql() -> dict[str, str]:
     s_es = _LANG_SCORE.format(words="['el','la','de','que','y']")
     s_fr = _LANG_SCORE.format(words="['le','la','et','les','des']")
     return {
+        "mode_frame_lineitem": """
+            WITH qa AS (SELECT l_returnflag v, COUNT(*) n FROM lineitem
+                        GROUP BY 1),
+            ra AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 rk FROM qa
+                   WHERE n = (SELECT MAX(n) FROM qa)),
+            qb AS (SELECT l_linestatus v, COUNT(*) n FROM lineitem
+                   GROUP BY 1),
+            rb AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 rk FROM qb
+                   WHERE n = (SELECT MAX(n) FROM qb)),
+            qc AS (SELECT l_quantity v, COUNT(*) n FROM lineitem GROUP BY 1),
+            rc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 rk FROM qc
+                   WHERE n = (SELECT MAX(n) FROM qc)),
+            ks AS (SELECT rk FROM ra UNION SELECT rk FROM rb
+                   UNION SELECT rk FROM rc)
+            SELECT ks.rk, ra.v AS l_returnflag, rb.v AS l_linestatus,
+                   CAST(rc.v AS BIGINT) AS l_quantity
+            FROM ks LEFT JOIN ra USING (rk) LEFT JOIN rb USING (rk)
+                    LEFT JOIN rc USING (rk)
+        """,
+        "iloc_slice_orders": """
+            WITH r AS (SELECT o_orderkey, o_totalprice,
+                              ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 rn
+                       FROM orders)
+            SELECT o_orderkey, o_totalprice FROM r
+            WHERE rn >= 100 AND rn < 1000 AND (rn - 100) % 7 = 0
+        """,
+        "iloc_tail_orders": """
+            WITH r AS (SELECT o_orderkey, o_totalprice,
+                              ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 rn,
+                              COUNT(*) OVER () n
+                       FROM orders)
+            SELECT o_orderkey, o_totalprice FROM r
+            WHERE rn >= n - 100 AND rn < n - 10
+        """,
+        "reindex_nation_keys": """
+            SELECT CAST(v.k AS BIGINT) AS n_nationkey, n.n_name
+            FROM (VALUES (0), (5), (30), (7), (11)) AS v(k)
+            LEFT JOIN nation n ON n.n_nationkey = v.k
+        """,
+        "corrwith_spearman_orders": """
+            WITH t AS (SELECT o_totalprice a, o_custkey b,
+                              EXTRACT(day FROM o_orderdate) c,
+                              EXTRACT(day FROM o_orderdate) d FROM orders),
+            r AS (SELECT
+              RANK() OVER (ORDER BY a)
+                + (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+              RANK() OVER (ORDER BY b)
+                + (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb,
+              RANK() OVER (ORDER BY c)
+                + (COUNT(*) OVER (PARTITION BY c) - 1) / 2.0 AS rc,
+              RANK() OVER (ORDER BY d)
+                + (COUNT(*) OVER (PARTITION BY d) - 1) / 2.0 AS rd
+            FROM t)
+            SELECT 'x' AS col, ROUND(CORR(ra, rc), 6) AS rho FROM r
+            UNION ALL
+            SELECT 'y' AS col, ROUND(CORR(rb, rd), 6) AS rho FROM r
+        """,
+        "resample_gapfill_grouped": """
+            WITH agg AS (SELECT user_id, date_trunc('day', ts) d,
+                                COUNT(value) n
+                         FROM events WHERE user_id < 20 GROUP BY 1, 2),
+            b AS (SELECT user_id, MIN(d) lo, MAX(d) hi FROM agg GROUP BY 1),
+            spine AS (SELECT user_id,
+                             UNNEST(generate_series(lo, hi,
+                                                    INTERVAL 1 DAY)) AS d
+                      FROM b)
+            SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+            FROM spine s LEFT JOIN agg a
+                 ON a.user_id = s.user_id AND a.d = s.d
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
