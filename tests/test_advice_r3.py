@@ -106,6 +106,28 @@ class TestEwmNulls:
                    pdfm[c].ewm(alpha=0.4, adjust=True).mean().to_numpy())
 
 
+class TestEwmRandomized:
+    @pytest.mark.parametrize("seed,alpha,adjust",
+                             [(1, 0.2, True), (2, 0.7, True),
+                              (3, 0.2, False), (4, 0.7, False),
+                              (5, 0.05, False)])
+    def test_random_nan_patterns(self, spark, seed, alpha, adjust):
+        rng = np.random.RandomState(seed)
+        n = 200
+        vals = rng.randn(n)
+        mask = rng.rand(n) < 0.3
+        data = [None if m else float(v) for v, m in zip(vals, mask)]
+        want = (pd.Series(data, dtype="float64")
+                .ewm(alpha=alpha, adjust=adjust).mean().to_numpy())
+        sdf = spark.createDataFrame([(i, v) for i, v in enumerate(data)],
+                                    "i long, x double")
+        out = ewm_mean_global(sdf, "x", "i", alpha, name="y",
+                              num_partitions=7, adjust=adjust)
+        got = [np.nan if r["y"] is None else r["y"]
+               for r in out.orderBy("i").collect()]
+        _close(got, want)
+
+
 class TestGroupedRollingApplyCenter:
     def test_center_matches_pandas(self, spark):
         pdf = pd.DataFrame({"g": [1, 1, 1, 1, 1, 2, 2, 2],
