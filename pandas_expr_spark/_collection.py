@@ -42,15 +42,16 @@ _ROWID = "__pes_rowid__"
 
 def _avg_rank_join(sdf: SparkDF, col: str, out_col: str) -> SparkDF:
     """Average-tie rank of ``col`` appended as ``out_col`` — computed on the
-    distinct-value table (window over values, not rows) and joined back, so
-    no global row window (Series.rank's scale contract)."""
+    distinct-value table and joined back.  The cumulative count over values
+    runs through the DISTRIBUTED prefix scan, so even a high-cardinality
+    column (doubles: distinct ≈ rows) never funnels through one task."""
+    from .functions.scan import prefix_scan
     counts = (sdf.filter(F.col(col).isNotNull())
               .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt__")))
-    w = Window.orderBy(F.col(col).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum("__cnt__").over(w)
-    r = cum - F.col("__cnt__") + (F.col("__cnt__") + 1) / 2.0
-    ranks = counts.select(F.col(col), r.alias(out_col))
+    scanned = prefix_scan(counts, [("__cnt__", "sum", "__cum__")], [col])
+    r = (F.col("__cum__") - F.col("__cnt__")
+         + (F.col("__cnt__") + 1) / 2.0)
+    ranks = scanned.select(F.col(col), r.alias(out_col))
     return sdf.join(ranks, on=col, how="left")
 
 
@@ -846,18 +847,21 @@ class Series(FrameBase):
         (``Window.orderBy(v)`` with no partition) funnels ALL rows through
         one task — unusable at 100 TB.  Instead: ranks depend only on the
         VALUE, so aggregate to distinct values first (``groupBy(v).count()``,
-        one shuffle on v), compute per-value ranks with a window over the
-        distinct-value table (orders of magnitude smaller), and join back on
-        v (AQE broadcasts when small).  Nulls get null rank (pandas NaN)."""
+        one shuffle on v), run the DISTRIBUTED prefix scan over the
+        distinct-value table (high-cardinality columns — doubles, ids —
+        have distinct ≈ rows, so even the value table must never funnel
+        through one task), and join back on v (AQE broadcasts when small).
+        Nulls get null rank (pandas NaN)."""
+        from .functions import scan as _scan
         name = self._col_name or "__v__"
         sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
                                self._scol.alias(name))
         counts = (sdf.select(name).filter(F.col(name).isNotNull())
                   .groupBy(name).agg(F.count(F.lit(1)).alias("__cnt__")))
-        order = F.col(name).asc() if ascending else F.col(name).desc()
-        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding,
-                                              Window.currentRow)
-        cum = F.sum("__cnt__").over(w)  # count through this value, inclusive
+        desc = [not ascending]
+        scanned = _scan.prefix_scan(counts, [("__cnt__", "sum", "__cum__")],
+                                    [name], descending=desc)
+        cum = F.col("__cum__")       # count through this value, inclusive
         before = cum - F.col("__cnt__")
         if method == "average":
             r = before + (F.col("__cnt__") + 1) / 2.0
@@ -866,14 +870,18 @@ class Series(FrameBase):
         elif method == "max":
             r = cum.cast("double")
         elif method == "dense":
-            r = F.row_number().over(Window.orderBy(order)).cast("double")
+            # dense rank = the value's position in the distinct-value
+            # order — the distributed zipWithIndex, no window
+            scanned = _scan.global_pos(counts, [name], "__dr__",
+                                       descending=desc)
+            r = (F.col("__dr__") + 1).cast("double")
         elif method == "first":
             # tie-break by appearance order: per-value 'before' count from
             # the distinct-value table + row_number within the equal-value
             # partition ordered by the engine index (rowid when implicit).
             # The window is bounded by the value partition — never global.
             base_sdf, vname, order_cols, idx = self._ordered_base()
-            ranks = counts.select(F.col(name), before.alias("__before__"))
+            ranks = scanned.select(F.col(name), before.alias("__before__"))
             out = base_sdf.join(ranks, on=vname, how="left")
             wv = Window.partitionBy(vname).orderBy(
                 *[F.col(c).asc() for c in order_cols])
@@ -891,7 +899,7 @@ class Series(FrameBase):
         else:
             raise ValueError(f"rank method {method!r} not supported "
                              "(average/min/max/dense/first)")
-        ranks = counts.select(F.col(name), r.alias("__rank__"))
+        ranks = scanned.select(F.col(name), r.alias("__rank__"))
         if pct:
             # pandas: divide by non-NA count — except dense, which divides
             # by the number of DISTINCT non-NA values.  One broadcast

@@ -89,7 +89,8 @@ def _out_type(dt: T.DataType, op: str) -> T.DataType:
 
 def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
                 order_by: list[str],
-                num_partitions: int | None = None) -> SparkDF:
+                num_partitions: int | None = None,
+                descending: list[bool] | None = None) -> SparkDF:
     """Running accumulation(s) over the global ``order_by`` order.
 
     ``specs`` is a list of ``(src_col, op, out_col)`` with
@@ -102,7 +103,7 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
         if op not in _OPS:
             raise ValueError(f"prefix_scan op must be one of {list(_OPS)}, "
                              f"got {op!r}")
-    part = _ranged(sdf, order_by, num_partitions)
+    part = _ranged(sdf, order_by, num_partitions, descending)
 
     src_types = {f.name: f.dataType for f in part.schema.fields}
     # out may overwrite src in place (pandas cum* style) or be a new column
@@ -356,12 +357,13 @@ def _last_scan_limited(part: SparkDF, cols: list[str], limit: int) -> SparkDF:
 
 
 def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
-               num_partitions: int | None = None) -> SparkDF:
+               num_partitions: int | None = None,
+               descending: list[bool] | None = None) -> SparkDF:
     """0-based global position of every row in ``order_by`` order — the
     distributed equivalent of ``zipWithIndex`` expressed in the DataFrame
     API: local ``arange`` per range partition + exclusive prefix of the
     (tiny) per-partition row counts."""
-    part = _ranged(sdf, order_by, num_partitions)
+    part = _ranged(sdf, order_by, num_partitions, descending)
     fields = list(part.schema.fields) + [T.StructField(name, T.LongType())]
     schema = T.StructType(fields)
 

@@ -771,16 +771,15 @@ class GroupBy:
 
     def ngroup(self, ascending: bool = True):
         """pandas ``groupby.ngroup``: the group's number, dense-numbered in
-        sorted key order.  The rank is computed on the DISTINCT key table
-        (small) with a single-partition window, then joined back — never a
-        global window over the fact rows."""
-        from pyspark.sql import Window
+        sorted key order.  Numbering runs on the DISTINCT key table via the
+        DISTRIBUTED ``global_pos`` (high-cardinality keys — user ids at
+        100 TB — make even the key table too big for a single-partition
+        window), then joins back."""
+        from ..functions.scan import global_pos
         sdf, order_cols, tmp = self._positional()
         keys = sdf.select(*self._by).na.drop(subset=self._by).distinct()
-        order = [F.col(b).asc() if ascending else F.col(b).desc()
-                 for b in self._by]
-        mapping = keys.withColumn(
-            "ngroup", F.dense_rank().over(Window.orderBy(*order)) - 1)
+        mapping = global_pos(keys, list(self._by), "ngroup",
+                             descending=[not ascending] * len(self._by))
         # no broadcast hint: the key table's size is data-dependent — let
         # AQE pick broadcast vs shuffle join at runtime
         out = sdf.join(mapping, self._by, "left")
