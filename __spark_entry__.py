@@ -717,7 +717,9 @@ def groupby_transform_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
     li = li.assign(qty_dec=li.l_quantity.astype("decimal(18,2)"))
     t = (li[["l_returnflag", "l_orderkey", "l_linenumber", "qty_dec"]]
-         .groupby("l_returnflag")[["qty_dec"]].transform("sum"))
+         .set_index(["l_orderkey", "l_linenumber"])
+         .groupby("l_returnflag")[["qty_dec"]].transform("sum")
+         .reset_index())
     t = t.rename(columns={"qty_dec": "flag_total"})
     out = t.assign(flag_total=t["flag_total"].astype("float64"))
     return out[["l_orderkey", "l_linenumber", "flag_total"]].to_spark()
@@ -1482,7 +1484,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     p = o.pivot_table(values="price_c", index="o_orderstatus",
                       columns="o_orderpriority", aggfunc="sum",
-                      pivot_values=pv)
+                      pivot_values=pv).reset_index()
     p = p.rename(columns={"1-URGENT": "urgent_c", "2-HIGH": "high_c",
                           "3-MEDIUM": "medium_c", "4-NOT SPECIFIED": "notspec_c",
                           "5-LOW": "low_c"})

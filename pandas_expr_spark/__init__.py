@@ -78,18 +78,43 @@ def pivot(frame, *, columns, index=None, values=None, pivot_values=None):
                        pivot_values=pivot_values)
 
 
-def crosstab(frame, index, columns, values=None, aggfunc=None):
-    """pandas ``pd.crosstab`` re-anchored on a frame's columns — see
-    ``DataFrame.crosstab``."""
+def crosstab(frame, index=None, columns=None, values=None, aggfunc=None):
+    """pandas ``pd.crosstab``.  Accepts either the engine's frame-anchored
+    form ``crosstab(df, "row_col", "col_col")`` or pandas' two-Series form
+    ``crosstab(s_rows, s_cols)`` (same-anchor Series)."""
+    from ._collection import Series as _Series
+    from pyspark.sql import functions as _F
+    if isinstance(frame, _Series):
+        s1, s2 = frame, index
+        if not isinstance(s2, _Series) or s2._sdf is not s1._sdf:
+            raise ValueError("crosstab(series, series) needs two Series "
+                             "from the same frame")
+        n1 = s1.name or "row"
+        n2 = s2.name or "col"
+        if n1 == n2:
+            n2 = n2 + "_2"
+        sdf = s1._sdf.select(s1._scol.alias(n1), s2._scol.alias(n2))
+        frame, index, columns = DataFrame(sdf), n1, n2
     if values is not None or aggfunc is not None:
         return frame.crosstab(index, columns, values=values,
                               aggfunc=aggfunc or "count")
     return frame.crosstab(index, columns)
 
 
-def get_dummies(frame, columns, values=None, prefix_sep: str = "_",
+def get_dummies(frame, columns=None, values=None, prefix_sep: str = "_",
                 dtype: str = "int"):
-    """pandas ``pd.get_dummies`` — see ``DataFrame.get_dummies``."""
+    """pandas ``pd.get_dummies`` — frame form (``get_dummies(df, cols)``)
+    or pandas' bare form ``get_dummies(df_or_series)`` (all string
+    columns / the series itself)."""
+    from ._collection import Series as _Series
+    if isinstance(frame, _Series):
+        name = frame.name or "value"
+        frame = frame.to_frame(name)
+        columns = [name]
+    elif columns is None:
+        columns = [c for c in frame.columns
+                   if str(frame._sdf.schema[c].dataType).startswith(
+                       ("StringType", "VarcharType"))]
     return frame.get_dummies(columns, values=values,
                              prefix_sep=prefix_sep, dtype=dtype)
 

@@ -396,7 +396,10 @@ class Series(FrameBase):
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
-                return self._with_scol(fn(l, r), op)
+                out = self._with_scol(fn(l, r), op)
+                if self._col_name != other._col_name:
+                    out._col_name = None   # pandas: differing names drop
+                return out
             return self._aligned_binop(other, fn, op, reflexive)
         if isinstance(other, Scalar):
             # `s > s.mean()` — the 1×1 scalar frame broadcast-cross-joins
@@ -439,7 +442,10 @@ class Series(FrameBase):
     def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
     def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
     def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b), "floordiv")
-    def __mod__(self, o): return self._binop(o, lambda a, b: a % b, "mod")
+    def __mod__(self, o):
+        # Python/pandas modulo: result takes the DIVISOR's sign (Spark's %
+        # is C-style, sign of dividend) — ((a % b) + b) % b fixes both
+        return self._binop(o, lambda a, b: ((a % b) + b) % b, "mod")
     def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
     # comparisons
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
@@ -475,7 +481,9 @@ class Series(FrameBase):
         return self._with_scol(F.ceil(self._scol), "ceil")
 
     def round(self, decimals: int = 0):
-        return self._with_scol(F.round(self._scol, decimals), "round", decimals=decimals)
+        # pandas/numpy round is banker's (HALF_EVEN) → F.bround, not F.round
+        return self._with_scol(F.bround(self._scol, decimals), "round",
+                               decimals=decimals)
 
     def clip(self, lower=None, upper=None):
         """Reference Clip ``_expr.py:1139-1150`` →
@@ -1312,26 +1320,63 @@ class Series(FrameBase):
         return self._reduce(F.median(self._scol), "median", skipna)
 
     def cut(self, bins: Sequence[float], labels: Sequence[str] | None = None,
-            right: bool = True) -> "Series":
+            right: bool = True, precision: int = 3,
+            _first_edge_adjust: bool = False) -> "Series":
         """pandas ``pd.cut`` with explicit edges: a JVM-side CASE chain —
-        no shuffle, no Python.  Returns string labels (``(a, b]`` interval
-        notation when ``labels`` is omitted); out-of-range → null."""
+        no shuffle, no Python.  Default labels follow pandas' interval
+        formatting (float edges rounded per ``precision`` with the
+        uniqueness-preserving escalation pandas uses); ``labels=False``
+        returns the integer bin code; out-of-range → null."""
+        import numpy as _np
         edges = list(bins)
         if len(edges) < 2:
             raise ValueError("cut needs at least 2 bin edges")
-        if labels is not None and len(labels) != len(edges) - 1:
+        if labels not in (None, False) and len(labels) != len(edges) - 1:
             raise ValueError("labels must have len(bins) - 1 entries")
+        # pandas tile._format_labels: round float edges to the smallest
+        # precision >= `precision` that keeps them distinct; integer edge
+        # lists keep integer formatting
+        if all(isinstance(e, int) for e in edges):
+            disp = list(edges)
+        else:
+            p = precision
+            while p < 20 and len({float(_np.around(float(e), p))
+                                  for e in edges}) < len(edges):
+                p += 1
+
+            def _round_frac(x: float) -> float:
+                if not _np.isfinite(x) or x == 0:
+                    return x
+                frac, whole = _np.modf(x)
+                if whole == 0:
+                    digits = -int(_np.floor(_np.log10(abs(frac)))) - 1 + p
+                else:
+                    digits = p
+                return float(_np.around(x, digits))
+
+            disp = [_round_frac(float(e)) for e in edges]
+            if _first_edge_adjust:
+                # pandas include_lowest: the displayed first edge dips by
+                # one ulp of the display precision (the "(13.999, …]" look)
+                disp[0] = float(_np.around(disp[0] - 10.0 ** -p, p + 1))
         c = self._scol
-        expr = F.lit(None).cast("string")
+        out_type = "int" if labels is False else "string"
+        expr = F.lit(None).cast(out_type)
         for i in range(len(edges) - 2, -1, -1):
             lo, hi = edges[i], edges[i + 1]
             if right:
                 cond = (c > lo) & (c <= hi)
-                lab = labels[i] if labels else f"({lo}, {hi}]"
+                lab = f"({disp[i]}, {disp[i + 1]}]"
             else:
                 cond = (c >= lo) & (c < hi)
-                lab = labels[i] if labels else f"[{lo}, {hi})"
-            expr = F.when(cond, F.lit(str(lab))).otherwise(expr)
+                lab = f"[{disp[i]}, {disp[i + 1]})"
+            if labels is False:
+                val = F.lit(i)
+            elif labels is not None:
+                val = F.lit(str(labels[i]))
+            else:
+                val = F.lit(lab)
+            expr = F.when(cond, val).otherwise(expr)
         return self._with_scol(expr, "cut", n_bins=len(edges) - 1)
 
     def qcut(self, q: int | Sequence[float],
@@ -1356,7 +1401,8 @@ class Series(FrameBase):
             raise ValueError("qcut: all values identical — no bins")
         # pandas includes the minimum in the first bin: nudge the left edge
         edges[0] = edges[0] - abs(edges[0]) * 1e-9 - 1e-12
-        return self.cut(edges, labels=labels, right=True)
+        return self.cut(edges, labels=labels, right=True,
+                        _first_edge_adjust=True)
 
     def describe(self) -> "DataFrame":
         """pandas ``Series.describe``: one aggregation pass (count, mean,
@@ -2331,21 +2377,39 @@ class DataFrame(FrameBase):
                          joined._index_cols, joined._index_names)
 
     def where(self, cond: "Series", other=None) -> "DataFrame":
-        """pandas ``DataFrame.where`` with a same-anchor boolean Series:
-        per-column ``CASE WHEN`` — pure projection, no shuffle."""
-        if not isinstance(cond, Series) or cond._sdf is not self._sdf:
-            raise ValueError("DataFrame.where requires a boolean Series "
-                             "derived from the same frame")
-        reps = {c: F.when(cond._scol, F.col(c)).otherwise(F.lit(other))
+        """pandas ``DataFrame.where``: same-anchor boolean Series lowers
+        to per-column ``CASE WHEN`` — pure projection, no shuffle.  A
+        cond from ANOTHER frame (e.g. the parent of a projection) aligns
+        on the index via one equi-join, pandas alignment semantics."""
+        if not isinstance(cond, Series):
+            raise ValueError("DataFrame.where requires a boolean Series")
+        if cond._sdf is self._sdf:
+            reps = {c: F.when(cond._scol, F.col(c)).otherwise(F.lit(other))
+                    for c in self.columns}
+            return self._derive(self._sdf.withColumns(reps), "where", {})
+        if not self._index_cols or not cond._index_cols:
+            raise ValueError("DataFrame.where with a foreign cond needs "
+                             "an index on both sides to align")
+        cf = cond.to_frame("__cond__")
+        joined = self._sdf.join(
+            cf._sdf.select(*[F.col(c) for c in cf._index_cols],
+                           F.col("__cond__")),
+            on=list(self._index_cols), how="left")
+        flag = F.coalesce(F.col("__cond__"), F.lit(False))
+        reps = {c: F.when(flag, F.col(c)).otherwise(F.lit(other))
                 for c in self.columns}
-        return self._derive(self._sdf.withColumns(reps), "where", {})
+        return self._derive(joined.withColumns(reps).drop("__cond__"),
+                            "where", {"aligned": True})
 
     def mask(self, cond: "Series", other=None) -> "DataFrame":
-        """pandas ``DataFrame.mask`` — complement of ``where``."""
-        if not isinstance(cond, Series) or cond._sdf is not self._sdf:
-            raise ValueError("DataFrame.mask requires a boolean Series "
-                             "derived from the same frame")
-        return self.where(cond._with_scol(~cond._scol, "invert"), other)
+        """pandas ``DataFrame.mask`` — complement of ``where``.  A null
+        cond counts as False (pandas): the row is KEPT, so the inversion
+        must null-coalesce before negating."""
+        if not isinstance(cond, Series):
+            raise ValueError("DataFrame.mask requires a boolean Series")
+        inv = cond._with_scol(~F.coalesce(cond._scol, F.lit(False)),
+                              "invert")
+        return self.where(inv, other)
 
     def align(self, other: "DataFrame", join: str = "outer"):
         """Reference ``_Align`` ``_expr.py:958-978``."""
@@ -2427,7 +2491,7 @@ class DataFrame(FrameBase):
             out = self._sdf.withColumn(
                 "__dup__", F.count(F.lit(1)).over(w) > 1)
             node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
-            return Series(out, F.col("__dup__"), "duplicated", node,
+            return Series(out, F.col("__dup__"), None, node,
                           self._index_cols, self._index_names)
         if keep not in ("first", "last"):
             raise ValueError("keep must be 'first', 'last' or False")
@@ -2441,7 +2505,8 @@ class DataFrame(FrameBase):
         if order_col == _ROWID:
             out = out.drop(_ROWID)
         node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
-        return Series(out, F.col("__dup__"), "duplicated", node,
+        # pandas returns an UNNAMED boolean Series
+        return Series(out, F.col("__dup__"), None, node,
                       self._index_cols, self._index_names)
 
     def explode(self, column: str) -> "DataFrame":
@@ -2600,7 +2665,8 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.withColumns(casts), "abs", {})
 
     def round(self, decimals: int = 0) -> "DataFrame":
-        casts = {c: F.round(F.col(c), decimals) for c in self.columns
+        # HALF_EVEN to match numpy (see Series.round)
+        casts = {c: F.bround(F.col(c), decimals) for c in self.columns
                  if is_numeric(self._sdf.schema[c].dataType)}
         return self._derive(self._sdf.withColumns(casts), "round",
                             {"decimals": decimals})
@@ -3604,7 +3670,8 @@ class DataFrame(FrameBase):
         out = piv.agg(fn(F.col(values)).alias(values))
         node = Node("pivot_table", {"index": idx, "columns": columns,
                                     "aggfunc": aggfunc}, self._expr)
-        return DataFrame(out, node, (), None)
+        # pandas sets the index= columns as the result's index
+        return DataFrame(out, node, tuple(idx), tuple(idx))
 
     def crosstab(self, index: str, columns: str,
                  values: str | None = None, aggfunc: str = "count",

@@ -445,6 +445,11 @@ class GroupBy:
         cols = self._value_columns(numeric_only=True)
         sdf = self._grouped_sdf()
         out = sdf.withColumns({c: fn(F.col(c)).over(w) for c in cols})
+        if self._slice is not None:
+            # pandas: groupby(k)[cols].transform(f) returns ONLY cols
+            idx = list(self._frame._index_cols)
+            out = out.select(*idx, *[c for c in self._slice
+                                     if c in out.columns])
         node = Node("groupby_transform", {"by": self._by, "fn": fn_name},
                     self._frame._expr)
         return DataFrame(out, node, self._frame._index_cols, self._frame._index_names)
@@ -462,6 +467,13 @@ class GroupBy:
     def _finish_window(self, out, drop_col, op: str):
         from .._collection import DataFrame
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        if self._slice is not None and op not in ("cumcount", "ngroup"):
+            # pandas: groupby(k)[cols].shift()/cumsum()/... returns ONLY
+            # the sliced columns (plus the row labels).  cumcount/ngroup
+            # produce a dedicated result column regardless of slicing.
+            idx = [drop_col] if drop_col else list(self._frame._index_cols)
+            keep = [c for c in self._slice if c in out.columns]
+            out = out.select(*idx, *keep)
         if drop_col:
             # The rowid attached by _positional() IS the original row label
             # (pandas keeps the caller's index through positional grouped

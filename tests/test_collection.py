@@ -588,9 +588,11 @@ def test_update_and_frame_where_mask(spark):
     exp_m = pdf.mask(pdf.a > 1.5, other=-1.0)
     pd.testing.assert_frame_equal(got_m, exp_m, check_dtype=False,
                                   check_names=False)
-    with pytest.raises(ValueError, match="same frame"):
-        other = pes.from_pandas(pdf)
-        df.where(other.a > 1)
+    # a cond from ANOTHER frame aligns on the index (pandas semantics)
+    other = pes.from_pandas(pdf)
+    got_f = df.where(other.a > 1.5, other=-1.0).compute().sort_index()
+    pd.testing.assert_frame_equal(got_f, exp_w, check_dtype=False,
+                                  check_names=False)
 
 
 def test_quantile_list_single_pass(base, base_pdf):

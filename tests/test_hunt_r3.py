@@ -1,0 +1,149 @@
+"""Round-3 differential-hunt findings, pinned as regression tests.
+
+Each class covers a silent semantic divergence from pandas found by the
+randomized probe battery: C-style modulo, HALF_UP rounding, grouped
+positional/transform slices leaking extra columns, cut(labels=False),
+qcut label formatting, where/mask alignment with a parent-frame cond,
+and unnamed-result conventions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+class TestModuloSign:
+    def test_negative_dividend(self, spark):
+        pdf = pd.DataFrame({"v": [-2.119, 0.189, -2.809, 7.5, -7.5]})
+        want = (pdf["v"] % 3).tolist()
+        got = (pes.from_pandas(pdf)["v"] % 3).compute().tolist()
+        assert np.allclose(got, want)
+
+    def test_negative_divisor(self, spark):
+        pdf = pd.DataFrame({"v": [5.0, -5.0, 2.5]})
+        want = (pdf["v"] % -3).tolist()
+        got = (pes.from_pandas(pdf)["v"] % -3).compute().tolist()
+        assert np.allclose(got, want)
+
+
+class TestBankersRounding:
+    def test_half_even(self, spark):
+        pdf = pd.DataFrame({"v": [0.25, 0.35, 2.5, 3.5, -0.25]})
+        want = pdf["v"].round(1).tolist()
+        got = pes.from_pandas(pdf)["v"].round(1).compute().tolist()
+        assert got == want  # 0.25→0.2, 0.35→0.35? numpy: banker's
+
+    def test_frame_round(self, spark):
+        rng = np.random.RandomState(3)
+        pdf = pd.DataFrame({"v": np.round(rng.rand(50) * 10, 4)})
+        want = pdf.round(1)["v"].tolist()
+        got = (pes.from_pandas(pdf).round(1).compute()
+               .sort_index()["v"].tolist())
+        assert np.allclose(got, want)
+
+
+class TestGroupedSlice:
+    PDF = pd.DataFrame({"k": [1, 1, 2, 2], "i": range(4),
+                        "v": [1.0, 2.0, 3.0, 4.0],
+                        "w": [10.0, 20.0, 30.0, 40.0]})
+
+    def test_cumsum_slice(self, spark):
+        got = (pes.from_pandas(self.PDF).set_index("i")
+               .groupby("k")[["v"]].cumsum().compute().sort_index())
+        want = self.PDF.set_index("i").groupby("k")[["v"]].cumsum()
+        assert list(got.columns) == ["v"]
+        assert got["v"].tolist() == want["v"].tolist()
+
+    def test_shift_slice(self, spark):
+        got = (pes.from_pandas(self.PDF).set_index("i")
+               .groupby("k")[["v"]].shift(1).compute().sort_index())
+        want = self.PDF.set_index("i").groupby("k")[["v"]].shift(1)
+        assert list(got.columns) == ["v"]
+        assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
+
+    def test_transform_slice(self, spark):
+        got = (pes.from_pandas(self.PDF).set_index("i")
+               .groupby("k")[["v"]].transform("mean").compute().sort_index())
+        want = self.PDF.set_index("i").groupby("k")[["v"]].transform("mean")
+        assert list(got.columns) == ["v"]
+        assert got["v"].tolist() == want["v"].tolist()
+
+
+class TestCutLabels:
+    def test_labels_false_codes(self, spark):
+        pdf = pd.DataFrame({"w": [5.0, 30.0, 55.0, 80.0, 101.0]})
+        want = pd.cut(pdf["w"], [0, 25, 50, 75, 100], labels=False)
+        got = (pes.from_pandas(pdf)["w"]
+               .cut([0, 25, 50, 75, 100], labels=False).compute())
+        assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+    def test_qcut_label_format_matches_pandas(self, spark):
+        rng = np.random.RandomState(42)
+        pdf = pd.DataFrame({"w": np.round(rng.rand(60) * 100, 2)})
+        want = pd.qcut(pdf["w"], 4).astype(str).tolist()
+        got = pes.from_pandas(pdf)["w"].qcut(4).compute().tolist()
+        assert got == want
+
+    def test_int_bins_keep_int_labels(self, spark):
+        pdf = pd.DataFrame({"v": [0.5, 1.5]})
+        got = pes.from_pandas(pdf)["v"].cut([0, 1, 2]).compute().tolist()
+        assert got == ["(0, 1]", "(1, 2]"]
+
+
+class TestWhereMaskAligned:
+    def test_where_parent_cond(self, spark):
+        pdf = pd.DataFrame({"i": range(5),
+                            "v": [1.0, -2.0, None, 4.0, -5.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        got = d[["v"]].where(d["v"] > 0, 0.0).compute().sort_index()
+        want = pdf.set_index("i")[["v"]].where(pdf.set_index("i")["v"] > 0,
+                                               0.0)
+        assert np.allclose(got["v"], want["v"], equal_nan=True)
+
+    def test_mask_null_cond_keeps_row(self, spark):
+        pdf = pd.DataFrame({"i": range(4), "v": [1.0, None, -3.0, 4.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        got = d[["v"]].mask(d["v"] > 0, 0.0).compute().sort_index()
+        want = pdf.set_index("i")[["v"]].mask(
+            pdf.set_index("i")["v"] > 0, 0.0)
+        assert np.allclose(got["v"], want["v"], equal_nan=True)
+
+
+class TestNamingConventions:
+    def test_binop_differing_names_drop(self, spark):
+        pdf = pd.DataFrame({"a": [1.0], "b": [2.0]})
+        d = pes.from_pandas(pdf)
+        assert (d["a"] - d["b"]).name is None
+        assert (d["a"] + d["a"]).name == "a"
+
+    def test_duplicated_unnamed(self, spark):
+        pdf = pd.DataFrame({"k": [1, 1, 2]})
+        assert pes.from_pandas(pdf).duplicated(subset=["k"]).name is None
+
+
+class TestPandasStyleWrappers:
+    def test_pivot_table_index(self, spark):
+        P = pd.DataFrame({"r": ["a", "a", "b"], "c": ["x", "y", "x"],
+                          "v": [1.0, 2.0, 3.0]})
+        got = (pes.from_pandas(P)
+               .pivot_table(index="r", columns="c", values="v",
+                            aggfunc="mean").compute().sort_index())
+        want = P.pivot_table(index="r", columns="c", values="v",
+                             aggfunc="mean")
+        assert got.index.tolist() == want.index.tolist()
+        assert np.allclose(got["x"], want["x"], equal_nan=True)
+
+    def test_get_dummies_series(self, spark):
+        P = pd.DataFrame({"c": ["x", "y", "x"]})
+        got = pes.get_dummies(pes.from_pandas(P)["c"]).compute()
+        assert sorted(c.split("_")[-1] for c in got.columns) == ["x", "y"]
+
+    def test_crosstab_two_series(self, spark):
+        P = pd.DataFrame({"r": ["a", "a", "b"], "c": ["x", "y", "x"]})
+        d = pes.from_pandas(P)
+        got = pes.crosstab(d["r"], d["c"]).compute()
+        want = pd.crosstab(P["r"], P["c"])
+        assert sorted(got.columns[-2:]) == sorted(map(str, want.columns))

@@ -27,7 +27,8 @@ def shop(spark, shop_pdf):
 def test_pivot_table_sum(shop, shop_pdf):
     got = shop.pivot_table(values="sales", index="store", columns="item",
                            aggfunc="sum",
-                           pivot_values=["pen", "ink", "cap"]).compute()
+                           pivot_values=["pen", "ink", "cap"]) \
+        .reset_index().compute()
     exp = (shop_pdf.pivot_table(values="sales", index="store", columns="item",
                                 aggfunc="sum").reset_index()
            [["store", "pen", "ink", "cap"]])
@@ -37,8 +38,9 @@ def test_pivot_table_sum(shop, shop_pdf):
 
 def test_pivot_table_discovers_values(shop, shop_pdf):
     # without pivot_values Spark discovers them (documented extra scan)
+    # pandas contract: index= columns become the result's index
     got = shop.pivot_table(values="units", index="store", columns="item",
-                           aggfunc="max").compute()
+                           aggfunc="max").reset_index().compute()
     assert set(got.columns) == {"store", "pen", "ink", "cap"}
 
 
