@@ -91,7 +91,10 @@ class StringAccessor(_Accessor):
         return self._wrap(F.substring(self._s._scol, start + 1, length), "str.slice")
 
     def get(self, i: int):
-        return self._wrap(F.substring(self._s._scol, i + 1, 1), "str.get")
+        # pandas: out-of-range position → NaN (Spark substring gives '')
+        c = self._s._scol
+        ch = F.substring(c, i + 1, 1)
+        return self._wrap(F.when(F.length(c) > i, ch), "str.get")
 
     def replace(self, pat: str, repl: str, regex: bool = True):
         c = self._s._scol
@@ -101,13 +104,16 @@ class StringAccessor(_Accessor):
             out = F.replace(c, F.lit(pat), F.lit(repl))
         return self._wrap(out, "str.replace")
 
-    def extract(self, pat: str, group: int | None = None):
-        """pandas ``str.extract``: one column per capture group — a Series
-        for a single group, a DataFrame for several.  Non-matching rows are
-        null (Spark's ``regexp_extract`` alone returns ``''`` — guarded
-        with an ``rlike`` test, all JVM-side).  ``(?P<name>...)`` group
-        names become column names; unnamed groups get ``"0"``, ``"1"``, …
-        (string labels — Spark columns are strings)."""
+    def extract(self, pat: str, group: int | None = None,
+                expand: bool = True):
+        """pandas ``str.extract``: one column per capture group — a
+        DataFrame by default (pandas ``expand=True``, even for a single
+        group); ``expand=False`` with one group gives a Series, and an
+        explicit ``group=`` index always gives a Series.  Non-matching
+        rows are null (Spark's ``regexp_extract`` alone returns ``''`` —
+        guarded with an ``rlike`` test, all JVM-side).  ``(?P<name>...)``
+        group names become column names; unnamed groups get ``"0"``,
+        ``"1"``, … (string labels — Spark columns are strings)."""
         import re
         cpat = re.compile(pat)
         # Python spells named groups (?P<name>...); Java wants (?<name>...)
@@ -121,7 +127,7 @@ class StringAccessor(_Accessor):
         if group is not None:
             return self._wrap(one(group), "str.extract")
         names = {v: k for k, v in cpat.groupindex.items()}
-        if cpat.groups <= 1:
+        if cpat.groups <= 1 and not expand:
             return self._wrap(one(1), "str.extract")
         from .._collection import DataFrame as _PDF
         from .._expr import Node
@@ -385,38 +391,49 @@ class DatetimeAccessor(_Accessor):
         return self._wrap(F.dayofmonth(F.last_day(c)), "dt.days_in_month")
     daysinmonth = days_in_month
 
+    def _flag(self, cond, op):
+        # pandas boolean dt flags are plain bool: NaT → False, never null
+        return self._wrap(F.coalesce(cond, F.lit(False)), op)
+
     @property
     def is_month_start(self):
-        return self._wrap(F.dayofmonth(self._s._scol) == 1, "dt.is_month_start")
+        return self._flag(F.dayofmonth(self._s._scol) == 1,
+                          "dt.is_month_start")
 
     @property
     def is_month_end(self):
         c = self._s._scol
-        return self._wrap(F.to_date(c) == F.last_day(c), "dt.is_month_end")
+        return self._flag(F.to_date(c) == F.last_day(c), "dt.is_month_end")
 
     @property
     def is_quarter_start(self):
         c = self._s._scol
-        return self._wrap((F.dayofmonth(c) == 1) & ((F.month(c) - 1) % 3 == 0),
+        return self._flag((F.dayofmonth(c) == 1) & ((F.month(c) - 1) % 3 == 0),
                           "dt.is_quarter_start")
 
     @property
     def is_quarter_end(self):
         c = self._s._scol
-        return self._wrap((F.to_date(c) == F.last_day(c))
+        return self._flag((F.to_date(c) == F.last_day(c))
                           & (F.month(c) % 3 == 0), "dt.is_quarter_end")
 
     @property
     def is_year_start(self):
         c = self._s._scol
-        return self._wrap((F.month(c) == 1) & (F.dayofmonth(c) == 1),
+        return self._flag((F.month(c) == 1) & (F.dayofmonth(c) == 1),
                           "dt.is_year_start")
 
     @property
     def is_year_end(self):
         c = self._s._scol
-        return self._wrap((F.month(c) == 12) & (F.dayofmonth(c) == 31),
+        return self._flag((F.month(c) == 12) & (F.dayofmonth(c) == 31),
                           "dt.is_year_end")
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._s._scol)
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        return self._flag(leap, "dt.is_leap_year")
 
     def floor(self, freq: str):
         spark_freq = {"D": "day", "H": "hour", "h": "hour", "T": "minute",

@@ -124,6 +124,37 @@ class TestNamingConventions:
         assert pes.from_pandas(pdf).duplicated(subset=["k"]).name is None
 
 
+class TestAccessorEdges:
+    def test_dt_flags_nat_false(self, spark):
+        pdf = pd.DataFrame({"i": range(3),
+                            "t": pd.to_datetime(["2024-01-31", None,
+                                                 "2024-12-31"])})
+        d = pes.from_pandas(pdf).set_index("i")
+        p = pdf.set_index("i")
+        for flag in ("is_month_start", "is_month_end", "is_quarter_end",
+                     "is_year_end", "is_year_start", "is_leap_year"):
+            got = getattr(d["t"].dt, flag).compute().sort_index().tolist()
+            want = getattr(p["t"].dt, flag).tolist()
+            assert got == want, flag
+
+    def test_str_get_out_of_range_nan(self, spark):
+        pdf = pd.DataFrame({"s": ["ab", "", None, "x"]})
+        got = pes.from_pandas(pdf)["s"].str.get(1).compute().tolist()
+        want = pd.Series(["ab", "", None, "x"]).str.get(1).tolist()
+        assert [g if g is not None else None for g in got] == \
+            [w if isinstance(w, str) else None for w in want]
+
+    def test_extract_single_group_expands(self, spark):
+        pdf = pd.DataFrame({"s": ["x_a", "nope", None]})
+        got = pes.from_pandas(pdf)["s"].str.extract(r"x_([a-z])").compute()
+        assert "0" in got.columns
+        assert got["0"].tolist()[0] == "a"
+        # expand=False keeps the Series form
+        s = pes.from_pandas(pdf)["s"].str.extract(r"x_([a-z])",
+                                                  expand=False)
+        assert s.compute().tolist()[0] == "a"
+
+
 class TestPandasStyleWrappers:
     def test_pivot_table_index(self, spark):
         P = pd.DataFrame({"r": ["a", "a", "b"], "c": ["x", "y", "x"],

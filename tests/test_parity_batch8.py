@@ -141,7 +141,9 @@ def test_str_split_expand_and_extract(spark):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got_e, exp_e)
     # single group -> Series; no match -> null (not '')
-    got_1 = ds.str.extract(r"x_([a-z])").compute().reset_index(drop=True)
+    # pandas expand=True default: single group still yields a DataFrame
+    got_1 = (ds.str.extract(r"x_([a-z])").compute()
+             .reset_index(drop=True)["0"])
     exp_1 = ps.str.extract(r"x_([a-z])")[0].reset_index(drop=True)
     pd.testing.assert_series_equal(got_1, exp_1, check_names=False)
     # named groups become column names
