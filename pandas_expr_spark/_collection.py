@@ -638,6 +638,19 @@ class Series(FrameBase):
         return self._with_scol(
             F.when(cond._scol, self._scol).otherwise(F.lit(other)), "where")
 
+    def combine_first(self, other: "Series") -> "Series":
+        """pandas ``Series.combine_first``: index-aligned null overlay —
+        full outer join on the index + one coalesce (the Series form of
+        reference CombineFirst ``_expr.py:1005-1031``)."""
+        name = self._col_name or other._col_name or "__v__"
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf)
+        scol = F.coalesce(F.col("__l__"), F.col("__r__"))
+        node = Node("combine_first", {}, self._expr, other._expr)
+        return Series(joined._sdf, scol, name, node,
+                      joined._index_cols, joined._index_names)
+
     def dropna(self) -> "Series":
         """Reference DropnaSeries — a null filter on the anchored column."""
         node = Node("dropna", {}, self._expr)

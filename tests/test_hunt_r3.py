@@ -124,6 +124,18 @@ class TestNamingConventions:
         assert pes.from_pandas(pdf).duplicated(subset=["k"]).name is None
 
 
+class TestSeriesCombineFirst:
+    def test_aligned_overlay(self, spark):
+        A = pd.DataFrame({"i": [0, 1, 2], "v": [1.0, None, 3.0]})
+        B = pd.DataFrame({"i": [1, 2, 3], "v": [20.0, 30.0, 40.0]})
+        got = (pes.from_pandas(A).set_index("i")["v"]
+               .combine_first(pes.from_pandas(B).set_index("i")["v"])
+               .compute().sort_index())
+        want = (A.set_index("i")["v"]
+                .combine_first(B.set_index("i")["v"]))
+        assert np.allclose(got.to_numpy(), want.to_numpy(), equal_nan=True)
+
+
 class TestAccessorEdges:
     def test_dt_flags_nat_false(self, spark):
         pdf = pd.DataFrame({"i": range(3),
