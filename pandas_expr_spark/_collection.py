@@ -175,6 +175,14 @@ class FrameBase:
         from .functions.timeseries import period_to_timestamp_col
         freqs = dict(self._index_period_freq)
         if not freqs:
+            # a period-VALUED Series (from dt.to_period) converts its
+            # values — same as .dt.to_timestamp()
+            vf = getattr(self, "_period_value_freq", None) or {}
+            if isinstance(self, Series) and (freq or vf.get(self._col_name)):
+                f = freq or vf[self._col_name]
+                return self._with_scol(
+                    period_to_timestamp_col(self._scol, f, how),
+                    "to_timestamp")
             if freq is None:
                 raise ValueError(
                     "to_timestamp: index has no period freq metadata; "
@@ -4075,10 +4083,14 @@ class DataFrame(FrameBase):
 
     # -- sinks (reference ToParquet io/parquet.py:49-76) ------------------
     def to_parquet(self, path: str, mode: str = "overwrite",
-                   partition_by: Sequence[str] | None = None) -> None:
+                   partition_by: Sequence[str] | None = None,
+                   partition_cols: Sequence[str] | None = None) -> None:
+        """``partition_cols`` is accepted as the pandas-compatible alias
+        for ``partition_by``."""
         w = self._sdf.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        pb = partition_by or partition_cols
+        if pb:
+            w = w.partitionBy(*pb)
         w.parquet(path)
 
     def to_bucketed_table(self, name: str, bucket_by, num_buckets: int = 32,
