@@ -3822,11 +3822,18 @@ class DataFrame(FrameBase):
         node = Node("unstack", {"index": idx, "columns": columns}, self._expr)
         return DataFrame(out, node, (), None)
 
-    def stack(self, id_vars, value_vars=None, var_name: str = "variable",
+    def stack(self, id_vars=None, value_vars=None,
+              var_name: str = "variable",
               value_name: str = "value", dropna: bool = True) -> "DataFrame":
         """pandas ``stack``: wide → long.  ``melt`` (Spark-native ``unpivot``,
         a narrow no-shuffle op) plus the pandas default of dropping null
-        cells; ``dropna=False`` keeps them (``pandas stack(dropna=False)``)."""
+        cells; ``dropna=False`` keeps them (``pandas stack(dropna=False)``).
+        Like pandas, a bare ``stack()`` keys on the engine index."""
+        if id_vars is None:
+            if not self._index_cols:
+                raise ValueError("stack() with no id_vars needs an index — "
+                                 "set_index first or pass id_vars")
+            id_vars = list(self._index_cols)
         out = self.melt(id_vars, value_vars, var_name, value_name)
         if dropna:
             out = DataFrame(out._sdf.filter(F.col(value_name).isNotNull()),
