@@ -449,11 +449,26 @@ class Series(FrameBase):
     def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
     def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
     def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
-    def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b), "floordiv")
+    def __floordiv__(self, o):
+        # CPython floor division is (a - a.__mod__(b)) / b — NOT
+        # floor(a/b), which loses when a/b underflows (denormal a):
+        # 5e-324 // -2 is -1.0 in Python but floor(-0.0) = -0.0
+        def _pyfloordiv(a, b):
+            r = a % b
+            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+            m = F.when(adjust, r + b).otherwise(r)
+            return F.floor((a - m) / b)
+        return self._binop(o, _pyfloordiv, "floordiv")
     def __mod__(self, o):
-        # Python/pandas modulo: result takes the DIVISOR's sign (Spark's %
-        # is C-style, sign of dividend) — ((a % b) + b) % b fixes both
-        return self._binop(o, lambda a, b: ((a % b) + b) % b, "mod")
+        # Python/pandas modulo: CPython computes fmod then adds the
+        # divisor ONCE when signs differ (Spark's % is the C fmod).  A
+        # double-wrap ((a%b)+b)%b is NOT equivalent: for a tiny negative
+        # a and b=1 the sum rounds to b and CPython returns b itself.
+        def _pymod(a, b):
+            r = a % b
+            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+            return F.when(adjust, r + b).otherwise(r)
+        return self._binop(o, _pymod, "mod")
     def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
     # comparisons
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")

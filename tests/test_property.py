@@ -183,3 +183,52 @@ def test_grouped_pct_change_pad_matches_pandas(spark, data):
            .compute()["v"].sort_index())
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-12, equal_nan=True)
+
+
+@given(data=_frames(), alpha=st.floats(min_value=0.05, max_value=0.95),
+       adjust=st.booleans())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewm_matches_pandas_property(spark, data, alpha, adjust):
+    _, vs = data
+    pdf = pd.DataFrame({"i": range(len(vs)),
+                        "v": pd.array(vs, dtype="float64")})
+    got = (pes.from_pandas(pdf).set_index("i")["v"]
+           .ewm(alpha=alpha, adjust=adjust).mean()
+           .compute().sort_index().to_numpy())
+    want = pdf.set_index("i")["v"].ewm(alpha=alpha, adjust=adjust) \
+        .mean().to_numpy()
+    assert np.allclose(got, want, rtol=1e-8, atol=1e-10, equal_nan=True)
+
+
+@given(data=_frames(),
+       method=st.sampled_from(["average", "min", "max", "dense", "first"]),
+       ascending=st.booleans())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_matches_pandas_property(spark, data, method, ascending):
+    _, vs = data
+    pdf = pd.DataFrame({"i": range(len(vs)),
+                        "v": pd.array(vs, dtype="float64")})
+    got = (pes.from_pandas(pdf).set_index("i")["v"]
+           .rank(method=method, ascending=ascending)
+           .compute().sort_index().to_numpy())
+    want = pdf.set_index("i")["v"].rank(method=method,
+                                        ascending=ascending).to_numpy()
+    assert np.allclose(got, want, equal_nan=True)
+
+
+@given(data=_frames(), div=st.integers(min_value=-5, max_value=5)
+       .filter(lambda x: x != 0))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mod_floordiv_match_python_semantics(spark, data, div):
+    _, vs = data
+    pdf = pd.DataFrame({"v": pd.array(vs, dtype="float64")})
+    d = pes.from_pandas(pdf)
+    got_m = (d["v"] % div).compute().sort_index().to_numpy()
+    want_m = (pdf["v"] % div).to_numpy()
+    assert np.allclose(got_m, want_m, equal_nan=True)
+    got_f = (d["v"] // div).compute().sort_index().to_numpy()
+    want_f = (pdf["v"] // div).to_numpy()
+    assert np.allclose(got_f, want_f, equal_nan=True)
