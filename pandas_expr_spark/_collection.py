@@ -2376,6 +2376,68 @@ class DataFrame(FrameBase):
 
     applymap = map
 
+    # -- frame-level elementwise arithmetic (pandas df ∘ scalar and
+    # df ∘ df with index alignment; reference Binop applies frame-wide) --
+    def _frame_binop(self, other, fn, op: str,
+                     reflexive: bool = False) -> "DataFrame":
+        if isinstance(other, DataFrame):
+            joined, lcols, rcols = _index_outer_join(self, other)
+            out_cols = [F.col(c) for c in joined._index_cols]
+            # pandas: the aligned result's columns are the SORTED union
+            for name in sorted(dict.fromkeys(self.columns + other.columns)):
+                l, r = lcols.get(name), rcols.get(name)
+                if l is not None and r is not None:
+                    a, b = F.col(l), F.col(r)
+                    if reflexive:
+                        a, b = b, a
+                    out_cols.append(fn(a, b).alias(name))
+                else:
+                    # pandas: columns present on one side only become NaN
+                    out_cols.append(F.lit(None).cast("double").alias(name))
+            node = Node(op, {"frame": True}, self._expr, other._expr)
+            return DataFrame(joined._sdf.select(*out_cols), node,
+                             joined._index_cols, joined._index_names)
+        if isinstance(other, (Series, Scalar)):
+            return NotImplemented
+        bad = [c for c in self.columns
+               if not is_numeric(self._sdf.schema[c].dataType)]
+        if bad:
+            raise TypeError(f"frame arithmetic needs numeric columns; "
+                            f"non-numeric: {bad}")
+        lit = F.lit(other)
+        updates = {}
+        for c in self.columns:
+            a, b = F.col(c), lit
+            if reflexive:
+                a, b = b, a
+            updates[c] = fn(a, b)
+        return self._derive(self._sdf.withColumns(updates), op,
+                            {"other": repr(other)})
+
+    def __add__(self, o): return self._frame_binop(o, lambda a, b: a + b, "add")
+    def __radd__(self, o): return self._frame_binop(o, lambda a, b: a + b, "add", True)
+    def __sub__(self, o): return self._frame_binop(o, lambda a, b: a - b, "sub")
+    def __rsub__(self, o): return self._frame_binop(o, lambda a, b: a - b, "sub", True)
+    def __mul__(self, o): return self._frame_binop(o, lambda a, b: a * b, "mul")
+    def __rmul__(self, o): return self._frame_binop(o, lambda a, b: a * b, "mul", True)
+    def __truediv__(self, o): return self._frame_binop(o, lambda a, b: a / b, "div")
+    def __rtruediv__(self, o): return self._frame_binop(o, lambda a, b: a / b, "div", True)
+    def __pow__(self, o): return self._frame_binop(o, lambda a, b: F.pow(a, b), "pow")
+    def __mod__(self, o):
+        def _pymod(a, b):
+            r = a % b
+            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+            return F.when(adjust, r + b).otherwise(r)
+        return self._frame_binop(o, _pymod, "mod")
+    def __floordiv__(self, o):
+        def _pyfloordiv(a, b):
+            r = a % b
+            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+            m = F.when(adjust, r + b).otherwise(r)
+            return F.floor((a - m) / b)
+        return self._frame_binop(o, _pyfloordiv, "floordiv")
+    def __neg__(self): return self._frame_binop(-1, lambda a, b: a * b, "neg")
+
     def combine_first(self, other: "DataFrame") -> "DataFrame":
         """Reference CombineFirst ``_expr.py:1005-1031``: index-aligned null
         overlay → full outer join on index + per-column coalesce."""

@@ -124,6 +124,34 @@ class TestNamingConventions:
         assert pes.from_pandas(pdf).duplicated(subset=["k"]).name is None
 
 
+class TestFrameArithmetic:
+    def test_scalar_ops_match_pandas(self, spark):
+        pdf = pd.DataFrame({"i": [0, 1], "a": [-7.0, 5.0],
+                            "b": [2.0, -3.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        p = pdf.set_index("i")
+        for op in ("__add__", "__sub__", "__mul__", "__truediv__",
+                   "__floordiv__", "__mod__", "__pow__"):
+            g = getattr(d, op)(3).compute().sort_index()
+            w = getattr(p, op)(3)
+            assert np.allclose(g.to_numpy(), w.to_numpy(),
+                               equal_nan=True), op
+        assert np.allclose((10 - d).compute().sort_index().to_numpy(),
+                           (10 - p).to_numpy())
+        assert np.allclose((-d).compute().sort_index().to_numpy(),
+                           (-p).to_numpy())
+
+    def test_frame_frame_aligns(self, spark):
+        A = pd.DataFrame({"i": [0, 1], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+        B = pd.DataFrame({"i": [1, 2], "a": [10.0, 20.0], "c": [9.0, 9.0]})
+        g = ((pes.from_pandas(A).set_index("i")
+              + pes.from_pandas(B).set_index("i"))
+             .compute().sort_index())
+        w = (A.set_index("i") + B.set_index("i")).sort_index()
+        assert list(g.columns) == list(w.columns)
+        assert np.allclose(g.to_numpy(), w.to_numpy(), equal_nan=True)
+
+
 class TestSeriesCombineFirst:
     def test_aligned_overlay(self, spark):
         A = pd.DataFrame({"i": [0, 1, 2], "v": [1.0, None, 3.0]})
