@@ -459,6 +459,65 @@ class Series(FrameBase):
             m = F.when(adjust, r + b).otherwise(r)
             return F.floor((a - m) / b)
         return self._binop(o, _pyfloordiv, "floordiv")
+
+    # pandas named arithmetic with fill_value: a null on ONE side takes
+    # the fill; both-null stays null.  The wrapped fn flows through BOTH
+    # the same-anchor and the index-aligned paths of _binop.
+    def _named_binop(self, other, fn, op: str, fill_value=None) -> "Series":
+        if fill_value is None:
+            return self._binop(other, fn, op)
+        fv = F.lit(fill_value)
+
+        def filled(a, b):
+            both_null = a.isNull() & b.isNull()
+            r = fn(F.coalesce(a, fv), F.coalesce(b, fv))
+            return F.when(both_null, F.lit(None).cast("double")).otherwise(r)
+
+        return self._binop(other, filled, op)
+
+    def add(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a + b, "add", fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a - b, "sub", fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a * b, "mul", fill_value)
+
+    def div(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a / b, "div", fill_value)
+
+    truediv = div
+
+    def pow(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
+                                 fill_value)
+
+    # pandas comparison METHODS: materialized booleans, null compares
+    # False (True for ne) — see the dunder note above
+    def eq(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a == b, F.lit(False)), "eq")
+
+    def ne(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a != b, F.lit(True)), "ne")
+
+    def lt(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a < b, F.lit(False)), "lt")
+
+    def le(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a <= b, F.lit(False)), "le")
+
+    def gt(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a > b, F.lit(False)), "gt")
+
+    def ge(self, other):
+        return self._binop(other,
+                           lambda a, b: F.coalesce(a >= b, F.lit(False)), "ge")
     def __mod__(self, o):
         # Python/pandas modulo: CPython computes fmod then adds the
         # divisor ONCE when signs differ (Spark's % is the C fmod).  A
@@ -471,6 +530,12 @@ class Series(FrameBase):
         return self._binop(o, _pymod, "mod")
     def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
     # comparisons
+    # Comparison DUNDERS keep SQL null propagation: a filter treats null
+    # as False (identical row set to pandas), and the raw predicate is
+    # what Catalyst can push into the parquet scan — wrapping it in
+    # coalesce() kills PushedFilters, a real 100 TB regression.  The
+    # named eq/ne/... METHODS below materialize pandas' null→False
+    # (null→True for ne) booleans for value-level parity.
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
     def __le__(self, o): return self._binop(o, lambda a, b: a <= b, "le")
     def __gt__(self, o): return self._binop(o, lambda a, b: a > b, "gt")
@@ -2437,6 +2502,120 @@ class DataFrame(FrameBase):
             return F.floor((a - m) / b)
         return self._frame_binop(o, _pyfloordiv, "floordiv")
     def __neg__(self): return self._frame_binop(-1, lambda a, b: a * b, "neg")
+
+    # comparisons produce a boolean frame; strings compare fine, so no
+    # numeric guard — scalar compare is a pure projection
+    def _frame_cmp(self, other, fn, op: str) -> "DataFrame":
+        if isinstance(other, (Series, Scalar, DataFrame)):
+            return self._frame_binop(other, fn, op)
+        lit = F.lit(other)
+        updates = {c: fn(F.col(c), lit) for c in self.columns}
+        return self._derive(self._sdf.withColumns(updates), op,
+                            {"other": repr(other)})
+
+    def __gt__(self, o): return self._frame_cmp(o, lambda a, b: a > b, "gt")
+    def __ge__(self, o): return self._frame_cmp(o, lambda a, b: a >= b, "ge")
+    def __lt__(self, o): return self._frame_cmp(o, lambda a, b: a < b, "lt")
+    def __le__(self, o): return self._frame_cmp(o, lambda a, b: a <= b, "le")
+
+    # pandas comparison METHODS: materialized booleans, null → False
+    # (True for ne) — the dunders keep raw SQL predicates for pushdown
+    def eq(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a == b, F.lit(False)), "eq")
+
+    def ne(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a != b, F.lit(True)), "ne")
+
+    def lt(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a < b, F.lit(False)), "lt")
+
+    def le(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a <= b, F.lit(False)), "le")
+
+    def gt(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a > b, F.lit(False)), "gt")
+
+    def ge(self, other):
+        return self._frame_cmp(other, lambda a, b: F.coalesce(
+            a >= b, F.lit(False)), "ge")
+
+    # pandas named arithmetic with fill_value: a null on ONE side takes
+    # the fill before the op; both-null stays null
+    def _named_binop(self, other, fn, op: str, fill_value=None) -> "DataFrame":
+        if fill_value is None:
+            return self._frame_binop(other, fn, op)
+        fv = F.lit(fill_value)
+
+        def filled(a, b):
+            both_null = a.isNull() & b.isNull()
+            r = fn(F.coalesce(a, fv), F.coalesce(b, fv))
+            return F.when(both_null, F.lit(None).cast("double")).otherwise(r)
+
+        return self._frame_binop(other, filled, op)
+
+    def add(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a + b, "add", fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a - b, "sub", fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a * b, "mul", fill_value)
+
+    def div(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: a / b, "div", fill_value)
+
+    truediv = div
+
+    def pow(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
+                                 fill_value)
+
+    def _frame_positional(self, periods: int, build, op: str,
+                          extra_cols: dict | None = None) -> "DataFrame":
+        """Shared frame-wide positional helper: ONE distributed position
+        pass + ONE equi-join on (pos - periods) serves EVERY numeric
+        column (shift/diff/pct_change) — per-column marginal cost is an
+        expression, not a pass."""
+        from .functions.scan import global_pos
+        if self._index_cols:
+            sdf, order, drop_rowid = self._sdf, list(self._index_cols), False
+        else:
+            sdf, order, drop_rowid = _attach_rowid(self._sdf), [_ROWID], True
+        cols = [c for c in self.columns
+                if is_numeric(self._sdf.schema[c].dataType)]
+        pos = global_pos(sdf, order).persist()
+        lagged = pos.select(
+            (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
+            *[F.col(c).alias(f"__lag_{c}__") for c in cols])
+        joined = pos.join(lagged, "__pos__", "left")
+        updates = {c: build(F.col(c), F.col(f"__lag_{c}__")) for c in cols}
+        out = (joined.withColumns(updates)
+               .drop("__pos__", *[f"__lag_{c}__" for c in cols]))
+        if drop_rowid:
+            idx_cols, idx_names = (_ROWID,), (None,)
+        else:
+            idx_cols, idx_names = self._index_cols, self._index_names
+        node = Node(op, {"periods": periods}, self._expr)
+        return DataFrame(out, node, idx_cols, idx_names)
+
+    def shift(self, periods: int = 1) -> "DataFrame":
+        """pandas ``DataFrame.shift`` over the index order — distributed
+        position join, never a global window."""
+        return self._frame_positional(periods, lambda c, lag: lag, "shift")
+
+    def diff(self, periods: int = 1) -> "DataFrame":
+        return self._frame_positional(periods, lambda c, lag: c - lag,
+                                      "diff")
+
+    def pct_change(self, periods: int = 1) -> "DataFrame":
+        return self._frame_positional(
+            periods, lambda c, lag: c / lag - 1, "pct_change")
 
     def combine_first(self, other: "DataFrame") -> "DataFrame":
         """Reference CombineFirst ``_expr.py:1005-1031``: index-aligned null

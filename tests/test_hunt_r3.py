@@ -141,6 +141,48 @@ class TestFrameArithmetic:
         assert np.allclose((-d).compute().sort_index().to_numpy(),
                            (-p).to_numpy())
 
+    def test_named_methods_fill_value_and_cmp(self, spark):
+        A = pd.DataFrame({"i": [0, 1, 2], "v": [1.0, None, 3.0]})
+        B = pd.DataFrame({"i": [1, 2, 3], "v": [10.0, None, 30.0]})
+        sa = pes.from_pandas(A).set_index("i")["v"]
+        sb = pes.from_pandas(B).set_index("i")["v"]
+        got = sa.add(sb, fill_value=0.0).compute().sort_index().to_numpy()
+        want = (A.set_index("i")["v"]
+                .add(B.set_index("i")["v"], fill_value=0.0).to_numpy())
+        assert np.allclose(got, want, equal_nan=True)
+        # method comparisons materialize pandas null→False
+        assert sa.eq(1.0).compute().sort_index().tolist() == [True, False,
+                                                              False]
+        assert sa.ne(1.0).compute().sort_index().tolist() == [False, True,
+                                                              True]
+        d = pes.from_pandas(A).set_index("i")
+        assert (d.gt(1.0).compute().sort_index()["v"].tolist()
+                == [False, False, True])
+
+    def test_frame_positional_family(self, spark):
+        pdf = pd.DataFrame({"i": range(6),
+                            "a": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+                            "b": [1.0, 1.0, 2.0, 3.0, 5.0, 8.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        p = pdf.set_index("i")
+        for op, kw in [("shift", {}), ("diff", {}), ("pct_change", {}),
+                       ("shift", {"periods": -2}), ("diff", {"periods": 2})]:
+            g = getattr(d, op)(**kw).compute().sort_index().to_numpy()
+            w = getattr(p, op)(**kw).to_numpy()
+            assert np.allclose(g, w, equal_nan=True), (op, kw)
+
+    def test_filter_pushdown_survives_dunder(self, spark):
+        import contextlib
+        import io
+        import re
+        li = pes.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+        f = li[li.l_quantity > 40][["l_returnflag"]]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            f.explain()
+        m = re.search(r"PushedFilters: \[(.*?)\]", buf.getvalue())
+        assert m and "GreaterThan(l_quantity" in m.group(1)
+
     def test_frame_frame_aligns(self, spark):
         A = pd.DataFrame({"i": [0, 1], "a": [1.0, 2.0], "b": [3.0, 4.0]})
         B = pd.DataFrame({"i": [1, 2], "a": [10.0, 20.0], "c": [9.0, 9.0]})
