@@ -120,6 +120,36 @@ def _ensure_list(x) -> list:
     return [x]
 
 
+def _interval_display(edges, precision: int, first_edge_adjust: bool):
+    """pandas ``tile._format_labels`` edge formatting: round float edges to
+    the smallest precision >= ``precision`` that keeps them distinct;
+    integer edge lists keep integer formatting.  ``first_edge_adjust`` dips
+    the displayed first edge by one display ulp (the ``(13.999, …]`` look
+    of include_lowest)."""
+    import numpy as _np
+    if all(isinstance(e, int) for e in edges):
+        return list(edges)
+    p = precision
+    while p < 20 and len({float(_np.around(float(e), p))
+                          for e in edges}) < len(edges):
+        p += 1
+
+    def _round_frac(x: float) -> float:
+        if not _np.isfinite(x) or x == 0:
+            return x
+        frac, whole = _np.modf(x)
+        if whole == 0:
+            digits = -int(_np.floor(_np.log10(abs(frac)))) - 1 + p
+        else:
+            digits = p
+        return float(_np.around(x, digits))
+
+    disp = [_round_frac(float(e)) for e in edges]
+    if first_edge_adjust:
+        disp[0] = float(_np.around(disp[0] - 10.0 ** -p, p + 1))
+    return disp
+
+
 def _attach_rowid(sdf: SparkDF) -> SparkDF:
     """Materialize a positional row id.
 
@@ -635,11 +665,34 @@ class Series(FrameBase):
         return self._with_scol(lo & hi, "between", left=left, right=right,
                                inclusive=inclusive)
 
-    def fillna(self, value):
-        return self._with_scol(F.coalesce(self._scol, F.lit(value)), "fillna",
-                               value=value)
+    def fillna(self, value, limit: int | None = None):
+        if limit is None:
+            return self._with_scol(F.coalesce(self._scol, F.lit(value)),
+                                   "fillna", value=value)
+        # pandas limit=n: fill only the first n nulls along the WHOLE axis
+        # (not per-run) — null-rank via one distributed prefix-sum scan
+        from .functions import scan
+        sdf, name, order, idx = self._ordered_base()
+        flag = "__nullrank__"
+        base = sdf.withColumn(
+            flag, F.when(F.col(name).isNull(), F.lit(1)).otherwise(F.lit(0)))
+        out = scan.prefix_scan(base, [(flag, "sum", flag)], order)
+        filled = F.when(F.col(name).isNull() & (F.col(flag) <= F.lit(limit)),
+                        F.lit(value)).otherwise(F.col(name))
+        out = out.withColumn(name, filled).drop(flag)
+        node = Node("fillna", {"value": value, "limit": limit}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
 
-    def replace(self, to_replace, value=None):
+    def replace(self, to_replace, value=None, regex: bool = False):
+        if regex:
+            # pandas regex replace = re.sub on the matching substring
+            mapping = (to_replace if isinstance(to_replace, dict)
+                       else {to_replace: value})
+            out = self._scol
+            for pat, rep in mapping.items():
+                out = F.regexp_replace(out, str(pat), str(rep))
+            return self._with_scol(out, "replace", mapping=repr(mapping))
         if isinstance(to_replace, dict):
             mapping = to_replace
         elif isinstance(to_replace, (list, tuple, set)):
@@ -675,6 +728,19 @@ class Series(FrameBase):
             out._cat_ordered = bool(getattr(dtype, "ordered", False) or False)
             return out
         st = to_spark_type(dtype)
+        if isinstance(st, T.StringType):
+            # pandas astype(str) stringifies missing values by SOURCE dtype:
+            # float NaN → 'nan', datetime NaT → 'NaT', object None → 'None'
+            src = self.spark_type
+            if isinstance(src, (T.DoubleType, T.FloatType)):
+                null_repr = "nan"
+            elif isinstance(src, (T.TimestampType, T.TimestampNTZType,
+                                  T.DateType)):
+                null_repr = "NaT"
+            else:
+                null_repr = "None"
+            out = F.coalesce(self._scol.cast(st), F.lit(null_repr))
+            return self._with_scol(out, "astype", dtype=str(dtype))
         return self._with_scol(self._scol.cast(st), "astype", dtype=str(dtype))
 
     def truncate(self, before=None, after=None) -> "Series":
@@ -1428,38 +1494,12 @@ class Series(FrameBase):
         formatting (float edges rounded per ``precision`` with the
         uniqueness-preserving escalation pandas uses); ``labels=False``
         returns the integer bin code; out-of-range → null."""
-        import numpy as _np
         edges = list(bins)
         if len(edges) < 2:
             raise ValueError("cut needs at least 2 bin edges")
         if labels not in (None, False) and len(labels) != len(edges) - 1:
             raise ValueError("labels must have len(bins) - 1 entries")
-        # pandas tile._format_labels: round float edges to the smallest
-        # precision >= `precision` that keeps them distinct; integer edge
-        # lists keep integer formatting
-        if all(isinstance(e, int) for e in edges):
-            disp = list(edges)
-        else:
-            p = precision
-            while p < 20 and len({float(_np.around(float(e), p))
-                                  for e in edges}) < len(edges):
-                p += 1
-
-            def _round_frac(x: float) -> float:
-                if not _np.isfinite(x) or x == 0:
-                    return x
-                frac, whole = _np.modf(x)
-                if whole == 0:
-                    digits = -int(_np.floor(_np.log10(abs(frac)))) - 1 + p
-                else:
-                    digits = p
-                return float(_np.around(x, digits))
-
-            disp = [_round_frac(float(e)) for e in edges]
-            if _first_edge_adjust:
-                # pandas include_lowest: the displayed first edge dips by
-                # one ulp of the display precision (the "(13.999, …]" look)
-                disp[0] = float(_np.around(disp[0] - 10.0 ** -p, p + 1))
+        disp = _interval_display(edges, precision, _first_edge_adjust)
         c = self._scol
         out_type = "int" if labels is False else "string"
         expr = F.lit(None).cast(out_type)
@@ -1563,8 +1603,52 @@ class Series(FrameBase):
         return self.unique()
 
     def value_counts(self, sort: bool = True, ascending: bool = False,
-                     dropna: bool = True, normalize: bool = False) -> "Series":
-        """Reference ValueCounts ``_reductions.py:288-305``."""
+                     dropna: bool = True, normalize: bool = False,
+                     bins: int | None = None) -> "Series":
+        """Reference ValueCounts ``_reductions.py:288-305``.  ``bins=n``
+        buckets into n equal-width intervals first (pandas lowers to
+        ``pd.cut``): one min/max scan for the edges, then the CASE-chain
+        cut — zero-count bins are not emitted (matching counts only)."""
+        if bins is not None:
+            # pandas lowers bins=n to pd.cut(s, n): equal-width edges over
+            # [min, max] with the left edge pulled down 0.1% of the range
+            # (include_lowest); zero-count bins ARE emitted.  One min/max
+            # scan for the edges (a tiny eager action, like pandas), then
+            # the JVM CASE-chain cut + groupBy + a broadcast zero-fill join
+            # against the literal label list.
+            row = (self.to_frame("__v__")._sdf
+                   .agg(F.min("__v__").alias("mn"),
+                        F.max("__v__").alias("mx")).first())
+            mn, mx = float(row["mn"]), float(row["mx"])
+            if mn == mx:
+                mn, mx = mn - 0.5, mx + 0.5
+            step = (mx - mn) / bins
+            edges = [mn + step * i for i in range(bins + 1)]
+            edges[-1] = mx
+            edges[0] = mn - (mx - mn) * 0.001
+            disp = _interval_display(edges, 3, True)
+            all_labels = [f"({disp[i]}, {disp[i + 1]}]"
+                          for i in range(len(edges) - 1)]
+            binned = self.cut(edges, _first_edge_adjust=True)
+            counted = binned.value_counts(sort=False, dropna=dropna,
+                                          normalize=normalize)
+            spark = self._sdf.sparkSession
+            name = counted._index_cols[0]
+            val = counted._col_name
+            lab_sdf = spark.createDataFrame([(l,) for l in all_labels],
+                                            f"`{name}` string")
+            filled = (F.broadcast(lab_sdf)
+                      .join(counted._sdf, name, "left")
+                      .withColumn(val, F.coalesce(
+                          F.col(val),
+                          F.lit(0.0 if normalize else 0).cast(
+                              dict(counted._sdf.dtypes)[val]))))
+            if sort:
+                filled = filled.orderBy(
+                    F.col(val).asc() if ascending else F.col(val).desc(),
+                    F.col(name).asc())
+            node = Node("value_counts", {"bins": bins}, self._expr)
+            return Series(filled, F.col(val), val, node, (name,), (name,))
         name = self._col_name or "__v__"
         f = self.to_frame(name)
         sdf = f._sdf
@@ -1583,23 +1667,43 @@ class Series(FrameBase):
         node = Node("value_counts", {"normalize": normalize}, self._expr)
         return Series(out, F.col(val_col), val_col, node, (name,), (name,))
 
-    def nlargest(self, n: int = 5) -> "Series":
-        """Distributed TopK (TakeOrderedAndProject) — reference NLargest
-        ``_reductions.py:268-285``."""
+    def _topk(self, n: int, keep: str, largest: bool, op: str) -> "Series":
+        """Distributed TopK (TakeOrderedAndProject).  pandas drops nulls;
+        ``keep='first'/'last'`` tie-breaks on index order, ``keep='all'``
+        keeps every row tied with the cutoff (threshold from the top-n
+        limit, broadcast back — never a global sort)."""
+        if keep not in ("first", "last", "all"):
+            raise ValueError(f"keep must be first/last/all, got {keep!r}")
         name = self._col_name or "__v__"
-        f = self.to_frame(name)
-        out = f._sdf.orderBy(F.col(name).desc()).limit(n)
+        base = self.to_frame(name)._sdf.filter(F.col(name).isNotNull())
+        key = F.col(name).desc() if largest else F.col(name).asc()
+        if keep == "all":
+            thr = (base.orderBy(key).limit(n)
+                   .agg((F.min(name) if largest else F.max(name))
+                        .alias("__thr__")))
+            cond = (F.col(name) >= F.col("__thr__") if largest
+                    else F.col(name) <= F.col("__thr__"))
+            out = base.join(F.broadcast(thr), cond).drop("__thr__")
+        else:
+            tb = [(F.col(c).asc() if keep == "first" else F.col(c).desc())
+                  for c in self._index_cols]
+            out = base.orderBy(key, *tb).limit(n)
         return Series(out, F.col(name), self._col_name,
-                      Node("nlargest", {"n": n}, self._expr),
+                      Node(op, {"n": n, "keep": keep}, self._expr),
                       self._index_cols, self._index_names)
 
-    def nsmallest(self, n: int = 5) -> "Series":
-        name = self._col_name or "__v__"
-        f = self.to_frame(name)
-        out = f._sdf.orderBy(F.col(name).asc()).limit(n)
-        return Series(out, F.col(name), self._col_name,
-                      Node("nsmallest", {"n": n}, self._expr),
-                      self._index_cols, self._index_names)
+    def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
+        """Reference NLargest ``_reductions.py:268-285``."""
+        return self._topk(n, keep, True, "nlargest")
+
+    def nsmallest(self, n: int = 5, keep: str = "first") -> "Series":
+        return self._topk(n, keep, False, "nsmallest")
+
+    def dot(self, other: "Series") -> "Scalar":
+        """pandas ``Series.dot``: index-aligned sum of products — one
+        elementwise multiply + one scalar aggregation."""
+        prod = self * other
+        return prod.sum()
 
     # ------------------------------------------------------------------
     def to_frame(self, name: str | None = None) -> "DataFrame":
@@ -2378,7 +2482,21 @@ class DataFrame(FrameBase):
             self._sdf.dropna(how=how, thresh=thresh, subset=_ensure_list(subset) or None),
             "dropna", {"how": how, "thresh": thresh, "subset": subset})
 
-    def replace(self, to_replace, value=None) -> "DataFrame":
+    def replace(self, to_replace, value=None,
+                regex: bool = False) -> "DataFrame":
+        if regex:
+            # substring regex replace over every string column (narrow map)
+            mapping = (to_replace if isinstance(to_replace, dict)
+                       else {to_replace: value})
+            upd = {}
+            for c in self.columns:
+                if not isinstance(self._sdf.schema[c].dataType, T.StringType):
+                    continue
+                out = F.col(c)
+                for pat, rep in mapping.items():
+                    out = F.regexp_replace(out, str(pat), str(rep))
+                upd[c] = out
+            return self._derive(self._sdf.withColumns(upd), "replace", {})
         if (isinstance(to_replace, dict)
                 and any(isinstance(v, dict) for v in to_replace.values())):
             # pandas per-column form {"col": {old: new, ...}} — Spark's

@@ -96,6 +96,12 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
     rmap = {c: f"__R_{c}__" for c in rcols}
     l2 = lsdf.select([F.col(c).alias(lmap[c]) for c in lcols])
     r2 = rsdf.select([F.col(c).alias(rmap[c]) for c in rcols])
+    if indicator:
+        # presence must be a literal marker, not key nullness: eqNullSafe
+        # matches null keys (pandas semantics), and a matched-null row has
+        # BOTH key sides null — key-based inference calls it right_only
+        l2 = l2.withColumn("__L_present__", F.lit(True))
+        r2 = r2.withColumn("__R_present__", F.lit(True))
 
     if broadcast:
         r2 = F.broadcast(r2)
@@ -160,10 +166,10 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
         sel.append(F.col(rmap[c]).alias(out_name))
 
     if indicator:
-        lk0, rk0 = lmap[left_keys[0]], rmap[right_keys[0]]
+        lp, rp = F.col("__L_present__"), F.col("__R_present__")
         sel.append(
-            F.when(F.col(lk0).isNotNull() & F.col(rk0).isNotNull(), F.lit("both"))
-             .when(F.col(lk0).isNotNull(), F.lit("left_only"))
+            F.when(lp.isNotNull() & rp.isNotNull(), F.lit("both"))
+             .when(lp.isNotNull(), F.lit("left_only"))
              .otherwise(F.lit("right_only")).alias("_merge"))
 
     node = Node("merge", {"how": how,

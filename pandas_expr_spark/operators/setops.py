@@ -16,11 +16,29 @@ from .._expr import Node
 
 
 def concat(frames: Sequence, join: str = "outer", axis: int = 0,
-           ignore_index: bool = False):
+           ignore_index: bool = False, keys: Sequence | None = None):
     from .._collection import DataFrame, Series
 
     if not frames:
         raise ValueError("No objects to concatenate")
+    if keys is not None and axis in (0, "index"):
+        # pandas keys=: prepend a source-identifying outer index level —
+        # a literal column per frame, zero data movement
+        from pyspark.sql import functions as F
+        if len(keys) != len(frames):
+            raise ValueError("keys must match the number of frames")
+        frames = [f.to_frame() if isinstance(f, Series) else f
+                  for f in frames]
+        tagged = []
+        for key, f in zip(keys, frames):
+            sdf = f._sdf.select(F.lit(key).alias("__concat_key__"),
+                                *(list(f._index_cols) + f.columns))
+            inner_names = (tuple(f._index_names) if f._index_names
+                           else (None,) * len(f._index_cols))
+            tagged.append(DataFrame(sdf, f._expr,
+                                    ("__concat_key__",) + tuple(f._index_cols),
+                                    (None,) + inner_names))
+        return concat(tagged, join=join, axis=0, ignore_index=False)
     if axis in (1, "columns"):
         # BEYOND the reference (which rejects axis=1,
         # `_collection.py:638-652`): pandas column-wise concat = index

@@ -260,3 +260,71 @@ class TestPandasStyleWrappers:
         got = pes.crosstab(d["r"], d["c"]).compute()
         want = pd.crosstab(P["r"], P["c"])
         assert sorted(got.columns[-2:]) == sorted(map(str, want.columns))
+
+
+class TestHuntBatch7:
+    """Hunt batch 7: merge indicator with matched-null keys, pandas API
+    parameters (fillna limit, replace regex, nlargest keep, value_counts
+    bins, concat keys, astype-str null repr, Series.dot)."""
+
+    def test_merge_indicator_null_keys(self, spark):
+        A = pd.DataFrame({"k": [1, 2, 2, None], "v": [10.0, 20.0, 21.0, 40.0]})
+        B = pd.DataFrame({"k": [2, 3, None], "w": [200.0, 300.0, 400.0]})
+        got = pes.from_pandas(A).merge(pes.from_pandas(B), on="k",
+                                       how="outer", indicator=True).compute()
+        want = A.merge(B, on="k", how="outer", indicator=True)
+        assert (sorted(got["_merge"].astype(str))
+                == sorted(want["_merge"].astype(str)))
+
+    def test_fillna_limit(self, spark):
+        pdf = pd.DataFrame({"i": range(5), "v": [None, None, 3.0, None, 5.0]})
+        d = pes.from_pandas(pdf).set_index("i")["v"]
+        got = d.fillna(0.0, limit=2).compute().sort_index().tolist()
+        want = pdf.set_index("i")["v"].fillna(0.0, limit=2).tolist()
+        assert str(got) == str(want)
+
+    def test_replace_regex(self, spark):
+        s = pd.Series(["foo123", "bar", None])
+        d = pes.from_pandas(s.to_frame("v"))
+        got = d["v"].replace(r"\d+", "", regex=True).compute().tolist()
+        assert got == s.replace(r"\d+", "", regex=True).tolist()
+        gotf = d.replace(r"\d+", "", regex=True).compute()["v"].tolist()
+        assert gotf == got
+
+    def test_nlargest_nsmallest_keep(self, spark):
+        pdf = pd.DataFrame({"i": range(4), "v": [3.0, 3.0, 2.0, None]})
+        d = pes.from_pandas(pdf).set_index("i")["v"]
+        assert sorted(d.nlargest(2, keep="all").compute().tolist()) == [3.0, 3.0]
+        assert d.nlargest(1, keep="first").compute().index.tolist() == [0]
+        assert d.nlargest(1, keep="last").compute().index.tolist() == [1]
+        # pandas drops nulls entirely
+        assert sorted(d.nlargest(4).compute().tolist()) == [2.0, 3.0, 3.0]
+        assert sorted(d.nsmallest(1, keep="all").compute().tolist()) == [2.0]
+
+    def test_value_counts_bins_pandas_labels(self, spark):
+        s = pd.Series([1.0, 1.0, 9.0])
+        d = pes.from_pandas(s.to_frame("v"))["v"]
+        got = d.value_counts(bins=3).compute()
+        want = s.value_counts(bins=3)
+        assert got.tolist() == want.tolist()          # zero bin emitted
+        assert got.index.tolist() == [str(i) for i in want.index.tolist()]
+
+    def test_concat_keys(self, spark):
+        A = pd.DataFrame({"v": [1.0, 2.0]})
+        B = pd.DataFrame({"v": [3.0]})
+        got = pes.concat([pes.from_pandas(A), pes.from_pandas(B)],
+                         keys=["a", "b"]).compute()
+        assert sorted(got["v"].tolist()) == [1.0, 2.0, 3.0]
+        keys = [i[0] if isinstance(i, tuple) else i for i in got.index]
+        assert sorted(keys) == ["a", "a", "b"]
+
+    def test_astype_str_null_repr(self, spark):
+        s = pd.Series([1.5, None])
+        d = pes.from_pandas(s.to_frame("v"))["v"]
+        assert sorted(d.astype(str).compute().tolist()) == ["1.5", "nan"]
+
+    def test_series_dot(self, spark):
+        pdf = pd.DataFrame({"i": range(3), "a": [1.0, 2.0, 3.0],
+                            "b": [4.0, 5.0, 6.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        assert float(d["a"].dot(d["b"]).compute()) == 32.0
