@@ -36,12 +36,20 @@ def qcut(series, q, labels=None, duplicates: str = "raise"):
     return series.qcut(q, labels=labels, duplicates=duplicates)
 
 
-def to_datetime(series, errors: str = "raise", format: str | None = None):
+def to_datetime(series, errors: str = "raise", format: str | None = None,
+                unit: str | None = None):
     """pandas ``pd.to_datetime`` for engine Series: JVM ``to_timestamp``.
     ``errors='coerce'`` lowers to ``try_to_timestamp`` (malformed → null)
-    instead of the ANSI parse error."""
+    instead of the ANSI parse error.  ``unit='s'/'ms'/'us'`` converts
+    numeric epochs (JVM ``timestamp_seconds``/``_millis``/``_micros``)."""
     from pyspark.sql import functions as F
     c = series._scol
+    if unit is not None:
+        fn = {"s": F.timestamp_seconds, "ms": F.timestamp_millis,
+              "us": F.timestamp_micros}.get(unit)
+        if fn is None:
+            raise ValueError(f"to_datetime: unsupported unit {unit!r}")
+        return series._with_scol(fn(c), "to_datetime")
     if format is not None:
         expr = (F.try_to_timestamp(c, F.lit(format)) if errors == "coerce"
                 else F.to_timestamp(c, format))

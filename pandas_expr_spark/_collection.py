@@ -653,7 +653,24 @@ class Series(FrameBase):
         """Reference Isin ``_expr.py:1133-1136``.  For large value lists this
         should become a broadcast semi-join; literal ``isin`` is fine for the
         reference's list-sized inputs (Catalyst converts long IN-lists to a
-        hash set).  Null inputs yield False (pandas), not SQL's null."""
+        hash set).  Null inputs yield False (pandas), not SQL's null.
+
+        ``isin(Series)`` tests membership in the other series' VALUES —
+        a distributed presence join on the distinct value set (never a
+        driver collect); null matches null, as pandas' hash table does."""
+        if isinstance(values, Series):
+            sdf, name, order, idx = self._ordered_base()
+            vals = (values.to_frame("__val__")._sdf.select("__val__")
+                    .distinct().withColumn("__present__", F.lit(True)))
+            j = sdf.join(vals, F.col(name).eqNullSafe(F.col("__val__")),
+                         "left")
+            out = j.select(*[F.col(c) for c in idx],
+                           F.coalesce(F.col("__present__"),
+                                      F.lit(False)).alias(name))
+            node = Node("isin", {"values": "<series>"}, self._expr,
+                        values._expr)
+            return Series(out, F.col(name), self._col_name, node, idx,
+                          self._index_names if self._index_cols else (None,))
         return self._with_scol(
             F.coalesce(self._scol.isin(list(values)), F.lit(False)), "isin")
 
@@ -784,13 +801,25 @@ class Series(FrameBase):
                       self._scol, self._col_name, node,
                       self._index_cols, self._index_names)
 
+    def _other_expr(self, other):
+        """Replacement value for where/mask: a same-anchor Series lowers
+        to its column expression; scalars to a literal."""
+        if isinstance(other, Series):
+            if other._sdf is not self._sdf:
+                raise ValueError("where/mask with a foreign-frame 'other' "
+                                 "is not supported; align first")
+            return other._scol
+        return F.lit(other)
+
     def mask(self, cond: "Series", other=None):
         return self._with_scol(
-            F.when(cond._scol, F.lit(other)).otherwise(self._scol), "mask")
+            F.when(cond._scol, self._other_expr(other))
+            .otherwise(self._scol), "mask")
 
     def where(self, cond: "Series", other=None):
         return self._with_scol(
-            F.when(cond._scol, self._scol).otherwise(F.lit(other)), "where")
+            F.when(cond._scol, self._scol)
+            .otherwise(self._other_expr(other)), "where")
 
     def combine_first(self, other: "Series") -> "Series":
         """pandas ``Series.combine_first``: index-aligned null overlay —
@@ -1876,12 +1905,27 @@ class _FrameRolling:
     fall back to one van Herk block pass per column."""
 
     def __init__(self, frame: "DataFrame", window: int,
-                 min_periods: int | None, center: bool):
+                 min_periods: int | None, center: bool,
+                 on: str | None = None):
         self._f, self._window = frame, window
         self._minp, self._center = min_periods, center
+        self._on, self._sel = on, None
+
+    def __getitem__(self, key):
+        """pandas ``df.rolling(...)[cols]`` column restriction."""
+        out = _FrameRolling(self._f, self._window, self._minp, self._center,
+                            self._on)
+        out._sel = key
+        return out
 
     def _base(self):
         f = self._f
+        if self._on is not None:
+            # pandas on=: that column orders the window and is excluded
+            # from aggregation; row identity stays the index (or rowid)
+            if f._index_cols:
+                return f._sdf, [self._on], f._index_cols, f._index_names
+            return (_attach_rowid(f._sdf), [self._on], (_ROWID,), (None,))
         if f._index_cols:
             return f._sdf, list(f._index_cols), f._index_cols, f._index_names
         sdf = _attach_rowid(f._sdf)
@@ -1889,8 +1933,12 @@ class _FrameRolling:
 
     def _numeric(self):
         f = self._f
-        return [c for c in f.columns
-                if is_numeric(f._sdf.schema[c].dataType)]
+        cols = [c for c in f.columns
+                if is_numeric(f._sdf.schema[c].dataType) and c != self._on]
+        if self._sel is not None:
+            keep = [self._sel] if isinstance(self._sel, str) else list(self._sel)
+            cols = [c for c in cols if c in keep]
+        return cols
 
     def _agg(self, fn: str) -> "DataFrame":
         from .functions import scan
@@ -1898,10 +1946,14 @@ class _FrameRolling:
         num = self._numeric()
         out = scan.rolling_agg_frame(sdf, num, order, self._window, fn,
                                      self._minp, center=self._center)
-        out = out.select(*[F.col(c) for c in idx], *num)
-        return DataFrame(out, Node(f"frame_rolling_{fn}",
-                                   {"window": self._window}, self._f._expr),
-                         idx, names)
+        keep = ([self._on] if self._on is not None
+                and self._on not in idx else []) + num
+        out = out.select(*[F.col(c) for c in idx], *keep)
+        node = Node(f"frame_rolling_{fn}", {"window": self._window},
+                    self._f._expr)
+        if isinstance(self._sel, str) and len(num) == 1:
+            return Series(out, F.col(num[0]), num[0], node, idx, names)
+        return DataFrame(out, node, idx, names)
 
     def _minmax(self, fn: str) -> "DataFrame":
         from .functions import scan
@@ -2768,8 +2820,22 @@ class DataFrame(FrameBase):
             else:
                 out_cols.append(F.col(l).alias(name))
         node = Node("update", {}, self._expr, other._expr)
-        return DataFrame(joined._sdf.select(*out_cols), node,
-                         joined._index_cols, joined._index_names)
+        # pandas update mutates in place (returns None); rebind this
+        # frame's plan so `df.update(other)` works without capturing the
+        # result.  Returning self keeps the chainable form working too.
+        # The join's renamed index columns alias back to self's original
+        # names so later index-aligned ops still line up.
+        had_idx = bool(self._index_cols)
+        own_idx = self._index_cols or joined._index_cols
+        out_cols = [F.col(j).alias(o)
+                    for j, o in zip(joined._index_cols, own_idx)] + \
+                   out_cols[len(joined._index_cols):]
+        self._sdf = joined._sdf.select(*out_cols)
+        self._expr = node
+        self._index_cols = tuple(own_idx)
+        if not had_idx:
+            self._index_names = joined._index_names
+        return self
 
     def where(self, cond: "Series", other=None) -> "DataFrame":
         """pandas ``DataFrame.where``: same-anchor boolean Series lowers
@@ -2904,8 +2970,25 @@ class DataFrame(FrameBase):
         return Series(out, F.col("__dup__"), None, node,
                       self._index_cols, self._index_names)
 
-    def explode(self, column: str) -> "DataFrame":
-        """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``."""
+    def explode(self, column) -> "DataFrame":
+        """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``.
+        A list of columns explodes them TOGETHER elementwise (pandas
+        multi-column explode) via ``arrays_zip`` — one generator, no
+        cartesian blow-up."""
+        if isinstance(column, (list, tuple)) and len(column) > 1:
+            targets = list(column)
+            z = F.explode_outer(F.arrays_zip(*[F.col(c) for c in targets]))
+            base = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                    *[F.col(c) for c in self.columns
+                                      if c not in targets],
+                                    z.alias("__z__"))
+            cols = [F.col(c) for c in self._index_cols] + \
+                   [F.col("__z__")[c].alias(c) if c in targets else F.col(c)
+                    for c in self.columns]
+            return self._derive(base.select(*cols), "explode",
+                                {"columns": targets})
+        if isinstance(column, (list, tuple)):
+            column = column[0]
         cols = [F.col(c) for c in self._index_cols] + \
                [F.explode_outer(F.col(c)).alias(c) if c == column else F.col(c)
                 for c in self.columns]
@@ -3405,11 +3488,13 @@ class DataFrame(FrameBase):
                       ("__col__",), (None,))
 
     def rolling(self, window: int, min_periods: int | None = None,
-                center: bool = False):
+                center: bool = False, on: str | None = None):
         """pandas ``DataFrame.rolling``: all numeric columns share ONE
         distributed prefix scan + ONE position join (sum/mean/count/
-        var/std); min/max run the van Herk block pass per column."""
-        return _FrameRolling(self, window, min_periods, center)
+        var/std); min/max run the van Herk block pass per column.
+        ``on=`` orders the window by that column (excluded from
+        aggregation, kept in the output)."""
+        return _FrameRolling(self, window, min_periods, center, on)
 
     def interpolate(self, method: str = "linear",
                     limit: int | None = None) -> "DataFrame":
@@ -3663,7 +3748,17 @@ class DataFrame(FrameBase):
             return self._row_reduce("max", skipna)
         return self._columnwise(F.max, "max", numeric_only)
 
-    def count(self, numeric_only: bool = False):
+    def count(self, numeric_only: bool = False, axis: int = 0):
+        if axis in (1, "columns"):
+            # row-wise non-null count over ALL columns (pandas) — sum of
+            # isNotNull flags, narrow map
+            out = None
+            for c in self.columns:
+                t = F.col(c).isNotNull().cast("long")
+                out = t if out is None else out + t
+            node = Node("count_axis1", {}, self._expr)
+            return Series(self._sdf, out, None, node,
+                          self._index_cols, self._index_names)
         # pandas count() is int64-valued
         return self._columnwise(F.count, "count", numeric_only,
                                 out_type="long")
@@ -3708,12 +3803,29 @@ class DataFrame(FrameBase):
 
     product = prod
 
-    def any(self, bool_only: bool = False):
+    def _row_bool(self, op: str) -> Series:
+        """Row-wise any/all: boolean OR/AND across columns (nulls count
+        False for any, True for all — pandas), a pure narrow map."""
+        out = None
+        for c in self.columns:
+            t = (F.coalesce(F.col(c).cast("boolean"),
+                            F.lit(op == "all")))
+            out = t if out is None else ((out | t) if op == "any"
+                                         else (out & t))
+        node = Node(f"{op}_axis1", {}, self._expr)
+        return Series(self._sdf, out, None, node,
+                      self._index_cols, self._index_names)
+
+    def any(self, bool_only: bool = False, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_bool("any")
         return self._columnwise(
             lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
             "any", numeric_only=False, out_type="boolean")
 
-    def all(self, bool_only: bool = False):
+    def all(self, bool_only: bool = False, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_bool("all")
         return self._columnwise(
             lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
             "all", numeric_only=False, out_type="boolean")
@@ -3942,9 +4054,26 @@ class DataFrame(FrameBase):
             return ranked._pairwise(F.corr, "corr")
         raise NotImplementedError("corr: method must be pearson or spearman")
 
-    def cov(self, ddof: int = 1) -> "DataFrame":
+    def cov(self, ddof: int = 1,
+            min_periods: int | None = None) -> "DataFrame":
         """pandas ``df.cov()``: pairwise covariance matrix (any ddof via
-        the sufficient-statistic identity, same single-pass plan)."""
+        the sufficient-statistic identity, same single-pass plan).
+        ``min_periods``: cells with fewer pairwise-complete rows go null."""
+        if min_periods is not None:
+            mp = int(min_periods)
+
+            def guarded(a: Column, b: Column) -> Column:
+                x, y = a.cast("double"), b.cast("double")
+                n = F.count(F.when(x.isNotNull() & y.isNotNull(), 1))
+                base = F.covar_samp(x, y) if ddof == 1 else                     F.covar_pop(x, y) if ddof == 0 else None
+                if base is None:
+                    sx = F.sum(F.when(y.isNotNull(), x))
+                    sy = F.sum(F.when(x.isNotNull(), y))
+                    sxy = F.sum(x * y)
+                    base = F.when(n > ddof,
+                                  (sxy - sx * sy / n) / (n - F.lit(ddof)))
+                return F.when(n >= mp, base)
+            return self._pairwise(guarded, "cov")
         if ddof == 1:
             return self._pairwise(F.covar_samp, "cov")
         if ddof == 0:
@@ -4006,16 +4135,34 @@ class DataFrame(FrameBase):
                     by.append(self._index_cols[names.index(lv)])
                 else:
                     raise KeyError(lv)
-        by = _ensure_list(by)
-        bad = [b for b in by if not isinstance(b, str)]
-        if bad:
-            # reference raises on foreign-Series grouping (`_groupby.py:267-303`)
-            raise TypeError("groupby only supports column names")
+        by = [by] if isinstance(by, Series) else _ensure_list(by)
+        # pandas groupby(Series): a same-anchor key Series (a column or a
+        # derived expression of THIS frame) materializes as a key column —
+        # pure projection.  Foreign-frame keys raise, like the reference
+        # (`_groupby.py:267-303`).
+        frame, names, extra = self, [], {}
+        for b in by:
+            if isinstance(b, Series):
+                if b._sdf is not self._sdf:
+                    raise TypeError("groupby only supports column names or "
+                                    "Series derived from this frame")
+                nm = b._col_name or f"__by{len(extra)}__"
+                extra[nm] = b._scol
+                names.append(nm)
+            elif isinstance(b, str):
+                names.append(b)
+            else:
+                raise TypeError("groupby only supports column names")
+        if extra:
+            frame = DataFrame(self._sdf.withColumns(extra),
+                              Node("assign_by", {}, self._expr),
+                              self._index_cols, self._index_names)
+        by = names
         missing = [b for b in by
-                   if b not in self.columns and b not in self._index_cols]
+                   if b not in frame.columns and b not in frame._index_cols]
         if missing:
             raise KeyError(missing)
-        return GroupBy(self, by, sort=sort, as_index=as_index, dropna=dropna,
+        return GroupBy(frame, by, sort=sort, as_index=as_index, dropna=dropna,
                        observed=observed)
 
     def rollup(self, by, sort: bool = True):
@@ -4049,13 +4196,20 @@ class DataFrame(FrameBase):
 
     def pivot_table(self, values: str, index, columns: str,
                     aggfunc: str = "mean",
-                    pivot_values: Sequence | None = None) -> "DataFrame":
+                    pivot_values: Sequence | None = None,
+                    margins: bool = False,
+                    margins_name: str = "All") -> "DataFrame":
         """pandas ``pivot_table`` → Spark ``groupBy(index).pivot(columns)``.
 
         Pass ``pivot_values`` (the distinct values of ``columns``) on large
         data: without it Spark runs an eager distinct job over the column to
         discover them — an extra full scan at 100 TB.  Output columns are
         named by pivot value (pandas-style flat columns).
+
+        ``margins=True`` adds the All row/column: the aggfunc applied over
+        the UNDERLYING rows of each axis group (pandas semantics — correct
+        for mean, not a sum of cells).  Each margin is one more groupBy on
+        the same shuffle key family.
         """
         from .operators.groupby import _AGG_FNS
         idx = _ensure_list(index)
@@ -4063,6 +4217,32 @@ class DataFrame(FrameBase):
         piv = self._sdf.groupBy(*idx).pivot(
             columns, list(pivot_values) if pivot_values is not None else None)
         out = piv.agg(fn(F.col(values)).alias(values))
+        if margins:
+            # All column: aggfunc grouped by index only
+            col_margin = (self._sdf.groupBy(*idx)
+                          .agg(fn(F.col(values)).alias(margins_name)))
+            out = out.join(col_margin, idx, "left")
+            # All row: aggfunc grouped by pivot column only (+ the corner)
+            row_vals = (self._sdf
+                        .withColumn(columns, F.col(columns).cast("string"))
+                        .groupBy(columns)
+                        .agg(fn(F.col(values)).alias("__m__")))
+            corner = self._sdf.agg(fn(F.col(values)).alias("__all__"))
+            pivoted_cols = [c for c in out.columns
+                            if c not in idx and c != margins_name]
+            row = (row_vals.groupBy()
+                   .pivot(columns, pivoted_cols)
+                   .agg(F.first("__m__"))
+                   .crossJoin(F.broadcast(corner)
+                              .withColumnRenamed("__all__", margins_name)))
+            # the All row label forces the index to string (pandas: object)
+            for c in idx:
+                out = out.withColumn(c, F.col(c).cast("string"))
+            for i, c in enumerate(idx):
+                row = row.withColumn(
+                    c, F.lit(margins_name if i == 0 else ""))
+            out = out.unionByName(row.select(out.columns),
+                                  allowMissingColumns=True)
         node = Node("pivot_table", {"index": idx, "columns": columns,
                                     "aggfunc": aggfunc}, self._expr)
         # pandas sets the index= columns as the result's index
@@ -4100,7 +4280,8 @@ class DataFrame(FrameBase):
                       "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH",
                       "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR"}
 
-    def resample(self, freq: str, on: str, fill_empty: bool = False):
+    def resample(self, freq: str, on: str | None = None,
+                 fill_empty: bool = False):
         """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
 
         Calendar frequencies (``h/D/W/M/Q/Y``) lower to ``date_trunc``;
@@ -4114,6 +4295,12 @@ class DataFrame(FrameBase):
         choice.  Weeks are ISO Monday-start (``date_trunc`` semantics, not
         pandas' Sunday-anchored ``W``)."""
         import re
+        if on is None:
+            # pandas default: resample over the (datetime) index
+            if len(self._index_cols) != 1:
+                raise ValueError("resample() without on= needs a single "
+                                 "datetime index — set_index first")
+            on = self._index_cols[0]
         m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
         if not m:
             raise ValueError(f"cannot parse resample freq {freq!r}")

@@ -166,6 +166,29 @@ class StringAccessor(_Accessor):
         node = Node("str.split", {"pat": pat, "expand": True}, s._expr)
         return _PDF(sdf, node, s._index_cols, s._index_names)
 
+    def partition(self, sep: str = " "):
+        """pandas ``str.partition``: (before, sep, after) — three pure
+        JVM substring expressions, no shuffle.  Missing separator →
+        (whole, '', '') like pandas."""
+        s = self._s
+        c = s._scol
+        pos = F.instr(c, sep)
+        before = F.when(pos > 0, F.substring(c, F.lit(1), pos - 1)) \
+            .otherwise(c)
+        null = F.lit(None).cast("string")
+        mid = F.when(c.isNull(), null) \
+            .when(pos > 0, F.lit(sep)).otherwise(F.lit(""))
+        after = F.when(c.isNull(), null) \
+            .when(pos > 0, F.substring(c, pos + F.lit(len(sep)),
+                                       F.length(c))).otherwise(F.lit(""))
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        sdf = s._sdf.select(*[F.col(ic) for ic in s._index_cols],
+                            before.alias("0"), mid.alias("1"),
+                            after.alias("2"))
+        node = Node("str.partition", {"sep": sep}, s._expr)
+        return _PDF(sdf, node, s._index_cols, s._index_names)
+
     def cat(self, others=None, sep: str = ""):
         if others is None:
             # reduction form: concatenate ALL values into one string.

@@ -248,6 +248,32 @@ class GroupBy:
             raise ValueError("groupby.quantile supports interpolation="
                              "'linear' only")
         cols = self._value_columns(True)
+        if isinstance(q, (list, tuple)):
+            # pandas list-q: one percentile-array aggregation per column
+            # (still a single shuffle), then a tiny posexplode over the
+            # literal q list — index becomes (by..., q)
+            qs = [float(x) for x in q]
+            arr = F.array(*[F.lit(x) for x in qs])
+            agg = self._grouping(self._grouped_sdf()).agg(
+                *[F.percentile(F.col(c), arr).alias(c) for c in cols])
+            ex = agg.select(*[F.col(b) for b in self._by],
+                            F.posexplode(arr).alias("__qi__", "__q__"),
+                            *[F.col(c).alias(f"__arr_{c}__") for c in cols])
+            out = ex.select(
+                *[F.col(b) for b in self._by], F.col("__q__"),
+                *[F.element_at(F.col(f"__arr_{c}__"),
+                               F.col("__qi__") + 1).alias(c) for c in cols])
+            if self._sort:
+                out = out.orderBy(*[F.col(b).asc() for b in self._by],
+                                  F.col("__q__").asc())
+            from .._collection import DataFrame, Series
+            node = Node("groupby_quantile", {"by": self._by, "q": qs},
+                        self._frame._expr)
+            idx = tuple(self._by) + ("__q__",)
+            names = tuple(self._by) + (None,)
+            if self._slice is not None and len(cols) == 1:
+                return Series(out, F.col(cols[0]), cols[0], node, idx, names)
+            return DataFrame(out, node, idx, names)
         aggs = [F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set()
@@ -316,17 +342,21 @@ class GroupBy:
                           tuple(self._by), tuple(self._by))
         return DataFrame(out, node, (), None)
 
-    def value_counts(self):
+    def value_counts(self, ascending: bool = False):
         """Grouped value_counts (`_groupby.py:228-238`) →
-        ``groupBy(by + value_cols).count()``."""
+        ``groupBy(by + value_cols).count()``.  Returns the pandas shape: a
+        Series named ``count`` indexed by (by..., value columns)."""
         cols = self._value_columns()
         out = (self._grouped_sdf().groupBy(*self._by, *cols)
                .agg(F.count(F.lit(1)).alias("count")))
-        from .._collection import DataFrame
+        from .._collection import Series
         node = Node("groupby_value_counts", {"by": self._by}, self._frame._expr)
         if self._sort:
-            out = out.orderBy(*[F.col(b).asc() for b in self._by], F.desc("count"))
-        return DataFrame(out, node, (), None)
+            out = out.orderBy(*[F.col(b).asc() for b in self._by],
+                              F.col("count").asc() if ascending
+                              else F.desc("count"))
+        idx = tuple(self._by) + tuple(cols)
+        return Series(out, F.col("count"), "count", node, idx, idx)
 
     # -- agg-spec compiler (reference GroupbyAggregation `_groupby.py:136-190`)
     # aggs meaningful on non-numeric columns; anything else applied

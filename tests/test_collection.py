@@ -579,6 +579,10 @@ def test_update_and_frame_where_mask(spark):
     exp.update(upd)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_names=False)
+    # update mutates in place (pandas semantics): df now == exp
+    pd.testing.assert_frame_equal(df.compute().sort_index(), exp,
+                                  check_dtype=False, check_names=False)
+    pdf = exp
     # frame-level where/mask with a same-anchor condition
     got_w = df.where(df.a > 1.5, other=-1.0).compute().sort_index()
     exp_w = pdf.where(pdf.a > 1.5, other=-1.0)

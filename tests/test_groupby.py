@@ -121,16 +121,23 @@ def test_groupby_dropna(spark):
 
 
 def test_groupby_value_counts(gdf, groupby_pdf):
-    got = gdf.groupby("x")["z"].value_counts().compute()
-    exp = groupby_pdf.groupby("x")["z"].value_counts().reset_index()
-    assert_frame_eq(got, exp, sort_by=["x", "z"])
+    # pandas shape: a Series named 'count' indexed by (by, value)
+    got = gdf.groupby("x")["z"].value_counts().compute().sort_index()
+    exp = groupby_pdf.groupby("x")["z"].value_counts().sort_index()
+    assert got.tolist() == exp.tolist()
+    assert got.index.tolist() == exp.index.tolist()
 
 
 def test_groupby_errors(gdf):
     with pytest.raises(KeyError):
         gdf.groupby("nope")
+    # same-anchor derived Series keys are allowed (pandas); a FOREIGN
+    # frame's series is not
+    import pandas_expr_spark as pes
+    import pandas as pd
+    foreign = pes.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
     with pytest.raises(TypeError):
-        gdf.groupby(gdf.x + 1)
+        gdf.groupby(foreign["x"])
     with pytest.raises(KeyError):
         gdf.groupby("x")["nope"]
 

@@ -328,3 +328,129 @@ class TestHuntBatch7:
                             "b": [4.0, 5.0, 6.0]})
         d = pes.from_pandas(pdf).set_index("i")
         assert float(d["a"].dot(d["b"]).compute()) == 32.0
+
+
+class TestHuntBatch8:
+    """Hunt batch 8: groupby(Series)/value_counts/quantile-list, in-place
+    update, where/mask Series other, isin(Series), resample on index,
+    rolling(on=), explode multi-column, pivot_table margins, axis=1
+    count/any/all, cov min_periods, to_datetime unit, str.partition."""
+
+    def test_groupby_series_key(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 4.0]})
+        d = pes.from_pandas(P)
+        got = d.groupby(d["g"])["v"].sum().compute().sort_index().tolist()
+        assert got == P.groupby(P["g"])["v"].sum().tolist()
+        # derived expression key
+        got2 = (d.groupby((d["v"] > 1.5).rename("big"))["v"].sum()
+                .compute().sort_index().tolist())
+        assert got2 == P.groupby(P["v"] > 1.5)["v"].sum().tolist()
+
+    def test_grouped_value_counts_series_shape(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b", "b", "b"],
+                          "h": [1, 2, 1, 1, 2]})
+        got = pes.from_pandas(P).groupby("g")["h"].value_counts().compute()
+        want = P.groupby("g")["h"].value_counts()
+        assert sorted(got.tolist()) == sorted(want.tolist())
+        assert got.index.nlevels == 2
+
+    def test_grouped_quantile_list(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                          "w": [10.0, 20.0, 30.0, 50.0]})
+        got = (pes.from_pandas(P).groupby("g")["w"].quantile([0.25, 0.75])
+               .compute().sort_index())
+        want = P.groupby("g")["w"].quantile([0.25, 0.75]).sort_index()
+        assert np.allclose(got.tolist(), want.tolist())
+
+    def test_update_in_place(self, spark):
+        A = pd.DataFrame({"i": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+        B = pd.DataFrame({"i": [1, 2], "v": [20.0, None]})
+        da = pes.from_pandas(A).set_index("i")
+        da.update(pes.from_pandas(B).set_index("i"))
+        wa = A.set_index("i"); wa.update(B.set_index("i"))
+        assert da.compute().sort_index()["v"].tolist() == wa["v"].tolist()
+
+    def test_where_series_other(self, spark):
+        pdf = pd.DataFrame({"i": range(3), "v": [1.0, 5.0, 2.0],
+                            "o": [0.1, 0.2, 0.3]})
+        d = pes.from_pandas(pdf).set_index("i")
+        got = d["v"].where(d["v"] > 2, d["o"]).compute().sort_index().tolist()
+        p = pdf.set_index("i")
+        assert got == p["v"].where(p["v"] > 2, p["o"]).tolist()
+
+    def test_isin_series(self, spark):
+        pdf = pd.DataFrame({"i": range(3), "v": [1.0, 2.0, None],
+                            "u": [1.0, None, 9.0]})
+        d = pes.from_pandas(pdf).set_index("i")
+        got = d["v"].isin(d["u"]).compute().sort_index().tolist()
+        assert got == pdf["v"].isin(pdf["u"]).tolist()
+
+    def test_resample_on_index(self, spark):
+        E = pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-15", "2024-02-03"]),
+            "v": [1.0, 2.0, 4.0]})
+        d = pes.from_pandas(E).set_index("ts")
+        got = d.resample("MS")["v"].sum().compute().sort_index()
+        want = E.set_index("ts").resample("MS")["v"].sum()
+        assert got.tolist() == want.tolist()
+
+    def test_rolling_on_column(self, spark):
+        pdf = pd.DataFrame({"t": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 4.0]})
+        d = pes.from_pandas(pdf)
+        got = sorted(d.rolling(2, on="t")["v"].sum().compute()
+                     .dropna().tolist())
+        want = sorted(pdf.rolling(2, on="t")["v"].sum().dropna().tolist())
+        assert got == want
+
+    def test_explode_multi_column(self, spark):
+        pdf = pd.DataFrame({"a": [[1, 2], [3]], "b": [["x", "y"], ["z"]]})
+        got = pes.from_pandas(pdf).explode(["a", "b"]).compute()
+        want = pdf.explode(["a", "b"])
+        assert sorted(zip(got["a"], got["b"])) == sorted(
+            zip(want["a"], want["b"]))
+
+    def test_pivot_table_margins(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b"], "h": [1, 2, 1],
+                          "w": [10.0, 20.0, 70.0]})
+        got = (pes.from_pandas(P)
+               .pivot_table(index="g", columns="h", values="w",
+                            aggfunc="mean", margins=True)
+               .compute().sort_index())
+        want = P.pivot_table(index="g", columns="h", values="w",
+                             aggfunc="mean", margins=True)
+        want.index = want.index.map(str)
+        assert np.allclose(got["All"].sort_index().tolist(),
+                           want["All"].sort_index().tolist())
+        assert sorted(got.index) == sorted(want.index)
+
+    def test_axis1_count_any_all(self, spark):
+        pdf = pd.DataFrame({"a": [1.0, None], "b": [3.0, 4.0]})
+        d = pes.from_pandas(pdf)
+        assert sorted(d.count(axis=1).compute().tolist()) == \
+            sorted(pdf.count(axis=1).tolist())
+        bdf = pd.DataFrame({"a": [True, False], "b": [True, True]})
+        bd = pes.from_pandas(bdf)
+        assert sorted(bd.any(axis=1).compute().tolist()) == \
+            sorted(bdf.any(axis=1).tolist())
+        assert sorted(bd.all(axis=1).compute().tolist()) == \
+            sorted(bdf.all(axis=1).tolist())
+
+    def test_cov_min_periods(self, spark):
+        pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [2.0, 4.0, 6.0]})
+        got = pes.from_pandas(pdf).cov(min_periods=3).compute()
+        want = pdf.cov(min_periods=3)
+        assert np.allclose(got.to_numpy(), want.to_numpy(), equal_nan=True)
+
+    def test_to_datetime_unit(self, spark):
+        pdf = pd.DataFrame({"e": [1700000000, 1700086400]})
+        d = pes.from_pandas(pdf)
+        got = pes.to_datetime(d["e"], unit="s").compute().astype(str).tolist()
+        assert got == pd.to_datetime(pdf["e"], unit="s").astype(str).tolist()
+
+    def test_str_partition(self, spark):
+        s = pd.Series(["a_b_c", "xy", None])
+        d = pes.from_pandas(s.to_frame("v"))["v"]
+        got = d.str.partition("_").compute()
+        want = s.str.partition("_")
+        assert got.fillna("~").values.tolist() == \
+            want.fillna("~").values.tolist()
