@@ -1342,6 +1342,69 @@ class Series(FrameBase):
         return _SeriesEwm(self, a, adjust)
 
     @property
+    def is_unique(self) -> bool:
+        """pandas ``is_unique``: no value (nulls included) appears twice —
+        one aggregation pass (count vs null-safe distinct count)."""
+        row = (self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(self._scol).alias("d"),
+            F.sum(self._scol.isNull().cast("long")).alias("nulls"))
+            .first())
+        return int(row["n"]) == int(row["d"]) + min(int(row["nulls"] or 0), 1) \
+            if int(row["nulls"] or 0) <= 1 else False
+
+    def argmax(self) -> int:
+        """pandas ``argmax``: integer POSITION (index order) of the max —
+        distributed position pass + TopK limit 1."""
+        return self._argextreme(largest=True)
+
+    def argmin(self) -> int:
+        return self._argextreme(largest=False)
+
+    def _argextreme(self, largest: bool) -> int:
+        from .functions.scan import global_pos
+        sdf, name, order, _ = self._ordered_base()
+        pos = global_pos(sdf, order)
+        key = F.col(name).desc() if largest else F.col(name).asc()
+        row = (pos.filter(F.col(name).isNotNull())
+               .orderBy(key, F.col("__pos__").asc()).limit(1).first())
+        return int(row["__pos__"]) if row is not None else -1
+
+    def combine(self, other: "Series", func) -> "Series":
+        """pandas ``Series.combine``: elementwise Python ``func(a, b)`` —
+        an Arrow-batched pandas_udf over the two (same-anchor or
+        index-aligned) columns; result dtype inferred from a 10-row
+        sample, like ``apply``."""
+        if other._sdf is self._sdf:
+            base = self._sdf.select(
+                *[F.col(c) for c in self._index_cols],
+                self._scol.alias("__a__"), other._scol.alias("__b__"))
+            idx, names = self._index_cols, self._index_names
+        else:
+            lf = self.to_frame("__a__")
+            rf = other.to_frame("__b__")
+            joined, lmap, rmap = _index_outer_join(lf, rf)
+            base = joined._sdf.select(
+                *[F.col(c) for c in joined._index_cols],
+                F.col(lmap["__a__"]).alias("__a__"),
+                F.col(rmap["__b__"]).alias("__b__"))
+            idx, names = joined._index_cols, joined._index_names
+        sample = base.limit(10).toPandas()
+        probe = pd.Series([func(a, b) for a, b in
+                           zip(sample["__a__"], sample["__b__"])])
+        out_t = to_spark_type(probe.dtype if len(probe) else "float64")
+
+        @F.pandas_udf(out_t)
+        def _fn(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series([func(x, y) for x, y in zip(a, b)])
+
+        name = self._col_name or "__v__"
+        out = base.select(*[F.col(c) for c in idx],
+                          _fn(F.col("__a__"), F.col("__b__")).alias(name))
+        node = Node("combine", {}, self._expr, other._expr)
+        return Series(out, F.col(name), self._col_name, node, idx, names)
+
+    @property
     def is_monotonic_increasing(self) -> bool:
         from .functions import scan
         sdf, name, order, _ = self._ordered_base()
@@ -2517,8 +2580,32 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.withColumn(target.strip(), F.expr(rhs.strip())),
                             "eval", {"expr": expr})
 
-    def query(self, expr: str) -> "DataFrame":
-        """SQL-flavored filter (Spark-native analogue of ``df.query``)."""
+    def query(self, expr: str, local_dict=None, **kwargs) -> "DataFrame":
+        """SQL-flavored filter (Spark-native analogue of ``df.query``).
+        ``@name`` references resolve from ``local_dict`` (or, like pandas,
+        the caller's scope) and inline as literals — the predicate stays a
+        pure Catalyst filter, pushdown-eligible."""
+        if "@" in expr:
+            import re as _re
+            env = dict(local_dict or {})
+            if not env:
+                import inspect as _inspect
+                fr = _inspect.currentframe().f_back
+                env = {**fr.f_globals, **fr.f_locals}
+
+            def _sub(m):
+                name = m.group(1)
+                if name not in env:
+                    raise KeyError(f"query: undefined variable @{name}")
+                v = env[name]
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                if isinstance(v, (list, tuple, set)):
+                    return "(" + ",".join(
+                        ("'" + str(x).replace("'", "''") + "'")
+                        if isinstance(x, str) else repr(x) for x in v) + ")"
+                return repr(v)
+            expr = _re.sub(r"@(\w+)", _sub, expr)
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------
@@ -2715,8 +2802,12 @@ class DataFrame(FrameBase):
             a >= b, F.lit(False)), "ge")
 
     # pandas named arithmetic with fill_value: a null on ONE side takes
-    # the fill before the op; both-null stays null
-    def _named_binop(self, other, fn, op: str, fill_value=None) -> "DataFrame":
+    # the fill before the op; both-null stays null.  ``axis=0`` with a
+    # Series broadcasts it DOWN the columns (aligned on the index).
+    def _named_binop(self, other, fn, op: str, fill_value=None,
+                     axis=None) -> "DataFrame":
+        if axis in (0, "index") and isinstance(other, Series):
+            return self._binop_axis0(other, fn, op)
         if fill_value is None:
             return self._frame_binop(other, fn, op)
         fv = F.lit(fill_value)
@@ -2728,23 +2819,48 @@ class DataFrame(FrameBase):
 
         return self._frame_binop(other, filled, op)
 
-    def add(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: a + b, "add", fill_value)
+    def _binop_axis0(self, other: "Series", fn, op: str) -> "DataFrame":
+        """``df.op(series, axis=0)``: one value per ROW applied across all
+        numeric columns.  Same-anchor series is a pure projection; a
+        foreign series costs one index equi-join."""
+        num = [c for c in self.columns
+               if is_numeric(self._sdf.schema[c].dataType)]
+        if other._sdf is self._sdf:
+            updates = {c: fn(F.col(c), other._scol) for c in num}
+            return self._derive(self._sdf.withColumns(updates), op, {})
+        if not self._index_cols or not other._index_cols:
+            raise ValueError(f"{op}(axis=0) with a foreign series needs an "
+                             "index on both sides to align")
+        of = other.to_frame("__o__")
+        osel = of._sdf.select(*[F.col(c).alias(i) for c, i in
+                                zip(of._index_cols, self._index_cols)],
+                              F.col("__o__"))
+        joined = self._sdf.join(osel, on=list(self._index_cols), how="left")
+        updates = {c: fn(F.col(c), F.col("__o__")) for c in num}
+        return self._derive(joined.withColumns(updates).drop("__o__"),
+                            op, {"axis": 0})
 
-    def sub(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: a - b, "sub", fill_value)
+    def add(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: a + b, "add",
+                                 fill_value, axis)
 
-    def mul(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: a * b, "mul", fill_value)
+    def sub(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: a - b, "sub",
+                                 fill_value, axis)
 
-    def div(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: a / b, "div", fill_value)
+    def mul(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: a * b, "mul",
+                                 fill_value, axis)
+
+    def div(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: a / b, "div",
+                                 fill_value, axis)
 
     truediv = div
 
-    def pow(self, other, fill_value=None):
+    def pow(self, other, fill_value=None, axis=None):
         return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
-                                 fill_value)
+                                 fill_value, axis)
 
     def _frame_positional(self, periods: int, build, op: str,
                           extra_cols: dict | None = None) -> "DataFrame":
@@ -3037,12 +3153,20 @@ class DataFrame(FrameBase):
         """Reference Head ``_expr.py:1471-1492``.  After ``sort_values`` this
         compiles to distributed TopK (TakeOrderedAndProject); on an unsorted
         frame it is natural (file) order, like the reference's single
-        partition."""
+        partition.  Negative n (pandas: all but the last |n| rows) costs one
+        count action."""
+        if n < 0:
+            total = self._sdf.count()
+            return self._derive(self._sdf.limit(max(total + n, 0)),
+                                "head", {"n": n})
         return self._derive(self._sdf.limit(n), "head", {"n": n})
 
     def tail(self, n: int = 5) -> "DataFrame":
         """Reference Tail ``_expr.py:1495-1516`` → ``offset(count-n)``.
-        Requires one count action at build time."""
+        Requires one count action at build time.  Negative n (pandas: all
+        but the first |n| rows) is a pure offset — no count needed."""
+        if n < 0:
+            return self._derive(self._sdf.offset(-n), "tail", {"n": n})
         total = self._sdf.count()
         return self._derive(self._sdf.offset(max(total - n, 0)), "tail", {"n": n})
 
@@ -3104,6 +3228,29 @@ class DataFrame(FrameBase):
         if len(self.columns) == 1:
             return self[self.columns[0]]
         return self
+
+    def equals(self, other) -> bool:
+        """pandas ``DataFrame.equals``: same columns and same (multiset of)
+        rows — two ``exceptAll`` emptiness probes (eager, like pandas
+        returning a bool)."""
+        if not isinstance(other, DataFrame):
+            return False
+        if self.columns != other.columns:
+            return False
+        sel = (list(self._index_cols) + self.columns
+               if len(self._index_cols) == len(other._index_cols)
+               else self.columns)
+        osel = (list(other._index_cols) + other.columns
+                if len(self._index_cols) == len(other._index_cols)
+                else other.columns)
+        a = self._sdf.select(*[F.col(c).alias(f"c{i}")
+                               for i, c in enumerate(sel)])
+        b = other._sdf.select(*[F.col(c).alias(f"c{i}")
+                                for i, c in enumerate(osel)])
+        try:
+            return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        except Exception:
+            return False
 
     def transpose(self):
         raise NotImplementedError(
@@ -3443,15 +3590,44 @@ class DataFrame(FrameBase):
         node = Node(f"cum{op}", {"columns": num, "skipna": skipna}, self._expr)
         return DataFrame(out, node, idx, names)
 
-    def idxmin(self, skipna: bool = True) -> "Series":
+    def idxmin(self, skipna: bool = True, axis: int = 0) -> "Series":
         """Per-column index label of the minimum — ONE aggregation pass for
         the whole frame (``min_by`` over (value, index) structs; value ties
         break to the smallest label like ``Series.idxmin``), then an
-        ``unpivot`` of the 1-row result into a column-indexed Series."""
+        ``unpivot`` of the 1-row result into a column-indexed Series.
+        ``axis=1``: per-ROW column name of the extreme — a narrow JVM
+        array reduction, no shuffle."""
+        if axis in (1, "columns"):
+            return self._row_idx_extreme(largest=False)
         return self._frame_idx_extreme("idxmin")
 
-    def idxmax(self, skipna: bool = True) -> "Series":
+    def idxmax(self, skipna: bool = True, axis: int = 0) -> "Series":
+        if axis in (1, "columns"):
+            return self._row_idx_extreme(largest=True)
         return self._frame_idx_extreme("idxmax")
+
+    def _row_idx_extreme(self, largest: bool) -> "Series":
+        """Row-wise idxmax/idxmin: (value, position) structs reduced with
+        array_max/array_min; ties take the FIRST column (pandas), hence the
+        negated position under max.  All-null rows yield null."""
+        cols = [c for c in self.columns
+                if is_numeric(self._sdf.schema[c].dataType)]
+        if largest:
+            arr = F.array(*[F.struct(F.col(c).cast("double").alias("v"),
+                                     F.lit(-i).alias("p"))
+                            for i, c in enumerate(cols)])
+        else:
+            arr = F.array(*[F.struct(F.col(c).cast("double").alias("v"),
+                                     F.lit(i).alias("p"))
+                            for i, c in enumerate(cols)])
+        ok = F.filter(arr, lambda x: x["v"].isNotNull() & ~F.isnan(x["v"]))
+        best = F.array_max(ok) if largest else F.array_min(ok)
+        pos = (-best["p"] if largest else best["p"]).cast("int")
+        names = F.array(*[F.lit(c) for c in cols])
+        out = F.when(F.size(ok) > 0, F.element_at(names, pos + 1))
+        node = Node("idx_extreme_axis1", {"largest": largest}, self._expr)
+        return Series(self._sdf, out, None, node,
+                      self._index_cols, self._index_names)
 
     def _frame_idx_extreme(self, op: str) -> "Series":
         from pyspark.sql import types as T

@@ -32,6 +32,9 @@ class StringAccessor(_Accessor):
 
     def upper(self): return self._wrap(F.upper(self._s._scol), "str.upper")
     def lower(self): return self._wrap(F.lower(self._s._scol), "str.lower")
+    def casefold(self):
+        # Python casefold ~ lower for the JVM's locale-free lowercasing
+        return self._wrap(F.lower(self._s._scol), "str.casefold")
     def strip(self): return self._wrap(F.trim(self._s._scol), "str.strip")
     def lstrip(self): return self._wrap(F.ltrim(self._s._scol), "str.lstrip")
     def rstrip(self): return self._wrap(F.rtrim(self._s._scol), "str.rstrip")
@@ -188,6 +191,35 @@ class StringAccessor(_Accessor):
                             after.alias("2"))
         node = Node("str.partition", {"sep": sep}, s._expr)
         return _PDF(sdf, node, s._index_cols, s._index_names)
+
+    def extractall(self, pat: str):
+        """pandas ``str.extractall``: every regex match becomes a row —
+        ``regexp_extract_all`` per capture group (JVM), arrays zipped and
+        pos-exploded into the (index, match) MultiIndex shape."""
+        import re as _re
+        ngroups = _re.compile(pat).groups
+        if ngroups == 0:
+            raise ValueError("extractall requires capture groups in pattern")
+        s = self._s
+        c = s._scol
+        arrs = [F.regexp_extract_all(c, F.lit(pat), g + 1)
+                .alias(f"__g{g}__") for g in range(ngroups)]
+        base = s._sdf.select(*[F.col(ic) for ic in s._index_cols], *arrs)
+        ex = base.select(
+            *[F.col(ic) for ic in s._index_cols],
+            F.posexplode(F.arrays_zip(
+                *[F.col(f"__g{g}__") for g in range(ngroups)]))
+            .alias("match", "__z__"))
+        out = ex.select(*[F.col(ic) for ic in s._index_cols],
+                        F.col("match").cast("long"),
+                        *[F.col("__z__")[f"__g{g}__"].alias(str(g))
+                          for g in range(ngroups)])
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        node = Node("str.extractall", {"pat": pat}, s._expr)
+        idx = tuple(s._index_cols) + ("match",)
+        names = tuple(s._index_names or (None,) * len(s._index_cols))             + ("match",)
+        return _PDF(out, node, idx, names)
 
     def cat(self, others=None, sep: str = ""):
         if others is None:
@@ -406,6 +438,23 @@ class DatetimeAccessor(_Accessor):
     def date(self): return self._wrap(F.to_date(self._s._scol), "dt.date")
     @property
     def week(self): return self._wrap(F.weekofyear(self._s._scol), "dt.week")
+
+    def isocalendar(self):
+        """pandas ``dt.isocalendar()``: (year, week, day) of the ISO
+        calendar as a DataFrame — pure JVM date math (the ISO year is the
+        calendar year of that week's Thursday)."""
+        s = self._s
+        c = s._scol
+        isodow = ((F.dayofweek(c) + 5) % 7) + 1
+        isoyear = F.year(F.date_add(F.to_date(c), 4 - isodow))
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        sdf = s._sdf.select(*[F.col(ic) for ic in s._index_cols],
+                            isoyear.cast("long").alias("year"),
+                            F.weekofyear(c).cast("long").alias("week"),
+                            isodow.cast("long").alias("day"))
+        node = Node("dt.isocalendar", {}, s._expr)
+        return _PDF(sdf, node, s._index_cols, s._index_names)
     weekofyear = week
 
     @property

@@ -495,8 +495,16 @@ class GroupBy:
         return sdf, [_ROWID], _ROWID
 
     def _finish_window(self, out, drop_col, op: str):
-        from .._collection import DataFrame
+        from .._collection import DataFrame, Series
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        if op in ("cumcount", "ngroup"):
+            # pandas returns a SERIES named by the op, indexed by the
+            # caller's row labels
+            idx = ((drop_col,) if drop_col
+                   else tuple(self._frame._index_cols))
+            names = (None,) if drop_col else self._frame._index_names
+            out = out.select(*idx, op)
+            return Series(out, F.col(op), None, node, idx, names)
         if self._slice is not None and op not in ("cumcount", "ngroup"):
             # pandas: groupby(k)[cols].shift()/cumsum()/... returns ONLY
             # the sliced columns (plus the row labels).  cumcount/ngroup
@@ -703,9 +711,35 @@ class GroupBy:
         order = [F.col(c).asc() if ascending else F.col(c).desc()
                  for c in order_cols]
         w = Window.partitionBy(*self._by).orderBy(*order)
-        out = (sdf.withColumn("__rn__", F.row_number().over(w))
-               .filter(F.col("__rn__") <= n).drop("__rn__"))
+        ranked = sdf.withColumn("__rn__", F.row_number().over(w))
+        if n >= 0:
+            out = ranked.filter(F.col("__rn__") <= n).drop("__rn__")
+        else:
+            # pandas head(-k)/tail(-k): all but the last/first k rows of
+            # each group — bound by the group size (one more window agg
+            # over the SAME shuffle, no extra exchange; materialized as a
+            # column because Spark rejects windows inside WHERE)
+            ranked = ranked.withColumn(
+                "__gcnt__",
+                F.count(F.lit(1)).over(Window.partitionBy(*self._by)))
+            out = (ranked.filter(F.col("__rn__") <= F.col("__gcnt__") + n)
+                   .drop("__rn__", "__gcnt__"))
         return self._finish_window(out, tmp, op)
+
+    def nth(self, n: int):
+        """pandas ``groupby.nth``: the row at position n (negative = from
+        the end) of each group, original index kept — one row-number
+        window, a filter, no extra shuffle."""
+        from pyspark.sql import Window
+        sdf, order_cols, tmp = self._positional()
+        asc = n >= 0
+        order = [F.col(c).asc() if asc else F.col(c).desc()
+                 for c in order_cols]
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        want = n + 1 if n >= 0 else -n
+        out = (sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") == want).drop("__rn__"))
+        return self._finish_window(out, tmp, "nth")
 
     def nlargest(self, n: int, col: str, tiebreak: str | None = None):
         """Top-n rows per group by ``col`` (the pandas

@@ -193,9 +193,9 @@ def test_groupby_shift(win_df, win_pdf, periods):
 
 def test_groupby_cumcount(win_df, win_pdf):
     got = win_df.groupby("k").cumcount().compute()
-    exp = win_pdf.groupby("k").cumcount().rename("cumcount")
-    pd.testing.assert_series_equal(got["cumcount"].sort_index(),
-                                   exp.sort_index(), check_dtype=False)
+    exp = win_pdf.groupby("k").cumcount()
+    pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
+                                   check_dtype=False, check_names=False)
 
 
 @pytest.mark.parametrize("fn", ["cumsum", "cummax", "cummin", "cumprod"])
@@ -331,7 +331,7 @@ def test_groupby_filter_sql_and_callable(win_df, win_pdf):
 
 def test_groupby_ngroup(win_df, win_pdf):
     for asc in (True, False):
-        got = win_df.groupby("k").ngroup(ascending=asc).compute()["ngroup"]
+        got = win_df.groupby("k").ngroup(ascending=asc).compute()
         exp = win_pdf.groupby("k").ngroup(ascending=asc)
         pd.testing.assert_series_equal(got.sort_index(), exp.sort_index(),
                                        check_dtype=False, check_names=False)

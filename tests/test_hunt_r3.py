@@ -454,3 +454,101 @@ class TestHuntBatch8:
         want = s.str.partition("_")
         assert got.fillna("~").values.tolist() == \
             want.fillna("~").values.tolist()
+
+
+class TestHuntBatch9:
+    """Hunt batch 9: frame axis binops, row-wise idx extremes, grouped
+    positional shapes (cumcount/ngroup Series, nth, negative head/tail),
+    query @vars, Series combine/argmax/is_unique, equals, accessor tails."""
+
+    def test_frame_sub_series_axis0(self, spark):
+        P = pd.DataFrame({"i": range(3), "v": [1.0, 2.0, 4.0],
+                          "w": [10.0, 20.0, 30.0]})
+        d = pes.from_pandas(P).set_index("i")
+        got = d[["v", "w"]].sub(d["v"], axis=0).compute().sort_index()
+        want = P.set_index("i")[["v", "w"]].sub(P.set_index("i")["v"],
+                                                axis=0)
+        assert np.allclose(got.to_numpy(), want.to_numpy())
+
+    def test_idxmax_axis1(self, spark):
+        pdf = pd.DataFrame({"a": [1.0, 9.0, None], "b": [5.0, 2.0, None]})
+        d = pes.from_pandas(pdf)
+        got = sorted(d.idxmax(axis=1).compute().dropna().tolist())
+        want = sorted(pdf.idxmax(axis=1).dropna().tolist())
+        assert got == want
+        got2 = sorted(d.idxmin(axis=1).compute().dropna().tolist())
+        assert got2 == sorted(pdf.idxmin(axis=1).dropna().tolist())
+
+    def test_groupby_cumcount_ngroup_series(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b"], "i": range(3),
+                          "v": [1.0, 2.0, 3.0]})
+        d = pes.from_pandas(P).set_index("i")
+        p = P.set_index("i")
+        assert (d.groupby("g").cumcount().compute().sort_index().tolist()
+                == p.groupby("g").cumcount().tolist())
+        assert (d.groupby("g").ngroup().compute().sort_index().tolist()
+                == p.groupby("g").ngroup().tolist())
+
+    def test_groupby_nth_and_negative_head(self, spark):
+        P = pd.DataFrame({"g": ["a", "a", "b", "b", "b"], "i": range(5),
+                          "v": [1.0, 3.0, 2.0, 8.0, 4.0]})
+        d = pes.from_pandas(P).set_index("i")
+        p = P.set_index("i")
+        assert sorted(d.groupby("g").nth(1).compute()["v"]) == \
+            sorted(p.groupby("g").nth(1)["v"])
+        assert sorted(d.groupby("g").nth(-1).compute()["v"]) == \
+            sorted(p.groupby("g").nth(-1)["v"])
+        assert sorted(d.groupby("g").head(-1).compute()["v"]) == \
+            sorted(p.groupby("g").head(-1)["v"])
+        assert sorted(d.groupby("g").tail(-1).compute()["v"]) == \
+            sorted(p.groupby("g").tail(-1)["v"])
+
+    def test_frame_head_tail_negative(self, spark):
+        P = pd.DataFrame({"i": range(5), "v": [1.0, 3.0, 2.0, 8.0, 4.0]})
+        d = pes.from_pandas(P).set_index("i")
+        p = P.set_index("i")
+        assert sorted(d.head(-2).compute()["v"]) == sorted(p.head(-2)["v"])
+        assert sorted(d.tail(-2).compute()["v"]) == sorted(p.tail(-2)["v"])
+
+    def test_query_at_variable(self, spark):
+        P = pd.DataFrame({"v": [1.0, 3.0, 8.0]})
+        d = pes.from_pandas(P)
+        thr = 2.0
+        got = sorted(d.query("v > @thr").compute()["v"].tolist())
+        assert got == sorted(P.query("v > @thr")["v"].tolist())
+        got2 = sorted(d.query("v > @t", local_dict={"t": 3.0})
+                      .compute()["v"].tolist())
+        assert got2 == [8.0]
+
+    def test_series_combine_argmax_is_unique(self, spark):
+        P = pd.DataFrame({"i": range(3), "a": [1.0, 5.0, 2.0],
+                          "b": [3.0, 1.0, 9.0]})
+        d = pes.from_pandas(P).set_index("i")
+        assert d["a"].combine(d["b"], max).compute().sort_index().tolist() \
+            == P.set_index("i")["a"].combine(P.set_index("i")["b"],
+                                             max).tolist()
+        assert d["a"].argmax() == 1
+        assert d["a"].argmin() == 0
+        assert d["a"].is_unique
+        assert not pes.from_pandas(
+            pd.DataFrame({"v": [1.0, 1.0]}))["v"].is_unique
+
+    def test_frame_equals(self, spark):
+        P = pd.DataFrame({"v": [1.0, 2.0]})
+        assert pes.from_pandas(P).equals(pes.from_pandas(P))
+        assert not pes.from_pandas(P).equals(
+            pes.from_pandas(P.assign(v=[1.0, 3.0])))
+
+    def test_str_extractall_and_isocalendar(self, spark):
+        s = pd.Series(["a1b2", "c3"])
+        d = pes.from_pandas(s.to_frame("v"))["v"]
+        got = d.str.extractall(r"(\d)").compute()
+        want = s.str.extractall(r"(\d)")
+        assert sorted(got[got.columns[-1]]) == sorted(want[0])
+        E = pd.Series(pd.to_datetime(["2024-02-15", "2023-12-31"]))
+        de = pes.from_pandas(E.to_frame("ts"))["ts"]
+        gic = de.dt.isocalendar().compute()
+        wic = E.dt.isocalendar()
+        assert sorted(map(tuple, gic[["year", "week", "day"]].to_numpy()
+                          .tolist())) == \
+            sorted(map(tuple, wic.astype("int64").to_numpy().tolist()))
