@@ -1842,6 +1842,572 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
+    # ------------------------------------------------------------------
+    # pandas API fill (round 3): ordered ops, index surgery, conversions.
+    # Most delegate through the one-column frame so the DataFrame
+    # implementations (distributed sorts, position passes, index joins)
+    # are the single source of truth.
+    # ------------------------------------------------------------------
+    def _via_frame(self, fn, op: str, **params) -> "Series":
+        """Run a DataFrame op over the one-column frame and re-wrap the
+        value column as a Series (keeps name + index metadata).  A
+        default positional index is materialized as the anonymous rowid
+        index first so pandas' label-preserving semantics hold (tail
+        keeps labels 4..5, sort keeps the permuted labels, etc.)."""
+        name = self._col_name if self._col_name is not None else "__v__"
+        if self._index_cols:
+            f = self.to_frame(name)
+        else:
+            sdf, _nm, _order, idx = self._ordered_base()
+            f = DataFrame(sdf, Node("frame_base", {}, self._expr),
+                          idx, (None,))
+        out = fn(f, name)
+        node = Node(op, params, self._expr)
+        return Series(out._sdf, F.col(name), self._col_name, node,
+                      out._index_cols, out._index_names)
+
+    @property
+    def index(self) -> "Index":
+        if self._index_cols:
+            c = self._index_cols[0]
+            return Index(self._sdf, F.col(c), self._index_names[0],
+                         Node("index", {"col": c}, self._expr))
+        sdf = _attach_rowid(self._sdf)
+        return Index(sdf, F.col(_ROWID), None, Node("index", {}, self._expr))
+
+    def keys(self) -> "Index":
+        return self.index
+
+    def sort_values(self, ascending: bool = True,
+                    na_position: str = "last") -> "Series":
+        return self._via_frame(
+            lambda f, n: f.sort_values(n, ascending=ascending,
+                                       na_position=na_position),
+            "sort_values", ascending=ascending)
+
+    def sort_index(self, ascending: bool = True,
+                   na_position: str = "last") -> "Series":
+        return self._via_frame(
+            lambda f, n: f.sort_index(ascending=ascending,
+                                      na_position=na_position),
+            "sort_index", ascending=ascending)
+
+    def tail(self, n: int = 5) -> "Series":
+        return self._via_frame(lambda f, _n: f.tail(n), "tail", n=n)
+
+    def sample(self, frac: float | None = None, n: int | None = None,
+               replace: bool = False,
+               random_state: int | None = None) -> "Series":
+        return self._via_frame(
+            lambda f, _n: f.sample(frac=frac, n=n, replace=replace,
+                                   random_state=random_state),
+            "sample", frac=frac, n=n)
+
+    def take(self, indices) -> "Series":
+        return self._via_frame(lambda f, _n: f.take(indices), "take")
+
+    def filter(self, items=None, like: str | None = None,
+               regex: str | None = None) -> "Series":
+        """pandas ``Series.filter``: keep rows whose INDEX LABEL matches
+        (Series default axis is 0, unlike DataFrame)."""
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError("pass exactly one of items, like, regex")
+        if not self._index_cols:
+            raise ValueError("Series.filter needs an index — set_index "
+                             "on the parent frame first")
+        icol = F.col(self._index_cols[0])
+        if items is not None:
+            cond = icol.isin(list(items))
+        elif like is not None:
+            cond = icol.cast("string").contains(like)
+        else:
+            cond = icol.cast("string").rlike(regex)
+        name = self._col_name if self._col_name is not None else "__v__"
+        sdf = self.to_frame(name)._sdf.filter(cond)
+        node = Node("filter", {"like": like, "regex": regex}, self._expr)
+        return Series(sdf, F.col(name), self._col_name, node,
+                      self._index_cols, self._index_names)
+
+    def reset_index(self, drop: bool = False, name=None):
+        """``drop=True`` → Series on a fresh positional index;
+        ``drop=False`` → DataFrame with the index as a column."""
+        if drop:
+            vname = self._col_name if self._col_name is not None else "__v__"
+            sdf = self._sdf.select(self._scol.alias(vname))
+            node = Node("reset_index", {"drop": True}, self._expr)
+            return Series(sdf, F.col(vname), self._col_name, node, (), ())
+        col = name if name is not None else (
+            self._col_name if self._col_name is not None else "0")
+        if self._index_cols:
+            return self.to_frame(str(col)).reset_index()
+        # default positional index: materialize it so pandas' ('index',
+        # values) two-column result shape holds
+        sdf, nm, _order, idx = self._ordered_base()
+        if nm != str(col):
+            sdf = sdf.withColumnRenamed(nm, str(col))
+        f = DataFrame(sdf, Node("reset_index_base", {}, self._expr),
+                      idx, (None,))
+        return f.reset_index()
+
+    def drop(self, labels=None, errors: str = "raise") -> "Series":
+        """pandas ``Series.drop``: remove rows by index label."""
+        labels = _ensure_list(labels)
+        if not self._index_cols:
+            raise ValueError("Series.drop needs an index")
+        icol = self._index_cols[0]
+        name = self._col_name if self._col_name is not None else "__v__"
+        base = self.to_frame(name)._sdf
+        if errors == "raise":
+            found = (base.filter(F.col(icol).isin(labels))
+                     .select(icol).distinct().count())
+            if found < len(set(labels)):
+                raise KeyError(f"some labels of {labels!r} not found in index")
+        out = base.filter(~F.col(icol).isin(labels) | F.col(icol).isNull())
+        node = Node("drop", {"n_labels": len(labels)}, self._expr)
+        return Series(out, F.col(name), self._col_name, node,
+                      self._index_cols, self._index_names)
+
+    def duplicated(self, keep: str = "first") -> "Series":
+        name = self._col_name if self._col_name is not None else "__v__"
+        out = self.to_frame(name).duplicated(subset=[name], keep=keep)
+        # pandas keeps the Series name (the FRAME variant is unnamed)
+        out._col_name = self._col_name
+        return out
+
+    def equals(self, other) -> bool:
+        if not isinstance(other, Series):
+            return False
+        return self.to_frame("__v__").equals(other.to_frame("__v__"))
+
+    def xs(self, key, level=0):
+        """Cross-section on an index level: filter + drop that level.
+        With a single-level index this is the scalar lookup (pandas
+        returns the value)."""
+        if not self._index_cols:
+            raise ValueError("xs needs an index")
+        if isinstance(level, str):
+            level = list(self._index_names).index(level)
+        icol = self._index_cols[level]
+        name = self._col_name if self._col_name is not None else "__v__"
+        base = self.to_frame(name)._sdf.filter(F.col(icol) == F.lit(key))
+        if len(self._index_cols) == 1:
+            rows = base.select(name).limit(2).collect()
+            if not rows:
+                raise KeyError(key)
+            if len(rows) == 1:
+                return rows[0][0]
+            # duplicate labels: pandas returns the matching sub-Series
+            node = Node("xs", {"key": key}, self._expr)
+            return Series(base, F.col(name), self._col_name, node,
+                          self._index_cols, self._index_names)
+        cols = tuple(c for c in self._index_cols if c != icol)
+        names = tuple(n for c, n in zip(self._index_cols, self._index_names)
+                      if c != icol)
+        node = Node("xs", {"key": key, "level": level}, self._expr)
+        return Series(base.drop(icol), F.col(name), self._col_name, node,
+                      cols, names)
+
+    def get(self, key, default=None):
+        """Label lookup with a default (eager, like pandas)."""
+        try:
+            return self.xs(key)
+        except KeyError:
+            return default
+
+    def swaplevel(self, i: int = -2, j: int = -1) -> "Series":
+        return self._via_frame(lambda f, _n: f.swaplevel(i, j), "swaplevel")
+
+    def droplevel(self, level) -> "Series":
+        return self._via_frame(lambda f, _n: f.droplevel(level), "droplevel")
+
+    def reorder_levels(self, order) -> "Series":
+        return self._via_frame(lambda f, _n: f.reorder_levels(order),
+                               "reorder_levels")
+
+    def rename_axis(self, index=None) -> "Series":
+        return self._via_frame(lambda f, _n: f.rename_axis(index),
+                               "rename_axis")
+
+    def set_axis(self, labels, axis: int = 0) -> "Series":
+        if axis not in (0, "index"):
+            raise ValueError("Series.set_axis only has axis=0")
+        return self._via_frame(lambda f, _n: f.set_axis(labels, axis=0),
+                               "set_axis")
+
+    def add_prefix(self, prefix: str) -> "Series":
+        """pandas: prefixes the INDEX labels (string concat — the index
+        becomes string-typed, as in pandas)."""
+        return self._relabel_index(lambda c: F.concat(F.lit(prefix),
+                                                      c.cast("string")),
+                                   "add_prefix")
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return self._relabel_index(lambda c: F.concat(c.cast("string"),
+                                                      F.lit(suffix)),
+                                   "add_suffix")
+
+    def _relabel_index(self, fn, op: str) -> "Series":
+        sdf, name, order, idx = self._ordered_base()
+        out = sdf.withColumn(idx[0], fn(F.col(idx[0])))
+        node = Node(op, {}, self._expr)
+        return Series(out, F.col(name), self._col_name, node, idx,
+                      self._index_names if self._index_cols else (None,))
+
+    def reindex(self, index) -> "Series":
+        return self._via_frame(lambda f, _n: f.reindex(index=index),
+                               "reindex")
+
+    def align(self, other: "Series", join: str = "outer"):
+        """Outer-align two Series on their index: one index join, two
+        re-wrapped views (pandas returns the aligned pair)."""
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf, how=join)
+        node = Node("align", {"join": join}, self._expr, other._expr)
+        l = Series(joined._sdf, F.col("__l__"), self._col_name, node,
+                   joined._index_cols, joined._index_names)
+        r = Series(joined._sdf, F.col("__r__"), other._col_name, node,
+                   joined._index_cols, joined._index_names)
+        return l, r
+
+    # -- aggregation spec ------------------------------------------------
+    def agg(self, spec):
+        """pandas ``Series.agg``: ``"fn"`` → Scalar; ``["f1","f2"]`` →
+        Series indexed by function name — ONE distributed aggregate pass
+        for the whole list."""
+        from .operators.groupby import _AGG_FNS
+        if isinstance(spec, str):
+            if spec not in _AGG_FNS and not hasattr(self, spec):
+                raise ValueError(f"Unknown aggregation: {spec!r}")
+            return getattr(self, spec)()
+        if callable(spec):
+            return spec(self)
+        fns = list(spec)
+        aggs = []
+        for fn in fns:
+            col = _AGG_FNS.get(fn)
+            if col is None:
+                raise ValueError(f"Unknown aggregation: {fn!r}")
+            aggs.append(col(self._scol).cast("double").alias(f"__{fn}__"))
+        one_row = self._sdf.agg(*aggs)
+        stack = ", ".join(f"'{fn}', `__{fn}__`" for fn in fns)
+        long = one_row.selectExpr(
+            f"stack({len(fns)}, {stack}) as (__fn__, __val__)")
+        node = Node("agg", {"spec": fns}, self._expr)
+        return Series(long, F.col("__val__"), self._col_name, node,
+                      ("__fn__",), (None,))
+
+    aggregate = agg
+
+    def transform(self, func):
+        """Elementwise same-shape transform: engine-native for known
+        names, Arrow ``apply`` for callables."""
+        if isinstance(func, str):
+            named = {
+                "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "log": F.log,
+                "log1p": F.log1p, "floor": F.floor, "ceil": F.ceil,
+            }
+            if func in named:
+                return self._with_scol(named[func](self._scol),
+                                       f"transform_{func}")
+            raise ValueError(f"Unknown transform: {func!r}")
+        if isinstance(func, (list, tuple)):
+            raise NotImplementedError("Series.transform with a list "
+                                      "returns a frame — apply per entry")
+        return self.apply(func)
+
+    def case_when(self, caselist) -> "Series":
+        """pandas 2.2 ``case_when``: ``[(cond, repl), ...]`` evaluated in
+        order (first true condition wins), original values as default —
+        one chained JVM CASE expression."""
+        if not caselist:
+            raise ValueError("case_when needs at least one (cond, repl)")
+        expr = None
+        for cond, repl in caselist:
+            if isinstance(cond, Series):
+                if cond._sdf is not self._sdf:
+                    raise ValueError("case_when conditions must derive "
+                                     "from this Series' frame")
+                c = cond._scol
+            elif callable(cond):
+                c = cond(self)._scol
+            else:
+                raise TypeError("case_when condition must be a boolean "
+                                "Series or callable")
+            r = repl._scol if isinstance(repl, Series) else F.lit(repl)
+            expr = F.when(c, r) if expr is None else expr.when(c, r)
+        return self._with_scol(expr.otherwise(self._scol), "case_when")
+
+    def update(self, other: "Series") -> None:
+        """pandas ``Series.update``: non-null values of ``other``
+        overwrite this Series, aligned on index, IN PLACE."""
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf, how="left")
+        scol = F.coalesce(F.col("__r__"), F.col("__l__"))
+        name = self._col_name if self._col_name is not None else "__v__"
+        sdf = joined._sdf.select(
+            *[F.col(c) for c in joined._index_cols], scol.alias(name))
+        self._sdf = sdf
+        self._scol = F.col(name)
+        self._index_cols = joined._index_cols
+        self._index_names = joined._index_names
+        self._expr = Node("update", {}, self._expr, other._expr)
+
+    def asof(self, where):
+        """Last non-null value whose index <= ``where``.  Scalar ``where``
+        → eager value; list → Series (one broadcast range-join + argmax,
+        never a sort of the full frame)."""
+        if not self._index_cols:
+            raise ValueError("asof needs an index")
+        icol = self._index_cols[0]
+        name = self._col_name if self._col_name is not None else "__v__"
+        base = self.to_frame(name)._sdf.filter(F.col(name).isNotNull())
+        if not isinstance(where, (list, tuple)):
+            row = (base.filter(F.col(icol) <= F.lit(where))
+                   .agg(F.max_by(name, icol).alias("__v__")).collect())
+            return row[0][0] if row else None
+        spark = self._sdf.sparkSession
+        dtype = self._sdf.select(F.col(icol)).schema[0].dataType
+        wsdf = spark.createDataFrame(
+            [(w,) for w in where],
+            T.StructType([T.StructField("__where__", dtype)]))
+        joined = base.join(F.broadcast(wsdf),
+                           F.col(icol) <= F.col("__where__"), "right")
+        out = (joined.groupBy("__where__")
+               .agg(F.max_by(name, icol).alias(name)))
+        node = Node("asof", {"n": len(where)}, self._expr)
+        return Series(out, F.col(name), self._col_name, node,
+                      ("__where__",), (self._index_names[0],))
+
+    # -- factorize / searchsorted / argsort ------------------------------
+    def factorize(self):
+        """Distributed ``factorize``: codes by order of first appearance.
+
+        Returns ``(codes, uniques)`` as lazy Series (pandas returns
+        eager arrays — call ``.compute()``/``.to_list()``).  First
+        appearance = min global position per value (one ranged pass +
+        one groupBy + one equi-join back), null → code -1, like pandas.
+        """
+        from .functions.scan import global_pos
+        sdf, name, order, idx = self._ordered_base()
+        pos = global_pos(sdf, order, "__pos__")
+        firsts = (pos.filter(F.col(name).isNotNull())
+                  .groupBy(name).agg(F.min("__pos__").alias("__first__")))
+        w = Window.orderBy("__first__")
+        # rank the DISTINCT values (small relative to the data) — the
+        # window runs over uniques only, never the full frame
+        coded = firsts.withColumn("__code__",
+                                  F.row_number().over(w) - F.lit(1))
+        joined = pos.join(coded.select(name, "__code__"), name, "left")
+        codes_sdf = joined.select(
+            *[F.col(c) for c in idx],
+            F.coalesce(F.col("__code__"), F.lit(-1)).alias("__codes__"))
+        node = Node("factorize", {}, self._expr)
+        codes = Series(codes_sdf, F.col("__codes__"), None, node, idx,
+                       self._index_names if self._index_cols else (None,))
+        uniq_sdf = coded.orderBy("__code__").select(F.col(name))
+        uniques = Series(uniq_sdf, F.col(name), self._col_name, node)
+        return codes, uniques
+
+    def searchsorted(self, value, side: str = "left"):
+        """Insertion point(s) keeping the (assumed-sorted) Series sorted:
+        a COUNT of smaller elements — fully distributed, one aggregate
+        for the whole value list."""
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        cmp = (lambda v: F.sum((self._scol < F.lit(v)).cast("long"))) \
+            if side == "left" else \
+            (lambda v: F.sum((self._scol <= F.lit(v)).cast("long")))
+        row = self._sdf.agg(*[F.coalesce(cmp(v), F.lit(0)).alias(f"c{i}")
+                              for i, v in enumerate(vals)]).collect()[0]
+        out = [int(row[f"c{i}"]) for i in range(len(vals))]
+        return out[0] if not isinstance(value, (list, tuple)) else out
+
+    def argsort(self) -> "Series":
+        """Positions that would sort the Series (NaN sorted last, like
+        numpy/current pandas).  Result keeps the ORIGINAL index order —
+        two ranged passes + one positional equi-join."""
+        from .functions.scan import global_pos
+        sdf, name, order, idx = self._ordered_base()
+        pos = global_pos(sdf, order, "__pos__")
+        flagged = pos.select(
+            F.col(name), F.col("__pos__"),
+            F.col(name).isNull().cast("int").alias("__nf__"))
+        ranked = global_pos(flagged, ["__nf__", name, "__pos__"],
+                            "__rank__") \
+            .select(F.col("__rank__"),
+                    F.col("__pos__").alias("__argsort__"))
+        joined = pos.join(ranked, pos["__pos__"] == ranked["__rank__"]) \
+                    .select(*[F.col(c) for c in idx], F.col("__argsort__"))
+        node = Node("argsort", {}, self._expr)
+        return Series(joined, F.col("__argsort__"), self._col_name, node,
+                      idx, self._index_names if self._index_cols else (None,))
+
+    # -- grouping --------------------------------------------------------
+    def groupby(self, by=None, sort: bool = True, dropna: bool = True,
+                level=None):
+        """pandas ``Series.groupby``: key Series (same anchor), index
+        level, or self-values — returns the sliced grouped accessor."""
+        from .operators.groupby import GroupBy
+        name = self._col_name if self._col_name is not None else "__v__"
+        if by is None and level is not None:
+            if not self._index_cols:
+                raise ValueError("groupby(level=) needs an index")
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            keys = []
+            for lv in levels:
+                if isinstance(lv, int):
+                    keys.append(self._index_cols[lv])
+                else:
+                    keys.append(
+                        self._index_cols[list(self._index_names).index(lv)])
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                   self._scol.alias(name))
+            frame = DataFrame(sdf, Node("groupby_base", {}, self._expr),
+                              self._index_cols, self._index_names)
+            return GroupBy(frame, keys, sort=sort, dropna=dropna,
+                           slice_=[name])[name]
+        if isinstance(by, Series):
+            if by._sdf is not self._sdf:
+                raise TypeError("Series.groupby key must derive from the "
+                                "same frame")
+            kname = by._col_name if by._col_name not in (None, name) \
+                else "__by__"
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                   by._scol.alias(kname),
+                                   self._scol.alias(name))
+            frame = DataFrame(sdf, Node("groupby_base", {}, self._expr),
+                              self._index_cols, self._index_names)
+            return GroupBy(frame, [kname], sort=sort, dropna=dropna,
+                           slice_=[name])[name]
+        raise TypeError("Series.groupby supports a key Series or level=")
+
+    # -- named reflected arithmetic + aliases ----------------------------
+    def radd(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: b + a, "radd",
+                                 fill_value)
+
+    def rsub(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: b - a, "rsub",
+                                 fill_value)
+
+    def rmul(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: b * a, "rmul",
+                                 fill_value)
+
+    def rdiv(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: b / a, "rdiv",
+                                 fill_value)
+
+    rtruediv = rdiv
+
+    def rpow(self, other, fill_value=None):
+        return self._named_binop(other, lambda a, b: F.pow(b, a), "rpow",
+                                 fill_value)
+
+    @staticmethod
+    def _pymod_expr(a, b):
+        r = a % b
+        adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+        return F.when(adjust, r + b).otherwise(r)
+
+    @staticmethod
+    def _pyfloordiv_expr(a, b):
+        m = Series._pymod_expr(a, b)
+        return F.floor((a - m) / b)
+
+    def mod(self, other, fill_value=None):
+        return self._named_binop(other, self._pymod_expr, "mod", fill_value)
+
+    def rmod(self, other, fill_value=None):
+        return self._named_binop(
+            other, lambda a, b: self._pymod_expr(b, a), "rmod", fill_value)
+
+    def floordiv(self, other, fill_value=None):
+        return self._named_binop(other, self._pyfloordiv_expr, "floordiv",
+                                 fill_value)
+
+    def rfloordiv(self, other, fill_value=None):
+        return self._named_binop(
+            other, lambda a, b: self._pyfloordiv_expr(b, a), "rfloordiv",
+            fill_value)
+
+    def divmod(self, other, fill_value=None):
+        return (self.floordiv(other, fill_value),
+                self.mod(other, fill_value))
+
+    def rdivmod(self, other, fill_value=None):
+        return (self.rfloordiv(other, fill_value),
+                self.rmod(other, fill_value))
+
+    def divide(self, other, fill_value=None):
+        return self.div(other, fill_value)
+
+    def multiply(self, other, fill_value=None):
+        return self.mul(other, fill_value)
+
+    def subtract(self, other, fill_value=None):
+        return self.sub(other, fill_value)
+
+    # fill-direction aliases (pandas long-form names)
+    def pad(self, limit: int | None = None) -> "Series":
+        return self.ffill(limit)
+
+    def backfill(self, limit: int | None = None) -> "Series":
+        return self.bfill(limit)
+
+    # -- conversions / eager views ---------------------------------------
+    @property
+    def values(self):
+        return self.compute().values
+
+    def to_numpy(self, dtype=None):
+        out = self.compute().to_numpy()
+        return out.astype(dtype) if dtype is not None else out
+
+    def to_dict(self) -> dict:
+        return self.compute().to_dict()
+
+    def items(self):
+        return iter(self.compute().items())
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.compute().to_string(*args, **kwargs)
+
+    def to_markdown(self, *args, **kwargs) -> str:
+        return self.compute().to_markdown(*args, **kwargs)
+
+    def to_csv(self, path_or_buf=None, **kwargs):
+        return self.compute().to_csv(path_or_buf, **kwargs)
+
+    def to_json(self, path_or_buf=None, **kwargs):
+        return self.compute().to_json(path_or_buf, **kwargs)
+
+    def item(self):
+        rows = self._sdf.select(self._scol.alias("__v__")).limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("can only convert an array of size 1 to a "
+                             "Python scalar")
+        return rows[0][0]
+
+    @property
+    def hasnans(self) -> bool:
+        return bool(self._sdf.select(
+            F.max(self._scol.isNull()).alias("h")).collect()[0][0] or False)
+
+    def squeeze(self):
+        rows = self._sdf.select(self._scol.alias("__v__")).limit(2).collect()
+        if len(rows) == 1:
+            return rows[0][0]
+        return self
+
+    @property
+    def T(self) -> "Series":
+        return self
+
+    def transpose(self) -> "Series":
+        return self
+
     # -- accessors (wired in functions/accessors.py) ---------------------
     @property
     def str(self):
@@ -2862,6 +3428,56 @@ class DataFrame(FrameBase):
         return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
                                  fill_value, axis)
 
+    # reflected named forms + pandas long-name aliases
+    def radd(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: b + a, "radd",
+                                 fill_value, axis)
+
+    def rsub(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: b - a, "rsub",
+                                 fill_value, axis)
+
+    def rmul(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: b * a, "rmul",
+                                 fill_value, axis)
+
+    def rdiv(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: b / a, "rdiv",
+                                 fill_value, axis)
+
+    rtruediv = rdiv
+
+    def rpow(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, lambda a, b: F.pow(b, a), "rpow",
+                                 fill_value, axis)
+
+    def mod(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, Series._pymod_expr, "mod",
+                                 fill_value, axis)
+
+    def rmod(self, other, fill_value=None, axis=None):
+        return self._named_binop(
+            other, lambda a, b: Series._pymod_expr(b, a), "rmod",
+            fill_value, axis)
+
+    def floordiv(self, other, fill_value=None, axis=None):
+        return self._named_binop(other, Series._pyfloordiv_expr, "floordiv",
+                                 fill_value, axis)
+
+    def rfloordiv(self, other, fill_value=None, axis=None):
+        return self._named_binop(
+            other, lambda a, b: Series._pyfloordiv_expr(b, a), "rfloordiv",
+            fill_value, axis)
+
+    def divide(self, other, fill_value=None, axis=None):
+        return self.div(other, fill_value, axis)
+
+    def multiply(self, other, fill_value=None, axis=None):
+        return self.mul(other, fill_value, axis)
+
+    def subtract(self, other, fill_value=None, axis=None):
+        return self.sub(other, fill_value, axis)
+
     def _frame_positional(self, periods: int, build, op: str,
                           extra_cols: dict | None = None) -> "DataFrame":
         """Shared frame-wide positional helper: ONE distributed position
@@ -3063,28 +3679,29 @@ class DataFrame(FrameBase):
         ``keep=False`` marks every member of a >1 group (windowed count,
         no ordering needed at all)."""
         subset = _ensure_list(subset) or self.columns
-        if keep is False:
-            w = Window.partitionBy(*subset)
-            out = self._sdf.withColumn(
-                "__dup__", F.count(F.lit(1)).over(w) > 1)
-            node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
-            return Series(out, F.col("__dup__"), None, node,
-                          self._index_cols, self._index_names)
-        if keep not in ("first", "last"):
-            raise ValueError("keep must be 'first', 'last' or False")
         if self._index_cols:
             sdf, order_col = self._sdf, self._index_cols[0]
+            idx, names = self._index_cols, self._index_names
         else:
+            # keep the rowid as the anonymous engine index so the result
+            # carries pandas' positional labels (the window shuffle
+            # otherwise destroys row order)
             sdf, order_col = _attach_rowid(self._sdf), _ROWID
+            idx, names = (_ROWID,), (None,)
+        if keep is False:
+            w = Window.partitionBy(*subset)
+            out = sdf.withColumn(
+                "__dup__", F.count(F.lit(1)).over(w) > 1)
+            node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
+            return Series(out, F.col("__dup__"), None, node, idx, names)
+        if keep not in ("first", "last"):
+            raise ValueError("keep must be 'first', 'last' or False")
         order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
         w = Window.partitionBy(*subset).orderBy(order)
         out = sdf.withColumn("__dup__", F.row_number().over(w) > 1)
-        if order_col == _ROWID:
-            out = out.drop(_ROWID)
         node = Node("duplicated", {"subset": subset, "keep": keep}, self._expr)
         # pandas returns an UNNAMED boolean Series
-        return Series(out, F.col("__dup__"), None, node,
-                      self._index_cols, self._index_names)
+        return Series(out, F.col("__dup__"), None, node, idx, names)
 
     def explode(self, column) -> "DataFrame":
         """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``.
@@ -3257,6 +3874,370 @@ class DataFrame(FrameBase):
             "transpose materializes rows as columns — unbounded schema "
             "width at scale.  Collect first (df.compute().T) if the frame "
             "is genuinely small.")
+
+    def swapaxes(self, *args, **kwargs):
+        return self.transpose()
+
+    # ------------------------------------------------------------------
+    # pandas API fill (round 3): elementwise NA/membership frames,
+    # columnwise transform/combine, linear algebra, label lookups.
+    # ------------------------------------------------------------------
+    def _elementwise_bool(self, fn, op: str) -> "DataFrame":
+        cols = [F.col(c) for c in self._index_cols] + \
+               [fn(c).alias(c) for c in self.columns]
+        return self._derive(self._sdf.select(*cols), op)
+
+    def isna(self) -> "DataFrame":
+        """Boolean same-shape frame; NaN counts as missing for float
+        columns (pandas), one narrow projection."""
+        schema = {f.name: f.dataType for f in self._sdf.schema.fields}
+
+        def _na(c):
+            e = F.col(c).isNull()
+            if isinstance(schema[c], (T.DoubleType, T.FloatType)):
+                e = e | F.isnan(F.col(c))
+            return e
+
+        return self._elementwise_bool(_na, "isna")
+
+    isnull = isna
+
+    def notna(self) -> "DataFrame":
+        schema = {f.name: f.dataType for f in self._sdf.schema.fields}
+
+        def _nn(c):
+            e = F.col(c).isNotNull()
+            if isinstance(schema[c], (T.DoubleType, T.FloatType)):
+                e = e & ~F.isnan(F.col(c))
+            return e
+
+        return self._elementwise_bool(_nn, "notna")
+
+    notnull = notna
+
+    def isin(self, values) -> "DataFrame":
+        """Boolean membership frame.  Lists apply to every column (values
+        filtered per column type so a string column vs int values gives
+        False, as pandas' hash probe does); dicts apply per column —
+        missing columns are all-False."""
+        schema = {f.name: f.dataType for f in self._sdf.schema.fields}
+
+        def _compat(dt, vals):
+            if is_numeric(dt):
+                ok = [v for v in vals
+                      if isinstance(v, (int, float)) and not isinstance(v, bool)]
+            elif isinstance(dt, T.StringType):
+                ok = [v for v in vals if isinstance(v, str)]
+            elif isinstance(dt, T.BooleanType):
+                ok = [v for v in vals if isinstance(v, bool)]
+            else:
+                ok = list(vals)
+            return ok
+
+        def _cell(c, vals):
+            ok = _compat(schema[c], list(vals))
+            if not ok:
+                return F.lit(False)
+            return F.coalesce(F.col(c).isin(ok), F.lit(False))
+
+        if isinstance(values, Mapping):
+            cols = [F.col(c) for c in self._index_cols] + \
+                   [(_cell(c, values[c]) if c in values
+                     else F.lit(False)).alias(c) for c in self.columns]
+        elif isinstance(values, (list, tuple, set, frozenset)):
+            cols = [F.col(c) for c in self._index_cols] + \
+                   [_cell(c, values).alias(c) for c in self.columns]
+        else:
+            raise TypeError("isin expects a list/set or dict of values")
+        return self._derive(self._sdf.select(*cols), "isin")
+
+    def transform(self, func) -> "DataFrame":
+        """Same-shape columnwise transform.  String names stay JVM-side;
+        a callable runs per Arrow batch via ``mapInPandas`` (it must be
+        elementwise — partition boundaries are invisible to it)."""
+        if isinstance(func, str):
+            named = {
+                "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "log": F.log,
+                "log1p": F.log1p, "floor": F.floor, "ceil": F.ceil,
+            }
+            if func not in named:
+                raise ValueError(f"Unknown transform: {func!r}")
+            cols = [F.col(c) for c in self._index_cols] + \
+                   [(named[func](F.col(c)).alias(c)
+                     if is_numeric(self._sdf.schema[c].dataType)
+                     else F.col(c)) for c in self.columns]
+            return self._derive(self._sdf.select(*cols), f"transform_{func}")
+        if isinstance(func, (list, tuple)):
+            raise NotImplementedError(
+                "DataFrame.transform with a list produces MultiIndex "
+                "columns; apply per entry instead")
+        value_cols = list(self.columns)
+        idx_cols = list(self._index_cols)
+        schema = self._sdf.schema
+
+        def _apply(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                for c in value_cols:
+                    out[c] = func(pdf[c])
+                yield out
+
+        out = self._sdf.mapInPandas(_apply, schema)
+        return self._derive(out, "transform", {"func": "<callable>"})
+
+    def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
+        """pandas ``DataFrame.combine``: outer-align, then ``func(l, r)``
+        per shared column.  ``func`` receives ENGINE Series (same-anchor)
+        — build it from engine ops (arithmetic/comparison/where), the
+        same contract as ``assign`` callables."""
+        joined, lcols, rcols = _index_outer_join(self, other)
+        base = DataFrame(joined._sdf, joined._expr, joined._index_cols,
+                         joined._index_names)
+        out_cols = [F.col(c) for c in joined._index_cols]
+        for name in sorted(dict.fromkeys(self.columns + other.columns)):
+            l, r = lcols.get(name), rcols.get(name)
+            if l is not None and r is not None:
+                lc = F.col(l) if fill_value is None else \
+                    F.coalesce(F.col(l), F.lit(fill_value))
+                rc = F.col(r) if fill_value is None else \
+                    F.coalesce(F.col(r), F.lit(fill_value))
+                ls = Series(base._sdf, lc, name, base._expr,
+                            base._index_cols, base._index_names)
+                rs = Series(base._sdf, rc, name, base._expr,
+                            base._index_cols, base._index_names)
+                res = func(ls, rs)
+                if not isinstance(res, Series):
+                    raise TypeError("combine func must return a Series "
+                                    "built from engine ops")
+                out_cols.append(res._scol.alias(name))
+            else:
+                out_cols.append(F.col(l if l is not None else r).alias(name))
+        node = Node("combine", {}, self._expr, other._expr)
+        return DataFrame(joined._sdf.select(*out_cols), node,
+                         joined._index_cols, joined._index_names)
+
+    def dot(self, other):
+        """Matrix multiply.  The right operand is dimension-bounded by the
+        column count, so it is collected to the driver and folded in as
+        literals — the big left frame streams through one projection
+        (never a shuffle)."""
+        if isinstance(other, Series):
+            weights = other.compute()
+            missing = [c for c in self.columns if c not in weights.index]
+            if missing:
+                raise ValueError(f"matrices are not aligned: {missing}")
+            expr = None
+            for c in self.columns:
+                t = F.col(c) * F.lit(float(weights[c]))
+                expr = t if expr is None else expr + t
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                   expr.alias("__dot__"))
+            node = Node("dot", {}, self._expr, other._expr)
+            return Series(sdf, F.col("__dot__"), None, node,
+                          self._index_cols, self._index_names)
+        if isinstance(other, DataFrame):
+            w = other.compute()
+            missing = [c for c in self.columns if c not in w.index]
+            if missing:
+                raise ValueError(f"matrices are not aligned: {missing}")
+            outs = []
+            for j in w.columns:
+                expr = None
+                for c in self.columns:
+                    t = F.col(c) * F.lit(float(w.loc[c, j]))
+                    expr = t if expr is None else expr + t
+                outs.append(expr.alias(str(j)))
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                   *outs)
+            node = Node("dot", {}, self._expr, other._expr)
+            return DataFrame(sdf, node, self._index_cols, self._index_names)
+        raise TypeError("dot expects a Series or DataFrame")
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except (KeyError, AttributeError):
+            return default
+
+    def xs(self, key, level=0):
+        """Cross-section: filter on one index level and drop it.  On a
+        single-level index a unique match returns the row as an eager
+        pandas Series (column labels as index), like pandas."""
+        if not self._index_cols:
+            raise ValueError("xs needs an index")
+        if isinstance(level, str):
+            level = list(self._index_names).index(level)
+        icol = self._index_cols[level]
+        base = self._sdf.filter(F.col(icol) == F.lit(key))
+        if len(self._index_cols) > 1:
+            cols = tuple(c for c in self._index_cols if c != icol)
+            names = tuple(n for c, n in
+                          zip(self._index_cols, self._index_names)
+                          if c != icol)
+            node = Node("xs", {"key": key, "level": level}, self._expr)
+            return DataFrame(base.drop(icol), node, cols, names)
+        rows = base.limit(2).collect()
+        if not rows:
+            raise KeyError(key)
+        if len(rows) == 1:
+            d = rows[0].asDict()
+            return pd.Series({c: d[c] for c in self.columns}, name=key)
+        node = Node("xs", {"key": key}, self._expr)
+        return DataFrame(base, node, self._index_cols, self._index_names)
+
+    def first_valid_index(self):
+        """First index label whose row has at least one non-null value
+        (eager, like pandas) — one distributed min-by aggregate."""
+        return self._valid_index(first=True)
+
+    def last_valid_index(self):
+        return self._valid_index(first=False)
+
+    def _valid_index(self, first: bool):
+        sdf, icol = ((self._sdf, self._index_cols[0]) if self._index_cols
+                     else (_attach_rowid(self._sdf), _ROWID))
+        schema = {f.name: f.dataType for f in sdf.schema.fields}
+        cond = None
+        for c in self.columns:
+            e = F.col(c).isNotNull()
+            if isinstance(schema[c], (T.DoubleType, T.FloatType)):
+                e = e & ~F.isnan(F.col(c))
+            cond = e if cond is None else (cond | e)
+        agg = F.min(icol) if first else F.max(icol)
+        row = sdf.filter(cond).agg(agg.alias("__i__")).collect()
+        return row[0][0] if row else None
+
+    # -- construction / conversions --------------------------------------
+    @classmethod
+    def from_dict(cls, data, orient: str = "columns", columns=None):
+        from .sources import from_pandas
+        return from_pandas(pd.DataFrame.from_dict(
+            data, orient=orient, columns=columns))
+
+    @classmethod
+    def from_records(cls, data, **kwargs):
+        from .sources import from_pandas
+        return from_pandas(pd.DataFrame.from_records(data, **kwargs))
+
+    @property
+    def values(self):
+        return self.compute().values
+
+    def to_numpy(self, dtype=None):
+        out = self.compute().to_numpy()
+        return out.astype(dtype) if dtype is not None else out
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.compute().to_string(*args, **kwargs)
+
+    def to_markdown(self, *args, **kwargs) -> str:
+        return self.compute().to_markdown(*args, **kwargs)
+
+    def to_html(self, *args, **kwargs) -> str:
+        return self.compute().to_html(*args, **kwargs)
+
+    def info(self, verbose=None, buf=None, **kwargs) -> None:
+        """Driver-side summary: schema + per-column non-null counts in ONE
+        aggregate pass (never a full collect)."""
+        import io
+        import sys
+        counts = self._sdf.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[F.count(F.col(c)).alias(c) for c in self.columns]).collect()[0]
+        out = buf if buf is not None else sys.stdout
+        dts = dict(self.dtypes)
+        print(f"<class '{type(self).__module__}.DataFrame'>", file=out)
+        print(f"RangeIndex: {counts['__n__']} entries", file=out)
+        print(f"Data columns (total {len(self.columns)} columns):", file=out)
+        for i, c in enumerate(self.columns):
+            print(f" {i}  {c}  {counts[c]} non-null  {dts[c]}", file=out)
+
+    def asof(self, where, subset=None):
+        """Last row without NaN (in ``subset``) at or before ``where`` —
+        one filtered max-by aggregate per call; a list of ``where``
+        values is one broadcast range-join + grouped max-by."""
+        if not self._index_cols:
+            raise ValueError("asof needs an index")
+        icol = self._index_cols[0]
+        cols = _ensure_list(subset) or self.columns
+        cond = None
+        for c in cols:
+            e = F.col(c).isNotNull()
+            cond = e if cond is None else (cond & e)
+        base = self._sdf.filter(cond)
+        struct = F.struct(*[F.col(c) for c in self.columns])
+        if not isinstance(where, (list, tuple)):
+            row = (base.filter(F.col(icol) <= F.lit(where))
+                   .agg(F.max_by(struct, F.col(icol)).alias("__r__"))
+                   .collect())
+            if not row or row[0][0] is None:
+                return pd.Series({c: float("nan") for c in self.columns},
+                                 name=where)
+            d = row[0][0].asDict()
+            return pd.Series({c: d[c] for c in self.columns}, name=where)
+        spark = self._sdf.sparkSession
+        dtype = self._sdf.schema[icol].dataType
+        wsdf = spark.createDataFrame(
+            [(w,) for w in where],
+            T.StructType([T.StructField("__where__", dtype)]))
+        joined = base.join(F.broadcast(wsdf),
+                           F.col(icol) <= F.col("__where__"), "right")
+        grouped = (joined.groupBy("__where__")
+                   .agg(F.max_by(struct, F.col(icol)).alias("__r__")))
+        sel = [F.col("__where__")] + \
+              [F.col("__r__")[c].alias(c) for c in self.columns]
+        node = Node("asof", {"n": len(where)}, self._expr)
+        return DataFrame(grouped.select(*sel), node, ("__where__",),
+                         (self._index_names[0],))
+
+    def reindex_like(self, other: "DataFrame") -> "DataFrame":
+        """Align to ``other``'s index — a distributed left join on the
+        index (no driver collect of labels, unlike ``reindex(list)``)."""
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("reindex_like needs an index on both frames")
+        if len(self._index_cols) != len(other._index_cols):
+            raise ValueError("index widths differ")
+        lbl = other._sdf.select(*[F.col(oc).alias(sc) for oc, sc in
+                                  zip(other._index_cols, self._index_cols)])
+        joined = lbl.join(self._sdf, on=list(self._index_cols), how="left")
+        order = [F.col(c) for c in self._index_cols] + \
+                [F.col(c) for c in self.columns]
+        node = Node("reindex_like", {}, self._expr, other._expr)
+        return DataFrame(joined.select(*order), node, self._index_cols,
+                         self._index_names)
+
+    def isetitem(self, loc: int, value) -> None:
+        self[self.columns[loc]] = value
+
+    def pad(self, limit: int | None = None) -> "DataFrame":
+        return self.ffill(limit)
+
+    def backfill(self, limit: int | None = None) -> "DataFrame":
+        return self.bfill(limit)
+
+    def first(self, offset: str) -> "DataFrame":
+        """Rows within ``offset`` of the first index value (one tiny min
+        aggregate, then a pushdown-friendly range filter)."""
+        if not self._index_cols:
+            raise ValueError("first needs an index")
+        icol = self._index_cols[0]
+        lo = self._sdf.agg(F.min(icol).alias("m")).collect()[0]["m"]
+        if lo is None:
+            return self
+        thr = F.lit(lo) + _freq_interval(offset, 1)
+        return self._derive(self._sdf.filter(F.col(icol) < thr), "first",
+                            {"offset": offset})
+
+    def last(self, offset: str) -> "DataFrame":
+        if not self._index_cols:
+            raise ValueError("last needs an index")
+        icol = self._index_cols[0]
+        hi = self._sdf.agg(F.max(icol).alias("m")).collect()[0]["m"]
+        if hi is None:
+            return self
+        thr = F.lit(hi) - _freq_interval(offset, 1)
+        return self._derive(self._sdf.filter(F.col(icol) > thr), "last",
+                            {"offset": offset})
 
     T = property(lambda self: self.transpose())
 
@@ -4937,8 +5918,8 @@ def _index_outer_join(left: DataFrame, right: DataFrame, how: str = "outer"):
     return out, lmap, rmap
 
 
-def _align_frames(lf: DataFrame, rf: DataFrame) -> DataFrame:
-    joined, lmap, rmap = _index_outer_join(lf, rf)
+def _align_frames(lf: DataFrame, rf: DataFrame, how: str = "outer") -> DataFrame:
+    joined, lmap, rmap = _index_outer_join(lf, rf, how)
     sel = [F.col(c) for c in joined._index_cols] + \
           [F.col(lmap[c]).alias(c) for c in lf.columns] + \
           [F.col(rmap[c]).alias(c) for c in rf.columns]
