@@ -2857,6 +2857,32 @@ def resample_gapfill_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "day"))
 
 
+def factorize_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ``Series.factorize``: codes by order of first appearance
+    over the o_orderkey index — one ranged position pass + a groupBy-min
+    over DISTINCT values (the only window runs on uniques, never the
+    data) + one equi-join back.  Oracle replays the same first-appearance
+    dense coding with a rank over the per-value min key."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    codes, _uniques = o.o_orderpriority.factorize()
+    r = codes.to_frame("code").reset_index().to_spark()
+    return r.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    F.col("code").cast("bigint").alias("code"))
+
+
+def asof_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.asof`` with a key list: last row at-or-before each key —
+    ONE broadcast range-join + grouped max_by, never a sort of the big
+    side.  A key below the index minimum yields the pandas all-NaN row."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    keys = [0, 10, 500, 123456, 99999999]
+    r = o[["o_totalprice"]].asof(keys).to_spark()
+    return r.select(F.col("__where__").cast("bigint").alias("k"),
+                    F.round("o_totalprice", 2).alias("price"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3044,6 +3070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dedup": doc_fingerprint_dedup,
         "doc_exact_dedup_count": doc_exact_dedup_count,
         "doc_quality": doc_quality,
+        # round-3 API-fill gates (rotate into the round-4 window)
+        "factorize_priority_orders": factorize_priority_orders,
+        "asof_lookup_orders": asof_lookup_orders,
     }
 
 
@@ -5095,6 +5124,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.ts, h.vmax
             FROM spine s ASOF LEFT JOIN h ON s.ts >= h.ts
+        """,
+        "factorize_priority_orders": """
+            WITH firsts AS (
+              SELECT o_orderpriority v, MIN(o_orderkey) f
+              FROM orders GROUP BY 1
+            ), coded AS (
+              SELECT v, CAST(RANK() OVER (ORDER BY f) - 1 AS BIGINT) AS code
+              FROM firsts
+            )
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, c.code
+            FROM orders o JOIN coded c ON o.o_orderpriority = c.v
+        """,
+        "asof_lookup_orders": """
+            WITH w(k) AS (VALUES (0), (10), (500), (123456), (99999999))
+            SELECT CAST(k AS BIGINT) AS k,
+                   ROUND((SELECT o_totalprice FROM orders o
+                          WHERE o.o_orderkey <= w.k
+                          ORDER BY o.o_orderkey DESC LIMIT 1), 2) AS price
+            FROM w
         """,
         # multimodal_features / sample_fraction_lineitem /
         # nunique_approx_custkeys / embedding_ann_ivf: non-SQL-expressible

@@ -2194,11 +2194,10 @@ class Series(FrameBase):
         pos = global_pos(sdf, order, "__pos__")
         firsts = (pos.filter(F.col(name).isNotNull())
                   .groupBy(name).agg(F.min("__pos__").alias("__first__")))
-        w = Window.orderBy("__first__")
-        # rank the DISTINCT values (small relative to the data) — the
-        # window runs over uniques only, never the full frame
-        coded = firsts.withColumn("__code__",
-                                  F.row_number().over(w) - F.lit(1))
+        # rank the DISTINCT values with the distributed ranged position
+        # pass (never a global row_number window — the unique-value table
+        # can itself be large, e.g. factorizing an id column)
+        coded = global_pos(firsts, ["__first__"], "__code__")
         joined = pos.join(coded.select(name, "__code__"), name, "left")
         codes_sdf = joined.select(
             *[F.col(c) for c in idx],
