@@ -167,7 +167,10 @@ def main() -> None:
                              "BENCH_r02.json")
     try:
         with open(base_path) as fh:
-            base = json.load(fh).get("queries", {})
+            doc = json.load(fh)
+        # the driver's BENCH_r*.json wraps the bench line under "parsed"
+        base = (doc.get("queries") or
+                doc.get("parsed", {}).get("queries") or {})
         for name, t in timings.items():
             b = base.get(name, -1.0)
             if t >= 0 and b > 0 and t > 1.5 * b and t - b > 0.5:

@@ -112,6 +112,73 @@ def _freq_interval(freq: str, periods: int = 1):
     return F.make_interval(**args)
 
 
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def _zero_sign(b: Column) -> Column:
+    """Sign of a ZERO divisor: -0.0 is only distinguishable via its string
+    form (signum gives 0 for both); integer zero prints '0' → +1."""
+    return F.when(b.cast("string").startswith("-"), F.lit(-1.0)) \
+            .otherwise(F.lit(1.0))
+
+
+def _pandas_div(a: Column, b: Column) -> Column:
+    """IEEE/pandas float division: x/±0 → sign-adjusted ±inf, 0/0 → NaN —
+    never the ANSI DIVIDE_BY_ZERO error.  CASE branches evaluate lazily,
+    so the guarded divide only runs when the divisor is nonzero."""
+    zero = F.when(a == 0, F.lit(_NAN)) \
+            .otherwise(F.signum(a) * _zero_sign(b) * F.lit(_INF))
+    return F.when(b == 0, zero).otherwise(a / b)
+
+
+def _pymod_raw(a: Column, b: Column) -> Column:
+    """CPython modulo for a NONZERO divisor: fmod plus ONE conditional
+    divisor add when signs differ (a double-wrap ((a%b)+b)%b rounds a tiny
+    negative a to b itself)."""
+    r = a % b
+    adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+    return F.when(adjust, r + b).otherwise(r)
+
+
+def _pandas_mod(a: Column, b: Column) -> Column:
+    """pandas modulo incl. zero divisors: x % 0 → NaN (pandas promotes
+    even integer inputs to float for zero divisors — GH#27398), null
+    dividend stays null."""
+    zero = F.when(a.isNull(), F.lit(None)).otherwise(F.lit(_NAN))
+    return F.when(b == 0, zero).otherwise(_pymod_raw(a, b))
+
+
+def _pandas_floordiv(a: Column, b: Column) -> Column:
+    """pandas floor division: ``(a - a mod b) / b`` (exact when a/b
+    underflows); zero divisors → sign-adjusted ±inf, NaN for 0//0
+    (pandas promotes integer inputs to float here too)."""
+    zero = F.when(a == 0, F.lit(_NAN)) \
+            .otherwise(F.signum(a) * _zero_sign(b) * F.lit(_INF))
+    return F.when(b == 0, zero).otherwise(F.floor((a - _pymod_raw(a, b)) / b))
+
+
+def _raw_floordiv(a: Column, b: Column) -> Column:
+    return F.floor((a - _pymod_raw(a, b)) / b)
+
+
+def _pandas_pow(a: Column, b: Column) -> Column:
+    """IEEE 754 / pandas pow: ``x**0 == 1`` and ``1**y == 1`` even when
+    the other operand is NaN/null (Spark's pow propagates null)."""
+    return F.when(b == 0, F.lit(1.0)) \
+            .when(a == 1, F.lit(1.0)) \
+            .otherwise(F.pow(a, b))
+
+
+def _safe_nonzero(o) -> bool:
+    """True when ``o`` is a literal nonzero number — the division guard
+    can be skipped entirely (keeps integer result dtypes static, e.g.
+    int % 3 stays int64 like pandas)."""
+    if isinstance(o, bool):
+        return False
+    return isinstance(o, (int, float)) and o == o and o != 0
+
+
 def _ensure_list(x) -> list:
     if x is None:
         return []
@@ -342,9 +409,9 @@ class Scalar(FrameBase):
     def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, "sub", True)
     def __mul__(self, o): return self._binop(o, lambda a, b: a * b, "mul")
     def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
-    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
-    def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
-    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
+    def __truediv__(self, o): return self._binop(o, _pandas_div, "div")
+    def __rtruediv__(self, o): return self._binop(o, _pandas_div, "div", True)
+    def __pow__(self, o): return self._binop(o, _pandas_pow, "pow")
     def __neg__(self): return self._binop(-1, lambda a, b: a * b, "neg")
     def __gt__(self, o): return self._binop(o, lambda a, b: a > b, "gt")
     def __ge__(self, o): return self._binop(o, lambda a, b: a >= b, "ge")
@@ -477,18 +544,19 @@ class Series(FrameBase):
     def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, "sub", True)
     def __mul__(self, o): return self._binop(o, lambda a, b: a * b, "mul")
     def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
-    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, "div")
-    def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, "div", True)
+    def __truediv__(self, o):
+        fn = (lambda a, b: a / b) if _safe_nonzero(o) else _pandas_div
+        return self._binop(o, fn, "div")
+
+    def __rtruediv__(self, o):
+        return self._binop(o, _pandas_div, "div", True)
+
     def __floordiv__(self, o):
         # CPython floor division is (a - a.__mod__(b)) / b — NOT
         # floor(a/b), which loses when a/b underflows (denormal a):
         # 5e-324 // -2 is -1.0 in Python but floor(-0.0) = -0.0
-        def _pyfloordiv(a, b):
-            r = a % b
-            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
-            m = F.when(adjust, r + b).otherwise(r)
-            return F.floor((a - m) / b)
-        return self._binop(o, _pyfloordiv, "floordiv")
+        fn = _raw_floordiv if _safe_nonzero(o) else _pandas_floordiv
+        return self._binop(o, fn, "floordiv")
 
     # pandas named arithmetic with fill_value: a null on ONE side takes
     # the fill; both-null stays null.  The wrapped fn flows through BOTH
@@ -515,12 +583,13 @@ class Series(FrameBase):
         return self._named_binop(other, lambda a, b: a * b, "mul", fill_value)
 
     def div(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: a / b, "div", fill_value)
+        fn = (lambda a, b: a / b) if _safe_nonzero(other) else _pandas_div
+        return self._named_binop(other, fn, "div", fill_value)
 
     truediv = div
 
     def pow(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
+        return self._named_binop(other, _pandas_pow, "pow",
                                  fill_value)
 
     # pandas comparison METHODS: materialized booleans, null compares
@@ -553,12 +622,9 @@ class Series(FrameBase):
         # divisor ONCE when signs differ (Spark's % is the C fmod).  A
         # double-wrap ((a%b)+b)%b is NOT equivalent: for a tiny negative
         # a and b=1 the sum rounds to b and CPython returns b itself.
-        def _pymod(a, b):
-            r = a % b
-            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
-            return F.when(adjust, r + b).otherwise(r)
-        return self._binop(o, _pymod, "mod")
-    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), "pow")
+        fn = _pymod_raw if _safe_nonzero(o) else _pandas_mod
+        return self._binop(o, fn, "mod")
+    def __pow__(self, o): return self._binop(o, _pandas_pow, "pow")
     # comparisons
     # Comparison DUNDERS keep SQL null propagation: a filter treats null
     # as False (identical row set to pandas), and the raw predicate is
@@ -2295,40 +2361,30 @@ class Series(FrameBase):
                                  fill_value)
 
     def rdiv(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: b / a, "rdiv",
-                                 fill_value)
+        return self._named_binop(other, lambda a, b: _pandas_div(b, a),
+                                 "rdiv", fill_value)
 
     rtruediv = rdiv
 
     def rpow(self, other, fill_value=None):
-        return self._named_binop(other, lambda a, b: F.pow(b, a), "rpow",
+        return self._named_binop(other, lambda a, b: _pandas_pow(b, a), "rpow",
                                  fill_value)
 
-    @staticmethod
-    def _pymod_expr(a, b):
-        r = a % b
-        adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
-        return F.when(adjust, r + b).otherwise(r)
-
-    @staticmethod
-    def _pyfloordiv_expr(a, b):
-        m = Series._pymod_expr(a, b)
-        return F.floor((a - m) / b)
-
     def mod(self, other, fill_value=None):
-        return self._named_binop(other, self._pymod_expr, "mod", fill_value)
+        fn = _pymod_raw if _safe_nonzero(other) else _pandas_mod
+        return self._named_binop(other, fn, "mod", fill_value)
 
     def rmod(self, other, fill_value=None):
         return self._named_binop(
-            other, lambda a, b: self._pymod_expr(b, a), "rmod", fill_value)
+            other, lambda a, b: _pandas_mod(b, a), "rmod", fill_value)
 
     def floordiv(self, other, fill_value=None):
-        return self._named_binop(other, self._pyfloordiv_expr, "floordiv",
-                                 fill_value)
+        fn = _raw_floordiv if _safe_nonzero(other) else _pandas_floordiv
+        return self._named_binop(other, fn, "floordiv", fill_value)
 
     def rfloordiv(self, other, fill_value=None):
         return self._named_binop(
-            other, lambda a, b: self._pyfloordiv_expr(b, a), "rfloordiv",
+            other, lambda a, b: _pandas_floordiv(b, a), "rfloordiv",
             fill_value)
 
     def divmod(self, other, fill_value=None):
@@ -3307,22 +3363,18 @@ class DataFrame(FrameBase):
     def __rsub__(self, o): return self._frame_binop(o, lambda a, b: a - b, "sub", True)
     def __mul__(self, o): return self._frame_binop(o, lambda a, b: a * b, "mul")
     def __rmul__(self, o): return self._frame_binop(o, lambda a, b: a * b, "mul", True)
-    def __truediv__(self, o): return self._frame_binop(o, lambda a, b: a / b, "div")
-    def __rtruediv__(self, o): return self._frame_binop(o, lambda a, b: a / b, "div", True)
-    def __pow__(self, o): return self._frame_binop(o, lambda a, b: F.pow(a, b), "pow")
+    def __truediv__(self, o):
+        fn = (lambda a, b: a / b) if _safe_nonzero(o) else _pandas_div
+        return self._frame_binop(o, fn, "div")
+    def __rtruediv__(self, o):
+        return self._frame_binop(o, _pandas_div, "div", True)
+    def __pow__(self, o): return self._frame_binop(o, _pandas_pow, "pow")
     def __mod__(self, o):
-        def _pymod(a, b):
-            r = a % b
-            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
-            return F.when(adjust, r + b).otherwise(r)
-        return self._frame_binop(o, _pymod, "mod")
+        fn = _pymod_raw if _safe_nonzero(o) else _pandas_mod
+        return self._frame_binop(o, fn, "mod")
     def __floordiv__(self, o):
-        def _pyfloordiv(a, b):
-            r = a % b
-            adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
-            m = F.when(adjust, r + b).otherwise(r)
-            return F.floor((a - m) / b)
-        return self._frame_binop(o, _pyfloordiv, "floordiv")
+        fn = _raw_floordiv if _safe_nonzero(o) else _pandas_floordiv
+        return self._frame_binop(o, fn, "floordiv")
     def __neg__(self): return self._frame_binop(-1, lambda a, b: a * b, "neg")
 
     # comparisons produce a boolean frame; strings compare fine, so no
@@ -3418,13 +3470,13 @@ class DataFrame(FrameBase):
                                  fill_value, axis)
 
     def div(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, lambda a, b: a / b, "div",
-                                 fill_value, axis)
+        fn = (lambda a, b: a / b) if _safe_nonzero(other) else _pandas_div
+        return self._named_binop(other, fn, "div", fill_value, axis)
 
     truediv = div
 
     def pow(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, lambda a, b: F.pow(a, b), "pow",
+        return self._named_binop(other, _pandas_pow, "pow",
                                  fill_value, axis)
 
     # reflected named forms + pandas long-name aliases
@@ -3441,32 +3493,30 @@ class DataFrame(FrameBase):
                                  fill_value, axis)
 
     def rdiv(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, lambda a, b: b / a, "rdiv",
-                                 fill_value, axis)
+        return self._named_binop(other, lambda a, b: _pandas_div(b, a),
+                                 "rdiv", fill_value, axis)
 
     rtruediv = rdiv
 
     def rpow(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, lambda a, b: F.pow(b, a), "rpow",
+        return self._named_binop(other, lambda a, b: _pandas_pow(b, a), "rpow",
                                  fill_value, axis)
 
     def mod(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, Series._pymod_expr, "mod",
-                                 fill_value, axis)
+        fn = _pymod_raw if _safe_nonzero(other) else _pandas_mod
+        return self._named_binop(other, fn, "mod", fill_value, axis)
 
     def rmod(self, other, fill_value=None, axis=None):
-        return self._named_binop(
-            other, lambda a, b: Series._pymod_expr(b, a), "rmod",
-            fill_value, axis)
+        return self._named_binop(other, lambda a, b: _pandas_mod(b, a),
+                                 "rmod", fill_value, axis)
 
     def floordiv(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, Series._pyfloordiv_expr, "floordiv",
-                                 fill_value, axis)
+        fn = _raw_floordiv if _safe_nonzero(other) else _pandas_floordiv
+        return self._named_binop(other, fn, "floordiv", fill_value, axis)
 
     def rfloordiv(self, other, fill_value=None, axis=None):
-        return self._named_binop(
-            other, lambda a, b: Series._pyfloordiv_expr(b, a), "rfloordiv",
-            fill_value, axis)
+        return self._named_binop(other, lambda a, b: _pandas_floordiv(b, a),
+                                 "rfloordiv", fill_value, axis)
 
     def divide(self, other, fill_value=None, axis=None):
         return self.div(other, fill_value, axis)
