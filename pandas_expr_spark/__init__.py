@@ -147,6 +147,37 @@ class DataFrame(_DataFrameImpl):
                 setattr(self, attr, v)
 
 
+def isna(obj):
+    """pandas ``pd.isna``: engine collections dispatch to their lazy
+    ``isna``; scalars answer eagerly."""
+    import pandas as pd
+    if isinstance(obj, (Series, _DataFrameImpl)):
+        return obj.isna()
+    return pd.isna(obj)
+
+
+def notna(obj):
+    import pandas as pd
+    if isinstance(obj, (Series, _DataFrameImpl)):
+        return obj.notna()
+    return pd.notna(obj)
+
+
+isnull = isna
+notnull = notna
+
+
+def unique(series):
+    """pandas ``pd.unique`` over an engine Series → lazy distinct Series."""
+    return series.unique()
+
+
+def factorize(series):
+    """pandas ``pd.factorize`` over an engine Series → lazy
+    (codes, uniques) pair (first-appearance coding)."""
+    return series.factorize()
+
+
 __all__ = [
     "DataFrame", "Series", "Index", "Scalar",
     "Expr", "Node", "tokenize",
@@ -156,5 +187,6 @@ __all__ = [
     "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut", "melt", "pivot", "pivot_table", "crosstab",
     "get_dummies", "to_datetime", "to_numeric",
+    "isna", "notna", "isnull", "notnull", "unique", "factorize",
     "get_spark",
 ]

@@ -2463,6 +2463,80 @@ class Series(FrameBase):
     def transpose(self) -> "Series":
         return self
 
+    def swapaxes(self, *args, **kwargs) -> "Series":
+        return self
+
+    def ravel(self):
+        return self.compute().to_numpy()
+
+    view = ravel
+
+    @property
+    def array(self):
+        return self.compute().array
+
+    def infer_objects(self) -> "Series":
+        return self
+
+    def convert_dtypes(self) -> "Series":
+        return self
+
+    def set_flags(self, **kwargs) -> "Series":
+        return self
+
+    @property
+    def at(self):
+        return _AtIndexer(self)
+
+    @property
+    def iat(self):
+        return _IatIndexer(self)
+
+    # -- time-indexed conveniences (delegate to the frame machinery) -----
+    def resample(self, freq: str, fill_empty: bool = False):
+        """``s.resample('D').mean()`` over the datetime index — the frame
+        Resampler sliced to this column (date_trunc bucketing, one
+        grouped-agg shuffle)."""
+        name = self._col_name if self._col_name is not None else "__v__"
+        return self.to_frame(name).resample(freq, fill_empty=fill_empty)[name]
+
+    def asfreq(self, freq: str, method: str | None = None) -> "Series":
+        """Calendar-spine re-index at ``freq`` (see ``DataFrame.asfreq``)."""
+        if not self._index_cols:
+            raise ValueError("asfreq needs a datetime index")
+        name = self._col_name if self._col_name is not None else "__v__"
+        icol = self._index_cols[0]
+        out = self.to_frame(name).asfreq(freq, on=icol, method=method)
+        out = out.set_index(icol)
+        node = Node("asfreq", {"freq": freq}, self._expr)
+        return Series(out._sdf, F.col(name), self._col_name, node,
+                      out._index_cols, (self._index_names[0],))
+
+    def to_period(self, freq: str) -> "Series":
+        """Convert the datetime INDEX to periods of ``freq`` (pandas
+        ``Series.to_period``) — index values truncate to the period start,
+        freq rides as driver-side metadata."""
+        from .functions.timeseries import period_start_col
+        if not self._index_cols:
+            raise ValueError("to_period needs a datetime index")
+        name = self._col_name if self._col_name is not None else "__v__"
+        icol = self._index_cols[0]
+        sdf = self.to_frame(name)._sdf.withColumn(
+            icol, period_start_col(F.col(icol), freq))
+        node = Node("to_period", {"freq": freq}, self._expr)
+        out = Series(sdf, F.col(name), self._col_name, node,
+                     self._index_cols, self._index_names)
+        out._index_period_freq = {icol: freq}
+        return out
+
+    to_period_index = to_period
+
+    def first(self, offset: str) -> "Series":
+        return self._via_frame(lambda f, _n: f.first(offset), "first")
+
+    def last(self, offset: str) -> "Series":
+        return self._via_frame(lambda f, _n: f.last(offset), "last")
+
     # -- accessors (wired in functions/accessors.py) ---------------------
     @property
     def str(self):
@@ -4258,6 +4332,36 @@ class DataFrame(FrameBase):
     def isetitem(self, loc: int, value) -> None:
         self[self.columns[loc]] = value
 
+    def to_period(self, freq: str) -> "DataFrame":
+        """Datetime index → PeriodIndex of ``freq``: the index column
+        truncates to the period start, freq rides as driver metadata
+        (SURVEY §1.4 period representation)."""
+        from .functions.timeseries import period_start_col
+        if not self._index_cols:
+            raise ValueError("to_period needs a datetime index")
+        icol = self._index_cols[0]
+        sdf = self._sdf.withColumn(icol, period_start_col(F.col(icol), freq))
+        out = self._derive(sdf, "to_period", {"freq": freq})
+        out._index_period_freq = {icol: freq}
+        return out
+
+    @property
+    def at(self):
+        return _AtIndexer(self)
+
+    @property
+    def iat(self):
+        return _IatIndexer(self)
+
+    def set_flags(self, **kwargs) -> "DataFrame":
+        return self
+
+    def to_pickle(self, path, **kwargs) -> None:
+        self.compute().to_pickle(path, **kwargs)
+
+    def to_feather(self, path, **kwargs) -> None:
+        self.compute().to_feather(path, **kwargs)
+
     def pad(self, limit: int | None = None) -> "DataFrame":
         return self.ffill(limit)
 
@@ -5992,6 +6096,56 @@ def _normalize_tod(t: str) -> str:
         hms.append("0")
     ms = (parts[1] + "000")[:3] if len(parts) > 1 else "000"
     return ":".join(p.zfill(2) for p in hms) + "." + ms
+
+
+class _AtIndexer:
+    """Eager single-value label access (``df.at[row, col]`` /
+    ``s.at[label]``) — one filtered 1-row collect, like pandas' scalar
+    return."""
+
+    def __init__(self, obj):
+        self._o = obj
+
+    def __getitem__(self, key):
+        o = self._o
+        if isinstance(o, Series):
+            v = o.xs(key)
+            if isinstance(v, Series):
+                raise KeyError(f"at[{key!r}]: duplicate index labels")
+            return v
+        row, col = key
+        if col not in o.columns:
+            raise KeyError(col)
+        if not o._index_cols:
+            raise ValueError("at needs an index — set_index first")
+        rows = (o._sdf.filter(F.col(o._index_cols[0]) == F.lit(row))
+                .select(col).limit(2).collect())
+        if len(rows) != 1:
+            raise KeyError(row)
+        return rows[0][0]
+
+
+class _IatIndexer:
+    """Eager single-value POSITIONAL access (``df.iat[i, j]`` /
+    ``s.iat[i]``) — offset+limit over the natural order."""
+
+    def __init__(self, obj):
+        self._o = obj
+
+    def __getitem__(self, key):
+        o = self._o
+        if isinstance(o, Series):
+            i = int(key)
+            sdf = o._sdf.select(o._scol.alias("__v__"))
+        else:
+            i, j = key
+            sdf = o._sdf.select(F.col(o.columns[j]).alias("__v__"))
+        if i < 0:
+            i += sdf.count()
+        rows = sdf.offset(i).limit(1).collect()
+        if not rows:
+            raise IndexError("iat index out of bounds")
+        return rows[0][0]
 
 
 class _LocIndexer:
