@@ -2492,6 +2492,86 @@ class Series(FrameBase):
     def iat(self):
         return _IatIndexer(self)
 
+    @property
+    def loc(self):
+        return _SeriesLocIndexer(self)
+
+    @property
+    def iloc(self):
+        return _SeriesILocIndexer(self)
+
+    @property
+    def dtypes(self):
+        return self.dtype
+
+    @property
+    def axes(self) -> list:
+        return [self.index]
+
+    @property
+    def attrs(self) -> dict:
+        d = self.__dict__.get("_attrs")
+        if d is None:
+            d = {}
+            self.__dict__["_attrs"] = d
+        return d
+
+    @attrs.setter
+    def attrs(self, value) -> None:
+        self.__dict__["_attrs"] = dict(value)
+
+    @property
+    def flags(self):
+        return _Flags()
+
+    def pop(self, item):
+        """Return the value at ``item`` and drop it IN PLACE (eager value
+        + lazy residual filter, like pandas)."""
+        val = self.xs(item)
+        rest = self.drop([item])
+        self._sdf, self._scol = rest._sdf, rest._scol
+        self._index_cols = rest._index_cols
+        self._index_names = rest._index_names
+        self._expr = rest._expr
+        return val
+
+    def reindex_like(self, other: "Series") -> "Series":
+        return self._via_frame(
+            lambda f, n: f.reindex_like(other.to_frame("__o__")),
+            "reindex_like")
+
+    def compare(self, other: "Series") -> "DataFrame":
+        """pandas ``Series.compare``: rows where the two differ, columns
+        ``self``/``other`` — one index align + null-safe inequality
+        (works on the default positional index too)."""
+        joined = _align_frames(self.to_frame("__l__"),
+                               other.to_frame("__r__"))
+        diff = ~F.col("__l__").eqNullSafe(F.col("__r__"))
+        sdf = joined._sdf.filter(diff).select(
+            *[F.col(c) for c in joined._index_cols],
+            F.col("__l__").alias("self"), F.col("__r__").alias("other"))
+        node = Node("compare", {}, self._expr, other._expr)
+        return DataFrame(sdf, node, joined._index_cols,
+                         joined._index_names)
+
+    def info(self, buf=None, **kwargs) -> None:
+        import sys
+        n = self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(self._scol).alias("nn")).collect()[0]
+        out = buf if buf is not None else sys.stdout
+        print(f"<class '{type(self).__module__}.Series'>", file=out)
+        print(f"RangeIndex: {n['n']} entries", file=out)
+        print(f"Series name: {self._col_name}", file=out)
+        print(f"Non-Null Count  Dtype", file=out)
+        print(f"{n['nn']} non-null  {self.dtype}", file=out)
+
+    def to_pickle(self, path, **kwargs) -> None:
+        self.compute().to_pickle(path, **kwargs)
+
+    def to_latex(self, *args, **kwargs):
+        return self.compute().to_latex(*args, **kwargs)
+
     # -- time-indexed conveniences (delegate to the frame machinery) -----
     def resample(self, freq: str, fill_empty: bool = False):
         """``s.resample('D').mean()`` over the datetime index — the frame
@@ -4356,6 +4436,29 @@ class DataFrame(FrameBase):
     def set_flags(self, **kwargs) -> "DataFrame":
         return self
 
+    @property
+    def axes(self) -> list:
+        return [self.index, pd.Index(self.columns)]
+
+    @property
+    def attrs(self) -> dict:
+        d = self.__dict__.get("_attrs")
+        if d is None:
+            d = {}
+            self.__dict__["_attrs"] = d
+        return d
+
+    @attrs.setter
+    def attrs(self, value) -> None:
+        self.__dict__["_attrs"] = dict(value)
+
+    @property
+    def flags(self):
+        return _Flags()
+
+    def to_latex(self, *args, **kwargs):
+        return self.compute().to_latex(*args, **kwargs)
+
     def to_pickle(self, path, **kwargs) -> None:
         self.compute().to_pickle(path, **kwargs)
 
@@ -6096,6 +6199,50 @@ def _normalize_tod(t: str) -> str:
         hms.append("0")
     ms = (parts[1] + "000")[:3] if len(parts) > 1 else "000"
     return ":".join(p.zfill(2) for p in hms) + "." + ms
+
+
+class _Flags:
+    """pandas ``.flags`` shim — the engine allows duplicate labels."""
+    allows_duplicate_labels = True
+
+    def __repr__(self):
+        return "<Flags(allows_duplicate_labels=True)>"
+
+
+class _SeriesLocIndexer:
+    """``s.loc[...]``: scalar label → eager value (Series of matches on
+    duplicate labels); lists/masks/slices delegate to the frame loc."""
+
+    def __init__(self, series: "Series"):
+        self._s = series
+
+    def __getitem__(self, key):
+        s = self._s
+        if not isinstance(key, (list, tuple, slice, Series)):
+            return s.xs(key)
+        name = s._col_name if s._col_name is not None else "__v__"
+        if isinstance(key, Series):
+            mask_frame = s.to_frame(name)
+            out = mask_frame.loc[key]
+        else:
+            out = s.to_frame(name).loc[key]
+        ser = out[name]
+        ser._col_name = s._col_name
+        return ser
+
+
+class _SeriesILocIndexer:
+    """``s.iloc[...]``: int → eager positional value; slices keep the
+    distributed position pass of the frame iloc."""
+
+    def __init__(self, series: "Series"):
+        self._s = series
+
+    def __getitem__(self, key):
+        s = self._s
+        if isinstance(key, int):
+            return s.iat[key]
+        return s._via_frame(lambda f, _n: f.iloc[key], "iloc")
 
 
 class _AtIndexer:

@@ -110,3 +110,57 @@ def test_to_pickle_feather(spark, tmp_path):
     f = tmp_path / "f.feather"
     edx.to_feather(str(f))
     assert pd.read_feather(str(f))["a"].tolist() == [1, 2, 3]
+
+
+def test_series_loc_iloc(spark):
+    pdx = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": list("xyzw")},
+                       index=[10, 20, 30, 40])
+    edx = pes.from_pandas(pdx)
+    assert edx.a.loc[20] == pdx.a.loc[20]
+    assert edx.a.loc[[10, 30]].compute().sort_index().tolist() == \
+        pdx.a.loc[[10, 30]].tolist()
+    assert edx.a.iloc[2] == pdx.a.iloc[2]
+    assert edx.a.iloc[1:3].compute().sort_index().tolist() == \
+        pdx.a.iloc[1:3].tolist()
+
+
+def test_series_compare_pop_reindex_like(spark):
+    p1 = pd.Series([1.0, 2.0, 9.0], name="v")
+    p2 = pd.Series([1.0, 5.0, 9.0], name="v")
+    e1 = pes.from_pandas(p1.to_frame()).v
+    e2 = pes.from_pandas(p2.to_frame()).v
+    gc = e1.compare(e2).compute().sort_index()
+    pc = p1.compare(p2)
+    assert list(gc.columns) == list(pc.columns)
+    assert gc.values.tolist() == pc.values.tolist()
+    assert list(gc.index) == list(pc.index)
+
+    pdx = pd.DataFrame({"a": [1.0, 2.0, 3.0]}, index=[10, 20, 30])
+    edx = pes.from_pandas(pdx)
+    s = edx.a
+    assert s.pop(20) == 2.0
+    assert sorted(s.compute().tolist()) == [1.0, 3.0]
+
+
+def test_attrs_axes_flags(spark):
+    pdx = pd.DataFrame({"a": [1, 2]})
+    edx = pes.from_pandas(pdx)
+    edx.attrs["k"] = "v"
+    assert edx.attrs == {"k": "v"}
+    assert edx.flags.allows_duplicate_labels
+    assert len(edx.axes) == 2 and list(edx.axes[1]) == ["a"]
+    s = edx.a
+    assert str(s.dtypes) == str(pdx.a.dtypes)
+    assert len(s.axes) == 1
+    s.attrs["x"] = 1
+    assert s.attrs == {"x": 1}
+
+
+def test_series_info_latex(spark):
+    import io
+    pdx = pd.DataFrame({"a": [1.0, None, 3.0]})
+    edx = pes.from_pandas(pdx)
+    buf = io.StringIO()
+    edx.a.info(buf=buf)
+    assert "3 entries" in buf.getvalue()
+    assert "tabular" in edx.to_latex()
