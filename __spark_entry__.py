@@ -1079,6 +1079,43 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.repetition_ratio("text", n=2), 4).alias("rep2"))
 
 
+def doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021, strided-window form —
+    ``functions/dedup.py duplicate_window_stats``): 40-char windows at
+    stride 20, flagged when the exact window text occurs in ≥2 distinct
+    docs.  Two hash shuffles (window-text document frequencies, per-doc
+    agg), no windows functions, no driver collection; exact vs a DuckDB
+    generate_series+substr oracle."""
+    from pandas_expr_spark.functions import dedup
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    stats = dedup.duplicate_window_stats(docs, window=40, stride=20,
+                                         min_docs=2)
+    return stats.filter(F.col("n_dup") > 0).select(
+        "doc_id", "n_win", "n_dup", "dup_frac")
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal —
+    ``functions/text.py line_dedup``): the synthetic corpus has no
+    newlines, so lines are materialized deterministically (8-word chunks
+    joined by \\n — identical expression in both engines), then every line
+    occurring verbatim in ≥2 distinct docs is dropped and the surviving
+    text reassembled in order.  Returns only changed docs; the rebuilt
+    ``kept_text`` string makes this an exact reassembly gate."""
+    from pandas_expr_spark.functions import text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ', -1))/8.0) "
+        "as int)-1), i -> array_join(slice(split(text, ' ', -1), "
+        "i*8+1, 8), ' '))")
+    chunked = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    out = text.line_dedup(chunked, sep="\n", min_dup_docs=2)
+    return (out.filter(F.col("n_kept") < F.col("n_seg"))
+            .select("doc_id", "n_seg", "n_kept", "kept_text"))
+
+
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A C4-style cleaning pipeline as ONE composed plan: stopword-ratio
     floor (gibberish filter) ∧ repetition-ratio ceiling (template/spam
@@ -2972,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_nation_keys": reindex_nation_keys,
         "corrwith_spearman_orders": corrwith_spearman_orders,
         "resample_gapfill_grouped": resample_gapfill_grouped,
+        "doc_dup_windows": doc_dup_windows,
+        "doc_line_dedup": doc_line_dedup,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3169,6 +3208,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n
             FROM spine s LEFT JOIN agg a
                  ON a.user_id = s.user_id AND a.d = s.d
+        """,
+        "doc_dup_windows": """
+            WITH wins AS (
+              SELECT doc_id, substr(text, i, 40) AS w
+              FROM documents,
+                   (SELECT unnest(generate_series(1,
+                        (SELECT max(length(text)) FROM documents), 20)) AS i)
+              WHERE i <= length(text) - 39
+            ),
+            cnt AS (SELECT w, COUNT(DISTINCT doc_id) AS nd
+                    FROM wins GROUP BY w),
+            per AS (SELECT doc_id, COUNT(*) AS n_win,
+                           COUNT(*) FILTER (WHERE nd >= 2) AS n_dup
+                    FROM wins JOIN cnt USING (w) GROUP BY doc_id)
+            SELECT doc_id, n_win, n_dup,
+                   round(n_dup / n_win::DOUBLE, 4) AS dup_frac
+            FROM per WHERE n_dup > 0
+        """,
+        "doc_line_dedup": """
+            WITH ch AS (SELECT doc_id, string_split(text, ' ') AS words
+                        FROM documents),
+            segs AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(words[i*8+1 : i*8+8], ' ') AS seg
+              FROM ch,
+                   (SELECT unnest(generate_series(0,
+                        (SELECT CAST(ceil(max(len(words))/8.0) AS INT)
+                         FROM ch) - 1)) AS i)
+              WHERE i < ceil(len(words)/8.0)
+            ),
+            cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd
+                    FROM segs GROUP BY seg),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_seg,
+                     COUNT(*) FILTER (WHERE nd < 2) AS n_kept,
+                     COALESCE(string_agg(seg, chr(10) ORDER BY pos)
+                              FILTER (WHERE nd < 2), '') AS kept_text
+              FROM segs JOIN cnt USING (seg) GROUP BY doc_id)
+            SELECT doc_id, n_seg, n_kept, kept_text
+            FROM per WHERE n_kept < n_seg
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

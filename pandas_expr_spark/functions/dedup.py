@@ -26,7 +26,7 @@ from pyspark.sql.types import LongType
 
 from .text import fingerprint, word_shingles
 
-__all__ = ["exact_dedup", "exact_dup_groups", "minhash_signature",
+__all__ = ["duplicate_window_stats", "exact_dedup", "exact_dup_groups", "minhash_signature",
            "minhash_lsh_pairs", "minhash_lsh_dedup", "ngram_jaccard_pairs",
            "simhash", "simhash_pairs", "embedding_near_dup_pairs"]
 
@@ -452,3 +452,56 @@ def dedup_against(corpus: SparkDF, batch: SparkDF, text_col: str = "text",
 
 
 __all__ += ["decontaminate", "dedup_against"]
+
+
+def duplicate_window_stats(sdf: SparkDF, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 40,
+                           stride: int = 20, min_docs: int = 2) -> SparkDF:
+    """Exact-substring duplication stats (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): slide a ``window``-char
+    window with ``stride`` over every document and flag windows whose exact
+    text occurs in ``min_docs`` or more distinct documents.
+
+    Returns ``[id_col, n_win, n_dup, dup_frac]`` per document (docs shorter
+    than ``window`` chars get ``n_win = 0``).  ``dup_frac`` is the fraction
+    of a doc's windows shared verbatim with other docs — the thresholding
+    signal for substring-level dedup (the suffix-array approach of the
+    paper, approximated by strided fixed windows, the standard
+    shuffle-friendly form).
+
+    Plan shape: one narrow map builds the window array JVM-side
+    (``sequence`` + ``substring``, whole-stage codegen), ``posexplode`` →
+    one hash-shuffle groupBy on the window text for document frequencies →
+    equi-join back → per-doc agg.  Same two-shuffle envelope as the
+    inverted-index Jaccard join; window keys are fixed-width (``window``
+    bytes), so shuffle volume is ``len/stride × window`` bytes per doc.
+    At 100 TB, substitute ``xxhash64(window)`` for the raw text key; the
+    raw key keeps this gate exactly oracle-checkable in ANSI SQL.
+    """
+    c = F.col(text_col)
+    npart = sdf.sparkSession.sparkContext.defaultParallelism
+    wins_expr = F.when(
+        F.length(c) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(window - 1),
+                       F.lit(stride)),
+            lambda i: F.substring(c, i, F.lit(window)))
+    ).otherwise(F.array().cast("array<string>"))
+    # widen first: the local documents parquet is one indivisible row group
+    base = (sdf.repartition(npart, id_col)
+            .select(F.col(id_col), wins_expr.alias("__ws__")))
+    wins = base.select(id_col, F.explode("__ws__").alias("__w__"))
+    dfreq = (wins.groupBy("__w__")
+             .agg(F.count_distinct(F.col(id_col)).alias("__nd__")))
+    flagged = (wins.join(dfreq, "__w__")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_win"),
+                    F.sum((F.col("__nd__") >= min_docs).cast("long"))
+                    .alias("n_dup")))
+    return (base.select(id_col).join(flagged, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_win", F.lit(0)).alias("n_win"),
+                    F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                    F.when(F.coalesce("n_win", F.lit(0)) > 0,
+                           F.round(F.col("n_dup") / F.col("n_win"), 4))
+                    .otherwise(F.lit(0.0)).alias("dup_frac")))

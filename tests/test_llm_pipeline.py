@@ -458,3 +458,54 @@ def test_write_training_shards_manifest(spark, tmp_path):
     import pyspark.sql.functions as F
     total = spark.read.parquet(path).agg(F.sum("n_tokens")).first()[0]
     assert total == sum(r["n_tokens"] for r in rows)
+
+
+def test_line_dedup_removes_boilerplate_preserving_order(spark):
+    from pandas_expr_spark.functions import text
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha one\n{boiler}\nunique alpha two"),
+         (2, f"{boiler}\nunique beta"),
+         (3, f"{boiler}"),                      # all-boilerplate doc
+         (4, "no shared lines here\nat all")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text.line_dedup(docs, min_dup_docs=2).collect()}
+    assert out[1]["n_seg"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "unique alpha one\nunique alpha two"
+    assert out[2]["kept_text"] == "unique beta"
+    # a doc whose every line is boilerplate still gets a row
+    assert out[3]["n_kept"] == 0 and out[3]["kept_text"] == ""
+    assert out[4]["n_kept"] == 2 and "\n" in out[4]["kept_text"]
+
+
+def test_line_dedup_min_len_keeps_short_lines(spark):
+    from pandas_expr_spark.functions import text
+    docs = spark.createDataFrame(
+        [(1, "ok\nlong shared boilerplate line"),
+         (2, "ok\nlong shared boilerplate line"),
+         (3, "ok\nfresh")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text.line_dedup(docs, min_dup_docs=2, min_len=5).collect()}
+    # "ok" (<5 chars) survives everywhere despite appearing in 3 docs
+    assert out[3]["kept_text"] == "ok\nfresh"
+    assert out[1]["kept_text"] == "ok"
+
+
+def test_duplicate_window_stats_flags_planted_substring(spark):
+    from pandas_expr_spark.functions import dedup
+    shared = "x" * 45                      # > one full 40-char window
+    docs = spark.createDataFrame(
+        [(1, "A" * 30 + shared + "B" * 30),
+         (2, "C" * 10 + shared + "D" * 55),
+         (3, "totally different and long enough " * 3),
+         (4, "short")],                    # shorter than the window
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_window_stats(docs, window=40, stride=5,
+                                        min_docs=2).collect()}
+    assert out[1]["n_dup"] > 0 and out[2]["n_dup"] > 0
+    assert out[3]["n_dup"] == 0
+    assert out[4]["n_win"] == 0 and out[4]["dup_frac"] == 0.0
+    assert 0.0 < out[1]["dup_frac"] <= 1.0
