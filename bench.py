@@ -97,6 +97,10 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "doc_bm25_search",
     "hybrid_search_rrf",
+    # round-3 additions: line-level boilerplate dedup, exact-substring
+    # window dedup
+    "doc_line_dedup",
+    "doc_dup_windows",
 ]
 
 

@@ -1112,7 +1112,7 @@ class Series(FrameBase):
         return DataFrame(out, node, tuple(keep), keep_names)
 
     def rank(self, method: str = "average", ascending: bool = True,
-             pct: bool = False) -> "Series":
+             pct: bool = False, na_option: str = "keep") -> "Series":
         """pandas ``Series.rank`` (whole-series).  A naive global window
         (``Window.orderBy(v)`` with no partition) funnels ALL rows through
         one task — unusable at 100 TB.  Instead: ranks depend only on the
@@ -1121,8 +1121,13 @@ class Series(FrameBase):
         distinct-value table (high-cardinality columns — doubles, ids —
         have distinct ≈ rows, so even the value table must never funnel
         through one task), and join back on v (AQE broadcasts when small).
-        Nulls get null rank (pandas NaN)."""
+        ``na_option``: 'keep' → null rank (pandas NaN); 'top'/'bottom' →
+        nulls rank first/last, adjusted with one broadcast 1-row stats
+        join (no extra pass over the data)."""
         from .functions import scan as _scan
+        if na_option not in ("keep", "top", "bottom"):
+            raise ValueError(f"na_option must be keep/top/bottom, "
+                             f"got {na_option!r}")
         name = self._col_name or "__v__"
         sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
                                self._scol.alias(name))
@@ -1155,14 +1160,30 @@ class Series(FrameBase):
             out = base_sdf.join(ranks, on=vname, how="left")
             wv = Window.partitionBy(vname).orderBy(
                 *[F.col(c).asc() for c in order_cols])
-            out = out.withColumn(
-                "__rank__",
-                (F.col("__before__") + F.row_number().over(wv)).cast("double"))
-            if pct:
-                den = counts.agg(F.sum("__cnt__").alias("__den__"))
-                out = (out.crossJoin(F.broadcast(den))
-                       .withColumn("__rank__",
-                                   F.col("__rank__") / F.col("__den__")))
+            out = out.withColumn("__rn__", F.row_number().over(wv))
+            valid = (F.col("__before__") + F.col("__rn__")).cast("double")
+            if na_option == "keep" and not pct:
+                out = out.withColumn("__rank__", valid)
+            else:
+                stats = sdf.agg(F.count(F.lit(1)).alias("__tot__"),
+                                F.count(name).alias("__val__"))
+                out = out.crossJoin(F.broadcast(stats))
+                n_nan = F.col("__tot__") - F.col("__val__")
+                if na_option == "top":
+                    rk = F.when(F.col(vname).isNull(),
+                                F.col("__rn__").cast("double")) \
+                         .otherwise(valid + n_nan)
+                elif na_option == "bottom":
+                    rk = F.when(F.col(vname).isNull(),
+                                (F.col("__val__") + F.col("__rn__"))
+                                .cast("double")).otherwise(valid)
+                else:
+                    rk = valid
+                out = out.withColumn("__rank__", rk)
+                if pct:
+                    den = (F.col("__val__") if na_option == "keep"
+                           else F.col("__tot__"))
+                    out = out.withColumn("__rank__", F.col("__rank__") / den)
             node = Node("rank", {"method": method}, self._expr)
             return Series(out, F.col("__rank__"), self._col_name, node, idx,
                           self._index_names if self._index_cols else (None,))
@@ -1170,18 +1191,48 @@ class Series(FrameBase):
             raise ValueError(f"rank method {method!r} not supported "
                              "(average/min/max/dense/first)")
         ranks = scanned.select(F.col(name), r.alias("__rank__"))
-        if pct:
-            # pandas: divide by non-NA count — except dense, which divides
-            # by the number of DISTINCT non-NA values.  One broadcast
-            # 1-row cross join over the (already tiny) rank table.
-            den = counts.agg(
-                (F.count(F.lit(1)) if method == "dense"
-                 else F.sum("__cnt__")).alias("__den__"))
-            ranks = (ranks.crossJoin(F.broadcast(den))
-                     .withColumn("__rank__",
-                                 F.col("__rank__") / F.col("__den__"))
-                     .drop("__den__"))
         out = sdf.join(ranks, on=name, how="left")
+        if na_option != "keep" or pct:
+            # 1-row stats broadcast: non-null count, total, and (dense
+            # only) distinct-value count — no extra pass over the data
+            stats = sdf.agg(F.count(F.lit(1)).alias("__tot__"),
+                            F.count(name).alias("__val__"))
+            if method == "dense":
+                stats = stats.crossJoin(
+                    counts.agg(F.count(F.lit(1)).alias("__ndist__")))
+            out = out.crossJoin(F.broadcast(stats))
+            n_nan = F.col("__tot__") - F.col("__val__")
+            rk = F.col("__rank__")
+            if na_option == "top":
+                # dense shifts the valid ranks by ONE nan group (if any),
+                # the others by the nan row count
+                shift_ = (F.when(n_nan > 0, F.lit(1)).otherwise(F.lit(0))
+                          if method == "dense" else n_nan)
+                nanr = {"average": (n_nan + 1) / 2.0,
+                        "min": F.lit(1.0),
+                        "max": n_nan.cast("double"),
+                        "dense": F.lit(1.0)}[method]
+                rk = F.when(F.col(name).isNull(), nanr) \
+                     .otherwise(rk + shift_)
+            elif na_option == "bottom":
+                nanr = {"average": F.col("__val__") + (n_nan + 1) / 2.0,
+                        "min": (F.col("__val__") + 1).cast("double"),
+                        "max": (F.col("__val__") + n_nan).cast("double"),
+                        "dense": (F.col("__ndist__") + 1).cast("double")
+                        }[method]
+                rk = F.when(F.col(name).isNull(), nanr).otherwise(rk)
+            out = out.withColumn("__rank__", rk)
+            if pct:
+                # pandas: divide by non-NA count — dense by DISTINCT count;
+                # top/bottom include the nulls (nan group) in the divisor
+                if method == "dense":
+                    den = (F.col("__ndist__") if na_option == "keep" else
+                           F.col("__ndist__") +
+                           F.when(n_nan > 0, F.lit(1)).otherwise(F.lit(0)))
+                else:
+                    den = (F.col("__val__") if na_option == "keep"
+                           else F.col("__tot__"))
+                out = out.withColumn("__rank__", F.col("__rank__") / den)
         node = Node("rank", {"method": method}, self._expr)
         return Series(out, F.col("__rank__"), self._col_name, node,
                       self._index_cols, self._index_names)
@@ -1234,7 +1285,8 @@ class Series(FrameBase):
         pos = scan.global_pos(sdf, order).persist()
         shifted = pos.select(
             (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
-            F.col(name).alias("__shifted__"))
+            F.col(name).alias("__shifted__"),
+            F.lit(1).alias("__src__"))
         out = pos.join(shifted, "__pos__", "left").drop("__pos__")
         return out, name, idx
 
@@ -1248,7 +1300,11 @@ class Series(FrameBase):
         out, name, idx = self._pos_shifted(periods)
         val = F.col("__shifted__")
         if fill_value is not None:
-            val = F.coalesce(val, F.lit(fill_value))
+            # pandas fills only positions shifted in from beyond the
+            # boundary — NaNs that were already in the data stay NaN, so
+            # keying on the join-miss flag, not on null-ness of the value
+            val = F.when(F.col("__src__").isNull(),
+                         F.lit(fill_value)).otherwise(val)
         out = out.select(*[F.col(c) for c in idx], val.alias(name))
         node = Node("shift", {"periods": periods}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
@@ -3697,11 +3753,12 @@ class DataFrame(FrameBase):
         pos = global_pos(sdf, order).persist()
         lagged = pos.select(
             (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
+            F.lit(1).alias("__src__"),
             *[F.col(c).alias(f"__lag_{c}__") for c in cols])
         joined = pos.join(lagged, "__pos__", "left")
         updates = {c: build(F.col(c), F.col(f"__lag_{c}__")) for c in cols}
         out = (joined.withColumns(updates)
-               .drop("__pos__", *[f"__lag_{c}__" for c in cols]))
+               .drop("__pos__", "__src__", *[f"__lag_{c}__" for c in cols]))
         if drop_rowid:
             idx_cols, idx_names = (_ROWID,), (None,)
         else:
@@ -3709,10 +3766,19 @@ class DataFrame(FrameBase):
         node = Node(op, {"periods": periods}, self._expr)
         return DataFrame(out, node, idx_cols, idx_names)
 
-    def shift(self, periods: int = 1) -> "DataFrame":
+    def shift(self, periods: int = 1, fill_value=None) -> "DataFrame":
         """pandas ``DataFrame.shift`` over the index order — distributed
-        position join, never a global window."""
-        return self._frame_positional(periods, lambda c, lag: lag, "shift")
+        position join, never a global window.  ``fill_value`` fills only
+        positions shifted in from beyond the boundary (join miss), never
+        NaNs already present in the data."""
+        if fill_value is None:
+            return self._frame_positional(periods, lambda c, lag: lag,
+                                          "shift")
+        return self._frame_positional(
+            periods,
+            lambda c, lag: F.when(F.col("__src__").isNull(),
+                                  F.lit(fill_value)).otherwise(lag),
+            "shift")
 
     def diff(self, periods: int = 1) -> "DataFrame":
         return self._frame_positional(periods, lambda c, lag: c - lag,
@@ -5183,7 +5249,7 @@ class DataFrame(FrameBase):
                                 numeric_only=False, out_type="long")
 
     def rank(self, method: str = "average", ascending: bool = True,
-             pct: bool = False) -> "DataFrame":
+             pct: bool = False, na_option: str = "keep") -> "DataFrame":
         """pandas ``DataFrame.rank``: every numeric column through the
         scale-safe Series rank (distinct-value rank table + join-back, no
         global window), reassembled by one index equi-join per column."""
@@ -5198,7 +5264,8 @@ class DataFrame(FrameBase):
         num = [c for c in base.columns
                if is_numeric(base._sdf.schema[c].dataType)]
         frames = [base[c].rank(method=method, ascending=ascending,
-                               pct=pct).to_frame(c) for c in num]
+                               pct=pct, na_option=na_option).to_frame(c)
+                  for c in num]
         out = concat(frames, axis=1) if len(frames) > 1 else frames[0]
         if attached:
             out = out.reset_index(drop=True)

@@ -75,9 +75,18 @@ class StringAccessor(_Accessor):
         return self._wrap(F.when(c.isNull(), F.lit(None)).otherwise(out),
                           "str.capitalize")
 
-    def contains(self, pat: str, regex: bool = True):
+    def contains(self, pat: str, case: bool = True, na=None,
+                 regex: bool = True):
+        """pandas ``str.contains``: ``case=False`` folds both sides (or
+        prefixes ``(?i)`` for regex); ``na=`` fills null-input results."""
         c = self._s._scol
-        out = c.rlike(pat) if regex else c.contains(pat)
+        if regex:
+            out = c.rlike(pat if case else f"(?i){pat}")
+        else:
+            out = (c.contains(pat) if case
+                   else F.lower(c).contains(pat.lower()))
+        if na is not None:
+            out = F.when(c.isNull(), F.lit(bool(na))).otherwise(out)
         return self._wrap(out, "str.contains")
 
     def startswith(self, pat: str):
@@ -99,7 +108,12 @@ class StringAccessor(_Accessor):
         ch = F.substring(c, i + 1, 1)
         return self._wrap(F.when(F.length(c) > i, ch), "str.get")
 
-    def replace(self, pat: str, repl: str, regex: bool = True):
+    def replace(self, pat: str, repl: str, n: int = -1,
+                regex: bool = False):
+        """pandas ``str.replace`` — literal by default (the pandas ≥2.0
+        contract); ``regex=True`` opts into pattern replacement."""
+        if n != -1:
+            raise NotImplementedError("str.replace(n=) limited replace")
         c = self._s._scol
         if regex:
             out = F.regexp_replace(c, pat, repl)
@@ -142,8 +156,8 @@ class StringAccessor(_Accessor):
         node = Node("str.extract", {"pat": pat}, s._expr)
         return _PDF(sdf, node, s._index_cols, s._index_names)
 
-    def split(self, pat: str = r"\s+", regex: bool = True, n: int = -1,
-              expand: bool = False):
+    def split(self, pat: str = r"\s+", regex: bool | None = None,
+              n: int = -1, expand: bool = False):
         """pandas ``str.split``.  ``expand=True`` widens to one column per
         token position — the width is the corpus max token count, which is
         data-dependent, so it is discovered with one tiny ``max(size)``
@@ -151,6 +165,9 @@ class StringAccessor(_Accessor):
         ``get_dummies``); rows with fewer tokens pad with null
         (``try_element_at``)."""
         import re
+        if regex is None:
+            # pandas rule: a 1-char pat is literal; longer pats are regex
+            regex = len(pat) != 1
         p = pat if regex else re.escape(pat)
         limit = n + 1 if n and n > 0 else -1
         arr = F.split(self._s._scol, p, limit)

@@ -16,7 +16,8 @@ from .._expr import Node
 
 
 def concat(frames: Sequence, join: str = "outer", axis: int = 0,
-           ignore_index: bool = False, keys: Sequence | None = None):
+           ignore_index: bool = False, keys: Sequence | None = None,
+           sort: bool = False):
     from .._collection import DataFrame, Series
 
     if not frames:
@@ -56,10 +57,17 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         if isinstance(out, DataFrame):
             out = out._sdf
     elif join == "outer":
-        out = _reduce(lambda a, b: a.unionByName(b._sdf.select(*(list(b._index_cols) + b.columns)),
-                                                 allowMissingColumns=True),
+        # the index survives only when EVERY frame carries the same index
+        # columns; otherwise a frame's private index column must not leak
+        # into the union as a half-null data column
+        shared_idx = frames[0]._index_cols if not ignore_index and all(
+            f._index_cols == frames[0]._index_cols for f in frames) else ()
+        out = _reduce(lambda a, b: a.unionByName(
+                          b._sdf.select(*(list(shared_idx) + b.columns)),
+                          allowMissingColumns=True),
                       frames[1:],
-                      frames[0]._sdf.select(*(list(frames[0]._index_cols) + frames[0].columns)))
+                      frames[0]._sdf.select(*(list(shared_idx)
+                                              + frames[0].columns)))
     else:
         raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
 
@@ -68,6 +76,10 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
     idx = frames[0]._index_cols if not ignore_index and join == "outer" and all(
         f._index_cols == frames[0]._index_cols for f in frames) else ()
     names = frames[0]._index_names if idx else None
+    if sort:
+        # pandas concat(sort=True): alphabetize the non-concat axis
+        data_cols = sorted(c for c in out.columns if c not in idx)
+        out = out.select(*list(idx), *data_cols)
     return DataFrame(out, node, idx, names)
 
 

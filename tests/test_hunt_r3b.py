@@ -1,0 +1,127 @@
+"""Second round-3 differential-hunt battery, pinned as regression tests.
+
+Silent divergences found by randomized probing: shift(fill_value=)
+filling data NaNs (not just the boundary), str.split regex defaults,
+str.replace literal-by-default (pandas >=2.0), str.contains(case=/na=),
+rank(na_option=), concat(sort=) and the private-index-column leak in
+mixed-index outer concat.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+def _sorted(vals):
+    return sorted(vals, key=lambda x: (pd.isna(x), x))
+
+
+@pytest.fixture()
+def pdf():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, 20),
+        "v": rng.randn(20).round(3),
+        "s": [f"item_{i % 5}.x" for i in range(20)],
+    })
+    df.loc[3, "v"] = np.nan
+    df.loc[7, "v"] = np.nan
+    return df
+
+
+class TestShiftFillValue:
+    def test_series_fill_only_boundary(self, spark, pdf):
+        # two data NaNs must STAY NaN; only the 2 shifted-in head slots fill
+        got = pes.from_pandas(pdf)["v"].shift(2, fill_value=-1.0).compute()
+        want = pdf["v"].shift(2, fill_value=-1.0)
+        assert got.tolist().count(-1.0) == 2
+        assert np.allclose(_sorted(got.tolist()), _sorted(want.tolist()),
+                           equal_nan=True)
+
+    def test_frame_fill_value(self, spark, pdf):
+        got = pes.from_pandas(pdf)[["v"]].shift(1, fill_value=9.9).compute()
+        want = pdf[["v"]].shift(1, fill_value=9.9)
+        assert np.allclose(_sorted(got["v"].tolist()),
+                           _sorted(want["v"].tolist()), equal_nan=True)
+
+
+class TestRankNaOption:
+    @pytest.mark.parametrize("na", ["top", "bottom"])
+    @pytest.mark.parametrize("method",
+                             ["average", "min", "max", "dense", "first"])
+    @pytest.mark.parametrize("pct", [False, True])
+    def test_matches_pandas(self, spark, pdf, na, method, pct):
+        got = pes.from_pandas(pdf)["v"].rank(
+            method=method, na_option=na, pct=pct).compute().tolist()
+        want = pdf["v"].rank(method=method, na_option=na, pct=pct).tolist()
+        assert np.allclose(_sorted(got), _sorted(want))
+
+    def test_keep_unchanged(self, spark, pdf):
+        got = pes.from_pandas(pdf)["v"].rank(na_option="keep").compute()
+        want = pdf["v"].rank()
+        assert np.allclose(_sorted(got.tolist()), _sorted(want.tolist()),
+                           equal_nan=True)
+
+    def test_no_nulls_top_is_noop(self, spark):
+        s = pd.Series([3.0, 1.0, 2.0, 1.0])
+        got = pes.from_pandas(s.to_frame("v"))["v"].rank(
+            method="dense", na_option="top").compute().tolist()
+        assert _sorted(got) == _sorted(s.rank(method="dense").tolist())
+
+    def test_bad_option_raises(self, spark, pdf):
+        with pytest.raises(ValueError):
+            pes.from_pandas(pdf)["v"].rank(na_option="nope")
+
+
+class TestStrDefaults:
+    def test_split_single_char_is_literal(self, spark, pdf):
+        got = pes.from_pandas(pdf)["s"].str.split(".").compute()
+        want = pdf["s"].str.split(".")
+        assert sorted(map(list, got)) == sorted(map(list, want))
+
+    def test_split_multi_char_is_regex(self, spark):
+        s = pd.Series(["a1b22c", "x3y"])
+        got = pes.from_pandas(s.to_frame("s"))["s"].str.split(
+            r"\d+").compute()
+        assert sorted(map(list, got)) == sorted(
+            map(list, s.str.split(r"\d+")))
+
+    def test_replace_literal_by_default(self, spark):
+        s = pd.Series(["a.b", "axb"])
+        got = pes.from_pandas(s.to_frame("s"))["s"].str.replace(
+            ".", "_").compute()
+        assert sorted(got) == sorted(s.str.replace(".", "_"))  # axb intact
+
+    def test_contains_case_and_na(self, spark, pdf):
+        s = pdf["s"].copy()
+        s.iloc[0] = None
+        got = pes.from_pandas(s.to_frame("s"))["s"].str.contains(
+            "ITEM_1", case=False, na=False).compute()
+        want = s.str.contains("ITEM_1", case=False, na=False)
+        assert sorted(got.tolist()) == sorted(want.tolist())
+
+
+class TestConcatSort:
+    def test_sort_alphabetizes_columns(self, spark, pdf):
+        c1, c2 = pdf[["k", "v"]].head(5), pdf[["s", "k"]].tail(5)
+        got = pes.concat([pes.from_pandas(c1), pes.from_pandas(c2)],
+                         sort=True).compute()
+        want = pd.concat([c1, c2], sort=True)
+        assert list(got.columns) == list(want.columns)
+        assert sorted(got["k"].tolist()) == sorted(want["k"].tolist())
+
+    def test_mixed_index_no_private_column_leak(self, spark, pdf):
+        # head() has a trivial range index, tail() a shifted one — the
+        # private engine index column must not appear as data
+        c1, c2 = pdf[["k", "v"]].head(5), pdf[["s", "k"]].tail(5)
+        got = pes.concat([pes.from_pandas(c1), pes.from_pandas(c2)])
+        assert all(not c.startswith("__index") for c in got.columns)
+
+    def test_shared_index_still_kept(self, spark):
+        a = pd.DataFrame({"x": [1, 2]}, index=[10, 11])
+        b = pd.DataFrame({"x": [3]}, index=[12])
+        got = pes.concat([pes.from_pandas(a), pes.from_pandas(b)]).compute()
+        assert sorted(got.index.tolist()) == [10, 11, 12]
