@@ -741,11 +741,15 @@ class Series(FrameBase):
             F.coalesce(self._scol.isin(list(values)), F.lit(False)), "isin")
 
     def between(self, left, right, inclusive: str = "both"):
-        """Reference Between ``_expr.py:1153-1156``."""
+        """Reference Between ``_expr.py:1153-1156``.  Named method, so it
+        materializes the pandas boolean (null value → False) — the filter
+        row-set is identical either way, and dunder predicates stay raw
+        for parquet pushdown (see the pushdown lesson in NOTES_r3)."""
         c = self._scol
         lo = (c >= F.lit(left)) if inclusive in ("both", "left") else (c > F.lit(left))
         hi = (c <= F.lit(right)) if inclusive in ("both", "right") else (c < F.lit(right))
-        return self._with_scol(lo & hi, "between", left=left, right=right,
+        return self._with_scol(F.coalesce(lo & hi, F.lit(False)),
+                               "between", left=left, right=right,
                                inclusive=inclusive)
 
     def fillna(self, value, limit: int | None = None):
@@ -976,6 +980,9 @@ class Series(FrameBase):
         agg = F.product(self._scol)
         if min_count:
             agg = F.when(F.count(self._scol) >= min_count, agg)
+        else:
+            # pandas empty-product identity
+            agg = F.coalesce(agg, F.lit(1.0))
         return self._reduce(agg, "prod", skipna)
 
     product = prod

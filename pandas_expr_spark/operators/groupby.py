@@ -217,9 +217,28 @@ class GroupBy:
         self._count_like = set(cols) if fn_name in _COUNT_LIKE_FNS else set()
         return self._finish(out, fn_name)
 
+    def _min_count_agg(self, fn_name: str, numeric_only: bool,
+                       min_count: int):
+        """pandas ``min_count=``: a group's result is null when its non-NA
+        count falls short — same single shuffle, the count rides along as
+        a second agg expression per column."""
+        cols = self._value_columns(numeric_only)
+        fn = _AGG_FNS[fn_name]
+        aggs = [F.when(F.count(F.col(c)) >= min_count,
+                       fn(F.col(c))).alias(c) for c in cols]
+        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        self._count_like = set()
+        return self._finish(out, fn_name)
+
     # -- the reference's grouped reductions (`_groupby.py:193-238`) ------
-    def sum(self, numeric_only: bool = True): return self._single_agg("sum", numeric_only)
-    def prod(self, numeric_only: bool = True): return self._single_agg("prod", numeric_only)
+    def sum(self, numeric_only: bool = True, min_count: int = 0):
+        if min_count > 0:
+            return self._min_count_agg("sum", numeric_only, min_count)
+        return self._single_agg("sum", numeric_only)
+    def prod(self, numeric_only: bool = True, min_count: int = 0):
+        if min_count > 0:
+            return self._min_count_agg("prod", numeric_only, min_count)
+        return self._single_agg("prod", numeric_only)
     def min(self, numeric_only: bool = False): return self._single_agg("min", numeric_only)
     def max(self, numeric_only: bool = False): return self._single_agg("max", numeric_only)
     def count(self): return self._single_agg("count")
@@ -467,9 +486,15 @@ class GroupBy:
 
     def transform(self, fn_name: str):
         """Group-aligned transform via a window aggregate — no second shuffle
-        when the input is already partitioned by the keys."""
+        when the input is already partitioned by the keys.  Positional
+        names (``rank``, ``cumsum``, ``shift``, …) delegate to the grouped
+        positional ops, matching the pandas ``transform("rank")`` spelling."""
         from pyspark.sql import Window
         from .._collection import DataFrame
+        if fn_name in ("rank", "cumsum", "cumprod", "cummax", "cummin",
+                       "shift", "diff", "ffill", "bfill", "cumcount",
+                       "ngroup"):
+            return getattr(self, fn_name)()
         fn = _AGG_FNS[fn_name]
         w = Window.partitionBy(*self._by)
         cols = self._value_columns(numeric_only=True)

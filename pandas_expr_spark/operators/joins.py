@@ -90,8 +90,14 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
 
     # Rename everything to unambiguous temp names, join, then project the
     # pandas-shaped output (reference suffix logic `_merge.py:39-79`).
+    # In a MIXED index join (left_on + right_index or vice versa) pandas
+    # preserves the key-column side's original index, so carry it through.
     lcols = left.columns if not left_index else list(left._index_cols) + left.columns
     rcols = right.columns if not right_index else list(right._index_cols) + right.columns
+    if right_index and not left_index and left._index_cols:
+        lcols = list(left._index_cols) + lcols
+    if left_index and not right_index and right._index_cols:
+        rcols = list(right._index_cols) + rcols
     lmap = {c: f"__L_{c}__" for c in lcols}
     rmap = {c: f"__R_{c}__" for c in rcols}
     l2 = lsdf.select([F.col(c).alias(lmap[c]) for c in lcols])
@@ -137,6 +143,7 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
     # ---- output projection --------------------------------------------
     sel = []
     out_index: list[str] = []
+    override: dict = {}
 
     if on is not None and not (left_index or right_index):
         # single coalesced key column per `on` key (pandas `on` semantics)
@@ -144,13 +151,29 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
             sel.append(F.coalesce(F.col(lmap[k]), F.col(rmap[k])).alias(k))
         key_left = set(on)
         key_right = set(on)
-    elif left_index or right_index:
+    elif left_index and right_index:
         for i, (lk, rk) in enumerate(zip(left_keys, right_keys)):
             name = lk if not lk.startswith("__") else (rk if not rk.startswith("__") else f"key_{i}")
             sel.append(F.coalesce(F.col(lmap[lk]), F.col(rmap[rk])).alias(name))
             out_index.append(name)
         key_left = set(left_keys)
         key_right = set(right_keys)
+    elif left_index or right_index:
+        # MIXED (pandas): the key-column side keeps its key as a DATA
+        # column at its in-frame position (coalesced so outer-join rows
+        # from the index side fill it) and its original index becomes the
+        # result index; the index side's key column does not appear.
+        keep = left if right_index else right
+        cmap = lmap if right_index else rmap
+        for ic in keep._index_cols:
+            sel.append(F.col(cmap[ic]).alias(ic))
+            out_index.append(ic)
+        for lk, rk in zip(left_keys, right_keys):
+            coal = F.coalesce(F.col(lmap[lk]), F.col(rmap[rk]))
+            override[("l" if right_index else "r",
+                      lk if right_index else rk)] = coal
+        key_left = set(left_keys) if left_index else set()
+        key_right = set(right_keys) if right_index else set()
     else:
         key_left = set()
         key_right = set()
@@ -160,10 +183,10 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
     collide = set(lvalue) & set(rvalue)
     for c in lvalue:
         out_name = c + suffixes[0] if c in collide else c
-        sel.append(F.col(lmap[c]).alias(out_name))
+        sel.append(override.get(("l", c), F.col(lmap[c])).alias(out_name))
     for c in rvalue:
         out_name = c + suffixes[1] if c in collide else c
-        sel.append(F.col(rmap[c]).alias(out_name))
+        sel.append(override.get(("r", c), F.col(rmap[c])).alias(out_name))
 
     if indicator:
         lp, rp = F.col("__L_present__"), F.col("__R_present__")

@@ -240,7 +240,26 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
             base = {"ME": "M", "QE": "Q", "YE": "Y"}.get(base, base)
             period_freq[c] = base + ("-" + anchor if anchor else "")
             pdf = pdf.assign(**{c: pdf[c].dt.to_timestamp(how="start")})
-    sdf = spark.createDataFrame(pdf)
+    if len(pdf) == 0:
+        # Spark cannot infer a schema from zero rows — build it from the
+        # pandas dtypes so empty frames stay first-class (schema-preserving
+        # filters, unions, tests on empty fixtures)
+        from pyspark.sql import types as _T
+        _MAP = {"int8": _T.ByteType(), "int16": _T.ShortType(),
+                "int32": _T.IntegerType(), "int64": _T.LongType(),
+                "float32": _T.FloatType(), "float64": _T.DoubleType(),
+                "bool": _T.BooleanType(), "object": _T.StringType()}
+
+        def _styp(dt):
+            if str(dt).startswith("datetime64"):
+                return _T.TimestampType()
+            return _MAP.get(str(dt), _T.StringType())
+
+        sdf = spark.createDataFrame(
+            [], _T.StructType([_T.StructField(str(c), _styp(pdf[c].dtype),
+                                              True) for c in pdf.columns]))
+    else:
+        sdf = spark.createDataFrame(pdf)
     # pandas NaN *is* missing; the Arrow path delivers float NaN as Spark
     # NaN, which Spark treats as a real (largest) value in sorts,
     # comparisons, percentile and covar — silently diverging from every

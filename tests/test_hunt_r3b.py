@@ -125,3 +125,59 @@ class TestConcatSort:
         b = pd.DataFrame({"x": [3]}, index=[12])
         got = pes.concat([pes.from_pandas(a), pes.from_pandas(b)]).compute()
         assert sorted(got.index.tolist()) == [10, 11, 12]
+
+
+class TestBatch2Fixes:
+    def test_between_null_is_false(self, spark, pdf):
+        for inc in ("both", "neither", "left", "right"):
+            got = pes.from_pandas(pdf)["v"].between(
+                -0.5, 0.5, inclusive=inc).compute()
+            want = pdf["v"].between(-0.5, 0.5, inclusive=inc)
+            assert sorted(got.tolist()) == sorted(want.tolist()), inc
+
+    def test_grouped_sum_min_count(self, spark, pdf):
+        got = pes.from_pandas(pdf).groupby("k")["v"].sum(
+            min_count=3).compute().sort_index().tolist()
+        want = pdf.groupby("k")["v"].sum(min_count=3).sort_index().tolist()
+        assert all((pd.isna(a) and pd.isna(b)) or abs(a - b) < 1e-9
+                   for a, b in zip(got, want))
+
+    def test_transform_positional_names(self, spark, pdf):
+        for fn in ("rank", "cumsum"):
+            got = pes.from_pandas(pdf).groupby("k")["v"].transform(
+                fn).compute()
+            gv = got["v"] if hasattr(got, "columns") else got
+            want = pdf.groupby("k")["v"].transform(fn)
+            assert np.allclose(
+                _sorted([x for x in gv.tolist() if not pd.isna(x)]),
+                _sorted([x for x in want.tolist() if not pd.isna(x)]))
+
+    def test_empty_frame_aggregations(self, spark):
+        emp = pd.DataFrame({"v": pd.Series([], dtype="float64"),
+                            "s": pd.Series([], dtype="object")})
+        e = pes.from_pandas(emp)
+        assert e["v"].sum().compute() == 0.0
+        assert e["v"].prod().compute() == 1.0
+        assert pd.isna(e["v"].mean().compute())
+        assert list(e.compute().columns) == ["v", "s"]
+
+    def test_merge_left_on_right_index(self, spark):
+        a = pd.DataFrame({"k": [1, 2, 1], "v": [10, 20, 30]},
+                         index=[100, 101, 102])
+        b = pd.DataFrame({"w": [7, 8]}, index=pd.Index([1, 2], name="k"))
+        got = pes.from_pandas(a).merge(
+            pes.from_pandas(b), left_on="k", right_index=True).compute()
+        want = a.merge(b, left_on="k", right_index=True)
+        assert list(got.columns) == list(want.columns)
+        assert sorted(got.index.tolist()) == sorted(want.index.tolist())
+        assert sorted(map(tuple, got.values.tolist())) == \
+               sorted(map(tuple, want.values.tolist()))
+
+    def test_merge_left_index_right_on(self, spark):
+        b = pd.DataFrame({"w": [7, 8]}, index=pd.Index([1, 2], name="k"))
+        c = pd.DataFrame({"k": [1, 2], "w2": [7, 8]}, index=[5, 6])
+        got = pes.from_pandas(b).merge(
+            pes.from_pandas(c), left_index=True, right_on="k").compute()
+        want = b.merge(c, left_index=True, right_on="k")
+        assert list(got.columns) == list(want.columns)
+        assert sorted(got.index.tolist()) == sorted(want.index.tolist())
