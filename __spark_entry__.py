@@ -4991,10 +4991,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum_running_revenue": """
             SELECT o_orderkey,
-                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
                        OVER (ORDER BY o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_price_c
+                       AS BIGINT) AS cum_price_c
             FROM orders WHERE o_custkey < 500
         """,
         "shift_diff_order_prices": """

@@ -882,14 +882,45 @@ class Series(FrameBase):
         return F.lit(other)
 
     def mask(self, cond: "Series", other=None):
+        if isinstance(other, Series) and other._sdf is not self._sdf:
+            return self._where_aligned(cond, other, keep_on_true=False)
         return self._with_scol(
             F.when(cond._scol, self._other_expr(other))
             .otherwise(self._scol), "mask")
 
     def where(self, cond: "Series", other=None):
+        if isinstance(other, Series) and other._sdf is not self._sdf:
+            return self._where_aligned(cond, other, keep_on_true=True)
         return self._with_scol(
             F.when(cond._scol, self._scol)
             .otherwise(self._other_expr(other)), "where")
+
+    def _where_aligned(self, cond: "Series", other: "Series",
+                      keep_on_true: bool) -> "Series":
+        """where/mask with a FOREIGN-frame replacement Series: pandas
+        aligns ``other`` on the index — one equi-join.  The condition is
+        materialized as a column on this frame first (it must anchor
+        here), so the join carries (value, cond) against other's value."""
+        if cond._sdf is not self._sdf:
+            raise ValueError("where/mask with both a foreign cond and a "
+                             "foreign other is not supported; align first")
+        name = self._col_name or other._col_name or "__v__"
+        lf = DataFrame(
+            self._sdf.select(*[F.col(c) for c in self._index_cols],
+                             self._scol.alias("__l__"),
+                             cond._scol.alias("__c__")),
+            Node("where_lhs", {}, self._expr),
+            self._index_cols, self._index_names)
+        rf = other.to_frame("__r__")
+        joined = _align_frames(lf, rf)
+        c = F.coalesce(F.col("__c__"), F.lit(False))
+        scol = (F.when(c, F.col("__l__")).otherwise(F.col("__r__"))
+                if keep_on_true else
+                F.when(c, F.col("__r__")).otherwise(F.col("__l__")))
+        node = Node("where" if keep_on_true else "mask", {"aligned": True},
+                    self._expr, other._expr)
+        return Series(joined._sdf, scol, name, node,
+                      joined._index_cols, joined._index_names)
 
     def combine_first(self, other: "Series") -> "Series":
         """pandas ``Series.combine_first``: index-aligned null overlay —
@@ -1259,6 +1290,12 @@ class Series(FrameBase):
 
     def _cumop(self, op: str, skipna: bool = True) -> "Series":
         from .functions import scan
+        if op in ("sum", "prod") and isinstance(
+                self._sdf.select(self._scol.alias("__t__"))
+                .schema["__t__"].dataType, T.BooleanType):
+            # pandas casts bool to int for cumulative sum/prod
+            return self._with_scol(self._scol.cast("long"),
+                                   "astype")._cumop(op, skipna)
         sdf, name, order, idx = self._ordered_base()
         if skipna:
             out = scan.prefix_scan(sdf, [(name, op, name)], order)
@@ -3209,6 +3246,12 @@ class DataFrame(FrameBase):
             raise ValueError(
                 "Boolean mask must derive from the same frame "
                 "(pandas-expr semantics: df[df.x > 1])")
+        if isinstance(key, int) and str(key) in self.columns:
+            # Spark column labels are strings; ops that produce pandas
+            # integer labels (str.partition, str.split(expand=True),
+            # unnamed str.extract groups) store them as "0", "1", … —
+            # accept the pandas int spelling
+            return self[str(key)]
         raise TypeError(f"Unsupported key type: {type(key)}")
 
     def __getattr__(self, name: str):

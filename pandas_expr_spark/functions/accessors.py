@@ -238,7 +238,16 @@ class StringAccessor(_Accessor):
         names = tuple(s._index_names or (None,) * len(s._index_cols))             + ("match",)
         return _PDF(out, node, idx, names)
 
-    def cat(self, others=None, sep: str = ""):
+    def cat(self, others=None, sep: str = "", na_rep: str | None = None):
+        if na_rep is not None:
+            # pandas na_rep: nulls render as the replacement everywhere
+            base = self._wrap(F.coalesce(self._s._scol, F.lit(na_rep)),
+                              "str.fill")
+            if others is not None and not isinstance(others, (list, tuple)):
+                others = [others]
+            if others is not None:
+                others = [o.fillna(na_rep) for o in others]
+            return base.str.cat(others, sep=sep)
         if others is None:
             # reduction form: concatenate ALL values into one string.
             # Inherently a global fold — ordered by the engine index when

@@ -156,6 +156,13 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
         c, carry = F.col(out), F.col(f"__carry_{out}")
         if op in _IDENTITY:
             carry = F.coalesce(carry, F.lit(_IDENTITY[op]))
+        if op in ("sum", "prod") and isinstance(
+                src_types[src], (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType)):
+            # keep integer cumulatives integer (pandas int64): the float
+            # identity literal (and F.product's double aggregate) would
+            # otherwise promote the whole output column to double
+            carry = carry.cast("long")
         combined = _OPS[op][1](c, carry)
         # null stays null; double NaN stays NaN (greatest/least would pick
         # around it, breaking pandas NaN propagation)

@@ -181,3 +181,44 @@ class TestBatch2Fixes:
         want = b.merge(c, left_index=True, right_on="k")
         assert list(got.columns) == list(want.columns)
         assert sorted(got.index.tolist()) == sorted(want.index.tolist())
+
+
+class TestBatch3Fixes:
+    def test_bool_cumsum_casts_to_int(self, spark):
+        s = pd.Series([True, False, True, True])
+        got = pes.from_pandas(s.to_frame("b"))["b"].cumsum().compute()
+        assert got.dtype == np.int64
+        assert got.tolist() == s.cumsum().tolist()
+
+    def test_int_cumulative_dtypes_preserved(self, spark):
+        p = pd.DataFrame({"i": [3, 1, 4, 1, 5]})
+        e = pes.from_pandas(p)
+        for op in ("cumsum", "cumprod", "cummax", "cummin"):
+            got = getattr(e["i"], op)().compute()
+            want = getattr(p["i"], op)()
+            assert got.dtype == want.dtype == np.int64, op
+            assert got.tolist() == want.tolist(), op
+
+    def test_str_cat_na_rep(self, spark):
+        s = pd.Series(["a", None, "c"])
+        e = pes.from_pandas(s.to_frame("s"))["s"]
+        assert e.str.cat(sep="|", na_rep="?").compute() == \
+               s.str.cat(sep="|", na_rep="?")
+        got = e.str.cat(e, sep="+", na_rep="?").compute()
+        assert sorted(got) == sorted(s.str.cat(s, sep="+", na_rep="?"))
+
+    def test_partition_integer_column_key(self, spark):
+        s = pd.Series(["a-b", "c", "d-e"])
+        p = pes.from_pandas(s.to_frame("s"))["s"].str.partition("-")
+        assert sorted(p[0].compute().tolist()) == \
+               sorted(s.str.partition("-")[0].tolist())
+
+    def test_where_mask_foreign_other_aligns(self, spark):
+        p = pd.DataFrame({"v": [1.0, 2.0, 3.0, -4.0]})
+        e1, e2 = pes.from_pandas(p), pes.from_pandas(p)
+        got = e1["v"].where(e1["v"] > 0, other=-e2["v"]).compute()
+        want = p["v"].where(p["v"] > 0, other=-p["v"])
+        assert sorted(got.tolist()) == sorted(want.tolist())
+        got = e1["v"].mask(e1["v"] > 0, other=e2["v"] * 10).compute()
+        want = p["v"].mask(p["v"] > 0, other=p["v"] * 10)
+        assert sorted(got.tolist()) == sorted(want.tolist())
