@@ -2673,12 +2673,14 @@ class Series(FrameBase):
         return self.compute().to_latex(*args, **kwargs)
 
     # -- time-indexed conveniences (delegate to the frame machinery) -----
-    def resample(self, freq: str, fill_empty: bool = False):
+    def resample(self, freq: str, fill_empty: bool = False,
+                 label: str | None = None, closed: str | None = None):
         """``s.resample('D').mean()`` over the datetime index — the frame
         Resampler sliced to this column (date_trunc bucketing, one
         grouped-agg shuffle)."""
         name = self._col_name if self._col_name is not None else "__v__"
-        return self.to_frame(name).resample(freq, fill_empty=fill_empty)[name]
+        return self.to_frame(name).resample(freq, fill_empty=fill_empty,
+                                            label=label, closed=closed)[name]
 
     def asfreq(self, freq: str, method: str | None = None) -> "Series":
         """Calendar-spine re-index at ``freq`` (see ``DataFrame.asfreq``)."""
@@ -2794,6 +2796,67 @@ class _SeriesRolling:
 
     def min(self) -> Series: return self._minmax("min")
     def max(self) -> Series: return self._minmax("max")
+
+    def _pairwise(self, other: "Series", want: str,
+                  ddof: int = 1) -> Series:
+        """Rolling cov/corr against another Series: pairwise-complete
+        masks feed FIVE running sums (x, y, xy, x², y²) plus the pair
+        count through ONE shared prefix scan + ONE position join
+        (``scan.rolling_agg_frame``) — the textbook moment identities do
+        the rest as column arithmetic.  ``other`` may come from a foreign
+        frame (index-aligned with one equi-join, like where/mask)."""
+        from .functions import scan
+        s = self._s
+        if not isinstance(other, Series):
+            raise NotImplementedError("rolling cov/corr needs a Series "
+                                      "other (frame-pairwise not "
+                                      "supported)")
+        if other._sdf is s._sdf:
+            base_f = DataFrame(
+                s._sdf.select(*[F.col(c) for c in s._index_cols],
+                              s._scol.alias("__x__"),
+                              other._scol.alias("__y__")),
+                Node("rolling_pair", {}, s._expr),
+                s._index_cols, s._index_names)
+        else:
+            base_f = _align_frames(s.to_frame("__x__"),
+                                   other.to_frame("__y__"))
+        if base_f._index_cols:
+            sdf, order = base_f._sdf, list(base_f._index_cols)
+            idx, names = base_f._index_cols, base_f._index_names
+        else:
+            sdf = _attach_rowid(base_f._sdf)
+            order, idx, names = [_ROWID], (_ROWID,), (None,)
+        x, y = F.col("__x__").cast("double"), F.col("__y__").cast("double")
+        m = x.isNotNull() & y.isNotNull()
+        pair_cols = {"__px__": F.when(m, x), "__py__": F.when(m, y),
+                     "__pxy__": F.when(m, x * y),
+                     "__px2__": F.when(m, x * x),
+                     "__py2__": F.when(m, y * y),
+                     "__pn__": F.when(m, F.lit(1.0))}
+        base = sdf.withColumns(pair_cols)
+        out = scan.rolling_agg_frame(base, list(pair_cols), order,
+                                     self._window, "sum", self._minp,
+                                     self._center)
+        n = F.col("__pn__")
+        sx, sy = F.col("__px__"), F.col("__py__")
+        sxy, sx2, sy2 = F.col("__pxy__"), F.col("__px2__"), F.col("__py2__")
+        if want == "cov":
+            res = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
+        else:
+            den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+            res = F.when(den > 0,
+                         (n * sxy - sx * sy) / F.sqrt(den))
+        name = s._col_name or "__v__"
+        sel = out.select(*[F.col(c) for c in idx], res.alias(name))
+        node = Node(f"rolling_{want}", {"window": self._window}, s._expr)
+        return Series(sel, F.col(name), s._col_name, node, idx, names)
+
+    def cov(self, other: "Series", ddof: int = 1) -> Series:
+        return self._pairwise(other, "cov", ddof)
+
+    def corr(self, other: "Series") -> Series:
+        return self._pairwise(other, "corr")
 
     def apply(self, func, raw: bool = False) -> Series:
         """pandas ``rolling(...).apply(func)`` for an arbitrary Python
@@ -5811,7 +5874,8 @@ class DataFrame(FrameBase):
                       "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR"}
 
     def resample(self, freq: str, on: str | None = None,
-                 fill_empty: bool = False):
+                 fill_empty: bool = False, label: str | None = None,
+                 closed: str | None = None):
         """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
 
         Calendar frequencies (``h/D/W/M/Q/Y``) lower to ``date_trunc``;
@@ -5837,6 +5901,13 @@ class DataFrame(FrameBase):
         mult = int(m.group(1)) if m.group(1) else 1
         unit = m.group(2).lower()
         ts = F.col(on)
+        if closed == "right":
+            # pandas closed='right': a value exactly on a grid edge b
+            # belongs to the bin ENDING at b — bucket the timestamp minus
+            # one microsecond (exact at Spark's timestamp resolution)
+            ts = ts - F.expr("INTERVAL 1 MICROSECOND")
+        elif closed not in (None, "left"):
+            raise ValueError(f"closed must be left/right, got {closed!r}")
         if mult == 1 and unit in self._RESAMPLE_TRUNC:
             trunc = self._RESAMPLE_TRUNC[unit]
             bucket = F.date_trunc(trunc, ts)
@@ -5847,6 +5918,12 @@ class DataFrame(FrameBase):
             step_sql = f"INTERVAL {dur}"
         else:
             raise ValueError(f"unsupported resample freq {freq!r}")
+        if label == "right":
+            # label bins by their RIGHT edge (constant shift — grouping
+            # is unchanged, only the emitted bucket label moves)
+            bucket = bucket + F.expr(step_sql)
+        elif label not in (None, "left"):
+            raise ValueError(f"label must be left/right, got {label!r}")
         from .operators.groupby import Resampler
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})

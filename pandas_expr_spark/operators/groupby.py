@@ -955,19 +955,25 @@ class GroupBy:
 
     def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)):
         """pandas ``groupby.describe`` (count/mean/std/min/percentiles/max
-        per numeric column), MultiIndex flattened to ``col_stat``.  Exact
-        percentiles via ``F.percentile`` — still one partial+final agg."""
+        per numeric column), MultiIndex flattened to ``col_stat``.  A
+        single-column slice (``groupby(k)[v].describe()``) uses the bare
+        stat names like pandas.  Exact percentiles via ``F.percentile`` —
+        still one partial+final agg."""
+        cols = self._value_columns(numeric_only=True)
+        single = len(cols) == 1 and self._slice is not None
+        name = (lambda c, stat: stat) if single else \
+            (lambda c, stat: f"{c}_{stat}")
         aggs = []
-        for c in self._value_columns(numeric_only=True):
+        for c in cols:
             col = F.col(c)
-            aggs += [F.count(col).cast("double").alias(f"{c}_count"),
-                     F.avg(col).alias(f"{c}_mean"),
-                     F.stddev_samp(col).alias(f"{c}_std"),
-                     F.min(col).cast("double").alias(f"{c}_min")]
+            aggs += [F.count(col).cast("double").alias(name(c, "count")),
+                     F.avg(col).alias(name(c, "mean")),
+                     F.stddev_samp(col).alias(name(c, "std")),
+                     F.min(col).cast("double").alias(name(c, "min"))]
             for p in percentiles:
                 aggs.append(F.percentile(col, F.lit(p))
-                            .alias(f"{c}_{int(p * 100)}%"))
-            aggs.append(F.max(col).cast("double").alias(f"{c}_max"))
+                            .alias(name(c, f"{int(p * 100)}%")))
+            aggs.append(F.max(col).cast("double").alias(name(c, "max")))
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set()
         return self._finish(out, "describe")

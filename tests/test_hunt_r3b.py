@@ -222,3 +222,53 @@ class TestBatch3Fixes:
         got = e1["v"].mask(e1["v"] > 0, other=e2["v"] * 10).compute()
         want = p["v"].mask(p["v"] > 0, other=p["v"] * 10)
         assert sorted(got.tolist()) == sorted(want.tolist())
+
+
+class TestBatch4Fixes:
+    def test_rolling_corr_cov(self, spark):
+        rng = np.random.RandomState(3)
+        p = pd.DataFrame({"v": rng.randn(30).round(2),
+                          "w": rng.rand(30).round(2)})
+        p.loc[4, "v"] = np.nan
+        p.loc[9, "w"] = np.nan
+        e = pes.from_pandas(p)
+        for op, kw in (("corr", {}), ("cov", {}),
+                       ("cov", {"ddof": 0})):
+            got = getattr(e["v"].rolling(5), op)(e["w"], **kw).compute()
+            want = getattr(p["v"].rolling(5), op)(p["w"], **kw)
+            assert got.isna().sum() == want.isna().sum()
+            assert np.allclose(sorted(got.dropna().round(8)),
+                               sorted(want.dropna().round(8))), (op, kw)
+
+    def test_rolling_corr_min_periods(self, spark):
+        rng = np.random.RandomState(4)
+        p = pd.DataFrame({"v": rng.randn(20), "w": rng.randn(20)})
+        e = pes.from_pandas(p)
+        got = e["v"].rolling(8, min_periods=3).cov(e["w"]).compute()
+        want = p["v"].rolling(8, min_periods=3).cov(p["w"])
+        assert got.isna().sum() == want.isna().sum()
+        assert np.allclose(sorted(got.dropna().round(8)),
+                           sorted(want.dropna().round(8)))
+
+    def test_resample_label_closed(self, spark):
+        rng = np.random.RandomState(5)
+        p = pd.DataFrame({
+            "v": rng.randn(18).round(2),
+            "t": pd.date_range("2024-03-01", periods=18, freq="9h31min")})
+        ev = p.set_index("t")
+        e = pes.from_pandas(p).set_index("t")
+        for kw in ({"label": "right"}, {"closed": "right"},
+                   {"label": "right", "closed": "right"}):
+            got = e.resample("12h", **kw)["v"].sum().compute().sort_index()
+            want = ev.resample("12h", **kw)["v"].sum().sort_index()
+            want = want[want != 0]  # engine omits empty bins (documented)
+            assert list(got.index) == list(want.index), kw
+            assert np.allclose(got.values, want.values), kw
+
+    def test_grouped_describe_slice_names(self, spark):
+        p = pd.DataFrame({"k": [0, 0, 1, 1, 2], "v": [1., 2., 3., 4., 5.]})
+        got = pes.from_pandas(p).groupby("k")["v"].describe().compute()
+        want = p.groupby("k")["v"].describe()
+        assert list(got.columns) == list(want.columns)
+        got_full = pes.from_pandas(p).groupby("k").describe().compute()
+        assert "v_mean" in got_full.columns  # unsliced keeps col prefix
