@@ -162,6 +162,66 @@ def _raw_floordiv(a: Column, b: Column) -> Column:
     return F.floor((a - _pymod_raw(a, b)) / b)
 
 
+def _dfloor(q: Column) -> Column:
+    """Floor for FLOAT floordiv that survives float64 range: Spark's
+    ``floor`` returns a long (saturating at 2^63 — ``1.0 // 5e-309``
+    silently became int64 max), but any |q| ≥ 2^53 is already an exact
+    integer double, so only small values need the actual floor."""
+    big = F.abs(q) >= F.lit(9007199254740992.0)
+    return F.when(big | F.isnan(q), q) \
+            .otherwise(F.floor(q).cast("double"))
+
+
+def _raw_floordiv_f(a: Column, b: Column) -> Column:
+    return _dfloor((a - _pymod_raw(a, b)) / b)
+
+
+def _pandas_floordiv_f(a: Column, b: Column) -> Column:
+    zero = F.when(a == 0, F.lit(_NAN)) \
+            .otherwise(F.signum(a) * _zero_sign(b) * F.lit(_INF))
+    return F.when(b == 0, zero).otherwise(_raw_floordiv_f(a, b))
+
+
+def _float_operands(s, other) -> bool:
+    """True when a Series floordiv involves a float operand — the result
+    must stay float64 (pandas) instead of Spark floor's long."""
+    ft = (T.DoubleType, T.FloatType)
+    if isinstance(getattr(s, "spark_type", None), ft):
+        return True
+    if isinstance(other, float):
+        return True
+    if hasattr(other, "spark_type") and isinstance(other.spark_type, ft):
+        return True
+    return False
+
+
+def _floordiv_fn(s, other):
+    """Pick the floordiv lowering by operand types + divisor safety."""
+    if _float_operands(s, other):
+        return _raw_floordiv_f if _safe_nonzero(other) else _pandas_floordiv_f
+    return _raw_floordiv if _safe_nonzero(other) else _pandas_floordiv
+
+
+def _floordiv_typed(other, swap: bool = False):
+    """Frame floordiv lowering: per-COLUMN dtype decides float vs long
+    floor (a frame can mix int and float columns).  Marked ``_typed`` so
+    ``_frame_binop`` passes each column's Spark DataType through."""
+    safe = _safe_nonzero(other)
+    other_float = isinstance(other, float)
+
+    def fn(a, b, dts):
+        is_f = other_float or any(
+            isinstance(t, (T.DoubleType, T.FloatType)) for t in dts)
+        if swap:
+            a, b = b, a
+        if is_f:
+            return _raw_floordiv_f(a, b) if safe else _pandas_floordiv_f(a, b)
+        return _raw_floordiv(a, b) if safe else _pandas_floordiv(a, b)
+
+    fn._typed = True
+    return fn
+
+
 def _pandas_pow(a: Column, b: Column) -> Column:
     """IEEE 754 / pandas pow: ``x**0 == 1`` and ``1**y == 1`` even when
     the other operand is NaN/null (Spark's pow propagates null)."""
@@ -555,8 +615,7 @@ class Series(FrameBase):
         # CPython floor division is (a - a.__mod__(b)) / b — NOT
         # floor(a/b), which loses when a/b underflows (denormal a):
         # 5e-324 // -2 is -1.0 in Python but floor(-0.0) = -0.0
-        fn = _raw_floordiv if _safe_nonzero(o) else _pandas_floordiv
-        return self._binop(o, fn, "floordiv")
+        return self._binop(o, _floordiv_fn(self, o), "floordiv")
 
     # pandas named arithmetic with fill_value: a null on ONE side takes
     # the fill; both-null stays null.  The wrapped fn flows through BOTH
@@ -2479,13 +2538,14 @@ class Series(FrameBase):
             other, lambda a, b: _pandas_mod(b, a), "rmod", fill_value)
 
     def floordiv(self, other, fill_value=None):
-        fn = _raw_floordiv if _safe_nonzero(other) else _pandas_floordiv
-        return self._named_binop(other, fn, "floordiv", fill_value)
+        return self._named_binop(other, _floordiv_fn(self, other),
+                                 "floordiv", fill_value)
 
     def rfloordiv(self, other, fill_value=None):
+        fd = (_pandas_floordiv_f if _float_operands(self, other)
+              else _pandas_floordiv)
         return self._named_binop(
-            other, lambda a, b: _pandas_floordiv(b, a), "rfloordiv",
-            fill_value)
+            other, lambda a, b: fd(b, a), "rfloordiv", fill_value)
 
     def divmod(self, other, fill_value=None):
         return (self.floordiv(other, fill_value),
@@ -3646,8 +3706,13 @@ class DataFrame(FrameBase):
     # df ∘ df with index alignment; reference Binop applies frame-wide) --
     def _frame_binop(self, other, fn, op: str,
                      reflexive: bool = False) -> "DataFrame":
+        # fn marked ``_typed`` receives the operand Spark DataTypes as a
+        # third arg — lets per-column lowering follow dtype (floordiv must
+        # stay float for float columns but long for int columns)
+        typed = getattr(fn, "_typed", False)
         if isinstance(other, DataFrame):
             joined, lcols, rcols = _index_outer_join(self, other)
+            jtypes = {f.name: f.dataType for f in joined._sdf.schema.fields}
             out_cols = [F.col(c) for c in joined._index_cols]
             # pandas: the aligned result's columns are the SORTED union
             for name in sorted(dict.fromkeys(self.columns + other.columns)):
@@ -3656,7 +3721,9 @@ class DataFrame(FrameBase):
                     a, b = F.col(l), F.col(r)
                     if reflexive:
                         a, b = b, a
-                    out_cols.append(fn(a, b).alias(name))
+                    expr = (fn(a, b, (jtypes[l], jtypes[r])) if typed
+                            else fn(a, b))
+                    out_cols.append(expr.alias(name))
                 else:
                     # pandas: columns present on one side only become NaN
                     out_cols.append(F.lit(None).cast("double").alias(name))
@@ -3676,7 +3743,8 @@ class DataFrame(FrameBase):
             a, b = F.col(c), lit
             if reflexive:
                 a, b = b, a
-            updates[c] = fn(a, b)
+            updates[c] = (fn(a, b, (self._sdf.schema[c].dataType,))
+                          if typed else fn(a, b))
         return self._derive(self._sdf.withColumns(updates), op,
                             {"other": repr(other)})
 
@@ -3696,8 +3764,7 @@ class DataFrame(FrameBase):
         fn = _pymod_raw if _safe_nonzero(o) else _pandas_mod
         return self._frame_binop(o, fn, "mod")
     def __floordiv__(self, o):
-        fn = _raw_floordiv if _safe_nonzero(o) else _pandas_floordiv
-        return self._frame_binop(o, fn, "floordiv")
+        return self._frame_binop(o, _floordiv_typed(o), "floordiv")
     def __neg__(self): return self._frame_binop(-1, lambda a, b: a * b, "neg")
 
     # comparisons produce a boolean frame; strings compare fine, so no
@@ -3751,12 +3818,15 @@ class DataFrame(FrameBase):
         if fill_value is None:
             return self._frame_binop(other, fn, op)
         fv = F.lit(fill_value)
+        typed = getattr(fn, "_typed", False)
 
-        def filled(a, b):
+        def filled(a, b, dts=None):
             both_null = a.isNull() & b.isNull()
-            r = fn(F.coalesce(a, fv), F.coalesce(b, fv))
+            r = (fn(F.coalesce(a, fv), F.coalesce(b, fv), dts) if typed
+                 else fn(F.coalesce(a, fv), F.coalesce(b, fv)))
             return F.when(both_null, F.lit(None).cast("double")).otherwise(r)
 
+        filled._typed = typed
         return self._frame_binop(other, filled, op)
 
     def _binop_axis0(self, other: "Series", fn, op: str) -> "DataFrame":
@@ -3765,8 +3835,16 @@ class DataFrame(FrameBase):
         foreign series costs one index equi-join."""
         num = [c for c in self.columns
                if is_numeric(self._sdf.schema[c].dataType)]
+        typed = getattr(fn, "_typed", False)
+
+        def _ap(c):
+            if typed:
+                return fn(F.col(c), other._scol,
+                          (self._sdf.schema[c].dataType, other.spark_type))
+            return fn(F.col(c), other._scol)
+
         if other._sdf is self._sdf:
-            updates = {c: fn(F.col(c), other._scol) for c in num}
+            updates = {c: _ap(c) for c in num}
             return self._derive(self._sdf.withColumns(updates), op, {})
         if not self._index_cols or not other._index_cols:
             raise ValueError(f"{op}(axis=0) with a foreign series needs an "
@@ -3776,7 +3854,10 @@ class DataFrame(FrameBase):
                                 zip(of._index_cols, self._index_cols)],
                               F.col("__o__"))
         joined = self._sdf.join(osel, on=list(self._index_cols), how="left")
-        updates = {c: fn(F.col(c), F.col("__o__")) for c in num}
+        updates = {c: (fn(F.col(c), F.col("__o__"),
+                          (self._sdf.schema[c].dataType, other.spark_type))
+                       if typed else fn(F.col(c), F.col("__o__")))
+                   for c in num}
         return self._derive(joined.withColumns(updates).drop("__o__"),
                             op, {"axis": 0})
 
@@ -3834,11 +3915,11 @@ class DataFrame(FrameBase):
                                  "rmod", fill_value, axis)
 
     def floordiv(self, other, fill_value=None, axis=None):
-        fn = _raw_floordiv if _safe_nonzero(other) else _pandas_floordiv
-        return self._named_binop(other, fn, "floordiv", fill_value, axis)
+        return self._named_binop(other, _floordiv_typed(other), "floordiv",
+                                 fill_value, axis)
 
     def rfloordiv(self, other, fill_value=None, axis=None):
-        return self._named_binop(other, lambda a, b: _pandas_floordiv(b, a),
+        return self._named_binop(other, _floordiv_typed(other, swap=True),
                                  "rfloordiv", fill_value, axis)
 
     def divide(self, other, fill_value=None, axis=None):

@@ -272,3 +272,35 @@ class TestBatch4Fixes:
         assert list(got.columns) == list(want.columns)
         got_full = pes.from_pandas(p).groupby("k").describe().compute()
         assert "v_mean" in got_full.columns  # unsliced keeps col prefix
+
+
+class TestFloordivDtypes:
+    def test_float_floordiv_stays_float_and_survives_range(self, spark):
+        p = pd.DataFrame({"v": [5.5, -2.5, 1e300,
+                                2.225073858507203e-309]})
+        e = pes.from_pandas(p)
+        got = (e["v"] // 2).compute()
+        want = p["v"] // 2
+        assert got.dtype == np.float64
+        assert np.allclose(got.tolist(), want.tolist())  # 5e299 intact
+
+    def test_rfloordiv_subnormal_to_inf(self, spark):
+        # hypothesis find: 1.0 // 2.2e-309 overflows float64 → pandas inf;
+        # Spark's long-typed floor saturated at int64 max instead
+        p = pd.DataFrame({"v": [2.225073858507203e-309]})
+        got = pes.from_pandas(p)["v"].rfloordiv(1.0).compute()
+        assert np.isinf(got.iloc[0])
+
+    def test_int_floordiv_stays_int(self, spark):
+        p = pd.DataFrame({"n": [7, -8, 9]})
+        got = (pes.from_pandas(p)["n"] // 2).compute()
+        assert got.dtype == np.int64
+        assert got.tolist() == (p["n"] // 2).tolist()
+
+    def test_frame_mixed_dtype_floordiv(self, spark):
+        m = pd.DataFrame({"a": [7, -8, 9], "b": [5.5, -2.5, 1e300]})
+        got = (pes.from_pandas(m) // 2).compute()
+        want = m // 2
+        assert dict(got.dtypes) == dict(want.dtypes)
+        assert np.allclose(got["b"], want["b"])
+        assert got["a"].tolist() == want["a"].tolist()
