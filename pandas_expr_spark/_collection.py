@@ -3207,6 +3207,63 @@ class _SeriesExpanding:
     def min(self) -> Series: return self._agg("min")
     def max(self) -> Series: return self._agg("max")
 
+    def _pairwise(self, other: "Series", want: str,
+                  ddof: int = 1) -> Series:
+        """Expanding cov/corr: the pairwise-masked moment sums ARE prefix
+        sums — one shared scan, no position join at all (cheaper than the
+        rolling form).  Foreign-frame ``other`` index-aligns first."""
+        from .functions import scan
+        s = self._s
+        if not isinstance(other, Series):
+            raise NotImplementedError("expanding cov/corr needs a Series")
+        if other._sdf is s._sdf:
+            base_f = DataFrame(
+                s._sdf.select(*[F.col(c) for c in s._index_cols],
+                              s._scol.alias("__x__"),
+                              other._scol.alias("__y__")),
+                Node("expanding_pair", {}, s._expr),
+                s._index_cols, s._index_names)
+        else:
+            base_f = _align_frames(s.to_frame("__x__"),
+                                   other.to_frame("__y__"))
+        if base_f._index_cols:
+            sdf, order = base_f._sdf, list(base_f._index_cols)
+            idx, names = base_f._index_cols, base_f._index_names
+        else:
+            sdf = _attach_rowid(base_f._sdf)
+            order, idx, names = [_ROWID], (_ROWID,), (None,)
+        x, y = F.col("__x__").cast("double"), F.col("__y__").cast("double")
+        m = x.isNotNull() & y.isNotNull()
+        z = lambda c: F.coalesce(F.when(m, c), F.lit(0.0))
+        base = (sdf.withColumn("__px__", z(x)).withColumn("__py__", z(y))
+                .withColumn("__pxy__", z(x * y))
+                .withColumn("__px2__", z(x * x))
+                .withColumn("__py2__", z(y * y))
+                .withColumn("__pn__", m.cast("long")))
+        specs = [(c, "sum", c.replace("__p", "__S")) for c in
+                 ("__px__", "__py__", "__pxy__", "__px2__", "__py2__",
+                  "__pn__")]
+        scanned = scan.prefix_scan(base, specs, order)
+        n = F.col("__Sn__").cast("double")
+        sx, sy = F.col("__Sx__"), F.col("__Sy__")
+        sxy, sx2, sy2 = F.col("__Sxy__"), F.col("__Sx2__"), F.col("__Sy2__")
+        if want == "cov":
+            res = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
+        else:
+            den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+            res = F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den))
+        res = F.when(n >= F.lit(max(self._minp, 1)), res)
+        name = s._col_name or "__v__"
+        sel = scanned.select(*[F.col(c) for c in idx], res.alias(name))
+        node = Node(f"expanding_{want}", {}, s._expr)
+        return Series(sel, F.col(name), s._col_name, node, idx, names)
+
+    def cov(self, other: "Series", ddof: int = 1) -> Series:
+        return self._pairwise(other, "cov", ddof)
+
+    def corr(self, other: "Series") -> Series:
+        return self._pairwise(other, "corr")
+
 
 class Index(Series):
     """The engine-managed index as a collection

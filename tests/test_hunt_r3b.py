@@ -304,3 +304,29 @@ class TestFloordivDtypes:
         assert dict(got.dtypes) == dict(want.dtypes)
         assert np.allclose(got["b"], want["b"])
         assert got["a"].tolist() == want["a"].tolist()
+
+
+class TestExpandingPairwise:
+    def test_expanding_corr_cov(self, spark):
+        rng = np.random.RandomState(8)
+        p = pd.DataFrame({"v": rng.randn(25).round(2),
+                          "w": rng.rand(25).round(2)})
+        p.loc[3, "v"] = np.nan
+        p.loc[11, "w"] = np.nan
+        e = pes.from_pandas(p)
+        for op in ("corr", "cov"):
+            got = getattr(e["v"].expanding(), op)(e["w"]).compute()
+            want = getattr(p["v"].expanding(), op)(p["w"])
+            assert got.isna().sum() == want.isna().sum(), op
+            assert np.allclose(sorted(got.dropna().round(8)),
+                               sorted(want.dropna().round(8))), op
+
+    def test_expanding_cov_min_periods(self, spark):
+        rng = np.random.RandomState(9)
+        p = pd.DataFrame({"v": rng.randn(15), "w": rng.randn(15)})
+        e = pes.from_pandas(p)
+        got = e["v"].expanding(min_periods=5).cov(e["w"]).compute()
+        want = p["v"].expanding(min_periods=5).cov(p["w"])
+        assert got.isna().sum() == want.isna().sum()
+        assert np.allclose(sorted(got.dropna().round(8)),
+                           sorted(want.dropna().round(8)))
