@@ -715,6 +715,61 @@ class Series(FrameBase):
     # ------------------------------------------------------------------
     def abs(self): return self._with_scol(F.abs(self._scol), "abs")
 
+    # NumPy universal-function protocol: np.sqrt(series) etc. lower to the
+    # JVM-side column function — no data leaves Spark.  Binary ufuncs
+    # fall back to the reflected dunders via NotImplemented.
+    _UFUNC_MAP = {
+        "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log2": F.log2,
+        "log10": F.log10, "log1p": F.log1p, "expm1": F.expm1,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "arcsin": F.asin,
+        "arccos": F.acos, "arctan": F.atan, "sinh": F.sinh,
+        "cosh": F.cosh, "tanh": F.tanh, "absolute": F.abs, "fabs": F.abs,
+        "floor": F.floor, "ceil": F.ceil, "rint": F.bround,
+        "sign": F.signum, "negative": lambda c: -c, "cbrt": F.cbrt,
+        "degrees": F.degrees, "radians": F.radians,
+        "isnan": F.isnan, "reciprocal": lambda c: F.lit(1.0) / c,
+        "square": lambda c: c * c,
+    }
+    _UFUNC_BINARY = {"add": "__add__", "subtract": "__sub__",
+                     "multiply": "__mul__", "true_divide": "__truediv__",
+                     "divide": "__truediv__", "floor_divide": "__floordiv__",
+                     "mod": "__mod__", "power": "__pow__",
+                     "maximum": None, "minimum": None,
+                     "arctan2": None, "hypot": None}
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        name = ufunc.__name__
+        if len(inputs) == 1 and inputs[0] is self and name in self._UFUNC_MAP:
+            return self._with_scol(
+                self._UFUNC_MAP[name](self._scol).cast("double")
+                if name not in ("isnan", "sign", "negative")
+                else self._UFUNC_MAP[name](self._scol), f"np.{name}")
+        if len(inputs) == 2 and name in self._UFUNC_BINARY:
+            a, b = inputs
+            if name == "maximum" or name == "minimum":
+                fn = F.greatest if name == "maximum" else F.least
+                if a is self:
+                    other = b._scol if isinstance(b, Series) else F.lit(b)
+                    return self._with_scol(fn(self._scol, other), name)
+                other = a._scol if isinstance(a, Series) else F.lit(a)
+                return self._with_scol(fn(other, self._scol), name)
+            if name in ("arctan2", "hypot"):
+                fn = F.atan2 if name == "arctan2" else F.hypot
+                if a is self:
+                    other = b._scol if isinstance(b, Series) else F.lit(b)
+                    return self._with_scol(fn(self._scol, other), name)
+                other = a._scol if isinstance(a, Series) else F.lit(a)
+                return self._with_scol(fn(other, self._scol), name)
+            dunder = self._UFUNC_BINARY[name]
+            if a is self:
+                return getattr(self, dunder)(b)
+            rd = dunder.replace("__", "__r", 1)
+            if hasattr(self, rd):
+                return getattr(self, rd)(a)
+        return NotImplemented
+
     def floor(self):
         """``F.floor`` — LongType result; ties-free (unlike round), so
         double→cents scaling is bit-identical across engines."""
@@ -733,14 +788,37 @@ class Series(FrameBase):
         ``F.least(F.greatest(col, lower), upper)``, with a missing-value
         guard: Spark's greatest/least *skip* nulls and order NaN above every
         double, which would turn missing values into the clip bounds —
-        pandas keeps them missing."""
+        pandas keeps them missing.  A foreign-frame Series bound is
+        index-aligned with one equi-join per bound (like where/mask)."""
+        ser_bounds = [b for b in (lower, upper) if isinstance(b, Series)]
+        if any(b._sdf is not self._sdf for b in ser_bounds):
+            cur = self.to_frame("__self__")
+            if isinstance(lower, Series):
+                cur = _align_frames(cur, lower.to_frame("__lo__"))
+            if isinstance(upper, Series):
+                cur = _align_frames(cur, upper.to_frame("__hi__"))
+            c = F.col("__self__")
+            clipped = c
+            if lower is not None:
+                clipped = F.greatest(clipped, F.col("__lo__") if
+                                     isinstance(lower, Series)
+                                     else F.lit(lower))
+            if upper is not None:
+                clipped = F.least(clipped, F.col("__hi__") if
+                                   isinstance(upper, Series)
+                                   else F.lit(upper))
+            guard = c.isNull()
+            if isinstance(self.spark_type, (T.DoubleType, T.FloatType)):
+                guard = guard | F.isnan(c)
+            node = Node("clip", {"aligned": True}, self._expr)
+            return Series(cur._sdf, F.when(guard, c).otherwise(clipped),
+                          self._col_name, node, cur._index_cols,
+                          cur._index_names)
+
         def _bound(b):
             # Series bound: same-anchor column composes directly (pandas
-            # elementwise clip); cross-anchor needs an explicit align first
+            # elementwise clip)
             if isinstance(b, Series):
-                if b._sdf is not self._sdf:
-                    raise ValueError("clip with a Series bound requires the "
-                                     "same frame; align first")
                 return b._scol
             return F.lit(b)
 
@@ -4843,10 +4921,17 @@ class DataFrame(FrameBase):
                  if is_numeric(self._sdf.schema[c].dataType)}
         return self._derive(self._sdf.withColumns(casts), "abs", {})
 
-    def round(self, decimals: int = 0) -> "DataFrame":
-        # HALF_EVEN to match numpy (see Series.round)
-        casts = {c: F.bround(F.col(c), decimals) for c in self.columns
-                 if is_numeric(self._sdf.schema[c].dataType)}
+    def round(self, decimals=0) -> "DataFrame":
+        # HALF_EVEN to match numpy (see Series.round).  dict decimals:
+        # per-column precision, non-listed columns untouched (pandas)
+        if isinstance(decimals, Mapping):
+            casts = {c: F.bround(F.col(c), int(d))
+                     for c, d in decimals.items()
+                     if c in self.columns
+                     and is_numeric(self._sdf.schema[c].dataType)}
+        else:
+            casts = {c: F.bround(F.col(c), decimals) for c in self.columns
+                     if is_numeric(self._sdf.schema[c].dataType)}
         return self._derive(self._sdf.withColumns(casts), "round",
                             {"decimals": decimals})
 
@@ -5766,12 +5851,27 @@ class DataFrame(FrameBase):
         return Series(out, F.col("__cw__"), None, node,
                       ("__cw_idx__",), (None,))
 
-    def corr(self, method: str = "pearson") -> "DataFrame":
+    def corr(self, method: str = "pearson",
+             min_periods: int | None = None) -> "DataFrame":
         """pandas ``df.corr()``: pairwise correlation matrix via ``F.corr``
         — single pass, no shuffle beyond the agg.  ``spearman`` rank-
         transforms every numeric column first (distinct-value rank tables,
         one value-shuffle per column, no global row window) then runs the
-        same Pearson pass on the ranks."""
+        same Pearson pass on the ranks.  ``min_periods``: cells with fewer
+        pairwise-complete rows go null (same single pass — the pair count
+        rides as a second agg expression)."""
+        if min_periods is not None:
+            mp = int(min_periods)
+
+            def guarded(a: Column, b: Column) -> Column:
+                x, y = a.cast("double"), b.cast("double")
+                n = F.count(F.when(x.isNotNull() & y.isNotNull(), 1))
+                return F.when(n >= mp, F.corr(x, y))
+
+            if method != "pearson":
+                raise NotImplementedError(
+                    "corr(min_periods=) supports pearson only")
+            return self._pairwise(guarded, "corr")
         if method == "pearson":
             return self._pairwise(F.corr, "corr")
         if method == "spearman":
@@ -6176,12 +6276,14 @@ class DataFrame(FrameBase):
               left_on=None, right_on=None, left_index: bool = False,
               right_index: bool = False, suffixes: tuple = ("_x", "_y"),
               indicator: bool = False, broadcast: bool | None = None,
-              hint: str | None = None) -> "DataFrame":
+              hint: str | None = None,
+              validate: str | None = None) -> "DataFrame":
         from .operators.joins import merge as _merge
         return _merge(self, right, how=how, on=on, left_on=left_on, hint=hint,
                       right_on=right_on, left_index=left_index,
                       right_index=right_index, suffixes=suffixes,
-                      indicator=indicator, broadcast=broadcast)
+                      indicator=indicator, broadcast=broadcast,
+                      validate=validate)
 
     def join(self, other, on=None, how: str = "left",
              lsuffix: str = "", rsuffix: str = "") -> "DataFrame":

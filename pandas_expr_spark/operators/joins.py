@@ -35,7 +35,8 @@ def _ensure_list(x):
 def merge(left, right, how: str = "inner", on=None, left_on=None,
           right_on=None, left_index: bool = False, right_index: bool = False,
           suffixes: tuple = ("_x", "_y"), indicator: bool = False,
-          broadcast: bool | None = None, hint: str | None = None):
+          broadcast: bool | None = None, hint: str | None = None,
+          validate: str | None = None):
     from .._collection import DataFrame, Series, _frame_with_index
 
     if isinstance(right, Series):
@@ -84,6 +85,30 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
 
     if len(left_keys) != len(right_keys):
         raise ValueError("len(left_on) must equal len(right_on)")
+
+    if validate is not None:
+        # pandas validate=: uniqueness check on the join keys.  This is an
+        # EAGER action (one groupBy-count + limit-1 per checked side) —
+        # same documented contract as get_dummies' distinct discovery.
+        canon = {"1:1": "one_to_one", "1:m": "one_to_many",
+                 "m:1": "many_to_one", "m:m": "many_to_many"}
+        v = canon.get(validate, validate)
+        if v not in canon.values():
+            raise ValueError(f"invalid validate argument {validate!r}")
+
+        def _has_dups(frame, keys):
+            return (frame._sdf.groupBy(*[F.col(k) for k in keys])
+                    .count().filter(F.col("count") > 1).limit(1)
+                    .count() > 0)
+
+        if v in ("one_to_one", "one_to_many") and _has_dups(left, left_keys):
+            raise ValueError(
+                f"Merge keys are not unique in left dataset; not a "
+                f"{v} merge")
+        if v in ("one_to_one", "many_to_one") and _has_dups(right, right_keys):
+            raise ValueError(
+                f"Merge keys are not unique in right dataset; not a "
+                f"{v} merge")
 
     lsdf = left._sdf if not left_index else left._sdf
     rsdf = right._sdf

@@ -330,3 +330,57 @@ class TestExpandingPairwise:
         assert got.isna().sum() == want.isna().sum()
         assert np.allclose(sorted(got.dropna().round(8)),
                            sorted(want.dropna().round(8)))
+
+
+class TestBatch5Fixes:
+    def test_numpy_ufunc_protocol(self, spark):
+        p = pd.DataFrame({"v": [0.5, 1.5, 2.5], "w": [0.1, 0.2, 0.3]})
+        e = pes.from_pandas(p)
+        for uf in (np.sqrt, np.log, np.exp, np.sin, np.floor, np.square):
+            got = uf(e["v"]).compute().sort_values().reset_index(drop=True)
+            want = uf(p["v"]).sort_values().reset_index(drop=True)
+            assert np.allclose(got, want) and got.dtype == want.dtype, uf
+        got = np.maximum(e["v"], 1.0).compute()
+        assert sorted(got) == sorted(np.maximum(p["v"], 1.0))
+        got = np.arctan2(e["v"], e["w"]).compute()
+        assert np.allclose(sorted(got), sorted(np.arctan2(p["v"], p["w"])))
+
+    def test_clip_foreign_series_bounds(self, spark):
+        p = pd.DataFrame({"v": [1.0, 5.0, 3.0], "lo": [2.0, 2.0, 2.0],
+                          "hi": [4.0, 4.0, 4.0]})
+        e1, e2, e3 = (pes.from_pandas(p) for _ in range(3))
+        got = e1["v"].clip(lower=e2["lo"], upper=e3["hi"]).compute()
+        want = p["v"].clip(lower=p["lo"], upper=p["hi"])
+        assert sorted(got.tolist()) == sorted(want.tolist())
+
+    def test_round_dict(self, spark):
+        p = pd.DataFrame({"v": [1.2345, 2.3456], "w": [3.4567, 4.5678]})
+        got = pes.from_pandas(p).round({"v": 1, "w": 2}).compute()
+        want = p.round({"v": 1, "w": 2})
+        assert np.allclose(sorted(got["v"]), sorted(want["v"]))
+        assert np.allclose(sorted(got["w"]), sorted(want["w"]))
+
+    def test_merge_validate(self, spark):
+        a = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+        b = pd.DataFrame({"k": [1, 2], "w": [3.0, 4.0]})
+        dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+        got = pes.from_pandas(a).merge(pes.from_pandas(b), on="k",
+                                       validate="1:1").compute()
+        assert len(got) == 2
+        with pytest.raises(ValueError, match="not unique in left"):
+            pes.from_pandas(dup).merge(pes.from_pandas(b), on="k",
+                                       validate="1:1")
+        with pytest.raises(ValueError, match="not unique in right"):
+            pes.from_pandas(a).merge(pes.from_pandas(dup), on="k",
+                                     validate="m:1")
+        # m:m never raises
+        pes.from_pandas(dup).merge(pes.from_pandas(dup), on="k",
+                                   validate="m:m")
+
+    def test_corr_min_periods(self, spark):
+        p = pd.DataFrame({"v": np.arange(10.0),
+                          "w": np.arange(10.0) * 2})
+        p.loc[0:7, "w"] = np.nan
+        got = pes.from_pandas(p).corr(min_periods=5).compute()
+        want = p.corr(min_periods=5)
+        assert (got.isna().values == want.isna().values).all()
