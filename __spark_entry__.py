@@ -2894,6 +2894,35 @@ def resample_gapfill_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "day"))
 
 
+def rolling_corr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(20).corr between two order columns over the key order —
+    the pairwise-moment path (one shared prefix scan + one position
+    join, ``_SeriesRolling._pairwise``) vs DuckDB's window ``corr`` with
+    the pandas min-periods guard."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    r = o["o_totalprice"].rolling(20).corr(o["o_custkey"])
+    return (r.to_frame("c").reset_index().to_spark()
+            .select("o_orderkey", F.round(F.col("c"), 4).alias("corr20")))
+
+
+def rank_naopt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.rank(na_option=top/bottom, method=average) on a column with
+    DETERMINISTICALLY injected nulls (event_id % 7 — identical expression
+    in both engines).  Oracle: avg(row_number) over the value partition
+    with NULLS FIRST/LAST ordering — exactly pandas' average-tie rank
+    with nulls pinned to the chosen end."""
+    import pandas_expr_spark as pes
+    ev = pes.read_parquet(f"{sf_dir}/events.parquet").set_index("event_id")
+    masked = ev["value"].mask((ev.index % 7) == 0)
+    top = masked.rank(method="average", na_option="top")
+    bot = masked.rank(method="average", na_option="bottom")
+    out = top.to_frame("rank_top").reset_index().to_spark().join(
+        bot.to_frame("rank_bottom").reset_index().to_spark(), "event_id")
+    return out.select("event_id", F.round("rank_top", 2).alias("rank_top"),
+                      F.round("rank_bottom", 2).alias("rank_bottom"))
+
+
 def factorize_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ``Series.factorize``: codes by order of first appearance
     over the o_orderkey index — one ranged position pass + a groupBy-min
@@ -3011,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_gapfill_grouped": resample_gapfill_grouped,
         "doc_dup_windows": doc_dup_windows,
         "doc_line_dedup": doc_line_dedup,
+        "rolling_corr_orders": rolling_corr_orders,
+        "rank_naopt_events": rank_naopt_events,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3248,6 +3279,34 @@ def oracle_sql() -> dict[str, str]:
               FROM segs JOIN cnt USING (seg) GROUP BY doc_id)
             SELECT doc_id, n_seg, n_kept, kept_text
             FROM per WHERE n_kept < n_seg
+        """,
+        "rolling_corr_orders": """
+            WITH w AS (
+              SELECT o_orderkey,
+                     corr(o_totalprice, o_custkey) OVER
+                       (ORDER BY o_orderkey
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c,
+                     row_number() OVER (ORDER BY o_orderkey) AS rn
+              FROM orders)
+            SELECT o_orderkey,
+                   CASE WHEN rn >= 20 THEN round(c, 4) END AS corr20
+            FROM w
+        """,
+        "rank_naopt_events": """
+            WITH e AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END v
+              FROM events),
+            rt AS (SELECT event_id, v,
+                          row_number() OVER (ORDER BY v ASC NULLS FIRST,
+                                             event_id) AS rn_t,
+                          row_number() OVER (ORDER BY v ASC NULLS LAST,
+                                             event_id) AS rn_b
+                   FROM e)
+            SELECT event_id,
+                   round(AVG(rn_t) OVER (PARTITION BY v), 2) AS rank_top,
+                   round(AVG(rn_b) OVER (PARTITION BY v), 2) AS rank_bottom
+            FROM rt
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
