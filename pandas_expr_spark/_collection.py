@@ -3623,24 +3623,26 @@ class DataFrame(FrameBase):
         return iter(self.columns)
 
     def assign(self, **kwargs) -> "DataFrame":
-        """Reference Assign ``_expr.py:1309-1341`` → ``withColumns``."""
+        """Reference Assign ``_expr.py:1309-1341`` → ``withColumn`` per
+        kwarg, applied IN ORDER so later callables see earlier assigns
+        (pandas assign chaining: ``assign(z=..., y=lambda d: d.z + 1)``)."""
         sdf = self._sdf
-        new_cols: dict[str, Column] = {}
         for k, v in kwargs.items():
             if isinstance(v, Series):
                 if v._sdf is not sdf and v._sdf is not self._sdf:
                     raise ValueError("assign with foreign Series requires matching index; "
                                      "use merge/join instead")
-                new_cols[k] = v._scol
+                col = v._scol
             elif callable(v):
-                tmp = DataFrame(sdf, self._expr, self._index_cols, self._index_names)
+                tmp = DataFrame(sdf, self._expr, self._index_cols,
+                                self._index_names)
                 res = v(tmp)
                 if not isinstance(res, Series):
                     raise TypeError("assign callable must return a Series")
-                new_cols[k] = res._scol
+                col = res._scol
             else:
-                new_cols[k] = F.lit(v)
-        sdf = sdf.withColumns(new_cols)
+                col = F.lit(v)
+            sdf = sdf.withColumn(k, col)
         out = self._derive(sdf, "assign", {"columns": list(kwargs)})
         # a Series produced by dt.to_period carries period-value metadata;
         # a categorical Series with known categories carries _cat_meta
@@ -4226,11 +4228,21 @@ class DataFrame(FrameBase):
             if n is None:
                 raise ValueError("sample: pass frac= or n=")
             total = self._sdf.count()
+            if replace:
+                # with replacement n may EXCEED the population (pandas);
+                # Poisson fractions > 1 are legal under withReplacement
+                frac_n = n / max(total, 1) * 1.2 + 10.0 / max(total, 1)
+                sampled = self._sdf.sample(withReplacement=True,
+                                           fraction=frac_n,
+                                           seed=random_state)
+                return self._derive(sampled.limit(n), "sample",
+                                    {"n": n, "replace": True,
+                                     "seed": random_state})
             if n >= total:
                 return self._derive(self._sdf, "sample", {"n": n})
             # oversample so P(fewer than n rows) is negligible, then cap
             frac_n = min(1.0, n / total * 1.2 + 10.0 / total)
-            sampled = self._sdf.sample(withReplacement=replace,
+            sampled = self._sdf.sample(withReplacement=False,
                                        fraction=frac_n, seed=random_state)
             return self._derive(sampled.limit(n), "sample",
                                 {"n": n, "seed": random_state})
@@ -4389,15 +4401,19 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.limit(n), "limit", {"n": n})
 
     def nlargest(self, n: int, columns) -> "DataFrame":
+        # pandas: NA rows sort LAST for both directions (Spark's asc
+        # default is nulls-first, which put them at the top of nsmallest)
         cols = _ensure_list(columns)
         return self._derive(
-            self._sdf.orderBy(*[F.col(c).desc() for c in cols]).limit(n),
+            self._sdf.orderBy(*[F.col(c).desc_nulls_last() for c in cols])
+            .limit(n),
             "nlargest", {"n": n, "columns": cols})
 
     def nsmallest(self, n: int, columns) -> "DataFrame":
         cols = _ensure_list(columns)
         return self._derive(
-            self._sdf.orderBy(*[F.col(c).asc() for c in cols]).limit(n),
+            self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in cols])
+            .limit(n),
             "nsmallest", {"n": n, "columns": cols})
 
     # -- index management (SURVEY §1.5, §2.2 SetIndex/ResetIndex) --------

@@ -384,3 +384,31 @@ class TestBatch5Fixes:
         got = pes.from_pandas(p).corr(min_periods=5).compute()
         want = p.corr(min_periods=5)
         assert (got.isna().values == want.isna().values).all()
+
+
+class TestBatch6Fixes:
+    def test_frame_ntop_drops_nulls(self, spark):
+        p = pd.DataFrame({"v": [1., np.nan, 3., np.nan, 0.5],
+                          "w": [5, 4, 3, 2, 1]})
+        e = pes.from_pandas(p)
+        assert e.nsmallest(3, "v").compute()["v"].tolist() == \
+               p.nsmallest(3, "v")["v"].tolist()
+        # overshooting n appends the NaN rows at the END like pandas
+        got = e.nsmallest(10, "v").compute()["v"]
+        assert got.notna().tolist() == [True, True, True, False, False]
+        assert e.nlargest(2, "v").compute()["v"].tolist() == \
+               p.nlargest(2, "v")["v"].tolist()
+
+    def test_assign_chaining(self, spark):
+        p = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+        got = pes.from_pandas(p).assign(
+            z=lambda d: d["v"] * 2, y=lambda d: d["z"] + 1).compute()
+        want = p.assign(z=lambda d: d["v"] * 2, y=lambda d: d["z"] + 1)
+        assert sorted(got["y"]) == sorted(want["y"])
+
+    def test_sample_with_replacement_exceeds_population(self, spark):
+        p = pd.DataFrame({"v": range(5)})
+        got = pes.from_pandas(p).sample(n=20, replace=True,
+                                        random_state=7).compute()
+        assert len(got) == 20
+        assert set(got["v"]) <= set(range(5))  # only population values
