@@ -3911,8 +3911,13 @@ class DataFrame(FrameBase):
             return self._frame_binop(other, fn, op)
         lit = F.lit(other)
         updates = {c: fn(F.col(c), lit) for c in self.columns}
-        return self._derive(self._sdf.withColumns(updates), op,
-                            {"other": repr(other)})
+        out = self._derive(self._sdf.withColumns(updates), op,
+                           {"other": repr(other)})
+        # lineage for df.where(df > 0): the per-column boolean exprs are
+        # re-applicable on THIS frame's sdf — where/mask check the anchor
+        out._cmp_anchor = self._sdf
+        out._cmp_exprs = dict(updates)
+        return out
 
     def __gt__(self, o): return self._frame_cmp(o, lambda a, b: a > b, "gt")
     def __ge__(self, o): return self._frame_cmp(o, lambda a, b: a >= b, "ge")
@@ -4169,11 +4174,52 @@ class DataFrame(FrameBase):
             self._index_names = joined._index_names
         return self
 
-    def where(self, cond: "Series", other=None) -> "DataFrame":
+    def _framewise_cond(self, cond: "DataFrame", keep_on_true: bool,
+                        other) -> "DataFrame":
+        """Boolean-FRAME cond (``df.where(df > 0)``): per-column CASE —
+        pure projection when the cond carries comparison lineage anchored
+        to this frame; otherwise one index equi-join with the cond
+        columns renamed alongside."""
+        exprs = getattr(cond, "_cmp_exprs", None)
+        if exprs is not None and getattr(cond, "_cmp_anchor",
+                                         None) is self._sdf:
+            def rep(c):
+                e = exprs.get(c)
+                flag = F.coalesce(e, F.lit(False)) if e is not None \
+                    else F.lit(False)
+                return (F.when(flag, F.col(c)).otherwise(F.lit(other))
+                        if keep_on_true else
+                        F.when(flag, F.lit(other)).otherwise(F.col(c)))
+            return self._derive(
+                self._sdf.withColumns({c: rep(c) for c in self.columns}),
+                "where" if keep_on_true else "mask", {"frame_cond": True})
+        if not self._index_cols or not cond._index_cols:
+            raise ValueError("where/mask with a foreign boolean frame "
+                             "needs an index on both sides to align")
+        csel = cond._sdf.select(
+            *[F.col(c).alias(i) for c, i in
+              zip(cond._index_cols, self._index_cols)],
+            *[F.col(c).alias(f"__c_{c}__") for c in cond.columns])
+        joined = self._sdf.join(csel, on=list(self._index_cols), how="left")
+        def rep2(c):
+            flag = (F.coalesce(F.col(f"__c_{c}__"), F.lit(False))
+                    if c in cond.columns else F.lit(False))
+            return (F.when(flag, F.col(c)).otherwise(F.lit(other))
+                    if keep_on_true else
+                    F.when(flag, F.lit(other)).otherwise(F.col(c)))
+        out = (joined.withColumns({c: rep2(c) for c in self.columns})
+               .drop(*[f"__c_{c}__" for c in cond.columns]))
+        return self._derive(out, "where" if keep_on_true else "mask",
+                            {"frame_cond": True, "aligned": True})
+
+    def where(self, cond, other=None) -> "DataFrame":
         """pandas ``DataFrame.where``: same-anchor boolean Series lowers
         to per-column ``CASE WHEN`` — pure projection, no shuffle.  A
         cond from ANOTHER frame (e.g. the parent of a projection) aligns
-        on the index via one equi-join, pandas alignment semantics."""
+        on the index via one equi-join, pandas alignment semantics.  A
+        boolean FRAME cond applies per column (``df.where(df > 0)``)."""
+        if isinstance(cond, DataFrame):
+            return self._framewise_cond(cond, True, other)
         if not isinstance(cond, Series):
             raise ValueError("DataFrame.where requires a boolean Series")
         if cond._sdf is self._sdf:
@@ -4194,10 +4240,12 @@ class DataFrame(FrameBase):
         return self._derive(joined.withColumns(reps).drop("__cond__"),
                             "where", {"aligned": True})
 
-    def mask(self, cond: "Series", other=None) -> "DataFrame":
+    def mask(self, cond, other=None) -> "DataFrame":
         """pandas ``DataFrame.mask`` — complement of ``where``.  A null
         cond counts as False (pandas): the row is KEPT, so the inversion
         must null-coalesce before negating."""
+        if isinstance(cond, DataFrame):
+            return self._framewise_cond(cond, False, other)
         if not isinstance(cond, Series):
             raise ValueError("DataFrame.mask requires a boolean Series")
         inv = cond._with_scol(~F.coalesce(cond._scol, F.lit(False)),
@@ -6045,7 +6093,8 @@ class DataFrame(FrameBase):
                     aggfunc: str = "mean",
                     pivot_values: Sequence | None = None,
                     margins: bool = False,
-                    margins_name: str = "All") -> "DataFrame":
+                    margins_name: str = "All",
+                    fill_value=None) -> "DataFrame":
         """pandas ``pivot_table`` → Spark ``groupBy(index).pivot(columns)``.
 
         Pass ``pivot_values`` (the distinct values of ``columns``) on large
@@ -6090,6 +6139,11 @@ class DataFrame(FrameBase):
                     c, F.lit(margins_name if i == 0 else ""))
             out = out.unionByName(row.select(out.columns),
                                   allowMissingColumns=True)
+        if fill_value is not None:
+            # pandas fill_value: empty cells (absent combinations) take
+            # the fill — applies to every pivoted value column
+            out = out.fillna(fill_value,
+                             subset=[c for c in out.columns if c not in idx])
         node = Node("pivot_table", {"index": idx, "columns": columns,
                                     "aggfunc": aggfunc}, self._expr)
         # pandas sets the index= columns as the result's index

@@ -412,3 +412,37 @@ class TestBatch6Fixes:
                                         random_state=7).compute()
         assert len(got) == 20
         assert set(got["v"]) <= set(range(5))  # only population values
+
+
+class TestBatch7Fixes:
+    def test_frame_where_mask_with_boolean_frame(self, spark):
+        p = pd.DataFrame({"v": [1.0, -2.0, 3.0], "w": [-0.5, 0.5, -1.5]})
+        e = pes.from_pandas(p)
+        sub = e[["v", "w"]]
+        got = sub.where(sub > 0).compute().fillna(-9)
+        want = p.where(p > 0).fillna(-9)
+        assert np.allclose(np.sort(got.values.ravel()),
+                           np.sort(want.values.ravel()))
+        got = sub.mask(sub > 0, other=0.0).compute()
+        want = p.mask(p > 0, other=0.0)
+        assert np.allclose(np.sort(got.values.ravel()),
+                           np.sort(want.values.ravel()))
+
+    def test_frame_where_foreign_bool_frame_aligns(self, spark):
+        p = pd.DataFrame({"v": [1.0, -2.0, 3.0]}, index=[10, 11, 12])
+        e = pes.from_pandas(p)
+        cond = pes.from_pandas(p > 0)
+        got = e.where(cond).compute().fillna(-9)
+        want = p.where(p > 0).fillna(-9)
+        assert sorted(got["v"]) == sorted(want["v"])
+
+    def test_pivot_table_fill_value(self, spark):
+        p = pd.DataFrame({"k": [0, 0, 1], "j": ["x", "y", "x"],
+                          "v": [1.0, 2.0, 3.0]})
+        got = pes.from_pandas(p).pivot_table(
+            index="k", columns="j", values="v", aggfunc="count",
+            fill_value=0).compute().sort_index()
+        want = p.pivot_table(index="k", columns="j", values="v",
+                             aggfunc="count", fill_value=0).sort_index()
+        assert np.allclose(np.sort(got.values.astype(float).ravel()),
+                           np.sort(want.values.astype(float).ravel()))
