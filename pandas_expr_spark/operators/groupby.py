@@ -136,9 +136,13 @@ class GroupBy:
         missing = [k for k in keys if k not in self._frame.columns]
         if missing:
             raise KeyError(missing)
-        return GroupBy(self._frame, self._by, self._sort, self._as_index,
-                       self._dropna, slice_=keys, kind=self._kind,
-                       sets=self._sets)
+        out = GroupBy(self._frame, self._by, self._sort, self._as_index,
+                      self._dropna, slice_=keys, kind=self._kind,
+                      sets=self._sets)
+        # a STRING slice is a SeriesGroupBy in pandas (bare stat names in
+        # describe etc.); a 1-list slice stays a DataFrameGroupBy
+        out._slice_scalar = isinstance(key, str)
+        return out
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -334,17 +338,26 @@ class GroupBy:
         """pandas grouped ``idxmin``/``idxmax``: the INDEX label of each
         group's extreme row, per value column — ``F.min_by``/``F.max_by``
         on the engine index column (one shuffle, same plan as any grouped
-        agg).  Requires an explicit index (set_index first); a positional
-        index would force a global row-id materialization."""
+        agg).  A positional (trivial) index materializes the 0..n-1 row
+        labels first via the distributed ``global_pos`` scan — ONE extra
+        range shuffle, never a single-task window."""
         idx_cols = self._frame._index_cols
         if not idx_cols:
-            raise ValueError(
-                f"groupby.{op} needs an explicit index (use set_index); "
-                "the implicit positional index is not materialized")
-        idx = F.col(idx_cols[0])
+            from .._collection import _ROWID, _attach_rowid
+            from ..functions import scan
+            base = scan.global_pos(_attach_rowid(self._frame._sdf),
+                                   [_ROWID]).drop(_ROWID)
+            if self._dropna:
+                for b in self._by:
+                    base = base.filter(F.col(b).isNotNull())
+            idx = F.col("__pos__")
+            grouped = self._grouping(base)
+        else:
+            idx = F.col(idx_cols[0])
+            grouped = self._grouping(self._grouped_sdf())
         cols = self._value_columns(numeric_only)
         aggs = [fn(idx, F.col(c)).alias(c) for c in cols]
-        out = self._grouping(self._grouped_sdf()).agg(*aggs)
+        out = grouped.agg(*aggs)
         self._count_like = set()
         return self._finish(out, op)
 
@@ -960,7 +973,9 @@ class GroupBy:
         stat names like pandas.  Exact percentiles via ``F.percentile`` —
         still one partial+final agg."""
         cols = self._value_columns(numeric_only=True)
-        single = len(cols) == 1 and self._slice is not None
+        # bare stat names ONLY for the string slice (SeriesGroupBy);
+        # a 1-list slice keeps the col prefix like DataFrameGroupBy
+        single = getattr(self, "_slice_scalar", False) and len(cols) == 1
         name = (lambda c, stat: stat) if single else \
             (lambda c, stat: f"{c}_{stat}")
         aggs = []

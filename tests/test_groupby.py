@@ -307,8 +307,12 @@ def test_groupby_idxmin_idxmax(spark, groupby_pdf):
     # z is constant 1 → ties; pandas picks first occurrence, Spark min_by
     # is tie-nondeterministic, so only check y strictly and z membership
     assert set(got_mx["z"]) <= set(pdf.index)
-    with pytest.raises(ValueError, match="explicit index"):
-        from_pandas(groupby_pdf).groupby("x").idxmax().compute()
+    # positional (trivial) index: 0..n-1 labels materialize via the
+    # distributed global_pos scan — matches pandas RangeIndex labels
+    pos_got = (from_pandas(groupby_pdf).groupby("x")["y"].idxmax()
+               .compute().sort_index())
+    pos_exp = groupby_pdf.groupby("x")["y"].idxmax().sort_index()
+    assert pos_got.tolist() == pos_exp.tolist()
 
 
 # -- wave 9: filter / ngroup / diff / pct_change / ohlc / describe / sample /

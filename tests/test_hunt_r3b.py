@@ -446,3 +446,18 @@ class TestBatch7Fixes:
                              aggfunc="count", fill_value=0).sort_index()
         assert np.allclose(np.sort(got.values.astype(float).ravel()),
                            np.sort(want.values.astype(float).ravel()))
+
+
+class TestGroupedIdxExtremePositional:
+    def test_positional_index_materializes(self, spark):
+        rng = np.random.RandomState(19)
+        p = pd.DataFrame({"k": rng.randint(0, 3, 14),
+                          "v": rng.randn(14).round(2)})
+        p.loc[4, "v"] = np.nan
+        e = pes.from_pandas(p)
+        got = e.groupby("k")["v"].idxmax().compute().sort_index().tolist()
+        want = p.groupby("k")["v"].idxmax().sort_index().tolist()
+        assert got == want
+        got = e.groupby("k")["v"].idxmin().compute().sort_index().tolist()
+        want = p.groupby("k")["v"].idxmin().sort_index().tolist()
+        assert got == want
