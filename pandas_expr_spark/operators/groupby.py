@@ -434,10 +434,18 @@ class GroupBy:
             for c in use:
                 one(c, spec, c)
         elif isinstance(spec, (list, tuple)):
-            # MultiIndex columns flattened to col_fn (SURVEY §7.4 naming)
+            # MultiIndex columns flattened to col_fn (SURVEY §7.4 naming);
+            # (name, fn) tuples are pandas named entries — the given name
+            # IS the label (bare for a SeriesGroupBy string slice)
             numeric = set(self._value_columns(numeric_only=True))
+            scalar_slice = getattr(self, "_slice_scalar", False)
             for c in cols:
                 for fn_name in spec:
+                    if isinstance(fn_name, tuple) and len(fn_name) == 2:
+                        label, f_ = fn_name
+                        one(c, f_, label if scalar_slice
+                            else f"{c}_{label}")
+                        continue
                     if fn_name in self._ANY_DTYPE_AGGS or c in numeric:
                         one(c, fn_name, f"{c}_{fn_name}")
         elif isinstance(spec, Mapping):
@@ -497,13 +505,18 @@ class GroupBy:
         return DataFrame(out, Node("groupby_apply", {"by": self._by},
                                    self._frame._expr), (), None)
 
-    def transform(self, fn_name: str):
+    def transform(self, fn_name):
         """Group-aligned transform via a window aggregate — no second shuffle
         when the input is already partitioned by the keys.  Positional
         names (``rank``, ``cumsum``, ``shift``, …) delegate to the grouped
-        positional ops, matching the pandas ``transform("rank")`` spelling."""
+        positional ops, matching the pandas ``transform("rank")`` spelling.
+        A Python callable runs per group via Arrow ``applyInPandas``
+        (rows sorted by the engine index inside each group, so
+        order-sensitive callables match pandas)."""
         from pyspark.sql import Window
         from .._collection import DataFrame
+        if callable(fn_name) and not isinstance(fn_name, str):
+            return self._transform_callable(fn_name)
         if fn_name in ("rank", "cumsum", "cumprod", "cummax", "cummin",
                        "shift", "diff", "ffill", "bfill", "cumcount",
                        "ngroup"):
@@ -521,6 +534,39 @@ class GroupBy:
         node = Node("groupby_transform", {"by": self._by, "fn": fn_name},
                     self._frame._expr)
         return DataFrame(out, node, self._frame._index_cols, self._frame._index_names)
+
+    def _transform_callable(self, func):
+        """``transform(lambda s: ...)``: per-group Arrow batch, each value
+        column transformed by the callable with rows sorted by the engine
+        index (positional rowid when implicit) — result joins back by that
+        same label, so the output aligns with the caller's rows."""
+        from .._collection import DataFrame
+        sdf, pos_cols, tmp = self._positional()
+        cols = self._value_columns(numeric_only=True)
+        by = list(self._by)
+        sel = list(dict.fromkeys(by + pos_cols + cols))
+        base = sdf.select(*[F.col(c) for c in sel])
+        fields = [base.schema[c] for c in pos_cols] + \
+                 [T.StructField(c, T.DoubleType()) for c in cols]
+        schema = T.StructType(fields)
+
+        def _tf(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(pos_cols[0])
+            out = pdf[pos_cols].copy()
+            for c in cols:
+                out[c] = pd.Series(func(pdf[c])).astype(
+                    "float64").to_numpy()
+            return out
+
+        out = base.groupBy(*by).applyInPandas(_tf, schema)
+        if self._slice is not None:
+            keep = [c for c in self._slice if c in cols]
+            out = out.select(*pos_cols, *keep)
+        node = Node("groupby_transform", {"by": by, "fn": "callable"},
+                    self._frame._expr)
+        idx = (tmp,) if tmp else tuple(self._frame._index_cols)
+        names = (None,) if tmp else self._frame._index_names
+        return DataFrame(out, node, idx, names)
 
     # -- positional window ops (pandas groupby.shift/rank/cum*; `IX` §1.5).
     # All are ONE window = one shuffle on the group keys; row order comes

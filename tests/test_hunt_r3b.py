@@ -461,3 +461,27 @@ class TestGroupedIdxExtremePositional:
         got = e.groupby("k")["v"].idxmin().compute().sort_index().tolist()
         want = p.groupby("k")["v"].idxmin().sort_index().tolist()
         assert got == want
+
+
+class TestGroupbyCallableTransformAgg:
+    def test_transform_callable_matches_pandas(self, spark):
+        rng = np.random.RandomState(23)
+        p = pd.DataFrame({"k": rng.randint(0, 3, 12),
+                          "v": rng.randn(12).round(2)})
+        e = pes.from_pandas(p)
+        for fn in (lambda s: s - s.mean(), lambda s: s.cumsum()):
+            got = e.groupby("k")["v"].transform(fn).compute()
+            gv = got["v"] if hasattr(got, "columns") else got
+            want = p.groupby("k")["v"].transform(fn)
+            assert np.allclose(sorted(gv.round(8)), sorted(want.round(8)))
+
+    def test_agg_name_fn_tuples(self, spark):
+        p = pd.DataFrame({"k": [0, 0, 1, 1], "v": [1.0, 3.0, 2.0, 8.0]})
+        got = pes.from_pandas(p).groupby("k")["v"].agg(
+            [("spread", lambda s: s.max() - s.min()),
+             ("avg", "mean")]).compute().sort_index()
+        want = p.groupby("k")["v"].agg(
+            [("spread", lambda s: s.max() - s.min()),
+             ("avg", "mean")]).sort_index()
+        assert list(got.columns) == list(want.columns)
+        assert np.allclose(got.values, want.values)
