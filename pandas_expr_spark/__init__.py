@@ -172,6 +172,77 @@ def unique(series):
     return series.unique()
 
 
+# pandas scalar singletons / spec types (public pandas API re-exports —
+# users write pes.NaT / pes.NA / pes.NamedAgg exactly like pd.*)
+import collections as _collections
+import pandas as _pd
+
+NamedAgg = _collections.namedtuple("NamedAgg", ["column", "aggfunc"])
+NaT = _pd.NaT
+NA = _pd.NA
+Timestamp = _pd.Timestamp
+Timedelta = _pd.Timedelta
+
+_TD_UNIT_SECS = {"w": 604800, "d": 86400, "day": 86400, "days": 86400,
+                 "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+                 "m": 60, "min": 60, "minute": 60, "minutes": 60,
+                 "s": 1, "sec": 1, "second": 1, "seconds": 1,
+                 "ms": 1e-3, "milli": 1e-3, "millisecond": 1e-3,
+                 "us": 1e-6, "micro": 1e-6, "microsecond": 1e-6}
+
+
+def to_timedelta(arg, unit: str = "ns"):
+    """pandas ``pd.to_timedelta``.  An engine Series of numbers becomes a
+    day-time interval column (JVM-side ``make_dt_interval``); scalars and
+    plain sequences delegate to pandas."""
+    from pyspark.sql import functions as F
+    if isinstance(arg, Series):
+        secs = _TD_UNIT_SECS.get(unit.lower())
+        if secs is None:
+            raise ValueError(f"to_timedelta: unsupported unit {unit!r}")
+        return arg._with_scol(
+            F.make_dt_interval(secs=arg._scol.cast("double") * secs),
+            "to_timedelta")
+    return _pd.to_timedelta(arg, unit=unit)
+
+
+def date_range(start, end=None, periods: int | None = None,
+               freq: str = "D", name: str | None = None) -> Series:
+    """pandas ``pd.date_range`` as a DISTRIBUTED timestamp spine: built
+    from ``spark.range(n)`` + interval arithmetic, so a years-of-minutes
+    calendar materializes across executors (never a driver list).  Exactly
+    one of ``end`` / ``periods`` is required."""
+    import re as _re
+    from pyspark.sql import functions as F
+    from ._expr import Node as _Node
+    m = _re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", str(freq).strip())
+    if not m:
+        raise ValueError(f"cannot parse freq {freq!r}")
+    mult = int(m.group(1)) if m.group(1) else 1
+    unit = {"d": "days", "h": "hours", "min": "mins", "t": "mins",
+            "s": "secs", "w": "weeks"}.get(m.group(2).lower())
+    if unit is None:
+        raise ValueError(f"date_range freq {freq!r} not supported "
+                         "(fixed-width D/h/min/s/W only)")
+    step_secs = {"days": 86400, "hours": 3600, "mins": 60, "secs": 1,
+                 "weeks": 604800}[unit] * mult
+    start_ts = _pd.Timestamp(start)
+    if periods is None:
+        if end is None:
+            raise ValueError("date_range needs end= or periods=")
+        total = int((_pd.Timestamp(end) - start_ts).total_seconds()
+                    // step_secs) + 1
+    else:
+        total = int(periods)
+    spark = get_spark()
+    sdf = spark.range(total).select(
+        (F.lit(start_ts.to_pydatetime()).cast("timestamp")
+         + F.make_dt_interval(secs=F.col("id").cast("double") * step_secs)
+         ).alias(name or "__dr__"))
+    node = _Node("date_range", {"start": str(start), "freq": freq}, )
+    return Series(sdf, sdf[name or "__dr__"], name, node, (), (None,))
+
+
 def factorize(series):
     """pandas ``pd.factorize`` over an engine Series → lazy
     (codes, uniques) pair (first-appearance coding)."""

@@ -485,3 +485,31 @@ class TestGroupbyCallableTransformAgg:
              ("avg", "mean")]).sort_index()
         assert list(got.columns) == list(want.columns)
         assert np.allclose(got.values, want.values)
+
+
+class TestModuleLevelAdditions:
+    def test_date_range_distributed(self, spark):
+        got = pes.date_range("2024-01-01", periods=5, freq="6h").compute()
+        want = pd.date_range("2024-01-01", periods=5, freq="6h")
+        assert list(got) == list(want)
+        got = pes.date_range("2024-01-01", end="2024-01-03",
+                             freq="D").compute()
+        assert list(got) == list(pd.date_range("2024-01-01", "2024-01-03"))
+
+    def test_to_timedelta_series(self, spark):
+        s = pes.from_pandas(pd.DataFrame({"n": [1.5, 2.0, None]}))["n"]
+        got = pes.to_timedelta(s, unit="h").compute()
+        want = pd.to_timedelta(pd.Series([1.5, 2.0, None]), unit="h")
+        assert [str(x) for x in got] == [str(x) for x in want]
+
+    def test_named_agg(self, spark):
+        p = pd.DataFrame({"k": [0, 0, 1], "v": [1.0, 2.0, 3.0]})
+        got = pes.from_pandas(p).groupby("k").agg(
+            total=pes.NamedAgg("v", "sum")).compute().sort_index()
+        want = p.groupby("k").agg(
+            total=pd.NamedAgg("v", "sum")).sort_index()
+        assert got["total"].tolist() == want["total"].tolist()
+
+    def test_scalar_reexports(self, spark):
+        assert pes.NaT is pd.NaT and pes.NA is pd.NA
+        assert pes.Timestamp("2024-01-01") == pd.Timestamp("2024-01-01")
