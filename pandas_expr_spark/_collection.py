@@ -1097,7 +1097,15 @@ class Series(FrameBase):
         (JVM-side, no Python roundtrip — SURVEY §2.10); callable → pandas UDF."""
         if isinstance(arg, Mapping):
             c = self._scol
-            out = F.lit(None)
+            # dict subclasses with __missing__ (defaultdict) supply the
+            # miss value in pandas; a plain dict misses to null
+            default = F.lit(None)
+            factory = getattr(arg, "default_factory", None)
+            if factory is not None:
+                default = F.lit(factory())
+            elif type(arg).__dict__.get("__missing__") is not None:
+                default = F.lit(arg[object()])
+            out = default
             for k, v in arg.items():
                 out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
             if na_action == "ignore":
@@ -6810,8 +6818,21 @@ class _LocIndexer:
         if isinstance(key, slice):
             if key.start is None and key.stop is None:
                 return f
-            raise NotImplementedError(
-                "loc label slices are not supported; use truncate()")
+            if key.step is not None:
+                raise NotImplementedError("loc label slices with a step")
+            if not f._index_cols:
+                raise ValueError("loc label slice needs an index — "
+                                 "set_index first")
+            # pandas label slices are INCLUSIVE on both ends; on a
+            # monotonic index this is exactly a range filter (truncate)
+            c = F.col(f._index_cols[0])
+            sdf = f._sdf
+            if key.start is not None:
+                sdf = sdf.filter(c >= F.lit(key.start))
+            if key.stop is not None:
+                sdf = sdf.filter(c <= F.lit(key.stop))
+            return f._derive(sdf, "loc_slice",
+                             {"start": key.start, "stop": key.stop})
         if isinstance(key, Series):
             return f[key]
         if not f._index_cols:

@@ -513,3 +513,24 @@ class TestModuleLevelAdditions:
     def test_scalar_reexports(self, spark):
         assert pes.NaT is pd.NaT and pes.NA is pd.NA
         assert pes.Timestamp("2024-01-01") == pd.Timestamp("2024-01-01")
+
+
+class TestLocSliceAndMapDefault:
+    def test_loc_label_slice_inclusive(self, spark):
+        p = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]},
+                         index=pd.Index([10, 20, 30, 40], name="i"))
+        e = pes.from_pandas(p)
+        got = e.loc[20:30].compute()["v"].tolist()
+        assert got == p.loc[20:30]["v"].tolist()  # both ends inclusive
+        assert e.loc[:20].compute()["v"].tolist() == \
+               p.loc[:20]["v"].tolist()
+        assert e.loc[30:].compute()["v"].tolist() == \
+               p.loc[30:]["v"].tolist()
+
+    def test_map_defaultdict_supplies_misses(self, spark):
+        from collections import defaultdict
+        m = pd.Series([1, 2, 3])
+        got = pes.from_pandas(m.to_frame("v"))["v"].map(
+            defaultdict(lambda: -1, {1: 10})).compute().sort_values()
+        want = m.map(defaultdict(lambda: -1, {1: 10})).sort_values()
+        assert got.tolist() == want.tolist()
