@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _tables(spark, sf_dir):
@@ -1288,6 +1289,96 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (meta.groupBy("media_format")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("media_n_bytes").alias("total_bytes")))
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode hot path with an EXACT SQL oracle.  Each doc_id
+    deterministically defines an image — width ``8 + id%8``, height
+    ``6 + id%5``, RGB pixel bytes ``(id*7 + i*13) % 256`` — which one
+    mapInPandas stage ENCODES to an actual PNG (zlib DEFLATE + filter-0
+    scanlines) and a second mapInPandas stage DECODES back with the
+    stdlib decoder (``functions/multimodal.py`` ``decode_png``: chunk
+    walk, inflate, unfilter).  The oracle never touches PNG bytes — it
+    recomputes the pixel formula arithmetically — so a green row proves
+    the encode→decode round trip is pixel-exact.  Integer pixel sums are
+    exact in float64, so mean_px matches to the last bit before the 4dp
+    round."""
+    from pandas_expr_spark.functions import multimodal
+    from pandas_expr_spark.sources.tables import load_table
+    import numpy as _np
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                w, h = 8 + mid % 8, 6 + mid % 5
+                i = _np.arange(w * h * 3, dtype=_np.int64)
+                px = ((mid * 7 + i * 13) % 256).astype(_np.uint8)
+                rows.append((mid,
+                             multimodal.encode_png(px.reshape(h, w, 3))))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = base.mapInPandas(synth, schema)
+    stats = multimodal.image_pixel_stats(media)
+    return (stats.select("media_id",
+                         F.col("width").cast("long").alias("width"),
+                         F.col("height").cast("long").alias("height"),
+                         F.col("channels").cast("long").alias("channels"),
+                         F.round("mean_px", 4).alias("mean_px"),
+                         F.col("min_px").cast("long").alias("min_px"),
+                         F.col("max_px").cast("long").alias("max_px"))
+            .orderBy("media_id"))
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode with an EXACT SQL oracle: per doc_id a PCM16 WAV
+    whose sample j is ``(((id + 3j) % 256) - 128) / 256`` (an exact
+    dyadic rational — quantization is lossless, sums of squares are
+    exact in float64), encoded then decoded sample-by-sample by the
+    stdlib RIFF parser (``decode_wav_pcm``).  The oracle recomputes RMS
+    arithmetically — no audio bytes involved."""
+    from pandas_expr_spark.functions import multimodal
+    from pandas_expr_spark.sources.tables import load_table
+    import numpy as _np
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                n = 1000 + mid % 50
+                j = _np.arange(n, dtype=_np.int64)
+                s = (((mid + 3 * j) % 256) - 128) / 256.0
+                rows.append((mid, multimodal.encode_wav_pcm(s, 8000)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = base.mapInPandas(synth, schema)
+    stats = multimodal.audio_pcm_stats(media)
+    return (stats.select("media_id",
+                         F.col("sample_rate").cast("long").alias("sample_rate"),
+                         F.col("n_frames").alias("n_frames"),
+                         F.round("duration_s", 4).alias("duration_s"),
+                         F.round("rms", 4).alias("rms"))
+            .orderBy("media_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -3042,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": doc_line_dedup,
         "rolling_corr_orders": rolling_corr_orders,
         "rank_naopt_events": rank_naopt_events,
+        "multimodal_pixel_stats": multimodal_pixel_stats,
+        "multimodal_audio_stats": multimodal_audio_stats,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3194,6 +3287,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT o_orderkey, o_totalprice FROM r
             WHERE rn >= 100 AND rn < 1000 AND (rn - 100) % 7 = 0
+        """,
+        "multimodal_pixel_stats": """
+            WITH dims AS (SELECT doc_id AS media_id,
+                                 (8 + doc_id % 8) AS w,
+                                 (6 + doc_id % 5) AS h
+                          FROM documents),
+            px AS (SELECT d.media_id, d.w, d.h,
+                          ((d.media_id * 7 + i.i * 13) % 256) AS v
+                   FROM dims d
+                   JOIN generate_series(0, 449) i(i) ON i.i < d.w * d.h * 3)
+            SELECT media_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   ROUND(AVG(v), 4) AS mean_px,
+                   CAST(MIN(v) AS BIGINT) AS min_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px
+            FROM px GROUP BY media_id, w, h ORDER BY media_id
+        """,
+        "multimodal_audio_stats": """
+            WITH base AS (SELECT doc_id AS media_id,
+                                 (1000 + doc_id % 50) AS n
+                          FROM documents),
+            s AS (SELECT b.media_id, b.n,
+                         ((((b.media_id + 3 * j.j) % 256) - 128) / 256.0) AS v
+                  FROM base b JOIN generate_series(0, 1049) j(j) ON j.j < b.n)
+            SELECT media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_frames,
+                   ROUND(n / 8000.0, 4) AS duration_s,
+                   ROUND(SQRT(AVG(v * v)), 4) AS rms
+            FROM s GROUP BY media_id, n ORDER BY media_id
         """,
         "iloc_tail_orders": """
             WITH r AS (SELECT o_orderkey, o_totalprice,

@@ -4,11 +4,15 @@ Media are opaque ``binary`` columns + typed metadata structs; every transform
 is an Arrow-batched ``mapInPandas`` over the binary payloads so the heavy
 bytes never leave the executors and never cross to the driver.
 
-The actual codec calls (PIL/librosa/ffmpeg) are NOT available in this
-container, so the decode kernels are STUBBED: ``decode_stub="fake"`` yields a
-deterministic fake decode (so the Spark-side plumbing — schema, batching,
-partitioning — is fully testable end-to-end); ``decode_stub="raise"``
-raises ``NotImplementedError`` marking the integration point.
+PNG and WAV-PCM are decodable with the standard library alone, so those
+decode hot paths are REAL here (``decode_png``/``decode_wav_pcm`` + the
+``image_pixel_stats``/``audio_pcm_stats`` operators, exact-oracle gated).
+JPEG/video/compressed-audio genuinely need external codecs (PIL/ffmpeg/
+librosa) which are NOT in this container, so those kernels are STUBBED:
+``decode_stub="fake"`` yields a deterministic fake decode (the Spark-side
+plumbing — schema, batching, partitioning — stays fully testable
+end-to-end); ``decode_stub="raise"`` raises ``NotImplementedError``
+marking the integration point.
 
 Scale design: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` moderate, never ``collect()`` them, and
@@ -29,7 +33,8 @@ from pyspark.sql import types as T
 __all__ = ["image_meta_schema", "attach_media_meta", "decode_image_features",
            "resize_images", "sample_video_frames", "audio_features",
            "parse_image_header", "parse_wav_header", "image_header_meta",
-           "wav_header_meta"]
+           "wav_header_meta", "decode_png", "encode_png", "decode_wav_pcm",
+           "encode_wav_pcm", "image_pixel_stats", "audio_pcm_stats"]
 
 IMAGE_FEATURE_DIM = 16
 
@@ -254,3 +259,222 @@ def wav_header_meta(sdf: SparkDF, binary_col: str = "payload") -> SparkDF:
             .withColumn("channels", F.col("__h__.channels"))
             .withColumn("duration_s", F.col("__h__.dur"))
             .drop("__h__"))
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode — pure stdlib (zlib/struct) + numpy.
+#
+# PNG is DEFLATE + per-scanline byte filters and WAV-PCM is raw samples, so
+# both are fully decodable with nothing but the standard library: the decode
+# hot path genuinely executes here (no PIL/librosa needed).  JPEG/video stay
+# stubbed above — those really do need external codecs.
+#
+# Scale shape: decode runs inside Arrow-batched mapInPandas, payloads never
+# leave the executor, output is a few numeric columns per row.
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA)
+    to a ``(height, width, channels)`` uint8 array.
+
+    Implements the spec directly: IHDR/IDAT chunk walk, zlib inflate, then
+    scanline unfiltering (filter types 0-4: None/Sub/Up/Average/Paeth).
+    Raises ``ValueError`` for unsupported bit depths/interlacing."""
+    import struct
+    import zlib
+
+    b = bytes(payload or b"")
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat, meta = 8, [], None
+    while i + 8 <= len(b):
+        (clen,), ctype = struct.unpack(">I", b[i:i + 4]), b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace})")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, nch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                line[x] = (line[x] + (a + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                c = int(prev[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, nch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a ``(h, w)`` or ``(h, w, channels)`` uint8 array as a minimal
+    valid PNG (filter 0, one IDAT).  Used to synthesize deterministic image
+    payloads for tests/gates; round-trips exactly through ``decode_png``."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode integer-PCM RIFF/WAVE to ``(sample_rate, float64 samples)``
+    normalized to [-1, 1), shape ``(n_frames, channels)``.  Pure stdlib."""
+    import struct
+
+    b = bytes(payload or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, channels, bits, data = 12, 0, 0, 0, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        body = b[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise ValueError(f"only PCM supported (fmt={fmt_tag})")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)
+    if not rate or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # unsigned in WAV
+        samples = (np.frombuffer(data, np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (bits={bits})")
+    n = (len(samples) // channels) * channels
+    return rate, samples[:n].reshape(-1, channels)
+
+
+def encode_wav_pcm(samples: np.ndarray, rate: int) -> bytes:
+    """Encode float samples in [-1, 1) (``(n,)`` or ``(n, channels)``) as
+    16-bit PCM WAV.  Round-trips through ``decode_wav_pcm``."""
+    import struct
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    channels = a.shape[1]
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    data_hdr = b"data" + struct.pack("<I", len(pcm))
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(pcm))
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data_hdr + pcm)
+
+
+def image_pixel_stats(sdf: SparkDF, binary_col: str = "payload",
+                      id_col: str = "media_id") -> SparkDF:
+    """REAL decode hot path: PNG payloads → per-image pixel statistics
+    (width, height, channels, mean/min/max pixel value) via the stdlib
+    decoder inside Arrow-batched mapInPandas.  Non-PNG rows yield nulls
+    rather than failing the batch (corrupt files are a fact of life in a
+    100 TB crawl)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("min_px", T.IntegerType()),
+        T.StructField("max_px", T.IntegerType()),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    px = decode_png(p)
+                    rows.append((mid, px.shape[1], px.shape[0], px.shape[2],
+                                 float(px.mean()), int(px.min()), int(px.max())))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
+
+
+def audio_pcm_stats(sdf: SparkDF, binary_col: str = "payload",
+                    id_col: str = "media_id") -> SparkDF:
+    """REAL audio decode: WAV-PCM payloads → (sample_rate, n_frames,
+    duration_s, rms) from actual samples (not the header shortcut)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    rate, samp = decode_wav_pcm(p)
+                    n = samp.shape[0]
+                    rms = float(np.sqrt((samp ** 2).mean())) if n else 0.0
+                    rows.append((mid, rate, n, n / rate, rms))
+                except Exception:
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return sdf.select(id_col, binary_col).mapInPandas(mapper, schema)
