@@ -1291,6 +1291,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("media_n_bytes").alias("total_bytes")))
 
 
+def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle anchor for BPE training (``functions/bpe.py``): the
+    first-iteration adjacent-symbol pair counts over the corpus word
+    histogram (chars + '</w>' marker), top 15 by (count desc, pair asc).
+    The oracle replays the pair extraction with substr arithmetic —
+    character-exact.  One corpus pass + one vocab-sized shuffle."""
+    from pandas_expr_spark.functions import bpe
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    words = bpe.with_symbols(bpe.word_histogram(docs, "text"))
+    return (bpe.pair_counts(words)
+            .select("left", "right",
+                    F.col("pair_count").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(15))
+
+
+def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) — 8 merges
+    learned over the documents corpus: per iteration one vocab-sized
+    pair-count shuffle + a one-row argmax collect + a compiled JVM merge
+    fold (``functions/bpe.py`` ``learn_bpe``).  Iterative ⇒ no SQL
+    oracle (rows-only gate); the exact siblings are
+    ``bpe_top_pairs_documents`` (first iteration, exact) and the
+    differential battery vs the canonical single-machine algorithm in
+    ``tests/test_bpe.py``."""
+    from pandas_expr_spark.functions import bpe
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    merges, _words = bpe.learn_bpe(docs, "text", n_merges=8)
+    return bpe.merges_to_df(spark, merges)
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode hot path with an EXACT SQL oracle.  Each doc_id
     deterministically defines an image — width ``8 + id%8``, height
@@ -3135,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_naopt_events": rank_naopt_events,
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "bpe_top_pairs_documents": bpe_top_pairs_documents,
+        "bpe_learn_documents": bpe_learn_documents,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3287,6 +3324,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT o_orderkey, o_totalprice FROM r
             WHERE rn >= 100 AND rn < 1000 AND (rn - 100) % 7 = 0
+        """,
+        "bpe_top_pairs_documents": """
+            WITH words AS (
+                SELECT w, COUNT(*) AS freq FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents) t
+                WHERE w <> '' GROUP BY w),
+            p AS (
+                SELECT words.freq,
+                       substr(words.w, j.j, 1) AS l,
+                       CASE WHEN j.j < length(words.w)
+                            THEN substr(words.w, j.j + 1, 1)
+                            ELSE '</w>' END AS r
+                FROM words
+                JOIN generate_series(1, 64) j(j) ON j.j <= length(words.w))
+            SELECT l AS left, r AS right,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM p GROUP BY l, r
+            ORDER BY pair_count DESC, l, r LIMIT 15
         """,
         "multimodal_pixel_stats": """
             WITH dims AS (SELECT doc_id AS media_id,
