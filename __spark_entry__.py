@@ -1291,6 +1291,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("media_n_bytes").alias("total_bytes")))
 
 
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Tukey-fence length outlier filtering
+    (``functions/curation.py`` ``flag_length_outliers``): EXACT per-group
+    quartiles → [q1-1.5·IQR, q3+1.5·IQR] bounds → broadcast-join flag.
+    The corpus is never shuffled — only the tiny bounds table moves.
+    Exact oracle via DuckDB quantile_cont."""
+    from pandas_expr_spark.functions import curation
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = curation.flag_length_outliers(docs, "n_chars", "source")
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("is_len_outlier").cast("long"))
+                 .cast("long").alias("n_outliers"),
+                 F.round(F.min("lo"), 4).alias("lo"),
+                 F.round(F.min("hi"), 4).alias("hi"))
+            .orderBy("source"))
+
+
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health probe (``functions/text.py`` ``zipf_fit``): the
+    least-squares slope/R² of ln(freq) vs ln(rank) over the top-100
+    tokens.  One tokenize+count shuffle; the rank window runs on ≤100
+    pre-aggregated rows (TakeOrderedAndProject), then a single-row
+    closed-form regression agg.  Exact oracle replays the same sums."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    fit = tx.zipf_fit(docs, "text", top_n=100)
+    return fit.select(F.col("n_tokens_ranked").cast("long").alias("n_tokens_ranked"),
+                      F.round("zipf_slope", 4).alias("zipf_slope"),
+                      F.round("zipf_r2", 4).alias("zipf_r2"))
+
+
 def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle anchor for BPE training (``functions/bpe.py``): the
     first-iteration adjacent-symbol pair counts over the corpus word
@@ -3172,6 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_stats": multimodal_audio_stats,
         "bpe_top_pairs_documents": bpe_top_pairs_documents,
         "bpe_learn_documents": bpe_learn_documents,
+        "doc_length_outliers": doc_length_outliers,
+        "zipf_slope_tokens": zipf_slope_tokens,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3324,6 +3361,42 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT o_orderkey, o_totalprice FROM r
             WHERE rn >= 100 AND rn < 1000 AND (rn - 100) % 7 = 0
+        """,
+        "doc_length_outliers": """
+            WITH st AS (SELECT source,
+                               quantile_cont(n_chars, 0.25) AS q1,
+                               quantile_cont(n_chars, 0.75) AS q3
+                        FROM documents GROUP BY source)
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN d.n_chars < st.q1 - 1.5*(st.q3-st.q1)
+                                   OR d.n_chars > st.q3 + 1.5*(st.q3-st.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ROUND(MIN(st.q1 - 1.5*(st.q3-st.q1)), 4) AS lo,
+                   ROUND(MIN(st.q3 + 1.5*(st.q3-st.q1)), 4) AS hi
+            FROM documents d JOIN st USING (source)
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "zipf_slope_tokens": """
+            WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                         FROM documents),
+            cnt AS (SELECT token, COUNT(*) AS freq FROM tok
+                    WHERE token <> '' GROUP BY token),
+            top AS (SELECT token, freq FROM cnt
+                    ORDER BY freq DESC, token LIMIT 100),
+            r AS (SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+                         freq FROM top),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         SUM(LN(rank)) AS sx, SUM(LN(freq)) AS sy,
+                         SUM(LN(rank)*LN(rank)) AS sxx,
+                         SUM(LN(freq)*LN(freq)) AS syy,
+                         SUM(LN(rank)*LN(freq)) AS sxy
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
+                   ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
+                   ROUND(((n*sxy - sx*sy)*(n*sxy - sx*sy))
+                         / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 4) AS zipf_r2
+            FROM s
         """,
         "bpe_top_pairs_documents": """
             WITH words AS (

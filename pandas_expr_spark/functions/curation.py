@@ -33,7 +33,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 from pandas_expr_spark.functions import text as _text
 from pandas_expr_spark.functions.splits import hash_bucket
 
-__all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample"]
+__all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample",
+           "length_outlier_bounds", "flag_length_outliers"]
 
 
 # Gopher §A1.1 thresholds (public paper values)
@@ -238,3 +239,28 @@ def epoch_sample(sdf: SparkDF, factor: Column, key_col: str = "doc_id",
         & (frac_bucket
            < (F.col("__f__") - F.col("__full__")) * F.lit(1_000_000)))
     return out.filter(keep).drop("__f__", "__full__")
+
+
+def length_outlier_bounds(sdf: SparkDF, value_col: str = "n_chars",
+                          by: str = "source", k: float = 1.5) -> SparkDF:
+    """Per-group Tukey outlier bounds: ``[q1 - k*IQR, q3 + k*IQR]`` from
+    EXACT quantiles (linear interpolation, percentile_cont semantics).
+    One aggregation shuffle on the group key; the bounds table is
+    group-cardinality-sized (broadcastable)."""
+    pct = F.percentile(F.col(value_col), F.array(F.lit(0.25), F.lit(0.75)))
+    return (sdf.groupBy(by)
+            .agg(pct.alias("__q__"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .select(by, "n_rows",
+                    (F.col("__q__")[0] - k * (F.col("__q__")[1] - F.col("__q__")[0])).alias("lo"),
+                    (F.col("__q__")[1] + k * (F.col("__q__")[1] - F.col("__q__")[0])).alias("hi")))
+
+
+def flag_length_outliers(sdf: SparkDF, value_col: str = "n_chars",
+                         by: str = "source", k: float = 1.5) -> SparkDF:
+    """Tag rows outside their group's Tukey fence (`is_len_outlier`).
+    The bounds side is tiny → broadcast hash join, corpus not shuffled."""
+    bounds = length_outlier_bounds(sdf, value_col, by, k)
+    joined = sdf.join(F.broadcast(bounds.drop("n_rows")), on=by, how="left")
+    flag = (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+    return joined.withColumn("is_len_outlier", F.coalesce(flag, F.lit(False)))

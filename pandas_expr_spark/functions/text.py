@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import string
 
-from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
 __all__ = ["line_dedup", "token_count", "word_tokens", "char_ngrams", "word_shingles",
            "punct_ratio", "digit_ratio", "stopword_ratio", "avg_token_len",
            "quality_score", "lang_id", "lang_score", "fingerprint",
-           "bpe_ish_token_count", "repetition_ratio"]
+           "bpe_ish_token_count", "repetition_ratio", "zipf_fit"]
 
 _WS = r"\s+"
 
@@ -428,3 +428,39 @@ def line_dedup(docs: SparkDF, text_col: str = "text", id_col: str = "doc_id",
                  F.sum(F.col("__keep__").cast("long")).alias("n_kept"),
                  F.array_join(F.transform(kept, lambda x: x["__seg__"]),
                               sep).alias("kept_text")))
+
+
+def zipf_fit(sdf: SparkDF, text_col: str = "text", top_n: int = 100) -> SparkDF:
+    """Zipf-law fit over the corpus token-frequency distribution: the
+    least-squares slope of ``ln(freq)`` on ``ln(rank)`` for the top
+    ``top_n`` tokens (natural corpora: slope ≈ -1; synthetic/templated
+    corpora diverge — a cheap corpus-health probe).
+
+    Plan shape: one corpus tokenize+count shuffle; the rank window runs
+    over AT MOST ``top_n`` pre-aggregated rows (TakeOrderedAndProject →
+    tiny window), then one single-row closed-form regression aggregate.
+    Returns one row: (n_tokens_ranked, zipf_slope, zipf_r2)."""
+    tok = F.explode(word_tokens(F.lower(F.col(text_col)))).alias("token")
+    counts = (sdf.select(tok).filter(F.col("token") != "")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = top.select(F.row_number().over(w).alias("rank"), "freq")
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # ANSI guard BEFORE dividing: n<2 → no slope; constant freqs → no R²
+    slope = F.when(varx != 0, cov / varx)
+    r2 = F.when((varx != 0) & (vary != 0), (cov * cov) / (varx * vary))
+    return agg.select(
+        F.col("n").alias("n_tokens_ranked"),
+        slope.alias("zipf_slope"),
+        r2.alias("zipf_r2"))
