@@ -101,6 +101,14 @@ HEADLINE = [
     # window dedup
     "doc_line_dedup",
     "doc_dup_windows",
+    # round-3 session additions: real PNG/WAV decode, distributed BPE
+    # training, corpus statistics
+    "multimodal_pixel_stats",
+    "multimodal_audio_stats",
+    "bpe_top_pairs_documents",
+    "bpe_learn_documents",
+    "doc_length_outliers",
+    "zipf_slope_tokens",
 ]
 
 

@@ -1019,6 +1019,10 @@ class Series(FrameBase):
         return F.lit(other)
 
     def mask(self, cond: "Series", other=None):
+        if callable(cond) and not isinstance(cond, FrameBase):
+            cond = cond(self)
+        if callable(other) and not isinstance(other, FrameBase):
+            other = other(self)
         if isinstance(other, Series) and other._sdf is not self._sdf:
             return self._where_aligned(cond, other, keep_on_true=False)
         return self._with_scol(
@@ -1026,6 +1030,10 @@ class Series(FrameBase):
             .otherwise(self._scol), "mask")
 
     def where(self, cond: "Series", other=None):
+        if callable(cond) and not isinstance(cond, FrameBase):
+            cond = cond(self)
+        if callable(other) and not isinstance(other, FrameBase):
+            other = other(self)
         if isinstance(other, Series) and other._sdf is not self._sdf:
             return self._where_aligned(cond, other, keep_on_true=True)
         return self._with_scol(
@@ -1896,7 +1904,31 @@ class Series(FrameBase):
         no shuffle, no Python.  Default labels follow pandas' interval
         formatting (float edges rounded per ``precision`` with the
         uniqueness-preserving escalation pandas uses); ``labels=False``
-        returns the integer bin code; out-of-range → null."""
+        returns the integer bin code; out-of-range → null.
+
+        An integer ``bins`` computes pandas' equal-width edges (linspace
+        over [min, max] with the 0.1%-of-range boundary adjustment) from
+        one tiny min/max aggregation — an eager driver action exactly
+        like pandas' own scan."""
+        if isinstance(bins, int):
+            if bins < 1:
+                raise ValueError("`bins` should be a positive integer")
+            import numpy as _np
+            row = self._sdf.agg(F.min(self._scol).alias("mn"),
+                                F.max(self._scol).alias("mx")).collect()[0]
+            mn, mx = float(row["mn"]), float(row["mx"])
+            if mn == mx:  # pandas: widen a degenerate range by 0.1%
+                mn -= (0.001 * abs(mn)) if mn != 0 else 0.001
+                mx += (0.001 * abs(mx)) if mx != 0 else 0.001
+                bins = [float(e) for e in _np.linspace(mn, mx, bins + 1)]
+            else:
+                edges_arr = _np.linspace(mn, mx, bins + 1)
+                adj = (mx - mn) * 0.001
+                if right:
+                    edges_arr[0] -= adj
+                else:
+                    edges_arr[-1] += adj
+                bins = [float(e) for e in edges_arr]
         edges = list(bins)
         if len(edges) < 2:
             raise ValueError("cut needs at least 2 bin edges")
@@ -4226,12 +4258,21 @@ class DataFrame(FrameBase):
         cond from ANOTHER frame (e.g. the parent of a projection) aligns
         on the index via one equi-join, pandas alignment semantics.  A
         boolean FRAME cond applies per column (``df.where(df > 0)``)."""
+        if callable(cond) and not isinstance(cond, FrameBase):
+            cond = cond(self)
+        if callable(other) and not isinstance(other, FrameBase):
+            other = other(self)
         if isinstance(cond, DataFrame):
             return self._framewise_cond(cond, True, other)
         if not isinstance(cond, Series):
             raise ValueError("DataFrame.where requires a boolean Series")
         if cond._sdf is self._sdf:
-            reps = {c: F.when(cond._scol, F.col(c)).otherwise(F.lit(other))
+            # the replacement is cast per column (a string column takes
+            # str(other)) — Spark-typed columns can't hold pandas' mixed
+            # object cells
+            reps = {c: F.when(cond._scol, F.col(c)).otherwise(
+                        F.lit(other).cast(self._sdf.schema[c].dataType)
+                        if other is not None else F.lit(None))
                     for c in self.columns}
             return self._derive(self._sdf.withColumns(reps), "where", {})
         if not self._index_cols or not cond._index_cols:
@@ -4243,7 +4284,9 @@ class DataFrame(FrameBase):
                            F.col("__cond__")),
             on=list(self._index_cols), how="left")
         flag = F.coalesce(F.col("__cond__"), F.lit(False))
-        reps = {c: F.when(flag, F.col(c)).otherwise(F.lit(other))
+        reps = {c: F.when(flag, F.col(c)).otherwise(
+                    F.lit(other).cast(self._sdf.schema[c].dataType)
+                    if other is not None else F.lit(None))
                 for c in self.columns}
         return self._derive(joined.withColumns(reps).drop("__cond__"),
                             "where", {"aligned": True})
@@ -4252,6 +4295,10 @@ class DataFrame(FrameBase):
         """pandas ``DataFrame.mask`` — complement of ``where``.  A null
         cond counts as False (pandas): the row is KEPT, so the inversion
         must null-coalesce before negating."""
+        if callable(cond) and not isinstance(cond, FrameBase):
+            cond = cond(self)
+        if callable(other) and not isinstance(other, FrameBase):
+            other = other(self)
         if isinstance(cond, DataFrame):
             return self._framewise_cond(cond, False, other)
         if not isinstance(cond, Series):
@@ -5682,7 +5729,28 @@ class DataFrame(FrameBase):
     def median(self, numeric_only: bool = True):
         return self._columnwise(F.median, "median", numeric_only)
 
-    def quantile(self, q: float = 0.5, numeric_only: bool = True):
+    def quantile(self, q: float | Sequence[float] = 0.5,
+                 numeric_only: bool = True):
+        """Scalar q → one stacked stat row per column; a LIST of qs →
+        pandas' q-indexed frame from ONE aggregation (per-column
+        percentile arrays, unpacked by a posexplode over the ≤len(q)-row
+        result — no per-q rescan)."""
+        if isinstance(q, (list, tuple)):
+            qs = [float(x) for x in q]
+            num = [c for c in self.columns
+                   if is_numeric(self._sdf.schema[c].dataType)]
+            qarr = F.array(*[F.lit(x) for x in qs])
+            agg = self._sdf.agg(*[F.percentile(F.col(c), qarr).alias(c)
+                                  for c in num])
+            exploded = agg.select(
+                F.posexplode(qarr).alias("__pos__", "q"),
+                *[F.col(c) for c in num])
+            out = exploded.select(
+                F.col("q"),
+                *[F.element_at(F.col(c), F.col("__pos__") + 1).alias(c)
+                  for c in num])
+            node = Node("quantile", {"q": qs}, self._expr)
+            return DataFrame(out, node, ("q",), (None,))
         return self._columnwise(lambda c: F.percentile(c, q),
                                 "quantile", numeric_only)
 
@@ -6097,7 +6165,7 @@ class DataFrame(FrameBase):
         return GroupBy(self, by, sort=sort, as_index=False,
                        dropna=False, kind="grouping_sets", sets=sets)
 
-    def pivot_table(self, values: str, index, columns: str,
+    def pivot_table(self, values: str, index, columns: str | None = None,
                     aggfunc: str = "mean",
                     pivot_values: Sequence | None = None,
                     margins: bool = False,
@@ -6118,6 +6186,27 @@ class DataFrame(FrameBase):
         from .operators.groupby import _AGG_FNS
         idx = _ensure_list(index)
         fn = _AGG_FNS[aggfunc]
+        if columns is None:
+            # pandas pivot_table without a columns axis: a plain grouped
+            # aggregation over the value column(s) (+ the All margin row)
+            vals = _ensure_list(values)
+            out = self._sdf.groupBy(*idx).agg(
+                *[fn(F.col(v)).alias(v) for v in vals])
+            if margins:
+                row = self._sdf.agg(*[fn(F.col(v)).alias(v) for v in vals])
+                for c in idx:
+                    out = out.withColumn(c, F.col(c).cast("string"))
+                for i, c in enumerate(idx):
+                    row = row.withColumn(
+                        c, F.lit(margins_name if i == 0 else ""))
+                out = out.unionByName(row.select(out.columns))
+            if fill_value is not None:
+                out = out.fillna(fill_value,
+                                 subset=[c for c in out.columns
+                                         if c not in idx])
+            node = Node("pivot_table", {"index": idx, "columns": None,
+                                        "aggfunc": aggfunc}, self._expr)
+            return DataFrame(out, node, tuple(idx), tuple(idx))
         piv = self._sdf.groupBy(*idx).pivot(
             columns, list(pivot_values) if pivot_values is not None else None)
         out = piv.agg(fn(F.col(values)).alias(values))
@@ -6636,6 +6725,11 @@ class DataFrame(FrameBase):
         for c, f in (getattr(self, "_period_value_freq", None) or {}).items():
             if c in pdf.columns:
                 pdf[c] = pdf[c].dt.to_period(f)
+        # pandas int column labels (str.split(expand)/partition/extract):
+        # Spark columns are strings "0","1",… — restore the int labels
+        ints = getattr(self, "_int_label_cols", None)
+        if ints:
+            pdf.columns = [int(c) if c in ints else c for c in pdf.columns]
         return pdf
 
 

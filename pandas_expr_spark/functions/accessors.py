@@ -154,7 +154,10 @@ class StringAccessor(_Accessor):
             *[one(i).alias(names.get(i, str(i - 1)))
               for i in range(1, cpat.groups + 1)])
         node = Node("str.extract", {"pat": pat}, s._expr)
-        return _PDF(sdf, node, s._index_cols, s._index_names)
+        out = _PDF(sdf, node, s._index_cols, s._index_names)
+        out._int_label_cols = {str(i - 1) for i in range(1, cpat.groups + 1)
+                               if i not in names}
+        return out
 
     def split(self, pat: str = r"\s+", regex: bool | None = None,
               n: int = -1, expand: bool = False):
@@ -184,7 +187,9 @@ class StringAccessor(_Accessor):
             *[F.try_element_at("__toks__", F.lit(i + 1)).alias(str(i))
               for i in range(width)])
         node = Node("str.split", {"pat": pat, "expand": True}, s._expr)
-        return _PDF(sdf, node, s._index_cols, s._index_names)
+        out = _PDF(sdf, node, s._index_cols, s._index_names)
+        out._int_label_cols = {str(i) for i in range(width)}
+        return out
 
     def partition(self, sep: str = " "):
         """pandas ``str.partition``: (before, sep, after) — three pure
@@ -207,7 +212,9 @@ class StringAccessor(_Accessor):
                             before.alias("0"), mid.alias("1"),
                             after.alias("2"))
         node = Node("str.partition", {"sep": sep}, s._expr)
-        return _PDF(sdf, node, s._index_cols, s._index_names)
+        out = _PDF(sdf, node, s._index_cols, s._index_names)
+        out._int_label_cols = {"0", "1", "2"}
+        return out
 
     def extractall(self, pat: str):
         """pandas ``str.extractall``: every regex match becomes a row —

@@ -229,8 +229,8 @@ class TestAccessorEdges:
     def test_extract_single_group_expands(self, spark):
         pdf = pd.DataFrame({"s": ["x_a", "nope", None]})
         got = pes.from_pandas(pdf)["s"].str.extract(r"x_([a-z])").compute()
-        assert "0" in got.columns
-        assert got["0"].tolist()[0] == "a"
+        assert 0 in got.columns  # pandas int label for unnamed group
+        assert got[0].tolist()[0] == "a"
         # expand=False keeps the Series form
         s = pes.from_pandas(pdf)["s"].str.extract(r"x_([a-z])",
                                                   expand=False)

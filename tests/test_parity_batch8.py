@@ -132,18 +132,16 @@ def test_str_split_expand_and_extract(spark):
     ps = pd.Series(["a_b_c", "x_y", None, "solo"], name="s")
     ds = pes.from_pandas(ps.to_frame()).s
     got = ds.str.split("_", expand=True).compute().reset_index(drop=True)
-    exp = ps.str.split("_", expand=True).rename(columns=str) \
-        .reset_index(drop=True)
+    exp = ps.str.split("_", expand=True).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     got_e = ds.str.extract(r"([a-z])_([a-z])").compute() \
         .reset_index(drop=True)
-    exp_e = ps.str.extract(r"([a-z])_([a-z])").rename(columns=str) \
-        .reset_index(drop=True)
+    exp_e = ps.str.extract(r"([a-z])_([a-z])").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_e, exp_e)
     # single group -> Series; no match -> null (not '')
     # pandas expand=True default: single group still yields a DataFrame
     got_1 = (ds.str.extract(r"x_([a-z])").compute()
-             .reset_index(drop=True)["0"])
+             .reset_index(drop=True)[0])
     exp_1 = ps.str.extract(r"x_([a-z])")[0].reset_index(drop=True)
     pd.testing.assert_series_equal(got_1, exp_1, check_names=False)
     # named groups become column names
