@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Iterable, Mapping, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
@@ -277,6 +278,45 @@ def _interval_display(edges, precision: int, first_edge_adjust: bool):
     return disp
 
 
+def _assign_positional(sdf: SparkDF, key: str, values) -> SparkDF:
+    """pandas sequence assignment: value i goes to row i (current row
+    order).  The sequence is a driver-held Python object, so the
+    (position, value) table broadcasts; the frame needs one rowid pass.
+    An eager count enforces pandas' length check."""
+    if isinstance(values, pd.Series):
+        idx = values.index
+        if not (isinstance(idx, pd.RangeIndex)
+                and idx.start == 0 and idx.step == 1):
+            raise ValueError(
+                "assign with a pandas Series needs a default RangeIndex; "
+                "align explicitly (from_pandas + merge) instead")
+        values = values.to_numpy()
+    vals = list(values.tolist() if hasattr(values, "tolist") else values)
+    n = sdf.count()
+    if len(vals) != n:
+        raise ValueError(f"Length of values ({len(vals)}) does not match "
+                         f"length of index ({n})")
+    spark = sdf.sparkSession
+    lookup = spark.createDataFrame(
+        pd.DataFrame({"__assign_pos__": range(len(vals)), key: vals}))
+    orig_cols = list(sdf.columns)
+    renamed_rowid = _ROWID in orig_cols
+    base = sdf.withColumnRenamed(_ROWID, "__orig_rowid__") if renamed_rowid \
+        else sdf
+    if key in base.columns:
+        base = base.drop(key)
+    withpos = _attach_rowid(base)
+    out = (withpos.join(F.broadcast(lookup),
+                        withpos[_ROWID] == lookup["__assign_pos__"], "left")
+           .drop("__assign_pos__", _ROWID))
+    if renamed_rowid:
+        out = out.withColumnRenamed("__orig_rowid__", _ROWID)
+    # preserve column order; a replaced column keeps its original slot
+    final = [c if c != key or key not in orig_cols else key
+             for c in orig_cols] + ([key] if key not in orig_cols else [])
+    return out.select(*[F.col(c) for c in final])
+
+
 def _attach_rowid(sdf: SparkDF) -> SparkDF:
     """Materialize a positional row id.
 
@@ -438,6 +478,10 @@ class Scalar(FrameBase):
 
     def __bool__(self):
         return bool(self.compute())
+
+    def __round__(self, ndigits=None):
+        v = self.compute()
+        return round(v) if ndigits is None else round(v, ndigits)
 
     # -- lazy scalar algebra (reference scalars stay expressions) --------
     # scalar∘scalar cross-joins two 1×1 frames (Catalyst folds it into a
@@ -1119,15 +1163,18 @@ class Series(FrameBase):
             if na_action == "ignore":
                 out = F.when(c.isNull(), F.lit(None)).otherwise(out)
             return self._with_scol(out, "map")
-        return self.apply(arg)
+        return self.apply(arg, _na_action=na_action)
 
-    def apply(self, func: Callable, return_type: Any = None):
+    def apply(self, func: Callable, return_type: Any = None,
+              _na_action: str | None = None):
         """Elementwise UDF via Arrow-batched pandas_udf (reference Apply
         ``_expr.py:1240-1261``).  Schema inferred by running ``func`` on a
-        tiny sample when not given — mirroring ``Apply._meta``."""
+        tiny sample when not given — mirroring ``Apply._meta``.
+        ``_na_action='ignore'`` (from ``map``) skips nulls like pandas."""
         if return_type is None:
             sample = self._sdf.select(self._scol.alias("__c__")).limit(10).toPandas()["__c__"]
-            inferred = sample.map(func) if len(sample) else pd.Series([], dtype="object")
+            inferred = (sample.map(func, na_action=_na_action)
+                        if len(sample) else pd.Series([], dtype="object"))
             return_type = to_spark_type(inferred.dtype if inferred.dtype != object else "string") \
                 if len(inferred) else T.StringType()
         else:
@@ -1137,7 +1184,7 @@ class Series(FrameBase):
 
         @pandas_udf(return_type)
         def _apply(s: pd.Series) -> pd.Series:
-            return s.map(func)
+            return s.map(func, na_action=_na_action)
 
         return self._with_scol(_apply(self._scol), "apply", func=getattr(func, "__name__", "lambda"))
 
@@ -1792,8 +1839,15 @@ class Series(FrameBase):
                 Node("corr", {"method": "spearman"}, self._expr, other._expr))
         raise NotImplementedError("corr: method must be pearson or spearman")
 
-    def cov(self, other: "Series", ddof: int = 1) -> Scalar:
-        fn = F.covar_samp if ddof == 1 else F.covar_pop
+    def cov(self, other: "Series", ddof: int = 1,
+            min_periods: int | None = None) -> Scalar:
+        base = F.covar_samp if ddof == 1 else F.covar_pop
+        if min_periods is None:
+            return self._pairwise(other, base, "cov")
+
+        def fn(a, b):
+            n = F.count(F.when(a.isNotNull() & b.isNotNull(), F.lit(1)))
+            return F.when(n >= min_periods, base(a, b))
         return self._pairwise(other, fn, "cov")
 
     def autocorr(self, lag: int = 1) -> Scalar:
@@ -2109,8 +2163,11 @@ class Series(FrameBase):
         limit, broadcast back — never a global sort)."""
         if keep not in ("first", "last", "all"):
             raise ValueError(f"keep must be first/last/all, got {keep!r}")
-        name = self._col_name or "__v__"
-        base = self.to_frame(name)._sdf.filter(F.col(name).isNotNull())
+        # default-index frames get the anonymous rowid index first so the
+        # result preserves pandas' original row labels (and first/last has
+        # a real positional tie-break)
+        sdf, name, _order, idx = self._ordered_base()
+        base = sdf.filter(F.col(name).isNotNull())
         key = F.col(name).desc() if largest else F.col(name).asc()
         if keep == "all":
             thr = (base.orderBy(key).limit(n)
@@ -2121,11 +2178,12 @@ class Series(FrameBase):
             out = base.join(F.broadcast(thr), cond).drop("__thr__")
         else:
             tb = [(F.col(c).asc() if keep == "first" else F.col(c).desc())
-                  for c in self._index_cols]
+                  for c in idx]
             out = base.orderBy(key, *tb).limit(n)
         return Series(out, F.col(name), self._col_name,
                       Node(op, {"n": n, "keep": keep}, self._expr),
-                      self._index_cols, self._index_names)
+                      tuple(idx),
+                      self._index_names if self._index_cols else (None,))
 
     def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
         """Reference NLargest ``_reductions.py:268-285``."""
@@ -3680,6 +3738,14 @@ class DataFrame(FrameBase):
                 if not isinstance(res, Series):
                     raise TypeError("assign callable must return a Series")
                 col = res._scol
+            elif isinstance(v, (list, tuple, np.ndarray, pd.Series, pd.Index)):
+                # pandas: a sequence assigns ONE VALUE PER ROW by position
+                # (broadcasting the whole list to every row would be
+                # silently wrong data).  The sequence is driver-held by
+                # construction → (pos, value) broadcast join against one
+                # rowid pass; length mismatch raises like pandas.
+                sdf = _assign_positional(sdf, k, v)
+                continue
             else:
                 col = F.lit(v)
             sdf = sdf.withColumn(k, col)
@@ -4156,7 +4222,19 @@ class DataFrame(FrameBase):
                                   F.lit(fill_value)).otherwise(lag),
             "shift")
 
-    def diff(self, periods: int = 1) -> "DataFrame":
+    def diff(self, periods: int = 1, axis: int = 0) -> "DataFrame":
+        if axis in (1, "columns"):
+            # column-minus-previous-column: a pure projection
+            num = [c for c in self.columns
+                   if is_numeric(self._sdf.schema[c].dataType)]
+            updates = {}
+            for i, c in enumerate(num):
+                j = i - periods
+                updates[c] = (F.col(c) - F.col(num[j])
+                              if 0 <= j < len(num)
+                              else F.lit(None).cast("double"))
+            return self._derive(self._sdf.withColumns(updates),
+                                "diff_axis1", {"periods": periods})
         return self._frame_positional(periods, lambda c, lag: c - lag,
                                       "diff")
 
@@ -5319,6 +5397,55 @@ class DataFrame(FrameBase):
 
     # -- positional family over all numeric columns: ONE distributed
     # segment scan for the whole frame (functions/scan.py) ---------------
+    def _frame_cumop_axis1(self, op: str, skipna: bool = True) -> "DataFrame":
+        """Row-wise cumulative op ACROSS columns — a pure projection (no
+        scan/shuffle): column i's cell folds columns 0..i."""
+        num = [c for c in self.columns
+               if is_numeric(self._sdf.schema[c].dataType)]
+        updates = {}
+        null_seen = F.lit(False)
+        for i, c in enumerate(num):
+            prior = [F.col(x) for x in num[: i + 1]]
+            if skipna:
+                # nulls don't participate (identity element) — but the
+                # cell itself stays null when ITS value is null
+                if op == "sum":
+                    acc = prior[0] if i == 0 else sum(
+                        (F.coalesce(p, F.lit(0)) for p in prior[1:]),
+                        F.coalesce(prior[0], F.lit(0)))
+                elif op == "prod":
+                    acc = prior[0]
+                    if i > 0:
+                        acc = F.coalesce(prior[0], F.lit(1))
+                        for p in prior[1:]:
+                            acc = acc * F.coalesce(p, F.lit(1))
+                elif op == "max":
+                    acc = prior[0] if i == 0 else F.greatest(*prior)
+                else:
+                    acc = prior[0] if i == 0 else F.least(*prior)
+                updates[c] = F.when(F.col(c).isNull(), F.lit(None)) \
+                    .otherwise(acc)
+            else:
+                # pandas skipna=False: the first null poisons every later
+                # column (greatest/least skip nulls, so an explicit
+                # null-seen mask is required for max/min)
+                if op == "sum":
+                    acc = prior[0]
+                    for p in prior[1:]:
+                        acc = acc + p
+                elif op == "prod":
+                    acc = prior[0]
+                    for p in prior[1:]:
+                        acc = acc * p
+                elif op == "max":
+                    acc = prior[0] if i == 0 else F.greatest(*prior)
+                else:
+                    acc = prior[0] if i == 0 else F.least(*prior)
+                null_seen = null_seen | F.col(c).isNull()
+                updates[c] = F.when(null_seen, F.lit(None)).otherwise(acc)
+        return self._derive(self._sdf.withColumns(updates),
+                            f"cum{op}_axis1", {})
+
     def _frame_cumop(self, op: str, skipna: bool = True) -> "DataFrame":
         from .functions import scan
         num = [c for c in self.columns
@@ -5553,10 +5680,21 @@ class DataFrame(FrameBase):
                     {"columns": list(self.columns)}, self._expr)
         return DataFrame(out, node, idx, names)
 
-    def cumsum(self, skipna: bool = True): return self._frame_cumop("sum", skipna)
-    def cumprod(self, skipna: bool = True): return self._frame_cumop("prod", skipna)
-    def cummax(self, skipna: bool = True): return self._frame_cumop("max", skipna)
-    def cummin(self, skipna: bool = True): return self._frame_cumop("min", skipna)
+    def cumsum(self, axis: int = 0, skipna: bool = True):
+        return (self._frame_cumop_axis1("sum", skipna)
+                if axis in (1, "columns") else self._frame_cumop("sum", skipna))
+
+    def cumprod(self, axis: int = 0, skipna: bool = True):
+        return (self._frame_cumop_axis1("prod", skipna)
+                if axis in (1, "columns") else self._frame_cumop("prod", skipna))
+
+    def cummax(self, axis: int = 0, skipna: bool = True):
+        return (self._frame_cumop_axis1("max", skipna)
+                if axis in (1, "columns") else self._frame_cumop("max", skipna))
+
+    def cummin(self, axis: int = 0, skipna: bool = True):
+        return (self._frame_cumop_axis1("min", skipna)
+                if axis in (1, "columns") else self._frame_cumop("min", skipna))
 
     # -- reductions over all columns (reference §2.5) --------------------
     def _columnwise(self, fn: Callable[[Column], Column], op: str,
