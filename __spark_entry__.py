@@ -1326,6 +1326,100 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("zipf_r2", 4).alias("zipf_r2"))
 
 
+def _synth_messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL synthesis per doc_id (JVM concat): mixed
+    scheme case, optional WWW., host pool with cc-TLD variety, default +
+    non-default ports, trailing slashes, shuffled tracking params, and
+    fragments — every normalization rule gets exercised."""
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    www = F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    suffix = (F.when(i % 4 == 0, F.lit(".example.com"))
+              .when(i % 4 == 1, F.lit(".News.co.uk"))
+              .when(i % 4 == 2, F.lit(".blog.org"))
+              .otherwise(F.lit(".shop.net")))
+    port = (F.when(i % 11 == 0, F.lit(":8080"))
+            .when(i % 7 == 0, F.lit(":443")).otherwise(F.lit("")))
+    trail = F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (F.when(i % 2 == 0,
+                    F.concat(F.lit("?b="), (i % 10).cast("string"),
+                             F.lit("&utm_source=x&a=1")))
+             .otherwise(F.lit("?utm_campaign=c&z=9")))
+    frag = F.when(i % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), www,
+                   F.lit("site"), (i % 97).cast("string"), suffix, port,
+                   F.lit("/p/"), (i % 13).cast("string"), trail,
+                   query, frag)
+    return docs.select("doc_id", "source", "n_chars",
+                       url.alias("url"))
+
+
+def url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (``functions/urls.py`` ``normalize_url``/``extract_domain``): pure
+    JVM parse_url/regex/array ops — a narrow map, no shuffle.  The
+    oracle never parses the messy URL: it recomputes the CANONICAL form
+    arithmetically from the same doc_id formula, so a green row proves
+    scheme/host lowering, www/port/fragment/tracking-param stripping,
+    query sorting, and trailing-slash trimming are all exact."""
+    from pandas_expr_spark.functions import urls
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    messy = _synth_messy_urls(docs)
+    return (messy.select(
+                "doc_id",
+                urls.normalize_url("url").alias("norm_url"),
+                urls.extract_domain("url").alias("domain"))
+            .orderBy("doc_id"))
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (``functions/urls.py`` ``url_dedup``): collapse
+    rows whose URLs canonicalize identically, keeping the richest
+    capture (max n_chars, ties → smallest doc_id) — ONE hash-shuffle
+    groupBy with map-side-combining max_by/count, no window.  URLs are
+    synthesized so each doc_id mod-50 class collides after
+    normalization; the oracle recomputes the canonical key from the
+    formula and picks the winner with a SQL window."""
+    from pandas_expr_spark.functions import urls
+    from pandas_expr_spark.sources.tables import load_table
+    i = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("d"), (i % 50).cast("string"), F.lit(".Example.com/x"),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("?utm_source=t")).otherwise(F.lit("")))
+    messy = docs.select("doc_id", "n_chars", url.alias("url"))
+    kept = urls.url_dedup(messy, url_col="url", key_col="doc_id",
+                          prefer_col="n_chars")
+    return (kept.select("norm_url",
+                        F.col("doc_id").alias("kept_doc_id"),
+                        F.col("n_chars").alias("kept_n_chars"),
+                        F.col("url_dup_count").cast("long")
+                        .alias("url_dup_count"))
+            .orderBy("norm_url"))
+
+
+def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap (``functions/urls.py`` ``cap_per_group``):
+    at most 10 docs per source, the 10 smallest by md5(doc_id) —
+    deterministic and engine-reproducible.  The naive per-group window
+    is replaced by the two-phase md5-PREFIX-bucket histogram plan (whole
+    buckets kept via broadcast semi join; only each group's boundary
+    bucket gets an exact window).  Oracle: plain row_number over
+    (md5, doc_id) per source."""
+    from pandas_expr_spark.functions import urls
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    capped = urls.cap_per_group(docs, 10, "source", "doc_id")
+    return (capped.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("source"))
+
+
 def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle anchor for BPE training (``functions/bpe.py``): the
     first-iteration adjacent-symbol pair counts over the corpus word
@@ -3209,6 +3303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_documents": bpe_learn_documents,
         "doc_length_outliers": doc_length_outliers,
         "zipf_slope_tokens": zipf_slope_tokens,
+        "url_normalize_docs": url_normalize_docs,
+        "url_dedup_docs": url_dedup_docs,
+        "cap_per_source_docs": cap_per_source_docs,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3397,6 +3494,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(((n*sxy - sx*sy)*(n*sxy - sx*sy))
                          / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 4) AS zipf_r2
             FROM s
+        """,
+        "url_normalize_docs": """
+            -- The oracle never parses the messy URL: it recomputes the
+            -- CANONICAL form from the same doc_id arithmetic the Spark
+            -- side used to SYNTHESIZE the messy one, so a hash match
+            -- proves every normalization rule end-to-end.
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+                    || '://site' || CAST(doc_id % 97 AS VARCHAR)
+                    || CASE doc_id % 4
+                         WHEN 0 THEN '.example.com'
+                         WHEN 1 THEN '.news.co.uk'
+                         WHEN 2 THEN '.blog.org'
+                         ELSE '.shop.net' END
+                    || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+                    || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN '?a=1&b=' || CAST(doc_id % 10 AS VARCHAR)
+                            ELSE '?z=9' END) AS norm_url,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'news.co.uk'
+                     WHEN 2 THEN 'blog.org'
+                     ELSE 'shop.net' END AS domain
+            FROM documents ORDER BY doc_id
+        """,
+        "url_dedup_docs": """
+            WITH k AS (SELECT doc_id, n_chars, doc_id % 50 AS g
+                       FROM documents),
+            w AS (SELECT g, doc_id, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY g
+                             ORDER BY n_chars DESC, doc_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY g) AS cnt
+                  FROM k)
+            SELECT 'https://d' || CAST(g AS VARCHAR) || '.example.com/x'
+                       AS norm_url,
+                   doc_id AS kept_doc_id,
+                   n_chars AS kept_n_chars,
+                   CAST(cnt AS BIGINT) AS url_dup_count
+            FROM w WHERE rn = 1 ORDER BY norm_url
+        """,
+        "cap_per_source_docs": """
+            WITH r AS (SELECT source, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+                       FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r WHERE rn <= 10 GROUP BY source ORDER BY source
         """,
         "bpe_top_pairs_documents": """
             WITH words AS (

@@ -109,6 +109,10 @@ HEADLINE = [
     "bpe_learn_documents",
     "doc_length_outliers",
     "zipf_slope_tokens",
+    # round-3 session additions: URL hygiene (canonicalize, URL dedup,
+    # per-source caps)
+    "url_dedup_docs",
+    "cap_per_source_docs",
 ]
 
 
