@@ -317,17 +317,50 @@ def _assign_positional(sdf: SparkDF, key: str, values) -> SparkDF:
     return out.select(*[F.col(c) for c in final])
 
 
-def _attach_rowid(sdf: SparkDF) -> SparkDF:
-    """Materialize a positional row id.
+def _is_na_scalar(v) -> bool:
+    """True for None/NaN/NaT/pd.NA scalars (pandas' missing sentinels)."""
+    try:
+        return v is None or bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
 
-    Scale note: ``zipWithIndex`` is a two-pass distributed operation (count
-    per partition, then offset) — unlike a global ``row_number()`` window it
-    does NOT funnel data through one partition, so it remains usable at
-    scale; we still only call it when an order-dependent op demands it.
-    """
-    schema = T.StructType(list(sdf.schema.fields) + [T.StructField(_ROWID, T.LongType())])
-    rdd = sdf.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return sdf.sparkSession.createDataFrame(rdd, schema)
+
+def _attach_rowid(sdf: SparkDF) -> SparkDF:
+    """Materialize a positional row id — entirely JVM-side.
+
+    The distributed-sequence trick (same design as pandas-on-Spark's
+    default index): per-partition row numbers are a window partitioned by
+    ``spark_partition_id()`` (every partition ranks in parallel — NO
+    global single-task window), and the partition start offsets come from
+    a tiny per-partition count histogram cumsum'd and broadcast back.
+    Two scans of the input plan, zero Python serialization — unlike
+    ``rdd.zipWithIndex``, which shipped every row through a Python
+    worker.  Determinism caveat (shared with zipWithIndex): both scans
+    must see the same partition layout, true for any deterministic
+    lineage."""
+    # monotonically_increasing_id documented layout: partition id in the
+    # upper 31 bits, CONSECUTIVE 0-based record number in the lower 33 —
+    # so (mid >> 33) is the partition and (mid & mask) the exact position
+    # within it.  rowid = broadcast partition-start offset + position:
+    # no window over the data, no shuffle, no Python.
+    mask = (1 << 33) - 1
+    base = sdf.withColumn("__mid__", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("__mid__"), 33)
+    counts = (base.groupBy(pid.alias("__pid__"))
+              .agg(F.count(F.lit(1)).alias("__n__")))
+    # cumsum over ≤ #partitions rows — a one-task window over a tiny frame
+    w_off = (Window.orderBy("__pid__")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__pid__",
+        F.coalesce(F.sum("__n__").over(w_off), F.lit(0)).alias("__off__"))
+    out = (base.join(F.broadcast(offsets),
+                     pid == F.col("__pid__"))
+           .withColumn(_ROWID,
+                       F.col("__off__")
+                       + F.col("__mid__").bitwiseAND(F.lit(mask)))
+           .drop("__pid__", "__mid__", "__off__"))
+    return out.select(*sdf.columns, _ROWID)
 
 
 # --------------------------------------------------------------------------
@@ -442,7 +475,13 @@ class FrameBase:
 
     # -- execution --------------------------------------------------------
     def to_spark(self) -> SparkDF:
-        """The lowered Spark DataFrame (index columns included)."""
+        """The lowered Spark DataFrame.  Named index columns are included;
+        the SYNTHETIC positional rowid (attached internally to preserve
+        pandas row labels through sorts/explodes) is not — it is an
+        engine artifact, not user data."""
+        if _ROWID in self._sdf.columns and _ROWID in getattr(
+                self, "_index_cols", ()):
+            return self._sdf.drop(_ROWID)
         return self._sdf
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK"):
@@ -918,8 +957,14 @@ class Series(FrameBase):
                         values._expr)
             return Series(out, F.col(name), self._col_name, node, idx,
                           self._index_names if self._index_cols else (None,))
-        return self._with_scol(
-            F.coalesce(self._scol.isin(list(values)), F.lit(False)), "isin")
+        vals = list(values)
+        clean = [v for v in vals if not _is_na_scalar(v)]
+        pred = self._scol.isin(clean) if clean else F.lit(False)
+        if len(clean) < len(vals):
+            # pandas: NaN/None IN the values list matches null elements
+            # (its hash table treats NaN == NaN); SQL IN never would
+            pred = pred | self._scol.isNull()
+        return self._with_scol(F.coalesce(pred, F.lit(False)), "isin")
 
     def between(self, left, right, inclusive: str = "both"):
         """Reference Between ``_expr.py:1153-1156``.  Named method, so it
@@ -1199,10 +1244,18 @@ class Series(FrameBase):
         node = Node(op, {}, self._expr)
         return Scalar(self._sdf.agg(out.alias(op)), node)
 
+    def _num_scol(self):
+        """The column with booleans lifted to long — pandas sums/means
+        booleans as 0/1; Spark's ANSI sum(boolean) is a type error."""
+        if isinstance(self.spark_type, T.BooleanType):
+            return self._scol.cast("long")
+        return self._scol
+
     def sum(self, skipna: bool = True, min_count: int = 0):
-        agg = F.sum(self._scol)
+        c = self._num_scol()
+        agg = F.sum(c)
         if min_count:
-            agg = F.when(F.count(self._scol) >= min_count, agg)
+            agg = F.when(F.count(c) >= min_count, agg)
         else:
             agg = F.coalesce(agg, F.lit(0))
         return self._reduce(agg, "sum", skipna)
@@ -1227,7 +1280,7 @@ class Series(FrameBase):
     def mean(self, skipna: bool = True):
         """Correct kwargs — the reference's Mean silently ignores them
         (wart at ``_reductions.py:221-230``; SURVEY §7.3.4)."""
-        return self._reduce(F.avg(self._scol), "mean", skipna)
+        return self._reduce(F.avg(self._num_scol()), "mean", skipna)
 
     def count(self) -> Scalar:
         return self._reduce(F.count(self._scol), "count")
@@ -4299,8 +4352,10 @@ class DataFrame(FrameBase):
         to this frame; otherwise one index equi-join with the cond
         columns renamed alongside."""
         exprs = getattr(cond, "_cmp_exprs", None)
+        other_is_frame = isinstance(other, DataFrame)
         if exprs is not None and getattr(cond, "_cmp_anchor",
-                                         None) is self._sdf:
+                                         None) is self._sdf \
+                and not other_is_frame:
             def rep(c):
                 e = exprs.get(c)
                 flag = F.coalesce(e, F.lit(False)) if e is not None \
@@ -4311,22 +4366,50 @@ class DataFrame(FrameBase):
             return self._derive(
                 self._sdf.withColumns({c: rep(c) for c in self.columns}),
                 "where" if keep_on_true else "mask", {"frame_cond": True})
-        if not self._index_cols or not cond._index_cols:
-            raise ValueError("where/mask with a foreign boolean frame "
-                             "needs an index on both sides to align")
-        csel = cond._sdf.select(
-            *[F.col(c).alias(i) for c, i in
-              zip(cond._index_cols, self._index_cols)],
+        # alignment path: named index when present; default-index frames
+        # align POSITIONALLY via attached rowids (pandas label==position)
+        sides = [bool(self._index_cols), bool(cond._index_cols)] + \
+                ([bool(other._index_cols)] if other_is_frame else [])
+        if len(set(sides)) != 1:
+            raise ValueError("where/mask with a foreign frame needs an "
+                             "index on all sides (or on none) to align")
+        if self._index_cols:
+            base, lidx = self._sdf, list(self._index_cols)
+            cond_sdf, cidx = cond._sdf, list(cond._index_cols)
+            drop_rowid = False
+        else:
+            base, lidx = _attach_rowid(self._sdf), [_ROWID]
+            cond_sdf, cidx = _attach_rowid(cond._sdf), [_ROWID]
+            drop_rowid = True
+        csel = cond_sdf.select(
+            *[F.col(c).alias(i) for c, i in zip(cidx, lidx)],
             *[F.col(c).alias(f"__c_{c}__") for c in cond.columns])
-        joined = self._sdf.join(csel, on=list(self._index_cols), how="left")
+        joined = base.join(csel, on=lidx, how="left")
+        if other_is_frame:
+            other_sdf = other._sdf if self._index_cols \
+                else _attach_rowid(other._sdf)
+            oidx = list(other._index_cols) if self._index_cols else [_ROWID]
+            osel = other_sdf.select(
+                *[F.col(c).alias(i) for c, i in zip(oidx, lidx)],
+                *[F.col(c).alias(f"__o_{c}__") for c in other.columns])
+            joined = joined.join(osel, on=lidx, how="left")
         def rep2(c):
             flag = (F.coalesce(F.col(f"__c_{c}__"), F.lit(False))
                     if c in cond.columns else F.lit(False))
-            return (F.when(flag, F.col(c)).otherwise(F.lit(other))
+            if other_is_frame:
+                oc = (F.col(f"__o_{c}__") if c in other.columns
+                      else F.lit(None))
+            else:
+                oc = F.lit(other)
+            return (F.when(flag, F.col(c)).otherwise(oc)
                     if keep_on_true else
-                    F.when(flag, F.lit(other)).otherwise(F.col(c)))
+                    F.when(flag, oc).otherwise(F.col(c)))
         out = (joined.withColumns({c: rep2(c) for c in self.columns})
-               .drop(*[f"__c_{c}__" for c in cond.columns]))
+               .drop(*[f"__c_{c}__" for c in cond.columns],
+                     *([f"__o_{c}__" for c in other.columns]
+                       if other_is_frame else [])))
+        if drop_rowid:
+            out = out.drop(_ROWID)
         return self._derive(out, "where" if keep_on_true else "mask",
                             {"frame_cond": True, "aligned": True})
 
@@ -4499,28 +4582,44 @@ class DataFrame(FrameBase):
         A list of columns explodes them TOGETHER elementwise (pandas
         multi-column explode) via ``arrays_zip`` — one generator, no
         cartesian blow-up."""
+        if self._index_cols:
+            src, idx_cols, idx_names = \
+                self._sdf, self._index_cols, self._index_names
+        else:
+            # pandas DUPLICATES the original row label per element —
+            # anchor positional labels as rowids (JVM attach, no shuffle)
+            src, idx_cols, idx_names = \
+                _attach_rowid(self._sdf), (_ROWID,), (None,)
         if isinstance(column, (list, tuple)) and len(column) > 1:
             targets = list(column)
             z = F.explode_outer(F.arrays_zip(*[F.col(c) for c in targets]))
-            base = self._sdf.select(*[F.col(c) for c in self._index_cols],
-                                    *[F.col(c) for c in self.columns
-                                      if c not in targets],
-                                    z.alias("__z__"))
-            cols = [F.col(c) for c in self._index_cols] + \
+            base = src.select(*[F.col(c) for c in idx_cols],
+                              *[F.col(c) for c in self.columns
+                                if c not in targets],
+                              z.alias("__z__"))
+            cols = [F.col(c) for c in idx_cols] + \
                    [F.col("__z__")[c].alias(c) if c in targets else F.col(c)
                     for c in self.columns]
-            return self._derive(base.select(*cols), "explode",
-                                {"columns": targets})
-        if isinstance(column, (list, tuple)):
-            column = column[0]
-        cols = [F.col(c) for c in self._index_cols] + \
-               [F.explode_outer(F.col(c)).alias(c) if c == column else F.col(c)
-                for c in self.columns]
-        return self._derive(self._sdf.select(*cols), "explode", {"column": column})
+            out, meta = base.select(*cols), {"columns": targets}
+        else:
+            if isinstance(column, (list, tuple)):
+                column = column[0]
+            cols = [F.col(c) for c in idx_cols] + \
+                   [F.explode_outer(F.col(c)).alias(c) if c == column
+                    else F.col(c) for c in self.columns]
+            out, meta = src.select(*cols), {"column": column}
+        return DataFrame(out, Node("explode", meta, self._expr),
+                         idx_cols, idx_names)
 
     # -- ordering / limits (`IX` family, SURVEY §2.7) --------------------
     def sort_values(self, by, ascending: bool | Sequence[bool] = True,
-                    na_position: str = "last") -> "DataFrame":
+                    na_position: str = "last",
+                    ignore_index: bool = False) -> "DataFrame":
+        """pandas keeps the original row labels through a sort, so a
+        default-positional-index frame anchors them as rowids first
+        (JVM distributed-sequence attach — no shuffle, no Python).
+        ``ignore_index=True`` skips the anchor and relabels 0..n-1, the
+        cheaper plan when labels don't matter."""
         by = _ensure_list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         cols = []
@@ -4531,8 +4630,12 @@ class DataFrame(FrameBase):
             else:
                 c = c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
             cols.append(c)
-        return self._derive(self._sdf.orderBy(*cols), "sort",
-                            {"by": by, "ascending": list(asc)})
+        if self._index_cols or ignore_index:
+            return self._derive(self._sdf.orderBy(*cols), "sort",
+                                {"by": by, "ascending": list(asc)})
+        sdf = _attach_rowid(self._sdf).orderBy(*cols)
+        node = Node("sort", {"by": by, "ascending": list(asc)}, self._expr)
+        return DataFrame(sdf, node, (_ROWID,), (None,))
 
     def sort_index(self, ascending: bool | Sequence[bool] = True,
                    na_position: str = "last") -> "DataFrame":
@@ -4730,10 +4833,14 @@ class DataFrame(FrameBase):
             return ok
 
         def _cell(c, vals):
-            ok = _compat(schema[c], list(vals))
-            if not ok:
-                return F.lit(False)
-            return F.coalesce(F.col(c).isin(ok), F.lit(False))
+            vals = list(vals)
+            ok = _compat(schema[c], [v for v in vals
+                                     if not _is_na_scalar(v)])
+            pred = F.col(c).isin(ok) if ok else F.lit(False)
+            if any(_is_na_scalar(v) for v in vals):
+                # pandas: NaN in the values list matches null cells
+                pred = pred | F.col(c).isNull()
+            return F.coalesce(pred, F.lit(False))
 
         if isinstance(values, Mapping):
             cols = [F.col(c) for c in self._index_cols] + \
@@ -5868,11 +5975,35 @@ class DataFrame(FrameBase):
         return self._columnwise(F.median, "median", numeric_only)
 
     def quantile(self, q: float | Sequence[float] = 0.5,
-                 numeric_only: bool = True):
+                 numeric_only: bool = True, axis: int = 0):
         """Scalar q → one stacked stat row per column; a LIST of qs →
         pandas' q-indexed frame from ONE aggregation (per-column
         percentile arrays, unpacked by a posexplode over the ≤len(q)-row
-        result — no per-q rescan)."""
+        result — no per-q rescan).  ``axis=1`` is a pure row-wise
+        projection: sort the non-null cells into an array and linearly
+        interpolate — no shuffle, no UDF."""
+        if axis in (1, "columns"):
+            if isinstance(q, (list, tuple)):
+                raise NotImplementedError("quantile(axis=1) takes one q")
+            num = [c for c in self.columns
+                   if is_numeric(self._sdf.schema[c].dataType)]
+            arr = F.array_sort(F.filter(
+                F.array(*[F.col(c).cast("double") for c in num]),
+                lambda x: x.isNotNull() & ~F.isnan(x)))
+            n = F.size(arr)
+            pos = (n - 1) * F.lit(float(q))
+            lo = F.floor(pos).cast("int")
+            frac = pos - lo
+            val = (F.element_at(arr, lo + 1) * (1 - frac)
+                   + F.element_at(arr, F.least(lo + 2, n)) * frac)
+            # internal safe column name — "0.5" would parse as a struct
+            # path in F.col; the pandas-visible name is set via col_name
+            sdf = self._sdf.select(
+                *[F.col(c) for c in self._index_cols],
+                F.when(n > 0, val).alias("__q__"))
+            node = Node("quantile_axis1", {"q": q}, self._expr)
+            return Series(sdf, F.col("__q__"), str(q), node,
+                          self._index_cols, self._index_names)
         if isinstance(q, (list, tuple)):
             qs = [float(x) for x in q]
             num = [c for c in self.columns
@@ -6451,13 +6582,51 @@ class DataFrame(FrameBase):
             ts = ts - F.expr("INTERVAL 1 MICROSECOND")
         elif closed not in (None, "left"):
             raise ValueError(f"closed must be left/right, got {closed!r}")
+        label_shift = None
         if mult == 1 and unit in self._RESAMPLE_TRUNC:
             trunc = self._RESAMPLE_TRUNC[unit]
             bucket = F.date_trunc(trunc, ts)
             step_sql = self._RESAMPLE_STEP[trunc]
+            # pandas anchors W/M/Q/Y labels at the period END (default
+            # label='right' for these); the explicitly-start-anchored
+            # spellings (MS/QS/YS) keep the left label.  Bin MEMBERSHIP is
+            # identical either way (edges at midnight), so the shift is a
+            # post-aggregation relabel — applied in Resampler._finish,
+            # AFTER the calendar-spine fill, because month-end timestamps
+            # are not a fixed-interval sequence.
+            if trunc in ("week", "month", "quarter", "year") and \
+                    unit not in ("ms", "qs", "ys", "as"):
+                if label in (None, "right"):
+                    label_shift = {
+                        "week": "INTERVAL 6 DAYS",
+                        "month": "INTERVAL 1 MONTH - INTERVAL 1 DAY",
+                        "quarter": "INTERVAL 3 MONTHS - INTERVAL 1 DAY",
+                        "year": "INTERVAL 1 YEAR - INTERVAL 1 DAY",
+                    }[trunc]
+                else:
+                    label_shift = "- INTERVAL 1 DAY"
+                label = None  # consumed — skip the generic step shift
         elif unit in self._RESAMPLE_INTERVAL:
             dur = f"{mult} {self._RESAMPLE_INTERVAL[unit]}"
-            bucket = F.window(ts, dur).getField("start")
+            secs = mult * {"s": 1, "min": 60, "t": 60, "h": 3600,
+                           "d": 86400}[unit]
+            if 86400 % secs == 0:
+                # every midnight is a bin edge → epoch alignment already
+                # equals pandas' origin='start_day'; no data pass needed
+                bucket = F.window(ts, dur).getField("start")
+            else:
+                # pandas origin='start_day': bins anchor at MIDNIGHT OF
+                # THE DATA'S FIRST DAY — data-dependent, so one tiny
+                # min() action at plan-build time (documented contract,
+                # same class as get_dummies' distinct scan)
+                lo = self._sdf.agg(F.min(F.col(on))).collect()[0][0]
+                off = 0
+                if lo is not None:
+                    import datetime as _dt
+                    day0 = _dt.datetime.combine(lo.date(), _dt.time())
+                    off = int(day0.timestamp()) % secs
+                bucket = F.window(ts, dur, dur,
+                                  f"{off} seconds").getField("start")
             step_sql = f"INTERVAL {dur}"
         else:
             raise ValueError(f"unsupported resample freq {freq!r}")
@@ -6470,7 +6639,8 @@ class DataFrame(FrameBase):
         from .operators.groupby import Resampler
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})
-        return Resampler(out, on, step_sql, fill_empty=fill_empty, sort=True)
+        return Resampler(out, on, step_sql, fill_empty=fill_empty,
+                         sort=True, label_shift=label_shift)
 
     def asfreq(self, freq: str, on: str,
                method: str | None = None) -> "DataFrame":

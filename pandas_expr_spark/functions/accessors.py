@@ -98,9 +98,59 @@ class StringAccessor(_Accessor):
     def match(self, pat: str):
         return self._wrap(self._s._scol.rlike(f"^(?:{pat})"), "str.match")
 
-    def slice(self, start: int = 0, stop: int | None = None):
-        length = (stop - start) if stop is not None else 2 ** 31 - 1
-        return self._wrap(F.substring(self._s._scol, start + 1, length), "str.slice")
+    def slice(self, start: int = 0, stop: int | None = None,
+              step: int | None = None):
+        """pandas ``str.slice`` with full Python slice semantics for
+        negative ``start``/``stop`` (resolved against the string length,
+        clamped to [0, len]); the non-negative fast path stays a static
+        ``substring`` (constant-foldable)."""
+        if step not in (None, 1):
+            raise NotImplementedError("str.slice(step=)")
+        c = self._s._scol
+        if start >= 0 and (stop is None or stop >= 0):
+            length = (stop - start) if stop is not None else 2 ** 31 - 1
+            return self._wrap(F.substring(c, start + 1, max(length, 0)),
+                              "str.slice")
+        ln = F.length(c)
+        a = (F.least(F.lit(start), ln) if start >= 0
+             else F.greatest(ln + start, F.lit(0)))
+        if stop is None:
+            b = ln
+        elif stop >= 0:
+            b = F.least(F.lit(stop), ln)
+        else:
+            b = F.greatest(ln + stop, F.lit(0))
+        return self._wrap(c.substr(a + 1, F.greatest(b - a, F.lit(0))),
+                          "str.slice")
+
+    def rsplit(self, pat: str | None = None, n: int = -1,
+               expand: bool = False):
+        """pandas ``str.rsplit``: split from the RIGHT, at most ``n``
+        splits.  One full JVM split, then the leading parts re-joined —
+        ``array_join`` + two ``slice``s, no Python."""
+        import re
+        if expand:
+            raise NotImplementedError("str.rsplit(expand=True)")
+        if pat is None:
+            # pandas whitespace mode: runs of whitespace, leading/trailing
+            # dropped, '' -> []
+            joiner = " "
+            parts = F.filter(F.split(F.trim(self._s._scol), r"\s+", -1),
+                             lambda x: x != "")
+        else:
+            joiner = pat
+            parts = F.split(self._s._scol, re.escape(pat), -1)
+        if n is None or n < 0:
+            return self._wrap(parts, "str.rsplit")
+        sz = F.size(parts)
+        k = F.greatest(sz - F.lit(n), F.lit(1))
+        merged = F.array_join(F.slice(parts, F.lit(1), k), joiner)
+        tail = F.when(sz > k, F.slice(parts, k + 1, F.lit(n))) \
+                .otherwise(F.array().cast("array<string>"))
+        out = F.when(self._s._scol.isNull(), F.lit(None)) \
+               .when(sz == 0, F.array().cast("array<string>")) \
+               .otherwise(F.concat(F.array(merged), tail))
+        return self._wrap(out, "str.rsplit")
 
     def get(self, i: int):
         # pandas: out-of-range position → NaN (Spark substring gives '')
@@ -159,7 +209,7 @@ class StringAccessor(_Accessor):
                                if i not in names}
         return out
 
-    def split(self, pat: str = r"\s+", regex: bool | None = None,
+    def split(self, pat: str | None = None, regex: bool | None = None,
               n: int = -1, expand: bool = False):
         """pandas ``str.split``.  ``expand=True`` widens to one column per
         token position — the width is the corpus max token count, which is
@@ -168,12 +218,18 @@ class StringAccessor(_Accessor):
         ``get_dummies``); rows with fewer tokens pad with null
         (``try_element_at``)."""
         import re
-        if regex is None:
-            # pandas rule: a 1-char pat is literal; longer pats are regex
-            regex = len(pat) != 1
-        p = pat if regex else re.escape(pat)
         limit = n + 1 if n and n > 0 else -1
-        arr = F.split(self._s._scol, p, limit)
+        if pat is None:
+            # pandas whitespace mode: split on whitespace RUNS with
+            # leading/trailing whitespace ignored; '' -> []
+            arr = F.filter(F.split(F.trim(self._s._scol), r"\s+", limit),
+                           lambda x: x != "")
+        else:
+            if regex is None:
+                # pandas rule: 1-char pat is literal; longer pats are regex
+                regex = len(pat) != 1
+            p = pat if regex else re.escape(pat)
+            arr = F.split(self._s._scol, p, limit)
         if not expand:
             return self._wrap(arr, "str.split")
         s = self._s
@@ -296,8 +352,15 @@ class StringAccessor(_Accessor):
         return self._wrap(out, "str.pad")
 
     def zfill(self, width: int):
+        """pandas ``str.zfill``: zeros go AFTER a leading +/- sign
+        ('-5' → '-005'), like Python ``str.zfill``."""
         c = self._s._scol
-        out = F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0"))
+        sign = F.substring(c, 1, 1)
+        signed = sign.isin("-", "+")
+        body = F.when(signed, F.substring(c, 2, 2 ** 31 - 1)).otherwise(c)
+        pad = F.when(signed, F.concat(sign, F.lpad(body, width - 1, "0"))) \
+               .otherwise(F.lpad(body, width, "0"))
+        out = F.when(F.length(c) >= width, c).otherwise(pad)
         return self._wrap(out, "str.zfill")
 
     def repeat(self, n: int):
@@ -450,6 +513,17 @@ class DatetimeAccessor(_Accessor):
     def year(self): return self._wrap(F.year(self._s._scol), "dt.year")
     @property
     def month(self): return self._wrap(F.month(self._s._scol), "dt.month")
+
+    def month_name(self):
+        """pandas ``dt.month_name()`` — full English month name
+        (``date_format 'MMMM'``, JVM default locale)."""
+        return self._wrap(F.date_format(self._s._scol, "MMMM"),
+                          "dt.month_name")
+
+    def day_name(self):
+        """pandas ``dt.day_name()`` — full English weekday name."""
+        return self._wrap(F.date_format(self._s._scol, "EEEE"),
+                          "dt.day_name")
     @property
     def day(self): return self._wrap(F.dayofmonth(self._s._scol), "dt.day")
     @property

@@ -186,7 +186,10 @@ class GroupBy:
         idx = tuple(self._by) if self._as_index else ()
         names = tuple(self._by) if self._as_index else None
         value_cols = [c for c in out.columns if c not in self._by]
-        if self._as_index and self._slice is not None and len(value_cols) == 1:
+        # pandas: only a STRING slice (SeriesGroupBy) collapses to a
+        # Series; gb[["v"]] stays a one-column DataFrame
+        if self._as_index and getattr(self, "_slice_scalar", False) \
+                and len(value_cols) == 1:
             return Series(out, F.col(value_cols[0]), value_cols[0], node, idx, names)
         return DataFrame(out, node, idx, names)
 
@@ -447,7 +450,10 @@ class GroupBy:
                             else f"{c}_{label}")
                         continue
                     if fn_name in self._ANY_DTYPE_AGGS or c in numeric:
-                        one(c, fn_name, f"{c}_{fn_name}")
+                        # a string slice is a SeriesGroupBy: pandas labels
+                        # the result with the BARE fn names
+                        one(c, fn_name,
+                            fn_name if scalar_slice else f"{c}_{fn_name}")
         elif isinstance(spec, Mapping):
             # pandas: if ANY column maps to a list, the output columns are a
             # MultiIndex for ALL columns — flattened here to col_fn even for
@@ -524,16 +530,16 @@ class GroupBy:
         fn = _AGG_FNS[fn_name]
         w = Window.partitionBy(*self._by)
         cols = self._value_columns(numeric_only=True)
-        sdf = self._grouped_sdf()
+        # pandas transform KEEPS null-key rows (values NaN under dropna —
+        # masked by _finish_window) and aligns to the caller's labels
+        sdf, _order, tmp = self._positional()
         out = sdf.withColumns({c: fn(F.col(c)).over(w) for c in cols})
-        if self._slice is not None:
-            # pandas: groupby(k)[cols].transform(f) returns ONLY cols
-            idx = list(self._frame._index_cols)
-            out = out.select(*idx, *[c for c in self._slice
-                                     if c in out.columns])
-        node = Node("groupby_transform", {"by": self._by, "fn": fn_name},
-                    self._frame._expr)
-        return DataFrame(out, node, self._frame._index_cols, self._frame._index_names)
+        res = self._finish_window(out, tmp, "transform")
+        if self._slice is None:
+            # pandas transform excludes the group keys from the result
+            keep = [c for c in res.columns if c not in self._by]
+            res = res[keep]
+        return res
 
     def _transform_callable(self, func):
         """``transform(lambda s: ...)``: per-group Arrow batch, each value
@@ -578,8 +584,35 @@ class GroupBy:
         sdf = _attach_rowid(self._frame._sdf)
         return sdf, [_ROWID], _ROWID
 
+    # grouped ops that REMOVE null-key rows under dropna=True (pandas);
+    # every other grouped positional op KEEPS the row and nulls the value
+    _NULLKEY_FILTER_OPS = frozenset(
+        {"head", "tail", "nth", "sample", "nlargest", "nsmallest",
+         "filter", "topn"})
+
     def _finish_window(self, out, drop_col, op: str):
         from .._collection import DataFrame, Series
+        if self._dropna and self._by and \
+                all(b in out.columns for b in self._by):
+            # pandas dropna=True on null group keys: filter-type ops drop
+            # the row; transform-type ops keep it with a null value
+            # (verified: head/nth exclude, cumsum/shift/rank/cumcount/
+            # ngroup/ffill/transform emit NaN).  A no-op projection when
+            # the keys are non-nullable — Catalyst folds it away.
+            keynull = None
+            for b in self._by:
+                kn = F.col(b).isNull()
+                keynull = kn if keynull is None else (keynull | kn)
+            if op in self._NULLKEY_FILTER_OPS:
+                out = out.filter(~keynull)
+            else:
+                protected = set(self._by) | (
+                    {drop_col} if drop_col
+                    else set(self._frame._index_cols))
+                out = out.select(*[
+                    F.when(keynull, F.lit(None)).otherwise(F.col(c))
+                    .alias(c) if c not in protected else F.col(c)
+                    for c in out.columns])
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
         if op in ("cumcount", "ngroup"):
             # pandas returns a SERIES named by the op, indexed by the
@@ -654,11 +687,12 @@ class GroupBy:
         the (keys, value) partition; nulls rank null, sorted last so they
         never perturb non-null ranks."""
         from pyspark.sql import Window
-        if method == "first":
-            # ties rank by row position (pandas): positional tiebreak needed
-            sdf, pos_cols, tmp = self._positional()
-        else:
-            sdf, pos_cols, tmp = self._frame._sdf, [], None
+        # positional anchor ALWAYS: the window shuffle scrambles row order,
+        # so a default-index frame needs rowid labels for the result to
+        # align with the caller's rows (method="first" also uses them as
+        # the tie-break)
+        sdf, order_cols, tmp = self._positional()
+        pos_cols = order_cols if method == "first" else []
         cols = {}
         for c in self._value_columns(numeric_only=True):
             col = F.col(c)
@@ -752,8 +786,10 @@ class GroupBy:
         base = self._frame.resample(freq, on)   # bucketizes the frame
         r = Resampler(base._frame, on, base._step_sql,
                       fill_empty=fill_empty,
-                      sort=self._sort, extra_by=self._by)
+                      sort=self._sort, extra_by=self._by,
+                      label_shift=base._label_shift)
         r._slice = self._slice
+        r._slice_scalar = getattr(self, "_slice_scalar", False)
         return r
 
     def ewm(self, com: float | None = None, span: float | None = None,
@@ -1040,25 +1076,42 @@ class GroupBy:
         return self._finish(out, "describe")
 
     def sample(self, n: int | None = None, frac: float | None = None,
-               seed: int = 0):
-        """Per-group sampling without replacement: deterministic hash order
-        within each group (seeded xxhash64 of the row position) + one
-        row-number window — a single shuffle on the keys, no RNG state.
-        ``n`` keeps exactly min(n, group size) rows; ``frac`` keeps
-        ``round(frac * size)`` per pandas."""
-        from pyspark.sql import Window
+               replace: bool = False, seed: int | None = None,
+               random_state: int | None = None):
+        """pandas ``groupby.sample``: draw rows per group without
+        replacement, original index kept.  The draw is a deterministic
+        HASH draw (md5 of the row label + seed salt), not pandas' RNG —
+        same rows every run, every partitioning, every cluster size; a
+        different ``seed``/``random_state`` selects an independent draw.
+
+        Scale: lowered to the md5-prefix-bucket two-phase cap
+        (``urls.cap_per_group``) so a mega-group never sorts in one
+        task; ``frac=`` derives each group's exact ``round(frac*size)``
+        quota (banker's, like Python round) from the same tiny
+        histogram.  Divergence: ``n`` larger than a group returns the
+        whole group (pandas raises) — consistent with frame-level
+        ``sample(n=)``."""
+        if replace:
+            raise NotImplementedError(
+                "groupby.sample(replace=True) is not supported")
         if (n is None) == (frac is None):
             raise ValueError("sample: pass exactly one of n / frac")
+        from ..functions.urls import cap_per_group
         sdf, order_cols, tmp = self._positional()
-        h = F.xxhash64(*[F.col(c) for c in order_cols], F.lit(seed))
-        w = Window.partitionBy(*self._by).orderBy(h.asc())
-        cnt_w = Window.partitionBy(*self._by)
-        rn = F.row_number().over(w)
-        if n is not None:
-            keep = rn <= F.lit(n)
+        if self._dropna:
+            for b in self._by:
+                sdf = sdf.filter(F.col(b).isNotNull())
+        if seed is None:
+            seed = random_state
+        salt = "" if seed is None else str(seed)
+        if len(order_cols) == 1:
+            key, drop_key = order_cols[0], None
         else:
-            keep = rn <= F.round(F.count(F.lit(1)).over(cnt_w) * F.lit(frac))
-        out = sdf.withColumn("__keep__", keep).filter("__keep__").drop("__keep__")
+            key, drop_key = "__skey__", "__skey__"
+            sdf = sdf.withColumn(key, F.concat_ws("\x1f", *order_cols))
+        out = cap_per_group(sdf, n, self._by, key, salt=salt, frac=frac)
+        if drop_key:
+            out = out.drop(drop_key)
         return self._finish_window(out, tmp, "sample")
 
     def corr(self):
@@ -1092,7 +1145,13 @@ class GroupBy:
         a, b = F.when(both, a0), F.when(both, b0)
         out = self._grouping(self._grouped_sdf()).agg(fn(a, b).alias(op))
         self._count_like = set()
-        return self._finish(out, op)
+        res = self._finish(out, op)
+        from .._collection import DataFrame
+        if isinstance(res, DataFrame):
+            # engine contract: the flattened pairwise stat is a SERIES
+            # (pandas would emit the mirrored 2x2 matrix per group)
+            res = res[op]
+        return res
 
 
 class _GroupRolling:
@@ -1228,7 +1287,8 @@ class Resampler(GroupBy):
 
     def __init__(self, frame, on: str, step_sql: str,
                  fill_empty: bool = False, sort: bool = True,
-                 extra_by: list[str] | None = None):
+                 extra_by: list[str] | None = None,
+                 label_shift: str | None = None):
         # grouped resample (pandas ``groupby(k).resample(freq)``): the
         # group keys precede the time bucket; fill_empty generates one
         # calendar spine PER GROUP (each group's own min..max, pandas
@@ -1238,6 +1298,10 @@ class Resampler(GroupBy):
         self._on = on
         self._step_sql = step_sql
         self._fill_empty = fill_empty
+        # pandas W/M/Q/Y period-END labels: an interval expression added
+        # to the bucket AFTER aggregation + spine fill (month ends are
+        # not a fixed-step sequence, so the spine must run on starts)
+        self._label_shift = label_shift
 
     def __getitem__(self, key):
         keys = [key] if isinstance(key, str) else list(key)
@@ -1246,8 +1310,10 @@ class Resampler(GroupBy):
             raise KeyError(missing)
         r = Resampler(self._frame, self._on, self._step_sql,
                       self._fill_empty, self._sort,
-                      extra_by=self._extra_by)
+                      extra_by=self._extra_by,
+                      label_shift=self._label_shift)
         r._slice = keys
+        r._slice_scalar = isinstance(key, str)
         return r
 
     def _finish(self, out, op: str):
@@ -1277,4 +1343,12 @@ class Resampler(GroupBy):
             if zero:
                 filled = filled.withColumns(zero)
             out = filled
+        if self._label_shift and self._on in out.columns:
+            # chained ts +/- mixed-unit intervals must parse as ONE
+            # expression ((ts + 1 month) - 1 day) — column-level interval
+            # arithmetic rejects month+day interval sums
+            shift = self._label_shift
+            sql = f"`{self._on}` - INTERVAL 1 DAY" if shift.startswith("-") \
+                else f"`{self._on}` + {shift}"
+            out = out.withColumn(self._on, F.expr(sql))
         return super()._finish(out, op)

@@ -48,14 +48,22 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
     if axis not in (0, "index"):
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
+    if not ignore_index and all(not f._index_cols for f in frames):
+        # pandas keeps each input's OWN labels through a concat (duplicates
+        # and all) — anchor every default-index frame's positions as
+        # rowids (JVM attach, no shuffle) so .loc/alignment after the
+        # concat behaves like pandas
+        from .._collection import _ROWID, _attach_rowid
+        frames = [DataFrame(_attach_rowid(f._sdf), f._expr,
+                            (_ROWID,), (None,)) for f in frames]
     if join == "inner":
+        shared_idx = frames[0]._index_cols if not ignore_index and all(
+            f._index_cols == frames[0]._index_cols for f in frames) else ()
         common = [c for c in frames[0].columns
                   if all(c in f.columns for f in frames[1:])]
-        frames = [f[common] for f in frames]
-        out = _reduce(lambda a, b: a._sdf.select(*common).unionByName(
-            b._sdf.select(*common)), frames[1:], frames[0])
-        if isinstance(out, DataFrame):
-            out = out._sdf
+        sel = list(shared_idx) + common
+        out = _reduce(lambda a, b: a.unionByName(b._sdf.select(*sel)),
+                      frames[1:], frames[0]._sdf.select(*sel))
     elif join == "outer":
         # the index survives only when EVERY frame carries the same index
         # columns; otherwise a frame's private index column must not leak
@@ -73,7 +81,7 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
 
     node = Node("concat", {"join": join, "n": len(frames)},
                 *[f._expr for f in frames])
-    idx = frames[0]._index_cols if not ignore_index and join == "outer" and all(
+    idx = frames[0]._index_cols if not ignore_index and all(
         f._index_cols == frames[0]._index_cols for f in frames) else ()
     names = frames[0]._index_names if idx else None
     if sort:
