@@ -1420,6 +1420,25 @@ def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def groupby_sample_frac_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupby.sample(frac=)`` (``operators/groupby.py`` ``sample``):
+    deterministic md5-hash draw of exactly ``round(frac*size)`` rows per
+    priority, lowered to the md5-prefix-bucket two-phase cap — no
+    per-group mega-task sort.  Row labels are ``o_orderkey`` (set_index),
+    so the oracle reproduces the draw with a plain row_number over
+    (md5(key), key).  frac=0.25 keeps cnt*frac exact in both double and
+    decimal arithmetic, so the banker's-rounded quota matches bit-for-bit."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    s = o.set_index("o_orderkey").groupby("o_orderpriority").sample(frac=0.25)
+    return (s.to_spark().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.floor("o_totalprice")).cast("long")
+                 .alias("price_sum"))
+            .orderBy("o_orderpriority"))
+
+
 def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle anchor for BPE training (``functions/bpe.py``): the
     first-iteration adjacent-symbol pair counts over the corpus word
@@ -3306,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_docs": url_normalize_docs,
         "url_dedup_docs": url_dedup_docs,
         "cap_per_source_docs": cap_per_source_docs,
+        "groupby_sample_frac_orders": groupby_sample_frac_orders,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3534,6 +3554,21 @@ def oracle_sql() -> dict[str, str]:
                    n_chars AS kept_n_chars,
                    CAST(cnt AS BIGINT) AS url_dup_count
             FROM w WHERE rn = 1 ORDER BY norm_url
+        """,
+        "groupby_sample_frac_orders": """
+            WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                           o_orderkey) AS rn,
+                              COUNT(*) OVER (PARTITION BY o_orderpriority)
+                                  AS cnt
+                       FROM orders)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS price_sum
+            FROM r WHERE rn <= roundbankers(cnt * 0.25, 0)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "cap_per_source_docs": """
             WITH r AS (SELECT source, doc_id,

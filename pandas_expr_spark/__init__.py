@@ -127,6 +127,72 @@ def get_dummies(frame, columns=None, values=None, prefix_sep: str = "_",
                              prefix_sep=prefix_sep, dtype=dtype)
 
 
+def wide_to_long(frame, stubnames, i, j, sep: str = "", suffix: str = r"\d+"):
+    """pandas ``pd.wide_to_long``: unpivot ``stub{sep}{suffix}`` column
+    families into long format indexed by ``(i..., j)``.
+
+    The stub→suffix map comes from the SCHEMA (no data scan); the reshape
+    lowers to one projection + ``explode`` of an array of structs — a
+    narrow generator, no shuffle, no union of per-suffix branches.  A
+    suffix missing for some stub yields nulls (pandas parity).  ``j`` is
+    cast to long when every suffix is numeric, like pandas."""
+    import re
+    stubs = [stubnames] if isinstance(stubnames, str) else list(stubnames)
+    ids = [i] if isinstance(i, str) else list(i)
+    from pyspark.sql import functions as _F
+    pats = {s: re.compile(f"^{re.escape(s)}{re.escape(sep)}({suffix})$")
+            for s in stubs}
+    col_of: dict[str, dict[str, str]] = {s: {} for s in stubs}
+    matched: set[str] = set()
+    for c in frame.columns:
+        for s, pat in pats.items():
+            m = pat.match(c)
+            if m:
+                col_of[s][m.group(1)] = c
+                matched.add(c)
+                break
+    suffixes = sorted({sfx for d in col_of.values() for sfx in d})
+    if not suffixes:
+        raise ValueError(f"no columns match stubnames {stubs!r}")
+    numeric_j = all(s.isdigit() for s in suffixes)
+    schema = {f.name: f.dataType for f in frame._sdf.schema.fields}
+
+    def _val(s: str, sfx: str):
+        c = col_of[s].get(sfx)
+        if c is not None:
+            return _F.col(c)
+        some = next(iter(col_of[s].values()))
+        return _F.lit(None).cast(schema[some])
+
+    rows = _F.array(*[
+        _F.struct(
+            (_F.lit(int(sfx) if numeric_j else sfx)
+             .cast("long" if numeric_j else "string")).alias(j),
+            *[_val(s, sfx).alias(s) for s in stubs])
+        for sfx in suffixes])
+    keep = [c for c in frame.columns if c not in matched and c not in ids]
+    sdf = (frame._sdf
+           .select(*ids, *keep, _F.explode(rows).alias("__w2l__"))
+           .select(*ids, _F.col(f"__w2l__.{j}").alias(j), *keep,
+                   *[_F.col(f"__w2l__.{s}").alias(s) for s in stubs]))
+    out = _DataFrameImpl(sdf, Node("wide_to_long", {"stubs": stubs},
+                                   frame._expr), (), ())
+    return out.set_index([*ids, j])
+
+
+def json_normalize(data, record_path=None, meta=None, sep: str = ".",
+                   max_level=None, npartitions: int | None = None):
+    """pandas ``pd.json_normalize`` over driver-resident records (list of
+    dicts / dict) → engine DataFrame.  The flatten itself runs on the
+    driver via pandas (the input is already driver memory — same contract
+    as ``from_pandas``); for normalizing a JSON string COLUMN at scale
+    use ``Series.str`` + ``from_json`` (see the events gates)."""
+    import pandas as _pd
+    pdf = _pd.json_normalize(data, record_path=record_path, meta=meta,
+                             sep=sep, max_level=max_level)
+    return from_pandas(pdf, npartitions=npartitions)
+
+
 class DataFrame(_DataFrameImpl):
     """User-facing constructor accepts in-memory data (reference
     ``_collection.py:326-339`` → ``PandasIO`` leaf) or a Spark DataFrame."""
@@ -257,6 +323,7 @@ __all__ = [
     "from_pandas", "from_spark",
     "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut", "melt", "pivot", "pivot_table", "crosstab",
+    "wide_to_long", "json_normalize",
     "get_dummies", "to_datetime", "to_numeric",
     "isna", "notna", "isnull", "notnull", "unique", "factorize",
     "get_spark",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "hash_sample",
            "stratified_downsample"]
@@ -71,11 +71,14 @@ def stratified_downsample(sdf: SparkDF, strata: Sequence[str] | str,
                           key: str, n_per_stratum: int) -> SparkDF:
     """Balance a skewed corpus: keep at most ``n_per_stratum`` rows per
     stratum (e.g. per language / per source), chosen by hash order of the
-    key — deterministic, engine-portable, and one row-number window =
-    one shuffle on the strata keys.  The standard class-rebalancing step
-    before training-data mixing."""
+    key — deterministic, engine-portable.  The standard class-rebalancing
+    step before training-data mixing.
+
+    Delegates to ``urls.cap_per_group`` (md5-PREFIX-bucket two-phase
+    histogram) so a mega-stratum never sorts in a single task: whole
+    hash buckets are kept via a broadcast semi join and only the one
+    boundary bucket per stratum gets an exact window — result-identical
+    to the plain per-stratum ``row_number`` over (md5(key), key)."""
+    from .urls import cap_per_group
     strata = [strata] if isinstance(strata, str) else list(strata)
-    w = Window.partitionBy(*strata).orderBy(
-        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc())
-    return (sdf.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") <= n_per_stratum).drop("__rn__"))
+    return cap_per_group(sdf, n_per_stratum, strata, key)

@@ -137,13 +137,16 @@ def url_dedup(sdf: SparkDF, url_col: str = "url", key_col: str = "doc_id",
     return won.select(*cols, norm_col, "url_dup_count")
 
 
-def cap_per_group(sdf: SparkDF, n: int, group_col: str = "source",
+def cap_per_group(sdf: SparkDF, n: int | None,
+                  group_col: str | list[str] = "source",
                   key_col: str = "doc_id", salt: str = "",
-                  n_buckets: int = 4096) -> SparkDF:
-    """Keep at most ``n`` rows per group — the rows with the smallest
-    ``md5(key || salt)`` (deterministic, engine-reproducible; the SQL
-    oracle is a plain ``row_number() OVER (PARTITION BY g ORDER BY
-    md5(key), key)``).
+                  n_buckets: int = 4096,
+                  frac: float | None = None) -> SparkDF:
+    """Keep at most ``n`` rows per group (or exactly ``bround(frac *
+    group_size)`` rows when ``frac`` is given) — the rows with the
+    smallest ``md5(key || salt)`` (deterministic, engine-reproducible;
+    the SQL oracle is a plain ``row_number() OVER (PARTITION BY g ORDER
+    BY md5(key), key)``).
 
     Scale design — a per-group window sorts every row of a group in one
     task.  Instead (mirroring ``curation.budget_sample``, but the bucket
@@ -151,37 +154,50 @@ def cap_per_group(sdf: SparkDF, n: int, group_col: str = "source",
 
     1. bucket = first 3 hex chars of md5 (4096 ordered buckets);
     2. (group, bucket) count histogram — tiny, map-side combined;
-    3. cumsum per group over the tiny table; buckets fully under ``n``
-       are kept whole via a broadcast semi join (no sort of the big
-       side);
+    3. cumsum per group over the tiny table (group totals come free, so
+       a ``frac`` cap is derived right here — no extra pass); buckets
+       fully under the cap are kept whole via a broadcast semi join (no
+       sort of the big side);
     4. only each group's single boundary bucket (~1/4096 of its rows)
        gets an exact (md5, key) window for the remaining slots.
     """
+    if (n is None) == (frac is None):
+        raise ValueError("cap_per_group: pass exactly one of n= or frac=")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     nhex = max(1, (n_buckets - 1).bit_length() // 4)
     bucket = F.conv(F.substring(h, 1, nhex), 16, 10).cast("bigint")
     base = sdf.withColumn("__h__", h).withColumn("__b__", bucket)
 
-    hist = base.groupBy(group_col, "__b__").agg(
+    hist = base.groupBy(*groups, "__b__").agg(
         F.count(F.lit(1)).alias("__bn__"))
-    wh = (Window.partitionBy(group_col).orderBy("__b__")
+    wh = (Window.partitionBy(*groups).orderBy("__b__")
           .rowsBetween(Window.unboundedPreceding, 0))
+    wt = (Window.partitionBy(*groups)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    cap = (F.lit(n) if frac is None
+           # pandas sample(frac=) takes round(frac*len) per group; bround
+           # (half-even) matches Python round
+           else F.bround(F.sum("__bn__").over(wt) * frac, 0).cast("bigint"))
     hist = (hist.withColumn("__cum__", F.sum("__bn__").over(wh))
             .withColumn("__prev__", F.col("__cum__") - F.col("__bn__"))
+            .withColumn("__cap__", cap)
             .localCheckpoint(eager=False))
 
-    full = hist.filter(F.col("__cum__") <= n).select(group_col, "__b__")
-    taken_full = base.join(F.broadcast(full), [group_col, "__b__"],
+    full = (hist.filter(F.col("__cum__") <= F.col("__cap__"))
+            .select(*groups, "__b__"))
+    taken_full = base.join(F.broadcast(full), [*groups, "__b__"],
                            "left_semi")
 
-    boundary = (hist.filter((F.col("__cum__") > n)
-                            & (F.col("__prev__") < n))
-                .select(group_col, "__b__",
-                        (F.lit(n) - F.col("__prev__")).alias("__room__")))
-    wb = (Window.partitionBy(group_col, "__b__")
+    boundary = (hist.filter((F.col("__cum__") > F.col("__cap__"))
+                            & (F.col("__prev__") < F.col("__cap__")))
+                .select(*groups, "__b__",
+                        (F.col("__cap__") - F.col("__prev__"))
+                        .alias("__room__")))
+    wb = (Window.partitionBy(*groups, "__b__")
           .orderBy("__h__", key_col)
           .rowsBetween(Window.unboundedPreceding, 0))
-    taken_boundary = (base.join(F.broadcast(boundary), [group_col, "__b__"])
+    taken_boundary = (base.join(F.broadcast(boundary), [*groups, "__b__"])
                       .withColumn("__rn__", F.sum(F.lit(1)).over(wb))
                       .filter(F.col("__rn__") <= F.col("__room__"))
                       .drop("__room__", "__rn__"))
