@@ -76,7 +76,7 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .merge(c, left_on="o_custkey", right_on="c_custkey", broadcast=True))
     g = j.groupby("l_orderkey").agg(revenue=("rev", "sum"))
     g = g.assign(revenue=g["revenue"] / 100.0)
-    out = g.reset_index().sort_values(["revenue", "l_orderkey"],
+    out = g.reset_index().sort_values(["revenue", "l_orderkey"], ignore_index=True,
                                       ascending=[False, True]).head(10)
     return out.to_spark()
 
@@ -158,7 +158,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
     g = g.assign(revenue=g["revenue_c"] / 100.0)
     out = (g[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
-           .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+           .sort_values(["revenue", "c_custkey"], ascending=[False, True], ignore_index=True)
            .head(20))
     return out.to_spark()
 
@@ -199,7 +199,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderdate=j["o_orderdate"].dt.strftime("%Y-%m-%d"))
     out = (j[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
               "o_totalprice", "total_qty"]]
-           .sort_values(["total_qty", "o_orderkey"], ascending=[False, True])
+           .sort_values(["total_qty", "o_orderkey"], ascending=[False, True], ignore_index=True)
            .head(100))
     return out.to_spark()
 
@@ -363,7 +363,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_count=("o_orderkey", "count")).reset_index()
     g = per_cust.groupby("c_count").agg(
         custdist=("c_custkey", "count")).reset_index()
-    out = g.sort_values(["custdist", "c_count"], ascending=[False, False])
+    out = g.sort_values(["custdist", "c_count"], ascending=[False, False], ignore_index=True)
     return out[["c_count", "custdist"]].to_spark()
 
 
@@ -416,7 +416,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = j.merge(s, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
     out = (j[["s_acctbal", "s_name", "n_name", "l_partkey"]]
            .rename(columns={"l_partkey": "p_partkey"})
-           .sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+           .sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"], ignore_index=True,
                         ascending=[False, True, True, True])
            .head(100))
     return out.to_spark()
@@ -442,7 +442,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t[t["value_c"] * 1000 > t["total_c"]]
     t = t.assign(value=t["value_c"] / 100.0)
     out = t[["l_partkey", "value"]].sort_values(
-        ["value", "l_partkey"], ascending=[False, True])
+        ["value", "l_partkey"], ascending=[False, True], ignore_index=True)
     return out.to_spark()
 
 
@@ -463,7 +463,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = l.merge(bad, left_on="l_suppkey", right_on="s_suppkey", how="anti")
     g = l.groupby(["p_brand", "p_type", "p_size"]).agg(
         supplier_cnt=("l_suppkey", "nunique")).reset_index()
-    out = g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+    out = g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"], ignore_index=True,
                         ascending=[False, True, True, True])
     return out.to_spark()
 
@@ -512,7 +512,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
                    broadcast=True)
     s = s.merge(qual, left_on="s_suppkey", right_on="l_suppkey", how="semi")
-    return s[["s_suppkey", "s_name"]].sort_values("s_suppkey").to_spark()
+    return s[["s_suppkey", "s_name"]].sort_values("s_suppkey", ignore_index=True).to_spark()
 
 
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +551,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pairs.merge(s, left_on="late_sup", right_on="s_suppkey",
                     broadcast=True)
     g2 = j.groupby("s_name").agg(numwait=("l_orderkey", "nunique")).reset_index()
-    out = (g2.sort_values(["numwait", "s_name"], ascending=[False, True])
+    out = (g2.sort_values(["numwait", "s_name"], ascending=[False, True], ignore_index=True)
            .head(100))
     return out[["s_name", "numwait"]].to_spark()
 
@@ -639,7 +639,7 @@ def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas_expr_spark as pes
     orders = pes.read_parquet(f"{sf_dir}/orders.parquet")
-    out = orders.sort_values(["o_totalprice", "o_orderkey"],
+    out = orders.sort_values(["o_totalprice", "o_orderkey"], ignore_index=True,
                              ascending=[False, True]).head(10)
     return out[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
 
@@ -647,7 +647,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_limit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas_expr_spark as pes
     cust = pes.read_parquet(f"{sf_dir}/customer.parquet")
-    out = cust.sort_values(["c_acctbal", "c_custkey"],
+    out = cust.sort_values(["c_acctbal", "c_custkey"], ignore_index=True,
                            ascending=[False, True]).head(20)
     return out[["c_custkey", "c_name", "c_acctbal"]].to_spark()
 
@@ -1621,7 +1621,7 @@ def head_sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; lowers to TakeOrderedAndProject, no global sort)."""
     import pandas_expr_spark as pes
     n = pes.read_parquet(f"{sf_dir}/nation.parquet")
-    return n.sort_values("n_name").head(5).to_spark()
+    return n.sort_values("n_name", ignore_index=True).head(5).to_spark()
 
 
 def idx_extremes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

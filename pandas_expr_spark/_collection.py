@@ -344,7 +344,14 @@ def _attach_rowid(sdf: SparkDF) -> SparkDF:
     # within it.  rowid = broadcast partition-start offset + position:
     # no window over the data, no shuffle, no Python.
     mask = (1 << 33) - 1
-    base = sdf.withColumn("__mid__", F.monotonically_increasing_id())
+    # lazy localCheckpoint: the per-partition count histogram and the data
+    # branch would otherwise each recompute the ENTIRE upstream plan (for
+    # a sort after a join+agg that doubles the query) — checkpointing
+    # computes it once and both branches read the cached partitions.
+    # Also pins the partition layout, removing the two-scan determinism
+    # caveat entirely.
+    base = (sdf.localCheckpoint(eager=False)
+            .withColumn("__mid__", F.monotonically_increasing_id()))
     pid = F.shiftright(F.col("__mid__"), 33)
     counts = (base.groupBy(pid.alias("__pid__"))
               .agg(F.count(F.lit(1)).alias("__n__")))
@@ -2333,10 +2340,12 @@ class Series(FrameBase):
         return self.index
 
     def sort_values(self, ascending: bool = True,
-                    na_position: str = "last") -> "Series":
+                    na_position: str = "last",
+                    ignore_index: bool = False) -> "Series":
         return self._via_frame(
             lambda f, n: f.sort_values(n, ascending=ascending,
-                                       na_position=na_position),
+                                       na_position=na_position,
+                                       ignore_index=ignore_index),
             "sort_values", ascending=ascending)
 
     def sort_index(self, ascending: bool = True,
