@@ -1420,6 +1420,25 @@ def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (``functions/curation.py``
+    ``temperature_mix``, XLM-R/UniMax style): keep
+    ``min(n_i, round(scale * sqrt(n_i)))`` docs per source by md5 hash
+    order.  ONE tiny histogram collect + the md5-prefix two-phase cap —
+    a mega-source never sorts in one task.  scale passed explicitly so
+    the oracle reproduces the caps with LEAST/ROUNDBANKERS/SQRT (all
+    IEEE-exact on both engines)."""
+    from pandas_expr_spark.functions import curation
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curation.temperature_mix(docs, alpha=0.5, scale=3.0,
+                                    source_col="source", key_col="doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("source"))
+
+
 def groupby_sample_frac_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupby.sample(frac=)`` (``operators/groupby.py`` ``sample``):
     deterministic md5-hash draw of exactly ``round(frac*size)`` rows per
@@ -3326,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": url_dedup_docs,
         "cap_per_source_docs": cap_per_source_docs,
         "groupby_sample_frac_orders": groupby_sample_frac_orders,
+        "temperature_mix_sources": temperature_mix_sources,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3554,6 +3574,24 @@ def oracle_sql() -> dict[str, str]:
                    n_chars AS kept_n_chars,
                    CAST(cnt AS BIGINT) AS url_dup_count
             FROM w WHERE rn = 1 ORDER BY norm_url
+        """,
+        "temperature_mix_sources": """
+            WITH h AS (SELECT source, COUNT(*) AS n FROM documents
+                       GROUP BY source),
+            c AS (SELECT source,
+                         LEAST(n, CAST(roundbankers(3.0 * sqrt(n), 0)
+                                       AS BIGINT)) AS cap
+                  FROM h),
+            r AS (SELECT d.source, d.doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY d.source
+                             ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                      d.doc_id) AS rn
+                  FROM documents d)
+            SELECT r.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r JOIN c USING (source) WHERE rn <= c.cap
+            GROUP BY r.source ORDER BY r.source
         """,
         "groupby_sample_frac_orders": """
             WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

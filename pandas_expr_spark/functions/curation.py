@@ -34,7 +34,9 @@ from pandas_expr_spark.functions import text as _text
 from pandas_expr_spark.functions.splits import hash_bucket
 
 __all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample",
-           "length_outlier_bounds", "flag_length_outliers"]
+           "length_outlier_bounds", "flag_length_outliers",
+           "temperature_caps", "temperature_scale_for_budget",
+           "temperature_mix"]
 
 
 # Gopher §A1.1 thresholds (public paper values)
@@ -264,3 +266,60 @@ def flag_length_outliers(sdf: SparkDF, value_col: str = "n_chars",
     joined = sdf.join(F.broadcast(bounds.drop("n_rows")), on=by, how="left")
     flag = (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
     return joined.withColumn("is_len_outlier", F.coalesce(flag, F.lit(False)))
+
+
+def temperature_caps(counts: dict, alpha: float, scale: float) -> dict:
+    """Per-source document quotas for temperature-flattened mixing
+    (XLM-R / UniMax style): ``cap_i = min(n_i, round(scale * n_i**alpha))``.
+    ``alpha < 1`` flattens the source distribution (upweights small
+    sources relative to mega-sources); ``scale`` sets the absolute
+    budget.  Pure driver arithmetic over the tiny source histogram —
+    deterministic and reproducible in ANSI SQL (the gate's oracle
+    recomputes the same formula with LEAST/ROUNDBANKERS)."""
+    return {g: min(int(n), int(round(scale * float(n) ** alpha)))
+            for g, n in counts.items()}
+
+
+def temperature_scale_for_budget(counts: dict, alpha: float,
+                                 budget: int) -> float:
+    """Largest ``scale`` whose temperature caps sum to ≤ ``budget`` —
+    bisection over the tiny histogram (driver-side; the capped sum is a
+    step function, 60 iterations pin it well past float resolution)."""
+    lo, hi = 0.0, max((budget / max(float(n) ** alpha, 1.0)
+                       for n in counts.values()), default=1.0) + 1.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        took = sum(temperature_caps(counts, alpha, mid).values())
+        if took <= budget:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def temperature_mix(sdf: SparkDF, alpha: float = 0.5,
+                    scale: float | None = None,
+                    budget: int | None = None,
+                    source_col: str = "source",
+                    key_col: str = "doc_id") -> SparkDF:
+    """Temperature-flattened source mixing: keep
+    ``min(n_i, round(scale * n_i**alpha))`` docs per source, chosen by
+    md5 hash order of the key (deterministic, engine-portable).
+
+    Plan: ONE tiny source histogram (map-side combined, collected —
+    sources are dozens, never data-sized), driver cap arithmetic, then
+    the md5-prefix two-phase cap (``urls.cap_per_group``): whole hash
+    buckets kept via broadcast semi join, one boundary-bucket window per
+    source — no mega-source ever sorts in a single task.  Pass either
+    ``scale`` directly (exactly SQL-reproducible) or ``budget`` (scale
+    solved by driver bisection)."""
+    if (scale is None) == (budget is None):
+        raise ValueError("temperature_mix: pass exactly one of "
+                         "scale= or budget=")
+    from .urls import cap_per_group
+    counts = {r[0]: r[1] for r in
+              sdf.groupBy(source_col).count().collect()}
+    if scale is None:
+        scale = temperature_scale_for_budget(counts, alpha, budget)
+    caps = temperature_caps(counts, alpha, scale)
+    return cap_per_group(sdf, caps, source_col, key_col)

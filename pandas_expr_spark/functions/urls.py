@@ -137,7 +137,7 @@ def url_dedup(sdf: SparkDF, url_col: str = "url", key_col: str = "doc_id",
     return won.select(*cols, norm_col, "url_dup_count")
 
 
-def cap_per_group(sdf: SparkDF, n: int | None,
+def cap_per_group(sdf: SparkDF, n: "int | Mapping | None",
                   group_col: str | list[str] = "source",
                   key_col: str = "doc_id", salt: str = "",
                   n_buckets: int = 4096,
@@ -146,7 +146,11 @@ def cap_per_group(sdf: SparkDF, n: int | None,
     group_size)`` rows when ``frac`` is given) — the rows with the
     smallest ``md5(key || salt)`` (deterministic, engine-reproducible;
     the SQL oracle is a plain ``row_number() OVER (PARTITION BY g ORDER
-    BY md5(key), key)``).
+    BY md5(key), key)``).  ``n`` may also be a Mapping {group value →
+    cap} (single ``group_col`` only): the caps land on the tiny
+    histogram via a driver-built literal map, so per-group quotas
+    (temperature mixing, per-domain budgets) cost nothing extra; groups
+    absent from the mapping are dropped.
 
     Scale design — a per-group window sorts every row of a group in one
     task.  Instead (mirroring ``curation.budget_sample``, but the bucket
@@ -175,10 +179,26 @@ def cap_per_group(sdf: SparkDF, n: int | None,
           .rowsBetween(Window.unboundedPreceding, 0))
     wt = (Window.partitionBy(*groups)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    cap = (F.lit(n) if frac is None
-           # pandas sample(frac=) takes round(frac*len) per group; bround
-           # (half-even) matches Python round
-           else F.bround(F.sum("__bn__").over(wt) * frac, 0).cast("bigint"))
+    from collections.abc import Mapping as _Mapping
+    if isinstance(n, _Mapping):
+        if len(groups) != 1:
+            raise ValueError("mapping caps need a single group_col")
+        # literal CASE over the (tiny) histogram — groups without a cap
+        # get 0 and fall out entirely
+        cap = F.lit(0).cast("bigint")
+        expr = None
+        for g, c in n.items():
+            cond = F.col(groups[0]) == F.lit(g)
+            expr = F.when(cond, int(c)) if expr is None \
+                else expr.when(cond, int(c))
+        cap = expr.otherwise(F.lit(0)).cast("bigint") if expr is not None \
+            else cap
+    elif frac is None:
+        cap = F.lit(n)
+    else:
+        # pandas sample(frac=) takes round(frac*len) per group; bround
+        # (half-even) matches Python round
+        cap = F.bround(F.sum("__bn__").over(wt) * frac, 0).cast("bigint")
     hist = (hist.withColumn("__cum__", F.sum("__bn__").over(wh))
             .withColumn("__prev__", F.col("__cum__") - F.col("__bn__"))
             .withColumn("__cap__", cap)

@@ -124,3 +124,42 @@ def test_cap_per_group_boundary_bucket_partial(spark):
     """, t=sdf)
     assert sorted((r["g"], r["k"]) for r in got.collect()) == \
            sorted((r["g"], r["k"]) for r in oracle.collect())
+
+
+def test_cap_per_group_mapping_caps(spark):
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(10)] \
+        + [("c", 0)]
+    sdf = spark.createDataFrame(rows, ["g", "k"])
+    got = urls.cap_per_group(sdf, {"a": 5, "b": 100}, "g", "k")
+    counts = {r["g"]: r["n"] for r in
+              got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # mapped caps honored; unmapped group dropped
+    assert counts == {"a": 5, "b": 10}
+    oracle = spark.sql("""
+        SELECT g, k FROM (
+          SELECT g, k, ROW_NUMBER() OVER (
+              PARTITION BY g ORDER BY md5(CAST(k AS STRING)), k) rn
+          FROM {t}) WHERE (g = 'a' AND rn <= 5) OR (g = 'b' AND rn <= 100)
+    """, t=sdf)
+    assert sorted((r["g"], r["k"]) for r in got.collect()) == \
+           sorted((r["g"], r["k"]) for r in oracle.collect())
+
+
+def test_temperature_mix_budget_and_flattening(spark):
+    from pandas_expr_spark.functions import curation
+    counts = {"big": 10000, "mid": 400, "tiny": 9}
+    scale = curation.temperature_scale_for_budget(counts, 0.5, 700)
+    caps = curation.temperature_caps(counts, 0.5, scale)
+    assert sum(caps.values()) <= 700
+    # flattening: big source's keep-RATE far below tiny's
+    assert caps["big"] / 10000 < caps["tiny"] / 9
+    assert caps["tiny"] <= 9
+    rows = [(g, i) for g, n in [("big", 500), ("tiny", 9)]
+            for i in range(n)]
+    sdf = spark.createDataFrame(rows, ["source", "doc_id"])
+    kept = curation.temperature_mix(sdf, alpha=0.5, scale=2.0,
+                                    key_col="doc_id")
+    got = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["big"] == round(2.0 * 500 ** 0.5)
+    assert got["tiny"] == min(9, round(2.0 * 9 ** 0.5))
