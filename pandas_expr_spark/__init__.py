@@ -36,6 +36,34 @@ def qcut(series, q, labels=None, duplicates: str = "raise"):
     return series.qcut(q, labels=labels, duplicates=duplicates)
 
 
+def _strftime_to_jvm(fmt: str) -> str:
+    """Translate a Python strftime format (pandas ``to_datetime(format=)``)
+    to the JVM datetime pattern Spark's ``to_timestamp`` expects.  Formats
+    without ``%`` are assumed to already be JVM patterns (back-compat)."""
+    if "%" not in fmt:
+        return fmt
+    table = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+             "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+             "%f": "SSSSSS", "%j": "DDD", "%p": "a", "%z": "xx",
+             "%A": "EEEE", "%a": "EEE", "%B": "MMMM", "%b": "MMM",
+             "%%": "%"}
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i:i + 2]
+            if tok not in table:
+                raise ValueError(f"to_datetime: unsupported strftime "
+                                 f"directive {tok!r}")
+            out.append(table[tok])
+            i += 2
+        else:
+            # literal letters must be quoted in JVM patterns
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
 def to_datetime(series, errors: str = "raise", format: str | None = None,
                 unit: str | None = None):
     """pandas ``pd.to_datetime`` for engine Series: JVM ``to_timestamp``.
@@ -51,6 +79,7 @@ def to_datetime(series, errors: str = "raise", format: str | None = None,
             raise ValueError(f"to_datetime: unsupported unit {unit!r}")
         return series._with_scol(fn(c), "to_datetime")
     if format is not None:
+        format = _strftime_to_jvm(format)
         expr = (F.try_to_timestamp(c, F.lit(format)) if errors == "coerce"
                 else F.to_timestamp(c, format))
     else:

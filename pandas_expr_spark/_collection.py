@@ -3035,6 +3035,20 @@ class Series(FrameBase):
         from .functions.accessors import CategoricalAccessor
         return CategoricalAccessor(self)
 
+    @property
+    def list(self):
+        from .functions.accessors import ListAccessor
+        if not isinstance(self.spark_type, T.ArrayType):
+            raise AttributeError(".list accessor needs an array column")
+        return ListAccessor(self)
+
+    @property
+    def struct(self):
+        from .functions.accessors import StructAccessor
+        if not isinstance(self.spark_type, T.StructType):
+            raise AttributeError(".struct accessor needs a struct column")
+        return StructAccessor(self)
+
     # ------------------------------------------------------------------
     def compute(self) -> pd.Series:
         name = self._col_name if self._col_name is not None else "__values__"
@@ -3830,14 +3844,37 @@ class DataFrame(FrameBase):
             out._cat_meta = cm
         return out
 
-    def drop(self, labels=None, columns=None, axis: int = 1, errors: str = "raise") -> "DataFrame":
-        """Reference Drop ``_expr.py:1296-1306``."""
-        cols = _ensure_list(columns if columns is not None else labels)
+    def drop(self, labels=None, columns=None, axis: int = 0,
+             errors: str = "raise") -> "DataFrame":
+        """Reference Drop ``_expr.py:1296-1306``, with the pandas axis
+        contract: bare ``drop(labels)`` removes ROWS by index label
+        (axis=0 default); columns go through ``columns=`` or
+        ``axis=1``."""
+        if columns is None and axis in (1, "columns"):
+            columns = labels
+        if columns is not None:
+            cols = _ensure_list(columns)
+            if errors == "raise":
+                missing = [c for c in cols if c not in self.columns]
+                if missing:
+                    raise KeyError(missing)
+            return self._derive(self._sdf.drop(*cols), "drop",
+                                {"columns": cols})
+        labels = _ensure_list(labels)
+        if not self._index_cols:
+            raise ValueError("DataFrame.drop(labels) removes rows by "
+                             "index label — set_index first, or pass "
+                             "columns=/axis=1 for column drops")
+        icol = self._index_cols[0]
         if errors == "raise":
-            missing = [c for c in cols if c not in self.columns]
-            if missing:
-                raise KeyError(missing)
-        return self._derive(self._sdf.drop(*cols), "drop", {"columns": cols})
+            found = (self._sdf.filter(F.col(icol).isin(labels))
+                     .select(icol).distinct().count())
+            if found < len(set(labels)):
+                raise KeyError(f"some labels of {labels!r} not found "
+                               "in index")
+        out = self._sdf.filter(~F.col(icol).isin(labels)
+                               | F.col(icol).isNull())
+        return self._derive(out, "drop", {"n_labels": len(labels)})
 
     def rename(self, columns=None) -> "DataFrame":
         """Reference RenameFrame ``_expr.py:1034-1052``.  ``columns`` may
@@ -4693,21 +4730,28 @@ class DataFrame(FrameBase):
     def limit(self, n: int) -> "DataFrame":
         return self._derive(self._sdf.limit(n), "limit", {"n": n})
 
-    def nlargest(self, n: int, columns) -> "DataFrame":
+    def _extreme_rows(self, n: int, cols: list[str], desc: bool,
+                      op: str) -> "DataFrame":
         # pandas: NA rows sort LAST for both directions (Spark's asc
-        # default is nulls-first, which put them at the top of nsmallest)
-        cols = _ensure_list(columns)
-        return self._derive(
-            self._sdf.orderBy(*[F.col(c).desc_nulls_last() for c in cols])
-            .limit(n),
-            "nlargest", {"n": n, "columns": cols})
+        # default is nulls-first, which put them at the top of nsmallest);
+        # original row labels are kept (rowid anchor on default-index
+        # frames — the plan stays TakeOrderedAndProject)
+        order = [F.col(c).desc_nulls_last() if desc
+                 else F.col(c).asc_nulls_last() for c in cols]
+        if self._index_cols:
+            return self._derive(self._sdf.orderBy(*order).limit(n),
+                                op, {"n": n, "columns": cols})
+        sdf = _attach_rowid(self._sdf).orderBy(*order).limit(n)
+        return DataFrame(sdf, Node(op, {"n": n, "columns": cols},
+                                   self._expr), (_ROWID,), (None,))
+
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        return self._extreme_rows(n, _ensure_list(columns), True,
+                                  "nlargest")
 
     def nsmallest(self, n: int, columns) -> "DataFrame":
-        cols = _ensure_list(columns)
-        return self._derive(
-            self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in cols])
-            .limit(n),
-            "nsmallest", {"n": n, "columns": cols})
+        return self._extreme_rows(n, _ensure_list(columns), False,
+                                  "nsmallest")
 
     # -- index management (SURVEY §1.5, §2.2 SetIndex/ResetIndex) --------
     def set_index(self, keys, drop: bool = True) -> "DataFrame":
@@ -6719,16 +6763,26 @@ class DataFrame(FrameBase):
         a narrow no-shuffle op) plus the pandas default of dropping null
         cells; ``dropna=False`` keeps them (``pandas stack(dropna=False)``).
         Like pandas, a bare ``stack()`` keys on the engine index."""
+        base = self
+        from_index = False
         if id_vars is None:
             if not self._index_cols:
-                raise ValueError("stack() with no id_vars needs an index — "
-                                 "set_index first or pass id_vars")
-            id_vars = list(self._index_cols)
-        out = self.melt(id_vars, value_vars, var_name, value_name)
-        if dropna:
-            out = DataFrame(out._sdf.filter(F.col(value_name).isNotNull()),
-                            Node("stack_dropna", {}, out._expr), (), None)
-        return out
+                # pandas keys a bare stack() on the (positional) index —
+                # anchor it as rowids (JVM attach, no shuffle)
+                base = DataFrame(_attach_rowid(self._sdf),
+                                 Node("rowid", {}, self._expr),
+                                 (_ROWID,), (None,))
+            id_vars = list(base._index_cols)
+            from_index = True
+        out = base.melt(id_vars, value_vars, var_name, value_name)
+        sdf = out._sdf.filter(F.col(value_name).isNotNull()) if dropna \
+            else out._sdf
+        # index-keyed stack keeps the caller's row labels (duplicated per
+        # stacked column, like pandas' outer MultiIndex level)
+        idx = tuple(id_vars) if from_index else ()
+        names = base._index_names if from_index else None
+        return DataFrame(sdf, Node("stack", {"dropna": dropna}, out._expr),
+                         idx, names)
 
     def with_ewm(self, name: str, col: str, order_by, alpha: float,
                  partition_by=None, adjust: bool = True,
@@ -6783,10 +6837,16 @@ class DataFrame(FrameBase):
             raise NotImplementedError("apply(axis=0): use columnwise reductions")
         if schema is None:
             sample = self._sdf.limit(10).toPandas()
-            out = func(sample)
+            try:
+                out = func(sample)
+            except Exception:
+                out = None
             if not isinstance(out, pd.DataFrame):
-                raise TypeError("apply func must return a pandas DataFrame; "
-                                "pass schema= for Series-returning funcs")
+                # pandas row-wise contract: func(row Series) → scalar.
+                # Infer the dtype from the sample, keep row labels (rowid
+                # anchor), and run batch.apply(axis=1) inside the Arrow
+                # mapper — per-row Python, the honest pandas semantics.
+                return self._apply_rowwise(func, sample)
             fields = [T.StructField(c, to_spark_type(out[c].dtype)) for c in out.columns]
             schema = T.StructType(fields)
 
@@ -6796,6 +6856,35 @@ class DataFrame(FrameBase):
 
         out_sdf = self._sdf.mapInPandas(_mapper, schema)
         return DataFrame(out_sdf, Node("apply", {}, self._expr), (), ())
+
+    def _apply_rowwise(self, func: Callable, sample: pd.DataFrame):
+        data_cols = list(self.columns)
+        probe = sample[data_cols].apply(func, axis=1) if len(sample) \
+            else None
+        if probe is not None and isinstance(probe, pd.DataFrame):
+            raise TypeError("apply(axis=1) func returned a frame per row; "
+                            "pass schema= and a batch-level func instead")
+        vtype = to_spark_type(probe.dtype) if probe is not None \
+            else T.DoubleType()
+        if self._index_cols:
+            sdf, idx, names = self._sdf, self._index_cols, self._index_names
+        else:
+            sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), (None,)
+        fields = [sdf.schema[c] for c in idx] + \
+                 [T.StructField("__applied__", vtype)]
+        schema = T.StructType(fields)
+
+        def _mapper(batches):
+            for pdf in batches:
+                res = pd.DataFrame({c: pdf[c] for c in idx})
+                res["__applied__"] = (
+                    pdf[data_cols].apply(func, axis=1) if len(pdf)
+                    else pd.Series(dtype="object"))
+                yield res
+
+        out = sdf.mapInPandas(_mapper, schema)
+        return Series(out, F.col("__applied__"), None,
+                      Node("apply_rowwise", {}, self._expr), idx, names)
 
     def map_partitions(self, func: Callable, schema) -> "DataFrame":
         """Arrow-batched partition-wise transform (``mapInPandas``)."""

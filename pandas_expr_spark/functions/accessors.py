@@ -89,11 +89,28 @@ class StringAccessor(_Accessor):
             out = F.when(c.isNull(), F.lit(bool(na))).otherwise(out)
         return self._wrap(out, "str.contains")
 
-    def startswith(self, pat: str):
-        return self._wrap(self._s._scol.startswith(pat), "str.startswith")
+    def startswith(self, pat):
+        """pandas accepts a str or a TUPLE of prefixes (any-match)."""
+        c = self._s._scol
+        if isinstance(pat, tuple):
+            pred = None
+            for p in pat:
+                e = c.startswith(p)
+                pred = e if pred is None else (pred | e)
+            return self._wrap(pred if pred is not None else F.lit(False),
+                              "str.startswith")
+        return self._wrap(c.startswith(pat), "str.startswith")
 
-    def endswith(self, pat: str):
-        return self._wrap(self._s._scol.endswith(pat), "str.endswith")
+    def endswith(self, pat):
+        c = self._s._scol
+        if isinstance(pat, tuple):
+            pred = None
+            for p in pat:
+                e = c.endswith(p)
+                pred = e if pred is None else (pred | e)
+            return self._wrap(pred if pred is not None else F.lit(False),
+                              "str.endswith")
+        return self._wrap(c.endswith(pat), "str.endswith")
 
     def match(self, pat: str):
         return self._wrap(self._s._scol.rlike(f"^(?:{pat})"), "str.match")
@@ -696,13 +713,12 @@ class DatetimeAccessor(_Accessor):
                           "dt.tz_convert")
 
     def strftime(self, fmt: str):
-        # translate common strftime directives to Spark's pattern letters
-        trans = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
-                 "%M": "mm", "%S": "ss"}
-        pat = fmt
-        for k, v in trans.items():
-            pat = pat.replace(k, v)
-        return self._wrap(F.date_format(self._s._scol, pat), "dt.strftime")
+        # full strftime → JVM pattern translation (shared with
+        # pd.to_datetime(format=)); lazy import avoids the package cycle
+        from pandas_expr_spark import _strftime_to_jvm
+        return self._wrap(F.date_format(self._s._scol,
+                                        _strftime_to_jvm(fmt)),
+                          "dt.strftime")
 
     def to_period(self, freq: str):
         """Timestamp → period (SURVEY §1.4): stored as the period's START
@@ -887,3 +903,74 @@ class CategoricalAccessor(_Accessor):
         out = self._wrap(scol, "cat.remove_categories")
         return self._tagged(
             out, [x for x in self._s._cat_categories if x not in removals])
+
+
+class ListAccessor(_Accessor):
+    """``ser.list.*`` for array-typed columns (pandas 2.x ArrowDtype
+    ``.list`` accessor parity) — every method is a JVM array function,
+    whole-stage codegen, no Python."""
+
+    def len(self):
+        # array_size: null array → null (pandas NA), unlike size()'s -1
+        return self._wrap(F.array_size(self._s._scol), "list.len")
+
+    def __getitem__(self, key):
+        c = self._s._scol
+        if isinstance(key, slice):
+            if key.step not in (None, 1):
+                raise NotImplementedError("list[::step] is not supported")
+            start = key.start or 0
+            if start < 0 or (key.stop is not None and key.stop < 0):
+                raise NotImplementedError("negative slice bounds")
+            if key.stop is None:
+                n = F.array_size(c) - F.lit(start)
+            else:
+                n = F.greatest(F.lit(key.stop - start), F.lit(0))
+            return self._wrap(F.slice(c, F.lit(start + 1), n), "list.slice")
+        i = int(key)
+        # element_at is 1-based; negative counts from the end (Python)
+        pos = i + 1 if i >= 0 else i
+        return self._wrap(
+            F.when(F.lit(abs(pos)) <= F.array_size(c),
+                   F.element_at(c, pos)),
+            "list.getitem")
+
+    def flatten(self):
+        """One nesting level removed per element (array<array<T>> →
+        array<T>); pandas' row-expanding flatten is ``Series.explode``."""
+        return self._wrap(F.flatten(self._s._scol), "list.flatten")
+
+
+class StructAccessor(_Accessor):
+    """``ser.struct.*`` for struct-typed columns (pandas 2.x ArrowDtype
+    ``.struct`` accessor parity)."""
+
+    def _fields(self):
+        return self._s.spark_type.fields
+
+    @property
+    def dtypes(self):
+        from .._dtypes import to_pandas_dtype
+        return pd.Series({f.name: to_pandas_dtype(f.dataType)
+                          for f in self._fields()})
+
+    def field(self, name_or_index):
+        fields = self._fields()
+        name = (fields[name_or_index].name
+                if isinstance(name_or_index, int) else name_or_index)
+        out = self._wrap(self._s._scol.getField(name), "struct.field")
+        out._col_name = name
+        return out
+
+    def explode(self):
+        """All struct fields as DataFrame columns (pure projection)."""
+        s = self._s
+        f = s.to_frame()
+        col = f.columns[0]
+        sdf = f._sdf.select(
+            *[F.col(c) for c in f._index_cols],
+            *[F.col(col).getField(fl.name).alias(fl.name)
+              for fl in self._fields()])
+        from .. import _collection as _c
+        return _c.DataFrame(sdf, _c.Node("struct.explode", {}, f._expr),
+                            f._index_cols, f._index_names)

@@ -89,20 +89,30 @@ def read_parquet(path: str, columns: Sequence[str] | None = None,
 
 
 def read_csv(path: str, usecols: Sequence[str] | None = None,
-             header: bool = True, infer_schema: bool = True,
-             schema=None, **kwargs) -> DataFrame:
+             header: bool | int | None = True, infer_schema: bool = True,
+             schema=None, names: Sequence[str] | None = None,
+             sep: str | None = None, **kwargs) -> DataFrame:
     """Reference ReadCSV ``io/csv.py:8-20``.  Schema inference reads a sample
     (Spark-side analogue of the reference's 1-row meta read); pass
-    ``schema=`` to skip the inference pass at scale."""
-    token = tokenize("read_csv", path, header, infer_schema, str(schema))
+    ``schema=`` to skip the inference pass at scale.  pandas spellings:
+    ``header=None`` (no header row), ``names=`` (column names),
+    ``sep=``."""
+    use_header = header is not None and header is not False
+    token = tokenize("read_csv", path, use_header, infer_schema,
+                     str(schema), tuple(names or ()), sep)
 
     def build(spark):
-        r = spark.read.option("header", header)
+        r = spark.read.option("header", use_header)
+        if sep is not None:
+            r = r.option("sep", sep)
         if schema is not None:
             r = r.schema(schema)
         else:
             r = r.option("inferSchema", infer_schema)
-        return r.csv(path)
+        out = r.csv(path)
+        if names is not None:
+            out = out.toDF(*[str(n) for n in names])
+        return out
 
     sdf = _cached_scan(token, build)
     node = Node("read_csv", {"path": path})

@@ -96,3 +96,35 @@ def test_where_with_frame_other_default_index(spark):
     got2 = f.mask(f > 0, f[["v"]]).compute().sort_index()
     exp2 = pdf.mask(pdf > 0, pdf[["v"]])
     tm.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
+def test_frame_nlargest_keeps_labels(spark):
+    pdf = pd.DataFrame({"a": [3, 1, 2, 5], "b": [1.0, 2.0, 3.0, 4.0]})
+    f = pes.from_pandas(pdf)
+    got = f.nlargest(2, ["a", "b"]).compute()
+    exp = pdf.nlargest(2, ["a", "b"])
+    tm.assert_frame_equal(got, exp, check_dtype=False)
+    got2 = f.nsmallest(2, "a").compute()
+    tm.assert_frame_equal(got2, pdf.nsmallest(2, "a"), check_dtype=False)
+
+
+def test_apply_axis1_rowwise_scalar(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [10.0, 20.0, 30.0]})
+    f = pes.from_pandas(pdf)
+    got = f.apply(lambda r: r["a"] + r["b"], axis=1).compute()
+    exp = pdf.apply(lambda r: r["a"] + r["b"], axis=1)
+    assert list(got.sort_index()) == list(exp)
+    # batch-level funcs (engine contract) still work
+    got2 = f.apply(lambda b: b.assign(s=b["a"] + b["b"]))
+    assert "s" in got2.columns
+
+
+def test_stack_default_index(spark):
+    pdf = pd.DataFrame({"x": [1.0, None], "y": [None, 2.0]})
+    f = pes.from_pandas(pdf)
+    got = f.stack(dropna=False).compute().sort_index()
+    # engine contract: frame-shaped (variable, value) keyed on row labels
+    exp = pdf.stack(dropna=False)
+    assert list(got["value"].fillna(-1)) == list(exp.fillna(-1))
+    assert list(got["variable"]) == [i[1] for i in exp.index]
+    assert list(got.index) == [i[0] for i in exp.index]
