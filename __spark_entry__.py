@@ -1439,6 +1439,27 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted data selection (Xie et al. 2023,
+    ``functions/curation.py`` ``dsir_logweights``): hashed uni+bigram
+    features (md5-bucketed, engine-portable), target = the English docs,
+    raw = the whole corpus; log w(x) = Σ_b c_b·(ln p_b − ln q_b), top-100
+    by (round(w,4) desc, doc_id).  Both corpora reduce to ≤4096-row
+    bucket histograms (broadcast LLR table); the corpus text is read once
+    and shuffled only as (doc, bucket) pairs; the top-k lowers to
+    TakeOrderedAndProject.  Rounding to 4 decimals makes the JVM/DuckDB
+    float comparison exact (same idiom as doc_unigram_ppl)."""
+    from pandas_expr_spark.functions import curation
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    target = docs.filter(F.col("lang") == "en")
+    w = curation.dsir_logweights(docs, target, buckets=4096)
+    return (w.withColumn("logw", F.round("logweight", 4))
+            .orderBy(F.col("logw").desc(), "doc_id").limit(100)
+            .select("doc_id", "logw"))
+
+
 def groupby_sample_frac_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupby.sample(frac=)`` (``operators/groupby.py`` ``sample``):
     deterministic md5-hash draw of exactly ``round(frac*size)`` rows per
@@ -3346,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_docs": cap_per_source_docs,
         "groupby_sample_frac_orders": groupby_sample_frac_orders,
         "temperature_mix_sources": temperature_mix_sources,
+        "dsir_select_docs": dsir_select_docs,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3592,6 +3614,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM r JOIN c USING (source) WHERE rn <= c.cap
             GROUP BY r.source ORDER BY r.source
+        """,
+        "dsir_select_docs": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, lang, unnest(ws) AS g FROM tok
+            ), bi AS (
+                SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+                FROM tok, unnest(generate_series(1, len(ws)-1)) AS u(i)
+            ), grams AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT)
+                       % 4096 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), feats AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM grams GROUP BY 1, 2
+            ), q AS (
+                SELECT b, COUNT(*) AS qc FROM grams GROUP BY b
+            ), p AS (
+                SELECT b, COUNT(*) AS pc FROM grams
+                WHERE lang = 'en' GROUP BY b
+            ), tots AS (
+                SELECT (SELECT SUM(qc) FROM q) + 1.0 * 4096 AS qd,
+                       (SELECT COALESCE(SUM(pc), 0) FROM p) + 1.0 * 4096
+                       AS pdn
+            ), llr AS (
+                SELECT COALESCE(q.b, p.b) AS b,
+                       ln((COALESCE(pc, 0) + 1.0) / pdn)
+                       - ln((COALESCE(qc, 0) + 1.0) / qd) AS v
+                FROM q FULL OUTER JOIN p USING (b), tots
+            ), w AS (
+                SELECT doc_id, ROUND(SUM(c * v), 4) AS logw
+                FROM feats JOIN llr USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id, logw FROM w
+            ORDER BY logw DESC, doc_id LIMIT 100
         """,
         "groupby_sample_frac_orders": """
             WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -113,6 +113,8 @@ HEADLINE = [
     # per-source caps)
     "url_dedup_docs",
     "cap_per_source_docs",
+    # DSIR importance-weighted selection (hashed-ngram LLR, broadcast)
+    "dsir_select_docs",
 ]
 
 

@@ -34,6 +34,7 @@ from pandas_expr_spark.functions import text as _text
 from pandas_expr_spark.functions.splits import hash_bucket
 
 __all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample",
+           "hashed_ngram_counts", "dsir_logweights", "dsir_select",
            "length_outlier_bounds", "flag_length_outliers",
            "temperature_caps", "temperature_scale_for_budget",
            "temperature_mix"]
@@ -323,3 +324,100 @@ def temperature_mix(sdf: SparkDF, alpha: float = 0.5,
         scale = temperature_scale_for_budget(counts, alpha, budget)
     caps = temperature_caps(counts, alpha, scale)
     return cap_per_group(sdf, caps, source_col, key_col)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169).  Select raw-corpus documents whose hashed-n-gram
+# distribution looks like a target corpus: fit bag-of-hashed-ngrams
+# multinomials p (target) and q (raw), weight every raw doc by
+# log w(x) = Σ_b c_b(x) · (log p_b − log q_b), then take the top-k
+# (optionally with Gumbel noise — the paper's importance *resampling*).
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_counts(sdf: SparkDF, text_col: str = "text",
+                        id_col: str = "doc_id", buckets: int = 10_000,
+                        bigrams: bool = True) -> SparkDF:
+    """Per-document hashed n-gram feature counts: (id, bucket, count).
+
+    Whitespace unigrams (+ word bigrams) hashed into ``buckets`` via the
+    first 8 md5 hex chars — the same engine-portable hash as
+    ``splits.hash_bucket``, so DuckDB reproduces the features exactly.
+    One explode → one map-side-combined hash agg; the corpus text is
+    touched once and never shuffled (only (id, bucket) pairs are)."""
+    t = _text.word_tokens(text_col)
+    grams = t
+    if bigrams:
+        sz = F.size(t)
+        bi = F.transform(
+            F.slice(t, F.lit(1), F.greatest(sz - 1, F.lit(0))),
+            lambda x, i: F.concat(x, F.lit(" "),
+                                  F.element_at(t, i + F.lit(2))))
+        grams = F.concat(t, bi)
+    g = sdf.select(F.col(id_col), F.explode(grams).alias("__g__"))
+    bucket = (F.conv(F.substring(F.md5(F.col("__g__")), 1, 8), 16, 10)
+              .cast("bigint") % buckets)
+    return (g.select(id_col, bucket.alias("__bkt__"))
+            .groupBy(id_col, "__bkt__")
+            .agg(F.count(F.lit(1)).alias("__cnt__")))
+
+
+def dsir_logweights(raw: SparkDF, target: SparkDF, text_col: str = "text",
+                    id_col: str = "doc_id", buckets: int = 10_000,
+                    bigrams: bool = True,
+                    smoothing: float = 1.0) -> SparkDF:
+    """Per-raw-document DSIR importance log-weight → (id_col, logweight).
+
+    Scale shape: both corpora reduce to bucket histograms (≤ ``buckets``
+    rows — KBs, independent of corpus size); the log-likelihood-ratio
+    table is built from their outer join and BROADCAST back onto the
+    raw docs' (id, bucket) features; one groupBy(id) sum finishes.  The
+    100 TB corpus is read once, shuffled only as (id, bucket) pairs.
+    Deterministic — no RNG, exactly reproducible in ANSI SQL."""
+    feats = hashed_ngram_counts(raw, text_col, id_col, buckets, bigrams)
+    feats = feats.localCheckpoint(eager=False)  # reused: q-hist + scoring
+    tfeat = hashed_ngram_counts(target, text_col, id_col, buckets, bigrams)
+
+    q_hist = feats.groupBy("__bkt__").agg(F.sum("__cnt__").alias("__q__"))
+    p_hist = tfeat.groupBy("__bkt__").agg(F.sum("__cnt__").alias("__p__"))
+    qn = q_hist.agg(F.sum("__q__")).collect()[0][0] or 0
+    pn = p_hist.agg(F.sum("__p__")).collect()[0][0] or 0
+    pd_, qd = pn + smoothing * buckets, qn + smoothing * buckets
+
+    llr = (p_hist.join(q_hist, "__bkt__", "full_outer")
+           .select("__bkt__",
+                   (F.log((F.coalesce("__p__", F.lit(0)) + smoothing)
+                          / F.lit(float(pd_)))
+                    - F.log((F.coalesce("__q__", F.lit(0)) + smoothing)
+                            / F.lit(float(qd)))).alias("__llr__")))
+    scored = (feats.join(F.broadcast(llr), "__bkt__")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("__cnt__") * F.col("__llr__"))
+                   .alias("logweight")))
+    return scored
+
+
+def dsir_select(raw: SparkDF, target: SparkDF, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 10_000, bigrams: bool = True,
+                smoothing: float = 1.0, seed: int | None = None) -> SparkDF:
+    """Top-``k`` raw documents by DSIR weight, joined back to their rows
+    (adds a ``logweight`` column).  ``seed=`` adds the paper's Gumbel
+    perturbation — g = −ln(−ln(u)) with u drawn deterministically from
+    md5(id ‖ seed), so resampling is reproducible across runs, cluster
+    sizes, and engines.  The top-k lowers to TakeOrderedAndProject (no
+    global sort); the winner set (k rows) broadcast-joins back."""
+    w = dsir_logweights(raw, target, text_col, id_col, buckets, bigrams,
+                        smoothing)
+    key = F.col("logweight")
+    if seed is not None:
+        h = F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"|dsir{seed}")))
+        u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+              + F.lit(0.5)) / F.lit(float(1 << 32)))
+        key = key + (-F.log(-F.log(u)))
+    top = (w.withColumn("__key__", key)
+           .orderBy(F.col("__key__").desc(), F.col(id_col))
+           .limit(k)
+           .select(id_col, "logweight"))
+    return raw.join(F.broadcast(top), id_col)
