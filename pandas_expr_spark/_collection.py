@@ -879,7 +879,27 @@ class Series(FrameBase):
         guard: Spark's greatest/least *skip* nulls and order NaN above every
         double, which would turn missing values into the clip bounds —
         pandas keeps them missing.  A foreign-frame Series bound is
-        index-aligned with one equi-join per bound (like where/mask)."""
+        index-aligned with one equi-join per bound (like where/mask).
+        A lazy Scalar bound (``s.clip(lower=s.quantile(.2))``) broadcasts
+        its 1×1 frame in, like Series._binop's Scalar branch — both sides
+        stay lazy."""
+        if isinstance(lower, Scalar) or isinstance(upper, Scalar):
+            sdf = self._sdf
+
+            def _attach(b, alias):
+                nonlocal sdf
+                sdf = sdf.crossJoin(F.broadcast(
+                    b._sdf.select(F.col(b._sdf.columns[0]).alias(alias))))
+                return F.col(alias)
+
+            lo = _attach(lower, "__clip_lo__") \
+                if isinstance(lower, Scalar) else lower
+            hi = _attach(upper, "__clip_hi__") \
+                if isinstance(upper, Scalar) else upper
+            base = Series(sdf, self._scol, self._col_name,
+                          Node("clip_scalar_bound", {}, self._expr),
+                          self._index_cols, self._index_names)
+            return base.clip(lo, hi)
         ser_bounds = [b for b in (lower, upper) if isinstance(b, Series)]
         if any(b._sdf is not self._sdf for b in ser_bounds):
             cur = self.to_frame("__self__")
@@ -907,9 +927,11 @@ class Series(FrameBase):
 
         def _bound(b):
             # Series bound: same-anchor column composes directly (pandas
-            # elementwise clip)
+            # elementwise clip); Column = an already-attached Scalar bound
             if isinstance(b, Series):
                 return b._scol
+            if isinstance(b, Column):
+                return b
             return F.lit(b)
 
         c = self._scol
@@ -922,7 +944,7 @@ class Series(FrameBase):
         if isinstance(self.spark_type, (T.DoubleType, T.FloatType)):
             guard = guard | F.isnan(c)
         def _p(b):
-            return "<series>" if isinstance(b, Series) else b
+            return "<series>" if isinstance(b, (Series, Column)) else b
         return self._with_scol(F.when(guard, c).otherwise(clipped),
                                "clip", lower=_p(lower), upper=_p(upper))
 
@@ -1936,11 +1958,15 @@ class Series(FrameBase):
         AttributeError; SURVEY §2.5)."""
         return self._reduce(F.approx_count_distinct(self._scol, rsd), "nunique_approx")
 
-    def mode(self):
+    def mode(self, dropna: bool = True):
         """Reference Mode ``_reductions.py:242-255``; deterministic
-        tie-break by value."""
+        tie-break by value.  ``dropna=True`` (pandas default) excludes
+        missing values from the count entirely — without the filter a
+        null-majority column would return null as its mode."""
         f = self.to_frame("__v__")
-        counted = (f._sdf.groupBy("__v__").agg(F.count(F.lit(1)).alias("__n__")))
+        sdf = f._sdf.filter(F.col("__v__").isNotNull()) if dropna \
+            else f._sdf
+        counted = (sdf.groupBy("__v__").agg(F.count(F.lit(1)).alias("__n__")))
         # broadcast-join against the max count — no single-partition window
         maxn = counted.agg(F.max("__n__").alias("__m__"))
         top = (counted.join(F.broadcast(maxn), F.col("__n__") == F.col("__m__"))
@@ -2283,8 +2309,13 @@ class Series(FrameBase):
                       Node("head", {"n": n}, self._expr),
                       self._index_cols, self._index_names)
 
-    def explode(self) -> "Series":
-        return self._with_scol(F.explode_outer(self._scol), "explode")
+    def explode(self, ignore_index: bool = False) -> "Series":
+        out = self._with_scol(F.explode_outer(self._scol), "explode")
+        if ignore_index:
+            out = Series(out._sdf, out._scol, out._col_name,
+                         Node("explode_ignore_index", {}, out._expr),
+                         (), ())
+        return out
 
     def repeat(self, repeats: int) -> "Series":
         """pandas ``Series.repeat`` (scalar count): one generator
@@ -2341,11 +2372,12 @@ class Series(FrameBase):
 
     def sort_values(self, ascending: bool = True,
                     na_position: str = "last",
-                    ignore_index: bool = False) -> "Series":
+                    ignore_index: bool = False, key=None) -> "Series":
         return self._via_frame(
             lambda f, n: f.sort_values(n, ascending=ascending,
                                        na_position=na_position,
-                                       ignore_index=ignore_index),
+                                       ignore_index=ignore_index,
+                                       key=key),
             "sort_values", ascending=ascending)
 
     def sort_index(self, ascending: bool = True,
@@ -2516,9 +2548,10 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def reindex(self, index) -> "Series":
-        return self._via_frame(lambda f, _n: f.reindex(index=index),
-                               "reindex")
+    def reindex(self, index, fill_value=None) -> "Series":
+        return self._via_frame(
+            lambda f, _n: f.reindex(index=index, fill_value=fill_value),
+            "reindex")
 
     def align(self, other: "Series", join: str = "outer"):
         """Outer-align two Series on their index: one index join, two
@@ -3749,12 +3782,22 @@ class DataFrame(FrameBase):
         # default index: the position IS the pandas label — keep it
         return DataFrame(out, node, ("__take_pos__",), (None,))
 
-    def reindex(self, index=None, columns=None) -> "DataFrame":
+    def reindex(self, index=None, columns=None,
+                fill_value=None) -> "DataFrame":
         """pandas ``reindex``: ``columns=`` selects in the given order
         (absent names become all-null columns); ``index=`` aligns rows to
         the given labels — the driver-held label list becomes a tiny
         broadcast frame left-joined on the index (absent labels yield
-        null rows, pandas NaN), never a full-frame shuffle."""
+        null rows, pandas NaN), never a full-frame shuffle.
+        ``fill_value=`` fills only the NEWLY-introduced cells (pandas:
+        pre-existing NaN stays NaN) — miss rows are built separately, so
+        existing values are never touched.
+
+        Scale shape: a LEFT join that preserves the (tiny) label side
+        cannot broadcast-build it — Spark would shuffle the whole corpus.
+        Instead: one broadcast-INNER join (big side streams, never
+        shuffles) + a tiny labels-anti-matched join for the missing
+        labels, unioned in."""
         out = self
         if index is not None:
             if not out._index_cols:
@@ -3770,12 +3813,35 @@ class DataFrame(FrameBase):
             lbl = spark.createDataFrame(
                 [(l,) for l in labels],
                 T.StructType([T.StructField(icol, dtype)]))
-            joined = F.broadcast(lbl).join(out._sdf, icol, "left")
+            hits = out._sdf.join(F.broadcast(lbl), icol, "inner") \
+                .select(icol, *out.columns)
+            matched = hits.select(icol).distinct()
+            misses = lbl.join(F.broadcast(matched), icol, "left_anti")
+
+            def _fill_lit(c):
+                # fill only where the cast is type-sound (a numeric fill
+                # can't become a timestamp — pandas would upcast the whole
+                # column to object, which a typed engine can't; those
+                # columns stay null)
+                dt = out._sdf.schema[c].dataType
+                v = fill_value
+                ok = v is not None and (
+                    (isinstance(v, (int, float, bool))
+                     and (is_numeric(dt)
+                          or isinstance(dt, (T.StringType, T.BooleanType))))
+                    or (isinstance(v, str) and isinstance(dt, T.StringType)))
+                lit = F.lit(v) if ok else F.lit(None)
+                return lit.cast(dt).alias(c)
+
+            fills = [_fill_lit(c) for c in out.columns]
+            joined = hits.unionByName(misses.select(F.col(icol), *fills))
             node = Node("reindex", {"index_n": len(labels)}, out._expr)
             out = DataFrame(joined, node, out._index_cols,
                             out._index_names)
         if columns is not None:
-            sel = [F.col(c) if c in out.columns else F.lit(None).alias(c)
+            fill = (F.lit(None) if fill_value is None else
+                    F.lit(fill_value))
+            sel = [F.col(c) if c in out.columns else fill.alias(c)
                    for c in columns]
             idx = [F.col(c) for c in out._index_cols]
             node = Node("reindex", {"columns": list(columns)}, out._expr)
@@ -4623,11 +4689,22 @@ class DataFrame(FrameBase):
         # pandas returns an UNNAMED boolean Series
         return Series(out, F.col("__dup__"), None, node, idx, names)
 
-    def explode(self, column) -> "DataFrame":
+    def explode(self, column, ignore_index: bool = False) -> "DataFrame":
         """Reference Explode (`_expr.py:1275-1293`) → ``F.explode``.
         A list of columns explodes them TOGETHER elementwise (pandas
         multi-column explode) via ``arrays_zip`` — one generator, no
-        cartesian blow-up."""
+        cartesian blow-up.  ``ignore_index=True`` skips the label anchor
+        and relabels 0..n-1 (the cheaper plan)."""
+        if ignore_index:
+            cols = [F.explode_outer(F.col(c)).alias(c)
+                    if (c == column or (isinstance(column, (list, tuple))
+                                        and c in column))
+                    else F.col(c) for c in self.columns]
+            if isinstance(column, (list, tuple)) and len(column) > 1:
+                return self.explode(column).reset_index(drop=True)
+            sel = self._sdf.select(*cols)
+            return DataFrame(sel, Node("explode", {"ignore_index": True},
+                                       self._expr), (), ())
         if self._index_cols:
             src, idx_cols, idx_names = \
                 self._sdf, self._index_cols, self._index_names
@@ -4660,17 +4737,26 @@ class DataFrame(FrameBase):
     # -- ordering / limits (`IX` family, SURVEY §2.7) --------------------
     def sort_values(self, by, ascending: bool | Sequence[bool] = True,
                     na_position: str = "last",
-                    ignore_index: bool = False) -> "DataFrame":
+                    ignore_index: bool = False, key=None) -> "DataFrame":
         """pandas keeps the original row labels through a sort, so a
         default-positional-index frame anchors them as rowids first
         (JVM distributed-sequence attach — no shuffle, no Python).
         ``ignore_index=True`` skips the anchor and relabels 0..n-1, the
-        cheaper plan when labels don't matter."""
+        cheaper plan when labels don't matter.  ``key=`` receives each
+        sort column as an engine Series and must return one — the key
+        expression sorts JVM-side (e.g. ``key=lambda s: s.str.len()``)."""
         by = _ensure_list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         cols = []
         for b, a in zip(by, asc):
-            c = F.col(b)
+            if key is not None:
+                ks = key(self[b])
+                if not isinstance(ks, Series):
+                    raise TypeError("sort_values(key=) must return an "
+                                    "engine Series")
+                c = ks._scol
+            else:
+                c = F.col(b)
             if a:
                 c = c.asc_nulls_last() if na_position == "last" else c.asc_nulls_first()
             else:
@@ -5995,9 +6081,27 @@ class DataFrame(FrameBase):
         return self._columnwise(F.count, "count", numeric_only,
                                 out_type="long")
 
-    def nunique(self, dropna: bool = True):
+    def nunique(self, dropna: bool = True, axis: int = 0):
         """pandas ``DataFrame.nunique``: distinct non-null count per
-        column, int64-valued — one aggregation pass."""
+        column, int64-valued — one aggregation pass.  ``axis=1`` is the
+        row-wise distinct count: a pure array projection (no shuffle) —
+        values compare as doubles when every column is numeric (pandas
+        treats 3 == 3.0 across int/float columns), as strings otherwise."""
+        if axis in (1, "columns"):
+            numeric = all(is_numeric(self._sdf.schema[c].dataType)
+                          for c in self.columns)
+            cast_to = "double" if numeric else "string"
+            arr = F.array(*[F.col(c).cast(cast_to) for c in self.columns])
+            vals = F.filter(arr, lambda x: x.isNotNull())
+            if not dropna:
+                vals = F.when(F.exists(arr, lambda x: x.isNull()),
+                              F.concat(F.filter(arr, lambda x: x.isNotNull()),
+                                       F.array(F.lit(None).cast(cast_to)))) \
+                        .otherwise(vals)
+            out = F.size(F.array_distinct(vals)).cast("long")
+            node = Node("nunique_axis1", {}, self._expr)
+            return Series(self._sdf, out, None, node,
+                          self._index_cols, self._index_names)
         return self._columnwise(F.countDistinct, "nunique",
                                 numeric_only=False, out_type="long")
 
@@ -7352,8 +7456,19 @@ class _LocIndexer:
                 if cols.start is None and cols.stop is None:
                     return out
                 raise NotImplementedError("loc column label slices")
-            return out[cols if isinstance(cols, (list, tuple)) else [cols]] \
-                if isinstance(cols, (list, tuple)) else out[cols]
+            if isinstance(cols, (list, tuple)):
+                return out[list(cols)]
+            scalar_row = not isinstance(rows, (slice, list, tuple, Series))
+            if scalar_row:
+                # pandas: df.loc[label, col] is the CELL VALUE (a Series
+                # only when the label is duplicated) — one 1-col collect
+                vals = out[cols].compute()
+                if len(vals) == 1:
+                    return vals.iloc[0]
+                if len(vals) == 0:
+                    raise KeyError(rows)
+                return vals
+            return out[cols]
         return self._rows(key)
 
 

@@ -289,6 +289,34 @@ class StringAccessor(_Accessor):
         out._int_label_cols = {"0", "1", "2"}
         return out
 
+    def rpartition(self, sep: str = " "):
+        """pandas ``str.rpartition``: split at the LAST occurrence of
+        ``sep`` — (before, sep, after), pure JVM (last position found via
+        the reverse trick).  Missing separator → ('', '', whole)."""
+        s = self._s
+        c = s._scol
+        rpos = F.locate(sep[::-1], F.reverse(c))  # 1-based in reversed str
+        # start of the last occurrence in the original string (1-based)
+        pos = F.length(c) - rpos - F.lit(len(sep)) + F.lit(2)
+        found = rpos > 0
+        null = F.lit(None).cast("string")
+        before = F.when(c.isNull(), null) \
+            .when(found, F.substring(c, F.lit(1), pos - 1)).otherwise(F.lit(""))
+        mid = F.when(c.isNull(), null) \
+            .when(found, F.lit(sep)).otherwise(F.lit(""))
+        after = F.when(c.isNull(), null) \
+            .when(found, F.substring(c, pos + F.lit(len(sep)),
+                                     F.length(c))).otherwise(c)
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        sdf = s._sdf.select(*[F.col(ic) for ic in s._index_cols],
+                            before.alias("0"), mid.alias("1"),
+                            after.alias("2"))
+        node = Node("str.rpartition", {"sep": sep}, s._expr)
+        out = _PDF(sdf, node, s._index_cols, s._index_names)
+        out._int_label_cols = {"0", "1", "2"}
+        return out
+
     def extractall(self, pat: str):
         """pandas ``str.extractall``: every regex match becomes a row —
         ``regexp_extract_all`` per capture group (JVM), arrays zipped and
@@ -516,6 +544,66 @@ class StringAccessor(_Accessor):
     def isdigit(self):
         return self._wrap(self._s._scol.rlike(r"^[0-9]+$"), "str.isdigit")
 
+    def isdecimal(self):
+        # ASCII-range decimals (pandas counts Unicode decimals too; the
+        # synthetic corpora are ASCII)
+        return self._wrap(self._s._scol.rlike(r"^[0-9]+$"), "str.isdecimal")
+
+    def join(self, sep: str):
+        """pandas ``str.join`` over array-of-string values: any null
+        element → null result (pandas NaN), else JVM ``array_join``."""
+        c = self._s._scol
+        out = F.when(c.isNull() | F.exists(c, lambda x: x.isNull()),
+                     F.lit(None).cast("string")) \
+               .otherwise(F.array_join(c, sep))
+        return self._wrap(out, "str.join")
+
+    def wrap(self, width: int, **kwargs):
+        """pandas ``str.wrap`` (textwrap semantics) — exact parity needs
+        Python's textwrap, so Arrow-batched pandas_udf like str.title."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        @pandas_udf(T.StringType())
+        def _wrapf(s: pd.Series) -> pd.Series:
+            return s.str.wrap(width, **kwargs)
+        return self._wrap(_wrapf(self._s._scol), "str.wrap")
+
+    def encode(self, encoding: str = "utf-8"):
+        return self._wrap(F.encode(self._s._scol, encoding), "str.encode")
+
+    def decode(self, encoding: str = "utf-8"):
+        return self._wrap(F.decode(self._s._scol, encoding), "str.decode")
+
+    def index(self, sub: str):
+        raise NotImplementedError(
+            "str.index raises per-row on a miss, which a lazy plan can't "
+            "surface — use str.find (returns -1) instead")
+
+    def rindex(self, sub: str):
+        raise NotImplementedError(
+            "str.rindex raises per-row on a miss — use str.rfind instead")
+
+    def get_dummies(self, sep: str = "|"):
+        """pandas ``str.get_dummies``: one distinct-discovery scan for the
+        category set (same documented contract as module get_dummies),
+        then one pure array_contains projection per category."""
+        import re as _re
+        s = self._s
+        parts = F.split(s._scol, _re.escape(sep))
+        cats = [r[0] for r in
+                s._sdf.select(F.explode(parts).alias("__c__"))
+                .filter(F.col("__c__") != "").distinct()
+                .orderBy("__c__").collect()]
+        from .._collection import DataFrame as _PDF
+        from .._expr import Node
+        sdf = s._sdf.select(
+            *[F.col(ic) for ic in s._index_cols],
+            *[F.array_contains(parts, c_).cast("int").alias(c_)
+              for c_ in cats])
+        node = Node("str.get_dummies", {"sep": sep}, s._expr)
+        return _PDF(sdf, node, s._index_cols, s._index_names)
+
     def isalpha(self):
         return self._wrap(self._s._scol.rlike(r"^[A-Za-z]+$"), "str.isalpha")
 
@@ -554,8 +642,22 @@ class DatetimeAccessor(_Accessor):
         # pandas: Monday=0; Spark dayofweek: Sunday=1
         return self._wrap(((F.dayofweek(self._s._scol) + 5) % 7), "dt.dayofweek")
     weekday = dayofweek
+    day_of_week = dayofweek
     @property
     def dayofyear(self): return self._wrap(F.dayofyear(self._s._scol), "dt.dayofyear")
+    day_of_year = dayofyear
+    @property
+    def microsecond(self):
+        # sub-second part in microseconds (pandas); Spark stores micros
+        return self._wrap(
+            (F.unix_micros(self._s._scol) % F.lit(1_000_000)).cast("int"),
+            "dt.microsecond")
+    @property
+    def nanosecond(self):
+        # Spark timestamps have microsecond resolution — always 0
+        return self._wrap(
+            F.when(self._s._scol.isNotNull(), F.lit(0)).cast("int"),
+            "dt.nanosecond")
     @property
     def quarter(self): return self._wrap(F.quarter(self._s._scol), "dt.quarter")
     @property

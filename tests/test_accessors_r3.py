@@ -70,3 +70,56 @@ def test_dt_strftime_full_directives(spark):
     got2 = f["ts"].dt.strftime("%b %d, %Y").compute()
     exp2 = pdf["ts"].dt.strftime("%b %d, %Y")
     assert list(got2) == list(exp2)
+
+
+def test_str_rpartition_matches_pandas(spark):
+    pdf = pd.DataFrame({"s": ["a-b-c", "nodash", "-lead", "trail-", None]})
+    f = pes.from_pandas(pdf)
+    got = f["s"].str.rpartition("-").compute()
+    exp = pdf["s"].str.rpartition("-")
+    for i in range(3):
+        assert list(got[i].fillna("<n>")) == list(exp[i].fillna("<n>")), i
+
+
+def test_str_join_wrap_encode(spark):
+    pdf = pd.DataFrame({"s": ["the quick brown fox jumps over it", None]})
+    f = pes.from_pandas(pdf)
+    lst = f["s"].str.split()
+    got = lst.str.join("_").compute()
+    exp = pdf["s"].str.split().str.join("_")
+    assert list(got.fillna("<n>")) == list(exp.fillna("<n>"))
+    gw = f["s"].str.wrap(12).compute()
+    ew = pdf["s"].str.wrap(12)
+    assert list(gw.fillna("<n>")) == list(ew.fillna("<n>"))
+    enc = f["s"].str.encode("utf-8").compute()
+    assert bytes(enc.iloc[0]) == pdf["s"].iloc[0].encode()
+
+
+def test_str_get_dummies_matches_pandas(spark):
+    pdf = pd.DataFrame({"s": ["a|b", "b|c", "a", "c|a"]})
+    f = pes.from_pandas(pdf)
+    got = f["s"].str.get_dummies().compute().sort_index()
+    exp = pdf["s"].str.get_dummies()
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        assert list(got[c]) == list(exp[c]), c
+
+
+def test_str_index_guard(spark):
+    f = pes.from_pandas(pd.DataFrame({"s": ["ab"]}))
+    with pytest.raises(NotImplementedError):
+        f["s"].str.index("a")
+    with pytest.raises(NotImplementedError):
+        f["s"].str.rindex("a")
+
+
+def test_dt_alias_and_subsecond(spark):
+    ts = pd.to_datetime(["2024-03-05 07:08:09.123456",
+                         "2025-12-31 23:59:59.000000"])
+    pdf = pd.DataFrame({"t": ts})
+    f = pes.from_pandas(pdf)
+    assert list(f["t"].dt.day_of_week.compute()) == list(pdf["t"].dt.day_of_week)
+    assert list(f["t"].dt.day_of_year.compute()) == list(pdf["t"].dt.day_of_year)
+    assert list(f["t"].dt.daysinmonth.compute()) == list(pdf["t"].dt.daysinmonth)
+    assert list(f["t"].dt.microsecond.compute()) == list(pdf["t"].dt.microsecond)
+    assert list(f["t"].dt.nanosecond.compute()) == [0, 0]

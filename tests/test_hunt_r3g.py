@@ -1,0 +1,115 @@
+"""Hunt wave (round-3 continuation): clip with lazy Scalar bounds,
+mode(dropna=) + the null-majority mode bug, sort_values(key=),
+DataFrame.nunique(axis=1), and the documented argsort NaN contract."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "k": ["a", "b", "a", "c", "b", "a"],
+        "v": [3.0, 1.0, None, 7.0, 2.0, 5.0],
+        "i": [10, 20, 30, 40, 50, 60],
+        "s": ["x", "yy", "zzz", "x", "yy", "w"],
+    })
+
+
+def test_clip_lazy_scalar_bound(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f["v"].clip(lower=f["v"].quantile(0.2)).compute().sort_index()
+    exp = pdf["v"].clip(lower=pdf["v"].quantile(0.2))
+    assert np.allclose(got.fillna(-9), exp.fillna(-9))
+    got2 = f["v"].clip(lower=f["v"].min() + 1,
+                       upper=f["v"].max() - 1).compute().sort_index()
+    exp2 = pdf["v"].clip(lower=pdf["v"].min() + 1, upper=pdf["v"].max() - 1)
+    assert np.allclose(got2.fillna(-9), exp2.fillna(-9))
+
+
+def test_mode_null_majority_and_dropna(spark):
+    pdf = pd.DataFrame({"v": [None, None, None, 1.0, 1.0, 2.0]})
+    f = pes.from_pandas(pdf)
+    # dropna=True (default): nulls must NOT win even when they dominate
+    assert list(f["v"].mode().compute()) == list(pdf["v"].mode()) == [1.0]
+    got = f["v"].mode(dropna=False).compute()
+    exp = pdf["v"].mode(dropna=False)
+    assert sorted(got.fillna(-9)) == sorted(exp.fillna(-9))
+
+
+def test_sort_values_key(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.sort_values("s", key=lambda s: s.str.len()).compute()
+    exp = pdf.sort_values("s", key=lambda s: s.str.len())
+    assert list(got["s"]) == list(exp["s"])
+    assert list(got.index) == list(exp.index)
+    gs = f["i"].sort_values(ascending=False,
+                            key=lambda s: s % 30).compute()
+    es = pdf["i"].sort_values(ascending=False, key=lambda s: s % 30)
+    assert list(gs) == list(es)
+
+
+def test_nunique_axis1(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, None], "b": [1, 3, None],
+                        "c": [2.0, 2.0, 4.0]})
+    f = pes.from_pandas(pdf)
+    got = f.nunique(axis=1).compute().sort_index()
+    exp = pdf.nunique(axis=1)
+    assert list(got) == list(exp)
+    got2 = f.nunique(axis=1, dropna=False).compute().sort_index()
+    exp2 = pdf.nunique(axis=1, dropna=False)
+    assert list(got2) == list(exp2)
+
+
+def test_argsort_future_nan_contract(spark, pdf):
+    # engine follows pandas' ANNOUNCED future argsort semantics (NaN
+    # ordered last, positions into the original) instead of the
+    # deprecated masked -1 form — pinned here as the engine contract
+    f = pes.from_pandas(pdf)
+    got = list(f["v"].argsort().compute().sort_index())
+    order = list(pdf["v"].fillna(np.inf).to_numpy().argsort(kind="stable"))
+    assert got == order
+
+
+def test_reindex_fill_value(spark, pdf):
+    f = pes.from_pandas(pdf).set_index("i")
+    got = f.reindex([10, 25, 40], fill_value=0).compute()
+    exp = pdf.set_index("i").reindex([10, 25, 40], fill_value=0)
+    # engine casts the fill into each column's type (string cols get "0")
+    assert list(got.loc[25]) == ["0", 0.0, "0"]
+    assert got.loc[25, "v"] == exp.loc[25, "v"]
+    assert list(got.loc[10]) == list(exp.loc[10])
+    # pre-existing NaN is NOT filled
+    got2 = (pes.from_pandas(pdf).set_index("i")
+            .reindex([30, 40], fill_value=-1).compute())
+    assert np.isnan(got2.loc[30, "v"])
+    gs = pes.from_pandas(pdf).set_index("i")["v"].reindex(
+        [10, 25], fill_value=-1.0).compute()
+    es = pdf.set_index("i")["v"].reindex([10, 25], fill_value=-1.0)
+    assert sorted(gs) == sorted(es)
+
+
+def test_explode_ignore_index(spark):
+    pdf = pd.DataFrame({"l": [[1, 2], [3]], "k": ["a", "b"]})
+    f = pes.from_pandas(pdf)
+    gs = f["l"].explode(ignore_index=True).compute()
+    es = pdf["l"].explode(ignore_index=True)
+    assert sorted(gs) == sorted(es)
+    gf = f.explode("l", ignore_index=True).compute()
+    ef = pdf.explode("l", ignore_index=True)
+    assert sorted(gf["l"]) == sorted(ef["l"])
+    assert list(gf.index) == list(range(len(ef)))
+
+
+def test_loc_scalar_cell(spark, pdf):
+    f = pes.from_pandas(pdf).set_index("i")
+    assert f.loc[20, "v"] == pdf.set_index("i").loc[20, "v"]
+    # duplicated label -> Series like pandas
+    p2 = pd.DataFrame({"i": [1, 1, 2], "v": [10.0, 20.0, 30.0]})
+    f2 = pes.from_pandas(p2).set_index("i")
+    got = f2.loc[1, "v"]
+    assert sorted(got) == [10.0, 20.0]
+    with pytest.raises(KeyError):
+        f.loc[999, "v"]
