@@ -377,21 +377,36 @@ class GroupBy:
                           tuple(self._by), tuple(self._by))
         return DataFrame(out, node, (), None)
 
-    def value_counts(self, ascending: bool = False):
+    def value_counts(self, ascending: bool = False, dropna: bool = True,
+                     normalize: bool = False):
         """Grouped value_counts (`_groupby.py:228-238`) →
         ``groupBy(by + value_cols).count()``.  Returns the pandas shape: a
-        Series named ``count`` indexed by (by..., value columns)."""
+        Series named ``count`` (``proportion`` when normalized) indexed by
+        (by..., value columns).  ``dropna=True`` (pandas default) excludes
+        rows with a null value; ``normalize=True`` divides by the group
+        total (one window agg over the tiny counted table, not the data)."""
         cols = self._value_columns()
-        out = (self._grouped_sdf().groupBy(*self._by, *cols)
+        src = self._grouped_sdf()
+        if dropna:
+            for c in cols:
+                src = src.filter(F.col(c).isNotNull())
+        out = (src.groupBy(*self._by, *cols)
                .agg(F.count(F.lit(1)).alias("count")))
+        name = "count"
+        if normalize:
+            from pyspark.sql import Window as _W
+            tot = F.sum("count").over(_W.partitionBy(*self._by))
+            out = out.withColumn("proportion", F.col("count") / tot) \
+                     .drop("count")
+            name = "proportion"
         from .._collection import Series
         node = Node("groupby_value_counts", {"by": self._by}, self._frame._expr)
         if self._sort:
             out = out.orderBy(*[F.col(b).asc() for b in self._by],
-                              F.col("count").asc() if ascending
-                              else F.desc("count"))
+                              F.col(name).asc() if ascending
+                              else F.desc(name))
         idx = tuple(self._by) + tuple(cols)
-        return Series(out, F.col("count"), "count", node, idx, idx)
+        return Series(out, F.col(name), name, node, idx, idx)
 
     # -- agg-spec compiler (reference GroupbyAggregation `_groupby.py:136-190`)
     # aggs meaningful on non-numeric columns; anything else applied
@@ -502,12 +517,51 @@ class GroupBy:
     # -- grouped UDFs (SURVEY §2.10, absent in reference) ----------------
 
     aggregate = agg
-    def apply(self, func: Callable[[pd.DataFrame], pd.DataFrame], schema):
-        """Grouped-map UDF via Arrow-batched ``applyInPandas``."""
+    def apply(self, func: Callable[[pd.DataFrame], pd.DataFrame],
+              schema=None):
+        """Grouped-map UDF via Arrow-batched ``applyInPandas``.  Without
+        ``schema=``, the shape is inferred from ``func`` on a small
+        driver-side sample (mirrors DataFrame.apply's meta sampling):
+        a frame-returning func keeps the applyInPandas path; a
+        SCALAR-returning func (``g.apply(lambda g: g.v.corr(g.i))``)
+        becomes a key-indexed Series — one row per group."""
+        from .._collection import DataFrame, Series
+        if schema is None:
+            sample = self._grouped_sdf().limit(100).toPandas()
+            if len(sample) == 0:
+                raise ValueError("groupby.apply schema inference needs a "
+                                 "non-empty frame; pass schema=")
+            gkey = self._by if len(self._by) > 1 else self._by[0]
+            first = next(iter(sample.groupby(gkey, dropna=False)))[1]
+            probe = func(first)
+            if not isinstance(probe, pd.DataFrame):
+                if isinstance(probe, pd.Series):
+                    raise TypeError("groupby.apply func returned a Series "
+                                    "per group — pass schema= and return "
+                                    "a DataFrame instead")
+                vtype = to_spark_type(pd.Series([probe]).dtype)
+                src = self._grouped_sdf()
+                fields = [src.schema[b] for b in self._by] + \
+                         [T.StructField("__applied__", vtype)]
+                by = list(self._by)
+
+                def _scalar_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                    row = {b: [pdf[b].iloc[0]] for b in by}
+                    row["__applied__"] = [func(pdf)]
+                    return pd.DataFrame(row)
+
+                out = self._grouping(src).applyInPandas(
+                    _scalar_fn, T.StructType(fields))
+                node = Node("groupby_apply", {"by": self._by},
+                            self._frame._expr)
+                return Series(out, F.col("__applied__"), None, node,
+                              tuple(self._by), tuple(self._by))
+            schema = T.StructType(
+                [T.StructField(c, to_spark_type(probe[c].dtype))
+                 for c in probe.columns])
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         out = self._grouping(self._grouped_sdf()).applyInPandas(func, schema)
-        from .._collection import DataFrame
         return DataFrame(out, Node("groupby_apply", {"by": self._by},
                                    self._frame._expr), (), None)
 
@@ -629,6 +683,14 @@ class GroupBy:
             idx = [drop_col] if drop_col else list(self._frame._index_cols)
             keep = [c for c in self._slice if c in out.columns]
             out = out.select(*idx, *keep)
+            if getattr(self, "_slice_scalar", False) and len(keep) == 1:
+                # string slice → pandas returns a SERIES
+                idx_t = ((drop_col,) if drop_col
+                         else tuple(self._frame._index_cols))
+                names = ((None,) if drop_col
+                         else self._frame._index_names)
+                return Series(out, F.col(keep[0]), keep[0], node,
+                              idx_t, names)
         if drop_col:
             # The rowid attached by _positional() IS the original row label
             # (pandas keeps the caller's index through positional grouped
@@ -639,15 +701,17 @@ class GroupBy:
         return DataFrame(out, node, self._frame._index_cols,
                          self._frame._index_names)
 
-    def shift(self, periods: int = 1):
+    def shift(self, periods: int = 1, fill_value=None):
         """pandas ``groupby.shift`` → ``lag``/``lead`` over the positional
-        window (rows shifted off the group edge become null)."""
+        window (rows shifted off the group edge become null, or
+        ``fill_value`` — lag's default arg fires ONLY at the group
+        boundary, so shifted-in data nulls stay null like pandas)."""
         from pyspark.sql import Window
         sdf, order_cols, tmp = self._positional()
         w = Window.partitionBy(*self._by).orderBy(
             *[F.col(c).asc() for c in order_cols])
-        fn = (lambda c: F.lag(c, periods)) if periods >= 0 else \
-             (lambda c: F.lead(c, -periods))
+        fn = (lambda c: F.lag(c, periods, fill_value)) if periods >= 0 \
+            else (lambda c: F.lead(c, -periods, fill_value))
         out = sdf.withColumns({c: fn(F.col(c)).over(w)
                                for c in self._value_columns()})
         return self._finish_window(out, tmp, "shift")
@@ -681,11 +745,13 @@ class GroupBy:
     def cummax(self): return self._cumulative("max")
     def cummin(self): return self._cumulative("min")
 
-    def rank(self, method: str = "average", ascending: bool = True):
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False):
         """pandas ``groupby.rank``: ranks *values* within each group (not
         positions).  average/min/max lower to ``rank`` + a tie count over
         the (keys, value) partition; nulls rank null, sorted last so they
-        never perturb non-null ranks."""
+        never perturb non-null ranks.  ``pct=True`` divides by the group's
+        non-null count (one more window agg on the same partition)."""
         from pyspark.sql import Window
         # positional anchor ALWAYS: the window shuffle scrambles row order,
         # so a default-index frame needs rowid labels for the result to
@@ -712,6 +778,9 @@ class GroupBy:
                 r = F.rank().over(w) + (F.count(c).over(wt) - 1) / 2.0
             else:
                 raise ValueError(f"rank method {method!r}")
+            if pct:
+                from pyspark.sql import Window as _W
+                r = r / F.count(c).over(_W.partitionBy(*self._by))
             cols[c] = F.when(col.isNotNull(), r)
         out = sdf.withColumns(cols)
         return self._finish_window(out, tmp, "rank")

@@ -113,3 +113,57 @@ def test_loc_scalar_cell(spark, pdf):
     assert sorted(got) == [10.0, 20.0]
     with pytest.raises(KeyError):
         f.loc[999, "v"]
+
+
+def test_grouped_scalar_slice_window_returns_series(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.groupby("k")["v"].cummax().compute().sort_index()
+    exp = pdf.groupby("k")["v"].cummax()
+    assert isinstance(got, pd.Series)
+    assert list(got.fillna(-9)) == list(exp.fillna(-9))
+    got2 = f.groupby("k")["v"].diff().compute().sort_index()
+    exp2 = pdf.groupby("k")["v"].diff()
+    assert list(got2.fillna(-9)) == list(exp2.fillna(-9))
+    # list slice stays a frame
+    gf = f.groupby("k")[["v"]].cummax().compute()
+    assert isinstance(gf, pd.DataFrame) and list(gf.columns) == ["v"]
+
+
+def test_grouped_shift_fill_value(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.groupby("k")["v"].shift(1, fill_value=0).compute().sort_index()
+    exp = pdf.groupby("k")["v"].shift(1, fill_value=0)
+    assert list(got.fillna(-9)) == list(exp.fillna(-9))
+
+
+def test_grouped_rank_pct(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.groupby("k")["v"].rank(pct=True).compute().sort_index()
+    exp = pdf.groupby("k")["v"].rank(pct=True)
+    assert np.allclose(got.fillna(-9), exp.fillna(-9))
+
+
+def test_grouped_value_counts_dropna_normalize(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.groupby("k")["v"].value_counts().compute()
+    exp = pdf.groupby("k")["v"].value_counts()
+    assert sorted(got) == sorted(exp) and len(got) == len(exp)
+    gn = f.groupby("k")["v"].value_counts(normalize=True).compute()
+    en = pdf.groupby("k")["v"].value_counts(normalize=True)
+    assert sorted(np.round(gn, 6)) == sorted(np.round(en, 6))
+
+
+def test_grouped_apply_schema_inference(spark, pdf):
+    f = pes.from_pandas(pdf)
+    got = f.groupby("k").apply(
+        lambda g: float(g["v"].fillna(0).corr(g["i"]))
+        if len(g) > 1 else 0.0).compute().sort_index()
+    exp = pdf.groupby("k").apply(
+        lambda g: float(g["v"].fillna(0).corr(g["i"]))
+        if len(g) > 1 else 0.0)
+    assert np.allclose(got.fillna(-9), exp.fillna(-9))
+    # frame-returning func without schema infers from the sample
+    gf = f.groupby("k").apply(
+        lambda g: g[["v"]].fillna(0) * 2).compute()
+    ef = pdf.groupby("k").apply(lambda g: g[["v"]].fillna(0) * 2)
+    assert sorted(gf["v"]) == sorted(ef["v"])
