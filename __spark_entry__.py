@@ -2243,6 +2243,29 @@ def resample_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n", (F.col("v_sum_c") / 100.0).alias("value_sum"))
 
 
+def rolling_time_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-OFFSET rolling window (pandas ``rolling("3D")``,
+    ``functions/timeseries.py`` ``time_rolling``): 3-day trailing sums
+    over the unique daily event series.  The engine plan is a
+    block-bucketed self-join (each row's window reaches only its own and
+    the previous W-wide time block) — never a global RANGE window, which
+    would single-task at scale.  Unique daily timestamps make the result
+    position-independent, so DuckDB's RANGE INTERVAL window is an exact
+    oracle (cents-integer sums)."""
+    import pandas_expr_spark as pes
+    from pandas_expr_spark.sources.tables import load_table
+    ev = pes.from_spark(load_table(spark, sf_dir, "events"))
+    ev = ev.assign(day=ev["ts"].dt.floor("D"),
+                   v_c=(ev.value * 100).floor())
+    daily = ev.groupby("day").agg(n=("event_id", "count"),
+                                  v_c=("v_c", "sum"))
+    r = daily.rolling("3D").sum()
+    out = r.reset_index().to_spark()
+    return out.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      F.col("n").cast("long").alias("n3"),
+                      (F.col("v_c") / 100.0).alias("v3"))
+
+
 def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas ``pd.crosstab`` → groupBy+pivot with PINNED pivot values (no
     eager distinct-discovery scan — the 100 TB-safe form)."""
@@ -3368,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_sample_frac_orders": groupby_sample_frac_orders,
         "temperature_mix_sources": temperature_mix_sources,
         "dsir_select_docs": dsir_select_docs,
+        "rolling_time_daily_events": rolling_time_daily_events,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3652,6 +3676,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, logw FROM w
             ORDER BY logw DESC, doc_id LIMIT 100
+        """,
+        "rolling_time_daily_events": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS d,
+                       COUNT(*) AS n,
+                       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v_c
+                FROM events GROUP BY 1
+            )
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n3,
+                   SUM(v_c) OVER w / 100.0 AS v3
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                         AND CURRENT ROW)
         """,
         "groupby_sample_frac_orders": """
             WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,

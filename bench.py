@@ -115,6 +115,8 @@ HEADLINE = [
     "cap_per_source_docs",
     # DSIR importance-weighted selection (hashed-ngram LLR, broadcast)
     "dsir_select_docs",
+    # time-offset rolling (block-bucketed self-join, no global window)
+    "rolling_time_daily_events",
 ]
 
 

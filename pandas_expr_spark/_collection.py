@@ -1755,12 +1755,17 @@ class Series(FrameBase):
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
 
-    def rolling(self, window: int, min_periods: int | None = None,
-                center: bool = False):
+    def rolling(self, window: int | str, min_periods: int | None = None,
+                center: bool = False, closed: str | None = None):
         """pandas ``Series.rolling`` over the GLOBAL order — prefix-sum
         differencing (``functions/scan.py``), one range shuffle + one
         position equi-join, no window function.  sum/mean/count/var/std/
-        min/max; ``center=True`` shifts the window per pandas."""
+        min/max; ``center=True`` shifts the window per pandas.  A string
+        window (``"3D"``) is a TIME-offset window over the datetime
+        index — block-bucketed self-join, see ``_SeriesTimeRolling``."""
+        if isinstance(window, str):
+            return _SeriesTimeRolling(self, window, min_periods,
+                                      closed or "right")
         return _SeriesRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
@@ -3223,6 +3228,89 @@ class _SeriesRolling:
         node = Node("rolling_apply", {"window": self._window}, s._expr)
         return Series(res, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
+
+
+class _SeriesTimeRolling:
+    """Time-offset rolling (pandas ``rolling("3D")``) over a
+    datetime-indexed Series — block-bucketed self-join, never a global
+    window (``functions/timeseries.py`` ``time_rolling``)."""
+
+    def __init__(self, series: Series, window: str,
+                 min_periods: int | None, closed: str = "right"):
+        self._s = series
+        self._wm = int(pd.Timedelta(window).value // 1000)
+        self._mp = 1 if min_periods is None else min_periods
+        self._closed = closed
+        self._wstr = window
+
+    def _agg(self, how: str) -> Series:
+        from .functions.timeseries import time_rolling
+        s = self._s
+        if not s._index_cols:
+            raise ValueError("rolling(offset) needs a datetime index — "
+                             "set_index first")
+        ts_col = s._index_cols[0]
+        f = s.to_frame("__v__")
+        sdf = _attach_rowid(f._sdf)
+        out = time_rolling(sdf, [_ROWID, ts_col], ts_col, ["__v__"],
+                           self._wm, how, self._mp, closed=self._closed,
+                           pos_col=_ROWID)
+        node = Node(f"time_rolling_{how}", {"window": self._wstr},
+                    s._expr)
+        return Series(out, F.col("__v__"), s._col_name, node,
+                      (ts_col,), s._index_names)
+
+    def sum(self) -> Series: return self._agg("sum")
+    def mean(self) -> Series: return self._agg("mean")
+    def count(self) -> Series: return self._agg("count")
+    def min(self) -> Series: return self._agg("min")
+    def max(self) -> Series: return self._agg("max")
+
+
+class _FrameTimeRolling:
+    """Time-offset rolling over every numeric column of a
+    datetime-indexed frame (optionally grouped — ``by`` adds the group
+    keys to the block equi-join and the result index)."""
+
+    def __init__(self, frame: "DataFrame", window: str,
+                 min_periods: int | None, closed: str = "right",
+                 by: list[str] | None = None, cols=None):
+        self._f, self._by, self._cols = frame, list(by or []), cols
+        self._wm = int(pd.Timedelta(window).value // 1000)
+        self._mp = 1 if min_periods is None else min_periods
+        self._closed = closed
+        self._wstr = window
+
+    def _agg(self, how: str) -> "DataFrame":
+        from .functions.timeseries import time_rolling
+        f = self._f
+        if not f._index_cols:
+            raise ValueError("rolling(offset) needs a datetime index — "
+                             "set_index first")
+        ts_col = f._index_cols[0]
+        cols = self._cols if self._cols is not None else \
+            [c for c in f.columns
+             if c not in self._by and is_numeric(f._sdf.schema[c].dataType)]
+        sdf = _attach_rowid(f._sdf)
+        out = time_rolling(sdf, [_ROWID, ts_col], ts_col, cols,
+                           self._wm, how, self._mp, by=self._by,
+                           closed=self._closed, pos_col=_ROWID)
+        node = Node(f"time_rolling_{how}", {"window": self._wstr},
+                    f._expr)
+        idx = tuple(self._by) + (ts_col,)
+        names = tuple(self._by) + tuple(f._index_names)
+        return DataFrame(out.drop(_ROWID), node, idx, names)
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+
+    def __getitem__(self, key):
+        cols = [key] if isinstance(key, str) else list(key)
+        return _FrameTimeRolling(self._f, self._wstr, self._mp,
+                                 self._closed, self._by, cols)
 
 
 class _SeriesEwm:
@@ -5794,13 +5882,20 @@ class DataFrame(FrameBase):
         return Series(out, F.col("__val__"), None, node,
                       ("__col__",), (None,))
 
-    def rolling(self, window: int, min_periods: int | None = None,
-                center: bool = False, on: str | None = None):
+    def rolling(self, window: int | str, min_periods: int | None = None,
+                center: bool = False, on: str | None = None,
+                closed: str | None = None):
         """pandas ``DataFrame.rolling``: all numeric columns share ONE
         distributed prefix scan + ONE position join (sum/mean/count/
         var/std); min/max run the van Herk block pass per column.
         ``on=`` orders the window by that column (excluded from
-        aggregation, kept in the output)."""
+        aggregation, kept in the output).  A string window (``"3D"``) is
+        a TIME-offset window over the datetime index — block-bucketed
+        self-join (``_FrameTimeRolling``), never a global window."""
+        if isinstance(window, str):
+            base = self.set_index(on) if on is not None else self
+            return _FrameTimeRolling(base, window, min_periods,
+                                     closed or "right")
         return _FrameRolling(self, window, min_periods, center, on)
 
     def interpolate(self, method: str = "linear",

@@ -487,3 +487,70 @@ def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
         updates[c] = F.when(den_t > 0, num_t / den_t)
         drop += [f"__num_{c}", f"__den_{c}", f"cn_{c}", f"cd_{c}"]
     return out.withColumns(updates).drop(*drop)
+
+
+def time_rolling(sdf: SparkDF, rid_cols: list[str], ts_col: str,
+                 value_cols: list[str], window_micros: int,
+                 agg: str, min_periods: int = 1,
+                 by: list[str] | None = None,
+                 closed: str = "right",
+                 pos_col: str | None = None) -> SparkDF:
+    """Time-offset rolling aggregate (pandas ``rolling("3D")``): for each
+    row, aggregate rows whose timestamp lies in ``(t - W, t]``
+    (``closed='right'``, the pandas default for offset windows; 'both'
+    makes the left edge inclusive).
+
+    Scale shape — NO global window (the classic single-task killer):
+    bucket each row into a time block of width W; a row's window can only
+    reach its own and the previous block, so the contributing side is
+    duplicated into (block, block+1) with one generator and the pair is
+    an EQUI-join on block (+ group keys), filtered to the exact time
+    range, then one hash aggregation keyed by the left row id.  Cost is
+    O(Σ window occupancy) — the output size of the semantics itself —
+    with every stage partitioned by (keys, block).
+    """
+    from pyspark.sql import types as T
+    if agg not in ("sum", "mean", "count", "min", "max"):
+        raise NotImplementedError(f"time rolling agg {agg!r}")
+    by = list(by or [])
+    ts = F.col(ts_col)
+    dt = sdf.schema[ts_col].dataType
+    mic = (F.unix_micros(ts.cast("timestamp"))
+           if isinstance(dt, T.TimestampNTZType) else F.unix_micros(ts))
+    base = sdf.withColumn("__mic__", mic) \
+              .withColumn("__blk__", F.floor(F.col("__mic__")
+                                             / F.lit(window_micros)))
+    lpos = [F.col(pos_col).alias("__lp__")] if pos_col else []
+    lhs = base.select(*rid_cols, *by, *lpos,
+                      F.col("__mic__").alias("__lm__"),
+                      F.col("__blk__").alias("__lb__"))
+    rpos = [F.col(pos_col).alias("__rp__")] if pos_col else []
+    rhs = base.select(
+        *[F.col(b).alias(f"__r_{b}__") for b in by], *rpos,
+        F.col("__mic__").alias("__rm__"),
+        *[F.col(c).alias(f"__rv_{c}__") for c in value_cols],
+        F.explode(F.array(F.col("__blk__"), F.col("__blk__") + 1))
+        .alias("__rb__"))
+    cond = F.col("__lb__") == F.col("__rb__")
+    for b in by:
+        cond = cond & F.col(b).eqNullSafe(F.col(f"__r_{b}__"))
+    left_edge = (F.col("__rm__") >= F.col("__lm__") - F.lit(window_micros)
+                 if closed == "both"
+                 else F.col("__rm__") > F.col("__lm__") - F.lit(window_micros))
+    # pandas walks rows in POSITION order: at a tied timestamp only rows
+    # up to the current position are in the window
+    right_edge = (F.col("__rm__") < F.col("__lm__")) | \
+                 ((F.col("__rm__") == F.col("__lm__"))
+                  & (F.col("__rp__") <= F.col("__lp__"))) \
+        if pos_col else (F.col("__rm__") <= F.col("__lm__"))
+    pairs = lhs.join(rhs, cond & left_edge & right_edge)
+    fn = {"sum": F.sum, "mean": F.avg, "count": F.count,
+          "min": F.min, "max": F.max}[agg]
+    aggs = []
+    for c in value_cols:
+        v = F.col(f"__rv_{c}__")
+        # pandas rolling count is float64-valued
+        out = fn(v).cast("double") if agg == "count" else fn(v)
+        n = F.count(v)
+        aggs.append(F.when(n >= min_periods, out).alias(c))
+    return pairs.groupBy(*rid_cols, *by).agg(*aggs)

@@ -881,12 +881,20 @@ class GroupBy:
             a = alpha
         return _GroupEwm(self, a, adjust)
 
-    def rolling(self, window: int, min_periods: int | None = None,
-                center: bool = False):
+    def rolling(self, window: int | str, min_periods: int | None = None,
+                center: bool = False, closed: str | None = None):
         """pandas ``groupby(...).rolling(w)`` chain: each agg is ONE
         partitioned ``rowsBetween`` window over the positional index —
         single shuffle on the keys, same memory contract as every grouped
-        window.  ``center=True`` shifts the frame forward by ``(w-1) // 2``."""
+        window.  ``center=True`` shifts the frame forward by ``(w-1) // 2``.
+        A string window (``"3D"``) is a per-group TIME-offset window —
+        the group keys join the block-bucketed self-join keys."""
+        if isinstance(window, str):
+            from .._collection import _FrameTimeRolling
+            return _FrameTimeRolling(self._frame, window, min_periods,
+                                     closed or "right", by=list(self._by),
+                                     cols=(list(self._slice)
+                                           if self._slice else None))
         return _GroupRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
