@@ -914,6 +914,22 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join (``functions/similarity.py`` ``knn_join``): every
+    query embedding (vec_id < 20) gets its 5 nearest corpus neighbors by
+    cosine — the RAG-retrieval / hard-negative-mining shape.  Exact path
+    gated here (broadcast query table, corpus streamed once, per-query
+    top-k window partitioned by query — never a global sort); the IVF
+    cell-probe path is recall-tested in pytest.  Double-precision
+    sequential fold == DuckDB list_dot_product, so the oracle is exact."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_join(q, emb, k=5, round_to=4)
+
+
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs on the augmented corpus (exact dups must
     collide).  Non-SQL-expressible → rows-only driver check."""
@@ -3392,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_sources": temperature_mix_sources,
         "dsir_select_docs": dsir_select_docs,
         "rolling_time_daily_events": rolling_time_daily_events,
+        "knn_join_embeddings": knn_join_embeddings,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
@@ -3676,6 +3693,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, logw FROM w
             ORDER BY logw DESC, doc_id LIMIT 100
+        """,
+        "knn_join_embeddings": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 20),
+            s AS (
+                SELECT q.qid, c.vec_id AS nid,
+                       list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                FROM q, c
+            )
+            SELECT qid AS vec_id, nid AS neighbor_id,
+                   ROUND(cos, 4) AS cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+                  FROM s)
+            WHERE rn <= 5
         """,
         "rolling_time_daily_events": """
             WITH daily AS (

@@ -117,6 +117,8 @@ HEADLINE = [
     "dsir_select_docs",
     # time-offset rolling (block-bucketed self-join, no global window)
     "rolling_time_daily_events",
+    # batch kNN join (broadcast queries, per-query top-k window)
+    "knn_join_embeddings",
 ]
 
 
