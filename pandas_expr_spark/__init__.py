@@ -338,6 +338,97 @@ def date_range(start, end=None, periods: int | None = None,
     return Series(sdf, sdf[name or "__dr__"], name, node, (), (None,))
 
 
+def bdate_range(start, end=None, periods: int | None = None,
+                name: str | None = None) -> Series:
+    """pandas ``pd.bdate_range`` (business days): the daily distributed
+    spine filtered to Mon–Fri — one extra JVM predicate, still never a
+    driver list.  With ``periods=``, enough calendar days are generated
+    to cover the requested business days before the weekday filter."""
+    from pyspark.sql import functions as F
+    from ._expr import Node as _Node
+    if periods is not None:
+        # 7 calendar days per 5 business days (+buffer for the phase)
+        cal = date_range(start, periods=int(periods * 7 / 5) + 7, freq="D",
+                         name=name)
+    else:
+        cal = date_range(start, end=end, freq="D", name=name)
+    col = cal._scol
+    sdf = cal._sdf.filter(~F.dayofweek(col).isin([1, 7]))
+    out = Series(sdf, col, name, _Node("bdate_range", {}), (), (None,))
+    if periods is not None:
+        out = Series(sdf.orderBy(col).limit(int(periods)), col, name,
+                     _Node("bdate_range", {"periods": periods}), (),
+                     (None,))
+    return out
+
+
+def timedelta_range(start="0 days", end=None, periods: int | None = None,
+                    freq: str = "D", name: str | None = None) -> Series:
+    """pandas ``pd.timedelta_range`` as a distributed interval spine
+    (``spark.range`` + ``make_dt_interval``)."""
+    from pyspark.sql import functions as F
+    from ._expr import Node as _Node
+    step = _pd.Timedelta(freq)
+    start_td = _pd.Timedelta(start)
+    if periods is None:
+        if end is None:
+            raise ValueError("timedelta_range needs end= or periods=")
+        total = int((_pd.Timedelta(end) - start_td) // step) + 1
+    else:
+        total = int(periods)
+    spark = get_spark()
+    s_us, p_us = start_td.value // 1000, step.value // 1000
+    sdf = spark.range(total).select(
+        F.make_dt_interval(
+            secs=(F.lit(float(s_us)) + F.col("id").cast("double") * p_us)
+            / 1e6).alias(name or "__tdr__"))
+    node = _Node("timedelta_range", {"freq": freq})
+    return Series(sdf, sdf[name or "__tdr__"], name, node, (), (None,))
+
+
+def period_range(start, end=None, periods: int | None = None,
+                 freq: str = "M", name: str | None = None) -> Series:
+    """pandas ``pd.period_range``: a period-valued spine (stored as
+    period-START timestamps with freq metadata, like ``to_period``)."""
+    from pyspark.sql import functions as F
+    from ._expr import Node as _Node
+    from .functions.timeseries import _norm_freq, period_start_col
+    start_ts = _pd.Period(start, freq=freq).start_time
+    if periods is None:
+        if end is None:
+            raise ValueError("period_range needs end= or periods=")
+        total = (_pd.Period(end, freq=freq) -
+                 _pd.Period(start, freq=freq)).n + 1
+    else:
+        total = int(periods)
+    interval, unit = _norm_freq(freq)
+    n_per, u_name = interval.split()  # e.g. "3 MONTH"
+    spark = get_spark()
+    base = spark.range(total).select(
+        F.timestamp_add(u_name,
+                        (F.col("id") * int(n_per)).cast("int"),
+                        F.lit(start_ts.to_pydatetime()).cast("timestamp"))
+        .alias(name or "__pr__"))
+    col = period_start_col(F.col(name or "__pr__"), freq)
+    sdf = base.select(col.alias(name or "__pr__"))
+    node = _Node("period_range", {"freq": freq})
+    out = Series(sdf, sdf[name or "__pr__"], name, node, (), (None,))
+    out._period_value_freq = {out._col_name: freq}
+    return out
+
+
+class Grouper:
+    """pandas ``pd.Grouper``: a calendar grouping spec for ``groupby`` —
+    ``df.groupby(pes.Grouper(key="ts", freq="D"))`` groups by the period
+    start (pure ``date_trunc`` projection, same lowering as resample)."""
+
+    def __init__(self, key: str | None = None, freq: str | None = None,
+                 level=None):
+        if level is not None:
+            raise NotImplementedError("Grouper(level=)")
+        self.key, self.freq = key, freq
+
+
 def factorize(series):
     """pandas ``pd.factorize`` over an engine Series → lazy
     (codes, uniques) pair (first-appearance coding)."""
@@ -355,5 +446,7 @@ __all__ = [
     "wide_to_long", "json_normalize",
     "get_dummies", "to_datetime", "to_numeric",
     "isna", "notna", "isnull", "notnull", "unique", "factorize",
+    "date_range", "bdate_range", "timedelta_range", "period_range",
+    "Grouper",
     "get_spark",
 ]

@@ -6643,6 +6643,21 @@ class DataFrame(FrameBase):
                 names.append(nm)
             elif isinstance(b, str):
                 names.append(b)
+            elif type(b).__name__ == "Grouper" and hasattr(b, "freq"):
+                # pd.Grouper(key=, freq=): calendar bucket key — pure
+                # date_trunc projection (same lowering as resample)
+                from .functions.timeseries import period_start_col
+                key = b.key
+                if key is None:
+                    if not self._index_cols:
+                        raise ValueError("Grouper without key= needs an "
+                                         "index")
+                    key = self._index_cols[0]
+                nm = key if b.freq is None else f"{key}"
+                col = (F.col(key) if b.freq is None
+                       else period_start_col(F.col(key), b.freq))
+                extra[nm] = col
+                names.append(nm)
             else:
                 raise TypeError("groupby only supports column names")
         if extra:

@@ -176,3 +176,41 @@ def test_cap_per_group_frac_matches_window_oracle(spark):
     """, t=sdf)
     assert sorted((r["g"], r["k"]) for r in got.collect()) == \
            sorted((r["g"], r["k"]) for r in oracle.collect())
+
+
+def test_bdate_timedelta_period_ranges(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    br = pes.bdate_range("2024-01-01", periods=10).compute()
+    pr = pd.bdate_range("2024-01-01", periods=10)
+    assert sorted(str(x)[:10] for x in br) == \
+        sorted(str(x)[:10] for x in pr)
+    br2 = pes.bdate_range("2024-01-01", end="2024-01-14").compute()
+    pr2 = pd.bdate_range("2024-01-01", "2024-01-14")
+    assert sorted(str(x)[:10] for x in br2) == \
+        sorted(str(x)[:10] for x in pr2)
+    tr = pes.timedelta_range("1 day", periods=4, freq="12h").compute()
+    pt = pd.timedelta_range("1 day", periods=4, freq="12h")
+    assert sorted(map(str, tr)) == sorted(map(str, pt))
+    pq = pes.period_range("2024Q1", periods=3, freq="Q").compute()
+    pp = pd.period_range("2024Q1", periods=3, freq="Q")
+    assert sorted(str(x)[:10] for x in pq) == \
+        sorted(str(p.start_time)[:10] for p in pp)
+
+
+def test_grouper_freq_key(spark):
+    import pandas as pd
+    import pandas_expr_spark as pes
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 05:00", "2024-01-01 09:00",
+                              "2024-01-02 01:00", "2024-02-03 00:00"]),
+        "v": [1.0, 2.0, 3.0, 4.0]})
+    f = pes.from_pandas(pdf)
+    g = f.groupby(pes.Grouper(key="ts", freq="D"))["v"].sum() \
+        .compute().sort_index()
+    e = pdf.groupby(pd.Grouper(key="ts", freq="D"))["v"].sum()
+    assert list(g) == [x for x in e if x > 0]  # engine emits no empty bins
+    gm = f.groupby(pes.Grouper(key="ts", freq="M"))["v"].sum() \
+        .compute().sort_index()
+    em = pdf.groupby(pd.Grouper(key="ts", freq="M"))["v"].sum()
+    assert list(gm) == [x for x in em if x > 0]
