@@ -1469,8 +1469,10 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_expr_spark.sources.tables import load_table
     docs = load_table(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
-    target = docs.filter(F.col("lang") == "en")
-    w = curation.dsir_logweights(docs, target, buckets=4096)
+    # target ⊆ raw → one-pass form: the corpus is featurized ONCE and
+    # both histograms derive from the same (doc, bucket) table
+    w = curation.dsir_logweights(docs, None, buckets=4096,
+                                 target_filter=F.col("lang") == "en")
     return (w.withColumn("logw", F.round("logweight", 4))
             .orderBy(F.col("logw").desc(), "doc_id").limit(100)
             .select("doc_id", "logw"))

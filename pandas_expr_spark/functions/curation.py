@@ -337,14 +337,17 @@ def temperature_mix(sdf: SparkDF, alpha: float = 0.5,
 
 def hashed_ngram_counts(sdf: SparkDF, text_col: str = "text",
                         id_col: str = "doc_id", buckets: int = 10_000,
-                        bigrams: bool = True) -> SparkDF:
+                        bigrams: bool = True,
+                        keep_col: str | None = None) -> SparkDF:
     """Per-document hashed n-gram feature counts: (id, bucket, count).
 
     Whitespace unigrams (+ word bigrams) hashed into ``buckets`` via the
     first 8 md5 hex chars — the same engine-portable hash as
     ``splits.hash_bucket``, so DuckDB reproduces the features exactly.
     One explode → one map-side-combined hash agg; the corpus text is
-    touched once and never shuffled (only (id, bucket) pairs are)."""
+    touched once and never shuffled (only (id, bucket) pairs are).
+    ``keep_col`` carries one per-document flag column through (grouped
+    with ``first`` — constant per id)."""
     t = _text.word_tokens(text_col)
     grams = t
     if bigrams:
@@ -354,18 +357,23 @@ def hashed_ngram_counts(sdf: SparkDF, text_col: str = "text",
             lambda x, i: F.concat(x, F.lit(" "),
                                   F.element_at(t, i + F.lit(2))))
         grams = F.concat(t, bi)
-    g = sdf.select(F.col(id_col), F.explode(grams).alias("__g__"))
+    extra = [F.col(keep_col)] if keep_col else []
+    g = sdf.select(F.col(id_col), *extra, F.explode(grams).alias("__g__"))
     bucket = (F.conv(F.substring(F.md5(F.col("__g__")), 1, 8), 16, 10)
               .cast("bigint") % buckets)
-    return (g.select(id_col, bucket.alias("__bkt__"))
+    aggs = [F.count(F.lit(1)).alias("__cnt__")]
+    if keep_col:
+        aggs.append(F.first(keep_col).alias(keep_col))
+    return (g.select(id_col, *extra, bucket.alias("__bkt__"))
             .groupBy(id_col, "__bkt__")
-            .agg(F.count(F.lit(1)).alias("__cnt__")))
+            .agg(*aggs))
 
 
-def dsir_logweights(raw: SparkDF, target: SparkDF, text_col: str = "text",
+def dsir_logweights(raw: SparkDF, target: SparkDF | None,
+                    text_col: str = "text",
                     id_col: str = "doc_id", buckets: int = 10_000,
-                    bigrams: bool = True,
-                    smoothing: float = 1.0) -> SparkDF:
+                    bigrams: bool = True, smoothing: float = 1.0,
+                    target_filter: Column | None = None) -> SparkDF:
     """Per-raw-document DSIR importance log-weight → (id_col, logweight).
 
     Scale shape: both corpora reduce to bucket histograms (≤ ``buckets``
@@ -373,13 +381,32 @@ def dsir_logweights(raw: SparkDF, target: SparkDF, text_col: str = "text",
     table is built from their outer join and BROADCAST back onto the
     raw docs' (id, bucket) features; one groupBy(id) sum finishes.  The
     100 TB corpus is read once, shuffled only as (id, bucket) pairs.
-    Deterministic — no RNG, exactly reproducible in ANSI SQL."""
-    feats = hashed_ngram_counts(raw, text_col, id_col, buckets, bigrams)
-    feats = feats.localCheckpoint(eager=False)  # reused: q-hist + scoring
-    tfeat = hashed_ngram_counts(target, text_col, id_col, buckets, bigrams)
+    Deterministic — no RNG, exactly reproducible in ANSI SQL.
 
-    q_hist = feats.groupBy("__bkt__").agg(F.sum("__cnt__").alias("__q__"))
-    p_hist = tfeat.groupBy("__bkt__").agg(F.sum("__cnt__").alias("__p__"))
+    When the target IS a subset of raw (the common curation case), pass
+    ``target_filter=`` (a boolean Column over raw's columns) instead of
+    ``target``: the corpus text is then featurized ONCE and both
+    histograms derive from the same (id, bucket) table — halving the
+    dominant cost."""
+    if target_filter is not None:
+        flagged = raw.withColumn("__tgt__", target_filter)
+        feats = hashed_ngram_counts(flagged, text_col, id_col, buckets,
+                                    bigrams, keep_col="__tgt__")
+        feats = feats.localCheckpoint(eager=False)
+        q_hist = feats.groupBy("__bkt__").agg(
+            F.sum("__cnt__").alias("__q__"))
+        p_hist = (feats.filter(F.col("__tgt__"))
+                  .groupBy("__bkt__").agg(F.sum("__cnt__").alias("__p__")))
+    else:
+        feats = hashed_ngram_counts(raw, text_col, id_col, buckets,
+                                    bigrams)
+        feats = feats.localCheckpoint(eager=False)  # q-hist + scoring
+        tfeat = hashed_ngram_counts(target, text_col, id_col, buckets,
+                                    bigrams)
+        q_hist = feats.groupBy("__bkt__").agg(
+            F.sum("__cnt__").alias("__q__"))
+        p_hist = tfeat.groupBy("__bkt__").agg(
+            F.sum("__cnt__").alias("__p__"))
     qn = q_hist.agg(F.sum("__q__")).collect()[0][0] or 0
     pn = p_hist.agg(F.sum("__p__")).collect()[0][0] or 0
     pd_, qd = pn + smoothing * buckets, qn + smoothing * buckets
@@ -397,10 +424,11 @@ def dsir_logweights(raw: SparkDF, target: SparkDF, text_col: str = "text",
     return scored
 
 
-def dsir_select(raw: SparkDF, target: SparkDF, k: int,
+def dsir_select(raw: SparkDF, target: SparkDF | None, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 10_000, bigrams: bool = True,
-                smoothing: float = 1.0, seed: int | None = None) -> SparkDF:
+                smoothing: float = 1.0, seed: int | None = None,
+                target_filter: Column | None = None) -> SparkDF:
     """Top-``k`` raw documents by DSIR weight, joined back to their rows
     (adds a ``logweight`` column).  ``seed=`` adds the paper's Gumbel
     perturbation — g = −ln(−ln(u)) with u drawn deterministically from
@@ -408,7 +436,7 @@ def dsir_select(raw: SparkDF, target: SparkDF, k: int,
     sizes, and engines.  The top-k lowers to TakeOrderedAndProject (no
     global sort); the winner set (k rows) broadcast-joins back."""
     w = dsir_logweights(raw, target, text_col, id_col, buckets, bigrams,
-                        smoothing)
+                        smoothing, target_filter=target_filter)
     key = F.col("logweight")
     if seed is not None:
         h = F.md5(F.concat(F.col(id_col).cast("string"),

@@ -116,3 +116,18 @@ def test_dsir_select_gumbel_deterministic(frames):
         keys.append(w + (-math.log(-math.log(u))))
     want = sorted(range(len(RAW)), key=lambda i: (-keys[i], i))[:4]
     assert sorted(a["doc_id"]) == sorted(want)
+
+
+def test_dsir_target_filter_one_pass_equals_two_pass(frames, spark):
+    from pyspark.sql import functions as F
+    raw, _tgt = frames
+    # target = docs containing "the" — subset of raw
+    pred = F.col("text").contains("the")
+    two = (curation.dsir_logweights(raw, raw.filter(pred), buckets=BUCKETS)
+           .toPandas().set_index("doc_id")["logweight"].sort_index())
+    one = (curation.dsir_logweights(raw, None, buckets=BUCKETS,
+                                    target_filter=pred)
+           .toPandas().set_index("doc_id")["logweight"].sort_index())
+    assert list(one.index) == list(two.index)
+    for a, b in zip(one, two):
+        assert a == pytest.approx(b, rel=1e-12)
