@@ -174,7 +174,16 @@ def _dfloor(q: Column) -> Column:
 
 
 def _raw_floordiv_f(a: Column, b: Column) -> Column:
-    return _dfloor((a - _pymod_raw(a, b)) / b)
+    """CPython float_divmod, exactly: the quotient is built from the RAW
+    fmod (``(a - fmod)/b``) and decremented by 1.0 when the mod sign
+    adjusts — using the ADJUSTED mod instead loses a ulp (hypothesis:
+    ``1.023 // -18.000000000000004`` became -2.0), then floored with
+    CPython's ``div - floor(div) > 0.5`` half-way correction."""
+    r = a % b  # Spark double % is fmod
+    adjust = (r != 0) & (((r < 0) & (b > 0)) | ((r > 0) & (b < 0)))
+    div = (a - r) / b - F.when(adjust, F.lit(1.0)).otherwise(F.lit(0.0))
+    fl = _dfloor(div)
+    return F.when(div - fl > 0.5, fl + F.lit(1.0)).otherwise(fl)
 
 
 def _pandas_floordiv_f(a: Column, b: Column) -> Column:
@@ -3265,6 +3274,8 @@ class _SeriesTimeRolling:
     def count(self) -> Series: return self._agg("count")
     def min(self) -> Series: return self._agg("min")
     def max(self) -> Series: return self._agg("max")
+    def var(self) -> Series: return self._agg("var")
+    def std(self) -> Series: return self._agg("std")
 
 
 class _FrameTimeRolling:
@@ -3306,6 +3317,8 @@ class _FrameTimeRolling:
     def count(self): return self._agg("count")
     def min(self): return self._agg("min")
     def max(self): return self._agg("max")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")
 
     def __getitem__(self, key):
         cols = [key] if isinstance(key, str) else list(key)

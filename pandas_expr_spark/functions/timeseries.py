@@ -510,7 +510,7 @@ def time_rolling(sdf: SparkDF, rid_cols: list[str], ts_col: str,
     with every stage partitioned by (keys, block).
     """
     from pyspark.sql import types as T
-    if agg not in ("sum", "mean", "count", "min", "max"):
+    if agg not in ("sum", "mean", "count", "min", "max", "var", "std"):
         raise NotImplementedError(f"time rolling agg {agg!r}")
     by = list(by or [])
     ts = F.col(ts_col)
@@ -544,13 +544,22 @@ def time_rolling(sdf: SparkDF, rid_cols: list[str], ts_col: str,
                   & (F.col("__rp__") <= F.col("__lp__"))) \
         if pos_col else (F.col("__rm__") <= F.col("__lm__"))
     pairs = lhs.join(rhs, cond & left_edge & right_edge)
-    fn = {"sum": F.sum, "mean": F.avg, "count": F.count,
-          "min": F.min, "max": F.max}[agg]
     aggs = []
     for c in value_cols:
         v = F.col(f"__rv_{c}__")
-        # pandas rolling count is float64-valued
-        out = fn(v).cast("double") if agg == "count" else fn(v)
         n = F.count(v)
-        aggs.append(F.when(n >= min_periods, out).alias(c))
+        if agg in ("var", "std"):
+            # sample variance from (n, Σx, Σx²) in the SAME aggregation
+            # pass; ddof=1 (pandas default), n==1 → null like pandas
+            s1, s2 = F.sum(v), F.sum(v * v)
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            out = F.when(n >= F.greatest(F.lit(min_periods), F.lit(2)),
+                         F.sqrt(var) if agg == "std" else var)
+        else:
+            fn = {"sum": F.sum, "mean": F.avg, "count": F.count,
+                  "min": F.min, "max": F.max}[agg]
+            # pandas rolling count is float64-valued
+            out = fn(v).cast("double") if agg == "count" else fn(v)
+            out = F.when(n >= min_periods, out)
+        aggs.append(out.alias(c))
     return pairs.groupBy(*rid_cols, *by).agg(*aggs)

@@ -167,3 +167,16 @@ def test_grouped_apply_schema_inference(spark, pdf):
         lambda g: g[["v"]].fillna(0) * 2).compute()
     ef = pdf.groupby("k").apply(lambda g: g[["v"]].fillna(0) * 2)
     assert sorted(gf["v"]) == sorted(ef["v"])
+
+
+def test_float_floordiv_cpython_exact(spark):
+    # hypothesis: 1.023 // -18.000000000000004 was -2.0 (quotient built
+    # from the ADJUSTED mod loses a ulp); CPython builds it from the raw
+    # fmod, subtracts 1.0 on sign adjust, then floors with the >0.5 fix
+    cases = [(1.023070589131164, -18.000000000000004), (5e-324, -2.0),
+             (1.0, 2.2e-309), (-2.9e-55, 1.0), (7.5, 2.5), (-7.5, 2.5)]
+    for a, b in cases:
+        f = pes.from_pandas(pd.DataFrame({"v": [b]}))
+        got = f.v.rfloordiv(a).compute().iloc[0]
+        exp = a // b
+        assert got == exp or (np.isnan(got) and np.isnan(exp)), (a, b)

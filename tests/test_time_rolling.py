@@ -54,3 +54,12 @@ def test_time_rolling_partition_invariant(spark, pdf):
         pes.from_pandas(pdf)._sdf.repartition(5)).set_index("t")
     b = f2["v"].rolling("3D").sum().compute().sort_index()
     assert np.allclose(a.fillna(-9).values, b.fillna(-9).values)
+
+
+@pytest.mark.parametrize("how", ["var", "std"])
+def test_time_rolling_var_std(spark, pdf, how):
+    f = pes.from_pandas(pdf).set_index("t")
+    p = pdf.set_index("t")
+    got = getattr(f["v"].rolling("5D"), how)().compute().sort_index()
+    exp = getattr(p["v"].rolling("5D"), how)()
+    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values), how
