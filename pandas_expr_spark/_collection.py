@@ -878,9 +878,16 @@ class Series(FrameBase):
         return self._with_scol(F.ceil(self._scol), "ceil")
 
     def round(self, decimals: int = 0):
-        # pandas/numpy round is banker's (HALF_EVEN) → F.bround, not F.round
-        return self._with_scol(F.bround(self._scol, decimals), "round",
-                               decimals=decimals)
+        # pandas/numpy round is banker's (HALF_EVEN) → F.bround, not
+        # F.round; copysign keeps numpy's signed zero (round(-1e-45) is
+        # -0.0 — bround loses the sign; round never flips a nonzero sign,
+        # so copying the input sign is safe everywhere)
+        out = F.bround(self._scol, decimals)
+        if isinstance(self.spark_type, (T.DoubleType, T.FloatType)):
+            neg = (self._scol < 0) | \
+                self._scol.cast("string").startswith("-")
+            out = F.when((out == 0) & neg, F.lit(-0.0)).otherwise(out)
+        return self._with_scol(out, "round", decimals=decimals)
 
     def clip(self, lower=None, upper=None):
         """Reference Clip ``_expr.py:1139-1150`` →

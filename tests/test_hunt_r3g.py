@@ -180,3 +180,10 @@ def test_float_floordiv_cpython_exact(spark):
         got = f.v.rfloordiv(a).compute().iloc[0]
         exp = a // b
         assert got == exp or (np.isnan(got) and np.isnan(exp)), (a, b)
+
+
+def test_round_signed_zero(spark):
+    vs = [-1.401298464324817e-45, 1.5, -2.5, 0.5, -0.0, 2.5, -0.4]
+    got = pes.from_pandas(pd.DataFrame({"v": vs})).v.round(0).compute()
+    exp = pd.Series(vs).round(0)
+    assert [str(x) for x in got.sort_index()] == [str(x) for x in exp]
