@@ -2261,6 +2261,40 @@ def resample_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n", (F.col("v_sum_c") / 100.0).alias("value_sum"))
 
 
+def trained_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained quality classifier (``curation.fit_logit`` —
+    distributed batch-GD logistic regression: per iteration ONE
+    k+1-cell hash aggregation with the current weights as literals, the
+    corpus never re-read thanks to the up-front checkpoint).  Weak
+    labels = lang == 'en' (the stop-word feature IS an English signal,
+    so the classifier has something real to learn); features = JVM text
+    stats.  Iterative float training isn't SQL-reproducible → rows-only
+    check (the exact-math differential vs numpy GD lives in
+    tests/test_fit_logit.py, including a separation assertion on data
+    with real signal — the driver's synthetic text is independent of the
+    lang column, so avg_p is flat here by construction)."""
+    from pandas_expr_spark.functions import curation, text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        text.stopword_ratio("text").alias("f_stop"),
+        (text.lang_score("text", "en")
+         / (text.token_count("text") + F.lit(1))).alias("f_en"),
+        (F.log1p(F.length("text")) - F.lit(6.0)).alias("f_loglen"))
+    w = curation.fit_logit(feats, "label",
+                           ["f_stop", "f_en", "f_loglen"],
+                           lr=2.0, iters=40)
+    scored = feats.withColumn(
+        "p", curation.logit_score(w, ["f_stop", "f_en", "f_loglen"]))
+    return (scored.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p"), 2).alias("avg_p"))
+            .orderBy("label"))
+
+
 def rolling_time_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-OFFSET rolling window (pandas ``rolling("3D")``,
     ``functions/timeseries.py`` ``time_rolling``): 3-day trailing sums
@@ -3411,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "rolling_time_daily_events": rolling_time_daily_events,
         "knn_join_embeddings": knn_join_embeddings,
+        "trained_quality_scorer": trained_quality_scorer,
         # ---- driver-green in r01/r02 (stable tail) ----
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,

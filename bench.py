@@ -119,6 +119,8 @@ HEADLINE = [
     "rolling_time_daily_events",
     # batch kNN join (broadcast queries, per-query top-k window)
     "knn_join_embeddings",
+    # distributed logistic-regression training (k+1-cell agg per iter)
+    "trained_quality_scorer",
 ]
 
 

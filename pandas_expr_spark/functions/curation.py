@@ -28,6 +28,8 @@ runs, cluster sizes, and engines (DuckDB-checkable bit-for-bit).
 
 from __future__ import annotations
 
+from typing import Mapping
+
 from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
 from pandas_expr_spark.functions import text as _text
@@ -35,6 +37,7 @@ from pandas_expr_spark.functions.splits import hash_bucket
 
 __all__ = ["gopher_rules", "quality_logit", "budget_sample", "epoch_sample",
            "hashed_ngram_counts", "dsir_logweights", "dsir_select",
+           "fit_logit", "logit_score",
            "length_outlier_bounds", "flag_length_outliers",
            "temperature_caps", "temperature_scale_for_budget",
            "temperature_mix"]
@@ -449,3 +452,62 @@ def dsir_select(raw: SparkDF, target: SparkDF | None, k: int,
            .limit(k)
            .select(id_col, "logweight"))
     return raw.join(F.broadcast(top), id_col)
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic-regression training — turns quality_logit's fixed
+# public-heuristic weights into a TRAINED scorer (the fastText/CCNet
+# quality-classifier shape) without leaving Spark.
+# ---------------------------------------------------------------------------
+
+def fit_logit(sdf: SparkDF, label_col: str, feature_cols: list[str],
+              lr: float = 0.5, iters: int = 50,
+              l2: float = 0.0) -> dict[str, float]:
+    """Batch-gradient logistic regression, fully distributed: per
+    iteration the CURRENT weights enter as literals, the gradient is ONE
+    hash aggregation of len(features)+1 cells (map-side combined — KBs
+    regardless of corpus size), and the driver takes the step.  The
+    input is materialized once up front so ``iters`` iterations don't
+    re-execute the upstream plan.
+
+    Features should be roughly unit-scale (standardize upstream).
+    Returns {"bias": b, feature: w, ...} — plug into a sigmoid scorer or
+    ``quality_logit(weights=)`` when the features match."""
+    import math
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    proj = sdf.select(F.col(label_col).cast("double").alias("__y__"),
+                      *[F.col(c).cast("double").alias(f"__f{i}__")
+                        for i, c in enumerate(feature_cols)])
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par)
+    proj = proj.localCheckpoint(eager=True)
+    k = len(feature_cols)
+    w = [0.0] * k
+    b = 0.0
+    for _ in range(iters):
+        z = F.lit(b)
+        for i in range(k):
+            z = z + F.lit(w[i]) * F.col(f"__f{i}__")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("__y__")
+        row = proj.agg(
+            F.avg(err).alias("g_b"),
+            *[F.avg(err * F.col(f"__f{i}__")).alias(f"g_{i}")
+              for i in range(k)]).collect()[0]
+        b -= lr * float(row["g_b"])
+        for i in range(k):
+            w[i] -= lr * (float(row[f"g_{i}"]) + l2 * w[i])
+    out = {"bias": b}
+    out.update({c: w[i] for i, c in enumerate(feature_cols)})
+    return out
+
+
+def logit_score(weights: Mapping[str, float],
+                feature_cols: list[str] | None = None) -> Column:
+    """Sigmoid scorer Column from ``fit_logit`` weights — a narrow JVM
+    map over the feature columns."""
+    cols = feature_cols or [c for c in weights if c != "bias"]
+    z = F.lit(float(weights["bias"]))
+    for c in cols:
+        z = z + F.lit(float(weights[c])) * F.col(c).cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
