@@ -2141,12 +2141,13 @@ class Series(FrameBase):
         return self.cut(edges, labels=labels, right=True,
                         _first_edge_adjust=True)
 
-    def describe(self) -> "DataFrame":
+    def describe(self, percentiles: Sequence[float] | None = None) -> "DataFrame":
         """pandas ``Series.describe``: one aggregation pass (count, mean,
         std, min, exact quartiles, max), stacked JVM-side into stat rows."""
         name = self._col_name or "value"
         sdf = self._sdf.select(self._scol.alias(name))
-        return DataFrame(sdf, Node("to_frame", {}, self._expr)).describe()
+        return DataFrame(sdf, Node("to_frame", {}, self._expr)) \
+            .describe(percentiles=percentiles)
 
     def idxmin(self, skipna: bool = True):
         """Reference IdxMin ``_reductions.py:142-152`` → ``F.min_by`` over the
@@ -4702,12 +4703,39 @@ class DataFrame(FrameBase):
 
     # -- sampling / dedup ------------------------------------------------
     def sample(self, frac: float | None = None, n: int | None = None,
-               replace: bool = False, random_state: int | None = None) -> "DataFrame":
+               replace: bool = False, random_state: int | None = None,
+               weights: str | "Series" | None = None) -> "DataFrame":
         """Reference Sample ``_expr.py:1055-1070``.
 
         ``n=`` costs one count() action, then oversampled Bernoulli +
         ``limit(n)`` — the standard distributed exact-n sample (a global
-        shuffle-to-one-task sort would be the naive alternative)."""
+        shuffle-to-one-task sort would be the naive alternative).
+
+        ``weights=`` draws WITHOUT replacement with probability
+        proportional to the weight column — the Efraimidis–Spirakis
+        one-pass reservoir: key = u^(1/w), take the n largest keys
+        (TakeOrderedAndProject — no global sort).  Zero/null-weight rows
+        are never selected; negative weights raise at compute (filtered
+        defensively here)."""
+        if weights is not None:
+            if replace:
+                raise NotImplementedError("sample(weights=, replace=True)")
+            w = (weights._scol if isinstance(weights, Series)
+                 else F.col(weights)).cast("double")
+            if n is None:
+                if frac is None:
+                    raise ValueError("sample(weights=): pass n= or frac=")
+                n = int(round(self._sdf.count() * frac))
+            u = F.rand(random_state) if random_state is not None else F.rand()
+            # ANSI guard: the 1/w only evaluates on positive weights
+            key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
+            sampled = (self._sdf.withColumn("__wk__", key)
+                       .filter(F.col("__wk__").isNotNull())
+                       .orderBy(F.col("__wk__").desc()).limit(n)
+                       .drop("__wk__"))
+            return self._derive(sampled, "sample",
+                                {"n": n, "weighted": True,
+                                 "seed": random_state})
         if frac is None:
             if n is None:
                 raise ValueError("sample: pass frac= or n=")
@@ -6430,15 +6458,20 @@ class DataFrame(FrameBase):
         return [f.name for f in self._sdf.schema.fields
                 if f.name not in self._index_cols and is_numeric(f.dataType)]
 
-    def describe(self) -> "DataFrame":
+    def describe(self, percentiles: Sequence[float] | None = None) -> "DataFrame":
         """pandas ``describe()``: count/mean/std/min/quartiles/max per
         numeric column.  ONE aggregation pass (exact interpolating
         percentiles), then a JVM-side ``stack`` reshapes the single agg row
-        into the 8 stat rows — stays lazy, nothing collects on the driver."""
+        into the stat rows — stays lazy, nothing collects on the driver.
+        ``percentiles=`` replaces the quartiles (the median always joins,
+        like pandas)."""
         cols = self._numeric_columns()
         if not cols:
             raise ValueError("describe: no numeric columns")
-        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        pct = ([0.25, 0.5, 0.75] if percentiles is None
+               else sorted(set(float(p) for p in percentiles) | {0.5}))
+        plabels = [f"{p * 100:g}%" for p in pct]
+        stats = ["count", "mean", "std", "min", *plabels, "max"]
         aggs = []
         for c in cols:
             col = F.col(c)
@@ -6446,9 +6479,8 @@ class DataFrame(FrameBase):
                      F.avg(col).alias(f"mean__{c}"),
                      F.stddev_samp(col).alias(f"std__{c}"),
                      F.min(col).cast("double").alias(f"min__{c}"),
-                     F.percentile(col, F.lit(0.25)).alias(f"25%__{c}"),
-                     F.percentile(col, F.lit(0.5)).alias(f"50%__{c}"),
-                     F.percentile(col, F.lit(0.75)).alias(f"75%__{c}"),
+                     *[F.percentile(col, F.lit(p)).alias(f"{lb}__{c}")
+                       for p, lb in zip(pct, plabels)],
                      F.max(col).cast("double").alias(f"max__{c}")]
         one = self._sdf.agg(*aggs)
         parts = []
@@ -6741,6 +6773,32 @@ class DataFrame(FrameBase):
         """
         from .operators.groupby import _AGG_FNS
         idx = _ensure_list(index)
+        if isinstance(aggfunc, (list, tuple)):
+            # pandas MultiIndex (fn, value, pivot) columns flatten to the
+            # engine's string columns: "<fn>" per pivot value (Spark names
+            # multi-agg pivot columns "<pivotval>_<alias>")
+            if margins:
+                raise NotImplementedError("pivot_table(aggfunc=list, "
+                                          "margins=True)")
+            fns = list(aggfunc)
+            if columns is None:
+                vals = _ensure_list(values)
+                out = self._sdf.groupBy(*idx).agg(
+                    *[_AGG_FNS[a](F.col(v)).alias(f"{a}_{v}")
+                      for a in fns for v in vals])
+            else:
+                piv = self._sdf.groupBy(*idx).pivot(
+                    columns, list(pivot_values)
+                    if pivot_values is not None else None)
+                out = piv.agg(*[_AGG_FNS[a](F.col(values)).alias(a)
+                                for a in fns])
+            if fill_value is not None:
+                out = out.fillna(fill_value,
+                                 subset=[c for c in out.columns
+                                         if c not in idx])
+            node = Node("pivot_table", {"index": idx,
+                                        "aggfunc": fns}, self._expr)
+            return DataFrame(out, node, tuple(idx), tuple(idx))
         fn = _AGG_FNS[aggfunc]
         if columns is None:
             # pandas pivot_table without a columns axis: a plain grouped
@@ -6804,13 +6862,21 @@ class DataFrame(FrameBase):
 
     def crosstab(self, index: str, columns: str,
                  values: str | None = None, aggfunc: str = "count",
-                 pivot_values: Sequence | None = None) -> "DataFrame":
+                 pivot_values: Sequence | None = None,
+                 normalize: bool | str = False, margins: bool = False,
+                 margins_name: str = "All") -> "DataFrame":
         """pandas ``pd.crosstab``: frequency (or aggregated) table of two
         columns → ``groupBy(index).pivot(columns).count()``.  Like
         ``pivot_table``, pass ``pivot_values`` at scale to skip the eager
         distinct-discovery scan; count cells are null-filled to 0 (pandas
-        semantics)."""
+        semantics).  ``normalize=`` divides by the grand total
+        (True/'all'), row totals ('index'), or column totals ('columns'
+        — one 1-row broadcast of the tiny pivoted table's sums);
+        ``margins=True`` adds the All row/column."""
         from .operators.groupby import _AGG_FNS
+        if normalize and margins:
+            raise NotImplementedError("crosstab(normalize=, margins=) "
+                                      "together")
         piv = self._sdf.groupBy(index).pivot(
             columns, list(pivot_values) if pivot_values is not None else None)
         if values is None:
@@ -6819,6 +6885,36 @@ class DataFrame(FrameBase):
             out = piv.agg(_AGG_FNS[aggfunc](F.col(values)))
         if values is None or aggfunc == "count":
             out = out.fillna(0, subset=[c for c in out.columns if c != index])
+        vcols = [c for c in out.columns if c != index]
+        if normalize:
+            if normalize in (True, "all", "index"):
+                row_tot = sum((F.col(c) for c in vcols[1:]),
+                              F.col(vcols[0]))
+                if normalize == "index":
+                    out = out.select(index, *[(F.col(c) / row_tot).alias(c)
+                                              for c in vcols])
+                else:
+                    tot = out.agg(*[F.sum(row_tot).alias("__t__")])
+                    out = out.crossJoin(F.broadcast(tot)).select(
+                        index, *[(F.col(c) / F.col("__t__")).alias(c)
+                                 for c in vcols])
+            elif normalize == "columns":
+                tots = out.agg(*[F.sum(c).alias(f"__t_{c}__")
+                                 for c in vcols])
+                out = out.crossJoin(F.broadcast(tots)).select(
+                    index, *[(F.col(c) / F.col(f"__t_{c}__")).alias(c)
+                             for c in vcols])
+            else:
+                raise ValueError(f"normalize={normalize!r}")
+        if margins:
+            row_tot = sum((F.col(c) for c in vcols[1:]), F.col(vcols[0]))
+            out = out.withColumn(margins_name, row_tot)
+            total = out.agg(*[F.sum(c).alias(c)
+                              for c in vcols + [margins_name]])
+            out = out.withColumn(index, F.col(index).cast("string"))
+            out = out.unionByName(
+                total.withColumn(index, F.lit(margins_name))
+                .select(out.columns))
         node = Node("crosstab", {"index": index, "columns": columns}, self._expr)
         return DataFrame(out, node, (), None)
 
