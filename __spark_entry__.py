@@ -2286,7 +2286,7 @@ def trained_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log1p(F.length("text")) - F.lit(6.0)).alias("f_loglen"))
     w = curation.fit_logit(feats, "label",
                            ["f_stop", "f_en", "f_loglen"],
-                           lr=2.0, iters=40)
+                           lr=2.0, iters=10)
     scored = feats.withColumn(
         "p", curation.logit_score(w, ["f_stop", "f_en", "f_loglen"]))
     return (scored.groupBy("label")
