@@ -538,6 +538,11 @@ class Scalar(FrameBase):
         v = self.compute()
         return round(v) if ndigits is None else round(v, ndigits)
 
+    def __str__(self):
+        # str(scalar) gives the VALUE (an eager action, like __float__);
+        # repr stays lazy for plan display
+        return str(self.compute())
+
     # -- lazy scalar algebra (reference scalars stay expressions) --------
     # scalar∘scalar cross-joins two 1×1 frames (Catalyst folds it into a
     # single plan; both aggregates still run distributed), scalar∘literal
@@ -3675,6 +3680,14 @@ class Index(Series):
             return DataFrame(sdf, node, (idx_col,), (self._col_name,))
         return DataFrame(sdf, node, (), ())
 
+    def to_series(self, name=None) -> "Series":
+        """pandas ``Index.to_series``: the labels as a Series indexed by
+        themselves (pure projection)."""
+        f = self.to_frame(index=True, name=name or self._col_name
+                          or "index")
+        col = f.columns[0]
+        return f[col]
+
 
 # --------------------------------------------------------------------------
 # DataFrame
@@ -4953,27 +4966,49 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.limit(n), "limit", {"n": n})
 
     def _extreme_rows(self, n: int, cols: list[str], desc: bool,
-                      op: str) -> "DataFrame":
+                      op: str, keep: str = "first") -> "DataFrame":
         # pandas: NA rows sort LAST for both directions (Spark's asc
         # default is nulls-first, which put them at the top of nsmallest);
         # original row labels are kept (rowid anchor on default-index
-        # frames — the plan stays TakeOrderedAndProject)
+        # frames — the plan stays TakeOrderedAndProject).  keep='first'/
+        # 'last' tie-breaks on the row position; keep='all' takes the
+        # boundary value from the top-n (one extra tiny agg) and keeps
+        # every row at least that extreme.
         order = [F.col(c).desc_nulls_last() if desc
                  else F.col(c).asc_nulls_last() for c in cols]
         if self._index_cols:
-            return self._derive(self._sdf.orderBy(*order).limit(n),
-                                op, {"n": n, "columns": cols})
-        sdf = _attach_rowid(self._sdf).orderBy(*order).limit(n)
-        return DataFrame(sdf, Node(op, {"n": n, "columns": cols},
-                                   self._expr), (_ROWID,), (None,))
+            sdf, idx, names = (self._sdf, self._index_cols,
+                               self._index_names)
+            pos = F.col(self._index_cols[0])
+        else:
+            sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), (None,)
+            pos = F.col(_ROWID)
+        node = Node(op, {"n": n, "columns": cols, "keep": keep},
+                    self._expr)
+        if keep == "all":
+            if len(cols) != 1:
+                raise NotImplementedError(f"{op}(keep='all') supports a "
+                                          "single sort column")
+            c = F.col(cols[0])
+            bound = (sdf.orderBy(*order).limit(n)
+                     .agg((F.min(c) if desc else F.max(c)).alias("__b__")))
+            cond = (c >= F.col("__b__")) if desc else (c <= F.col("__b__"))
+            out = sdf.crossJoin(F.broadcast(bound)).filter(cond) \
+                .drop("__b__")
+            return DataFrame(out, node, idx, names)
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep={keep!r}")
+        tie = pos.asc() if keep == "first" else pos.desc()
+        out = sdf.orderBy(*order, tie).limit(n)
+        return DataFrame(out, node, idx, names)
 
-    def nlargest(self, n: int, columns) -> "DataFrame":
+    def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
         return self._extreme_rows(n, _ensure_list(columns), True,
-                                  "nlargest")
+                                  "nlargest", keep)
 
-    def nsmallest(self, n: int, columns) -> "DataFrame":
+    def nsmallest(self, n: int, columns, keep: str = "first") -> "DataFrame":
         return self._extreme_rows(n, _ensure_list(columns), False,
-                                  "nsmallest")
+                                  "nsmallest", keep)
 
     # -- index management (SURVEY §1.5, §2.2 SetIndex/ResetIndex) --------
     def set_index(self, keys, drop: bool = True) -> "DataFrame":
@@ -5013,10 +5048,11 @@ class DataFrame(FrameBase):
         return DataFrame(self._sdf, node, self._index_cols, tuple(names))
 
     def squeeze(self, axis=None):
-        """pandas ``squeeze``: a 1-column frame collapses to its Series
-        (pure metadata — no data movement)."""
+        """pandas ``squeeze``: a 1-column frame collapses to its Series,
+        and a 1×1 frame all the way to the scalar (the row-count probe is
+        the Series.squeeze 2-row limit)."""
         if len(self.columns) == 1:
-            return self[self.columns[0]]
+            return self[self.columns[0]].squeeze()
         return self
 
     def equals(self, other) -> bool:

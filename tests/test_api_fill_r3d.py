@@ -69,3 +69,28 @@ def test_sample_weights(spark):
     fz = pes.from_pandas(pz)
     got = fz.sample(n=2, weights="w", random_state=0).compute()
     assert list(got["x"]) == [2]
+
+
+def test_index_to_series_scalar_str_squeeze(spark, pdf):
+    f = pes.from_pandas(pdf).set_index("k")
+    p = pdf.set_index("k")
+    assert sorted(f.index.to_series().compute()) == \
+        sorted(p.index.to_series())
+    # str(Scalar) is the value (eager action)
+    assert str(f.index.min()) == str(p.index.min()) == "a"
+    one = pes.from_pandas(pd.DataFrame({"v": [5.0]}))
+    assert float(one.squeeze()) == 5.0
+
+
+def test_frame_topk_keep(spark):
+    pdf = pd.DataFrame({"a": [3, 1, 3, 5, 3], "b": [1.0, 2, 3, 4, 5]})
+    f = pes.from_pandas(pdf)
+    g_all = f.nlargest(2, "a", keep="all").compute()
+    e_all = pdf.nlargest(2, "a", keep="all")
+    assert sorted(g_all["a"]) == sorted(e_all["a"])
+    g_first = f.nlargest(3, "a", keep="first").compute()
+    e_first = pdf.nlargest(3, "a", keep="first")
+    assert list(g_first.index) == list(e_first.index)
+    g_last = f.nsmallest(2, "a", keep="last").compute()
+    e_last = pdf.nsmallest(2, "a", keep="last")
+    assert sorted(g_last.index) == sorted(e_last.index)
