@@ -47,6 +47,7 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         return _concat_axis1(frames, join)
     if axis not in (0, "index"):
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")
+    all_series = all(isinstance(f, Series) for f in frames)
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
     if not ignore_index and all(not f._index_cols for f in frames):
         # pandas keeps each input's OWN labels through a concat (duplicates
@@ -88,7 +89,11 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         # pandas concat(sort=True): alphabetize the non-concat axis
         data_cols = sorted(c for c in out.columns if c not in idx)
         out = out.select(*list(idx), *data_cols)
-    return DataFrame(out, node, idx, names)
+    res = DataFrame(out, node, idx, names)
+    if all_series and len(res.columns) == 1:
+        # pandas: concat of Series along axis=0 stays a Series
+        return res[res.columns[0]]
+    return res
 
 
 def _concat_axis1(frames: Sequence, join: str):

@@ -187,3 +187,16 @@ def test_round_signed_zero(spark):
     got = pes.from_pandas(pd.DataFrame({"v": vs})).v.round(0).compute()
     exp = pd.Series(vs).round(0)
     assert [str(x) for x in got.sort_index()] == [str(x) for x in exp]
+
+
+def test_concat_series_stays_series(spark):
+    s1 = pd.Series([1.0, 2.0], name="a")
+    got = pes.concat([pes.from_pandas(s1.to_frame())["a"],
+                      pes.from_pandas(s1.to_frame())["a"]]).compute()
+    exp = pd.concat([s1, s1])
+    assert isinstance(got, pd.Series)
+    assert sorted(got) == sorted(exp) and got.name == "a"
+    # mixed Series + frame stays a frame
+    f = pes.concat([pes.from_pandas(s1.to_frame()),
+                    pes.from_pandas(s1.to_frame())["a"]])
+    assert hasattr(f, "columns")
