@@ -170,8 +170,12 @@ class StringAccessor(_Accessor):
         return self._wrap(out, "str.rsplit")
 
     def get(self, i: int):
-        # pandas: out-of-range position → NaN (Spark substring gives '')
+        # pandas: out-of-range position → NaN (Spark substring gives '');
+        # negative positions count from the end like Python
         c = self._s._scol
+        if i < 0:
+            ch = F.substring(c, F.length(c) + F.lit(i + 1), F.lit(1))
+            return self._wrap(F.when(F.length(c) >= -i, ch), "str.get")
         ch = F.substring(c, i + 1, 1)
         return self._wrap(F.when(F.length(c) > i, ch), "str.get")
 
@@ -442,10 +446,12 @@ class StringAccessor(_Accessor):
 
     def center(self, width: int, fillchar: str = " "):
         """pandas ``str.center``: pad both sides; when the padding is odd
-        the extra fill char goes on the right (Python semantics)."""
+        the extra fill char goes on the LEFT (pandas diverges from
+        Python's str.center here — its pad(side='both') ceils the left
+        half)."""
         c = self._s._scol
         total = F.lit(width) - F.length(c)
-        left = F.floor(total / 2).cast("int")
+        left = F.ceil(total / 2).cast("int")
         out = F.when(F.length(c) >= width, c).otherwise(
             F.concat(F.repeat(F.lit(fillchar), left), c,
                      F.repeat(F.lit(fillchar),

@@ -123,3 +123,18 @@ def test_dt_alias_and_subsecond(spark):
     assert list(f["t"].dt.daysinmonth.compute()) == list(pdf["t"].dt.daysinmonth)
     assert list(f["t"].dt.microsecond.compute()) == list(pdf["t"].dt.microsecond)
     assert list(f["t"].dt.nanosecond.compute()) == [0, 0]
+
+
+def test_str_center_odd_pad_and_get_negative(spark):
+    vals = ["hello", "", "a", None, "xy", "12345"]
+    pdf = pd.DataFrame({"s": vals})
+    f = pes.from_pandas(pdf)
+    got = f["s"].str.center(9, "-").compute().sort_index()
+    exp = pdf["s"].str.center(9, "-")
+    assert list(got.fillna("<n>")) == list(exp.fillna("<n>"))
+    g2 = f["s"].str.get(-1).compute().sort_index()
+    e2 = pdf["s"].str.get(-1)
+    assert list(g2.fillna("<n>")) == list(e2.fillna("<n>"))
+    g3 = f["s"].str.get(-3).compute().sort_index()
+    e3 = pdf["s"].str.get(-3)
+    assert list(g3.fillna("<n>")) == list(e3.fillna("<n>"))
