@@ -709,6 +709,26 @@ class Series(FrameBase):
     def __mul__(self, o): return self._binop(o, lambda a, b: a * b, "mul")
     def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, "mul", True)
     def __truediv__(self, o):
+        # timedelta / timedelta → float ratio (pandas): intervals don't
+        # divide in Spark, so both sides lower to exact epoch micros
+        # (cast(interval as bigint) is in the type's END-FIELD unit —
+        # unreliable; adding to the epoch and unix_micros is exact)
+        if isinstance(self.spark_type, T.DayTimeIntervalType):
+            import datetime as _dt
+
+            def _iv_us(col):
+                epoch = F.lit(_dt.datetime(1970, 1, 1)).cast("timestamp")
+                return F.unix_micros(epoch + col).cast("double")
+
+            if isinstance(o, _dt.timedelta):
+                us = o / _dt.timedelta(microseconds=1)
+                return self._with_scol(_iv_us(self._scol) / F.lit(float(us)),
+                                       "div")
+            if isinstance(o, Series) and \
+                    isinstance(o.spark_type, T.DayTimeIntervalType) and \
+                    o._sdf is self._sdf:
+                num, den = _iv_us(self._scol), _iv_us(o._scol)
+                return self._with_scol(F.when(den != 0, num / den), "div")
         fn = (lambda a, b: a / b) if _safe_nonzero(o) else _pandas_div
         return self._binop(o, fn, "div")
 
@@ -4140,6 +4160,12 @@ class DataFrame(FrameBase):
                         if isinstance(x, str) else repr(x) for x in v) + ")"
                 return repr(v)
             expr = _re.sub(r"@(\w+)", _sub, expr)
+        # pandas list syntax: `k in ['a','b']` / `not in [...]` → SQL IN
+        if "[" in expr:
+            import re as _re2
+            expr = _re2.sub(
+                r"\bin\s*\[([^\]]*)\]",
+                lambda m: "in (" + m.group(1) + ")", expr)
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------

@@ -200,3 +200,26 @@ def test_concat_series_stays_series(spark):
     f = pes.concat([pes.from_pandas(s1.to_frame()),
                     pes.from_pandas(s1.to_frame())["a"]])
     assert hasattr(f, "columns")
+
+
+def test_query_list_syntax(spark, pdf):
+    f = pes.from_pandas(pdf)
+    assert f.query("k in ['a','b']").compute().shape[0] == \
+        pdf.query("k in ['a','b']").shape[0]
+    assert f.query("k not in ['a']").compute().shape[0] == \
+        pdf.query("k not in ['a']").shape[0]
+
+
+def test_timedelta_division(spark):
+    pdf = pd.DataFrame({"t": pd.to_datetime(
+        ["2024-01-01", "2024-01-05", "2024-01-09", "2024-02-01"])})
+    f = pes.from_pandas(pdf)
+    g = ((f["t"] - pd.Timestamp("2024-01-01"))
+         / pd.Timedelta(days=2)).compute().sort_index()
+    e = (pdf["t"] - pd.Timestamp("2024-01-01")) / pd.Timedelta(days=2)
+    assert np.allclose(g, e)
+    td_e = f["t"] - pd.Timestamp("2024-01-01")
+    td_p = pdf["t"] - pd.Timestamp("2024-01-01")
+    g2 = (td_e / (td_e + pd.Timedelta(hours=12))).compute().sort_index()
+    e2 = td_p / (td_p + pd.Timedelta(hours=12))
+    assert np.allclose(g2.fillna(-9), e2.fillna(-9))
