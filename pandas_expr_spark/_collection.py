@@ -1050,6 +1050,21 @@ class Series(FrameBase):
 
     def fillna(self, value, limit: int | None = None):
         if limit is None:
+            if isinstance(value, Series):
+                # pandas: fill from the aligned other series — same-anchor
+                # composes directly; foreign frames align on the index
+                if value._sdf is self._sdf:
+                    return self._with_scol(
+                        F.coalesce(self._scol, value._scol), "fillna")
+                lf = self.to_frame("__l__")
+                rf = value.to_frame("__r__")
+                joined = _align_frames(lf, rf, how="left")
+                node = Node("fillna", {"aligned": True}, self._expr,
+                            value._expr)
+                return Series(joined._sdf,
+                              F.coalesce(F.col("__l__"), F.col("__r__")),
+                              self._col_name, node, joined._index_cols,
+                              joined._index_names)
             return self._with_scol(F.coalesce(self._scol, F.lit(value)),
                                    "fillna", value=value)
         # pandas limit=n: fill only the first n nulls along the WHOLE axis

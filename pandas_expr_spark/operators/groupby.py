@@ -92,6 +92,9 @@ _AGG_FNS: dict[str, Callable[[Column], Column]] = {
 # with 0 when resample materializes empty bins
 _COUNT_LIKE_FNS = {"count", "size", "nunique", "approx_nunique"}
 
+# pandas: an all-NaN group sums to 0 / multiplies to 1 (min_count=0)
+_AGG_IDENTITY = {"sum": 0, "prod": 1}
+
 
 def _callable_agg(f):
     """Wrap an arbitrary Python reducer (pd.Series → scalar) as an Arrow
@@ -219,7 +222,11 @@ class GroupBy:
     def _single_agg(self, fn_name: str, numeric_only: bool = False):
         cols = self._value_columns(numeric_only)
         fn = _AGG_FNS[fn_name]
-        aggs = [fn(F.col(c)).alias(c) for c in cols]
+        # pandas: an all-NaN group sums to 0 / multiplies to 1 under the
+        # default min_count=0 (Spark's SUM of no non-null rows is null)
+        ident = _AGG_IDENTITY.get(fn_name)
+        aggs = [(F.coalesce(fn(F.col(c)), F.lit(ident)) if ident is not None
+                 else fn(F.col(c))).alias(c) for c in cols]
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set(cols) if fn_name in _COUNT_LIKE_FNS else set()
         return self._finish(out, fn_name)
@@ -440,7 +447,10 @@ class GroupBy:
                 raise ValueError(f"Unknown aggregation: {fn_name!r}")
             if fn_name in _COUNT_LIKE_FNS:
                 count_like.add(alias)
-            aggs.append(fn(F.col(col)).alias(alias))
+            ident = _AGG_IDENTITY.get(fn_name)
+            expr = (F.coalesce(fn(F.col(col)), F.lit(ident))
+                    if ident is not None else fn(F.col(col)))
+            aggs.append(expr.alias(alias))
 
         if named and spec is None:
             # pandas named-agg: out_name=("col", "fn")

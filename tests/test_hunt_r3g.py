@@ -223,3 +223,22 @@ def test_timedelta_division(spark):
     g2 = (td_e / (td_e + pd.Timedelta(hours=12))).compute().sort_index()
     e2 = td_p / (td_p + pd.Timedelta(hours=12))
     assert np.allclose(g2.fillna(-9), e2.fillna(-9))
+
+
+def test_fillna_series_and_allnull_group_sum(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "c"],
+                        "v": pd.array([3.0, None, None, 7.0],
+                                      dtype="float64"),
+                        "i": [10, 20, 30, 40]})
+    f = pes.from_pandas(pdf)
+    got = f["v"].fillna(f["i"]).compute().sort_index()
+    exp = pdf["v"].fillna(pdf["i"])
+    assert list(got) == list(exp)
+    # pandas: an all-NaN group sums to 0 / multiplies to 1
+    pdf2 = pd.DataFrame({"k": ["a", "b"],
+                         "v": pd.array([None, None], dtype="float64")})
+    f2 = pes.from_pandas(pdf2)
+    assert list(f2.groupby("k")["v"].sum().compute().sort_index()) == [0, 0]
+    assert list(f2.groupby("k")["v"].prod().compute().sort_index()) == [1, 1]
+    assert list(f2.groupby("k")["v"].agg("sum").compute()
+                .sort_index()) == [0, 0]
