@@ -523,7 +523,12 @@ class Scalar(FrameBase):
         rows = self._sdf.collect()
         if not rows:
             return None
-        return rows[0][0]
+        v = rows[0][0]
+        if v is None and is_numeric(self._sdf.schema[0].dataType):
+            # pandas numeric reductions yield NaN, not None (var of a
+            # single value, prod(skipna=False) over a null, ...)
+            return float("nan")
+        return v
 
     def __float__(self):
         return float(self.compute())

@@ -242,3 +242,15 @@ def test_fillna_series_and_allnull_group_sum(spark):
     assert list(f2.groupby("k")["v"].prod().compute().sort_index()) == [1, 1]
     assert list(f2.groupby("k")["v"].agg("sum").compute()
                 .sort_index()) == [0, 0]
+
+
+def test_null_numeric_reductions_are_nan(spark):
+    one = pes.from_pandas(pd.DataFrame({"v": [5.0]}))
+    assert np.isnan(float(one["v"].var()))
+    assert np.isnan(float(one["v"].skew()))
+    assert np.isnan(float(one["v"].sem()))
+    two = pes.from_pandas(pd.DataFrame({"v": [1.0, None]}))
+    assert np.isnan(float(two["v"].prod(skipna=False)))
+    # non-numeric null scalars still come back as None
+    s = pes.from_pandas(pd.DataFrame({"s": [None], "i": [1]}))
+    assert s["s"].max().compute() is None
