@@ -445,13 +445,14 @@ class StringAccessor(_Accessor):
         return self._wrap(self._s._scol.rlike(f"^(?:{pat})$"), "str.fullmatch")
 
     def center(self, width: int, fillchar: str = " "):
-        """pandas ``str.center``: pad both sides; when the padding is odd
-        the extra fill char goes on the LEFT (pandas diverges from
-        Python's str.center here — its pad(side='both') ceils the left
-        half)."""
+        """pandas/Python ``str.center``: pad both sides; the odd fill char
+        goes LEFT only when BOTH the margin and the width are odd
+        (CPython: ``left = marg//2 + (marg & width & 1)``)."""
         c = self._s._scol
         total = F.lit(width) - F.length(c)
-        left = F.ceil(total / 2).cast("int")
+        left = (F.floor(total / 2)
+                + (total.cast("int").bitwiseAND(F.lit(width))
+                   .bitwiseAND(F.lit(1)))).cast("int")
         out = F.when(F.length(c) >= width, c).otherwise(
             F.concat(F.repeat(F.lit(fillchar), left), c,
                      F.repeat(F.lit(fillchar),

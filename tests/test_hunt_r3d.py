@@ -77,10 +77,11 @@ def test_cov_min_periods(pdf):
     edf = pes.from_pandas(pdf)
     got = edf.a.cov(edf.b, min_periods=3).compute()
     assert got == pytest.approx(pdf.a.cov(pdf.b, min_periods=3))
-    # below the threshold → null / NaN
+    # below the threshold → NaN like pandas (numeric null scalars
+    # compute to NaN, not None)
     got9 = edf.a.cov(edf.b, min_periods=9).compute()
     exp9 = pdf.a.cov(pdf.b, min_periods=9)
-    assert (got9 is None) == bool(pd.isna(exp9))
+    assert pd.isna(got9) and pd.isna(exp9)
 
 
 def test_nlargest_preserves_labels(spark):
