@@ -3821,6 +3821,11 @@ class DataFrame(FrameBase):
         vfreq = getattr(self, "_period_value_freq", None) or {}
         if name in vfreq:
             s._period_value_freq = {name: vfreq[name]}
+        cmeta = getattr(self, "_cat_meta", None) or {}
+        if name in cmeta:
+            # from_pandas Categorical columns keep their category ORDER
+            s._is_categorical = True
+            s._cat_categories = list(cmeta[name])
         return s
 
     @property
@@ -4942,6 +4947,7 @@ class DataFrame(FrameBase):
         expression sorts JVM-side (e.g. ``key=lambda s: s.str.len()``)."""
         by = _ensure_list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        cmeta = getattr(self, "_cat_meta", None) or {}
         cols = []
         for b, a in zip(by, asc):
             if key is not None:
@@ -4950,6 +4956,13 @@ class DataFrame(FrameBase):
                     raise TypeError("sort_values(key=) must return an "
                                     "engine Series")
                 c = ks._scol
+            elif b in cmeta:
+                # categorical columns sort by CATEGORY order (pandas) —
+                # a literal CASE mapping value → code
+                c = F.lit(None).cast("int")
+                for i, cat in enumerate(cmeta[b]):
+                    c = F.when(F.col(b) == F.lit(cat), F.lit(i)) \
+                         .otherwise(c)
             else:
                 c = F.col(b)
             if a:

@@ -254,3 +254,20 @@ def test_null_numeric_reductions_are_nan(spark):
     # non-numeric null scalars still come back as None
     s = pes.from_pandas(pd.DataFrame({"s": [None], "i": [1]}))
     assert s["s"].max().compute() is None
+
+
+def test_categorical_metadata_from_pandas(spark):
+    pdf = pd.DataFrame({"c": pd.Categorical(["b", "a", "b", "c"],
+                                            categories=["c", "b", "a"]),
+                        "v": [1.0, 2, 3, 4]})
+    f = pes.from_pandas(pdf)
+    assert list(f["c"].cat.codes.compute().sort_index()) == \
+        list(pdf["c"].cat.codes)
+    assert list(f["c"].cat.categories) == list(pdf["c"].cat.categories)
+    got = f.sort_values("c").compute()
+    exp = pdf.sort_values("c")
+    assert list(got["v"]) == list(exp["v"])
+    # descending too
+    got2 = f.sort_values("c", ascending=False).compute()
+    exp2 = pdf.sort_values("c", ascending=False)
+    assert list(got2["v"]) == list(exp2["v"])
