@@ -931,11 +931,19 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs on the augmented corpus (exact dups must
-    collide).  Non-SQL-expressible → rows-only driver check."""
+    """MinHash-LSH recall gate with an EXACT oracle: exact text copies have
+    IDENTICAL signatures, so every band collides and each planted pair
+    (id, id+100000) for doc_id < 50 is a GUARANTEED candidate.  Restricted
+    to the planted id range the result is closed-form SQL — a missed pair
+    = a missing row = driver hash mismatch.  (Was rows-only through r3;
+    the organic full-candidate variant stays covered by the exact
+    ``minhash_verified_dups`` end-to-end gate.)"""
     from pandas_expr_spark.functions import dedup
     aug = _augmented_docs(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(aug, num_perm=32, bands=16)
+    pairs = dedup.minhash_lsh_pairs(aug, num_perm=32, bands=16)
+    return (pairs.filter((F.col("id_b") >= 100000)
+                         & (F.col("id_a") == F.col("id_b") - 100000))
+            .select("id_a", "id_b"))
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1019,11 +1027,18 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤4 pairs (pandas-UDF signature + band join) —
-    rows-only check."""
+    """SimHash at the max_hamming=4 band threshold, gated EXACTLY on the
+    planted range: exact copies have identical 64-bit signatures (Hamming
+    0 ≤ 4, all four 16-bit chunks collide), so each (id, id+100000) pair
+    for doc_id < 50 must surface with hamming = 0.  Exercises the
+    hamming-4 parameterization (vs ``simhash_planted_dups`` at 3); was
+    rows-only through r3."""
     from pandas_expr_spark.functions import dedup
     aug = _augmented_docs(spark, sf_dir)
-    return dedup.simhash_pairs(aug, max_hamming=4)
+    pairs = dedup.simhash_pairs(aug, max_hamming=4)
+    return (pairs.filter((F.col("id_b") >= 100000)
+                         & (F.col("id_a") == F.col("id_b") - 100000))
+            .select("id_a", "id_b", "hamming"))
 
 
 def simhash_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,20 +1293,47 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: text→bytes payloads, format sniff + stub
-    feature decode over mapInPandas.  Rows-only check."""
+    """REAL image-header metadata extraction with an EXACT oracle
+    (repointed in r4 from the stub decode path, which the real PNG codec
+    superseded): each doc_id defines a PNG of width ``8 + id%8`` / height
+    ``6 + id%5`` (same synthesis formula as ``multimodal_pixel_stats``),
+    encoded by the stdlib encoder, then ``image_header_meta`` parses
+    (format, width, height) back out of the container header bytes via an
+    Arrow pandas_udf — the 100 TB "how big is this image" path that never
+    inflates pixel data.  The oracle recomputes the dimensions
+    arithmetically, so a green row proves the header round trip."""
     from pandas_expr_spark.functions import multimodal
     from pandas_expr_spark.sources.tables import load_table
+    import numpy as _np
+    import pandas as _pd
+
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        F.encode("text", "UTF-8").alias("payload"))
-    meta = multimodal.attach_media_meta(media)
-    feats = multimodal.decode_image_features(meta)
-    return (feats.join(meta.select("media_id", "media_n_bytes"), "media_id")
-            .select("media_id", "media_n_bytes",
-                    F.round(F.aggregate("features", F.lit(0.0),
-                                        lambda a, x: a + x.cast("double")), 4)
-                    .alias("feat_sum")))
+    base = docs.select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                w, h = 8 + mid % 8, 6 + mid % 5
+                i = _np.arange(w * h * 3, dtype=_np.int64)
+                px = ((mid * 7 + i * 13) % 256).astype(_np.uint8)
+                rows.append((mid,
+                             multimodal.encode_png(px.reshape(h, w, 3))))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = base.mapInPandas(synth, schema)
+    meta = multimodal.image_header_meta(media)
+    return (meta.select("media_id",
+                        F.col("img_format").alias("img_format"),
+                        F.col("img_width").cast("long").alias("img_width"),
+                        F.col("img_height").cast("long").alias("img_height"))
+            .orderBy("media_id"))
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,11 +1561,14 @@ def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich 2016) — 8 merges
     learned over the documents corpus: per iteration one vocab-sized
     pair-count shuffle + a one-row argmax collect + a compiled JVM merge
-    fold (``functions/bpe.py`` ``learn_bpe``).  Iterative ⇒ no SQL
-    oracle (rows-only gate); the exact siblings are
-    ``bpe_top_pairs_documents`` (first iteration, exact) and the
-    differential battery vs the canonical single-machine algorithm in
-    ``tests/test_bpe.py``."""
+    fold (``functions/bpe.py`` ``learn_bpe``).  EXACT oracle since r4:
+    the merge sequence is deterministic (ties: count desc, pair asc), so
+    the DuckDB oracle unrolls all 8 iterations as CTEs — symbol arrays
+    kept as sentinel-delimited strings (\\x01 sym \\x02; corpus verified
+    control-char-free), the greedy non-overlapping merge applied by
+    left-to-right ``replace`` (same scan semantics as the JVM fold), the
+    argmax by ORDER BY/LIMIT 1.  Differential battery vs the canonical
+    single-machine algorithm stays in ``tests/test_bpe.py``."""
     from pandas_expr_spark.functions import bpe
     from pandas_expr_spark.sources.tables import load_table
     docs = load_table(spark, sf_dir, "documents") \
@@ -3345,74 +3390,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries per round.  Rounds 1+2 produced driver-green rows for 97
-    # distinct queries; this round's window leads with the 67 queries
-    # that have never had a driver row (local oracle green for all of
-    # them — scripts/check_oracle.py).  Positions 1-50 close 50 of the
-    # 67; the remaining 17 sit at 51-67 for the round-4 window.
+    # entries per round.  Rounds 1-3 produced driver-green rows for 141
+    # distinct queries; this round's window leads with the 43 SQL-oracle
+    # gates that have never had a driver row (local oracle green for all,
+    # scripts/check_oracle.py), then 7 re-confirmation slots.  Rows-only
+    # gates sit AFTER position 50 permanently (VERDICT r3 "what's wrong"
+    # #2: they can only ever return err:no_oracle in the window).
     return {
-        # ---- never driver-checked (round-3 window: first 50) ----
-        "doc_pii_redaction": doc_pii_redaction,
-        "doc_decontaminate": doc_decontaminate,
-        "embedding_kmeans": embedding_kmeans,
-        "doc_gopher_quality": doc_gopher_quality,
-        "mix_budget_sources": mix_budget_sources,
-        "semdedup_embeddings": semdedup_embeddings,
-        "epoch_mix_sources": epoch_mix_sources,
-        "between_time_events": between_time_events,
-        "pivot_customer_priority": pivot_customer_priority,
-        "streaming_quality_curation": streaming_quality_curation,
-        "rolling_center_orders": rolling_center_orders,
-        "ffill_limit_events": ffill_limit_events,
-        "grouped_resample_user_daily": grouped_resample_user_daily,
-        "training_mix_pipeline": training_mix_pipeline,
-        "doc_unigram_ppl": doc_unigram_ppl,
-        "doc_tfidf_top_terms": doc_tfidf_top_terms,
-        "doc_bm25_search": doc_bm25_search,
-        "hybrid_search_rrf": hybrid_search_rrf,
-        "top_tokens_documents": top_tokens_documents,
+        # ---- round-4 window positions 1-43: every SQL-oracle gate that
+        # has never had a driver-green row (39 from r3 overflow/session
+        # additions + 4 rows-only gates converted to exact in r4) ----
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
-        "embedding_ann_lsh": embedding_ann_lsh,
         "multimodal_features": multimodal_features,
-        "cube_pricing": cube_pricing,
-        "head_sorted_nations": head_sorted_nations,
-        "mode_quantity": mode_quantity,
-        "replace_dropna_priorities": replace_dropna_priorities,
-        "window_diff_pct_orders": window_diff_pct_orders,
-        "streaming_stateful_running": streaming_stateful_running,
-        "events_sliding_windows": events_sliding_windows,
-        "sample_fraction_lineitem": sample_fraction_lineitem,
-        "math_abs_clip_floor": math_abs_clip_floor,
-        "tail_orders": tail_orders,
-        "nlargest_parts": nlargest_parts,
-        "value_counts_normalized": value_counts_normalized,
-        "concat_inner_lineitem": concat_inner_lineitem,
-        "cross_join_flags": cross_join_flags,
-        "merge_indicator_nations": merge_indicator_nations,
-        "nunique_approx_custkeys": nunique_approx_custkeys,
-        "crosstab_status_priority": crosstab_status_priority,
-        "duplicated_parts": duplicated_parts,
-        "shift_diff_order_prices": shift_diff_order_prices,
-        "rolling_revenue_orders": rolling_revenue_orders,
-        "grouped_rolling_orders": grouped_rolling_orders,
-        "concat_axis1_nation_stats": concat_axis1_nation_stats,
-        "cumsum_running_revenue": cumsum_running_revenue,
-        "align_add_balances": align_add_balances,
-        "skew_sem_prices": skew_sem_prices,
-        "melt_customer_metrics": melt_customer_metrics,
-        "eval_query_charges": eval_query_charges,
-        # ---- never driver-checked overflow (round-4 window) ----
         "stratified_sample_docs": stratified_sample_docs,
         "grouping_sets_pricing": grouping_sets_pricing,
-        "kll_doclen_quantiles": kll_doclen_quantiles,
-        "audience_overlap_events": audience_overlap_events,
         "resample_gapfill_user": resample_gapfill_user,
         "explode_tokens": explode_tokens,
         "describe_quantity": describe_quantity,
         "cut_quantity_bins": cut_quantity_bins,
         "get_dummies_segments": get_dummies_segments,
-        "embedding_ann_ivf": embedding_ann_ivf,
         "groupby_filter_rows": groupby_filter_rows,
         "groupby_ohlc_orders": groupby_ohlc_orders,
         "interpolate_event_values": interpolate_event_values,
@@ -3420,7 +3417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_global_events": ffill_global_events,
         "doc_incremental_dedup": doc_incremental_dedup,
         "streaming_dedup_ingest": streaming_dedup_ingest,
-        # ---- new round-3 gates (round-4 window, after the 17) ----
         "mode_frame_lineitem": mode_frame_lineitem,
         "iloc_slice_orders": iloc_slice_orders,
         "iloc_tail_orders": iloc_tail_orders,
@@ -3445,8 +3441,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "rolling_time_daily_events": rolling_time_daily_events,
         "knn_join_embeddings": knn_join_embeddings,
+        "factorize_priority_orders": factorize_priority_orders,
+        "asof_lookup_orders": asof_lookup_orders,
+        # ---- positions 44-50: re-confirmation of r1-r3 green rows ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "minhash_verified_dups": minhash_verified_dups,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "doc_dup_components": doc_dup_components,
+        "grouped_rolling_orders": grouped_rolling_orders,
+        "eval_query_charges": eval_query_charges,
+        "crosstab_status_priority": crosstab_status_priority,
+        # ---- rows-only gates (no SQL oracle possible: sampling /
+        # sketches / ANN / iterative GD) — permanently OUT of the
+        # driver's first-50 window; each family has an exact sibling ----
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "sample_fraction_lineitem": sample_fraction_lineitem,
+        "nunique_approx_custkeys": nunique_approx_custkeys,
+        "kll_doclen_quantiles": kll_doclen_quantiles,
+        "audience_overlap_events": audience_overlap_events,
+        "embedding_ann_ivf": embedding_ann_ivf,
         "trained_quality_scorer": trained_quality_scorer,
-        # ---- driver-green in r01/r02 (stable tail) ----
+        # ---- driver-green in r1-r3 (stable tail) ----
+        "doc_pii_redaction": doc_pii_redaction,
+        "doc_decontaminate": doc_decontaminate,
+        "embedding_kmeans": embedding_kmeans,
+        "doc_gopher_quality": doc_gopher_quality,
+        "mix_budget_sources": mix_budget_sources,
+        "semdedup_embeddings": semdedup_embeddings,
+        "epoch_mix_sources": epoch_mix_sources,
+        "between_time_events": between_time_events,
+        "pivot_customer_priority": pivot_customer_priority,
+        "streaming_quality_curation": streaming_quality_curation,
+        "rolling_center_orders": rolling_center_orders,
+        "ffill_limit_events": ffill_limit_events,
+        "grouped_resample_user_daily": grouped_resample_user_daily,
+        "training_mix_pipeline": training_mix_pipeline,
+        "doc_unigram_ppl": doc_unigram_ppl,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "doc_bm25_search": doc_bm25_search,
+        "hybrid_search_rrf": hybrid_search_rrf,
+        "top_tokens_documents": top_tokens_documents,
+        "cube_pricing": cube_pricing,
+        "head_sorted_nations": head_sorted_nations,
+        "mode_quantity": mode_quantity,
+        "replace_dropna_priorities": replace_dropna_priorities,
+        "window_diff_pct_orders": window_diff_pct_orders,
+        "streaming_stateful_running": streaming_stateful_running,
+        "events_sliding_windows": events_sliding_windows,
+        "math_abs_clip_floor": math_abs_clip_floor,
+        "tail_orders": tail_orders,
+        "nlargest_parts": nlargest_parts,
+        "value_counts_normalized": value_counts_normalized,
+        "concat_inner_lineitem": concat_inner_lineitem,
+        "cross_join_flags": cross_join_flags,
+        "merge_indicator_nations": merge_indicator_nations,
+        "duplicated_parts": duplicated_parts,
+        "shift_diff_order_prices": shift_diff_order_prices,
+        "rolling_revenue_orders": rolling_revenue_orders,
+        "concat_axis1_nation_stats": concat_axis1_nation_stats,
+        "cumsum_running_revenue": cumsum_running_revenue,
+        "align_add_balances": align_add_balances,
+        "skew_sem_prices": skew_sem_prices,
+        "melt_customer_metrics": melt_customer_metrics,
         "q12_priority_shipping": q12_priority_shipping,
         "events_sessions": events_sessions,
         "doc_token_stats": doc_token_stats,
@@ -3485,19 +3541,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_codes_segments": cat_codes_segments,
         "doc_lang_id": doc_lang_id,
         "ngram_jaccard_dups": ngram_jaccard_dups,
-        "minhash_verified_dups": minhash_verified_dups,
         "simhash_planted_dups": simhash_planted_dups,
         "similarity_topk": similarity_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
-        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "multimodal_meta": multimodal_meta,
         "udtf_chunk_documents": udtf_chunk_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "doc_repetition": doc_repetition,
         "hash_split_documents": hash_split_documents,
         "clean_corpus_pipeline": clean_corpus_pipeline,
-        "doc_dup_components": doc_dup_components,
-        "q1_pricing_summary": q1_pricing_summary,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
         "q4_order_priority": q4_order_priority,
@@ -3544,9 +3596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dedup": doc_fingerprint_dedup,
         "doc_exact_dedup_count": doc_exact_dedup_count,
         "doc_quality": doc_quality,
-        # round-3 API-fill gates (rotate into the round-4 window)
-        "factorize_priority_orders": factorize_priority_orders,
-        "asof_lookup_orders": asof_lookup_orders,
     }
 
 
@@ -3565,6 +3614,49 @@ _STOPWORDS_SQL = "['the','a','of','to','and','is','in','it','that','for']"
 
 _LANG_SCORE = ("len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
                "t -> list_contains({words}, t)))")
+
+
+def _bpe_learn_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled DuckDB twin of ``bpe.learn_bpe`` (deterministic, so exact).
+
+    Words are carried as sentinel-delimited symbol strings
+    (``\\x01sym\\x02`` per symbol — the corpus is verified free of control
+    chars, so boundaries can't be forged); each iteration re-counts
+    adjacent pairs from the extracted symbol list, takes the argmax with
+    the engine's exact tie-break (count desc, left asc, right asc), and
+    applies the merge with left-to-right non-overlapping ``replace`` —
+    the same greedy scan as the engine's JVM ``aggregate`` fold."""
+    parts = ["""w0 AS (
+      SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS s,
+             SUM(c)::BIGINT AS freq
+      FROM (SELECT word, COUNT(*) AS c
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word)
+      GROUP BY 1)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+          SELECT l, r, SUM(freq)::BIGINT AS c FROM (
+            SELECT freq, syms[i] AS l, syms[i+1] AS r
+            FROM (SELECT freq,
+                         regexp_extract_all(s, '\\x01([^\\x02]*)\\x02', 1) AS syms
+                  FROM w{i - 1}),
+                 UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+          ) GROUP BY l, r)""")
+        parts.append(f"""m{i} AS (SELECT {i - 1}::BIGINT AS rank, l, r,
+                            l || r AS merged, c
+                     FROM p{i} ORDER BY c DESC, l, r LIMIT 1)""")
+        if i < n_merges:
+            parts.append(f"""w{i} AS (
+              SELECT replace(s, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+                             chr(1)||l||r||chr(2)) AS s, freq
+              FROM w{i - 1}, m{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}"
+                               for i in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT rank, l AS left, r AS right, merged, c AS pair_count"
+              f" FROM ({union}) ORDER BY rank")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4489,6 +4581,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS hamming
             FROM documents WHERE doc_id < 50
         """,
+        # r4: rows-only → exact conversions (VERDICT r3 item 3)
+        "minhash_near_dup_pairs": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+            FROM documents WHERE doc_id < 50
+        """,
+        "simhash_near_dups": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id < 50
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 'png' AS img_format,
+                   CAST(8 + doc_id % 8 AS BIGINT) AS img_width,
+                   CAST(6 + doc_id % 5 AS BIGINT) AS img_height
+            FROM documents ORDER BY media_id
+        """,
+        "bpe_learn_documents": _bpe_learn_oracle_sql(8),
         "minhash_verified_dups": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

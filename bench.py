@@ -2,9 +2,17 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``.  The FINAL stdout line is a short JSON
+summary (kept well under the driver's ~2 KB tail window)::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "cpus": ...,
+     "n_queries": N, "regressions": [...], "detail_file": "BENCH_DETAIL.json"}
+
+Per-query timings are written to ``BENCH_DETAIL.json`` and also printed as
+an EARLIER stdout line, so they survive even on a read-only checkout.
+Regression methodology (min-of-two re-timing confirmation, noise floor on
+a shared host) is documented in ``BASELINE.md`` — read ``regressions`` /
+``expected_regressions`` with that contract.
 
 Each query is forced through a ``noop`` sink so the full plan executes on
 the executors without driver-side collect.  Session config mirrors what a
@@ -237,17 +245,39 @@ def main() -> None:
         total = round(sum(t for t in timings.values() if t >= 0), 3)
     except Exception:
         pass  # baseline file absent/unreadable → no regression list
+    # Evidence channel (round-3 lesson): the driver keeps only the last
+    # ~2 KB of stdout and parses the FINAL JSON line.  The per-query timing
+    # map outgrew that window in round 3 (parsed: null — the round's perf
+    # signal was lost), so it now goes to a separate artifact + an earlier
+    # stdout line, and the final line stays a short summary (<1 KB).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    detail = {
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "regressions": regressions,
+        "expected_regressions": expected_regressions,
+    }
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except Exception:
+        pass  # read-only checkout → stdout line below still carries it
+    print(json.dumps({"detail": detail}))  # early line, pre-tail-window
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
                 "regressions": regressions,
                 "expected_regressions": expected_regressions,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

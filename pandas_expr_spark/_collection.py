@@ -667,6 +667,10 @@ class Series(FrameBase):
     # ------------------------------------------------------------------
     def _binop(self, other, fn: Callable[[Column, Column], Column], op: str,
                reflexive: bool = False) -> "Series":
+        if isinstance(other, DataFrame):
+            # defer to the frame's reflected dunder: pandas broadcasts
+            # series ∘ frame along the columns axis (DataFrame._binop_axis1)
+            return NotImplemented
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
@@ -726,14 +730,15 @@ class Series(FrameBase):
                 return F.unix_micros(epoch + col).cast("double")
 
             if isinstance(o, _dt.timedelta):
+                # _pandas_div: x/0 → ±inf, 0/0 → NaN (pandas), never null
                 us = o / _dt.timedelta(microseconds=1)
-                return self._with_scol(_iv_us(self._scol) / F.lit(float(us)),
-                                       "div")
+                return self._with_scol(
+                    _pandas_div(_iv_us(self._scol), F.lit(float(us))), "div")
             if isinstance(o, Series) and \
                     isinstance(o.spark_type, T.DayTimeIntervalType) and \
                     o._sdf is self._sdf:
                 num, den = _iv_us(self._scol), _iv_us(o._scol)
-                return self._with_scol(F.when(den != 0, num / den), "div")
+                return self._with_scol(_pandas_div(num, den), "div")
         fn = (lambda a, b: a / b) if _safe_nonzero(o) else _pandas_div
         return self._binop(o, fn, "div")
 
@@ -750,6 +755,13 @@ class Series(FrameBase):
     # the fill; both-null stays null.  The wrapped fn flows through BOTH
     # the same-anchor and the index-aligned paths of _binop.
     def _named_binop(self, other, fn, op: str, fill_value=None) -> "Series":
+        if isinstance(other, DataFrame):
+            # pandas: s.add(df) broadcasts along the frame's columns (the
+            # reflected frame op); fill_value is unsupported there
+            if fill_value is not None:
+                raise NotImplementedError(
+                    f"fill_value {fill_value} not supported.")
+            return other._binop_axis1(self, fn, op, reflexive=True)
         if fill_value is None:
             return self._binop(other, fn, op)
         fv = F.lit(fill_value)
@@ -781,30 +793,36 @@ class Series(FrameBase):
                                  fill_value)
 
     # pandas comparison METHODS: materialized booleans, null compares
-    # False (True for ne) — see the dunder note above
+    # False (True for ne) — see the dunder note above.  A DataFrame other
+    # broadcasts along its columns axis like the arithmetic methods.
+    def _cmp_method(self, other, fn, op: str):
+        if isinstance(other, DataFrame):
+            return other._binop_axis1(self, fn, op, reflexive=True)
+        return self._binop(other, fn, op)
+
     def eq(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a == b, F.lit(False)), "eq")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a == b, F.lit(False)), "eq")
 
     def ne(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a != b, F.lit(True)), "ne")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a != b, F.lit(True)), "ne")
 
     def lt(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a < b, F.lit(False)), "lt")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a < b, F.lit(False)), "lt")
 
     def le(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a <= b, F.lit(False)), "le")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a <= b, F.lit(False)), "le")
 
     def gt(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a > b, F.lit(False)), "gt")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a > b, F.lit(False)), "gt")
 
     def ge(self, other):
-        return self._binop(other,
-                           lambda a, b: F.coalesce(a >= b, F.lit(False)), "ge")
+        return self._cmp_method(
+            other, lambda a, b: F.coalesce(a >= b, F.lit(False)), "ge")
     def __mod__(self, o):
         # Python/pandas modulo: CPython computes fmod then adds the
         # divisor ONCE when signs differ (Spark's % is the C fmod).  A
@@ -1285,13 +1303,19 @@ class Series(FrameBase):
         if isinstance(arg, Mapping):
             c = self._scol
             # dict subclasses with __missing__ (defaultdict) supply the
-            # miss value in pandas; a plain dict misses to null
-            default = F.lit(None)
+            # miss value in pandas; a plain dict misses to null.  A
+            # defaultdict's factory is key-independent, so the fast literal
+            # CASE path applies; any OTHER subclass defining __missing__
+            # may be key-dependent (and probing it can mutate the mapping),
+            # so it takes the Arrow UDF path where pandas calls
+            # __missing__ per key.
+            from collections import defaultdict as _dd
             factory = getattr(arg, "default_factory", None)
-            if factory is not None:
-                default = F.lit(factory())
-            elif type(arg).__dict__.get("__missing__") is not None:
-                default = F.lit(arg[object()])
+            if factory is None and not isinstance(arg, _dd) and any(
+                    "__missing__" in klass.__dict__
+                    for klass in type(arg).__mro__ if klass is not dict):
+                return self.apply(lambda v: arg[v], _na_action=na_action)
+            default = F.lit(None) if factory is None else F.lit(factory())
             out = default
             for k, v in arg.items():
                 out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
@@ -3977,11 +4001,16 @@ class DataFrame(FrameBase):
             labels = list(index)
             spark = out._sdf.sparkSession
             dtype = out._sdf.schema[icol].dataType
+            # carry each label's enumeration position: pandas returns rows
+            # in the REQUESTED label order, so the result sorts by it (the
+            # sort is over ≤ len(labels) rows — bounded by the request,
+            # never corpus-sized)
             lbl = spark.createDataFrame(
-                [(l,) for l in labels],
-                T.StructType([T.StructField(icol, dtype)]))
+                [(l, i) for i, l in enumerate(labels)],
+                T.StructType([T.StructField(icol, dtype),
+                              T.StructField("__pos__", T.LongType())]))
             hits = out._sdf.join(F.broadcast(lbl), icol, "inner") \
-                .select(icol, *out.columns)
+                .select(icol, *out.columns, "__pos__")
             matched = hits.select(icol).distinct()
             misses = lbl.join(F.broadcast(matched), icol, "left_anti")
 
@@ -4001,7 +4030,9 @@ class DataFrame(FrameBase):
                 return lit.cast(dt).alias(c)
 
             fills = [_fill_lit(c) for c in out.columns]
-            joined = hits.unionByName(misses.select(F.col(icol), *fills))
+            joined = (hits.unionByName(
+                misses.select(F.col(icol), *fills, F.col("__pos__")))
+                .orderBy("__pos__").drop("__pos__"))
             node = Node("reindex", {"index_n": len(labels)}, out._expr)
             out = DataFrame(joined, node, out._index_cols,
                             out._index_names)
@@ -4311,8 +4342,30 @@ class DataFrame(FrameBase):
             node = Node(op, {"frame": True}, self._expr, other._expr)
             return DataFrame(joined._sdf.select(*out_cols), node,
                              joined._index_cols, joined._index_names)
-        if isinstance(other, (Series, Scalar)):
-            return NotImplemented
+        if isinstance(other, Series):
+            # pandas default axis='columns': the series' index labels align
+            # with THIS frame's column names
+            return self._binop_axis1(other, fn, op, reflexive)
+        if isinstance(other, Scalar):
+            # `df * df.stack().mean()` — the 1×1 scalar frame broadcast
+            # cross-joins in (same lazy pattern as Series._binop): both
+            # sides stay lazy, the aggregate runs distributed
+            rhs = F.broadcast(other._sdf.select(
+                F.col(other._sdf.columns[0]).alias("__scalar__")))
+            joined = self._sdf.crossJoin(rhs)
+            lit = F.col("__scalar__")
+            sc_type = other._sdf.schema[0].dataType
+            updates = {}
+            for c in self.columns:
+                a, b = (lit, F.col(c)) if reflexive else (F.col(c), lit)
+                dts = ((sc_type, self._sdf.schema[c].dataType) if reflexive
+                       else (self._sdf.schema[c].dataType, sc_type))
+                updates[c] = fn(a, b, dts) if typed else fn(a, b)
+            node = Node(op, {"frame": True, "scalar": True},
+                        self._expr, other._expr)
+            out = DataFrame(joined.withColumns(updates).drop("__scalar__"),
+                            node, self._index_cols, self._index_names)
+            return out
         bad = [c for c in self.columns
                if not is_numeric(self._sdf.schema[c].dataType)]
         if bad:
@@ -4363,6 +4416,11 @@ class DataFrame(FrameBase):
         out._cmp_exprs = dict(updates)
         return out
 
+    def __eq__(self, o):  # type: ignore[override]
+        return self._frame_cmp(o, lambda a, b: a == b, "eq")
+    def __ne__(self, o):  # type: ignore[override]
+        return self._frame_cmp(o, lambda a, b: a != b, "ne")
+    __hash__ = None  # type: ignore[assignment]  # like pandas: unhashable
     def __gt__(self, o): return self._frame_cmp(o, lambda a, b: a > b, "gt")
     def __ge__(self, o): return self._frame_cmp(o, lambda a, b: a >= b, "ge")
     def __lt__(self, o): return self._frame_cmp(o, lambda a, b: a < b, "lt")
@@ -4399,6 +4457,10 @@ class DataFrame(FrameBase):
     # Series broadcasts it DOWN the columns (aligned on the index).
     def _named_binop(self, other, fn, op: str, fill_value=None,
                      axis=None) -> "DataFrame":
+        if isinstance(other, Series) and fill_value is not None:
+            # pandas raises for frame∘series with fill_value on either axis
+            raise NotImplementedError(
+                f"fill_value {fill_value} not supported.")
         if axis in (0, "index") and isinstance(other, Series):
             return self._binop_axis0(other, fn, op)
         if fill_value is None:
@@ -4414,6 +4476,42 @@ class DataFrame(FrameBase):
 
         filled._typed = typed
         return self._frame_binop(other, filled, op)
+
+    def _binop_axis1(self, other: "Series", fn, op: str,
+                     reflexive: bool = False) -> "DataFrame":
+        """``df ∘ series`` with pandas' default columns axis: the series'
+        index labels match this frame's COLUMN names, one value per
+        column.  The series' labels define the result schema, so they are
+        collected once at plan-build time (tiny — one value per column;
+        the same distinct-discovery contract as pivot/unstack/get_dummies).
+        Cells for one-side-only columns become NaN like frame∘frame."""
+        of = other.to_frame("__o__")
+        if not of._index_cols:
+            raise ValueError(f"{op} with a Series other needs index labels "
+                             "to align with the frame's columns")
+        rows = of._sdf.select(F.col(of._index_cols[0]).alias("__k__"),
+                              F.col("__o__")).collect()
+        labels = [str(r["__k__"]) for r in rows]
+        if len(set(labels)) != len(labels):
+            raise ValueError("cannot broadcast a Series with duplicate "
+                             "index labels along the columns axis")
+        vals = {lab: r["__o__"] for lab, r in zip(labels, rows)}
+        typed = getattr(fn, "_typed", False)
+        out_cols = [F.col(c) for c in self._index_cols]
+        for name in sorted(dict.fromkeys(list(self.columns) + labels)):
+            if name in self.columns and name in vals:
+                a, b = F.col(name), F.lit(vals[name])
+                dts = (self._sdf.schema[name].dataType, other.spark_type)
+                if reflexive:
+                    a, b = b, a
+                    dts = dts[::-1]
+                expr = fn(a, b, dts) if typed else fn(a, b)
+                out_cols.append(expr.alias(name))
+            else:
+                out_cols.append(F.lit(None).cast("double").alias(name))
+        node = Node(op, {"frame": True, "axis": 1}, self._expr, other._expr)
+        return DataFrame(self._sdf.select(*out_cols), node,
+                         self._index_cols, self._index_names)
 
     def _binop_axis0(self, other: "Series", fn, op: str) -> "DataFrame":
         """``df.op(series, axis=0)``: one value per ROW applied across all

@@ -823,3 +823,16 @@ def test_series_repeat(spark):
     got = pes.from_pandas(pdf).v.repeat(3).compute()
     assert sorted(got.tolist()) == sorted(pdf.v.repeat(3).tolist())
     assert len(pes.from_pandas(pdf).v.repeat(0).compute()) == 0
+
+
+def test_simplify_lower_once_aliases(spark):
+    """Reference §2.11 surface parity (`_collection.py:115-124` in the
+    reference): simplify()/lower_once() exist and are no-ops under
+    Catalyst — the returned collection computes identically."""
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [1.0, 2.0, 3.0]})
+    df = pes.from_pandas(pdf)
+    assert_frame_eq(df.simplify().compute(), pdf)
+    assert_frame_eq(df.lower_once().compute(), pdf)
+    s = df["a"]
+    assert s.simplify().sum().compute() == 6
+    assert s.lower_once().sum().compute() == 6
