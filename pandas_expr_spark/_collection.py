@@ -1506,6 +1506,17 @@ class Series(FrameBase):
         keep_names = tuple(n for i, n in enumerate(names) if i != lvl)
         name = self._col_name or "__v__"
         sdf = self._sdf.select(*idx_cols, self._scol.alias(name))
+        if pivot_values is None:
+            # pandas raises on duplicate (keep, piv) entries instead of
+            # silently picking one — one small dup-probe agg, piggybacking
+            # on the eager distinct-discovery scan pivot() runs anyway.
+            # The explicit pivot_values= scale path skips both scans (the
+            # caller vouches for the shape).
+            dup = (sdf.groupBy(*idx_cols).count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    "Index contains duplicate entries, cannot reshape")
         out = (sdf.groupBy(*keep)
                .pivot(piv, list(pivot_values) if pivot_values is not None
                       else None)
@@ -5171,11 +5182,28 @@ class DataFrame(FrameBase):
     def set_index(self, keys, drop: bool = True) -> "DataFrame":
         keys = _ensure_list(keys)
         sdf = self._sdf
-        if not drop:
-            for k in keys:
-                sdf = sdf.withColumn(f"__idxcopy_{k}__", F.col(k))
+        # pandas replaces the old index entirely (append=False): physical
+        # columns of the PREVIOUS index that aren't data columns must go,
+        # or they'd leak as data (e.g. __index_0__ from a non-trivial
+        # from_pandas index)
+        stale = [c for c in self._index_cols
+                 if c not in keys and c not in self.columns
+                 and c in sdf.columns]
+        if stale:
+            sdf = sdf.drop(*stale)
         node = Node("set_index", {"keys": keys, "drop": drop}, self._expr)
-        out = DataFrame(sdf, node, tuple(keys), tuple(keys))
+        if not drop:
+            # pandas keeps the data column AND indexes by it: the INDEX
+            # side gets the physical copy (named after the key via
+            # _index_names), the original stays a data column
+            icols = []
+            for k in keys:
+                ic = f"__idxcopy_{k}__"
+                sdf = sdf.withColumn(ic, F.col(k))
+                icols.append(ic)
+            out = DataFrame(sdf, node, tuple(icols), tuple(keys))
+        else:
+            out = DataFrame(sdf, node, tuple(keys), tuple(keys))
         # a period-valued data column (from dt.to_period) becomes a
         # period index: carry its freq into the index metadata
         vfreq = getattr(self, "_period_value_freq", None) or {}
@@ -7831,13 +7859,109 @@ class _IatIndexer:
 
 
 class _LocIndexer:
-    """Pragmatic lazy ``df.loc``: masks, column slices, label lookups."""
+    """Pragmatic lazy ``df.loc``: masks, column slices, label lookups.
+
+    Presentation-shaped results (a scalar label's row Series, the
+    requested order of a label list) follow pandas even where that costs
+    a small eager action — loc is the reference's label-presentation
+    surface, and the actions are bounded by the REQUEST size (one
+    collect of the matching rows / one matched-label count), never a
+    corpus shuffle."""
 
     def __init__(self, frame: "DataFrame"):
         self._f = frame
 
+    def _label_list(self, f: "DataFrame", labels: list):
+        """Rows for a label list: pandas preserves the REQUESTED order
+        (duplicated requests duplicate rows) and raises KeyError when any
+        label is absent.  Broadcast (pos, label) inner join + one tiny
+        matched-label count for the missing check; the order sort is
+        bounded by the selection size."""
+        icol = f._index_cols[0]
+        spark = f._sdf.sparkSession
+        dtype = f._sdf.schema[icol].dataType
+        lbl = spark.createDataFrame(
+            [(l, i) for i, l in enumerate(labels)],
+            T.StructType([T.StructField(icol, dtype),
+                          T.StructField("__pos__", T.LongType())]))
+        hits = f._sdf.join(F.broadcast(lbl), icol, "inner")
+        n_matched = hits.select(icol).distinct().count()
+        if n_matched < len(set(labels)):
+            matched = {r[0] for r in
+                       hits.select(icol).distinct().collect()}
+            missing = [l for l in labels if l not in matched]
+            raise KeyError(f"{missing} not in index")
+        out = hits.orderBy("__pos__").drop("__pos__") \
+            .select(*f._index_cols, *f.columns)
+        return f._derive(out, "loc_list", {"n": len(labels)})
+
+    def _scalar_row(self, f: "DataFrame", key):
+        """pandas: ``df.loc[label]`` is the ROW as a Series (index =
+        columns, name = label) when the label is unique, the matching
+        sub-frame when duplicated, KeyError when absent.  One bounded
+        collect (the matching rows)."""
+        icol = f._index_cols[0]
+        hit = f._derive(f._sdf.filter(F.col(icol) == F.lit(key)), "loc",
+                        {"label": repr(key)})
+        pdf = hit.compute()
+        if len(pdf) == 0:
+            raise KeyError(key)
+        if len(pdf) == 1:
+            row = pdf.iloc[0]
+            row.name = key
+            return row
+        return hit   # duplicate labels: lazy sub-frame
+
+    def _mi_key(self, f: "DataFrame", key: tuple):
+        """Tuple key on a multi-level index: filter the leading levels
+        and DROP them (pandas cross-section); a full-depth key yields the
+        row Series / sub-frame like the scalar path."""
+        icols = list(f._index_cols)
+        cond = None
+        for c, k in zip(icols, key):
+            p = F.col(c) == F.lit(k)
+            cond = p if cond is None else (cond & p)
+        rest = icols[len(key):]
+        if rest:
+            base = f._sdf.filter(cond).drop(*icols[:len(key)])
+            names = tuple(f._index_names[len(key):])
+            return DataFrame(base, Node("loc_mi", {"key": repr(key)},
+                                        f._expr), tuple(rest), names)
+        # full-depth key: unique match → row Series (name = key);
+        # duplicated full key → sub-frame KEEPING the index (pandas)
+        hit = f._derive(f._sdf.filter(cond), "loc_mi", {"key": repr(key)})
+        pdf = hit.compute()
+        if len(pdf) == 0:
+            raise KeyError(key)
+        if len(pdf) == 1:
+            row = pdf.iloc[0]
+            row.name = key
+            return row
+        return hit
+
+    def _bool_list(self, f: "DataFrame", key: list):
+        """Positional boolean-list mask (pandas: length must equal the
+        row count; True rows kept in order)."""
+        sdf = _attach_rowid(f._sdf)
+        n = sdf.count()
+        if n != len(key):
+            raise IndexError(
+                f"Boolean index has wrong length: {len(key)} instead "
+                f"of {n}")
+        keep = [i for i, b in enumerate(key) if b]
+        spark = f._sdf.sparkSession
+        kdf = spark.createDataFrame(
+            [(i,) for i in keep],
+            T.StructType([T.StructField(_ROWID, T.LongType())]))
+        out = sdf.join(F.broadcast(kdf), _ROWID, "left_semi")
+        if _ROWID not in f._sdf.columns:
+            out = out.drop(_ROWID)
+        return f._derive(out, "loc_bool", {"n_true": len(keep)})
+
     def _rows(self, key):
         f = self._f
+        if callable(key) and not isinstance(key, (Series, slice)):
+            return self._rows(key(f))
         if isinstance(key, slice):
             if key.start is None and key.stop is None:
                 return f
@@ -7858,37 +7982,75 @@ class _LocIndexer:
                              {"start": key.start, "stop": key.stop})
         if isinstance(key, Series):
             return f[key]
+        if isinstance(key, list) and key and all(
+                isinstance(b, (bool, np.bool_)) for b in key):
+            return self._bool_list(f, key)
         if not f._index_cols:
             raise ValueError("label lookup needs an index — set_index first")
-        idx = F.col(f._index_cols[0])
+        if isinstance(key, tuple) and len(f._index_cols) > 1:
+            if len(key) > len(f._index_cols):
+                raise KeyError(key)
+            return self._mi_key(f, key)
         if isinstance(key, (list, tuple)):
-            cond = idx.isin(list(key))
-        else:
-            cond = idx == F.lit(key)
-        return f._derive(f._sdf.filter(cond), "loc", {"label": repr(key)})
+            return self._label_list(f, list(key))
+        if len(f._index_cols) > 1:
+            # partial scalar key on a multi-level index: cross-section
+            return self._mi_key(f, (key,))
+        return self._scalar_row(f, key)
 
     def __getitem__(self, key):
-        if isinstance(key, tuple) and len(key) == 2:
+        f = self._f
+        if isinstance(key, tuple) and len(key) == 2 and not (
+                len(f._index_cols) > 1
+                and not self._is_col_spec(key[1])):
             rows, cols = key
-            out = self._rows(rows)
+            scalar_row = not isinstance(rows, (slice, list, tuple, Series)) \
+                and not callable(rows)
             if isinstance(cols, slice):
                 if cols.start is None and cols.stop is None:
-                    return out
+                    return self._rows(rows)
                 raise NotImplementedError("loc column label slices")
-            if isinstance(cols, (list, tuple)):
-                return out[list(cols)]
-            scalar_row = not isinstance(rows, (slice, list, tuple, Series))
             if scalar_row:
                 # pandas: df.loc[label, col] is the CELL VALUE (a Series
-                # only when the label is duplicated) — one 1-col collect
-                vals = out[cols].compute()
+                # only when the label is duplicated) — one 1-col collect.
+                # Select the columns FIRST so the collect stays narrow.
+                icol = f._index_cols[0]
+                base = f._derive(
+                    f._sdf.filter(F.col(icol) == F.lit(rows)), "loc",
+                    {"label": repr(rows)})
+                if isinstance(cols, (list, tuple)):
+                    sub = base[list(cols)].compute()
+                    if len(sub) == 0:
+                        raise KeyError(rows)
+                    if len(sub) == 1:
+                        row = sub.iloc[0]
+                        row.name = rows
+                        return row
+                    return base[list(cols)]
+                vals = base[cols].compute()
                 if len(vals) == 1:
                     return vals.iloc[0]
                 if len(vals) == 0:
                     raise KeyError(rows)
                 return vals
+            out = self._rows(rows)
+            if isinstance(cols, (list, tuple)):
+                return out[list(cols)]
             return out[cols]
         return self._rows(key)
+
+    def _is_col_spec(self, cols) -> bool:
+        """Second tuple element looks like a column selection of this
+        frame (disambiguates ``mi.loc[(l0, l1)]`` from
+        ``df.loc[rows, cols]``)."""
+        f = self._f
+        if isinstance(cols, slice):
+            return True
+        if isinstance(cols, str):
+            return cols in f.columns
+        if isinstance(cols, (list, tuple)):
+            return all(isinstance(c, str) and c in f.columns for c in cols)
+        return False
 
 
 class _ILocIndexer:
@@ -7907,6 +8069,13 @@ class _ILocIndexer:
         out = self._row_slice(key)
         if cols is not None:
             names = f.columns
+            if isinstance(out, pd.Series):
+                # int row key already collapsed to the row Series
+                if isinstance(cols, slice):
+                    return out[names[cols]]
+                if isinstance(cols, (list, tuple)):
+                    return out[[names[c] for c in cols]]
+                return out[names[cols]]     # df.iloc[i, j] → scalar
             if isinstance(cols, slice):
                 sel = names[cols]
             elif isinstance(cols, (list, tuple)):
@@ -7954,4 +8123,21 @@ class _ILocIndexer:
                 out = out.drop(_ROWID)
             return f._derive(out, "iloc", {"start": start, "stop": stop,
                                            "step": step})
+        if isinstance(key, (int, np.integer)):
+            # pandas: df.iloc[i] is the ROW as a Series (name = the index
+            # label at that position); one bounded 1-row collect
+            k = int(key)
+            if k < 0:
+                k += f._sdf.count()
+                if k < 0:
+                    raise IndexError(f"single positional indexer {key} "
+                                     "is out-of-bounds")
+            pdf = self._row_slice(slice(k, k + 1)).compute()
+            if len(pdf) == 0:
+                raise IndexError(f"single positional indexer {key} "
+                                 "is out-of-bounds")
+            row = pdf.iloc[0]
+            if not f._index_cols:
+                row.name = k   # default index: the label IS the position
+            return row
         raise NotImplementedError("iloc supports slices (use loc for labels)")

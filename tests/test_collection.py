@@ -762,7 +762,10 @@ def test_loc_iloc_pragmatic(spark):
     import pandas_expr_spark as pes
     pdf = pd.DataFrame({"k": [10, 20, 30, 40], "v": [1.0, 2.0, 3.0, 4.0]})
     df = pes.from_pandas(pdf).set_index("k")
-    assert df.loc[20].compute().v.tolist() == [2.0]
+    # pandas: a unique scalar label yields the ROW as a Series
+    row = df.loc[20]
+    assert isinstance(row, pd.Series) and row.name == 20
+    assert row.v == 2.0
     assert sorted(df.loc[[10, 30]].compute().v.tolist()) == [1.0, 3.0]
     assert df.loc[df.v > 2, ["v"]].compute().v.tolist() == [3.0, 4.0]
     d2 = pes.from_pandas(pdf)
