@@ -3157,6 +3157,23 @@ def doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (``text.bigram_logprob``): corpus
+    bigram+unigram counts in one pass → add-k smoothed conditionals →
+    per-doc mean log P(w2|w1).  The order-2 sibling of
+    ``doc_unigram_ppl``; oracle replays both count tables and the join
+    in SQL (bigrams via the same generate_series lateral as the BPE
+    oracle)."""
+    from pandas_expr_spark.functions import text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.bigram_logprob(docs)
+    return (out.select("doc_id",
+                       F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                       F.round("avg_logprob", 4).alias("avg_logprob"))
+            .orderBy("doc_id"))
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF document representation (``text.tfidf_terms``) + the most
     characteristic term per document (deterministic max_by on
@@ -3461,6 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap_events": audience_overlap_events,
         "embedding_ann_ivf": embedding_ann_ivf,
         "trained_quality_scorer": trained_quality_scorer,
+        # ---- new r4 gates (front of the round-5 window) ----
+        "doc_bigram_ppl": doc_bigram_ppl,
         # ---- driver-green in r1-r3 (stable tail) ----
         "doc_pii_redaction": doc_pii_redaction,
         "doc_decontaminate": doc_decontaminate,
@@ -5402,6 +5421,34 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) OVER (PARTITION BY doc_id) AS cnt
                 FROM scored)
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        "doc_bigram_ppl": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS a FROM toks
+            ), uni AS (
+                SELECT a, COUNT(*) AS c1 FROM tok GROUP BY a
+            ), vs AS (SELECT COUNT(*) AS V FROM uni),
+            pairs AS (
+                SELECT doc_id, w[i] AS a, w[i+1] AS b
+                FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2
+            ), bi AS (
+                SELECT a, b, COUNT(*) AS c2 FROM pairs GROUP BY a, b
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(ln((COALESCE(c2, 0) + 0.5)
+                               / (COALESCE(c1, 0) + 0.5 * (V + 1)))), 4)
+                       AS avg_logprob
+            FROM pairs
+            LEFT JOIN bi USING (a, b)
+            LEFT JOIN uni USING (a)
+            CROSS JOIN vs
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_unigram_ppl": r"""
             WITH tok AS (

@@ -129,6 +129,8 @@ HEADLINE = [
     "knn_join_embeddings",
     # distributed logistic-regression training (k+1-cell agg per iter)
     "trained_quality_scorer",
+    # round-4 addition: bigram LM perplexity scoring
+    "doc_bigram_ppl",
 ]
 
 

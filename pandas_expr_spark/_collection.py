@@ -133,6 +133,40 @@ def _pandas_div(a: Column, b: Column) -> Column:
     return F.when(b == 0, zero).otherwise(a / b)
 
 
+_INT_WIDTHS = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32,
+               T.LongType: 64}
+
+
+def _astype_expr(col: Column, src: T.DataType, st: T.DataType) -> Column:
+    """pandas-semantics cast to ``st`` (numpy rules, not ANSI SQL):
+
+    - float NaN/±inf → integer RAISES (pandas IntCastingNaNError) instead
+      of ANSI's error-on-every-overflow or a silent null;
+    - integer narrowing WRAPS modularly (numpy) — arithmetic-shift
+      sign-extension, no ANSI overflow error;
+    - datetime64 → int64 is EPOCH NANOSECONDS (Spark's cast gives
+      seconds — silent 1e9× wrong data)."""
+    width = _INT_WIDTHS.get(type(st))
+    if width is None:
+        return col.cast(st)
+    if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
+        ns = F.unix_micros(col.cast("timestamp")) * F.lit(1000)
+        col, src = ns, T.LongType()
+    if isinstance(src, (T.DoubleType, T.FloatType)):
+        bad = col.isNull() | F.isnan(col) | \
+            (F.abs(col) == F.lit(float("inf")))
+        col = F.when(
+            bad,
+            F.raise_error(F.lit("Cannot convert non-finite values "
+                                "(NA or inf) to integer")).cast(src)
+        ).otherwise(col)
+    if width < 64 and (is_numeric(src) or isinstance(src, T.BooleanType)):
+        shift = 64 - width
+        wrapped = F.shiftright(F.shiftleft(col.cast("long"), shift), shift)
+        return wrapped.cast(st)
+    return col.cast(st)
+
+
 def _pymod_raw(a: Column, b: Column) -> Column:
     """CPython modulo for a NONZERO divisor: fmod plus ONE conditional
     divisor add when signs differ (a double-wrap ((a%b)+b)%b rounds a tiny
@@ -587,6 +621,18 @@ class Scalar(FrameBase):
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
     def __le__(self, o): return self._binop(o, lambda a, b: a <= b, "le")
 
+    def __eq__(self, o):  # type: ignore[override]
+        # `s.sum() == 0.0` must compare the VALUE (a lazy boolean Scalar),
+        # not object identity — same contract as the ordering dunders
+        return self._binop(o, lambda a, b: a.eqNullSafe(b), "eq")
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binop(o, lambda a, b: ~a.eqNullSafe(b), "ne")
+
+    # identity hash: a lazy Scalar stays usable as a dict key/cache token
+    # (pandas scalars are plain hashable numbers; Node-keyed caches here)
+    __hash__ = object.__hash__  # type: ignore[assignment]
+
 
 # --------------------------------------------------------------------------
 # Series
@@ -627,7 +673,15 @@ class Series(FrameBase):
 
     @property
     def spark_type(self) -> T.DataType:
-        return self._sdf.select(self._scol.alias("__c__")).schema[0].dataType
+        # cached per instance: Series wrappers are immutable, and the
+        # arithmetic dunders consult the type on every op (the analysis
+        # pass behind select().schema is NOT free at plan-build time)
+        cached = self.__dict__.get("_spark_type_cache")
+        if cached is None:
+            cached = self._sdf.select(
+                self._scol.alias("__c__")).schema[0].dataType
+            self.__dict__["_spark_type_cache"] = cached
+        return cached
 
     @property
     def size(self) -> Scalar:
@@ -665,12 +719,48 @@ class Series(FrameBase):
     # binops — same-anchor composes Columns; cross-anchor aligns on index
     # (pandas alignment, reference Binop `_expr.py:1519-1621`)
     # ------------------------------------------------------------------
+    _BOOL_LIFT_OPS = frozenset(
+        {"add", "sub", "mul", "div", "mod", "pow", "floordiv",
+         "radd", "rsub", "rmul", "rdiv", "rmod", "rpow", "rfloordiv"})
+
     def _binop(self, other, fn: Callable[[Column, Column], Column], op: str,
                reflexive: bool = False) -> "Series":
         if isinstance(other, DataFrame):
             # defer to the frame's reflected dunder: pandas broadcasts
             # series ∘ frame along the columns axis (DataFrame._binop_axis1)
             return NotImplemented
+        # numpy bool arithmetic: bool∘bool add/mul are logical OR/AND,
+        # sub raises, everything else (and bool∘number) lifts bools to
+        # int like pandas — Spark's ANSI `int * boolean` is a type error
+        if op in self._BOOL_LIFT_OPS:
+            self_bool = isinstance(self.spark_type, T.BooleanType)
+            other_bool = (isinstance(other, (bool, np.bool_))
+                          or (isinstance(other, Series)
+                              and isinstance(other.spark_type,
+                                             T.BooleanType)))
+            if self_bool and other_bool:
+                base = op.lstrip("r") if op.startswith("r") else op
+                if base == "add":
+                    fn = lambda a, b: a | b      # noqa: E731
+                elif base == "mul":
+                    fn = lambda a, b: a & b      # noqa: E731
+                elif base == "sub":
+                    raise TypeError(
+                        "numpy boolean subtract, the `-` operator, is not "
+                        "supported, use the bitwise_xor, the `^` operator, "
+                        "or the logical_xor function instead.")
+                else:
+                    # pandas: truediv/floordiv/mod/pow are not defined for
+                    # bool∘bool (array_ops._BOOL_OP_NOT_ALLOWED)
+                    raise NotImplementedError(
+                        f"operator '{base if base != 'div' else 'truediv'}'"
+                        " not implemented for bool dtypes")
+            elif self_bool:
+                return self.astype("int64")._binop(other, fn, op, reflexive)
+            elif other_bool:
+                o2 = (other.astype("int64") if isinstance(other, Series)
+                      else int(other))
+                return self._binop(o2, fn, op, reflexive)
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
@@ -830,7 +920,16 @@ class Series(FrameBase):
         # a and b=1 the sum rounds to b and CPython returns b itself.
         fn = _pymod_raw if _safe_nonzero(o) else _pandas_mod
         return self._binop(o, fn, "mod")
-    def __pow__(self, o): return self._binop(o, _pandas_pow, "pow")
+    def __pow__(self, o):
+        # pandas/numpy: int ** negative int is a ValueError, not a float
+        if (isinstance(o, (int, np.integer)) and not isinstance(o, bool)
+                and o < 0
+                and isinstance(self.spark_type,
+                               (T.LongType, T.IntegerType, T.ShortType,
+                                T.ByteType))):
+            raise ValueError(
+                "Integers to negative integer powers are not allowed.")
+        return self._binop(o, _pandas_pow, "pow")
     # comparisons
     # Comparison DUNDERS keep SQL null propagation: a filter treats null
     # as False (identical row set to pandas), and the raw predicate is
@@ -1162,7 +1261,8 @@ class Series(FrameBase):
                 null_repr = "None"
             out = F.coalesce(self._scol.cast(st), F.lit(null_repr))
             return self._with_scol(out, "astype", dtype=str(dtype))
-        return self._with_scol(self._scol.cast(st), "astype", dtype=str(dtype))
+        return self._with_scol(_astype_expr(self._scol, self.spark_type, st),
+                               "astype", dtype=str(dtype))
 
     def truncate(self, before=None, after=None) -> "Series":
         """pandas ``Series.truncate`` on the engine index — range
@@ -4297,7 +4397,8 @@ class DataFrame(FrameBase):
         # known/unknown category machinery.
         cat_meta = dict(getattr(self, "_cat_meta", None) or {})
         if isinstance(dtype, Mapping):
-            casts = {c: F.col(c).cast(to_spark_type(t))
+            casts = {c: _astype_expr(F.col(c), self._sdf.schema[c].dataType,
+                                     to_spark_type(t))
                      for c, t in dtype.items() if str(t) != "category"}
             for c, t in dtype.items():
                 cats = getattr(t, "categories", None)
@@ -4307,7 +4408,8 @@ class DataFrame(FrameBase):
             casts = {}
         else:
             st = to_spark_type(dtype)
-            casts = {c: F.col(c).cast(st) for c in self.columns}
+            casts = {c: _astype_expr(F.col(c), self._sdf.schema[c].dataType,
+                                     st) for c in self.columns}
         out = self._derive(self._sdf.withColumns(casts), "astype", {})
         if cat_meta:
             out._cat_meta = cat_meta

@@ -464,3 +464,43 @@ def zipf_fit(sdf: SparkDF, text_col: str = "text", top_n: int = 100) -> SparkDF:
         F.col("n").alias("n_tokens_ranked"),
         slope.alias("zipf_slope"),
         r2.alias("zipf_r2"))
+
+
+def bigram_logprob(docs: SparkDF, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   smoothing: float = 0.5) -> SparkDF:
+    """Corpus-derived BIGRAM language-model score per document — the
+    order-2 sibling of ``unigram_logprob`` (KenLM/CCNet-style perplexity
+    quality filtering with a real, exactly-reproducible model).
+
+    ``log P(doc) / n_bigrams`` with add-k smoothed conditionals
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·(V+1))`` where ``c`` are
+    corpus counts and ``V`` the unigram vocabulary size.
+
+    Distributed shape: ONE corpus pass builds both count tables (the
+    bigram table via slice+arrays_zip — no posexplode re-evaluation),
+    then the per-doc pass joins them back (broadcast under AQE when they
+    fit; bucket them at web scale) and takes one groupBy(doc) average.
+    Deterministic — exactly SQL-checkable."""
+    toks = docs.select(F.col(id_col), word_tokens(text_col).alias("__w__"))
+    zipped = F.expr("arrays_zip(slice(__w__, 1, size(__w__) - 1), "
+                    "slice(__w__, 2, size(__w__) - 1))")
+    pairs = (toks.filter(F.size("__w__") >= 2)
+             .select(F.col(id_col), F.explode(zipped).alias("p"))
+             .select(id_col, F.col("p.`0`").alias("__a__"),
+                     F.col("p.`1`").alias("__b__")))
+    uni = (toks.select(F.explode("__w__").alias("__a__"))
+           .groupBy("__a__").agg(F.count(F.lit(1)).alias("__c1__")))
+    v_size = uni.count()
+    bi = (pairs.groupBy("__a__", "__b__")
+          .agg(F.count(F.lit(1)).alias("__c2__")))
+    k = float(smoothing)
+    scored = (pairs.join(bi, ["__a__", "__b__"], "left")
+              .join(uni, "__a__", "left")
+              .withColumn("__lp__", F.log(
+                  (F.coalesce(F.col("__c2__"), F.lit(0)) + F.lit(k))
+                  / (F.coalesce(F.col("__c1__"), F.lit(0))
+                     + F.lit(k * (v_size + 1))))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg("__lp__").alias("avg_logprob")))

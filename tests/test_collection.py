@@ -107,7 +107,11 @@ def test_isna_replace_astype(spark):
     assert_series_eq(df.a.isna(), pdf.a.isna(), check_name=False)
     assert_series_eq(df.a.notna(), pdf.a.notna(), check_name=False)
     assert_series_eq(df.a.fillna(0.0), pdf.a.fillna(0.0))
-    assert_series_eq(df.a.astype("int32").fillna(0), pd.Series([1, 0, 3], name="a"))
+    # pandas: float-with-NA → int raises (IntCastingNaNError); fill first
+    with pytest.raises(Exception, match="non-finite"):
+        df.a.astype("int32").compute()
+    assert_series_eq(df.a.fillna(0.0).astype("int32"),
+                     pdf.a.fillna(0.0).astype("int32"))
     assert_series_eq(df.a.replace(1.0, 5.0), pdf.a.replace(1.0, 5.0))
 
 
