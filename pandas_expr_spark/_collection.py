@@ -2482,9 +2482,11 @@ class Series(FrameBase):
 
     def dot(self, other: "Series") -> "Scalar":
         """pandas ``Series.dot``: index-aligned sum of products — one
-        elementwise multiply + one scalar aggregation."""
+        elementwise multiply + one scalar aggregation.  numpy dot
+        PROPAGATES NaN (no skipna), so any null product poisons the
+        result — skipna=False, not the skipping default."""
         prod = self * other
-        return prod.sum()
+        return prod.sum(skipna=False)
 
     # ------------------------------------------------------------------
     def to_frame(self, name: str | None = None) -> "DataFrame":
@@ -2574,12 +2576,13 @@ class Series(FrameBase):
 
     def sort_values(self, ascending: bool = True,
                     na_position: str = "last",
-                    ignore_index: bool = False, key=None) -> "Series":
+                    ignore_index: bool = False, key=None,
+                    kind: str | None = None) -> "Series":
         return self._via_frame(
             lambda f, n: f.sort_values(n, ascending=ascending,
                                        na_position=na_position,
                                        ignore_index=ignore_index,
-                                       key=key),
+                                       key=key, kind=kind),
             "sort_values", ascending=ascending)
 
     def sort_index(self, ascending: bool = True,
@@ -4932,14 +4935,27 @@ class DataFrame(FrameBase):
                         if other is not None else F.lit(None))
                     for c in self.columns}
             return self._derive(self._sdf.withColumns(reps), "where", {})
-        if not self._index_cols or not cond._index_cols:
+        if bool(self._index_cols) != bool(cond._index_cols):
             raise ValueError("DataFrame.where with a foreign cond needs "
-                             "an index on both sides to align")
+                             "an index on both sides (or on neither — "
+                             "default-index frames align positionally)")
         cf = cond.to_frame("__cond__")
-        joined = self._sdf.join(
-            cf._sdf.select(*[F.col(c) for c in cf._index_cols],
-                           F.col("__cond__")),
-            on=list(self._index_cols), how="left")
+        if self._index_cols:
+            base, lidx = self._sdf, list(self._index_cols)
+            csel = cf._sdf.select(
+                *[F.col(c).alias(i) for c, i in zip(cf._index_cols, lidx)],
+                F.col("__cond__"))
+            drop_rowid = False
+        else:
+            # default-index frames align POSITIONALLY (pandas
+            # label==position), same rowid contract as _framewise_cond
+            base, lidx = _attach_rowid(self._sdf), [_ROWID]
+            csel = _attach_rowid(cf._sdf).select(F.col(_ROWID),
+                                                 F.col("__cond__"))
+            drop_rowid = True
+        joined = base.join(csel, on=lidx, how="left")
+        if drop_rowid:
+            joined = joined.drop(_ROWID)
         flag = F.coalesce(F.col("__cond__"), F.lit(False))
         reps = {c: F.when(flag, F.col(c)).otherwise(
                     F.lit(other).cast(self._sdf.schema[c].dataType)
@@ -5050,23 +5066,36 @@ class DataFrame(FrameBase):
                                 {"subset": subset})
         if keep is False:
             # pandas keep=False: drop EVERY member of a >1 group — a
-            # windowed count on the subset keys (one shuffle, no ordering)
+            # windowed count on the subset keys (one shuffle, no ordering).
+            # Default-index frames keep the rowid as the engine index so
+            # surviving rows carry their ORIGINAL positional labels.
             w = Window.partitionBy(*subset)
-            out = (self._sdf.withColumn("__n__", F.count(F.lit(1)).over(w))
+            if self._index_cols:
+                sdf, idx, names = self._sdf, self._index_cols, \
+                    self._index_names
+            else:
+                sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), \
+                    (None,)
+            out = (sdf.withColumn("__n__", F.count(F.lit(1)).over(w))
                    .filter(F.col("__n__") == 1).drop("__n__"))
-            return self._derive(out, "drop_duplicates",
-                                {"subset": subset, "keep": keep})
+            node = Node("drop_duplicates",
+                        {"subset": subset, "keep": keep}, self._expr)
+            return DataFrame(out, node, idx, names)
         if self._index_cols:
             sdf, order_col = self._sdf, self._index_cols[0]
+            idx, names = self._index_cols, self._index_names
         else:
+            # pandas keeps the surviving rows' original labels — anchor
+            # them as the anonymous rowid index (not dropped!)
             sdf, order_col = _attach_rowid(self._sdf), _ROWID
+            idx, names = (_ROWID,), (None,)
         order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
         w = Window.partitionBy(*subset).orderBy(order)
         out = (sdf.withColumn("__rn__", F.row_number().over(w))
                .filter(F.col("__rn__") == 1).drop("__rn__"))
-        if order_col == _ROWID:
-            out = out.drop(_ROWID)
-        return self._derive(out, "drop_duplicates", {"subset": subset, "keep": keep})
+        node = Node("drop_duplicates", {"subset": subset, "keep": keep},
+                    self._expr)
+        return DataFrame(out, node, idx, names)
 
     def duplicated(self, subset: Sequence[str] | None = None,
                    keep: str = "first") -> Series:
@@ -5148,7 +5177,9 @@ class DataFrame(FrameBase):
     # -- ordering / limits (`IX` family, SURVEY §2.7) --------------------
     def sort_values(self, by, ascending: bool | Sequence[bool] = True,
                     na_position: str = "last",
-                    ignore_index: bool = False, key=None) -> "DataFrame":
+                    ignore_index: bool = False, key=None,
+                    kind: str | None = None, inplace: bool = False,
+                    axis: int = 0) -> "DataFrame":
         """pandas keeps the original row labels through a sort, so a
         default-positional-index frame anchors them as rowids first
         (JVM distributed-sequence attach — no shuffle, no Python).
@@ -5156,6 +5187,21 @@ class DataFrame(FrameBase):
         cheaper plan when labels don't matter.  ``key=`` receives each
         sort column as an engine Series and must return one — the key
         expression sorts JVM-side (e.g. ``key=lambda s: s.str.len()``)."""
+        if axis not in (0, "index"):
+            raise NotImplementedError("sort_values(axis=1)")
+        if kind not in (None, "quicksort", "mergesort", "heapsort",
+                        "stable"):
+            raise ValueError(f"invalid kind: {kind!r}")
+        # `kind` is accepted for pandas signature parity and ignored: the
+        # engine's sort is already deterministic (rowid anchors break ties
+        # for label preservation; Spark's sort itself is not stable)
+        if inplace:
+            out = self.sort_values(by, ascending, na_position,
+                                   ignore_index, key)
+            self._sdf, self._expr = out._sdf, out._expr
+            self._index_cols = out._index_cols
+            self._index_names = out._index_names
+            return None
         by = _ensure_list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         cmeta = getattr(self, "_cat_meta", None) or {}

@@ -73,16 +73,16 @@ def to_spark_type(dtype: Any) -> T.DataType:
     raise TypeError(f"Unsupported dtype for Spark conversion: {dtype!r}")
 
 
-def to_pandas_dtype(dt: T.DataType) -> str:
-    """Best-effort pandas dtype name for a Spark type (used by ``.dtypes``)."""
+def to_pandas_dtype(dt: T.DataType):
+    """pandas dtype OBJECT for a Spark type (used by ``.dtype``/
+    ``.dtypes``).  A real ``np.dtype`` — pandas exposes ``.kind``/
+    ``.itemsize`` on it and user code relies on that; ``np.dtype ==
+    "int64"`` string comparisons still hold."""
+    import numpy as np
     for cls, name in _SPARK_TO_PANDAS.items():
         if isinstance(dt, cls):
-            return name
-    if isinstance(dt, T.DecimalType):
-        return "object"
-    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        return "object"
-    return "object"
+            return np.dtype(name)
+    return np.dtype("object")
 
 
 def is_numeric(dt: T.DataType) -> bool:

@@ -112,3 +112,65 @@ def test_dt_floor_ceil_round(pdf, E):
         got = (g() if arg is None else g(arg)).compute().sort_index()
         exp = p() if arg is None else p(arg)
         assert got.tolist() == exp.tolist(), meth
+
+
+# ---- hunt wave 4 (randomized battery finds) ----
+def test_drop_duplicates_keeps_labels(spark):
+    pdf = pd.DataFrame({"g": list("xyxzy"), "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    e = pes.from_pandas(pdf)
+    for keep in ("first", "last", False):
+        got = e.drop_duplicates(["g"], keep=keep).compute().sort_index()
+        exp = pdf.drop_duplicates(["g"], keep=keep).sort_index()
+        assert got.index.tolist() == exp.index.tolist(), keep
+        assert got["v"].tolist() == exp["v"].tolist(), keep
+
+
+def test_sort_values_kind_inplace(spark):
+    pdf = pd.DataFrame({"s": ["bb", "a", "ccc"], "v": [1.0, 2.0, 3.0]})
+    e = pes.from_pandas(pdf)
+    got = e.sort_values("s", kind="stable", ignore_index=True).compute()
+    exp = pdf.sort_values("s", kind="stable", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # key= through the Series form with kind accepted
+    got2 = e["s"].sort_values(key=lambda s: s.str.len(), kind="mergesort",
+                              ignore_index=True).compute()
+    exp2 = pdf["s"].sort_values(key=lambda s: s.str.len(),
+                                kind="mergesort", ignore_index=True)
+    assert got2.tolist() == exp2.tolist()
+    e2 = pes.from_pandas(pdf)
+    assert e2.sort_values("v", ascending=False, inplace=True) is None
+    assert e2.compute()["v"].tolist() == [3.0, 2.0, 1.0]
+    with pytest.raises(ValueError, match="invalid kind"):
+        e.sort_values("v", kind="bogo")
+
+
+def test_where_foreign_cond_positional(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [0.1, 0.9, 0.4],
+                        "g": list("xyz")})
+    e = pes.from_pandas(pdf)
+    got = e[["a", "b"]].where(e["b"] > 0.3, -1.0).compute().sort_index()
+    exp = pdf[["a", "b"]].where(pdf["b"] > 0.3, -1.0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    got2 = e[["a"]].mask(e["b"] > 0.3).compute().sort_index()
+    exp2 = pdf[["a"]].mask(pdf["b"] > 0.3)
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
+def test_dot_propagates_nan(spark):
+    pdf = pd.DataFrame({"a": [1.0, np.nan, 3.0], "b": [2.0, 4.0, 6.0]})
+    e = pes.from_pandas(pdf)
+    assert np.isnan(e["a"].dot(e["b"]).compute())
+    clean = pdf.fillna(0.0)
+    ec = pes.from_pandas(clean)
+    assert ec["a"].dot(ec["b"]).compute() == clean["a"].dot(clean["b"])
+
+
+def test_dtype_is_numpy_dtype(spark):
+    pdf = pd.DataFrame({"i": [1], "f": [1.5], "s": ["x"],
+                        "d": pd.to_datetime(["2024-01-01"])})
+    e = pes.from_pandas(pdf)
+    assert e["i"].dtype.kind == "i" and e["i"].dtype == "int64"
+    assert e["f"].dtype.kind == "f"
+    assert e["s"].dtype == object
+    assert e["d"].dtype.kind == "M"
+    assert list(e.dtypes) == list(pdf.dtypes)
