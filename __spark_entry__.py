@@ -3084,6 +3084,8 @@ def grouped_resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas ``groupby(user).resample('D', on=ts)`` — per-entity calendar
     bucketing as ONE grouped aggregation on (user, day): the group keys
     simply precede the time bucket (no per-group pass, no window).
+    ``fill_empty=False`` exercises the explicit SPARSE-output opt-out
+    (pandas' filled default is gated by ``resample_gapfill_grouped``).
     Oracle = GROUP BY user, date_trunc."""
     import pandas_expr_spark as pes
     from pandas_expr_spark.sources.tables import load_table
@@ -3091,7 +3093,7 @@ def grouped_resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .select("user_id", "ts", "value"))
     ev = ev[ev.user_id < 40]
     ev = ev.assign(vc=(ev.value * 100).floor())
-    out = (ev.groupby("user_id").resample("D", on="ts")
+    out = (ev.groupby("user_id").resample("D", on="ts", fill_empty=False)
            .agg(total=("vc", "sum"), n=("vc", "count")).reset_index())
     r = out.to_spark()
     return (r.select("user_id",
@@ -5927,7 +5929,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT strftime(spine.d, '%Y-%m-%d') AS day,
                    COALESCE(t.n, 0) AS n,
-                   t.v_sum_c / 100.0 AS value_sum
+                   COALESCE(t.v_sum_c, 0) / 100.0 AS value_sum
             FROM spine LEFT JOIN t ON spine.d = t.d
         """,
         "streaming_view_purchase_join": """

@@ -3209,7 +3209,7 @@ class Series(FrameBase):
         return self.compute().to_latex(*args, **kwargs)
 
     # -- time-indexed conveniences (delegate to the frame machinery) -----
-    def resample(self, freq: str, fill_empty: bool = False,
+    def resample(self, freq: str, fill_empty: bool = True,
                  label: str | None = None, closed: str | None = None):
         """``s.resample('D').mean()`` over the datetime index — the frame
         Resampler sliced to this column (date_trunc bucketing, one
@@ -7300,7 +7300,7 @@ class DataFrame(FrameBase):
                       "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR"}
 
     def resample(self, freq: str, on: str | None = None,
-                 fill_empty: bool = False, label: str | None = None,
+                 fill_empty: bool = True, label: str | None = None,
                  closed: str | None = None):
         """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
 
@@ -7308,12 +7308,14 @@ class DataFrame(FrameBase):
         fixed multiples (``15min``, ``30s``, ``2h``…) to ``F.window(ts,
         "15 minutes").start`` — both are pure JVM-side projections, so the
         only shuffle is the grouped aggregation itself, exactly like any
-        ``groupBy``.  pandas materializes EMPTY bins; that is opt-in here
-        via ``fill_empty=True`` (a generated calendar-spine join over the
-        post-agg result — see ``Resampler``), because silently
-        generate-series-joining a 100 TB time range should be a visible
-        choice.  Weeks are ISO Monday-start (``date_trunc`` semantics, not
-        pandas' Sunday-anchored ``W``)."""
+        ``groupBy``.  pandas materializes EMPTY bins, and so does this
+        (default ``fill_empty=True`` since r4 — parity): the calendar
+        spine joins the POST-AGG result, so its size is bounded by
+        ``(max-min)/freq`` rows, never the corpus.  Pass
+        ``fill_empty=False`` for the sparse-output plan when a tiny
+        ``freq`` over a years-long range would make the spine itself the
+        problem.  Weeks are ISO Monday-start (``date_trunc`` semantics,
+        not pandas' Sunday-anchored ``W``)."""
         import re
         if on is None:
             # pandas default: resample over the (datetime) index
@@ -7391,8 +7393,12 @@ class DataFrame(FrameBase):
         from .operators.groupby import Resampler
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})
-        return Resampler(out, on, step_sql, fill_empty=fill_empty,
-                         sort=True, label_shift=label_shift)
+        r = Resampler(out, on, step_sql, fill_empty=fill_empty,
+                      sort=True, label_shift=label_shift)
+        # pre-bucket state for resample().asfreq() (values AT bin edges)
+        r._orig_sdf = self._sdf
+        r._bucket_expr = bucket
+        return r
 
     def asfreq(self, freq: str, on: str,
                method: str | None = None) -> "DataFrame":
@@ -7835,6 +7841,11 @@ class DataFrame(FrameBase):
         ints = getattr(self, "_int_label_cols", None)
         if ints:
             pdf.columns = [int(c) if c in ints else c for c in pdf.columns]
+        # engine categorical metadata (astype("category"), merge
+        # indicator) → real pandas categoricals at the boundary
+        for c, cats in (getattr(self, "_cat_meta", None) or {}).items():
+            if c in pdf.columns:
+                pdf[c] = pd.Categorical(pdf[c], categories=cats)
         return pdf
 
 

@@ -141,7 +141,7 @@ class GroupBy:
             raise KeyError(missing)
         out = GroupBy(self._frame, self._by, self._sort, self._as_index,
                       self._dropna, slice_=keys, kind=self._kind,
-                      sets=self._sets)
+                      sets=self._sets, observed=self._observed)
         # a STRING slice is a SeriesGroupBy in pandas (bare stat names in
         # describe etc.); a 1-list slice stays a DataFrameGroupBy
         out._slice_scalar = isinstance(key, str)
@@ -217,6 +217,11 @@ class GroupBy:
         zero = {c: F.coalesce(F.col(c), F.lit(0))
                 for c in getattr(self, "_count_like", set())
                 if c in filled.columns}
+        # unobserved categories take the agg identity too (pandas:
+        # sum → 0, prod → 1 for empty groups)
+        for c, ident in (getattr(self, "_fill_ident", None) or {}).items():
+            if c in filled.columns and c not in zero:
+                zero[c] = F.coalesce(F.col(c), F.lit(ident))
         return filled.withColumns(zero) if zero else filled
 
     def _single_agg(self, fn_name: str, numeric_only: bool = False):
@@ -229,6 +234,10 @@ class GroupBy:
                  else fn(F.col(c))).alias(c) for c in cols]
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set(cols) if fn_name in _COUNT_LIKE_FNS else set()
+        # empty SPINE bins (Resampler fill_empty / unobserved categories)
+        # take the same identity pandas gives an empty bin: sum→0, prod→1
+        self._fill_ident = {c: ident for c in cols} if ident is not None \
+            else {}
         return self._finish(out, fn_name)
 
     def _min_count_agg(self, fn_name: str, numeric_only: bool,
@@ -427,6 +436,7 @@ class GroupBy:
         cols = self._value_columns()
         aggs: list[Column] = []
         count_like: set[str] = set()
+        fill_ident: dict[str, Any] = {}
 
         udf_aggs: list[Column] = []
         order: list[str] = []
@@ -448,6 +458,8 @@ class GroupBy:
             if fn_name in _COUNT_LIKE_FNS:
                 count_like.add(alias)
             ident = _AGG_IDENTITY.get(fn_name)
+            if ident is not None:
+                fill_ident[alias] = ident
             expr = (F.coalesce(fn(F.col(col)), F.lit(ident))
                     if ident is not None else fn(F.col(col)))
             aggs.append(expr.alias(alias))
@@ -520,6 +532,7 @@ class GroupBy:
         else:
             out = self._grouping(sdf).agg(*aggs)
         self._count_like = count_like
+        self._fill_ident = fill_ident
         return self._finish(out, "agg")
 
     aggregate = agg
@@ -855,14 +868,23 @@ class GroupBy:
         out = sdf.withColumns(updates).drop("__gp__")
         return self._finish_window(out, tmp, "interpolate")
 
-    def resample(self, freq: str, on: str, fill_empty: bool = False):
+    def resample(self, freq: str, on: str | None = None,
+                 fill_empty: bool = True):
         """pandas ``groupby(keys).resample(freq, on=ts)``: per-entity time
         bucketing — the group keys simply precede the time bucket in ONE
         grouped aggregation (one shuffle on (keys, bucket), identical
         memory contract to plain groupby; the bucket projection is pure
-        JVM date_trunc/window).  ``fill_empty=True`` materializes each
-        group's empty bins from a per-group calendar spine."""
-        base = self._frame.resample(freq, on)   # bucketizes the frame
+        JVM date_trunc/window).  ``on=None`` resamples over the frame's
+        datetime index (pandas default); ``fill_empty=True`` (default —
+        pandas parity) materializes each group's empty bins from its own
+        calendar spine, ``False`` opts into the sparse plan."""
+        if on is None:
+            if len(self._frame._index_cols) != 1:
+                raise ValueError("groupby.resample() without on= needs a "
+                                 "single datetime index — set_index first")
+            on = self._frame._index_cols[0]
+        base = self._frame.resample(freq, on,
+                                    fill_empty=False)  # bucketize only
         r = Resampler(base._frame, on, base._step_sql,
                       fill_empty=fill_empty,
                       sort=self._sort, extra_by=self._by,
@@ -1121,12 +1143,17 @@ class GroupBy:
         sdf, order_cols, tmp = self._positional()
         pos = F.struct(*[F.col(c) for c in order_cols])
         aggs = []
-        for c in self._value_columns(numeric_only=True):
+        vcols = self._value_columns(numeric_only=True)
+        # a scalar slice (s.resample(...).ohlc()) gets pandas' BARE
+        # open/high/low/close column names
+        bare = getattr(self, "_slice_scalar", False) and len(vcols) == 1
+        for c in vcols:
             col = F.col(c)
-            aggs += [F.min_by(col, pos).alias(f"{c}_open"),
-                     F.max(col).alias(f"{c}_high"),
-                     F.min(col).alias(f"{c}_low"),
-                     F.max_by(col, pos).alias(f"{c}_close")]
+            pre = "" if bare else f"{c}_"
+            aggs += [F.min_by(col, pos).alias(f"{pre}open"),
+                     F.max(col).alias(f"{pre}high"),
+                     F.min(col).alias(f"{pre}low"),
+                     F.max_by(col, pos).alias(f"{pre}close")]
         grouped = sdf
         if self._dropna:
             for b in self._by:
@@ -1401,6 +1428,8 @@ class Resampler(GroupBy):
                       label_shift=self._label_shift)
         r._slice = keys
         r._slice_scalar = isinstance(key, str)
+        r._orig_sdf = getattr(self, "_orig_sdf", None)
+        r._bucket_expr = getattr(self, "_bucket_expr", None)
         return r
 
     def _finish(self, out, op: str):
@@ -1427,6 +1456,11 @@ class Resampler(GroupBy):
             zero = {c: F.coalesce(F.col(c), F.lit(0))
                     for c in getattr(self, "_count_like", set())
                     if c in filled.columns}
+            # empty bins take the agg's pandas identity (sum→0, prod→1);
+            # everything else stays null (pandas NaN)
+            for c, ident in (getattr(self, "_fill_ident", None) or {}).items():
+                if c in filled.columns and c not in zero:
+                    zero[c] = F.coalesce(F.col(c), F.lit(ident))
             if zero:
                 filled = filled.withColumns(zero)
             out = filled
@@ -1439,3 +1473,69 @@ class Resampler(GroupBy):
                 else f"`{self._on}` + {shift}"
             out = out.withColumn(self._on, F.expr(sql))
         return super()._finish(out, op)
+
+    def ohlc(self):
+        """Resampled OHLC must order rows INSIDE each bin by their
+        ORIGINAL timestamp — the generic GroupBy.ohlc positional order is
+        useless here because every row in a bin shares the same bucketed
+        index value.  One agg over the pre-bucket frame with min_by/
+        max_by keyed on the raw timestamp."""
+        from pyspark.sql import types as T
+        orig = getattr(self, "_orig_sdf", None)
+        bucket = getattr(self, "_bucket_expr", None)
+        if orig is None or bucket is None:
+            return super().ohlc()
+        on = self._on
+        if getattr(self, "_slice", None):
+            vcols = list(self._slice)
+        else:
+            vcols = [f.name for f in orig.schema.fields
+                     if f.name != on and f.name not in self._extra_by
+                     and isinstance(f.dataType, T.NumericType)]
+        bare = getattr(self, "_slice_scalar", False) and len(vcols) == 1
+        pos = F.col(on)
+        aggs = []
+        for c in vcols:
+            col = F.col(c)
+            pre = "" if bare else f"{c}_"
+            aggs += [F.min_by(col, pos).alias(f"{pre}open"),
+                     F.max(col).alias(f"{pre}high"),
+                     F.min(col).alias(f"{pre}low"),
+                     F.max_by(col, pos).alias(f"{pre}close")]
+        out = orig.groupBy(*self._extra_by, bucket.alias(on)).agg(*aggs)
+        self._count_like = set()
+        self._fill_ident = {}
+        return self._finish(out, "ohlc")
+
+    def asfreq(self, method=None):
+        """pandas ``resample(freq).asfreq()``: the value exactly AT each
+        bin edge (a reindex onto the resample grid) — rows whose original
+        timestamp equals their bucket survive, everything else is an
+        empty bin.  One filter + one grouped agg over the matching rows
+        (≤ one per bin for unique timestamps; exact-duplicate edge stamps
+        take the max — pandas' reindex would raise there), then the
+        standard calendar-spine fill."""
+        if method is not None:
+            raise NotImplementedError("resample().asfreq(method=)")
+        orig = getattr(self, "_orig_sdf", None)
+        bucket = getattr(self, "_bucket_expr", None)
+        if orig is None or bucket is None or self._extra_by:
+            raise NotImplementedError(
+                "asfreq needs the pre-bucket frame (grouped resample "
+                "asfreq unsupported)")
+        on = self._on
+        vcols = (list(self._slice) if getattr(self, "_slice", None)
+                 else [c for c in orig.columns if c != on])
+        # group ALL rows by bucket (so the spine spans the full data
+        # range), but only edge-matching rows contribute a value
+        out = (orig.groupBy(bucket.alias(on))
+               .agg(*[F.max(F.when(F.col(on) == bucket, F.col(c)))
+                      .alias(c) for c in vcols]))
+        self._count_like = set()
+        self._fill_ident = {}
+        was = self._fill_empty
+        self._fill_empty = True   # asfreq ALWAYS materializes the grid
+        try:
+            return self._finish(out, "asfreq")
+        finally:
+            self._fill_empty = was

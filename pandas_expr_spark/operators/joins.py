@@ -226,7 +226,12 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
                 left._expr, right._expr)
     idx = tuple(out_index) if (left_index or right_index) else ()
     names = tuple(n if not n.startswith("__") else None for n in idx) if idx else None
-    return DataFrame(joined.select(*sel), node, idx, names)
+    out = DataFrame(joined.select(*sel), node, idx, names)
+    if indicator:
+        # pandas: _merge is CATEGORICAL with this fixed category order
+        out._cat_meta = {**(getattr(out, "_cat_meta", None) or {}),
+                         "_merge": ["left_only", "right_only", "both"]}
+    return out
 
 
 def join(left, other, on=None, how: str = "left", lsuffix: str = "",

@@ -36,8 +36,8 @@ def ts_pdf():
 def test_resample_pandas_anchors(spark, ts_pdf, freq, pandas_freq):
     f = pes.from_pandas(ts_pdf)
     got = f.set_index("t").resample(freq)["v"].sum().compute().sort_index()
-    exp = ts_pdf.set_index("t").resample(pandas_freq)["v"].sum()
-    exp = exp[exp != 0].sort_index()   # engine doesn't materialize empties
+    exp = ts_pdf.set_index("t").resample(pandas_freq)["v"].sum() \
+        .sort_index()   # r4: the engine fills empty bins like pandas
     assert list(got.index) == list(exp.index)
     assert np.allclose(list(got), list(exp))
 
@@ -46,8 +46,8 @@ def test_resample_week_label_left(spark, ts_pdf):
     f = pes.from_pandas(ts_pdf)
     got = (f.set_index("t").resample("W", label="left")["v"].sum()
            .compute().sort_index())
-    exp = ts_pdf.set_index("t").resample("W", label="left")["v"].sum()
-    exp = exp[exp != 0].sort_index()
+    exp = ts_pdf.set_index("t").resample("W", label="left")["v"].sum() \
+        .sort_index()   # r4: full pandas grid
     assert list(got.index) == list(exp.index)
 
 

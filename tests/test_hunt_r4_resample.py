@@ -1,0 +1,99 @@
+"""Round-4 hunt wave 5 pins: resample parity (the engine's opt-in spine
+fill diverged from pandas defaults) and merge-indicator dtype.
+
+Before the fixes:
+- resample() silently DROPPED empty bins (pandas materializes the grid);
+- empty-bin sums stayed null (pandas: 0.0 — the add identity);
+- resample().ohlc() ordered rows inside a bin by the BUCKETED index
+  value (every row ties) — open/close were arbitrary;
+- groupby.resample() required on= (pandas defaults to the index);
+- resample().asfreq() did not exist;
+- merge(indicator=True) returned a plain string _merge column (pandas:
+  categorical with fixed category order).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+@pytest.fixture
+def tsdf():
+    rng = np.random.RandomState(8)
+    n = 25
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.choice(range(0, 5000), n, replace=False)), unit="min")
+    return pd.DataFrame({"t": ts, "v": rng.rand(n).round(3),
+                         "u": rng.choice(list("ab"), n)})
+
+
+def _cmp(got, exp):
+    pd.testing.assert_series_equal(
+        got.sort_index(), exp.sort_index(), check_dtype=False,
+        check_index_type=False, check_names=False, check_freq=False,
+        rtol=1e-12)
+
+
+def test_resample_fills_empty_bins_by_default(tsdf, spark):
+    e = pes.from_pandas(tsdf).set_index("t")["v"]
+    p = tsdf.set_index("t")["v"]
+    _cmp(e.resample("30min").sum().compute(), p.resample("30min").sum())
+    _cmp(e.resample("1h").count().compute(), p.resample("1h").count())
+    _cmp(e.resample("2h").mean().compute(), p.resample("2h").mean())
+
+
+def test_resample_fill_empty_false_optout(tsdf, spark):
+    e = pes.from_pandas(tsdf).set_index("t")["v"]
+    sparse = e.resample("30min", fill_empty=False).count().compute()
+    full = e.resample("30min").count().compute()
+    assert len(sparse) < len(full)
+    assert (sparse > 0).all()
+
+
+def test_resample_ohlc_time_order(tsdf, spark):
+    e = pes.from_pandas(tsdf).set_index("t")["v"]
+    p = tsdf.set_index("t")["v"]
+    got = e.resample("2h").ohlc().compute().sort_index()
+    exp = p.resample("2h").ohlc().sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_index_type=False, check_freq=False)
+
+
+def test_grouped_resample_on_index(tsdf, spark):
+    e = pes.from_pandas(tsdf).set_index("t")
+    p = tsdf.set_index("t")
+    got = e.groupby("u")["v"].resample("2h").sum().compute().sort_index()
+    exp = p.groupby("u")["v"].resample("2h").sum().sort_index()
+    _cmp(got, exp)
+
+
+def test_resample_asfreq(tsdf, spark):
+    e = pes.from_pandas(tsdf).set_index("t")["v"]
+    p = tsdf.set_index("t")["v"]
+    _cmp(e.resample("45min").asfreq().compute(), p.resample("45min").asfreq())
+    _cmp(e.resample("1h").asfreq().compute(), p.resample("1h").asfreq())
+
+
+def test_merge_indicator_categorical(spark):
+    a = pd.DataFrame({"k": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"k": [1, 3], "w": [7.0, 8.0]})
+    got = pes.from_pandas(a).merge(pes.from_pandas(b), on="k", how="outer",
+                                   indicator=True).compute()
+    exp = a.merge(b, on="k", how="outer", indicator=True)
+    assert got["_merge"].dtype == exp["_merge"].dtype
+    assert (sorted(got["_merge"].astype(str)) ==
+            sorted(exp["_merge"].astype(str)))
+
+
+def test_unobserved_category_sum_identity(spark):
+    pdf = pd.DataFrame({"g": pd.Categorical(["x", "x", "y"],
+                                            categories=["x", "y", "z"]),
+                        "v": [1.0, 2.0, 3.0]})
+    e = pes.from_pandas(pdf.assign(g=pdf["g"].astype(str))) \
+        .astype({"g": pdf["g"].dtype})
+    got = e.groupby("g", observed=False)["v"].sum().compute().sort_index()
+    exp = pdf.groupby("g", observed=False)["v"].sum().sort_index()
+    assert got.tolist() == exp.tolist()      # unobserved 'z' → 0.0

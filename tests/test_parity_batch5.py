@@ -124,8 +124,7 @@ def test_resample_daily(tdf, ts_pdf):
 def test_resample_fixed_interval(tdf, ts_pdf):
     got = tdf.resample("6h", on="ts").agg(n=("v", "count")).reset_index().compute()
     exp = (ts_pdf.resample("6h", on="ts").agg(n=("v", "count")).reset_index())
-    exp = exp[exp.n > 0].reset_index(drop=True)
-    assert_frame_eq(got, exp, sort_by=["ts"])
+    assert_frame_eq(got, exp, sort_by=["ts"])   # r4: empty bins filled
 
 
 # -- fills -------------------------------------------------------------

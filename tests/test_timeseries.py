@@ -135,22 +135,20 @@ def test_resample_fill_empty_matches_pandas(spark, sparse_ts_pdf):
            .sort_values("ts").reset_index(drop=True))
     exp = (sparse_ts_pdf.resample("h", on="ts").agg(
         n=("v", "count"), total=("v", "sum")).reset_index())
-    # pandas leaves sum=0.0 for empty bins in newer versions; our contract
-    # is null for non-count aggs — compare counts exactly, sums where bins
-    # are non-empty
+    # r4: exact pandas parity — empty bins fill count=0 AND sum=0.0
     assert len(got) == len(exp) == 26
     assert got["ts"].tolist() == exp["ts"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
-    nonempty = exp["n"] > 0
-    assert got.loc[nonempty, "total"].tolist() == \
-        exp.loc[nonempty, "total"].tolist()
-    assert got.loc[~nonempty, "total"].isna().all()
+    assert got["total"].tolist() == exp["total"].tolist()
 
 
 def test_resample_no_fill_skips_empty_bins(spark, sparse_ts_pdf):
     from pandas_expr_spark import from_pandas
     df = from_pandas(sparse_ts_pdf)
-    got = (df.resample("h", on="ts").agg(n=("v", "count"))
+    # fill_empty=False is the explicit sparse-output opt-out (the
+    # default is pandas' filled grid since r4)
+    got = (df.resample("h", on="ts", fill_empty=False)
+           .agg(n=("v", "count"))
            .reset_index().to_spark().toPandas())
     assert len(got) == 5  # only non-empty buckets
 
