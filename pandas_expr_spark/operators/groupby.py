@@ -355,11 +355,15 @@ class GroupBy:
 
     def _idx_extreme(self, fn, op: str, numeric_only: bool):
         """pandas grouped ``idxmin``/``idxmax``: the INDEX label of each
-        group's extreme row, per value column — ``F.min_by``/``F.max_by``
+        group's extreme row, per value column — one struct-min aggregate
         on the engine index column (one shuffle, same plan as any grouped
-        agg).  A positional (trivial) index materializes the 0..n-1 row
-        labels first via the distributed ``global_pos`` scan — ONE extra
-        range shuffle, never a single-task window."""
+        agg).  Ties on the value take the SMALLEST index (pandas' first
+        occurrence): min(struct(value, idx)) for idxmin, and
+        min(struct(-value, idx)) for idxmax on numeric columns (bare
+        min_by/max_by leave the tie arbitrary — silent wrong labels).  A
+        positional (trivial) index materializes the 0..n-1 row labels
+        first via the distributed ``global_pos`` scan — ONE extra range
+        shuffle, never a single-task window."""
         idx_cols = self._frame._index_cols
         if not idx_cols:
             from .._collection import _ROWID, _attach_rowid
@@ -375,7 +379,19 @@ class GroupBy:
             idx = F.col(idx_cols[0])
             grouped = self._grouping(self._grouped_sdf())
         cols = self._value_columns(numeric_only)
-        aggs = [fn(idx, F.col(c)).alias(c) for c in cols]
+        schema = {f.name: f.dataType
+                  for f in self._frame._sdf.schema.fields}
+        aggs = []
+        for c in cols:
+            v = F.col(c)
+            if isinstance(schema.get(c), T.NumericType):
+                key_v = (-v) if fn is F.max_by else v
+                key = F.when(v.isNotNull(),
+                             F.struct(key_v.alias("v"), idx.alias("i")))
+                aggs.append(F.min(key)["i"].alias(c))
+            else:
+                # non-numeric extremes: keep min_by/max_by (tie arbitrary)
+                aggs.append(fn(idx, v).alias(c))
         out = grouped.agg(*aggs)
         self._count_like = set()
         return self._finish(out, op)
@@ -508,6 +524,11 @@ class GroupBy:
                         label = fn_name if isinstance(fn_name, str) \
                             else getattr(fn_name, "__name__", "fn")
                         one(c, fn_name, f"{c}_{label}")
+        elif callable(spec):
+            # bare callable (gb["v"].agg(lambda s: ...)): one Arrow
+            # GROUPED_AGG per value column, pandas' bare column labels
+            for c in cols:
+                one(c, spec, c)
         else:
             raise TypeError(f"Unsupported agg spec: {spec!r}")
 

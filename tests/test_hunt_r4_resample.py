@@ -97,3 +97,30 @@ def test_unobserved_category_sum_identity(spark):
     got = e.groupby("g", observed=False)["v"].sum().compute().sort_index()
     exp = pdf.groupby("g", observed=False)["v"].sum().sort_index()
     assert got.tolist() == exp.tolist()      # unobserved 'z' → 0.0
+
+
+# ---- groupby agg-spec probe finds ----
+def test_grouped_idx_extreme_tie_first_occurrence(spark):
+    # duplicate extreme values: pandas returns the FIRST occurrence's
+    # label; bare min_by/max_by left the tie arbitrary (silent wrong
+    # labels — found by the wave-5 probe battery)
+    rng = np.random.RandomState(99)
+    pdf = pd.DataFrame({"g": rng.choice(list("xyz"), 20),
+                        "v": rng.rand(20).round(3),
+                        "w": rng.randint(0, 9, 20)})
+    e = pes.from_pandas(pdf)
+    for op in ("idxmin", "idxmax"):
+        got = getattr(e.groupby("g")[["v", "w"]], op)().compute() \
+            .sort_index()
+        exp = getattr(pdf.groupby("g")[["v", "w"]], op)().sort_index()
+        assert got["w"].tolist() == exp["w"].tolist(), op
+        assert got["v"].tolist() == exp["v"].tolist(), op
+
+
+def test_series_groupby_agg_callable(spark):
+    pdf = pd.DataFrame({"g": list("xyxzy"), "v": [1.0, 5.0, 3.0, 2.0, 9.0]})
+    e = pes.from_pandas(pdf)
+    got = e.groupby("g")["v"].agg(lambda s: s.max() - s.min()).compute() \
+        .sort_index()
+    exp = pdf.groupby("g")["v"].agg(lambda s: s.max() - s.min()).sort_index()
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy())
