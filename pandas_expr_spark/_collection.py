@@ -3334,6 +3334,28 @@ class _SeriesRolling:
     def var(self) -> Series: return self._agg("var")
     def std(self) -> Series: return self._agg("std")
 
+    # order statistics / higher moments need the raw window values, so
+    # they ride the exact halo-block apply path (Arrow-batched pandas per
+    # block — the documented slow lane; the running-sum scans above stay
+    # the JVM fast lane)
+    def median(self) -> Series:
+        return self.apply(lambda s: s.median())
+
+    def quantile(self, q: float, interpolation: str = "linear") -> Series:
+        return self.apply(lambda s: s.quantile(q, interpolation))
+
+    def skew(self) -> Series:
+        return self.apply(lambda s: s.skew())
+
+    def kurt(self) -> Series:
+        return self.apply(lambda s: s.kurt())
+
+    def sem(self, ddof: int = 1) -> Series:
+        # pandas Rolling.sem normalizes by sqrt(count - ddof), NOT the
+        # Series.sem sqrt(count)
+        return self.apply(
+            lambda s: s.std(ddof=ddof) / (s.count() - ddof) ** 0.5)
+
     def _minmax(self, fn: str) -> Series:
         from .functions import scan
         s = self._s
@@ -7534,12 +7556,22 @@ class DataFrame(FrameBase):
         return _join(self, other, on=on, how=how, lsuffix=lsuffix, rsuffix=rsuffix)
 
     # -- UDF surface (reference Apply/Map §2.10) -------------------------
-    def apply(self, func: Callable, axis: int = 1, schema=None) -> "DataFrame":
-        """Frame-wise UDF via Arrow-batched ``mapInPandas``.  Schema inferred
+    def apply(self, func: Callable, axis: int = 0, schema=None):
+        """pandas ``DataFrame.apply``.  ``axis=0`` (pandas default):
+        func(column) → scalar, one grouped-agg UDF per column.  ``axis=1``:
+        frame-wise UDF via Arrow-batched ``mapInPandas``, schema inferred
         by running ``func`` on a sample when not declared (reference
         ``Apply._meta``, ``_expr.py:1247-1249``)."""
-        if axis != 1:
-            raise NotImplementedError("apply(axis=0): use columnwise reductions")
+        if axis in (0, "index"):
+            # pandas default: func(column Series) → scalar, result Series
+            # indexed by column name.  An arbitrary Python reducer runs as
+            # ONE Arrow grouped-agg UDF per column inside a single 1-row
+            # agg — each column gathers into one task (inherent to a
+            # whole-column black-box callable; use the named reductions
+            # for the JVM fast path).
+            from .operators.groupby import _callable_agg
+            return self._columnwise(_callable_agg(func), "apply_columnwise",
+                                    numeric_only=True)
         if schema is None:
             sample = self._sdf.limit(10).toPandas()
             try:

@@ -688,8 +688,37 @@ class GroupBy:
         {"head", "tail", "nth", "sample", "nlargest", "nsmallest",
          "filter", "topn"})
 
-    def _finish_window(self, out, drop_col, op: str):
+    def _finish_window(self, out, drop_col, op: str, mi: bool = False):
+        """``mi=True`` (the groupby.rolling/expanding/ewm chain family):
+        pandas prepends the GROUP KEYS to the row labels — the result
+        index is (keys…, original labels) and null-key rows drop (they
+        belong to no group).  Transform-like ops (shift/cum*/rank/…)
+        keep the caller's index unchanged (mi=False)."""
         from .._collection import DataFrame, Series
+        if mi and self._dropna and self._by:
+            cond = None
+            for b in self._by:
+                kn = F.col(b).isNotNull()
+                cond = kn if cond is None else (cond & kn)
+            out = out.filter(cond)
+        if mi:
+            node = Node("groupby_" + op, {"by": self._by},
+                        self._frame._expr)
+            base_idx = ([drop_col] if drop_col
+                        else list(self._frame._index_cols))
+            base_names = ((None,) if drop_col
+                          else tuple(self._frame._index_names))
+            idx = tuple(self._by) + tuple(base_idx)
+            names = tuple(self._by) + base_names
+            if self._slice is not None:
+                keep = [c for c in self._slice if c in out.columns]
+                out = out.select(*idx, *keep)
+                if getattr(self, "_slice_scalar", False) and len(keep) == 1:
+                    return Series(out, F.col(keep[0]), keep[0], node,
+                                  idx, names)
+                return DataFrame(out, node, idx, names)
+            vals = [c for c in out.columns if c not in idx]
+            return DataFrame(out.select(*idx, *vals), node, idx, names)
         if self._dropna and self._by and \
                 all(b in out.columns for b in self._by):
             # pandas dropna=True on null group keys: filter-type ops drop
@@ -1331,7 +1360,7 @@ class _GroupRolling:
                 updates[c] = F.when(nn >= minp, val).otherwise(F.lit(None))
         out = sdf.withColumns(updates)
         kind = "expanding" if self._w is None else "rolling"
-        return gb._finish_window(out, tmp, f"{kind}_{fn_name}")
+        return gb._finish_window(out, tmp, f"{kind}_{fn_name}", mi=True)
 
     def mean(self): return self._agg("mean")
     def sum(self): return self._agg("sum")
@@ -1376,7 +1405,7 @@ class _GroupRolling:
 
         out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
         kind = "expanding_apply" if w is None else "rolling_apply"
-        return gb._finish_window(out, tmp, kind)
+        return gb._finish_window(out, tmp, kind, mi=True)
 
 
 class _GroupEwm:
@@ -1404,7 +1433,7 @@ class _GroupEwm:
             return pdf[names]
 
         out = sdf.groupBy(*gb._by).applyInPandas(_fn, schema)
-        return gb._finish_window(out, tmp, "ewm_mean")
+        return gb._finish_window(out, tmp, "ewm_mean", mi=True)
 
 
 class Resampler(GroupBy):

@@ -284,7 +284,7 @@ def test_series_apply(base, base_pdf):
 
 
 def test_frame_apply_mapinpandas(base, base_pdf):
-    out = base.apply(lambda pdf: pdf.assign(z=pdf.x + pdf.y))
+    out = base.apply(lambda pdf: pdf.assign(z=pdf.x + pdf.y), axis=1)
     exp = base_pdf.assign(z=base_pdf.x + base_pdf.y)
     assert_frame_eq(out, exp)
 

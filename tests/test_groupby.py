@@ -231,15 +231,15 @@ def test_groupby_rolling_expanding_chain(spark):
     df = pes.from_pandas(pdf).set_index("k")
     ref = pdf.set_index("k")
     for fn in ["mean", "sum", "count", "std"]:
+        # r4: the engine returns pandas' (keys, labels) MultiIndex
         got = getattr(df.groupby("g").rolling(3), fn)() \
             .compute().sort_index()["v"]
         exp = getattr(ref.groupby("g")["v"].rolling(3), fn)() \
-            .reset_index(0, drop=True).sort_index()
+            .sort_index()
         np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                    rtol=1e-9, atol=1e-9, equal_nan=True)
     got = df.groupby("g").expanding().mean().compute().sort_index()["v"]
-    exp = (ref.groupby("g")["v"].expanding().mean()
-           .reset_index(0, drop=True).sort_index())
+    exp = ref.groupby("g")["v"].expanding().mean().sort_index()
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
                                rtol=1e-9, atol=1e-9, equal_nan=True)
 

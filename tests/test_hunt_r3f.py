@@ -114,9 +114,13 @@ def test_apply_axis1_rowwise_scalar(spark):
     got = f.apply(lambda r: r["a"] + r["b"], axis=1).compute()
     exp = pdf.apply(lambda r: r["a"] + r["b"], axis=1)
     assert list(got.sort_index()) == list(exp)
-    # batch-level funcs (engine contract) still work
-    got2 = f.apply(lambda b: b.assign(s=b["a"] + b["b"]))
+    # batch-level funcs (engine contract) ride the axis=1 lane
+    got2 = f.apply(lambda b: b.assign(s=b["a"] + b["b"]), axis=1)
     assert "s" in got2.columns
+    # pandas default axis=0: per-column reducer -> Series by column name
+    got3 = f.apply(lambda s: s.max() - s.min()).compute().sort_index()
+    exp3 = pdf.apply(lambda s: s.max() - s.min()).sort_index()
+    assert list(got3) == list(exp3)
 
 
 def test_stack_default_index(spark):

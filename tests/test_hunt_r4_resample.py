@@ -124,3 +124,56 @@ def test_series_groupby_agg_callable(spark):
         .sort_index()
     exp = pdf.groupby("g")["v"].agg(lambda s: s.max() - s.min()).sort_index()
     np.testing.assert_allclose(got.to_numpy(), exp.to_numpy())
+
+
+# ---- wave 6: rolling order-stats, frame apply axis, grouped window MI ----
+def test_rolling_order_stats(spark):
+    rng = np.random.RandomState(314)
+    pdf = pd.DataFrame({"b": rng.randn(18).round(3)})
+    e = pes.from_pandas(pdf)["b"]
+    p = pdf["b"]
+    for name, eg, xg in [
+        ("median", lambda: e.rolling(4).median(), lambda: p.rolling(4).median()),
+        ("quantile", lambda: e.rolling(4).quantile(0.25),
+         lambda: p.rolling(4).quantile(0.25)),
+        ("skew", lambda: e.rolling(5).skew(), lambda: p.rolling(5).skew()),
+        ("kurt", lambda: e.rolling(6).kurt(), lambda: p.rolling(6).kurt()),
+        ("sem", lambda: e.rolling(5).sem(), lambda: p.rolling(5).sem()),
+    ]:
+        got = eg().compute().sort_index()
+        exp = xg()
+        np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                                   rtol=1e-9, equal_nan=True, err_msg=name)
+
+
+def test_frame_apply_axis0_default(spark):
+    pdf = pd.DataFrame({"a": [1.0, 5.0, 3.0], "b": [10.0, 2.0, 8.0]})
+    e = pes.from_pandas(pdf)
+    got = e.apply(lambda s: s.max() - s.min()).compute().sort_index()
+    exp = pdf.apply(lambda s: s.max() - s.min()).sort_index()
+    assert got.index.tolist() == exp.index.tolist()
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy())
+
+
+def test_grouped_window_chain_multiindex(spark):
+    pdf = pd.DataFrame({"g": list("xyxyx"), "b": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    e = pes.from_pandas(pdf)
+    # pandas: groupby.rolling/ewm/expanding prepend the keys to the index
+    for eg, xg in [
+        (lambda: e.groupby("g")["b"].rolling(2).sum(),
+         lambda: pdf.groupby("g")["b"].rolling(2).sum()),
+        (lambda: e.groupby("g")["b"].ewm(span=3).mean(),
+         lambda: pdf.groupby("g")["b"].ewm(span=3).mean()),
+        (lambda: e.groupby("g")[["b"]].expanding(2).mean(),
+         lambda: pdf.groupby("g")[["b"]].expanding(2).mean()),
+    ]:
+        got, exp = eg().compute(), xg()
+        assert got.index.nlevels == exp.index.nlevels == 2
+        g, x = got.sort_index(), exp.sort_index()
+        if isinstance(exp, pd.Series):
+            np.testing.assert_allclose(g.to_numpy(), x.to_numpy(),
+                                       equal_nan=True)
+        else:
+            np.testing.assert_allclose(g["b"].to_numpy(),
+                                       x["b"].to_numpy(), equal_nan=True)
+        assert g.index.tolist() == x.index.tolist()

@@ -109,7 +109,7 @@ def test_grouped_rolling_matches_pandas(spark, data, w, mp, agg):
     got = (getattr(df.groupby("k").rolling(w, min_periods=mp), agg)()
            .compute().sort_index()["v"])
     exp = (getattr(pdf.groupby("k")["v"].rolling(w, min_periods=mp), agg)()
-           .reset_index(0, drop=True).sort_index())
+           .sort_index())   # r4: engine matches pandas' MultiIndex
     # atol 1e-6: pandas' rolling var uses a Welford-style UPDATE that
     # carries residue from values that already LEFT the window (a window
     # {1e-5, 0} after a 100.0 passed through yields 7.23e-6 from pandas vs
