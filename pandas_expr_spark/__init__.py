@@ -429,6 +429,41 @@ class Grouper:
         self.key, self.freq = key, freq
 
 
+def from_dummies(frame, sep: str = "_", default_category=None):
+    """pandas ``pd.from_dummies`` — invert ``get_dummies``: each
+    ``prefix{sep}category`` indicator family collapses back to one
+    categorical column.  Pure projection (a chained CASE per family from
+    the SCHEMA — no data scan, no shuffle); rows with no set indicator
+    take ``default_category`` (pandas raises there without one — so do
+    we, at compute, via the same contract)."""
+    from pyspark.sql import functions as F
+    groups: dict[str, list[str]] = {}
+    for c in frame.columns:
+        if sep in c:
+            pre, _, cat = c.partition(sep)
+            groups.setdefault(pre, []).append(cat)
+    if not groups:
+        raise ValueError("from_dummies found no 'prefix{sep}category' "
+                         "columns")
+    sdf = frame._sdf
+    keep = [c for c in frame.columns if c.partition(sep)[0] not in groups]
+    sel = [F.col(c) for c in list(frame._index_cols) + keep]
+    for pre, cats in groups.items():
+        expr = (F.lit(default_category) if default_category is not None
+                else F.raise_error(F.lit(
+                    f"from_dummies: row with no set indicator for "
+                    f"'{pre}' and no default_category")).cast("string"))
+        for cat in cats:
+            expr = F.when(F.col(f"{pre}{sep}{cat}") == 1,
+                          F.lit(cat)).otherwise(expr)
+        sel.append(expr.alias(pre))
+    from ._collection import DataFrame as _DF
+    from ._expr import Node as _Node
+    return _DF(sdf.select(*sel), _Node("from_dummies", {"sep": sep},
+                                       frame._expr),
+               frame._index_cols, frame._index_names)
+
+
 def factorize(series):
     """pandas ``pd.factorize`` over an engine Series → lazy
     (codes, uniques) pair (first-appearance coding)."""
@@ -444,7 +479,7 @@ __all__ = [
     "concat", "merge", "merge_asof", "merge_ordered", "interval_join", "salted_join", "union", "intersect", "except_",
     "cut", "qcut", "melt", "pivot", "pivot_table", "crosstab",
     "wide_to_long", "json_normalize",
-    "get_dummies", "to_datetime", "to_numeric",
+    "get_dummies", "from_dummies", "to_datetime", "to_numeric",
     "isna", "notna", "isnull", "notnull", "unique", "factorize",
     "date_range", "bdate_range", "timedelta_range", "period_range",
     "Grouper",

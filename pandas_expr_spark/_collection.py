@@ -5439,6 +5439,11 @@ class DataFrame(FrameBase):
             "width at scale.  Collect first (df.compute().T) if the frame "
             "is genuinely small.")
 
+    @property
+    def T(self):
+        """pandas ``.T`` — same honest scale guard as ``transpose()``."""
+        return self.transpose()
+
     def swapaxes(self, *args, **kwargs):
         return self.transpose()
 

@@ -177,3 +177,24 @@ def test_grouped_window_chain_multiindex(spark):
             np.testing.assert_allclose(g["b"].to_numpy(),
                                        x["b"].to_numpy(), equal_nan=True)
         assert g.index.tolist() == x.index.tolist()
+
+
+def test_from_dummies_roundtrip(spark):
+    pdf = pd.DataFrame({"g": ["x", "y", "x", "z"], "v": [1, 2, 3, 4]})
+    dummies = pd.get_dummies(pdf, columns=["g"], dtype="int64")
+    e = pes.from_pandas(dummies)
+    got = pes.from_dummies(e[["g_x", "g_y", "g_z"]]).compute().sort_index()
+    exp = pd.from_dummies(dummies[["g_x", "g_y", "g_z"]], sep="_")
+    assert got["g"].tolist() == exp["g"].tolist()
+    # default_category for all-zero rows
+    z = dummies.copy()
+    z.loc[0, ["g_x", "g_y", "g_z"]] = 0
+    got2 = pes.from_dummies(pes.from_pandas(z)[["g_x", "g_y", "g_z"]],
+                            default_category="none").compute().sort_index()
+    assert got2["g"].tolist() == ["none", "y", "x", "z"]
+
+
+def test_frame_T_guard(spark):
+    e = pes.from_pandas(pd.DataFrame({"a": [1]}))
+    with pytest.raises(NotImplementedError, match="transpose"):
+        e.T
