@@ -914,6 +914,54 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def embedding_ann_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF lossless-configuration gate: with ``nprobe = n_cells`` every
+    cell is probed, so the IVF plumbing (sampled centroids → JVM argmin
+    cell assignment → cell filter → top-k) must return EXACTLY the
+    brute-force cosine top-k — a closed-form SQL oracle.  Proves the
+    partition-pruning path loses nothing except by cell SELECTION, which
+    is the approximation knob (recall at nprobe<n_cells stays
+    pytest-gated in test_knn_join/test_scale_ops)."""
+    from pandas_expr_spark.functions import similarity
+    from pandas_expr_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]]
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    out = similarity.ivf_topk(emb_d, q, k=10, n_cells=16, nprobe=16)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def logit_first_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle anchor for distributed logistic-regression training
+    (``curation.fit_logit``): ONE gradient-descent step from w=0 is
+    closed-form — p₀ = σ(0) = 0.5 everywhere, so
+    w₁ᵢ = −lr·avg((0.5−y)·fᵢ) and b₁ = −lr·avg(0.5−y), pure SQL over the
+    same JVM text features as the full ``trained_quality_scorer``
+    (rows-only, 10 iters).  A green row proves the feature pipeline, the
+    gradient aggregation, and the step arithmetic end-to-end."""
+    from pandas_expr_spark.functions import curation, text
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        text.stopword_ratio("text").alias("f_stop"),
+        (text.lang_score("text", "en")
+         / (text.token_count("text") + F.lit(1))).alias("f_en"),
+        (F.log1p(F.length("text")) - F.lit(6.0)).alias("f_loglen"))
+    w = curation.fit_logit(feats, "label",
+                           ["f_stop", "f_en", "f_loglen"],
+                           lr=2.0, iters=1)
+    rows = [("bias", round(w["bias"], 6)),
+            ("f_stop", round(w["f_stop"], 6)),
+            ("f_en", round(w["f_en"], 6)),
+            ("f_loglen", round(w["f_loglen"], 6))]
+    return spark.createDataFrame(rows, "term string, weight double")
+
+
 def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join (``functions/similarity.py`` ``knn_join``): every
     query embedding (vec_id < 20) gets its 5 nearest corpus neighbors by
@@ -3482,6 +3530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trained_quality_scorer": trained_quality_scorer,
         # ---- new r4 gates (front of the round-5 window) ----
         "doc_bigram_ppl": doc_bigram_ppl,
+        "embedding_ann_exactprobe": embedding_ann_exactprobe,
+        "logit_first_step": logit_first_step,
         # ---- driver-green in r1-r3 (stable tail) ----
         "doc_pii_redaction": doc_pii_redaction,
         "doc_decontaminate": doc_decontaminate,
@@ -4559,6 +4609,54 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'fr' END AS pred_lang,
                 COUNT(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "embedding_ann_exactprobe": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 2)
+            SELECT vec_id,
+                   ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+                         4) AS cosine
+            FROM embeddings
+            ORDER BY list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "logit_first_step": """
+            WITH f AS (
+                SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+                       (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                             THEN CAST(len(list_filter(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> list_contains(
+                                        ['the','a','of','to','and','is','in','it','that','for'],
+                                        lower(x)))) AS DOUBLE)
+                                  / len(regexp_split_to_array(trim(text), '\\s+'))
+                             ELSE 0.0 END) AS f_stop,
+                       CAST(len(list_filter(
+                                list_transform(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> lower(x)),
+                                t -> list_contains(['the','and','of','to','is'], t)))
+                            AS DOUBLE)
+                         / (len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+                           AS f_en,
+                       ln(1 + length(text)) - 6.0 AS f_loglen
+                FROM documents
+            ), g AS (
+                SELECT AVG(0.5 - y) AS g_b,
+                       AVG((0.5 - y) * f_stop) AS g_stop,
+                       AVG((0.5 - y) * f_en) AS g_en,
+                       AVG((0.5 - y) * f_loglen) AS g_loglen
+                FROM f
+            )
+            SELECT 'bias' AS term, ROUND(-2.0 * g_b, 6) AS weight FROM g
+            UNION ALL SELECT 'f_stop', ROUND(-2.0 * g_stop, 6) FROM g
+            UNION ALL SELECT 'f_en', ROUND(-2.0 * g_en, 6) FROM g
+            UNION ALL SELECT 'f_loglen', ROUND(-2.0 * g_loglen, 6) FROM g
         """,
         "similarity_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

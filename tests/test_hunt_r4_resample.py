@@ -198,3 +198,23 @@ def test_frame_T_guard(spark):
     e = pes.from_pandas(pd.DataFrame({"a": [1]}))
     with pytest.raises(NotImplementedError, match="transpose"):
         e.T
+
+
+def test_merge_asof_preserves_left_order(spark):
+    left = pd.DataFrame({"t": [1, 5, 10, 15], "lv": list("abcd")})
+    right = pd.DataFrame({"t": [2, 5, 11], "rv": [10.0, 20.0, 30.0]})
+    L, R = pes.from_pandas(left), pes.from_pandas(right)
+    for kw in ({"direction": "forward", "tolerance": 2},
+               {"direction": "nearest", "tolerance": 3},
+               {"allow_exact_matches": False},
+               {}):
+        # pandas: fresh RangeIndex in LEFT order.  The engine carries the
+        # left POSITIONS as the row labels (order itself is deferred
+        # presentation — sort_index() restores it exactly)
+        got = pes.merge_asof(L, R, on="t", **kw).compute().sort_index()
+        exp = pd.merge_asof(left, right, on="t", **kw)
+        assert got.index.tolist() == exp.index.tolist(), kw
+        assert got["t"].tolist() == exp["t"].tolist(), kw
+        assert got["lv"].tolist() == exp["lv"].tolist(), kw
+        assert got["rv"].fillna(-1).tolist() == \
+            exp["rv"].fillna(-1).tolist(), kw

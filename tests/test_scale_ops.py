@@ -105,5 +105,10 @@ def test_asof_nearest_single_shuffle(spark):
     out = pes.merge_asof(pes.from_pandas(t), pes.from_pandas(q),
                          on="t", by="k", direction="nearest")
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}\n{plan[:1500]}"
+    # exactly ONE data shuffle keyed on the by column; the r4 left-order
+    # rowid anchor adds a tiny per-partition-offsets exchange (summary
+    # rows, one per partition — the documented carry-fold class), which
+    # must NOT be keyed on the data's by column
+    import re
+    by_exchanges = len(re.findall(r"Exchange hashpartitioning\(k#", plan))
+    assert by_exchanges == 1, f"expected 1 by-key shuffle\n{plan[:1500]}"
