@@ -33,8 +33,16 @@ class StringAccessor(_Accessor):
     def upper(self): return self._wrap(F.upper(self._s._scol), "str.upper")
     def lower(self): return self._wrap(F.lower(self._s._scol), "str.lower")
     def casefold(self):
-        # Python casefold ~ lower for the JVM's locale-free lowercasing
-        return self._wrap(F.lower(self._s._scol), "str.casefold")
+        """Python FULL Unicode case folding ('ß' → 'ss', 'ﬁ' → 'fi') —
+        not lowercasing; exact parity needs str.casefold, so this is an
+        Arrow-batched pandas_udf (same precedent as str.title)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        @pandas_udf(T.StringType())
+        def _cf(s: pd.Series) -> pd.Series:
+            return s.str.casefold()
+        return self._wrap(_cf(self._s._scol), "str.casefold")
     def strip(self): return self._wrap(F.trim(self._s._scol), "str.strip")
     def lstrip(self): return self._wrap(F.ltrim(self._s._scol), "str.lstrip")
     def rstrip(self): return self._wrap(F.rtrim(self._s._scol), "str.rstrip")

@@ -218,3 +218,11 @@ def test_merge_asof_preserves_left_order(spark):
         assert got["lv"].tolist() == exp["lv"].tolist(), kw
         assert got["rv"].fillna(-1).tolist() == \
             exp["rv"].fillna(-1).tolist(), kw
+
+
+def test_str_casefold_full_unicode(spark):
+    s = pd.Series(["Hello", "ümlaut ß", "ﬁn", None])
+    e = pes.from_pandas(s.to_frame("x"))["x"]
+    got = e.str.casefold().compute().sort_index()
+    exp = s.str.casefold()
+    assert got.tolist() == exp.tolist()     # 'ß' → 'ss', 'ﬁ' → 'fi'
