@@ -663,13 +663,18 @@ class GroupBy:
             return out
 
         out = base.groupBy(*by).applyInPandas(_tf, schema)
-        if self._slice is not None:
-            keep = [c for c in self._slice if c in cols]
-            out = out.select(*pos_cols, *keep)
         node = Node("groupby_transform", {"by": by, "fn": "callable"},
                     self._frame._expr)
         idx = (tmp,) if tmp else tuple(self._frame._index_cols)
         names = (None,) if tmp else self._frame._index_names
+        if self._slice is not None:
+            keep = [c for c in self._slice if c in cols]
+            out = out.select(*pos_cols, *keep)
+            if getattr(self, "_slice_scalar", False) and len(keep) == 1:
+                # string slice → pandas returns a SERIES
+                from .._collection import Series
+                return Series(out, F.col(keep[0]), keep[0], node,
+                              idx, names)
         return DataFrame(out, node, idx, names)
 
     # -- positional window ops (pandas groupby.shift/rank/cum*; `IX` §1.5).

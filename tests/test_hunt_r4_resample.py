@@ -226,3 +226,13 @@ def test_str_casefold_full_unicode(spark):
     got = e.str.casefold().compute().sort_index()
     exp = s.str.casefold()
     assert got.tolist() == exp.tolist()     # 'ß' → 'ss', 'ﬁ' → 'fi'
+
+
+def test_series_groupby_transform_callable_is_series(spark):
+    pdf = pd.DataFrame({"g": list("xyxy"), "v": [1.0, 2.0, 3.0, 4.0]})
+    e = pes.from_pandas(pdf)
+    got = e.groupby("g")["v"].transform(lambda s: s - s.mean())
+    exp = pdf.groupby("g")["v"].transform(lambda s: s - s.mean())
+    gc = got.compute().sort_index()
+    assert isinstance(gc, pd.Series)
+    np.testing.assert_allclose(gc.to_numpy(), exp.to_numpy())
