@@ -4035,9 +4035,35 @@ class DataFrame(FrameBase):
                        .select(*[F.col(c) for c in needed]))
                 return self._derive(out, "filter",
                                     {"predicate": key._expr.op})
-            raise ValueError(
-                "Boolean mask must derive from the same frame "
-                "(pandas-expr semantics: df[df.x > 1])")
+            # genuinely FOREIGN mask: pandas aligns it on the index
+            # (missing labels → False); default-index frames align
+            # positionally via rowids — same contract as where/mask.
+            # (The silent wrong-rows bug the _mask_anchor guard closed
+            # was ACCEPTING a foreign frame's rows unaligned; an explicit
+            # alignment join is the correct semantics, not that bug.)
+            mf = key.to_frame("__mask__")
+            if bool(self._index_cols) != bool(mf._index_cols):
+                raise ValueError(
+                    "Boolean mask from another frame needs an index on "
+                    "both sides (or on neither) to align")
+            if self._index_cols:
+                base, lidx = self._sdf, list(self._index_cols)
+                msel = mf._sdf.select(
+                    *[F.col(c).alias(i)
+                      for c, i in zip(mf._index_cols, lidx)],
+                    F.col("__mask__"))
+                drop_rowid = False
+            else:
+                base, lidx = _attach_rowid(self._sdf), [_ROWID]
+                msel = _attach_rowid(mf._sdf).select(F.col(_ROWID),
+                                                     F.col("__mask__"))
+                drop_rowid = True
+            joined = (base.join(msel, lidx, "left")
+                      .filter(F.coalesce(F.col("__mask__"), F.lit(False)))
+                      .drop("__mask__"))
+            if drop_rowid:
+                joined = joined.drop(_ROWID)
+            return self._derive(joined, "filter", {"aligned_mask": True})
         if isinstance(key, int) and str(key) in self.columns:
             # Spark column labels are strings; ops that produce pandas
             # integer labels (str.partition, str.split(expand=True),
@@ -7253,8 +7279,12 @@ class DataFrame(FrameBase):
                              subset=[c for c in out.columns if c not in idx])
         node = Node("pivot_table", {"index": idx, "columns": columns,
                                     "aggfunc": aggfunc}, self._expr)
-        # pandas sets the index= columns as the result's index
-        return DataFrame(out, node, tuple(idx), tuple(idx))
+        # pandas sets the index= columns as the result's index and names
+        # the COLUMN axis after the pivot key
+        res = DataFrame(out, node, tuple(idx), tuple(idx))
+        if columns is not None and not margins:
+            res._columns_name = columns
+        return res
 
     def crosstab(self, index: str, columns: str,
                  values: str | None = None, aggfunc: str = "count",
@@ -7883,6 +7913,10 @@ class DataFrame(FrameBase):
         for c, cats in (getattr(self, "_cat_meta", None) or {}).items():
             if c in pdf.columns:
                 pdf[c] = pd.Categorical(pdf[c], categories=cats)
+        # pivot/unstack carry the pivot key as the columns-axis NAME
+        cn = getattr(self, "_columns_name", None)
+        if cn is not None:
+            pdf.columns.name = cn
         return pdf
 
 

@@ -253,6 +253,15 @@ class StringAccessor(_Accessor):
             # leading/trailing whitespace ignored; '' -> []
             arr = F.filter(F.split(F.trim(self._s._scol), r"\s+", limit),
                            lambda x: x != "")
+        elif pat == "":
+            # pandas uses re.split('', s): every char separated WITH
+            # leading/trailing empty strings ('xx' → ['', 'x', 'x', ''];
+            # '' → ['', ''])
+            c = self._s._scol
+            arr = F.when(F.length(c) == 0,
+                         F.array(F.lit(""), F.lit(""))) \
+                .otherwise(F.concat(F.array(F.lit("")), F.split(c, ""),
+                                    F.array(F.lit(""))))
         else:
             if regex is None:
                 # pandas rule: 1-char pat is literal; longer pats are regex

@@ -24,13 +24,19 @@ def _close(got, want):
 
 
 class TestForeignFrameMask:
-    def test_foreign_same_schema_mask_raises(self, spark):
-        df1 = from_pandas(pd.DataFrame({"k": [1, 2, 3],
-                                        "v": [10.0, 30.0, 20.0]}))
-        df2 = from_pandas(pd.DataFrame({"k": [7, 8, 9],
-                                        "v": [5.0, 30.0, 20.0]}))
-        with pytest.raises((ValueError, TypeError)):
-            df1[df2.v > 15]
+    def test_foreign_same_schema_mask_aligns(self, spark):
+        # the r2-advice bug was a foreign mask SILENTLY returning the
+        # FOREIGN frame's rows.  r3 closed it by raising; r4 implements
+        # the actual pandas semantics: the mask aligns on the index
+        # (positionally for default-index frames) and selects THIS
+        # frame's rows.
+        p1 = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 30.0, 20.0]})
+        p2 = pd.DataFrame({"k": [7, 8, 9], "v": [5.0, 30.0, 20.0]})
+        df1, df2 = from_pandas(p1), from_pandas(p2)
+        out = df1[df2.v > 15].compute()
+        exp = p1[p2.v > 15]
+        assert sorted(out["k"].tolist()) == sorted(exp["k"].tolist())
+        assert sorted(out["v"].tolist()) == sorted(exp["v"].tolist())
 
     def test_scalar_augmented_mask_still_works(self, spark):
         pdf = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 30.0, 20.0]})

@@ -236,3 +236,41 @@ def test_series_groupby_transform_callable_is_series(spark):
     gc = got.compute().sort_index()
     assert isinstance(gc, pd.Series)
     np.testing.assert_allclose(gc.to_numpy(), exp.to_numpy())
+
+
+# ---- wave 12: empty frames + chained compositions ----
+def test_foreign_boolean_mask_aligns(spark):
+    pdf = pd.DataFrame({"g": list("xyz"), "v": [1.0, 5.0, 3.0]})
+    e1 = pes.from_pandas(pdf)
+    e2 = pes.from_pandas(pdf)          # a genuinely different frame
+    got = e1[e2["v"] > 2.0].compute().sort_values("v") \
+        .reset_index(drop=True)
+    # default-index filters relabel positionally (engine-wide contract:
+    # the raw predicate stays pushdown-eligible); VALUES must match
+    exp = pdf[pdf["v"] > 2.0].sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # indexed frames align on labels; missing labels are False
+    a = pdf.set_index("g")
+    mask = pd.Series({"z": True, "x": False, "q": True})
+    em = pes.from_pandas(mask.to_frame("m"))["m"]
+    got2 = pes.from_pandas(pdf).set_index("g")[em].compute()
+    exp2 = a[mask.reindex(a.index, fill_value=False)]
+    assert sorted(got2.index.tolist()) == sorted(exp2.index.tolist())
+
+
+def test_str_split_empty_pattern(spark):
+    s = pd.Series(["xx", "a", ""])
+    e = pes.from_pandas(s.to_frame("x"))["x"]
+    got = [list(x) for x in e.str.split("").compute().sort_index()]
+    exp = s.str.split("").tolist()
+    assert got == exp                     # ['', 'x', 'x', ''] edges
+
+
+def test_pivot_table_columns_name(spark):
+    pdf = pd.DataFrame({"g": list("xyxy"), "c": list("abab"),
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    got = pes.pivot_table(pes.from_pandas(pdf), values="v", index="g",
+                          columns="c", aggfunc="mean").compute()
+    exp = pd.pivot_table(pdf, values="v", index="g", columns="c",
+                         aggfunc="mean")
+    assert got.columns.name == exp.columns.name == "c"
