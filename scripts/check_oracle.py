@@ -20,6 +20,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _cell_str(v) -> str:
+    """Stringify one cell the way the driver's value hash sees it.
+
+    The driver hashes STRINGIFIED values, so `-0.0` vs `0.0`, `1e-05`
+    formatting, and int-vs-float reprs are all hash mismatches even when
+    numerically equal.  `repr(float)` preserves every one of those
+    distinctions; numeric closeness is deliberately NOT consulted here
+    (it hid the r4 signed-zero driver failure — see VERDICT r4 #2)."""
+    if v is None or (isinstance(v, float) and v != v):
+        return "<null>"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
@@ -27,11 +42,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            df[c] = df[c].astype("float64").map(_cell_str)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_cell_str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -55,20 +70,47 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             problems.append(
                 f"col {c}: dtype kind mismatch spark={spark_df[c].dtype} "
                 f"oracle={oracle_df[c].dtype} (driver hash would differ)")
+    # Driver-style compare: every cell stringified (normalize() already
+    # repr()s floats), then exact string equality.  A numeric diff is
+    # appended as a secondary diagnostic so a FAIL line says whether the
+    # divergence is a real value bug or repr-level (signed zero, 1e-05).
     a, b = normalize(spark_df), normalize(oracle_df)
     if len(a) == len(b):
+        an, bn = normalize_numeric(spark_df), normalize_numeric(oracle_df)
         for c in a.columns:
-            if pd.api.types.is_float_dtype(a[c]):
-                if not np.allclose(a[c].fillna(-9e99), b[c].fillna(-9e99),
-                                   rtol=0, atol=0):
-                    mism = (a[c].fillna(-9e99) != b[c].fillna(-9e99)).sum()
-                    problems.append(f"col {c}: {mism} float mismatches "
-                                    f"(max diff {np.max(np.abs(a[c].fillna(0) - b[c].fillna(0)))})")
-            else:
-                if not (a[c].fillna("<null>") == b[c].fillna("<null>")).all():
-                    mism = (a[c].fillna("<null>") != b[c].fillna("<null>")).sum()
-                    problems.append(f"col {c}: {mism} value mismatches")
+            neq = a[c].fillna("<null>") != b[c].fillna("<null>")
+            if neq.any():
+                msg = f"col {c}: {int(neq.sum())} string mismatches"
+                if pd.api.types.is_float_dtype(an[c]):
+                    diff = np.abs(an[c].fillna(0) - bn[c].fillna(0))
+                    msg += (f" (max numeric diff {np.max(diff):.3g}"
+                            f"{' — repr-level only' if np.max(diff) == 0 else ''})")
+                i = int(np.argmax(neq.to_numpy()))
+                msg += f"; first: {a[c].iloc[i]!r} vs {b[c].iloc[i]!r}"
+                problems.append(msg)
     return problems
+
+
+def normalize_numeric(df: pd.DataFrame) -> pd.DataFrame:
+    """Secondary diagnostic frame: floats kept numeric, same row order as
+    normalize() (sorted by the stringified columns)."""
+    s = normalize(df)
+    out = df.copy()[sorted(df.columns)]
+    # re-sort numerically-kept frame in the same order normalize chose
+    order = df.copy()[sorted(df.columns)]
+    for c in order.columns:
+        if pd.api.types.is_datetime64_any_dtype(order[c]):
+            order[c] = order[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(order[c]):
+            order[c] = order[c].astype("float64").map(_cell_str)
+        elif pd.api.types.is_integer_dtype(order[c]):
+            order[c] = order[c].astype("int64")
+        elif order[c].dtype == object:
+            order[c] = order[c].map(_cell_str)
+    idx = order.sort_values(list(order.columns)).index
+    out = out.loc[idx].reset_index(drop=True)
+    assert len(out) == len(s)
+    return out
 
 
 def main():
