@@ -137,6 +137,24 @@ _INT_WIDTHS = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32,
                T.LongType: 64}
 
 
+_FLOAT_STR_UDF = None
+
+
+def _float_str_udf(col: Column) -> Column:
+    # pandas astype(str) on floats: Python shortest-repr formatting
+    # ('1e-05', '0.0001', '1e+20', NaN → 'nan') — Arrow-batched, only on
+    # the float→str cast path.  Built lazily: pandas_udf parses its DDL
+    # return type against the ACTIVE session, so module import must not
+    # touch it.
+    global _FLOAT_STR_UDF
+    if _FLOAT_STR_UDF is None:
+        @F.pandas_udf(T.StringType())
+        def _fmt(s: pd.Series) -> pd.Series:
+            return s.astype(str)
+        _FLOAT_STR_UDF = _fmt
+    return _FLOAT_STR_UDF(col)
+
+
 def _astype_expr(col: Column, src: T.DataType, st: T.DataType) -> Column:
     """pandas-semantics cast to ``st`` (numpy rules, not ANSI SQL):
 
@@ -145,7 +163,14 @@ def _astype_expr(col: Column, src: T.DataType, st: T.DataType) -> Column:
     - integer narrowing WRAPS modularly (numpy) — arithmetic-shift
       sign-extension, no ANSI overflow error;
     - datetime64 → int64 is EPOCH NANOSECONDS (Spark's cast gives
-      seconds — silent 1e9× wrong data)."""
+      seconds — silent 1e9× wrong data);
+    - float → str formats like PYTHON repr ('1e-05', '0.0001', 'nan'),
+      not Java's Double.toString ('1.0E-5') — Spark's cast silently
+      produces different strings for the same values (r5 hunt pin), so
+      this one cast goes through an Arrow pandas_udf."""
+    if isinstance(st, T.StringType) and \
+            isinstance(src, (T.DoubleType, T.FloatType)):
+        return _float_str_udf(col)
     width = _INT_WIDTHS.get(type(st))
     if width is None:
         return col.cast(st)
@@ -1253,7 +1278,10 @@ class Series(FrameBase):
             # float NaN → 'nan', datetime NaT → 'NaT', object None → 'None'
             src = self.spark_type
             if isinstance(src, (T.DoubleType, T.FloatType)):
-                null_repr = "nan"
+                # Python repr formatting ('1e-05', not Java's '1.0E-5');
+                # the UDF also stringifies NaN/None as 'nan' like pandas
+                return self._with_scol(_float_str_udf(self._scol),
+                                       "astype", dtype=str(dtype))
             elif isinstance(src, (T.TimestampType, T.TimestampNTZType,
                                   T.DateType)):
                 null_repr = "NaT"
@@ -4230,8 +4258,40 @@ class DataFrame(FrameBase):
         for k, v in kwargs.items():
             if isinstance(v, Series):
                 if v._sdf is not sdf and v._sdf is not self._sdf:
-                    raise ValueError("assign with foreign Series requires matching index; "
-                                     "use merge/join instead")
+                    # foreign Series: pandas aligns on the index.  Indexed
+                    # frames align via one left equi-join; default-index
+                    # frames align POSITIONALLY (label==position), the
+                    # same rowid contract as where/_framewise_cond.
+                    vf = v.to_frame("__assign_v__")
+                    # a rowid-backed index (cumsum/rank/scan outputs over a
+                    # default-index frame) IS the positional index — treat
+                    # it like no index when choosing the alignment mode
+                    v_positional = (not vf._index_cols or
+                                    tuple(vf._index_cols) == (_ROWID,))
+                    if bool(self._index_cols) == v_positional:
+                        raise ValueError(
+                            "assign with foreign Series requires an index "
+                            "on both sides (or on neither — default-index "
+                            "frames align positionally); use merge/join "
+                            "instead")
+                    if self._index_cols:
+                        vsel = vf._sdf.select(
+                            *[F.col(c).alias(i) for c, i in
+                              zip(vf._index_cols, self._index_cols)],
+                            F.col("__assign_v__"))
+                        sdf = sdf.join(vsel, on=list(self._index_cols),
+                                       how="left")
+                    else:
+                        vsdf = (vf._sdf if tuple(vf._index_cols) == (_ROWID,)
+                                else _attach_rowid(vf._sdf))
+                        vsel = vsdf.select(F.col(_ROWID),
+                                           F.col("__assign_v__"))
+                        sdf = (_attach_rowid(sdf)
+                               .join(vsel, on=[_ROWID], how="left")
+                               .drop(_ROWID))
+                    sdf = (sdf.withColumn(k, F.col("__assign_v__"))
+                           .drop("__assign_v__"))
+                    continue
                 col = v._scol
             elif callable(v):
                 tmp = DataFrame(sdf, self._expr, self._index_cols,
@@ -4510,6 +4570,20 @@ class DataFrame(FrameBase):
             # pandas default axis='columns': the series' index labels align
             # with THIS frame's column names
             return self._binop_axis1(other, fn, op, reflexive)
+        if (isinstance(other, (list, tuple, np.ndarray))
+                and not isinstance(other, str) and np.ndim(other) == 1):
+            # pandas coerces a 1-d sequence to a Series aligned with the
+            # columns POSITIONALLY (exact length required)
+            vals_seq = list(other)
+            if len(vals_seq) != len(self.columns):
+                raise ValueError(
+                    f"Unable to coerce to Series, length must be "
+                    f"{len(self.columns)}: given {len(vals_seq)}")
+            other = pd.Series(vals_seq, index=list(self.columns))
+        if isinstance(other, pd.Series):
+            # eager pandas Series other (r5 hunt fix: this previously fell
+            # through to F.lit(series) -> HashMap literal -> runtime crash)
+            return self._binop_axis1_eager(other, fn, op, reflexive)
         if isinstance(other, Scalar):
             # `df * df.stack().mean()` — the 1×1 scalar frame broadcast
             # cross-joins in (same lazy pattern as Series._binop): both
@@ -4568,7 +4642,9 @@ class DataFrame(FrameBase):
     # comparisons produce a boolean frame; strings compare fine, so no
     # numeric guard — scalar compare is a pure projection
     def _frame_cmp(self, other, fn, op: str) -> "DataFrame":
-        if isinstance(other, (Series, Scalar, DataFrame)):
+        if isinstance(other, (Series, Scalar, DataFrame, pd.Series)) or (
+                isinstance(other, (list, tuple, np.ndarray))
+                and not isinstance(other, str) and np.ndim(other) == 1):
             return self._frame_binop(other, fn, op)
         lit = F.lit(other)
         updates = {c: fn(F.col(c), lit) for c in self.columns}
@@ -4621,10 +4697,13 @@ class DataFrame(FrameBase):
     # Series broadcasts it DOWN the columns (aligned on the index).
     def _named_binop(self, other, fn, op: str, fill_value=None,
                      axis=None) -> "DataFrame":
-        if isinstance(other, Series) and fill_value is not None:
+        if isinstance(other, (Series, pd.Series)) and fill_value is not None:
             # pandas raises for frame∘series with fill_value on either axis
             raise NotImplementedError(
                 f"fill_value {fill_value} not supported.")
+        if axis in (0, "index") and isinstance(other, pd.Series):
+            from .sources import from_pandas
+            other = from_pandas(other.to_frame("__o__"))["__o__"]
         if axis in (0, "index") and isinstance(other, Series):
             return self._binop_axis0(other, fn, op)
         if fill_value is None:
@@ -4640,6 +4719,19 @@ class DataFrame(FrameBase):
 
         filled._typed = typed
         return self._frame_binop(other, filled, op)
+
+    @staticmethod
+    def _lift_bool_cell(a: Column, b: Column, dts: tuple) -> tuple:
+        """numpy semantics for the columns-axis broadcast: a boolean
+        operand paired with a NUMERIC one lifts to int64 (Spark's ANSI
+        ``int + boolean`` is an analysis error; pandas computes 1/0)."""
+        at, bt = dts
+        a_bool, b_bool = isinstance(at, T.BooleanType), isinstance(bt, T.BooleanType)
+        if a_bool and not b_bool and is_numeric(bt):
+            return a.cast("long"), b, (T.LongType(), bt)
+        if b_bool and not a_bool and is_numeric(at):
+            return a, b.cast("long"), (at, T.LongType())
+        return a, b, dts
 
     def _binop_axis1(self, other: "Series", fn, op: str,
                      reflexive: bool = False) -> "DataFrame":
@@ -4662,10 +4754,15 @@ class DataFrame(FrameBase):
         vals = {lab: r["__o__"] for lab, r in zip(labels, rows)}
         typed = getattr(fn, "_typed", False)
         out_cols = [F.col(c) for c in self._index_cols]
-        for name in sorted(dict.fromkeys(list(self.columns) + labels)):
+        # pandas Index.union fast path: an IDENTICAL label sequence keeps
+        # the frame's column order; any other overlap sorts the union
+        ordered = (list(self.columns) if labels == list(self.columns)
+                   else sorted(dict.fromkeys(list(self.columns) + labels)))
+        for name in ordered:
             if name in self.columns and name in vals:
                 a, b = F.col(name), F.lit(vals[name])
                 dts = (self._sdf.schema[name].dataType, other.spark_type)
+                a, b, dts = self._lift_bool_cell(a, b, dts)
                 if reflexive:
                     a, b = b, a
                     dts = dts[::-1]
@@ -4674,6 +4771,49 @@ class DataFrame(FrameBase):
             else:
                 out_cols.append(F.lit(None).cast("double").alias(name))
         node = Node(op, {"frame": True, "axis": 1}, self._expr, other._expr)
+        return DataFrame(self._sdf.select(*out_cols), node,
+                         self._index_cols, self._index_names)
+
+    def _binop_axis1_eager(self, other: pd.Series, fn, op: str,
+                           reflexive: bool = False) -> "DataFrame":
+        """``df ∘ eager pandas Series`` along the columns axis: labels AND
+        values are known at plan-build, so the broadcast is a pure
+        projection — no collect, no join (lazy twin: ``_binop_axis1``)."""
+        from ._dtypes import to_spark_type
+        labels = [str(k) for k in other.index]
+        if len(set(labels)) != len(labels):
+            raise ValueError("cannot reindex on an axis with duplicate "
+                             "labels")
+        try:
+            otype = to_spark_type(other.dtype)
+        except Exception:
+            otype = T.DoubleType()
+        vals = {}
+        for k, v in zip(labels, other):
+            if v is None or (isinstance(v, (float, np.floating)) and v != v):
+                vals[k] = None
+            else:
+                vals[k] = v.item() if hasattr(v, "item") else v
+        typed = getattr(fn, "_typed", False)
+        ordered = (list(self.columns) if labels == list(self.columns)
+                   else sorted(dict.fromkeys(list(self.columns) + labels)))
+        out_cols = [F.col(c) for c in self._index_cols]
+        for name in ordered:
+            if name in self.columns and name in vals:
+                v = vals[name]
+                b = (F.lit(None).cast("double") if v is None else F.lit(v))
+                a = F.col(name)
+                dts = (self._sdf.schema[name].dataType, otype)
+                a, b, dts = self._lift_bool_cell(a, b, dts)
+                if reflexive:
+                    a, b = b, a
+                    dts = dts[::-1]
+                expr = fn(a, b, dts) if typed else fn(a, b)
+                out_cols.append(expr.alias(name))
+            else:
+                out_cols.append(F.lit(None).cast("double").alias(name))
+        node = Node(op, {"frame": True, "axis": 1, "eager_other": True},
+                    self._expr)
         return DataFrame(self._sdf.select(*out_cols), node,
                          self._index_cols, self._index_names)
 
@@ -5413,7 +5553,14 @@ class DataFrame(FrameBase):
         if drop:
             sdf = sdf.drop(*self._index_cols)
         else:
-            names = [n if n is not None else "index" for n in self._index_names]
+            # pandas naming for unnamed levels: single index -> "index",
+            # MultiIndex levels -> "level_{i}" (r5 hunt pin)
+            if len(self._index_cols) <= 1:
+                names = [n if n is not None else "index"
+                         for n in self._index_names]
+            else:
+                names = [n if n is not None else f"level_{i}"
+                         for i, n in enumerate(self._index_names)]
             ren = {c: n for c, n in zip(self._index_cols, names) if c != n}
             if ren:
                 sdf = sdf.withColumnsRenamed(ren)
@@ -7917,6 +8064,14 @@ class DataFrame(FrameBase):
         cn = getattr(self, "_columns_name", None)
         if cn is not None:
             pdf.columns.name = cn
+        # groupby/resample .agg with a list (or dict-of-list) spec: pandas
+        # returns MultiIndex columns; the flat col_fn Spark names map back
+        # through the recorded (col, fn) tuples.  Unrecorded columns (e.g.
+        # as_index=False keys) take pandas' ('col', '') form.
+        tups = getattr(self, "_col_tuples", None)
+        if tups:
+            pdf.columns = pd.MultiIndex.from_tuples(
+                [tups.get(c, (c, "")) for c in pdf.columns])
         return pdf
 
 

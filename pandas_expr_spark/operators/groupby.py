@@ -194,7 +194,13 @@ class GroupBy:
         if self._as_index and getattr(self, "_slice_scalar", False) \
                 and len(value_cols) == 1:
             return Series(out, F.col(value_cols[0]), value_cols[0], node, idx, names)
-        return DataFrame(out, node, idx, names)
+        res = DataFrame(out, node, idx, names)
+        mi = getattr(self, "_mi_tuples", None)
+        if mi:
+            # boundary metadata: compute() restores pandas' MultiIndex
+            # columns for list/dict-of-list agg specs
+            res._col_tuples = dict(mi)
+        return res
 
     def _complete_unobserved(self, out):
         """Left-join the aggregate onto the full category spine so
@@ -480,6 +486,12 @@ class GroupBy:
                     if ident is not None else fn(F.col(col)))
             aggs.append(expr.alias(alias))
 
+        # pandas returns MultiIndex columns for frame-level list specs and
+        # for dict specs containing a list.  Spark columns are flat
+        # ``col_fn`` strings (SURVEY §7.4 naming); the (col, fn) tuples are
+        # carried as boundary metadata so ``compute()`` restores the
+        # pandas MultiIndex (engine-side ops keep using the flat names).
+        mi_tuples: dict[str, tuple] = {}
         if named and spec is None:
             # pandas named-agg: out_name=("col", "fn")
             for out_name, (col, fn_name) in named.items():
@@ -490,7 +502,6 @@ class GroupBy:
             for c in use:
                 one(c, spec, c)
         elif isinstance(spec, (list, tuple)):
-            # MultiIndex columns flattened to col_fn (SURVEY §7.4 naming);
             # (name, fn) tuples are pandas named entries — the given name
             # IS the label (bare for a SeriesGroupBy string slice)
             numeric = set(self._value_columns(numeric_only=True))
@@ -501,29 +512,40 @@ class GroupBy:
                         label, f_ = fn_name
                         one(c, f_, label if scalar_slice
                             else f"{c}_{label}")
+                        if not scalar_slice:
+                            mi_tuples[f"{c}_{label}"] = (c, label)
                         continue
                     if fn_name in self._ANY_DTYPE_AGGS or c in numeric:
                         # a string slice is a SeriesGroupBy: pandas labels
                         # the result with the BARE fn names
                         one(c, fn_name,
                             fn_name if scalar_slice else f"{c}_{fn_name}")
+                        if not scalar_slice:
+                            mi_tuples[f"{c}_{fn_name}"] = (c, fn_name)
         elif isinstance(spec, Mapping):
-            # pandas: if ANY column maps to a list, the output columns are a
-            # MultiIndex for ALL columns — flattened here to col_fn even for
-            # the scalar-string entries ({"v": ["sum"], "w": "max"} → w_max).
+            # pandas: if ANY column maps to a list, the output columns are
+            # a MultiIndex for ALL columns ({"v": ["sum"], "w": "max"} →
+            # ('v','sum'), ('w','max')); flat names stay col_fn.
             flatten_all = any(not isinstance(f, str) and not callable(f)
                               for f in spec.values())
+            scalar_slice = getattr(self, "_slice_scalar", False)
             for c, fns in spec.items():
                 if isinstance(fns, str):
                     one(c, fns, f"{c}_{fns}" if flatten_all else c)
+                    if flatten_all and not scalar_slice:
+                        mi_tuples[f"{c}_{fns}"] = (c, fns)
                 elif callable(fns):
                     fn_label = getattr(fns, "__name__", "fn")
                     one(c, fns, f"{c}_{fn_label}" if flatten_all else c)
+                    if flatten_all and not scalar_slice:
+                        mi_tuples[f"{c}_{fn_label}"] = (c, fn_label)
                 else:
                     for fn_name in fns:
                         label = fn_name if isinstance(fn_name, str) \
                             else getattr(fn_name, "__name__", "fn")
                         one(c, fn_name, f"{c}_{label}")
+                        if not scalar_slice:
+                            mi_tuples[f"{c}_{label}"] = (c, label)
         elif callable(spec):
             # bare callable (gb["v"].agg(lambda s: ...)): one Arrow
             # GROUPED_AGG per value column, pandas' bare column labels
@@ -554,6 +576,7 @@ class GroupBy:
             out = self._grouping(sdf).agg(*aggs)
         self._count_like = count_like
         self._fill_ident = fill_ident
+        self._mi_tuples = mi_tuples
         return self._finish(out, "agg")
 
     aggregate = agg
@@ -1215,6 +1238,11 @@ class GroupBy:
                 grouped = grouped.filter(F.col(b).isNotNull())
         out = grouped.groupBy(*self._by).agg(*aggs)
         self._count_like = set()
+        if not bare:
+            # pandas frame ohlc returns MultiIndex (col, open..close)
+            # columns — boundary metadata, same contract as agg specs
+            self._mi_tuples = {f"{c}_{st}": (c, st) for c in vcols
+                               for st in ("open", "high", "low", "close")}
         return self._finish(out, "ohlc")
 
     def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)):
@@ -1242,6 +1270,12 @@ class GroupBy:
             aggs.append(F.max(col).cast("double").alias(name(c, "max")))
         out = self._grouping(self._grouped_sdf()).agg(*aggs)
         self._count_like = set()
+        if not single:
+            # pandas frame describe returns MultiIndex (col, stat) columns
+            stats = (["count", "mean", "std", "min"]
+                     + [f"{int(p * 100)}%" for p in percentiles] + ["max"])
+            self._mi_tuples = {f"{c}_{st}": (c, st)
+                               for c in cols for st in stats}
         return self._finish(out, "describe")
 
     def sample(self, n: int | None = None, frac: float | None = None,
@@ -1560,6 +1594,10 @@ class Resampler(GroupBy):
         out = orig.groupBy(*self._extra_by, bucket.alias(on)).agg(*aggs)
         self._count_like = set()
         self._fill_ident = {}
+        if not bare:
+            # pandas MultiIndex (col, open..close) at the boundary
+            self._mi_tuples = {f"{c}_{st}": (c, st) for c in vcols
+                               for st in ("open", "high", "low", "close")}
         return self._finish(out, "ohlc")
 
     def asfreq(self, method=None):

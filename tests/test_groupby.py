@@ -51,7 +51,7 @@ def test_agg_str(gdf, groupby_pdf):
 def test_agg_list(gdf, groupby_pdf):
     got = gdf.groupby("x").agg(["sum", "mean"]).compute()
     exp = groupby_pdf.groupby("x").agg(["sum", "mean"])
-    exp.columns = [f"{c}_{f}" for c, f in exp.columns]
+    # since r5 the engine returns pandas' MultiIndex columns here
     pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
                                   check_dtype=False)
 
@@ -80,12 +80,12 @@ def test_agg_str_skips_string_columns(spark):
 
 
 def test_agg_dict_mixed_list_flattens_all(gdf, groupby_pdf):
-    # pandas: one list value → MultiIndex for EVERY column; engine flattens
-    # the whole output to col_fn, including the scalar-string entries
+    # pandas: one list value → MultiIndex for EVERY column; since r5 the
+    # engine restores that MultiIndex at the compute() boundary
     got = gdf.groupby("x").agg({"y": ["sum", "mean"], "z": "max"}).compute()
     exp = groupby_pdf.groupby("x").agg({"y": ["sum", "mean"], "z": "max"})
-    exp.columns = ["_".join(t).rstrip("_") for t in exp.columns]
-    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+    pd.testing.assert_frame_equal(got.sort_index()[sorted(got.columns)],
+                                  exp.sort_index()[sorted(exp.columns)],
                                   check_dtype=False)
 
 
@@ -355,7 +355,7 @@ def test_groupby_diff_pct_change(win_df, win_pdf):
 def test_groupby_ohlc(win_df, win_pdf):
     got = win_df.groupby("k")[["u"]].ohlc().compute().sort_index()
     exp = win_pdf.groupby("k")[["u"]].ohlc().sort_index()
-    exp.columns = ["_".join(c) for c in exp.columns]
+    # frame ohlc returns pandas' MultiIndex (col, open..close) since r5
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_names=False)
 
@@ -363,7 +363,7 @@ def test_groupby_ohlc(win_df, win_pdf):
 def test_groupby_describe(win_df, win_pdf):
     got = win_df.groupby("k")[["u"]].describe().compute().sort_index()
     exp = win_pdf.groupby("k")[["u"]].describe().sort_index()
-    exp.columns = ["_".join(c) for c in exp.columns]
+    # frame describe returns pandas' MultiIndex (col, stat) since r5
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False,
                                   check_names=False)
 

@@ -271,7 +271,8 @@ class TestBatch4Fixes:
         want = p.groupby("k")["v"].describe()
         assert list(got.columns) == list(want.columns)
         got_full = pes.from_pandas(p).groupby("k").describe().compute()
-        assert "v_mean" in got_full.columns  # unsliced keeps col prefix
+        # unsliced frame describe: pandas MultiIndex (col, stat) since r5
+        assert ("v", "mean") in got_full.columns
 
 
 class TestFloordivDtypes:

@@ -72,9 +72,9 @@ def test_series_groupby_agg_list_bare_names(spark):
     got = f.groupby("g")["v"].agg(["min", "max", "count"]).compute()
     exp = pdf.groupby("g")["v"].agg(["min", "max", "count"])
     tm.assert_frame_equal(got, exp, check_dtype=False)
-    # frame slice keeps prefixed names
+    # frame slice returns pandas' MultiIndex columns (r5)
     got2 = f.groupby("g")[["v"]].agg(["min"]).compute()
-    assert list(got2.columns) == ["v_min"]
+    assert list(got2.columns) == [("v", "min")]
 
 
 def test_quantile_axis1(spark):

@@ -89,14 +89,10 @@ def test_groupby_agg_dict_of_lists(df7, pdf7):
     got = (df7.groupby("g").agg({"v": ["sum", "max"], "x": "mean"})
            .compute().sort_index())
     exp = pdf7.groupby("g").agg({"v": ["sum", "max"], "x": "mean"})
-    # engine flattens MultiIndex columns to the same (col, fn) labels
-    g = got[sorted(got.columns.map(str))]
-    e = exp.copy()
-    e.columns = [str(c) for c in e.columns.to_flat_index()] \
-        if hasattr(e.columns, "to_flat_index") else e.columns
-    e = e[sorted(e.columns)]
+    # engine returns pandas' MultiIndex columns since r5
     np.testing.assert_allclose(
-        np.asarray(g, dtype=float), np.asarray(e, dtype=float))
+        np.asarray(got[sorted(got.columns)], dtype=float),
+        np.asarray(exp[sorted(exp.columns)], dtype=float))
 
 
 def test_sort_index_descending(df7, pdf7):
