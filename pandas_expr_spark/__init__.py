@@ -119,18 +119,49 @@ def crosstab(frame, index=None, columns=None, values=None, aggfunc=None):
     """pandas ``pd.crosstab``.  Accepts either the engine's frame-anchored
     form ``crosstab(df, "row_col", "col_col")`` or pandas' two-Series form
     ``crosstab(s_rows, s_cols)`` (same-anchor Series)."""
-    from ._collection import Series as _Series
+    from ._collection import Series as _Series, _attach_rowid, _ROWID
     from pyspark.sql import functions as _F
     if isinstance(frame, _Series):
         s1, s2 = frame, index
-        if not isinstance(s2, _Series) or s2._sdf is not s1._sdf:
-            raise ValueError("crosstab(series, series) needs two Series "
-                             "from the same frame")
+        if not isinstance(s2, _Series):
+            raise ValueError("crosstab(series, series) needs two Series")
         n1 = s1.name or "row"
         n2 = s2.name or "col"
         if n1 == n2:
             n2 = n2 + "_2"
-        sdf = s1._sdf.select(s1._scol.alias(n1), s2._scol.alias(n2))
+        if s2._sdf is s1._sdf:
+            sdf = s1._sdf.select(s1._scol.alias(n1), s2._scol.alias(n2))
+        else:
+            # foreign series: pandas inner-aligns on the index — one
+            # equi-join on the index cols, or the positional rowid
+            # contract for default-index series (r5 hunt fix)
+            f1, f2 = s1.to_frame("__r__"), s2.to_frame("__c__")
+            pos1 = (not f1._index_cols
+                    or tuple(f1._index_cols) == (_ROWID,))
+            pos2 = (not f2._index_cols
+                    or tuple(f2._index_cols) == (_ROWID,))
+            if pos1 and pos2:
+                a = (f1._sdf if tuple(f1._index_cols) == (_ROWID,)
+                     else _attach_rowid(f1._sdf))
+                b = (f2._sdf if tuple(f2._index_cols) == (_ROWID,)
+                     else _attach_rowid(f2._sdf))
+                joined = (a.select(_F.col(_ROWID), _F.col("__r__"))
+                          .join(b.select(_F.col(_ROWID), _F.col("__c__")),
+                                _ROWID, "inner"))
+            elif (f1._index_cols and f2._index_cols
+                  and len(f1._index_cols) == len(f2._index_cols)):
+                b = f2._sdf.select(
+                    *[_F.col(c).alias(i) for c, i in
+                      zip(f2._index_cols, f1._index_cols)],
+                    _F.col("__c__"))
+                joined = (f1._sdf.select(*f1._index_cols, _F.col("__r__"))
+                          .join(b, list(f1._index_cols), "inner"))
+            else:
+                raise ValueError(
+                    "crosstab(series, series) needs both Series indexed "
+                    "(or both default-index for positional alignment)")
+            sdf = joined.select(_F.col("__r__").alias(n1),
+                                _F.col("__c__").alias(n2))
         frame, index, columns = DataFrame(sdf), n1, n2
     if values is not None or aggfunc is not None:
         return frame.crosstab(index, columns, values=values,

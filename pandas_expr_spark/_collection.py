@@ -1212,6 +1212,20 @@ class Series(FrameBase):
                               F.coalesce(F.col("__l__"), F.col("__r__")),
                               self._col_name, node, joined._index_cols,
                               joined._index_names)
+            if isinstance(value, Scalar):
+                # s.fillna(s.mean()) — the lazy 1×1 scalar frame broadcast
+                # cross-joins (same pattern as Series._binop); both sides
+                # stay lazy, the aggregate runs distributed (r5 hunt fix:
+                # F.lit(Scalar) crashed)
+                rhs = F.broadcast(value._sdf.select(
+                    F.col(value._sdf.columns[0]).alias("__fill__")))
+                joined = self._sdf.crossJoin(rhs)
+                node = Node("fillna", {"scalar": True}, self._expr,
+                            value._expr)
+                return Series(joined,
+                              F.coalesce(self._scol, F.col("__fill__")),
+                              self._col_name, node, self._index_cols,
+                              self._index_names)
             return self._with_scol(F.coalesce(self._scol, F.lit(value)),
                                    "fillna", value=value)
         # pandas limit=n: fill only the first n nulls along the WHOLE axis
@@ -1276,6 +1290,15 @@ class Series(FrameBase):
         if isinstance(st, T.StringType):
             # pandas astype(str) stringifies missing values by SOURCE dtype:
             # float NaN → 'nan', datetime NaT → 'NaT', object None → 'None'
+            vf = getattr(self, "_period_value_freq", None) or {}
+            pfreq = vf.get(self._col_name)
+            if pfreq is not None:
+                # period-valued series: pandas Period labels ('2024Q1'),
+                # not the stored period-start timestamp
+                from .functions.timeseries import period_label_col
+                out = F.coalesce(period_label_col(self._scol, pfreq),
+                                 F.lit("NaT"))
+                return self._with_scol(out, "astype", dtype=str(dtype))
             src = self.spark_type
             if isinstance(src, (T.DoubleType, T.FloatType)):
                 # Python repr formatting ('1e-05', not Java's '1.0E-5');
@@ -4362,17 +4385,44 @@ class DataFrame(FrameBase):
                                | F.col(icol).isNull())
         return self._derive(out, "drop", {"n_labels": len(labels)})
 
-    def rename(self, columns=None) -> "DataFrame":
+    def rename(self, columns=None, index=None) -> "DataFrame":
         """Reference RenameFrame ``_expr.py:1034-1052``.  ``columns`` may
-        be a mapping or a callable applied to every column name (pandas)."""
+        be a mapping or a callable applied to every column name (pandas).
+        ``index=`` maps the index LABELS (pandas): a dict rewrites only
+        the listed labels (CASE chain, unmapped labels unchanged); a
+        callable applies to every label via the Series.map machinery
+        (Arrow UDF) — r5 hunt addition."""
+        out = self
+        if index is not None:
+            if not self._index_cols:
+                raise ValueError("rename(index=) needs an index")
+            sdf = self._sdf
+            for c in self._index_cols:
+                if isinstance(index, Mapping):
+                    expr = F.col(c)
+                    newc = expr
+                    for k, v in index.items():
+                        newc = F.when(expr == F.lit(k), F.lit(v)) \
+                                .otherwise(newc)
+                    sdf = sdf.withColumn(c, newc)
+                elif callable(index):
+                    tmp = Series(sdf, F.col(c), c, self._expr, (), ())
+                    mapped = tmp.map(index)
+                    sdf = mapped._sdf.withColumn(c, mapped._scol)
+                else:
+                    raise TypeError("rename(index=) takes a mapping or "
+                                    "callable")
+            out = DataFrame(sdf, Node("rename", {"index": True},
+                                      self._expr),
+                            self._index_cols, self._index_names)
         if columns is None:
-            return self
+            return out
         if callable(columns):
-            columns = {c: columns(c) for c in self.columns}
+            columns = {c: columns(c) for c in out.columns}
         if not columns:
-            return self
-        return self._derive(self._sdf.withColumnsRenamed(dict(columns)),
-                            "rename", {"columns": dict(columns)})
+            return out
+        return out._derive(out._sdf.withColumnsRenamed(dict(columns)),
+                           "rename", {"columns": dict(columns)})
 
     def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
         """Reference ``_collection.py:489-491``."""
@@ -6046,11 +6096,24 @@ class DataFrame(FrameBase):
         anti-pattern in distributed pipelines; provided for pandas-parity
         escape hatches only."""
         from collections import namedtuple
-        cols = ([c for c in self._index_cols] if index else []) + self.columns
+        idx_cols = list(self._index_cols)
         fields = (["Index"] if index else []) + self.columns
         tup = namedtuple(name, fields, rename=True)
+        if index and not idx_cols:
+            # default positional index: enumerate driver-side (r5 pin —
+            # the old path promised an Index field it never selected)
+            for i, row in enumerate(
+                    self._sdf.select(*self.columns).toLocalIterator()):
+                yield tup(i, *row)
+            return
+        cols = (idx_cols if index else []) + self.columns
+        nidx = len(idx_cols) if index else 0
         for row in self._sdf.select(*cols).toLocalIterator():
-            yield tup(*row)
+            if index:
+                key = tuple(row[:nidx]) if nidx > 1 else row[0]
+                yield tup(key, *row[nidx:])
+            else:
+                yield tup(*row)
 
     def iterrows(self):
         """Driver-side (index, pandas Series) iteration — same
@@ -7489,7 +7552,11 @@ class DataFrame(FrameBase):
                 total.withColumn(index, F.lit(margins_name))
                 .select(out.columns))
         node = Node("crosstab", {"index": index, "columns": columns}, self._expr)
-        return DataFrame(out, node, (), None)
+        # pandas crosstab indexes on the row key and names the columns
+        # axis after the column key (r5 parity)
+        res = DataFrame(out, node, (index,), (index,))
+        res._columns_name = columns
+        return res
 
     _RESAMPLE_TRUNC = {"s": "second", "min": "minute", "t": "minute",
                        "h": "hour", "d": "day", "w": "week",
@@ -7686,12 +7753,17 @@ class DataFrame(FrameBase):
         out = base.melt(id_vars, value_vars, var_name, value_name)
         sdf = out._sdf.filter(F.col(value_name).isNotNull()) if dropna \
             else out._sdf
-        # index-keyed stack keeps the caller's row labels (duplicated per
-        # stacked column, like pandas' outer MultiIndex level)
-        idx = tuple(id_vars) if from_index else ()
-        names = base._index_names if from_index else None
-        return DataFrame(sdf, Node("stack", {"dropna": dropna}, out._expr),
-                         idx, names)
+        node = Node("stack", {"dropna": dropna}, out._expr)
+        if from_index:
+            # pandas parity (r5): a bare stack() returns a SERIES on the
+            # MultiIndex (row labels, stacked column) — the stacked
+            # column level takes the columns-axis name (usually None)
+            idx = tuple(id_vars) + (var_name,)
+            names = tuple(base._index_names) + \
+                (getattr(self, "_columns_name", None),)
+            return Series(sdf, F.col(value_name), None, node, idx, names)
+        # explicit id_vars: engine extension, melt-flavored long frame
+        return DataFrame(sdf, node, (), None)
 
     def with_ewm(self, name: str, col: str, order_by, alpha: float,
                  partition_by=None, adjust: bool = True,
@@ -8284,8 +8356,29 @@ class _LocIndexer:
         """pandas: ``df.loc[label]`` is the ROW as a Series (index =
         columns, name = label) when the label is unique, the matching
         sub-frame when duplicated, KeyError when absent.  One bounded
-        collect (the matching rows)."""
+        collect (the matching rows).
+
+        A PARTIAL datetime string key (day or coarser-than-second
+        resolution: "2024-02-25", "2024-02", "2024-02-25 05") selects its
+        whole period as a LAZY sub-frame — pandas partial-string
+        indexing; a full-resolution string stays an exact row lookup."""
         icol = f._index_cols[0]
+        ic_type = f._sdf.schema[icol].dataType
+        if isinstance(key, str) and isinstance(
+                ic_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            try:
+                per = pd.Period(key)
+            except Exception:
+                per = None
+            if per is not None and per.freqstr.lower() not in (
+                    "s", "ms", "us", "ns"):
+                c = F.col(icol)
+                lo = per.start_time.to_pydatetime()
+                hi = (per + 1).start_time.to_pydatetime()
+                sub = f._derive(
+                    f._sdf.filter((c >= F.lit(lo)) & (c < F.lit(hi))),
+                    "loc_partial_string", {"period": str(per)})
+                return sub
         hit = f._derive(f._sdf.filter(F.col(icol) == F.lit(key)), "loc",
                         {"label": repr(key)})
         pdf = hit.compute()
@@ -8356,13 +8449,29 @@ class _LocIndexer:
                 raise ValueError("loc label slice needs an index — "
                                  "set_index first")
             # pandas label slices are INCLUSIVE on both ends; on a
-            # monotonic index this is exactly a range filter (truncate)
+            # monotonic index this is exactly a range filter (truncate).
+            # A partial datetime STRING bound expands to its whole period
+            # (pandas partial-string indexing: stop "2024-02-27" includes
+            # all of Feb 27) — lowered to [start_of(start), start_of(
+            # stop's NEXT period)), microsecond-exact, still a pushdown-
+            # friendly range predicate.
             c = F.col(f._index_cols[0])
+            ic_type = f._sdf.schema[f._index_cols[0]].dataType
+            is_dt = isinstance(ic_type, (T.TimestampType, T.TimestampNTZType,
+                                         T.DateType))
             sdf = f._sdf
             if key.start is not None:
-                sdf = sdf.filter(c >= F.lit(key.start))
+                lo = key.start
+                if is_dt and isinstance(lo, str):
+                    lo = pd.Period(lo).start_time.to_pydatetime()
+                sdf = sdf.filter(c >= F.lit(lo))
             if key.stop is not None:
-                sdf = sdf.filter(c <= F.lit(key.stop))
+                hi = key.stop
+                if is_dt and isinstance(hi, str):
+                    nxt = (pd.Period(hi) + 1).start_time.to_pydatetime()
+                    sdf = sdf.filter(c < F.lit(nxt))
+                else:
+                    sdf = sdf.filter(c <= F.lit(hi))
             return f._derive(sdf, "loc_slice",
                              {"start": key.start, "stop": key.stop})
         if isinstance(key, Series):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, Window, functions as F
+from pyspark.sql import types as T
 
 
 class _Accessor:
@@ -130,7 +131,11 @@ class StringAccessor(_Accessor):
         clamped to [0, len]); the non-negative fast path stays a static
         ``substring`` (constant-foldable)."""
         if step not in (None, 1):
-            raise NotImplementedError("str.slice(step=)")
+            # stepped slice has no JVM builtin — honest Arrow fallback
+            @F.pandas_udf(T.StringType())
+            def _step_slice(s: pd.Series) -> pd.Series:
+                return s.str.slice(start, stop, step)
+            return self._wrap(_step_slice(self._s._scol), "str.slice")
         c = self._s._scol
         if start >= 0 and (stop is None or stop >= 0):
             length = (stop - start) if stop is not None else 2 ** 31 - 1
@@ -179,13 +184,32 @@ class StringAccessor(_Accessor):
 
     def get(self, i: int):
         # pandas: out-of-range position → NaN (Spark substring gives '');
-        # negative positions count from the end like Python
+        # negative positions count from the end like Python.  On an ARRAY
+        # column (s.str.split().str.get(1) / .str[1]) this is the list
+        # element instead — pandas .str dispatches per element type.
         c = self._s._scol
+        st = self._s.spark_type
+        if isinstance(st, T.ArrayType):
+            if i >= 0:
+                # F.get is 0-based and null (not ANSI error) out of range
+                return self._wrap(F.get(c, F.lit(i)), "str.get")
+            # negative: element_at counts from the end; guard the ANSI
+            # out-of-range error (CASE branches evaluate lazily)
+            out = F.when(F.size(c) >= -i, F.element_at(c, F.lit(i)))
+            return self._wrap(out, "str.get")
         if i < 0:
             ch = F.substring(c, F.length(c) + F.lit(i + 1), F.lit(1))
             return self._wrap(F.when(F.length(c) >= -i, ch), "str.get")
         ch = F.substring(c, i + 1, 1)
         return self._wrap(F.when(F.length(c) > i, ch), "str.get")
+
+    def __getitem__(self, key):
+        """pandas ``s.str[key]``: positional getitem per element —
+        ``s.str[1]`` ≡ ``str.get(1)`` (strings AND split() arrays),
+        ``s.str[a:b:c]`` ≡ ``str.slice(a, b, c)``."""
+        if isinstance(key, slice):
+            return self.slice(key.start or 0, key.stop, key.step)
+        return self.get(key)
 
     def replace(self, pat: str, repl: str, n: int = -1,
                 regex: bool = False):
@@ -941,8 +965,11 @@ class CategoricalAccessor(_Accessor):
         return out
 
     def as_known(self):
+        # pandas: null is NEVER a category (it stays code -1), so the
+        # distinct-discovery scan filters it out (r5 hunt pin)
         cats = [r[0] for r in
                 self._s._sdf.select(self._s._scol.alias("__c__"))
+                .filter(self._s._scol.isNotNull())
                 .distinct().orderBy("__c__").collect()]
         return self._tagged(self._s._with_scol(self._s._scol, "cat.as_known"),
                             cats)
@@ -989,9 +1016,10 @@ class CategoricalAccessor(_Accessor):
         this is a broadcast-join against the (small) category list."""
         if self.known:
             cats = self._s._cat_categories
-            mapping = F.lit(None)
             c = self._s._scol
-            out = mapping
+            # pandas: null and out-of-category values code to -1 (r5 pin;
+            # the old None base surfaced as NaN)
+            out = F.lit(-1)
             for i, cat in enumerate(cats):
                 out = F.when(c == F.lit(cat), F.lit(i)).otherwise(out)
             return self._wrap(out.cast("int"), "cat.codes")

@@ -378,6 +378,36 @@ def period_start_col(col, freq: str):
     return F.date_trunc(unit, col)
 
 
+def period_label_col(col, freq: str):
+    """Format a stored period-start timestamp as pandas' Period STRING
+    label ('2024', '2024Q1', '2024-02', '2024-02-25', '2024-02-25 05:00')
+    — pure JVM date_format/concat, used by ``astype(str)`` on
+    period-valued series (r5 hunt pin: the raw timestamp cast printed
+    '2024-01-01 00:00:00' where pandas prints '2024Q1')."""
+    key = str(freq).split("-")[0].upper()
+    if key in ("A", "Y"):
+        return F.date_format(col, "yyyy")
+    if key == "Q":
+        return F.concat(F.date_format(col, "yyyy"), F.lit("Q"),
+                        F.quarter(col).cast("string"))
+    if key == "M":
+        return F.date_format(col, "yyyy-MM")
+    if key == "W":
+        # pandas week label is 'start/end' of the week period
+        end = F.date_add(col.cast("date"), 6)
+        return F.concat(F.date_format(col, "yyyy-MM-dd"), F.lit("/"),
+                        F.date_format(end, "yyyy-MM-dd"))
+    if key == "D":
+        return F.date_format(col, "yyyy-MM-dd")
+    if key in ("H", "HOUR"):
+        return F.date_format(col, "yyyy-MM-dd HH:00")
+    if key in ("T", "MIN"):
+        return F.date_format(col, "yyyy-MM-dd HH:mm")
+    if key in ("S", "SEC"):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
 def period_to_timestamp_col(col, freq: str, how: str = "start"):
     """Convert a stored period-start column per pandas ``to_timestamp``."""
     if how in ("start", "s", "begin"):

@@ -30,14 +30,34 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
             raise ValueError("keys must match the number of frames")
         frames = [f.to_frame() if isinstance(f, Series) else f
                   for f in frames]
+        # normalize every frame to an EXPLICIT index of the same depth
+        # with canonical level column names — otherwise a mix of
+        # default-index and labeled frames fails the recursive concat's
+        # shared-index check and silently drops the key level (r5 pin)
+        from .._collection import _ROWID, _attach_rowid
+        norm = []
+        for f in frames:
+            if not f._index_cols:
+                f = DataFrame(_attach_rowid(f._sdf), f._expr,
+                              (_ROWID,), (None,))
+            norm.append(f)
+        depth = len(norm[0]._index_cols)
+        if any(len(f._index_cols) != depth for f in norm):
+            raise ValueError(
+                "concat(keys=) requires every frame's index to have the "
+                "same number of levels")
+        canon = [f"__concat_idx_{i}__" for i in range(depth)]
+        inner_names = tuple(norm[0]._index_names) if norm[0]._index_names \
+            else (None,) * depth
         tagged = []
-        for key, f in zip(keys, frames):
-            sdf = f._sdf.select(F.lit(key).alias("__concat_key__"),
-                                *(list(f._index_cols) + f.columns))
-            inner_names = (tuple(f._index_names) if f._index_names
-                           else (None,) * len(f._index_cols))
+        for key, f in zip(keys, norm):
+            sdf = f._sdf.select(
+                F.lit(key).alias("__concat_key__"),
+                *[F.col(c).alias(nm) for c, nm in
+                  zip(f._index_cols, canon)],
+                *f.columns)
             tagged.append(DataFrame(sdf, f._expr,
-                                    ("__concat_key__",) + tuple(f._index_cols),
+                                    ("__concat_key__",) + tuple(canon),
                                     (None,) + inner_names))
         return concat(tagged, join=join, axis=0, ignore_index=False)
     if axis in (1, "columns"):

@@ -44,7 +44,8 @@ def test_crosstab_margins(spark, pdf):
     exp = pd.crosstab(pdf.k, pdf.g, margins=True)
     assert sorted(got[["x", "y", "All"]].values.ravel()) == \
         sorted(exp.values.ravel())
-    assert "All" in set(got["k"])
+    # row key is the index like pandas since r5
+    assert "All" in set(got.index)
 
 
 def test_describe_percentiles(spark, pdf):

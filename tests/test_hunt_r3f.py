@@ -126,9 +126,15 @@ def test_apply_axis1_rowwise_scalar(spark):
 def test_stack_default_index(spark):
     pdf = pd.DataFrame({"x": [1.0, None], "y": [None, 2.0]})
     f = pes.from_pandas(pdf)
+    # pandas parity (r5): bare stack() is a Series on the (row, column)
+    # MultiIndex
     got = f.stack(dropna=False).compute().sort_index()
-    # engine contract: frame-shaped (variable, value) keyed on row labels
-    exp = pdf.stack(dropna=False)
-    assert list(got["value"].fillna(-1)) == list(exp.fillna(-1))
-    assert list(got["variable"]) == [i[1] for i in exp.index]
-    assert list(got.index) == [i[0] for i in exp.index]
+    exp = pdf.stack(dropna=False).sort_index()
+    pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                   check_names=False,
+                                   check_index_type=False)
+    got2 = f.stack().compute().sort_index()
+    exp2 = pdf.stack().sort_index()
+    pd.testing.assert_series_equal(got2, exp2, check_dtype=False,
+                                   check_names=False,
+                                   check_index_type=False)

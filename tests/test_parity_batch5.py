@@ -87,23 +87,22 @@ def test_duplicated_first_positional(spark):
 
 # -- crosstab ----------------------------------------------------------
 def test_crosstab_counts(tdf, ts_pdf):
-    got = tdf.crosstab("g", "v").compute().sort_values("g").reset_index(drop=True)
+    # crosstab indexes on the row key like pandas since r5
+    got = tdf.crosstab("g", "v").compute().sort_index()
     exp = pd.crosstab(ts_pdf.g, ts_pdf.v)
-    for _, row in got.iterrows():
-        g = row["g"]
+    for g, row in got.iterrows():
         for c in exp.columns:
             assert row[str(c)] == exp.loc[g, c], (g, c)
 
 
 def test_crosstab_pinned_values_and_agg(tdf, ts_pdf):
     got = tdf.crosstab("g", "v", values="x", aggfunc="sum",
-                       pivot_values=[0, 1, 2]).compute()
+                       pivot_values=[0, 1, 2]).compute().sort_index()
     exp = ts_pdf.pivot_table(values="x", index="g", columns="v",
                              aggfunc="sum")
-    got = got.sort_values("g").reset_index(drop=True)
-    for _, row in got.iterrows():
+    for g, row in got.iterrows():
         for c in [0, 1, 2]:
-            e = exp.loc[row["g"], c] if c in exp.columns else np.nan
+            e = exp.loc[g, c] if c in exp.columns else np.nan
             if pd.isna(row[str(c)]):
                 # Spark sum over no/all-null rows -> null; pandas -> 0.0
                 assert pd.isna(e) or e == 0.0
