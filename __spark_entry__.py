@@ -1625,6 +1625,28 @@ def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_to_df(spark, merges)
 
 
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE tokenization (new r5): learn 8 merges, then ENCODE
+    every document with the Arrow-batched rank-order UDF
+    (``functions/bpe.py`` ``encode_bpe`` — the practical path for 32k+
+    vocabularies; per-batch word memo).  EXACT oracle: the merge replay
+    is deterministic, so the DuckDB twin re-learns the same 8 merges
+    (``_bpe_learn_oracle_sql`` CTEs) and re-encodes each doc's words with
+    the same 8 sentinel ``replace`` steps — token streams compared
+    verbatim.  Corpus cost: tokenization is ONE mapInPandas pass; the
+    merge table is driver-held (KBs) and closure-broadcast."""
+    from pandas_expr_spark.functions import bpe
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    merges, _words = bpe.learn_bpe(docs, "text", n_merges=8)
+    enc = bpe.encode_bpe(docs, "text", merges)
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("token_text"))
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode hot path with an EXACT SQL oracle.  Each doc_id
     deterministically defines an image — width ``8 + id%8``, height
@@ -3549,7 +3571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": embedding_ann_ivf,
         "trained_quality_scorer": trained_quality_scorer,
         # ---- tail, oldest evidence first (front of the r6 window:
-        # the 2 r1 gates deferred this round, then r2/r3/r4) ----
+        # the new r5 gate, the 2 r1 gates deferred this round, then
+        # r2/r3/r4) ----
+        "bpe_encode_documents": bpe_encode_documents,
         "value_counts_priority": value_counts_priority,
         "distinct_flags": distinct_flags,
         "q12_priority_shipping": q12_priority_shipping,
@@ -3751,6 +3775,71 @@ def _bpe_learn_oracle_sql(n_merges: int = 8) -> str:
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT rank, l AS left, r AS right, merged, c AS pair_count"
               f" FROM ({union}) ORDER BY rank")
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of ``bpe.encode_bpe`` over learned merges (exact).
+
+    Re-learns the same ``n_merges`` merges (the ``_bpe_learn_oracle_sql``
+    CTE chain — deterministic), then re-encodes each doc's words by replaying
+    the merges in rank order with the same sentinel ``replace`` steps the
+    learn oracle uses (left-to-right non-overlapping — identical greedy
+    scan to ``merge_word_py``/the JVM fold).  Token streams compared
+    verbatim per document."""
+    # rebuild the learn CTEs, including the final w{n} (not needed by the
+    # learn oracle but harmless) — copy of the generator above
+    parts = ["""w0 AS (
+      SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS s,
+             SUM(c)::BIGINT AS freq
+      FROM (SELECT word, COUNT(*) AS c
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word)
+      GROUP BY 1)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+          SELECT l, r, SUM(freq)::BIGINT AS c FROM (
+            SELECT freq, syms[i] AS l, syms[i+1] AS r
+            FROM (SELECT freq,
+                         regexp_extract_all(s, '\\x01([^\\x02]*)\\x02', 1) AS syms
+                  FROM w{i - 1}),
+                 UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+          ) GROUP BY l, r)""")
+        parts.append(f"""m{i} AS (SELECT {i - 1}::BIGINT AS rank, l, r,
+                            l || r AS merged, c
+                     FROM p{i} ORDER BY c DESC, l, r LIMIT 1)""")
+        if i < n_merges:
+            parts.append(f"""w{i} AS (
+              SELECT replace(s, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+                             chr(1)||l||r||chr(2)) AS s, freq
+              FROM w{i - 1}, m{i})""")
+    # per-doc word stream in order, then the same replace chain
+    parts.append("""e0 AS (
+      SELECT doc_id, i AS pos,
+             regexp_replace(ws[i], '(.)', chr(1) || '\\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS s
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\\s+') AS ws
+            FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS t(i)
+      WHERE ws[i] <> '')""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""e{i} AS (
+          SELECT doc_id, pos,
+                 replace(s, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+                         chr(1)||l||r||chr(2)) AS s
+          FROM e{i - 1}, m{i})""")
+    parts.append(f"""tok AS (
+      SELECT doc_id, pos,
+             regexp_extract_all(s, '\\x01([^\\x02]*)\\x02', 1) AS syms
+      FROM e{n_merges})""")
+    return ("WITH " + ",\n".join(parts) + """
+        SELECT doc_id,
+               SUM(len(syms))::BIGINT AS n_tokens,
+               string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)
+                   AS token_text
+        FROM tok GROUP BY doc_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4765,6 +4854,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY media_id
         """,
         "bpe_learn_documents": _bpe_learn_oracle_sql(8),
+        "bpe_encode_documents": _bpe_encode_oracle_sql(8),
         "minhash_verified_dups": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

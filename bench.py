@@ -131,6 +131,8 @@ HEADLINE = [
     "trained_quality_scorer",
     # round-4 addition: bigram LM perplexity scoring
     "doc_bigram_ppl",
+    # round-5 addition: end-to-end BPE tokenization (learn + encode)
+    "bpe_encode_documents",
 ]
 
 

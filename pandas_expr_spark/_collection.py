@@ -3352,6 +3352,21 @@ class Series(FrameBase):
         vfreq = getattr(self, "_period_value_freq", None) or {}
         if name in vfreq:
             ser = ser.dt.to_period(vfreq[name])
+        tzmeta = getattr(self, "_tz_value", None) or {}
+        m = tzmeta.get(name) or tzmeta.get(self._col_name)
+        if m:
+            # tz_localize/tz_convert boundary metadata: stored values are
+            # UTC instants ("utc") or tz wall clock ("wall") — re-attach
+            # pandas tz-awareness; DST-ambiguous walls stay naive rather
+            # than raise (documented best-effort)
+            mode, tz = m
+            try:
+                if mode == "utc":
+                    ser = ser.dt.tz_localize("UTC").dt.tz_convert(tz)
+                else:
+                    ser = ser.dt.tz_localize(tz)
+            except Exception:
+                pass
         if self._col_name is None:
             ser.name = None
         if getattr(self, "_is_categorical", False):
@@ -4494,6 +4509,13 @@ class DataFrame(FrameBase):
             expr = _re2.sub(
                 r"\bin\s*\[([^\]]*)\]",
                 lambda m: "in (" + m.group(1) + ")", expr)
+        # pandas: a bare `index` names the index (unless a column shadows
+        # it) — rewrite to the physical index column (r5 hunt pin)
+        if (self._index_cols and len(self._index_cols) == 1
+                and "index" not in self.columns and "index" in expr):
+            import re as _re3
+            expr = _re3.sub(r"(?<![\w@.`'])index(?![\w`'])",
+                            f"`{self._index_cols[0]}`", expr)
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------

@@ -850,17 +850,23 @@ class DatetimeAccessor(_Accessor):
         """Interpret the (timezone-naive) wall-clock values as ``tz`` local
         time and return the corresponding UTC instants
         (``to_utc_timestamp``).  ``tz_localize("UTC")`` is the identity, as
-        in pandas with a UTC session."""
-        return self._wrap(F.to_utc_timestamp(self._s._scol, tz),
-                          "dt.tz_localize")
+        in pandas with a UTC session.  The tz rides as boundary metadata
+        so ``compute()`` returns tz-AWARE timestamps like pandas (r5)."""
+        out = self._wrap(F.to_utc_timestamp(self._s._scol, tz),
+                         "dt.tz_localize")
+        out._tz_value = {out._col_name: ("utc", tz)}
+        return out
 
     def tz_convert(self, tz: str):
         """Render UTC instants as ``tz`` wall-clock values
         (``from_utc_timestamp``) — the engine stores naive-UTC timestamps,
-        so "converting" produces the shifted wall clock, matching what
-        pandas displays after ``tz_convert``."""
-        return self._wrap(F.from_utc_timestamp(self._s._scol, tz),
-                          "dt.tz_convert")
+        so "converting" produces the shifted wall clock (JVM calendar
+        fields like ``.dt.hour`` read correctly).  The tz rides as
+        boundary metadata so ``compute()`` re-attaches awareness (r5)."""
+        out = self._wrap(F.from_utc_timestamp(self._s._scol, tz),
+                         "dt.tz_convert")
+        out._tz_value = {out._col_name: ("wall", tz)}
+        return out
 
     def strftime(self, fmt: str):
         # full strftime → JVM pattern translation (shared with

@@ -493,9 +493,17 @@ class GroupBy:
         # pandas MultiIndex (engine-side ops keep using the flat names).
         mi_tuples: dict[str, tuple] = {}
         if named and spec is None:
-            # pandas named-agg: out_name=("col", "fn")
-            for out_name, (col, fn_name) in named.items():
-                one(col, fn_name, out_name)
+            # pandas named-agg: out_name=("col", "fn") on a frame groupby;
+            # on a SeriesGroupBy slice the kwarg value is the BARE fn
+            # (gb["x"].agg(mn="min")) — r5 hunt fix
+            scalar_slice = getattr(self, "_slice_scalar", False)
+            for out_name, spec_v in named.items():
+                if scalar_slice and (isinstance(spec_v, str)
+                                     or callable(spec_v)):
+                    one(cols[0], spec_v, out_name)
+                else:
+                    col, fn_name = spec_v
+                    one(col, fn_name, out_name)
         elif isinstance(spec, str):
             use = cols if spec in self._ANY_DTYPE_AGGS else \
                 self._value_columns(numeric_only=True)
@@ -593,6 +601,17 @@ class GroupBy:
         SCALAR-returning func (``g.apply(lambda g: g.v.corr(g.i))``)
         becomes a key-indexed Series — one row per group."""
         from .._collection import DataFrame, Series
+        sl = list(getattr(self, "_slice", None) or [])
+        if sl:
+            # pandas: gb[["x", "y"]].apply(f) hands f ONLY the sliced
+            # columns (the old path leaked every column into f — r5 pin).
+            # Closure, not default args: applyInPandas requires a 1- or
+            # 2-arg function.
+            user_func = func
+
+            def _sliced(pdf):
+                return user_func(pdf[sl])
+            func = _sliced  # noqa: F811
         if schema is None:
             sample = self._grouped_sdf().limit(100).toPandas()
             if len(sample) == 0:
@@ -648,13 +667,24 @@ class GroupBy:
                        "shift", "diff", "ffill", "bfill", "cumcount",
                        "ngroup"):
             return getattr(self, fn_name)()
-        fn = _AGG_FNS[fn_name]
+        fn = None if fn_name == "nunique" else _AGG_FNS[fn_name]
         w = Window.partitionBy(*self._by)
-        cols = self._value_columns(numeric_only=True)
+        # any-dtype aggs (nunique/count/min/...) must include non-numeric
+        # value columns — numeric_only=True silently returned the RAW
+        # string column for transform("nunique") (r5 hunt pin)
+        cols = self._value_columns(
+            numeric_only=fn_name not in self._ANY_DTYPE_AGGS)
         # pandas transform KEEPS null-key rows (values NaN under dropna —
         # masked by _finish_window) and aligns to the caller's labels
         sdf, _order, tmp = self._positional()
-        out = sdf.withColumns({c: fn(F.col(c)).over(w) for c in cols})
+        if fn_name == "nunique":
+            # count(DISTINCT) OVER is unsupported — size(collect_set OVER)
+            # gives the per-group distinct count (nulls excluded, pandas
+            # nunique dropna=True default)
+            out = sdf.withColumns(
+                {c: F.size(F.collect_set(F.col(c)).over(w)) for c in cols})
+        else:
+            out = sdf.withColumns({c: fn(F.col(c)).over(w) for c in cols})
         res = self._finish_window(out, tmp, "transform")
         if self._slice is None:
             # pandas transform excludes the group keys from the result

@@ -1,0 +1,108 @@
+"""Round-5 hunt wave F pins: groupby transform/apply/named-agg edges,
+timezone boundary metadata, query index references.
+
+Before the fixes:
+- ``transform("nunique")`` on a non-numeric slice SILENTLY RETURNED THE
+  RAW COLUMN (numeric_only filtering left no columns to transform) and
+  the window lowering used the unsupported ``count(DISTINCT) OVER`` —
+  now ``size(collect_set() OVER)``;
+- ``gb[["x","y"]].apply(f)`` leaked EVERY column into ``f`` (pandas
+  passes only the sliced columns);
+- ``gb["x"].agg(mn="min")`` crashed unpacking the named-agg kwarg
+  (pandas: bare fn names on a SeriesGroupBy);
+- ``dt.tz_convert``/``tz_localize`` results computed to tz-NAIVE
+  timestamps (JVM wall-clock storage) — the tz now rides as boundary
+  metadata and ``compute()`` re-attaches pandas tz-awareness;
+- ``query("index > 4")`` could not reference the index by its pandas
+  keyword name.
+
+Documented divergence probed and NOT pinned: filters/query on
+default-index frames renumber positionally (pandas keeps original
+labels).  Preserving labels would require a rowid pass BEFORE the
+filter, killing parquet predicate pushdown — the same positional
+contract as pandas-on-Spark's default index.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_expr_spark as pes
+
+
+@pytest.fixture
+def gdf5():
+    rng = np.random.RandomState(777)
+    n = 24
+    return pd.DataFrame({
+        "g": rng.choice(list("ab"), n),
+        "x": rng.randn(n).round(2),
+        "y": rng.randint(1, 9, n).astype("int64"),
+        "s": rng.choice(["foo bar", "baz  qux", "hello"], n),
+        "t": pd.Timestamp("2024-06-01 10:00", tz="UTC")
+             + pd.to_timedelta(np.arange(n) * 37, unit="min"),
+    })
+
+
+def _series(got, exp):
+    pd.testing.assert_series_equal(
+        got.sort_index(), exp.sort_index(), check_dtype=False,
+        check_index_type=False, check_names=False, rtol=1e-9)
+
+
+def _frames(got, exp):
+    pd.testing.assert_frame_equal(
+        got.sort_index(), exp.sort_index(), check_dtype=False,
+        check_index_type=False, check_names=False,
+        check_column_type=False, rtol=1e-9)
+
+
+def test_transform_nunique_string_slice(gdf5, spark):
+    _series(pes.from_pandas(gdf5).groupby("g")["s"]
+            .transform("nunique").compute(),
+            gdf5.groupby("g")["s"].transform("nunique"))
+
+
+def test_transform_nunique_frame(gdf5, spark):
+    got = pes.from_pandas(gdf5).groupby("g")[["s", "y"]] \
+        .transform("nunique").compute()
+    exp = gdf5.groupby("g")[["s", "y"]].transform("nunique")
+    _frames(got, exp)
+
+
+def test_apply_respects_column_slice(gdf5, spark):
+    fe = pes.from_pandas(gdf5).groupby("g")[["x", "y"]].apply(
+        lambda d: d.assign(cx=d["x"].cumsum())).compute()
+    fp = gdf5.groupby("g")[["x", "y"]].apply(
+        lambda d: d.assign(cx=d["x"].cumsum()))
+    assert sorted(fe.columns) == sorted(fp.columns)  # no leaked s/t/g
+    _frames(fe.sort_values(["x", "y"]).reset_index(drop=True),
+            fp.sort_values(["x", "y"]).reset_index(drop=True))
+
+
+def test_series_groupby_named_agg(gdf5, spark):
+    _frames(pes.from_pandas(gdf5).groupby("g")["x"]
+            .agg(mn="min", mx="max").compute(),
+            gdf5.groupby("g")["x"].agg(mn="min", mx="max"))
+
+
+def test_tz_convert_compute_is_aware(gdf5, spark):
+    got = pes.from_pandas(gdf5)["t"].dt.tz_convert("US/Eastern").compute()
+    exp = gdf5["t"].dt.tz_convert("US/Eastern")
+    assert str(got.dtype).endswith("US/Eastern]")
+    _series(got, exp)
+
+
+def test_tz_localize_compute_is_aware(gdf5, spark):
+    naive = gdf5["t"].dt.tz_localize(None)
+    en = pes.from_pandas(naive.to_frame("t"))["t"]
+    got = en.dt.tz_localize("UTC").compute()
+    exp = naive.dt.tz_localize("UTC")
+    assert str(got.dtype).endswith("UTC]")
+    _series(got, exp)
+
+
+def test_query_index_keyword(gdf5, spark):
+    _frames(pes.from_pandas(gdf5).set_index("y").query("index > 4").compute(),
+            gdf5.set_index("y").query("index > 4"))
