@@ -786,6 +786,29 @@ class Series(FrameBase):
                 o2 = (other.astype("int64") if isinstance(other, Series)
                       else int(other))
                 return self._binop(o2, fn, op, reflexive)
+        if (isinstance(other, (float, np.floating)) and other != other
+                and op in ("lt", "le", "gt", "ge", "eq", "ne")):
+            # pandas: every comparison against a NaN literal is False
+            # (True for ne).  Spark's NaN semantics treat NaN = NaN as
+            # TRUE and null-vs-NaN as null — both silently wrong (r5 pin)
+            return self._with_scol(F.lit(op == "ne"), op)
+        vf = getattr(self, "_period_value_freq", None) or {}
+        pfreq = vf.get(self._col_name)
+        if (pfreq is not None and op in ("add", "sub")
+                and isinstance(other, (int, np.integer))
+                and not isinstance(other, (bool, np.bool_))):
+            # pandas Period ± int advances by whole periods of the freq —
+            # lower to interval arithmetic on the stored period-start
+            # timestamp; the freq metadata rides to the result (r5 pin)
+            from .functions.timeseries import _norm_freq
+            interval, _unit = _norm_freq(pfreq)
+            num, iunit = interval.split(" ", 1)
+            n = int(other) * int(num) * (-1 if op == "sub" else 1)
+            iv = F.expr(f"INTERVAL {abs(n)} {iunit}")
+            out = self._with_scol(
+                (self._scol - iv) if n < 0 else (self._scol + iv), op)
+            out._period_value_freq = {out._col_name: pfreq}
+            return out
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
@@ -2565,12 +2588,14 @@ class Series(FrameBase):
                       self._index_cols, self._index_names)
 
     def explode(self, ignore_index: bool = False) -> "Series":
-        out = self._with_scol(F.explode_outer(self._scol), "explode")
-        if ignore_index:
-            out = Series(out._sdf, out._scol, out._col_name,
-                         Node("explode_ignore_index", {}, out._expr),
-                         (), ())
-        return out
+        # delegate through the one-column frame so labels behave like
+        # pandas: the SOURCE row label repeats per exploded element
+        # (r5 hunt pin — the old scol-level explode renumbered)
+        name = self._col_name if self._col_name is not None else "__v__"
+        f = self.to_frame(name).explode(name, ignore_index=ignore_index)
+        s = f[name]
+        s._col_name = self._col_name
+        return s
 
     def repeat(self, repeats: int) -> "Series":
         """pandas ``Series.repeat`` (scalar count): one generator

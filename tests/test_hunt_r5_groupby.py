@@ -106,3 +106,23 @@ def test_tz_localize_compute_is_aware(gdf5, spark):
 def test_query_index_keyword(gdf5, spark):
     _frames(pes.from_pandas(gdf5).set_index("y").query("index > 4").compute(),
             gdf5.set_index("y").query("index > 4"))
+
+
+def test_series_explode_repeats_source_labels(spark):
+    pdf = pd.DataFrame({"lst": [[1, 2], [], [3]]})
+    got = pes.from_pandas(pdf)["lst"].explode().compute()
+    exp = pdf["lst"].explode()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got.fillna(-1).tolist() == exp.fillna(-1).tolist()
+
+
+def test_period_plus_int_advances_periods(spark):
+    s = pd.Series(pd.to_datetime(["2024-01-15", "2024-05-02"]))
+    es = pes.from_pandas(s.to_frame("t"))["t"]
+    for freq in ("M", "Q", "D"):
+        got = (es.dt.to_period(freq) + 1).astype(str).compute()
+        exp = (s.dt.to_period(freq) + 1).astype(str)
+        assert got.tolist() == exp.tolist(), freq
+        got2 = (es.dt.to_period(freq) - 2).astype(str).compute()
+        exp2 = (s.dt.to_period(freq) - 2).astype(str)
+        assert got2.tolist() == exp2.tolist(), freq

@@ -66,3 +66,13 @@ def test_abs_clip_signed_zero(spark):
     e = pes.from_pandas(s.to_frame("v"))["v"]
     assert _reprs(e.abs().compute()) == _reprs(s.abs())
     assert _reprs(e.clip(lower=0.0).compute()) == _reprs(s.clip(lower=0.0))
+
+
+def test_compare_with_nan_literal_all_false(spark):
+    # Spark treats NaN = NaN as TRUE; pandas comparisons with a NaN
+    # literal are all False (True for !=)
+    s = pd.Series([1.0, np.nan, 3.0])
+    es = pes.from_pandas(s.to_frame("v"))["v"]
+    assert (es == np.nan).compute().tolist() == [False, False, False]
+    assert (es != np.nan).compute().tolist() == [True, True, True]
+    assert (es > np.nan).compute().tolist() == [False, False, False]
