@@ -4550,8 +4550,32 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.fillna(value), "fillna", {"value": value})
 
     def dropna(self, how: str = "any", thresh: int | None = None,
-               subset: Sequence[str] | None = None) -> "DataFrame":
-        """Reference DropnaFrame ``_expr.py:986-1002`` → exact Spark builtin."""
+               subset: Sequence[str] | None = None,
+               axis: int | str = 0) -> "DataFrame":
+        """Reference DropnaFrame ``_expr.py:986-1002`` → exact Spark builtin.
+        ``axis=1`` drops COLUMNS containing nulls (pandas): one tiny
+        null-count aggregation row decides the surviving columns — an
+        eager schema decision, same contract as distinct-discovery
+        (r5 hunt addition)."""
+        if axis in (1, "columns"):
+            counts = self._sdf.agg(
+                *[F.count(F.lit(1)).alias("__n__")],
+                *[F.count(F.col(c)).alias(f"__nn_{i}__")
+                  for i, c in enumerate(self.columns)]).collect()[0]
+            n = counts["__n__"]
+            keep = []
+            for i, c in enumerate(self.columns):
+                nn = counts[f"__nn_{i}__"]
+                ok = (nn == n) if how == "any" else (nn > 0)
+                if thresh is not None:
+                    ok = nn >= thresh
+                if ok:
+                    keep.append(c)
+            sel = [F.col(c) for c in self._index_cols] + \
+                  [F.col(c) for c in keep]
+            return DataFrame(self._sdf.select(*sel),
+                             Node("dropna", {"axis": 1}, self._expr),
+                             self._index_cols, self._index_names)
         return self._derive(
             self._sdf.dropna(how=how, thresh=thresh, subset=_ensure_list(subset) or None),
             "dropna", {"how": how, "thresh": thresh, "subset": subset})
@@ -6435,26 +6459,35 @@ class DataFrame(FrameBase):
         differs, emitted as ``col_self`` / ``col_other`` pairs (pandas'
         MultiIndex columns flattened).  One index equi-join; null-safe
         inequality matches pandas NaN-equals-NaN semantics."""
-        if not self._index_cols or other._index_cols != self._index_cols:
+        left, right = self, other
+        if not left._index_cols and not right._index_cols:
+            # default-index frames align POSITIONALLY (the rowid
+            # contract, same as where/assign — r5 hunt fix)
+            left = _frame_with_index(left)
+            right = _frame_with_index(right)
+        if not left._index_cols or \
+                len(right._index_cols) != len(left._index_cols):
             raise ValueError("compare needs both frames indexed alike")
-        shared = [c for c in self.columns if c in other.columns]
-        a = self._sdf.select(*self._index_cols,
+        shared = [c for c in left.columns if c in right.columns]
+        icols = list(left._index_cols)
+        a = left._sdf.select(*icols,
                              *[F.col(c).alias(f"__a_{c}__") for c in shared])
-        b = other._sdf.select(*other._index_cols,
-                              *[F.col(c).alias(f"__b_{c}__") for c in shared])
-        j = a.join(b, list(self._index_cols), "inner")
+        b = right._sdf.select(
+            *[F.col(c).alias(i) for c, i in zip(right._index_cols, icols)],
+            *[F.col(c).alias(f"__b_{c}__") for c in shared])
+        j = a.join(b, icols, "inner")
         neq = [~F.col(f"__a_{c}__").eqNullSafe(F.col(f"__b_{c}__"))
                for c in shared]
         any_diff = neq[0]
         for n in neq[1:]:
             any_diff = any_diff | n
-        sel = [F.col(c) for c in self._index_cols]
+        sel = [F.col(c) for c in icols]
         for c, n in zip(shared, neq):
             sel.append(F.when(n, F.col(f"__a_{c}__")).alias(f"{c}_self"))
             sel.append(F.when(n, F.col(f"__b_{c}__")).alias(f"{c}_other"))
         out = j.filter(any_diff).select(*sel)
         return DataFrame(out, Node("compare", {}, self._expr),
-                         self._index_cols, self._index_names)
+                         tuple(icols), left._index_names)
 
     # -- positional family over all numeric columns: ONE distributed
     # segment scan for the whole frame (functions/scan.py) ---------------

@@ -93,3 +93,26 @@ def test_rename_index_callable_and_dict(spark):
     e = pes.from_pandas(pdf)
     _frames(e.rename(index=str.upper).compute(), pdf.rename(index=str.upper))
     _frames(e.rename(index={"a": "z"}).compute(), pdf.rename(index={"a": "z"}))
+
+
+def test_compare_default_index_positional(spark):
+    a = pd.DataFrame({"v": [1.0, 2.0, 3.0], "g": list("abc")})
+    b = a.copy()
+    b.loc[1, "v"] = 99.0
+    b.loc[2, "g"] = "z"
+    got = pes.from_pandas(a).compare(pes.from_pandas(b)).compute()
+    exp = a.compare(b)
+    assert sorted(got.index.tolist()) == sorted(exp.index.tolist())
+    assert len(got) == len(exp)
+
+
+def test_dropna_axis1(spark):
+    d = pd.DataFrame({"a": [1.0, np.nan], "b": [1.0, 2.0],
+                      "c": [np.nan, np.nan]})
+    e = pes.from_pandas(d)
+    assert list(e.dropna(axis=1).compute().columns) == \
+        list(d.dropna(axis=1).columns)
+    assert list(e.dropna(axis=1, how="all").compute().columns) == \
+        list(d.dropna(axis=1, how="all").columns)
+    assert list(e.dropna(axis=1, thresh=2).compute().columns) == \
+        list(d.dropna(axis=1, thresh=2).columns)
