@@ -1889,8 +1889,20 @@ class Series(FrameBase):
     def shift(self, periods: int = 1, fill_value=None,
               freq: str | None = None) -> "Series":
         if freq is not None:
-            # pandas shift(freq=): move the TIMESTAMPS by periods*freq —
-            # a pure projection (no reorder, no join, no shuffle)
+            # pandas shift(freq=): move the INDEX timestamps by
+            # periods*freq, values unchanged — a pure projection (no
+            # reorder, no join, no shuffle).  r5 hunt fix: the old path
+            # shifted the VALUE column.  Without an engine index the
+            # series itself must be the timestamps (engine extension).
+            if self._index_cols:
+                icol = self._index_cols[0]
+                name = self._col_name if self._col_name is not None \
+                    else "__v__"
+                sdf = self.to_frame(name)._sdf.withColumn(
+                    icol, F.col(icol) + _freq_interval(freq, periods))
+                node = Node("shift_freq", {"freq": freq}, self._expr)
+                return Series(sdf, F.col(name), self._col_name, node,
+                              self._index_cols, self._index_names)
             return self._with_scol(
                 self._scol + _freq_interval(freq, periods), "shift_freq")
         out, name, idx = self._pos_shifted(periods)
@@ -7407,9 +7419,13 @@ class DataFrame(FrameBase):
                 names.append(nm)
             elif isinstance(b, str):
                 names.append(b)
-            elif type(b).__name__ == "Grouper" and hasattr(b, "freq"):
+            elif type(b).__name__ in ("Grouper", "TimeGrouper") \
+                    and hasattr(b, "freq"):
                 # pd.Grouper(key=, freq=): calendar bucket key — pure
-                # date_trunc projection (same lowering as resample)
+                # date_trunc projection (same lowering as resample).
+                # End-anchored freqs (W/M/ME/Q/QE/Y/YE) label with the
+                # period END like pandas (r5 hunt pin); start-anchored
+                # spellings (MS/QS/YS) keep the left label.
                 from .functions.timeseries import period_start_col
                 key = b.key
                 if key is None:
@@ -7418,8 +7434,30 @@ class DataFrame(FrameBase):
                                          "index")
                     key = self._index_cols[0]
                 nm = key if b.freq is None else f"{key}"
-                col = (F.col(key) if b.freq is None
-                       else period_start_col(F.col(key), b.freq))
+                col = F.col(key)
+                if b.freq is not None:
+                    # pd.Grouper normalizes freq to an OFFSET object
+                    # (<MonthEnd>); take its freqstr spelling
+                    fs = getattr(b.freq, "freqstr", b.freq)
+                    col = period_start_col(col, fs)
+                    base = str(fs).split("-")[0].lower()
+                    # mixed month+day interval literals reject — apply
+                    # as (col + period) - 1 day, two Column steps
+                    end_shift = {
+                        "w": ("6 DAYS", None),
+                        "m": ("1 MONTH", "1 DAY"),
+                        "me": ("1 MONTH", "1 DAY"),
+                        "q": ("3 MONTHS", "1 DAY"),
+                        "qe": ("3 MONTHS", "1 DAY"),
+                        "y": ("1 YEAR", "1 DAY"),
+                        "ye": ("1 YEAR", "1 DAY"),
+                        "a": ("1 YEAR", "1 DAY"),
+                    }.get(base)
+                    if end_shift:
+                        add, sub = end_shift
+                        col = col + F.expr(f"INTERVAL {add}")
+                        if sub:
+                            col = col - F.expr(f"INTERVAL {sub}")
                 extra[nm] = col
                 names.append(nm)
             else:
@@ -7641,7 +7679,11 @@ class DataFrame(FrameBase):
     _RESAMPLE_TRUNC = {"s": "second", "min": "minute", "t": "minute",
                        "h": "hour", "d": "day", "w": "week",
                        "m": "month", "ms": "month", "q": "quarter",
-                       "y": "year", "a": "year"}
+                       "y": "year", "a": "year",
+                       # pandas 2.2 end-anchored aliases (ME/QE/YE) —
+                       # same bins as M/Q/Y, same period-END labels
+                       "me": "month", "qe": "quarter", "ye": "year",
+                       "qs": "quarter", "ys": "year", "as": "year"}
     _RESAMPLE_INTERVAL = {"s": "seconds", "min": "minutes", "t": "minutes",
                           "h": "hours", "d": "days"}
 

@@ -48,7 +48,8 @@ def gdf5():
 def _series(got, exp):
     pd.testing.assert_series_equal(
         got.sort_index(), exp.sort_index(), check_dtype=False,
-        check_index_type=False, check_names=False, rtol=1e-9)
+        check_index_type=False, check_names=False, check_freq=False,
+        rtol=1e-9)
 
 
 def _frames(got, exp):
@@ -126,3 +127,28 @@ def test_period_plus_int_advances_periods(spark):
         got2 = (es.dt.to_period(freq) - 2).astype(str).compute()
         exp2 = (s.dt.to_period(freq) - 2).astype(str)
         assert got2.tolist() == exp2.tolist(), freq
+
+
+def test_resample_pandas22_end_aliases(gdf5, spark):
+    naive = gdf5.assign(t=gdf5["t"].dt.tz_localize(None))
+    e = pes.from_pandas(naive).set_index("t")["x"]
+    p = naive.set_index("t")["x"]
+    for freq in ("ME", "QE", "W"):
+        _series(e.resample(freq).sum().compute(), p.resample(freq).sum())
+
+
+def test_grouper_month_end_labels(gdf5, spark):
+    naive = gdf5.assign(t=gdf5["t"].dt.tz_localize(None))
+    got = pes.from_pandas(naive).groupby(
+        [pd.Grouper(key="t", freq="ME"), "g"])["x"].sum().compute()
+    exp = naive.groupby([pd.Grouper(key="t", freq="ME"), "g"])["x"].sum()
+    _series(got, exp.loc[got.index])
+
+
+def test_shift_freq_moves_index(gdf5, spark):
+    naive = gdf5.assign(t=gdf5["t"].dt.tz_localize(None))
+    e = pes.from_pandas(naive).set_index("t")["x"]
+    p = naive.set_index("t")["x"]
+    got = e.shift(freq="1D").compute()
+    exp = p.shift(freq="1D")
+    _series(got, exp)
