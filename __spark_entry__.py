@@ -1041,6 +1041,38 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def fuzzy_dup_pairs_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup, exact-gated end-to-end: MinHash-LSH
+    candidates (64 perms × 16 bands — miss probability < 1e-7 for the
+    planted J ≥ 0.9 pairs, and the seeded signatures make recall
+    deterministic per dataset) verified JVM-side with
+    ``levenshtein(a, b, threshold)`` (banded DP, early exit at the
+    threshold).  Planted truth: exact copies (dist 0) of doc_id < 20 and
+    ``' zzqxa'`` appendees (dist exactly 6) of long docs 20-39.
+    Restricted to the planted id structure the oracle is closed-form
+    DuckDB ``levenshtein`` SQL — a missed pair = missing row = driver
+    hash mismatch, so this is a hard recall gate for the fuzzy-dedup
+    path at its production shape."""
+    from pandas_expr_spark.functions import dedup
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (docs.filter(F.col("doc_id") < 20)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+                        & (F.col("n_chars") >= 300))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzqxa"))))
+    aug = (docs.unionByName(exact).unionByName(near)
+           .select("doc_id", "text")
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    pairs = dedup.edit_distance_pairs(aug, max_dist=8, num_perm=64, bands=16)
+    return (pairs.filter(
+        ((F.col("id_b") >= 200000) & (F.col("id_a") == F.col("id_b") - 200000))
+        | ((F.col("id_b") >= 100000) & (F.col("id_b") < 200000)
+           & (F.col("id_a") == F.col("id_b") - 100000)))
+        .select("id_a", "id_b", "edit_dist"))
+
+
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (`dedup.dedup_against`): a new BATCH — exact
     copies of doc_id < 20, near copies (two appended tokens) of long docs
@@ -3574,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the new r5 gate, the 2 r1 gates deferred this round, then
         # r2/r3/r4) ----
         "bpe_encode_documents": bpe_encode_documents,
+        "fuzzy_dup_pairs_edit": fuzzy_dup_pairs_edit,
         "value_counts_priority": value_counts_priority,
         "distinct_flags": distinct_flags,
         "q12_priority_shipping": q12_priority_shipping,
@@ -4855,6 +4888,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn_documents": _bpe_learn_oracle_sql(8),
         "bpe_encode_documents": _bpe_encode_oracle_sql(8),
+        "fuzzy_dup_pairs_edit": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS BIGINT) AS edit_dist
+            FROM documents WHERE doc_id < 20
+            UNION ALL
+            SELECT doc_id AS id_a, doc_id + 200000 AS id_b,
+                   CAST(levenshtein(text, text || ' zzqxa') AS BIGINT)
+                       AS edit_dist
+            FROM documents
+            WHERE doc_id >= 20 AND doc_id < 40 AND n_chars >= 300
+        """,
         "minhash_verified_dups": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_bigram_ppl",
     # round-5 addition: end-to-end BPE tokenization (learn + encode)
     "bpe_encode_documents",
+    "fuzzy_dup_pairs_edit",
 ]
 
 

@@ -253,6 +253,42 @@ def ngram_jaccard_pairs(sdf: SparkDF, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+# ------------------------------------------------------- edit-distance verify
+def edit_distance_pairs(sdf: SparkDF, text_col: str = "text",
+                        id_col: str = "doc_id", max_dist: int = 8,
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 42) -> SparkDF:
+    """Fuzzy near-duplicate pairs verified by EXACT Levenshtein distance.
+
+    MinHash-LSH banding proposes candidates (never all-pairs — the only
+    join is the banded (band, bucket) equi-join), then survivors are
+    verified JVM-side with ``levenshtein(a, b, threshold)``: Spark's
+    banded DP early-exits once the distance provably exceeds the
+    threshold, so each verify costs O(max_dist · n) instead of O(n²).
+    A length-difference prefilter (|len(a) − len(b)| ≤ max_dist is a
+    lower bound on edit distance) drops hopeless pairs before any DP
+    runs, and it evaluates on two int columns — no text comparison.
+
+    At 100 TB the expensive text columns ride only through the candidate
+    join (LSH keeps that set near-linear in corpus size), never through a
+    quadratic stage.
+    """
+    pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
+                              shingle_n, seed)
+    t = sdf.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .filter(F.abs(F.length("__ta__") - F.length("__tb__"))
+                    <= F.lit(max_dist))
+            .withColumn("edit_dist",
+                        F.levenshtein("__ta__", "__tb__", max_dist))
+            # the threshold form returns -1 when the distance exceeds it
+            .filter(F.col("edit_dist") >= 0)
+            .select("id_a", "id_b", F.col("edit_dist").cast("long")
+                    .alias("edit_dist")))
+
+
 # -------------------------------------------------------------------- SimHash
 def simhash(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> SparkDF:

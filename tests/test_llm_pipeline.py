@@ -123,6 +123,26 @@ def test_minhash_lsh_finds_near_dup(docs_with_dups):
     assert (1, 10_001) in pairset  # near dup should collide in some band
 
 
+def test_edit_distance_pairs(docs_with_dups):
+    pairs = dedup.edit_distance_pairs(
+        docs_with_dups, max_dist=20, num_perm=64, bands=16).toPandas()
+    got = {(r.id_a, r.id_b): r.edit_dist for r in pairs.itertuples()}
+    assert got[(0, 10_000)] == 0          # exact copy
+    assert got[(1, 10_001)] == 17         # " extra token tail" = 17 chars
+    # every surviving pair is genuinely within the threshold
+    assert (pairs["edit_dist"] <= 20).all() and (pairs["edit_dist"] >= 0).all()
+
+
+def test_edit_distance_pairs_threshold_prunes(docs_with_dups):
+    # with a tight threshold the 17-edit near dup must be dropped but the
+    # exact copy kept — proves the verify (not just the LSH) gates output
+    pairs = dedup.edit_distance_pairs(
+        docs_with_dups, max_dist=5, num_perm=64, bands=16).toPandas()
+    pairset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 10_000) in pairset
+    assert (1, 10_001) not in pairset
+
+
 def test_minhash_lsh_dedup(docs_with_dups):
     before = docs_with_dups.count()
     after = dedup.minhash_lsh_dedup(docs_with_dups, num_perm=32, bands=16,
