@@ -115,10 +115,13 @@ def pivot(frame, *, columns, index=None, values=None, pivot_values=None):
                        pivot_values=pivot_values)
 
 
-def crosstab(frame, index=None, columns=None, values=None, aggfunc=None):
+def crosstab(frame, index=None, columns=None, values=None, aggfunc=None,
+             normalize: bool | str = False, margins: bool = False,
+             margins_name: str = "All"):
     """pandas ``pd.crosstab``.  Accepts either the engine's frame-anchored
     form ``crosstab(df, "row_col", "col_col")`` or pandas' two-Series form
-    ``crosstab(s_rows, s_cols)`` (same-anchor Series)."""
+    ``crosstab(s_rows, s_cols)`` (same-anchor Series).  ``values=`` may be
+    a same-anchor Series in the two-Series form."""
     from ._collection import Series as _Series, _attach_rowid, _ROWID
     from pyspark.sql import functions as _F
     if isinstance(frame, _Series):
@@ -130,7 +133,15 @@ def crosstab(frame, index=None, columns=None, values=None, aggfunc=None):
         if n1 == n2:
             n2 = n2 + "_2"
         if s2._sdf is s1._sdf:
-            sdf = s1._sdf.select(s1._scol.alias(n1), s2._scol.alias(n2))
+            extra = []
+            if isinstance(values, _Series):
+                if values._sdf is not s1._sdf:
+                    raise ValueError("crosstab values= Series must share "
+                                     "the row/column Series' frame")
+                extra = [values._scol.alias("__v__")]
+                values = "__v__"
+            sdf = s1._sdf.select(s1._scol.alias(n1), s2._scol.alias(n2),
+                                 *extra)
         else:
             # foreign series: pandas inner-aligns on the index — one
             # equi-join on the index cols, or the positional rowid
@@ -165,15 +176,21 @@ def crosstab(frame, index=None, columns=None, values=None, aggfunc=None):
         frame, index, columns = DataFrame(sdf), n1, n2
     if values is not None or aggfunc is not None:
         return frame.crosstab(index, columns, values=values,
-                              aggfunc=aggfunc or "count")
-    return frame.crosstab(index, columns)
+                              aggfunc=aggfunc or "count",
+                              normalize=normalize, margins=margins,
+                              margins_name=margins_name)
+    return frame.crosstab(index, columns, normalize=normalize,
+                          margins=margins, margins_name=margins_name)
 
 
-def get_dummies(frame, columns=None, values=None, prefix_sep: str = "_",
+def get_dummies(frame, columns=None, values=None, prefix=None,
+                prefix_sep: str = "_", drop_first: bool = False,
                 dtype: str = "int"):
     """pandas ``pd.get_dummies`` — frame form (``get_dummies(df, cols)``)
     or pandas' bare form ``get_dummies(df_or_series)`` (all string
-    columns / the series itself)."""
+    columns / the series itself).  ``prefix`` (str or per-column dict),
+    ``drop_first`` and pandas dtype aliases (``int64``/``float64``/
+    ``bool``) supported."""
     from ._collection import Series as _Series
     if isinstance(frame, _Series):
         name = frame.name or "value"
@@ -183,8 +200,9 @@ def get_dummies(frame, columns=None, values=None, prefix_sep: str = "_",
         columns = [c for c in frame.columns
                    if str(frame._sdf.schema[c].dataType).startswith(
                        ("StringType", "VarcharType"))]
-    return frame.get_dummies(columns, values=values,
-                             prefix_sep=prefix_sep, dtype=dtype)
+    return frame.get_dummies(columns, values=values, prefix=prefix,
+                             prefix_sep=prefix_sep, drop_first=drop_first,
+                             dtype=dtype)
 
 
 def wide_to_long(frame, stubnames, i, j, sep: str = "", suffix: str = r"\d+"):

@@ -903,8 +903,18 @@ class Series(FrameBase):
         if fill_value is None:
             return self._binop(other, fn, op)
         fv = F.lit(fill_value)
+        # pandas fills NaN VALUES too, not just absent labels — and a
+        # downstream-computed NaN (e.g. 0/0) keeps Spark's NaN physical
+        # form rather than null, so normalize float sides through nanvl
+        # before the null checks (non-float sides pass through: nanvl
+        # would force an int→double cast and change result dtypes)
+        self_f = isinstance(self.spark_type, (T.DoubleType, T.FloatType))
+        other_f = (isinstance(other.spark_type, (T.DoubleType, T.FloatType))
+                   if isinstance(other, Series) else isinstance(other, float))
 
         def filled(a, b):
+            a = F.nanvl(a, F.lit(None)) if self_f else a
+            b = F.nanvl(b, F.lit(None)) if other_f else b
             both_null = a.isNull() & b.isNull()
             r = fn(F.coalesce(a, fv), F.coalesce(b, fv))
             return F.when(both_null, F.lit(None).cast("double")).otherwise(r)
@@ -2057,7 +2067,7 @@ class Series(FrameBase):
 
     def ewm(self, com: float | None = None, span: float | None = None,
             halflife: float | None = None, alpha: float | None = None,
-            adjust: bool = True):
+            adjust: bool = True, ignore_na: bool = False):
         """pandas ``Series.ewm(...)`` chain (``.mean()``) over the GLOBAL
         order — the distributed segment-scan recurrence in
         ``functions/timeseries.py`` (range shuffle + per-partition local
@@ -2074,7 +2084,7 @@ class Series(FrameBase):
             a = 1.0 - math.exp(-math.log(2.0) / halflife)
         else:
             a = alpha
-        return _SeriesEwm(self, a, adjust)
+        return _SeriesEwm(self, a, adjust, ignore_na)
 
     @property
     def is_unique(self) -> bool:
@@ -2105,37 +2115,53 @@ class Series(FrameBase):
                .orderBy(key, F.col("__pos__").asc()).limit(1).first())
         return int(row["__pos__"]) if row is not None else -1
 
-    def combine(self, other: "Series", func) -> "Series":
+    def combine(self, other: "Series", func, fill_value=None) -> "Series":
         """pandas ``Series.combine``: elementwise Python ``func(a, b)`` —
         an Arrow-batched pandas_udf over the two (same-anchor or
         index-aligned) columns; result dtype inferred from a 10-row
-        sample, like ``apply``."""
+        sample, like ``apply``.  ``fill_value`` substitutes for labels
+        ABSENT from one side only (a present NaN value is passed to
+        ``func`` unchanged, like pandas) — presence ride-along columns
+        distinguish the two cases after the outer index join."""
         if other._sdf is self._sdf:
             base = self._sdf.select(
                 *[F.col(c) for c in self._index_cols],
-                self._scol.alias("__a__"), other._scol.alias("__b__"))
+                self._scol.alias("__a__"), other._scol.alias("__b__"),
+                F.lit(True).alias("__pa__"), F.lit(True).alias("__pb__"))
             idx, names = self._index_cols, self._index_names
         else:
-            lf = self.to_frame("__a__")
-            rf = other.to_frame("__b__")
+            lf = self.to_frame("__a__").assign(__pa__=True)
+            rf = other.to_frame("__b__").assign(__pb__=True)
             joined, lmap, rmap = _index_outer_join(lf, rf)
             base = joined._sdf.select(
                 *[F.col(c) for c in joined._index_cols],
                 F.col(lmap["__a__"]).alias("__a__"),
-                F.col(rmap["__b__"]).alias("__b__"))
+                F.col(rmap["__b__"]).alias("__b__"),
+                F.col(lmap["__pa__"]).alias("__pa__"),
+                F.col(rmap["__pb__"]).alias("__pb__"))
             idx, names = joined._index_cols, joined._index_names
+
+        def _apply(a: pd.Series, b: pd.Series, pa: pd.Series,
+                   pb: pd.Series) -> pd.Series:
+            if fill_value is not None:
+                a = a.where(pa.notna(), fill_value)
+                b = b.where(pb.notna(), fill_value)
+            return pd.Series([func(x, y) for x, y in zip(a, b)])
+
         sample = base.limit(10).toPandas()
-        probe = pd.Series([func(a, b) for a, b in
-                           zip(sample["__a__"], sample["__b__"])])
+        probe = _apply(sample["__a__"], sample["__b__"],
+                       sample["__pa__"], sample["__pb__"])
         out_t = to_spark_type(probe.dtype if len(probe) else "float64")
 
         @F.pandas_udf(out_t)
-        def _fn(a: pd.Series, b: pd.Series) -> pd.Series:
-            return pd.Series([func(x, y) for x, y in zip(a, b)])
+        def _fn(a: pd.Series, b: pd.Series, pa: pd.Series,
+                pb: pd.Series) -> pd.Series:
+            return _apply(a, b, pa, pb)
 
         name = self._col_name or "__v__"
         out = base.select(*[F.col(c) for c in idx],
-                          _fn(F.col("__a__"), F.col("__b__")).alias(name))
+                          _fn("__a__", "__b__", "__pa__", "__pb__")
+                          .alias(name))
         node = Node("combine", {}, self._expr, other._expr)
         return Series(out, F.col(name), self._col_name, node, idx, names)
 
@@ -2401,6 +2427,11 @@ class Series(FrameBase):
                 "Bin edges must be unique. You can drop duplicate edges "
                 "by setting the 'duplicates' kwarg")
         if len(edges) < 2:
+            if duplicates == "drop" and len(edges) == 1:
+                # pandas: every quantile edge equal → zero usable bins →
+                # ALL values bin to NaN (verified against pandas 2.2)
+                t = "double" if labels is False else "string"
+                return self._with_scol(F.lit(None).cast(t), "qcut")
             raise ValueError("qcut: all values identical — no bins")
         # pandas includes the minimum in the first bin: nudge the left edge
         edges[0] = edges[0] - abs(edges[0]) * 1e-9 - 1e-12
@@ -3212,6 +3243,39 @@ class Series(FrameBase):
     def at(self):
         return _AtIndexer(self)
 
+    def __iter__(self):
+        """pandas iterates VALUES (eager).  Must exist alongside
+        ``__getitem__``: without it Python's legacy iteration protocol
+        would loop ``s[0], s[1], …`` through the label indexer."""
+        return iter(self.compute())
+
+    def __getitem__(self, key):
+        """pandas ``s[...]``: boolean-mask filter (same-anchor fast path,
+        foreign masks through the frame's alignment join), int slices →
+        iloc, everything else → loc."""
+        if isinstance(key, Series):
+            if key._sdf is self._sdf:
+                node = Node("filter", {"predicate": key._expr.op},
+                            self._expr)
+                out = Series(self._sdf.filter(key._scol), self._scol,
+                             self._col_name, node, self._index_cols,
+                             self._index_names)
+            else:
+                tmp = self.to_frame("__v__")[key]["__v__"]
+                tmp._col_name = self._col_name
+                out = tmp
+            for a in ("_is_categorical", "_cat_categories", "_cat_ordered",
+                      "_period_value_freq", "_tz_value"):
+                if hasattr(self, a):
+                    setattr(out, a, getattr(self, a))
+            return out
+        if isinstance(key, slice):
+            if all(x is None or isinstance(x, int)
+                   for x in (key.start, key.stop, key.step)):
+                return self.iloc[key]
+            return self.loc[key]
+        return self.loc[key]
+
     @property
     def iat(self):
         return _IatIndexer(self)
@@ -3386,6 +3450,10 @@ class Series(FrameBase):
             pdf.index = _restore_period_index(
                 pdf.index, self._index_cols, self._index_period_freq)
         ser = pdf[name]
+        if ser.dtype == object and ser.isna().any():
+            # Arrow delivers null strings as None; pandas' missing marker
+            # in object columns is NaN — normalize at the boundary
+            ser = ser.where(ser.notna())
         vfreq = getattr(self, "_period_value_freq", None) or {}
         if name in vfreq:
             ser = ser.dt.to_period(vfreq[name])
@@ -3646,8 +3714,10 @@ class _SeriesEwm:
     """pandas ``Series.ewm(...)`` chain target — delegates to the
     distributed global EWM segment scan."""
 
-    def __init__(self, series: Series, alpha: float, adjust: bool = True):
+    def __init__(self, series: Series, alpha: float, adjust: bool = True,
+                 ignore_na: bool = False):
         self._s, self._alpha, self._adjust = series, alpha, adjust
+        self._ignore_na = ignore_na
 
     def mean(self) -> Series:
         from .functions import timeseries as _ts
@@ -3655,8 +3725,12 @@ class _SeriesEwm:
         sdf, name, order, idx = s._ordered_base()
         if len(order) != 1:
             raise ValueError("global ewm needs exactly one order column")
-        out = _ts.ewm_mean_global(sdf, name, order[0], self._alpha,
-                                  name=name, adjust=self._adjust)
+        if self._ignore_na:
+            out = _ts.ewm_mean_ignore_na(sdf, [name], order[0], self._alpha,
+                                         adjust=self._adjust)
+        else:
+            out = _ts.ewm_mean_global(sdf, name, order[0], self._alpha,
+                                      name=name, adjust=self._adjust)
         node = Node("ewm_mean", {"alpha": self._alpha}, s._expr)
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
@@ -3745,8 +3819,9 @@ class _FrameEwm:
     """pandas ``DataFrame.ewm`` chain target — one shared ranged pass."""
 
     def __init__(self, frame: "DataFrame", alpha: float,
-                 adjust: bool = True):
+                 adjust: bool = True, ignore_na: bool = False):
         self._f, self._alpha, self._adjust = frame, alpha, adjust
+        self._ignore_na = ignore_na
 
     def mean(self) -> "DataFrame":
         from .functions import timeseries as _ts
@@ -3761,8 +3836,12 @@ class _FrameEwm:
             idx, names = (_ROWID,), (None,)
         num = [c for c in f.columns
                if is_numeric(f._sdf.schema[c].dataType)]
-        out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha,
-                                        adjust=self._adjust)
+        if self._ignore_na:
+            out = _ts.ewm_mean_ignore_na(sdf, num, order, self._alpha,
+                                         adjust=self._adjust)
+        else:
+            out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha,
+                                            adjust=self._adjust)
         out = out.select(*[F.col(c) for c in idx], *num)
         return DataFrame(out, Node("frame_ewm_mean",
                                    {"alpha": self._alpha}, f._expr),
@@ -4145,6 +4224,19 @@ class DataFrame(FrameBase):
             # was ACCEPTING a foreign frame's rows unaligned; an explicit
             # alignment join is the correct semantics, not that bug.)
             mf = key.to_frame("__mask__")
+            # a rowid-indexed mask (groupby cumcount/ngroup, scan outputs)
+            # over a default-index frame aligns POSITIONALLY — the rowid
+            # is the established position contract (same as where/assign)
+            mask_rowid = (tuple(mf._index_cols) == (_ROWID,))
+            if not self._index_cols and mask_rowid:
+                base, lidx = _attach_rowid(self._sdf), [_ROWID]
+                msel = mf._sdf.select(F.col(_ROWID), F.col("__mask__"))
+                joined = (base.join(msel, lidx, "left")
+                          .filter(F.coalesce(F.col("__mask__"),
+                                             F.lit(False)))
+                          .drop("__mask__", _ROWID))
+                return self._derive(joined, "filter",
+                                    {"aligned_mask": True})
             if bool(self._index_cols) != bool(mf._index_cols):
                 raise ValueError(
                     "Boolean mask from another frame needs an index on "
@@ -5111,7 +5203,16 @@ class DataFrame(FrameBase):
         return self._frame_positional(periods, lambda c, lag: c - lag,
                                       "diff")
 
-    def pct_change(self, periods: int = 1) -> "DataFrame":
+    def pct_change(self, periods: int = 1,
+                   fill_method: str | None = "pad") -> "DataFrame":
+        # pandas pad-fills each column before the ratio (same contract as
+        # the Series form at :1939 — the frame path previously skipped
+        # the fill, so NaN rows poisoned every ratio that crossed them)
+        if fill_method in ("pad", "ffill"):
+            return self.ffill().pct_change(periods, fill_method=None)
+        if fill_method is not None:
+            raise ValueError(f"fill_method must be 'pad'/'ffill'/None, "
+                             f"got {fill_method!r}")
         return self._frame_positional(
             periods, lambda c, lag: c / lag - 1, "pct_change")
 
@@ -6749,7 +6850,7 @@ class DataFrame(FrameBase):
 
     def ewm(self, com: float | None = None, span: float | None = None,
             halflife: float | None = None, alpha: float | None = None,
-            adjust: bool = True):
+            adjust: bool = True, ignore_na: bool = False):
         """pandas ``DataFrame.ewm(...)`` chain (``.mean()``): every
         numeric column through ONE shared ranged pass — the per-partition
         recurrence carries per-column (num, den) state in the same Arrow
@@ -6766,7 +6867,7 @@ class DataFrame(FrameBase):
             a = 1.0 - math.exp(-math.log(2.0) / halflife)
         else:
             a = alpha
-        return _FrameEwm(self, a, adjust)
+        return _FrameEwm(self, a, adjust, ignore_na)
 
     def ffill(self, limit: int | None = None) -> "DataFrame":
         """pandas ``DataFrame.ffill`` — every column forward-filled in the
@@ -6812,12 +6913,38 @@ class DataFrame(FrameBase):
     # -- reductions over all columns (reference §2.5) --------------------
     def _columnwise(self, fn: Callable[[Column], Column], op: str,
                     numeric_only: bool = True,
-                    out_type: str = "double") -> Series:
+                    out_type: str | None = "double") -> Series:
         fields = [f for f in self._sdf.schema.fields if f.name in self.columns]
         if numeric_only:
             fields = [f for f in fields if is_numeric(f.dataType)]
         aggs = [fn(F.col(f.name)).alias(f.name) for f in fields]
         one_row = self._sdf.agg(*aggs)
+        if out_type is None:
+            # infer the unpivot type from the aggregated row's schema the
+            # way pandas types the result Series: all-int columns stay
+            # int64 (sum/min/max/prod of an int frame is int64 in pandas,
+            # not float64), mixed numeric promotes to float64, and
+            # uniform non-numeric types (string min, timestamp max) keep
+            # their own type instead of a lossy double cast
+            kinds = {type(f.dataType) for f in one_row.schema.fields}
+            if kinds and kinds <= {T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType}:
+                out_type = "long"
+            elif kinds == {T.BooleanType}:
+                out_type = "boolean"
+            elif kinds == {T.StringType}:
+                out_type = "string"
+            elif kinds == {T.TimestampType}:
+                out_type = "timestamp"
+            elif not all(is_numeric(f.dataType)
+                         for f in one_row.schema.fields):
+                # mixed string/numeric (pandas: object Series) — one Spark
+                # column must hold both, so values ride as strings; this
+                # replaces the previous behavior (a CAST_INVALID_INPUT
+                # crash on e.g. min() over a string+int frame)
+                out_type = "string"
+            else:
+                out_type = "double"
         # unpivot to (column, value) long form → pandas Series on compute
         names = [f.name for f in fields]
         stack_expr = ", ".join(f"'{n}', cast(`{n}` as {out_type})"
@@ -6846,7 +6973,8 @@ class DataFrame(FrameBase):
         if isinstance(spec, str):
             any_dtype = spec in {"min", "max", "count", "first", "last"}
             return self._columnwise(_fn(spec), f"agg_{spec}",
-                                    numeric_only=not any_dtype)
+                                    numeric_only=not any_dtype,
+                                    out_type=None)
         if isinstance(spec, Mapping):
             if any(not isinstance(v, str) for v in spec.values()):
                 raise NotImplementedError(
@@ -6913,7 +7041,7 @@ class DataFrame(FrameBase):
             skipna: bool = True):
         if axis in (1, "columns"):
             return self._row_reduce("sum", skipna)
-        return self._columnwise(F.sum, "sum", numeric_only)
+        return self._columnwise(F.sum, "sum", numeric_only, out_type=None)
 
     def mean(self, numeric_only: bool = True, axis: int = 0,
              skipna: bool = True):
@@ -6925,13 +7053,13 @@ class DataFrame(FrameBase):
             skipna: bool = True):
         if axis in (1, "columns"):
             return self._row_reduce("min", skipna)
-        return self._columnwise(F.min, "min", numeric_only)
+        return self._columnwise(F.min, "min", numeric_only, out_type=None)
 
     def max(self, numeric_only: bool = True, axis: int = 0,
             skipna: bool = True):
         if axis in (1, "columns"):
             return self._row_reduce("max", skipna)
-        return self._columnwise(F.max, "max", numeric_only)
+        return self._columnwise(F.max, "max", numeric_only, out_type=None)
 
     def count(self, numeric_only: bool = False, axis: int = 0):
         if axis in (1, "columns"):
@@ -6973,10 +7101,15 @@ class DataFrame(FrameBase):
                                 numeric_only=False, out_type="long")
 
     def rank(self, method: str = "average", ascending: bool = True,
-             pct: bool = False, na_option: str = "keep") -> "DataFrame":
+             pct: bool = False, na_option: str = "keep",
+             axis: int = 0) -> "DataFrame":
         """pandas ``DataFrame.rank``: every numeric column through the
         scale-safe Series rank (distinct-value rank table + join-back, no
-        global window), reassembled by one index equi-join per column."""
+        global window), reassembled by one index equi-join per column.
+        ``axis=1`` ranks each row ACROSS its columns — a pure projection
+        (array higher-order functions), no shuffle, no UDF."""
+        if axis in (1, "columns"):
+            return self._rank_axis1(method, ascending, pct)
         from .operators.setops import concat
         base = self
         attached = False
@@ -6994,6 +7127,56 @@ class DataFrame(FrameBase):
         if attached:
             out = out.reset_index(drop=True)
         return out
+
+    def _rank_axis1(self, method: str, ascending: bool,
+                    pct: bool) -> "DataFrame":
+        """Row-wise rank: for each cell, count the row's non-null values
+        strictly smaller / equal (JVM ``aggregate`` over a ≤#cols array).
+        average = smaller + (ties+1)/2; min/max/dense from the same two
+        counts; NaN cells rank NaN (pandas na_option='keep')."""
+        if method not in ("average", "min", "max", "dense", "first"):
+            raise ValueError(f"unknown rank method {method!r}")
+        if method == "first":
+            raise NotImplementedError(
+                "rank(axis=1, method='first') needs column positions for "
+                "ties; use average/min/max/dense")
+        num = [c for c in self.columns
+               if is_numeric(self._sdf.schema[c].dataType)]
+        arr = F.array(*[F.col(c).cast("double") for c in num])
+        vals = F.filter(arr, lambda x: ~x.isNull() & ~F.isnan(x))
+        n_valid = F.size(vals)
+        updates = {}
+        for c in num:
+            v = F.col(c).cast("double")
+            less = F.size(F.filter(vals, lambda x: x < v))
+            eq = F.size(F.filter(vals, lambda x: x == v))
+            if not ascending:
+                less = n_valid - less - eq
+            if method == "average":
+                r = less.cast("double") + (eq.cast("double") + 1.0) / 2.0
+            elif method == "min":
+                r = (less + 1).cast("double")
+            elif method == "max":
+                r = (less + eq).cast("double")
+            else:  # dense: distinct values strictly before this one
+                distinct_less = F.size(F.array_distinct(
+                    F.filter(vals, lambda x: x < v)))
+                if not ascending:
+                    distinct_less = F.size(F.array_distinct(
+                        F.filter(vals, lambda x: x > v)))
+                r = (distinct_less + 1).cast("double")
+            if pct:
+                if method == "dense":
+                    denom = F.size(F.array_distinct(vals))
+                else:
+                    denom = n_valid
+                r = r / denom.cast("double")
+            updates[c] = F.when(v.isNull() | F.isnan(v),
+                                F.lit(None).cast("double")).otherwise(r)
+        out = self._sdf.withColumns(updates).select(
+            *[F.col(ic) for ic in self._index_cols], *num)
+        node = Node("rank_axis1", {"method": method}, self._expr)
+        return DataFrame(out, node, self._index_cols, self._index_names)
 
     def median(self, numeric_only: bool = True):
         return self._columnwise(F.median, "median", numeric_only)
@@ -7048,7 +7231,15 @@ class DataFrame(FrameBase):
                                 "quantile", numeric_only)
 
     def prod(self, numeric_only: bool = True):
-        return self._columnwise(F.product, "prod", numeric_only)
+        # Spark's product agg is double-typed regardless of input; pandas
+        # keeps int64 for an all-int frame — cast back when inputs are ints
+        all_int = all(str(self._sdf.schema[c].dataType) in
+                      ("ByteType()", "ShortType()", "IntegerType()",
+                       "LongType()")
+                      for c in self.columns
+                      if is_numeric(self._sdf.schema[c].dataType))
+        fn = (lambda c: F.product(c).cast("long")) if all_int else F.product
+        return self._columnwise(fn, "prod", numeric_only, out_type=None)
 
     product = prod
 
@@ -7359,13 +7550,24 @@ class DataFrame(FrameBase):
 
     def get_dummies(self, columns: Sequence[str],
                     values: Mapping[str, Sequence] | None = None,
-                    prefix_sep: str = "_", dtype: str = "int") -> "DataFrame":
+                    prefix=None, prefix_sep: str = "_",
+                    drop_first: bool = False,
+                    dtype: str = "int") -> "DataFrame":
         """pandas ``pd.get_dummies``: one-hot indicator columns.
 
         Pass ``values={col: [...]}`` to pin the category set — at 100 TB the
         alternative is a distinct-discovery scan per column (done here
-        eagerly and documented, mirroring ``pivot_table``'s contract)."""
+        eagerly and documented, mirroring ``pivot_table``'s contract).
+        ``prefix`` (str for all columns or per-column dict) overrides the
+        source-column-name prefix; ``drop_first`` drops each column's
+        first category (k-1 encoding); ``dtype`` accepts pandas aliases
+        (``int64``, ``float64``, ``bool``) as well as Spark type names."""
         columns = _ensure_list(columns)
+        spark_dtype = {"int64": "long", "int32": "int", "float64": "double",
+                       "float32": "float", "bool": "boolean",
+                       "uint8": "int"}.get(str(dtype), str(dtype))
+        one = F.lit(True) if spark_dtype == "boolean" else F.lit(1)
+        zero = F.lit(False) if spark_dtype == "boolean" else F.lit(0)
         sdf = self._sdf
         new_cols: dict[str, Column] = {}
         for c in columns:
@@ -7375,9 +7577,16 @@ class DataFrame(FrameBase):
                 vals = [r[0] for r in
                         sdf.select(c).distinct().dropna().collect()]
                 vals.sort()
+            if drop_first:
+                vals = vals[1:]
+            if isinstance(prefix, Mapping):
+                p = prefix.get(c, c)
+            else:
+                p = prefix if prefix is not None else c
             for v in vals:
-                new_cols[f"{c}{prefix_sep}{v}"] = \
-                    F.when(F.col(c) == v, 1).otherwise(0).cast(dtype)
+                new_cols[f"{p}{prefix_sep}{v}"] = \
+                    F.when(F.col(c) == v, one).otherwise(zero) \
+                     .cast(spark_dtype)
         out = sdf.withColumns(new_cols).drop(*columns)
         return self._derive(out, "get_dummies", {"columns": columns})
 
@@ -7831,15 +8040,28 @@ class DataFrame(FrameBase):
                           suffixes=("", "_r"))
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
-             value_name: str = "value") -> "DataFrame":
+             value_name: str = "value",
+             ignore_index: bool = True) -> "DataFrame":
         """pandas ``melt`` → Spark's native ``unpivot`` (narrow op, no
-        shuffle; value columns are cast to their common promoted type)."""
+        shuffle; value columns are cast to their common promoted type).
+        ``ignore_index=False`` repeats the original row label per
+        variable, like pandas — the index (or an attached positional
+        rowid) rides through the unpivot as extra id columns."""
         ids = _ensure_list(id_vars)
         vals = _ensure_list(value_vars) if value_vars is not None else \
             [c for c in self.columns if c not in ids]
-        out = self._sdf.unpivot(ids, vals, var_name, value_name)
         node = Node("melt", {"id_vars": ids, "value_vars": vals}, self._expr)
-        return DataFrame(out, node, (), None)
+        if ignore_index:
+            out = self._sdf.unpivot(ids, vals, var_name, value_name)
+            return DataFrame(out, node, (), None)
+        if self._index_cols:
+            src, idx_cols, idx_names = \
+                self._sdf, self._index_cols, self._index_names
+        else:
+            src, idx_cols, idx_names = \
+                _attach_rowid(self._sdf), (_ROWID,), (None,)
+        out = src.unpivot(list(idx_cols) + ids, vals, var_name, value_name)
+        return DataFrame(out, node, idx_cols, idx_names)
 
     def unstack(self, index, columns: str, values: str,
                 pivot_values: Sequence | None = None) -> "DataFrame":
@@ -8249,6 +8471,14 @@ class DataFrame(FrameBase):
         ints = getattr(self, "_int_label_cols", None)
         if ints:
             pdf.columns = [int(c) if c in ints else c for c in pdf.columns]
+        # Arrow delivers null strings as None; pandas' missing marker in
+        # object columns is NaN — normalize at the boundary (list-valued
+        # object columns pass through: notna on them is elementwise-safe
+        # since missing entries are scalar None)
+        for c in pdf.columns:
+            col = pdf[c]
+            if col.dtype == object and col.isna().any():
+                pdf[c] = col.where(col.notna())
         # engine categorical metadata (astype("category"), merge
         # indicator) → real pandas categoricals at the boundary
         for c, cats in (getattr(self, "_cat_meta", None) or {}).items():

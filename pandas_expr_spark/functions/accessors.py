@@ -647,7 +647,10 @@ class StringAccessor(_Accessor):
         from .._expr import Node
         sdf = s._sdf.select(
             *[F.col(ic) for ic in s._index_cols],
-            *[F.array_contains(parts, c_).cast("int").alias(c_)
+            # null strings dummy-encode as ALL-ZERO rows in pandas, not
+            # null (r5 wave-L pin)
+            *[F.coalesce(F.array_contains(parts, c_).cast("long"),
+                         F.lit(0).cast("long")).alias(c_)
               for c_ in cats])
         node = Node("str.get_dummies", {"sep": sep}, s._expr)
         return _PDF(sdf, node, s._index_cols, s._index_names)
@@ -1053,6 +1056,23 @@ class CategoricalAccessor(_Accessor):
         out = self._s._with_scol(self._s._scol, "cat.add_categories")
         new = new if isinstance(new, list) else [new]
         return self._tagged(out, list(self._s._cat_categories) + new)
+
+    def remove_unused_categories(self):
+        """pandas ``cat.remove_unused_categories``: keep only categories
+        that actually occur.  One distinct scan over the (already
+        dictionary-narrow) column — the observed set is bounded by the
+        category list, never by row count."""
+        if not self.known:
+            # unknown categories are discovered from the data, so every
+            # category is observed by construction
+            return self._s
+        observed = {r[0] for r in
+                    self._s._sdf.select(self._s._scol.alias("__c__"))
+                    .filter(self._s._scol.isNotNull()).distinct().collect()}
+        out = self._s._with_scol(self._s._scol,
+                                 "cat.remove_unused_categories")
+        return self._tagged(
+            out, [c for c in self._s._cat_categories if c in observed])
 
     def remove_categories(self, removals):
         if not self.known:

@@ -419,6 +419,35 @@ def period_to_timestamp_col(col, freq: str, how: str = "start"):
     raise ValueError(f"how must be 'start' or 'end', got {how!r}")
 
 
+def ewm_mean_ignore_na(sdf: SparkDF, cols: list[str], order_by: str,
+                       alpha: float, adjust: bool = True,
+                       num_partitions: int | None = None) -> SparkDF:
+    """pandas ``ewm(..., ignore_na=True).mean()``: NaN rows neither decay
+    the weights nor add observations — the EWM runs over each column's
+    NON-NULL subsequence, and gap rows output the prior mean.
+
+    Per column: split on null, run the shared segment-scan kernel over
+    the observation subsequence (which stays range-partitioned — no
+    single-task stage), union the gap rows back with a null result, and
+    one ``last_scan`` forward-fill patches them with the prior mean.
+    Columns with distinct null patterns cannot share one scan (their
+    observation clocks differ), so this is one pass per column — the
+    ``ignore_na=False`` default keeps the shared multi-column pass."""
+    from .scan import last_scan
+    out = sdf
+    for c in cols:
+        is_f = isinstance(out.schema[c].dataType, (T.DoubleType, T.FloatType))
+        null_c = F.col(c).isNull() | (F.isnan(c) if is_f else F.lit(False))
+        obs = out.filter(~null_c)
+        gaps = out.filter(null_c).withColumn(c, F.lit(None).cast("double"))
+        scanned = ewm_mean_global(obs, c, order_by, alpha, name=c,
+                                  num_partitions=num_partitions,
+                                  adjust=adjust)
+        out = last_scan(scanned.unionByName(gaps), [c], [order_by],
+                        num_partitions=num_partitions)
+    return out
+
+
 def ewm_mean_global_multi(sdf: SparkDF, cols: list[str], order_by: str,
                           alpha: float,
                           num_partitions: int | None = None,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from functools import reduce as _reduce
 from typing import Sequence
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from .._expr import Node
 
@@ -171,14 +171,30 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
     override: dict = {}
 
     if on is not None and not (left_index or right_index):
-        # single coalesced key column per `on` key (pandas `on` semantics)
+        # single coalesced key column per `on` key (pandas `on` semantics).
+        # Mixed int/float keys: Spark's coalesce promotes to double, but
+        # pandas coerces the float side DOWN to int when the match is
+        # exact (_maybe_coerce_merge_keys) — for inner/left joins every
+        # surviving right key equals an int left key, so the int dtype is
+        # provably lossless; right/outer keep the promoted float (an
+        # unmatched right row may carry a non-integer key).
+        int_kinds = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         for k in on:
-            sel.append(F.coalesce(F.col(lmap[k]), F.col(rmap[k])).alias(k))
+            coal = F.coalesce(F.col(lmap[k]), F.col(rmap[k]))
+            lt = left._sdf.schema[k].dataType
+            rt = right._sdf.schema[k].dataType
+            if (how in ("inner", "left")
+                    and isinstance(lt, int_kinds)
+                    and isinstance(rt, (T.FloatType, T.DoubleType))):
+                coal = coal.cast(lt)
+            sel.append(coal.alias(k))
         key_left = set(on)
         key_right = set(on)
     elif left_index and right_index:
         for i, (lk, rk) in enumerate(zip(left_keys, right_keys)):
-            name = lk if not lk.startswith("__") else (rk if not rk.startswith("__") else f"key_{i}")
+            # both sides unnamed → a dunder placeholder so the result
+            # index stays UNNAMED (a bare "key_0" leaked as the name)
+            name = lk if not lk.startswith("__") else (rk if not rk.startswith("__") else f"__key_{i}__")
             sel.append(F.coalesce(F.col(lmap[lk]), F.col(rmap[rk])).alias(name))
             out_index.append(name)
         key_left = set(left_keys)

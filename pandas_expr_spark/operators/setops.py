@@ -64,6 +64,29 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         # BEYOND the reference (which rejects axis=1,
         # `_collection.py:638-652`): pandas column-wise concat = index
         # alignment = a full-outer (or inner) equi-join on the index.
+        if keys is not None:
+            # pandas keys= on axis=1 → MultiIndex columns (key, col).
+            # Engine-side the columns stay flat "key__col" Spark names
+            # (which also disambiguates duplicate input names); compute()
+            # restores the pandas MultiIndex from _col_tuples — the same
+            # boundary-metadata contract as agg-list columns.
+            from pyspark.sql import functions as F
+            if len(keys) != len(frames):
+                raise ValueError("keys must match the number of frames")
+            frames = [f.to_frame() if isinstance(f, Series) else f
+                      for f in frames]
+            renamed, tuples = [], {}
+            for key, f in zip(keys, frames):
+                m = {c: f"{key}__{c}" for c in f.columns}
+                sdf = f._sdf.select(
+                    *[F.col(ic) for ic in f._index_cols],
+                    *[F.col(c).alias(m[c]) for c in f.columns])
+                renamed.append(DataFrame(sdf, f._expr, f._index_cols,
+                                         f._index_names))
+                tuples.update({m[c]: (key, c) for c in f.columns})
+            out = _concat_axis1(renamed, join)
+            out._col_tuples = tuples
+            return out
         return _concat_axis1(frames, join)
     if axis not in (0, "index"):
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")

@@ -220,6 +220,17 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
     the pandas freqstr recorded as driver-side metadata on the wrapper —
     ``to_timestamp`` then converts with pure column arithmetic."""
     import pandas as _pd
+    if isinstance(pdf, _pd.Series):
+        # reference ``from_pandas`` returns a Series collection for a
+        # pandas Series input (io/io.py:17-20); lower through the frame
+        # path, then select the single column back out
+        name = pdf.name
+        col = "__series__" if name is None else name
+        frame = from_pandas(pdf.to_frame(col), npartitions)
+        s = frame[col]
+        if name is None:
+            s._col_name = None
+        return s
     spark = get_spark()
     index_cols: tuple[str, ...] = ()
     index_names: tuple = ()

@@ -84,7 +84,9 @@ def test_module_level_na_helpers(spark):
     assert pes.isna(edx.a).compute().tolist() == [False, True]
     assert pes.notna(edx.b).compute().tolist() == [True, False]
     assert pes.isna(float("nan")) and not pes.isna(3)
-    assert sorted(x for x in pes.unique(edx.b).compute() if x) == ["x"]
+    # missing surfaces as NaN (truthy!) — filter NA-aware like pandas
+    assert sorted(x for x in pes.unique(edx.b).compute()
+                  if isinstance(x, str)) == ["x"]
     codes, _ = pes.factorize(edx.b)
     assert list(codes.compute()) == list(pd.factorize(pdx.b)[0])
 

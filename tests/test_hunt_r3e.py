@@ -134,8 +134,8 @@ def test_str_slice_negative(spark):
     for args in [(-2,), (-3, -1), (1, -1), (-10, 2), (0, -10), (2,), (1, 3)]:
         got = list(f["s"].str.slice(*args).compute())
         exp = list(pdf["s"].str.slice(*args))
-        assert [x for x in got] == [None if pd.isna(x) else x for x in exp], \
-            (args, got, exp)
+        assert [None if pd.isna(x) else x for x in got] == \
+            [None if pd.isna(x) else x for x in exp], (args, got, exp)
 
 
 def test_str_rsplit(spark):

@@ -62,8 +62,10 @@ def test_zfill_signed(spark):
     s = pd.Series(["-5", "12", "+3", "007", "", None])
     f = pes.from_pandas(s.to_frame("z"))
     got = list(f["z"].str.zfill(4).compute())
-    exp = [None if pd.isna(x) else x for x in s.str.zfill(4)]
-    assert got == exp
+    exp = list(s.str.zfill(4))
+    # missing surfaces as NaN (pandas marker) — compare NA-aware
+    assert [None if pd.isna(x) else x for x in got] == \
+        [None if pd.isna(x) else x for x in exp]
 
 
 def test_series_groupby_agg_list_bare_names(spark):

@@ -225,7 +225,8 @@ def test_str_casefold_full_unicode(spark):
     e = pes.from_pandas(s.to_frame("x"))["x"]
     got = e.str.casefold().compute().sort_index()
     exp = s.str.casefold()
-    assert got.tolist() == exp.tolist()     # 'ß' → 'ss', 'ﬁ' → 'fi'
+    assert [x if isinstance(x, str) else None for x in got] == \
+        [x if isinstance(x, str) else None for x in exp]  # ß→ss, ﬁ→fi
 
 
 def test_series_groupby_transform_callable_is_series(spark):
