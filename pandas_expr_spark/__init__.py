@@ -89,11 +89,30 @@ def to_datetime(series, errors: str = "raise", format: str | None = None,
 
 
 def to_numeric(series, errors: str = "raise"):
-    """pandas ``pd.to_numeric``: cast to double; ``errors='coerce'`` uses
-    ``try_cast`` semantics (malformed → null, no ANSI error)."""
+    """pandas ``pd.to_numeric``: numeric cast; ``errors='coerce'`` uses
+    ``try_cast`` semantics (malformed → null, no ANSI error).  Like
+    pandas, the result is int64 when EVERY value parses as an integer —
+    decided by one tiny aggregation comparing long-vs-double parse
+    failures (an eager probe bounded to one row, same documented
+    contract as qcut's edge scan)."""
+    from pyspark.sql import functions as F
     c = series._scol
-    expr = c.try_cast("double") if errors == "coerce" else c.cast("double")
-    return series._with_scol(expr, "to_numeric")
+    row = series._sdf.agg(
+        F.sum(c.try_cast("long").isNull().cast("int")).alias("l"),
+        F.sum(c.try_cast("double").isNull().cast("int")).alias("d"),
+        F.min(F.when(c.try_cast("double").isNull(), c)).alias("bad"),
+    ).first()
+    if errors == "raise" and (row["d"] or 0) > 0 and row["bad"] is not None:
+        # pandas raises on the first unparseable value.  Raising HERE
+        # (the probe already scanned) also sidesteps ANSI's batch-wise
+        # cast evaluation, which errors on rows a later limit discards.
+        raise ValueError(
+            f'Unable to parse string "{row["bad"]}" at position ?')
+    # int64 only when EVERY value (nulls included) parses as an integer —
+    # any float text, malformed value, or null makes the result float64,
+    # exactly pandas' inference
+    t = "long" if (row["l"] or 0) == 0 else "double"
+    return series._with_scol(c.try_cast(t), "to_numeric")
 
 
 def melt(frame, id_vars, value_vars=None, var_name: str = "variable",

@@ -587,6 +587,12 @@ class Scalar(FrameBase):
             # pandas numeric reductions yield NaN, not None (var of a
             # single value, prod(skipna=False) over a null, ...)
             return float("nan")
+        import datetime as _dt
+        if isinstance(v, _dt.timedelta):
+            # pandas scalars are Timestamps/Timedeltas, not stdlib types
+            return pd.Timedelta(v)
+        if isinstance(v, _dt.datetime):
+            return pd.Timestamp(v)
         return v
 
     def __float__(self):
@@ -792,6 +798,18 @@ class Series(FrameBase):
             # (True for ne).  Spark's NaN semantics treat NaN = NaN as
             # TRUE and null-vs-NaN as null — both silently wrong (r5 pin)
             return self._with_scol(F.lit(op == "ne"), op)
+        if isinstance(self.spark_type, T.StringType):
+            # pandas string semantics: + concatenates, * int repeats —
+            # Spark's ANSI +/* on strings is a numeric-cast type error
+            other_str = isinstance(other, str) or (
+                isinstance(other, Series)
+                and isinstance(other.spark_type, T.StringType))
+            if op == "add" and other_str:
+                fn = lambda a, b: F.concat(a, b)          # noqa: E731
+            elif (op == "mul" and isinstance(other, (int, np.integer))
+                    and not isinstance(other, (bool, np.bool_))):
+                return self._with_scol(F.repeat(self._scol, int(other)),
+                                       op)
         vf = getattr(self, "_period_value_freq", None) or {}
         pfreq = vf.get(self._col_name)
         if (pfreq is not None and op in ("add", "sub")
@@ -1554,6 +1572,10 @@ class Series(FrameBase):
         agg = F.sum(c)
         if min_count:
             agg = F.when(F.count(c) >= min_count, agg)
+        elif isinstance(self.spark_type, T.DayTimeIntervalType):
+            # timedelta sum: pandas' empty identity is Timedelta(0) — the
+            # int 0 literal is a coalesce type error against intervals
+            agg = F.coalesce(agg, F.expr("INTERVAL '0' SECOND"))
         else:
             agg = F.coalesce(agg, F.lit(0))
         return self._reduce(agg, "sum", skipna)
@@ -3362,13 +3384,16 @@ class Series(FrameBase):
 
     # -- time-indexed conveniences (delegate to the frame machinery) -----
     def resample(self, freq: str, fill_empty: bool = True,
-                 label: str | None = None, closed: str | None = None):
+                 label: str | None = None, closed: str | None = None,
+                 origin=None, offset: str | None = None):
         """``s.resample('D').mean()`` over the datetime index — the frame
         Resampler sliced to this column (date_trunc bucketing, one
         grouped-agg shuffle)."""
         name = self._col_name if self._col_name is not None else "__v__"
         return self.to_frame(name).resample(freq, fill_empty=fill_empty,
-                                            label=label, closed=closed)[name]
+                                            label=label, closed=closed,
+                                            origin=origin,
+                                            offset=offset)[name]
 
     def asfreq(self, freq: str, method: str | None = None) -> "Series":
         """Calendar-spine re-index at ``freq`` (see ``DataFrame.asfreq``)."""
@@ -3504,6 +3529,21 @@ class _SeriesRolling:
     def count(self) -> Series: return self._agg("count")
     def var(self) -> Series: return self._agg("var")
     def std(self) -> Series: return self._agg("std")
+
+    def agg(self, spec):
+        """pandas ``rolling(...).agg``: a str delegates to the named
+        method; a list returns a frame with one column per function
+        (each an independent scan — they share the same ranged layout
+        so AQE reuses the shuffle)."""
+        if isinstance(spec, str):
+            return getattr(self, spec)()
+        if isinstance(spec, (list, tuple)):
+            from .operators.setops import concat
+            frames = [getattr(self, f)().to_frame(f) for f in spec]
+            return concat(frames, axis=1)
+        raise NotImplementedError(f"rolling.agg spec {type(spec).__name__}")
+
+    aggregate = agg
 
     # order statistics / higher moments need the raw window values, so
     # they ride the exact halo-block apply path (Arrow-batched pandas per
@@ -7903,7 +7943,8 @@ class DataFrame(FrameBase):
 
     def resample(self, freq: str, on: str | None = None,
                  fill_empty: bool = True, label: str | None = None,
-                 closed: str | None = None):
+                 closed: str | None = None, origin=None,
+                 offset: str | None = None):
         """pandas ``df.resample(freq, on=ts)`` → time-bucketed GroupBy.
 
         Calendar frequencies (``h/D/W/M/Q/Y``) lower to ``date_trunc``;
@@ -7931,6 +7972,15 @@ class DataFrame(FrameBase):
         mult = int(m.group(1)) if m.group(1) else 1
         unit = m.group(2).lower()
         ts = F.col(on)
+        off_iv = None
+        if offset is not None:
+            # pandas offset=: every bin edge shifts by the offset — bucket
+            # the shifted timestamps, then shift the labels back (pure
+            # column arithmetic, the grouping stays one shuffle)
+            micros = int(pd.Timedelta(offset)
+                         / pd.Timedelta(microseconds=1))
+            off_iv = F.expr(f"INTERVAL {micros} MICROSECOND")
+            ts = ts - off_iv
         if closed == "right":
             # pandas closed='right': a value exactly on a grid edge b
             # belongs to the bin ENDING at b — bucket the timestamp minus
@@ -7966,21 +8016,29 @@ class DataFrame(FrameBase):
             dur = f"{mult} {self._RESAMPLE_INTERVAL[unit]}"
             secs = mult * {"s": 1, "min": 60, "t": 60, "h": 3600,
                            "d": 86400}[unit]
-            if 86400 % secs == 0:
-                # every midnight is a bin edge → epoch alignment already
-                # equals pandas' origin='start_day'; no data pass needed
+            org = "start_day" if origin is None else origin
+            if org == "epoch" or (org == "start_day"
+                                  and 86400 % secs == 0):
+                # epoch alignment — identical to start_day whenever the
+                # freq divides a day, so no data pass is needed there
                 bucket = F.window(ts, dur).getField("start")
             else:
-                # pandas origin='start_day': bins anchor at MIDNIGHT OF
-                # THE DATA'S FIRST DAY — data-dependent, so one tiny
-                # min() action at plan-build time (documented contract,
-                # same class as get_dummies' distinct scan)
+                # pandas origin='start_day'/'start'/timestamp: bins
+                # anchor at a data-dependent instant — one tiny min()
+                # action at plan-build time (documented contract, same
+                # class as get_dummies' distinct scan)
                 lo = self._sdf.agg(F.min(F.col(on))).collect()[0][0]
                 off = 0
                 if lo is not None:
                     import datetime as _dt
-                    day0 = _dt.datetime.combine(lo.date(), _dt.time())
-                    off = int(day0.timestamp()) % secs
+                    if org == "start":
+                        anchor = lo
+                    elif org == "start_day":
+                        anchor = _dt.datetime.combine(lo.date(),
+                                                      _dt.time())
+                    else:
+                        anchor = pd.Timestamp(org).to_pydatetime()
+                    off = int(anchor.timestamp()) % secs
                 bucket = F.window(ts, dur, dur,
                                   f"{off} seconds").getField("start")
             step_sql = f"INTERVAL {dur}"
@@ -7992,6 +8050,8 @@ class DataFrame(FrameBase):
             bucket = bucket + F.expr(step_sql)
         elif label not in (None, "left"):
             raise ValueError(f"label must be left/right, got {label!r}")
+        if off_iv is not None:
+            bucket = bucket + off_iv
         from .operators.groupby import Resampler
         out = self._derive(self._sdf.withColumn(on, bucket),
                            "resample", {"freq": freq, "on": on})
@@ -8680,6 +8740,46 @@ class _LocIndexer:
     def __init__(self, frame: "DataFrame"):
         self._f = frame
 
+    def __setitem__(self, key, value):
+        """pandas ``df.loc[rows, col] = value`` for the lazy engine: a
+        full-slice row selector is a plain column assign; a boolean-mask
+        selector lowers to a conditional projection
+        (``when(mask, value).otherwise(col)``) — pure JVM expressions, no
+        data movement.  The wrapper rebinds in place, same contract as
+        ``df[col] = value``."""
+        f = self._f
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError(
+                "loc assignment needs df.loc[rows, col] = value")
+        rows, cols = key
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if isinstance(rows, slice) and rows == slice(None):
+            for c in cols:
+                f[c] = value
+            return
+        if isinstance(rows, Series):
+            if rows._sdf is not f._sdf:
+                raise ValueError(
+                    "loc mask assignment needs a mask derived from this "
+                    "frame")
+            val = (value._scol
+                   if isinstance(value, Series) and value._sdf is f._sdf
+                   else F.lit(value))
+            updates = {}
+            for c in cols:
+                if c in f.columns:
+                    updates[c] = F.when(rows._scol, val) \
+                        .otherwise(F.col(c))
+                else:
+                    updates[c] = F.when(rows._scol, val)
+            out = f._derive(f._sdf.withColumns(updates), "loc_setitem",
+                            {"columns": cols})
+            f._sdf, f._expr = out._sdf, out._expr
+            return
+        raise TypeError(
+            "loc assignment supports df.loc[:, col] and "
+            "df.loc[bool_mask, col] selectors")
+
     def _label_list(self, f: "DataFrame", labels: list):
         """Rows for a label list: pandas preserves the REQUESTED order
         (duplicated requests duplicate rows) and raises KeyError when any
@@ -8935,8 +9035,58 @@ class _ILocIndexer:
         f = self._f
         if isinstance(key, slice):
             step = 1 if key.step is None else key.step
-            if step <= 0:
-                raise NotImplementedError("iloc negative step (reversal)")
+            if step == 0:
+                raise ValueError("slice step cannot be zero")
+            if step < 0:
+                # reversal: same distributed position pass, descending
+                # emit order (one count job resolves the end anchor —
+                # the cost class already accepted for negative offsets)
+                from .functions import scan
+                n = f._sdf.count()
+                s = -step
+                start = n - 1 if key.start is None else (
+                    key.start if key.start >= 0 else n + key.start)
+                start = min(start, n - 1)
+                stop = -1 if key.stop is None else (
+                    key.stop if key.stop >= 0 else n + key.stop)
+                if f._index_cols:
+                    sdf, order = f._sdf, list(f._index_cols)
+                else:
+                    sdf, order = _attach_rowid(f._sdf), [_ROWID]
+                pos = scan.global_pos(sdf, order)
+                cond = ((F.col("__pos__") <= start)
+                        & (F.col("__pos__") > stop)
+                        & ((start - F.col("__pos__")) % s == 0))
+                hit = pos.filter(cond)
+                if tuple(f._index_cols) == (_ROWID,):
+                    # anonymous-rowid index = pure positional contract:
+                    # renumber so the rowid ORDER is the reversed order
+                    # (original rowids would silently keep ascending
+                    # order through downstream scans)
+                    out = (hit.drop(_ROWID)
+                           .withColumn(
+                               _ROWID, ((F.lit(start) - F.col("__pos__"))
+                                        / F.lit(s)).cast("long"))
+                           .drop("__pos__").orderBy(_ROWID))
+                    node = Node("iloc", {"step": step}, f._expr)
+                    return DataFrame(out, node, (_ROWID,), (None,))
+                if not f._index_cols:
+                    # anchor the NEW presentation position as the rowid so
+                    # downstream order-dependent ops (cummax, rolling, …)
+                    # follow the reversed order, like pandas — a bare
+                    # orderBy would be elided by Catalyst before the next
+                    # exchange and the scan would silently run ascending
+                    out = (hit.withColumn(
+                               _ROWID, ((F.lit(start) - F.col("__pos__"))
+                                        / F.lit(s)).cast("long"))
+                           .drop("__pos__").orderBy(_ROWID))
+                    node = Node("iloc", {"step": step}, f._expr)
+                    return DataFrame(out, node, (_ROWID,), (None,))
+                out = (hit.orderBy(F.col("__pos__").desc())
+                       .drop("__pos__"))
+                return f._derive(out, "iloc", {"start": start,
+                                               "stop": stop,
+                                               "step": step})
             start, stop = key.start, key.stop
             if (start is not None and start < 0) or \
                     (stop is not None and stop < 0):

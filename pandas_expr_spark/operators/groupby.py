@@ -514,6 +514,15 @@ class GroupBy:
             # IS the label (bare for a SeriesGroupBy string slice)
             numeric = set(self._value_columns(numeric_only=True))
             scalar_slice = getattr(self, "_slice_scalar", False)
+            # pandas numbers anonymous lambdas per list spec: <lambda_0>,
+            # <lambda_1>, … (even a single one)
+            lam_labels: dict[int, str] = {}
+            n_lam = 0
+            for fn_name in spec:
+                if callable(fn_name) and not isinstance(fn_name, str) \
+                        and getattr(fn_name, "__name__", "") == "<lambda>":
+                    lam_labels[id(fn_name)] = f"<lambda_{n_lam}>"
+                    n_lam += 1
             for c in cols:
                 for fn_name in spec:
                     if isinstance(fn_name, tuple) and len(fn_name) == 2:
@@ -525,11 +534,17 @@ class GroupBy:
                         continue
                     if fn_name in self._ANY_DTYPE_AGGS or c in numeric:
                         # a string slice is a SeriesGroupBy: pandas labels
-                        # the result with the BARE fn names
+                        # the result with the BARE fn names; bare
+                        # callables in a list label as their __name__
+                        # ("<lambda>", like pandas) — r5 wave-O fix
+                        label = fn_name if isinstance(fn_name, str) \
+                            else lam_labels.get(
+                                id(fn_name),
+                                getattr(fn_name, "__name__", "fn"))
                         one(c, fn_name,
-                            fn_name if scalar_slice else f"{c}_{fn_name}")
+                            label if scalar_slice else f"{c}_{label}")
                         if not scalar_slice:
-                            mi_tuples[f"{c}_{fn_name}"] = (c, fn_name)
+                            mi_tuples[f"{c}_{label}"] = (c, label)
         elif isinstance(spec, Mapping):
             # pandas: if ANY column maps to a list, the output columns are
             # a MultiIndex for ALL columns ({"v": ["sum"], "w": "max"} →

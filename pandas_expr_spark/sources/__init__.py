@@ -91,12 +91,22 @@ def read_parquet(path: str, columns: Sequence[str] | None = None,
 def read_csv(path: str, usecols: Sequence[str] | None = None,
              header: bool | int | None = True, infer_schema: bool = True,
              schema=None, names: Sequence[str] | None = None,
-             sep: str | None = None, **kwargs) -> DataFrame:
+             sep: str | None = None, dtype=None, parse_dates=None,
+             nrows: int | None = None, skiprows=None,
+             index_col=None, **kwargs) -> DataFrame:
     """Reference ReadCSV ``io/csv.py:8-20``.  Schema inference reads a sample
     (Spark-side analogue of the reference's 1-row meta read); pass
     ``schema=`` to skip the inference pass at scale.  pandas spellings:
-    ``header=None`` (no header row), ``names=`` (column names),
-    ``sep=``."""
+    ``header=None`` (no header row), ``names=`` (column names), ``sep=``,
+    ``dtype=`` (per-column cast), ``parse_dates=`` (timestamp cast),
+    ``nrows=`` (limit), ``skiprows=[lines]`` (file-position filter over
+    the in-order scan), ``index_col=`` (post-read set_index).  Unknown
+    kwargs raise — silent acceptance hides wrong results."""
+    if "inferSchema" in kwargs:          # camelCase back-compat alias
+        infer_schema = kwargs.pop("inferSchema")
+    if kwargs:
+        raise NotImplementedError(
+            f"read_csv: unsupported arguments {sorted(kwargs)}")
     use_header = header is not None and header is not False
     token = tokenize("read_csv", path, use_header, infer_schema,
                      str(schema), tuple(names or ()), sep)
@@ -112,14 +122,88 @@ def read_csv(path: str, usecols: Sequence[str] | None = None,
         out = r.csv(path)
         if names is not None:
             out = out.toDF(*[str(n) for n in names])
+        if schema is None and infer_schema:
+            # pandas parity for the INFERRED schema: every integral
+            # column is int64 (Spark picks the narrowest), and date/
+            # timestamp-looking text stays a STRING unless parse_dates=
+            # asks for it.  Dates re-read with an explicit schema (the
+            # raw text survives byte-exact); ints widen with a cast.
+            from pyspark.sql import types as _T
+            dateish = (_T.DateType, _T.TimestampType, _T.TimestampNTZType)
+            if any(isinstance(f.dataType, dateish)
+                   for f in out.schema.fields):
+                new_schema = _T.StructType([
+                    _T.StructField(
+                        f.name,
+                        _T.StringType() if isinstance(f.dataType, dateish)
+                        else (_T.LongType()
+                              if isinstance(f.dataType,
+                                            (_T.ByteType, _T.ShortType,
+                                             _T.IntegerType))
+                              else f.dataType), True)
+                    for f in out.schema.fields])
+                r2 = spark.read.option("header", use_header)
+                if sep is not None:
+                    r2 = r2.option("sep", sep)
+                out = r2.schema(new_schema).csv(path)
+                if names is not None:
+                    out = out.toDF(*[str(n) for n in names])
+                return out
+            widen = {f.name: F.col(f.name).cast("long")
+                     for f in out.schema.fields
+                     if isinstance(f.dataType, (_T.ByteType, _T.ShortType,
+                                                _T.IntegerType))}
+            if widen:
+                out = out.withColumns(widen)
         return out
 
     sdf = _cached_scan(token, build)
     node = Node("read_csv", {"path": path})
+    if skiprows is not None:
+        # list of 0-based FILE line numbers (line 0 = the header when
+        # header=True): translate to data-row positions and filter them
+        # out via the distributed position pass — a single csv file scans
+        # in file order, so positions == file lines
+        if not isinstance(skiprows, (list, tuple, set)):
+            raise NotImplementedError(
+                "read_csv(skiprows=) supports a list of line numbers; an "
+                "int head-skip changes where the header is parsed from")
+        base = 1 if use_header else 0
+        drop = {int(l) - base for l in skiprows if int(l) >= base}
+        if any(int(l) < base for l in skiprows):
+            raise NotImplementedError(
+                "read_csv(skiprows=) cannot skip the header line")
+        if drop:
+            from .._collection import _attach_rowid, _ROWID
+            sdf = (_attach_rowid(sdf)
+                   .filter(~F.col(_ROWID).isin(list(drop)))
+                   .drop(_ROWID))
+    if nrows is not None:
+        sdf = sdf.limit(int(nrows))
     if usecols is not None:
         sdf = sdf.select(*usecols)
         node = Node("projection", {"columns": list(usecols)}, node)
-    return DataFrame(sdf, node)
+    if dtype is not None:
+        _MAP = {"int64": "long", "int32": "int", "float64": "double",
+                "float32": "float", "bool": "boolean", "object": "string",
+                "str": "string", "string": "string"}
+        if not isinstance(dtype, dict):
+            dtype = {c: dtype for c in sdf.columns}
+        casts = {c: F.col(c).cast(_MAP.get(str(t), str(t)))
+                 for c, t in dtype.items() if c in sdf.columns}
+        if casts:
+            sdf = sdf.withColumns(casts)
+    if parse_dates:
+        cols = [parse_dates] if isinstance(parse_dates, str) else \
+            list(parse_dates)
+        sdf = sdf.withColumns({c: F.col(c).cast("timestamp")
+                               for c in cols if c in sdf.columns})
+    out = DataFrame(sdf, node)
+    if index_col is not None:
+        if isinstance(index_col, int):
+            index_col = out.columns[index_col]
+        out = out.set_index(index_col)
+    return out
 
 
 def read_json(path: str, schema=None, **kwargs) -> DataFrame:

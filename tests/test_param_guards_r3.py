@@ -45,10 +45,13 @@ class TestIlocExtended:
         got = df.iloc[sl].compute().sort_index()
         assert got["v"].tolist() == pdf.iloc[sl]["v"].tolist()
 
-    def test_negative_step_raises(self, spark):
+    def test_negative_step_reverses(self, spark):
+        # implemented in r5 (was a NotImplementedError guard): reversal
+        # via the distributed position pass + presentation-rowid anchor
         df = from_pandas(pd.DataFrame({"v": [1, 2, 3]}))
-        with pytest.raises(NotImplementedError):
-            df.iloc[::-1]
+        assert df.iloc[::-1].compute()["v"].tolist() == [3, 2, 1]
+        with pytest.raises(ValueError):
+            df.iloc[::0]
 
 
 class TestCorrwithSpearman:
