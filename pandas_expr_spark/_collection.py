@@ -39,6 +39,11 @@ from ._expr import Node
 __all__ = ["DataFrame", "Series", "Index", "Scalar", "new_collection"]
 
 _ROWID = "__pes_rowid__"
+# hidden presentation-order column: stamped by order-changing ops
+# (sort_values/nlargest/...) so order-dependent scans (cumsum, pct_change,
+# rolling, ewm) follow the PRESENTED order like pandas, while the rowid/
+# index keeps pandas' preserved labels
+_ORDER = "__pes_order__"
 
 
 def _avg_rank_join(sdf: SparkDF, col: str, out_col: str) -> SparkDF:
@@ -393,7 +398,14 @@ def _is_na_scalar(v) -> bool:
         return False
 
 
-def _attach_rowid(sdf: SparkDF) -> SparkDF:
+def _order_cols(sdf: SparkDF) -> list:
+    """The hidden presentation-order column, iff the scan input carried
+    one — final projections must keep it so downstream consumers (and
+    compute()) still see the stamped order."""
+    return [F.col(_ORDER)] if _ORDER in sdf.columns else []
+
+
+def _attach_rowid(sdf: SparkDF, name: str = _ROWID) -> SparkDF:
     """Materialize a positional row id — entirely JVM-side.
 
     The distributed-sequence trick (same design as pandas-on-Spark's
@@ -431,11 +443,11 @@ def _attach_rowid(sdf: SparkDF) -> SparkDF:
         F.coalesce(F.sum("__n__").over(w_off), F.lit(0)).alias("__off__"))
     out = (base.join(F.broadcast(offsets),
                      pid == F.col("__pid__"))
-           .withColumn(_ROWID,
+           .withColumn(name,
                        F.col("__off__")
                        + F.col("__mid__").bitwiseAND(F.lit(mask)))
            .drop("__pid__", "__mid__", "__off__"))
-    return out.select(*sdf.columns, _ROWID)
+    return out.select(*sdf.columns, name)
 
 
 # --------------------------------------------------------------------------
@@ -554,10 +566,13 @@ class FrameBase:
         the SYNTHETIC positional rowid (attached internally to preserve
         pandas row labels through sorts/explodes) is not — it is an
         engine artifact, not user data."""
-        if _ROWID in self._sdf.columns and _ROWID in getattr(
+        sdf = self._sdf
+        if _ORDER in sdf.columns:
+            sdf = sdf.drop(_ORDER)
+        if _ROWID in sdf.columns and _ROWID in getattr(
                 self, "_index_cols", ()):
-            return self._sdf.drop(_ROWID)
-        return self._sdf
+            return sdf.drop(_ROWID)
+        return sdf
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK"):
         self._sdf.persist()
@@ -1218,7 +1233,7 @@ class Series(FrameBase):
                     .distinct().withColumn("__present__", F.lit(True)))
             j = sdf.join(vals, F.col(name).eqNullSafe(F.col("__val__")),
                          "left")
-            out = j.select(*[F.col(c) for c in idx],
+            out = j.select(*[F.col(c) for c in idx], *_order_cols(j),
                            F.coalesce(F.col("__present__"),
                                       F.lit(False)).alias(name))
             node = Node("isin", {"values": "<series>"}, self._expr,
@@ -1866,6 +1881,17 @@ class Series(FrameBase):
         materialized and a positional rowid attached when no index exists."""
         name = self._col_name or "__v__"
         sel = [self._scol.alias(name)] + (extra or [])
+        if _ORDER in self._sdf.columns:
+            # a sort/nlargest stamped the presentation order — positional
+            # scans follow IT, not the (label-preserving) index order
+            if self._index_cols:
+                sdf = self._sdf.select(
+                    F.col(_ORDER),
+                    *[F.col(c) for c in self._index_cols], *sel)
+                return sdf, name, [_ORDER], self._index_cols
+            sdf = self._sdf.select(F.col(_ORDER), *sel) \
+                .withColumnRenamed(_ORDER, _ROWID)
+            return sdf, name, [_ROWID], (_ROWID,)
         if self._index_cols:
             sdf = self._sdf.select(*[F.col(c) for c in self._index_cols], *sel)
             return sdf, name, list(self._index_cols), self._index_cols
@@ -1945,7 +1971,8 @@ class Series(FrameBase):
             # keying on the join-miss flag, not on null-ness of the value
             val = F.when(F.col("__src__").isNull(),
                          F.lit(fill_value)).otherwise(val)
-        out = out.select(*[F.col(c) for c in idx], val.alias(name))
+        out = out.select(*[F.col(c) for c in idx], *_order_cols(out),
+                         val.alias(name))
         node = Node("shift", {"periods": periods}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
@@ -1953,7 +1980,8 @@ class Series(FrameBase):
     def diff(self, periods: int = 1) -> "Series":
         out, name, idx = self._pos_shifted(periods)
         val = (F.col(name) - F.col("__shifted__")).alias(name)
-        out = out.select(*[F.col(c) for c in idx], val)
+        out = out.select(*[F.col(c) for c in idx], *_order_cols(out),
+                         val)
         node = Node("diff", {"periods": periods}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
@@ -1980,6 +2008,7 @@ class Series(FrameBase):
                  .when(c == 0, F.lit(float("nan")))
                  .otherwise(F.lit(float("inf")) * inf_sign))
         out = out.select(*[F.col(col) for col in idx],
+                         *_order_cols(out),
                          (ratio - F.lit(1)).alias(name))
         node = Node("pct_change", {"periods": periods}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
@@ -2040,7 +2069,8 @@ class Series(FrameBase):
             filled = F.when((p - pp) <= F.lit(limit), filled)
         out_val = F.when(v.isNotNull(), v.cast("double")).otherwise(
             F.when(pp.isNotNull(), filled))
-        out = j.select(*[F.col(c) for c in idx], out_val.alias(name))
+        out = j.select(*[F.col(c) for c in idx], *_order_cols(j),
+                       out_val.alias(name))
         node = Node("interpolate", {"method": method}, self._expr)
         return Series(out, F.col(name), self._col_name, node, idx,
                       self._index_names if self._index_cols else (None,))
@@ -3468,7 +3498,13 @@ class Series(FrameBase):
     def compute(self) -> pd.Series:
         name = self._col_name if self._col_name is not None else "__values__"
         cols = [F.col(c) for c in self._index_cols] + [self._scol.alias(name)]
-        pdf = self._sdf.select(*cols).toPandas()
+        base = self._sdf
+        if _ORDER in base.columns:
+            pdf = base.orderBy(_ORDER).select(*cols).toPandas()
+        elif tuple(self._index_cols) == (_ROWID,):
+            pdf = base.orderBy(_ROWID).select(*cols).toPandas()
+        else:
+            pdf = base.select(*cols).toPandas()
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))
             pdf.index.names = list(self._index_names)
@@ -3631,7 +3667,8 @@ class _SeriesRolling:
             res = F.when(den > 0,
                          (n * sxy - sx * sy) / F.sqrt(den))
         name = s._col_name or "__v__"
-        sel = out.select(*[F.col(c) for c in idx], res.alias(name))
+        sel = out.select(*[F.col(c) for c in idx], *_order_cols(out),
+                         res.alias(name))
         node = Node(f"rolling_{want}", {"window": self._window}, s._expr)
         return Series(sel, F.col(name), s._col_name, node, idx, names)
 
@@ -3656,7 +3693,7 @@ class _SeriesRolling:
         out = scan.rolling_apply(sdf, name, order, self._window, func,
                                  self._minp, out="__ra__", raw=raw,
                                  center=self._center)
-        res = out.select(*[F.col(c) for c in idx],
+        res = out.select(*[F.col(c) for c in idx], *_order_cols(out),
                          F.col("__ra__").alias(name))
         node = Node("rolling_apply", {"window": self._window}, s._expr)
         return Series(res, F.col(name), s._col_name, node, idx,
@@ -3803,6 +3840,12 @@ class _FrameRolling:
             if f._index_cols:
                 return f._sdf, [self._on], f._index_cols, f._index_names
             return (_attach_rowid(f._sdf), [self._on], (_ROWID,), (None,))
+        if _ORDER in f._sdf.columns:
+            # stamped presentation order (sort/nlargest) wins over the
+            # label-preserving index for window order, like pandas
+            idx = f._index_cols if f._index_cols else (_ORDER,)
+            names = f._index_names if f._index_cols else (None,)
+            return f._sdf, [_ORDER], idx, names
         if f._index_cols:
             return f._sdf, list(f._index_cols), f._index_cols, f._index_names
         sdf = _attach_rowid(f._sdf)
@@ -3825,7 +3868,8 @@ class _FrameRolling:
                                      self._minp, center=self._center)
         keep = ([self._on] if self._on is not None
                 and self._on not in idx else []) + num
-        out = out.select(*[F.col(c) for c in idx], *keep)
+        out = out.select(*[F.col(c) for c in idx], *_order_cols(out),
+                         *keep)
         node = Node(f"frame_rolling_{fn}", {"window": self._window},
                     self._f._expr)
         if isinstance(self._sel, str) and len(num) == 1:
@@ -3841,7 +3885,8 @@ class _FrameRolling:
             cur = scan.rolling_minmax(cur, c, order, self._window, fn,
                                       self._minp, out=c,
                                       center=self._center)
-        out = cur.select(*[F.col(c) for c in idx], *num)
+        out = cur.select(*[F.col(c) for c in idx], *_order_cols(cur),
+                         *num)
         return DataFrame(out, Node(f"frame_rolling_{fn}",
                                    {"window": self._window}, self._f._expr),
                          idx, names)
@@ -3866,7 +3911,11 @@ class _FrameEwm:
     def mean(self) -> "DataFrame":
         from .functions import timeseries as _ts
         f = self._f
-        if f._index_cols:
+        if _ORDER in f._sdf.columns:
+            sdf, order = f._sdf, _ORDER
+            idx = f._index_cols if f._index_cols else (_ORDER,)
+            names = f._index_names if f._index_cols else (None,)
+        elif f._index_cols:
             sdf, order = f._sdf, f._index_cols[0]
             idx, names = f._index_cols, f._index_names
             if len(f._index_cols) != 1:
@@ -3882,7 +3931,8 @@ class _FrameEwm:
         else:
             out = _ts.ewm_mean_global_multi(sdf, num, order, self._alpha,
                                             adjust=self._adjust)
-        out = out.select(*[F.col(c) for c in idx], *num)
+        out = out.select(*[F.col(c) for c in idx], *_order_cols(out),
+                         *num)
         return DataFrame(out, Node("frame_ewm_mean",
                                    {"alpha": self._alpha}, f._expr),
                          idx, names)
@@ -3898,7 +3948,11 @@ class _FrameExpanding:
     def _agg(self, fn: str) -> "DataFrame":
         from .functions import scan
         f = self._f
-        if f._index_cols:
+        if _ORDER in f._sdf.columns:
+            sdf, order = f._sdf, [_ORDER]
+            idx = f._index_cols if f._index_cols else (_ORDER,)
+            names = f._index_names if f._index_cols else (None,)
+        elif f._index_cols:
             sdf, order = f._sdf, list(f._index_cols)
             idx, names = f._index_cols, f._index_names
         else:
@@ -3947,7 +4001,7 @@ class _FrameExpanding:
             have = F.col("__P__") if fn == "count" else cnt
             updates[c] = F.when(have >= F.lit(self._minp), val)
         out = scanned.withColumns(updates).select(
-            *[F.col(c) for c in idx], *num)
+            *[F.col(c) for c in idx], *_order_cols(scanned), *num)
         return DataFrame(out, Node(f"frame_expanding_{fn}", {},
                                    self._f._expr), idx, names)
 
@@ -4075,7 +4129,8 @@ class _SeriesExpanding:
             res = F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den))
         res = F.when(n >= F.lit(max(self._minp, 1)), res)
         name = s._col_name or "__v__"
-        sel = scanned.select(*[F.col(c) for c in idx], res.alias(name))
+        sel = scanned.select(*[F.col(c) for c in idx],
+                             *_order_cols(scanned), res.alias(name))
         node = Node(f"expanding_{want}", {}, s._expr)
         return Series(sel, F.col(name), s._col_name, node, idx, names)
 
@@ -4121,7 +4176,8 @@ class DataFrame(FrameBase):
     @property
     def columns(self) -> list[str]:
         return [f.name for f in self._sdf.schema.fields
-                if f.name not in self._index_cols and f.name != _ROWID]
+                if f.name not in self._index_cols
+                and f.name not in (_ROWID, _ORDER)]
 
     @property
     def dtypes(self) -> pd.Series:
@@ -4236,6 +4292,8 @@ class DataFrame(FrameBase):
             if missing:
                 raise KeyError(missing)
             cols = [F.col(c) for c in self._index_cols] + [F.col(c) for c in key]
+            if _ORDER in self._sdf.columns:
+                cols = [F.col(_ORDER)] + cols
             return self._derive(self._sdf.select(*cols), "projection",
                                 {"columns": list(key)})
         if isinstance(key, Series):
@@ -4271,12 +4329,16 @@ class DataFrame(FrameBase):
             if not self._index_cols and mask_rowid:
                 base, lidx = _attach_rowid(self._sdf), [_ROWID]
                 msel = mf._sdf.select(F.col(_ROWID), F.col("__mask__"))
+                # KEEP the rowid as the surviving rows' positional labels
+                # (the alignment join scrambles row order — dropping the
+                # rowid made downstream positional ops silently misalign)
+                # and re-establish the original order for presentation
                 joined = (base.join(msel, lidx, "left")
                           .filter(F.coalesce(F.col("__mask__"),
                                              F.lit(False)))
-                          .drop("__mask__", _ROWID))
-                return self._derive(joined, "filter",
-                                    {"aligned_mask": True})
+                          .drop("__mask__").orderBy(_ROWID))
+                node = Node("filter", {"aligned_mask": True}, self._expr)
+                return DataFrame(joined, node, (_ROWID,), (None,))
             if bool(self._index_cols) != bool(mf._index_cols):
                 raise ValueError(
                     "Boolean mask from another frame needs an index on "
@@ -4297,7 +4359,12 @@ class DataFrame(FrameBase):
                       .filter(F.coalesce(F.col("__mask__"), F.lit(False)))
                       .drop("__mask__"))
             if drop_rowid:
-                joined = joined.drop(_ROWID)
+                # keep the rowid as positional labels + original order —
+                # the join scrambles rows, and dropping the anchor made
+                # downstream positional ops silently misalign (r5 wave Q)
+                joined = joined.orderBy(_ROWID)
+                node = Node("filter", {"aligned_mask": True}, self._expr)
+                return DataFrame(joined, node, (_ROWID,), (None,))
             return self._derive(joined, "filter", {"aligned_mask": True})
         if isinstance(key, int) and str(key) in self.columns:
             # Spark column labels are strings; ops that produce pandas
@@ -4359,10 +4426,9 @@ class DataFrame(FrameBase):
             pos = _attach_rowid(self._sdf).withColumnRenamed(
                 _ROWID, "__take_pos__")
         out = (pos.filter(F.col("__take_pos__").isin(idx))
-               .withColumn("__ord__", F.array_position(
-                   F.lit(idx), F.col("__take_pos__")))
-               .orderBy("__ord__")
-               .drop("__ord__"))
+               .withColumn(_ORDER, F.array_position(
+                   F.lit(idx), F.col("__take_pos__")).cast("long"))
+               .orderBy(_ORDER))
         node = Node("take", {"n": len(idx)}, self._expr)
         if self._index_cols:
             return DataFrame(out.drop("__take_pos__"), node,
@@ -4462,7 +4528,23 @@ class DataFrame(FrameBase):
         kwarg, applied IN ORDER so later callables see earlier assigns
         (pandas assign chaining: ``assign(z=..., y=lambda d: d.z + 1)``)."""
         sdf = self._sdf
+        made_rowid_index = False
         for k, v in kwargs.items():
+            if callable(v) and not isinstance(v, Series):
+                tmp = DataFrame(sdf, self._expr,
+                                (_ROWID,) if made_rowid_index
+                                and not self._index_cols
+                                else self._index_cols,
+                                (None,) if made_rowid_index
+                                and not self._index_cols
+                                else self._index_names)
+                res = v(tmp)
+                if not isinstance(res, Series):
+                    raise TypeError("assign callable must return a Series")
+                v = res    # fall through: same-anchor fast path below, or
+                           # the foreign-Series alignment for scan outputs
+                           # (the raw _scol would resolve BY NAME against
+                           # the original frame — silent wrong data)
             if isinstance(v, Series):
                 if v._sdf is not sdf and v._sdf is not self._sdf:
                     # foreign Series: pandas aligns on the index.  Indexed
@@ -4475,12 +4557,28 @@ class DataFrame(FrameBase):
                     # it like no index when choosing the alignment mode
                     v_positional = (not vf._index_cols or
                                     tuple(vf._index_cols) == (_ROWID,))
-                    if bool(self._index_cols) == v_positional:
+                    f_rowid = tuple(self._index_cols) == (_ROWID,)
+                    if bool(self._index_cols) == v_positional \
+                            and not (f_rowid and v_positional):
                         raise ValueError(
                             "assign with foreign Series requires an index "
                             "on both sides (or on neither — default-index "
                             "frames align positionally); use merge/join "
                             "instead")
+                    if f_rowid and v_positional:
+                        # rowid-labeled frame (nlargest/filter survivors
+                        # keep original positions) + positional Series:
+                        # pandas aligns by LABEL, and the Series' position
+                        # IS its label — one rowid equi-join (r5 wave Q)
+                        vsdf = (vf._sdf
+                                if tuple(vf._index_cols) == (_ROWID,)
+                                else _attach_rowid(vf._sdf))
+                        vsel = vsdf.select(F.col(_ROWID),
+                                           F.col("__assign_v__"))
+                        sdf = sdf.join(vsel, on=[_ROWID], how="left")
+                        sdf = (sdf.withColumn(k, F.col("__assign_v__"))
+                               .drop("__assign_v__"))
+                        continue
                     if self._index_cols:
                         vsel = vf._sdf.select(
                             *[F.col(c).alias(i) for c, i in
@@ -4493,20 +4591,18 @@ class DataFrame(FrameBase):
                                 else _attach_rowid(vf._sdf))
                         vsel = vsdf.select(F.col(_ROWID),
                                            F.col("__assign_v__"))
-                        sdf = (_attach_rowid(sdf)
-                               .join(vsel, on=[_ROWID], how="left")
-                               .drop(_ROWID))
+                        # KEEP the rowid: the join scrambles arrival
+                        # order, and a later RE-attach over that
+                        # nondeterministic order would silently misalign
+                        # the next positional op (r5 wave Q)
+                        base = (sdf if _ROWID in sdf.columns
+                                else _attach_rowid(sdf))
+                        sdf = base.join(vsel, on=[_ROWID], how="left")
+                        made_rowid_index = True
                     sdf = (sdf.withColumn(k, F.col("__assign_v__"))
                            .drop("__assign_v__"))
                     continue
                 col = v._scol
-            elif callable(v):
-                tmp = DataFrame(sdf, self._expr, self._index_cols,
-                                self._index_names)
-                res = v(tmp)
-                if not isinstance(res, Series):
-                    raise TypeError("assign callable must return a Series")
-                col = res._scol
             elif isinstance(v, (list, tuple, np.ndarray, pd.Series, pd.Index)):
                 # pandas: a sequence assigns ONE VALUE PER ROW by position
                 # (broadcasting the whole list to every row would be
@@ -4518,7 +4614,11 @@ class DataFrame(FrameBase):
             else:
                 col = F.lit(v)
             sdf = sdf.withColumn(k, col)
-        out = self._derive(sdf, "assign", {"columns": list(kwargs)})
+        if made_rowid_index and not self._index_cols:
+            node = Node("assign", {"columns": list(kwargs)}, self._expr)
+            out = DataFrame(sdf, node, (_ROWID,), (None,))
+        else:
+            out = self._derive(sdf, "assign", {"columns": list(kwargs)})
         # a Series produced by dt.to_period carries period-value metadata;
         # a categorical Series with known categories carries _cat_meta
         vf = dict(getattr(out, "_period_value_freq", None) or {})
@@ -5191,7 +5291,9 @@ class DataFrame(FrameBase):
         column (shift/diff/pct_change) — per-column marginal cost is an
         expression, not a pass."""
         from .functions.scan import global_pos
-        if self._index_cols:
+        if _ORDER in self._sdf.columns:
+            sdf, order, drop_rowid = self._sdf, [_ORDER], False
+        elif self._index_cols:
             sdf, order, drop_rowid = self._sdf, list(self._index_cols), False
         else:
             sdf, order, drop_rowid = _attach_rowid(self._sdf), [_ROWID], True
@@ -5689,10 +5791,22 @@ class DataFrame(FrameBase):
             else:
                 c = c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
             cols.append(c)
+        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
+            else self._sdf
         if self._index_cols or ignore_index:
-            return self._derive(self._sdf.orderBy(*cols), "sort",
+            # stamp the presentation order so positional scans after the
+            # sort (cumsum, pct_change, rolling) follow the SORTED order
+            # like pandas — labels alone can't carry it (r5 wave Q fix
+            # for a silent-wrong-data class).  monotonically_increasing_id
+            # over the RANGE-SORTED layout is order-consistent (partition
+            # id majorizes the range) — zero extra pass, unlike the
+            # checkpointing rowid attach
+            sorted_sdf = base.orderBy(*cols).withColumn(
+                _ORDER, F.monotonically_increasing_id())
+            return self._derive(sorted_sdf, "sort",
                                 {"by": by, "ascending": list(asc)})
-        sdf = _attach_rowid(self._sdf).orderBy(*cols)
+        sdf = (_attach_rowid(base).orderBy(*cols)
+               .withColumn(_ORDER, F.monotonically_increasing_id()))
         node = Node("sort", {"by": by, "ascending": list(asc)}, self._expr)
         return DataFrame(sdf, node, (_ROWID,), (None,))
 
@@ -5716,8 +5830,12 @@ class DataFrame(FrameBase):
                 c = c.desc_nulls_last() if na_position == "last" \
                     else c.desc_nulls_first()
             cols.append(c)
-        return self._derive(self._sdf.orderBy(*cols), "sort_index",
-                            {"ascending": list(asc)})
+        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
+            else self._sdf
+        return self._derive(
+            base.orderBy(*cols).withColumn(
+                _ORDER, F.monotonically_increasing_id()),
+            "sort_index", {"ascending": list(asc)})
 
     def head(self, n: int = 5) -> "DataFrame":
         """Reference Head ``_expr.py:1471-1492``.  After ``sort_values`` this
@@ -5725,20 +5843,32 @@ class DataFrame(FrameBase):
         frame it is natural (file) order, like the reference's single
         partition.  Negative n (pandas: all but the last |n| rows) costs one
         count action."""
+        base = self._sdf
+        if _ORDER in base.columns:
+            base = base.orderBy(_ORDER)
+        elif tuple(self._index_cols) == (_ROWID,):
+            # stored positional labels: pandas head follows label order,
+            # not the (join-scrambled) arrival order
+            base = base.orderBy(_ROWID)
         if n < 0:
-            total = self._sdf.count()
-            return self._derive(self._sdf.limit(max(total + n, 0)),
+            total = base.count()
+            return self._derive(base.limit(max(total + n, 0)),
                                 "head", {"n": n})
-        return self._derive(self._sdf.limit(n), "head", {"n": n})
+        return self._derive(base.limit(n), "head", {"n": n})
 
     def tail(self, n: int = 5) -> "DataFrame":
         """Reference Tail ``_expr.py:1495-1516`` → ``offset(count-n)``.
         Requires one count action at build time.  Negative n (pandas: all
         but the first |n| rows) is a pure offset — no count needed."""
+        base = self._sdf
+        if _ORDER in base.columns:
+            base = base.orderBy(_ORDER)
+        elif tuple(self._index_cols) == (_ROWID,):
+            base = base.orderBy(_ROWID)
         if n < 0:
-            return self._derive(self._sdf.offset(-n), "tail", {"n": n})
-        total = self._sdf.count()
-        return self._derive(self._sdf.offset(max(total - n, 0)), "tail", {"n": n})
+            return self._derive(base.offset(-n), "tail", {"n": n})
+        total = base.count()
+        return self._derive(base.offset(max(total - n, 0)), "tail", {"n": n})
 
     def limit(self, n: int) -> "DataFrame":
         return self._derive(self._sdf.limit(n), "limit", {"n": n})
@@ -5778,6 +5908,12 @@ class DataFrame(FrameBase):
             raise ValueError(f"keep={keep!r}")
         tie = pos.asc() if keep == "first" else pos.desc()
         out = sdf.orderBy(*order, tie).limit(n)
+        if _ORDER in out.columns:
+            out = out.drop(_ORDER)
+        # presentation-order stamp: the TopK result is one partition in
+        # sorted order, so monotonically_increasing_id IS the order —
+        # no window, the TakeOrderedAndProject plan shape survives
+        out = out.withColumn(_ORDER, F.monotonically_increasing_id())
         return DataFrame(out, node, idx, names)
 
     def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
@@ -8515,7 +8651,15 @@ class DataFrame(FrameBase):
 
     # ------------------------------------------------------------------
     def compute(self) -> pd.DataFrame:
-        pdf = self._sdf.toPandas()
+        sdf = self._sdf
+        if _ORDER in sdf.columns:
+            # present rows in the stamped order, then hide the column
+            sdf = sdf.orderBy(_ORDER).drop(_ORDER)
+        elif tuple(self._index_cols) == (_ROWID,):
+            # stored positional labels present in label order (the rowid
+            # survives alignment joins whose arrival order is scrambled)
+            sdf = sdf.orderBy(_ROWID)
+        pdf = sdf.toPandas()
         if _ROWID in pdf.columns and _ROWID not in self._index_cols:
             pdf = pdf.drop(columns=[_ROWID])
         if self._index_cols:
@@ -9067,7 +9211,9 @@ class _ILocIndexer:
                            .withColumn(
                                _ROWID, ((F.lit(start) - F.col("__pos__"))
                                         / F.lit(s)).cast("long"))
-                           .drop("__pos__").orderBy(_ROWID))
+                           .drop("__pos__")
+                           .withColumn(_ORDER, F.col(_ROWID))
+                           .orderBy(_ROWID))
                     node = Node("iloc", {"step": step}, f._expr)
                     return DataFrame(out, node, (_ROWID,), (None,))
                 if not f._index_cols:
@@ -9079,7 +9225,9 @@ class _ILocIndexer:
                     out = (hit.withColumn(
                                _ROWID, ((F.lit(start) - F.col("__pos__"))
                                         / F.lit(s)).cast("long"))
-                           .drop("__pos__").orderBy(_ROWID))
+                           .drop("__pos__")
+                           .withColumn(_ORDER, F.col(_ROWID))
+                           .orderBy(_ROWID))
                     node = Node("iloc", {"step": step}, f._expr)
                     return DataFrame(out, node, (_ROWID,), (None,))
                 out = (hit.orderBy(F.col("__pos__").desc())

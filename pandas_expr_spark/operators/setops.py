@@ -92,6 +92,7 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")
     all_series = all(isinstance(f, Series) for f in frames)
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
+    stamp_order = False
     if not ignore_index and all(not f._index_cols for f in frames):
         # pandas keeps each input's OWN labels through a concat (duplicates
         # and all) — anchor every default-index frame's positions as
@@ -100,6 +101,9 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         from .._collection import _ROWID, _attach_rowid
         frames = [DataFrame(_attach_rowid(f._sdf), f._expr,
                             (_ROWID,), (None,)) for f in frames]
+        # labels now DUPLICATE across inputs — stamp the sequential
+        # presentation order below so compute() doesn't interleave them
+        stamp_order = True
     if join == "inner":
         shared_idx = frames[0]._index_cols if not ignore_index and all(
             f._index_cols == frames[0]._index_cols for f in frames) else ()
@@ -132,6 +136,12 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         # pandas concat(sort=True): alphabetize the non-concat axis
         data_cols = sorted(c for c in out.columns if c not in idx)
         out = out.select(*list(idx), *data_cols)
+    if stamp_order and idx:
+        # union partitions are appended in input order, so a mid stamp is
+        # order-consistent with the pandas presentation — no extra pass
+        from pyspark.sql import functions as F
+        from .._collection import _ORDER
+        out = out.withColumn(_ORDER, F.monotonically_increasing_id())
     res = DataFrame(out, node, idx, names)
     if all_series and len(res.columns) == 1:
         # pandas: concat of Series along axis=0 stays a Series
