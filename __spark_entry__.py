@@ -507,7 +507,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_c=("qty_c", "sum")).reset_index()
     pt = sp.groupby("l_partkey").agg(pq_c=("sq_c", "sum")).reset_index()
     j = sp.merge(pt, on="l_partkey")
-    qual = j[j["sq_c"] * 2 > j["pq_c"]][["l_suppkey"]].drop_duplicates()
+    qual = j[j["sq_c"] * 2 > j["pq_c"]][["l_suppkey"]].drop_duplicates(keep="any")
     n = nation[nation.n_name == "NATION_5"][["n_nationkey"]]
     s = supp.merge(n, left_on="s_nationkey", right_on="n_nationkey",
                    broadcast=True)
@@ -633,7 +633,7 @@ def value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas_expr_spark as pes
     li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
-    return li[["l_returnflag", "l_linestatus"]].drop_duplicates().to_spark()
+    return li[["l_returnflag", "l_linestatus"]].drop_duplicates(keep="any").to_spark()
 
 
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,8 +1904,8 @@ def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = pes.read_parquet(f"{sf_dir}/supplier.parquet")
     cn = c[["c_nationkey"]].rename(columns={"c_nationkey": "nk"})
     sn = s[["s_nationkey"]].rename(columns={"s_nationkey": "nk"})
-    both = pes.intersect(cn.drop_duplicates(), sn.drop_duplicates())
-    only_c = pes.except_(cn.drop_duplicates(), sn.drop_duplicates())
+    both = pes.intersect(cn.drop_duplicates(keep="any"), sn.drop_duplicates(keep="any"))
+    only_c = pes.except_(cn.drop_duplicates(keep="any"), sn.drop_duplicates(keep="any"))
     a = both.to_spark().select(F.col("nk").cast("long"), F.lit("both").alias("side"))
     b = only_c.to_spark().select(F.col("nk").cast("long"), F.lit("cust_only").alias("side"))
     return a.unionByName(b)
@@ -2289,7 +2289,7 @@ def cross_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas_expr_spark as pes
     r = pes.read_parquet(f"{sf_dir}/region.parquet")[["r_name"]]
     li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
-    flags = li[["l_returnflag"]].drop_duplicates()
+    flags = li[["l_returnflag"]].drop_duplicates(keep="any")
     return r.merge(flags, how="cross").to_spark()
 
 

@@ -1028,12 +1028,22 @@ class Series(FrameBase):
     # coalesce() kills PushedFilters, a real 100 TB regression.  The
     # named eq/ne/... METHODS below materialize pandas' null→False
     # (null→True for ne) booleans for value-level parity.
+    # pandas comparisons are BOOL-dtype, never null: a comparison
+    # touching a missing value is False — except ne, where it is True
+    # (numpy: NaN != x → True).  lt/le/gt/ge/eq stay PLAIN SQL: their
+    # null results behave as False in every filter (identical rows kept)
+    # and parquet predicate pushdown survives; the boundary fills null →
+    # False (Series.compute), and __invert__ coalesces before negating.
+    # ne MUST coalesce to True — SQL null would silently DROP NaN rows
+    # from `d[d.v != 3]` (r5 wave R2), and "!= or null" has no pushable
+    # parquet form anyway.
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b, "lt")
     def __le__(self, o): return self._binop(o, lambda a, b: a <= b, "le")
     def __gt__(self, o): return self._binop(o, lambda a, b: a > b, "gt")
     def __ge__(self, o): return self._binop(o, lambda a, b: a >= b, "ge")
     def __eq__(self, o): return self._binop(o, lambda a, b: a == b, "eq")  # type: ignore[override]
-    def __ne__(self, o): return self._binop(o, lambda a, b: a != b, "ne")  # type: ignore[override]
+    def __ne__(self, o): return self._binop(
+        o, lambda a, b: F.coalesce(a != b, F.lit(True)), "ne")  # type: ignore[override]
     # boolean
     def __and__(self, o): return self._binop(o, lambda a, b: a & b, "and")
     def __rand__(self, o): return self._binop(o, lambda a, b: a & b, "and", True)
@@ -1041,7 +1051,13 @@ class Series(FrameBase):
     def __ror__(self, o): return self._binop(o, lambda a, b: a | b, "or", True)
     def __xor__(self, o): return self._binop(o, lambda a, b: a.cast("boolean") != b.cast("boolean"), "xor")
     # unary (reference Invert/Neg/Pos `_expr.py:1624-1656`)
-    def __invert__(self): return self._with_scol(~self._scol, "invert")
+    def __invert__(self):
+        # pandas ~mask: a null comparison result acts as False, so its
+        # negation is True — SQL NOT(null) = null would DROP those rows
+        if isinstance(self.spark_type, T.BooleanType):
+            return self._with_scol(~F.coalesce(self._scol, F.lit(False)),
+                                   "invert")
+        return self._with_scol(~self._scol, "invert")
     def __neg__(self): return self._with_scol(-self._scol, "neg")
     def __pos__(self): return self._with_scol(self._scol, "pos")
 
@@ -2661,7 +2677,8 @@ class Series(FrameBase):
     def to_frame(self, name: str | None = None) -> "DataFrame":
         """Reference ToFrame ``_expr.py:1073-1084``."""
         name = name or self._col_name or "0"
-        cols = [F.col(c) for c in self._index_cols] + [self._scol.alias(name)]
+        cols = [F.col(c) for c in self._index_cols] + \
+            _order_cols(self._sdf) + [self._scol.alias(name)]
         node = Node("to_frame", {"name": name}, self._expr)
         return DataFrame(self._sdf.select(*cols), node,
                          self._index_cols, self._index_names)
@@ -3513,8 +3530,13 @@ class Series(FrameBase):
         ser = pdf[name]
         if ser.dtype == object and ser.isna().any():
             # Arrow delivers null strings as None; pandas' missing marker
-            # in object columns is NaN — normalize at the boundary
-            ser = ser.where(ser.notna())
+            # in object columns is NaN — normalize at the boundary.
+            # EXCEPT boolean columns (null comparison results): pandas
+            # masks are bool dtype with False at missing operands
+            if isinstance(self.spark_type, T.BooleanType):
+                ser = ser.fillna(False).astype(bool)
+            else:
+                ser = ser.where(ser.notna())
         vfreq = getattr(self, "_period_value_freq", None) or {}
         if name in vfreq:
             ser = ser.dt.to_period(vfreq[name])
@@ -4565,6 +4587,20 @@ class DataFrame(FrameBase):
                             "on both sides (or on neither — default-index "
                             "frames align positionally); use merge/join "
                             "instead")
+                    both_order = (_ORDER in sdf.columns
+                                  and _ORDER in vf._sdf.columns)
+                    if both_order:
+                        # both sides carry the same presentation-order
+                        # stamp (Series derived from this frame after a
+                        # sort/concat): it is UNIQUE even when the rowid
+                        # labels duplicate (concat repeats them) — a
+                        # rowid join there would EXPLODE rows (r5 wave R2)
+                        vsel = vf._sdf.select(F.col(_ORDER),
+                                              F.col("__assign_v__"))
+                        sdf = sdf.join(vsel, on=[_ORDER], how="left")
+                        sdf = (sdf.withColumn(k, F.col("__assign_v__"))
+                               .drop("__assign_v__"))
+                        continue
                     if f_rowid and v_positional:
                         # rowid-labeled frame (nlargest/filter survivors
                         # keep original positions) + positional Series:
@@ -4785,11 +4821,27 @@ class DataFrame(FrameBase):
             import re as _re3
             expr = _re3.sub(r"(?<![\w@.`'])index(?![\w`'])",
                             f"`{self._index_cols[0]}`", expr)
+        # pandas `!=` keeps rows whose operand is missing (numpy:
+        # NaN != x → True); SQL's null-propagating `!=` would silently
+        # drop them.  Rewrite `a != b` → `NOT (a <=> b)` — still a pure
+        # Catalyst predicate.  (Known edge: NaN != NaN is True in pandas
+        # but <=> calls two nulls equal; the engine conflates NaN/None.)
+        if "!=" in expr:
+            import re as _re4
+            expr = _re4.sub(
+                r"([\w.`'\"\)\]]+(?:\([^()]*\))?)\s*!=\s*"
+                r"([\w.`'\"\(\[][^\s)]*)",
+                r"NOT (\1 <=> \2)", expr)
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------
     def fillna(self, value) -> "DataFrame":
         if isinstance(value, Mapping):
+            # pandas silently ignores dict keys that aren't columns;
+            # Spark's fillna raises UNRESOLVED_COLUMN
+            value = {k: v for k, v in value.items() if k in self.columns}
+            if not value:
+                return self
             return self._derive(self._sdf.fillna(dict(value)), "fillna", {})
         return self._derive(self._sdf.fillna(value), "fillna", {"value": value})
 
@@ -5618,12 +5670,16 @@ class DataFrame(FrameBase):
             "sample", {"frac": frac, "replace": replace, "seed": random_state})
 
     def drop_duplicates(self, subset: Sequence[str] | None = None,
-                        keep: str = "any") -> "DataFrame":
+                        keep: str = "first") -> "DataFrame":
         """Reference DropDuplicates ``_reductions.py:52-80``.
 
-        ``keep="any"`` (default here) → ``dropDuplicates`` — shuffle-only,
-        scale-friendly.  ``keep="first"/"last"`` honor positional order via a
-        row-number window over the engine index (`IX` — SURVEY §2.5)."""
+        ``keep="first"/"last"`` (pandas default: first) honor positional
+        order via a row-number window over the engine index (`IX` —
+        SURVEY §2.5).  ``keep="any"`` is the engine's scale extension →
+        ``dropDuplicates`` — shuffle-only, no ordering; pick it when the
+        surviving representative doesn't matter (it was the old default,
+        which silently diverged from pandas' first-occurrence contract —
+        r5 wave R2)."""
         subset = _ensure_list(subset) or self.columns
         if keep == "any":
             return self._derive(self._sdf.dropDuplicates(subset), "drop_duplicates",
@@ -5645,7 +5701,15 @@ class DataFrame(FrameBase):
             node = Node("drop_duplicates",
                         {"subset": subset, "keep": keep}, self._expr)
             return DataFrame(out, node, idx, names)
-        if self._index_cols:
+        if _ORDER in self._sdf.columns:
+            # first/last follow the PRESENTED order after a sort (pandas)
+            sdf, order_col = self._sdf, _ORDER
+            if self._index_cols:
+                idx, names = self._index_cols, self._index_names
+            else:
+                sdf = _attach_rowid(sdf)
+                idx, names = (_ROWID,), (None,)
+        elif self._index_cols:
             sdf, order_col = self._sdf, self._index_cols[0]
             idx, names = self._index_cols, self._index_names
         else:
@@ -5891,6 +5955,10 @@ class DataFrame(FrameBase):
         else:
             sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), (None,)
             pos = F.col(_ROWID)
+        if _ORDER in sdf.columns:
+            # ties break at the PRESENTED order after a sort (pandas
+            # keep='first' means first in the current row order)
+            pos = F.col(_ORDER)
         node = Node(op, {"n": n, "columns": cols, "keep": keep},
                     self._expr)
         if keep == "all":

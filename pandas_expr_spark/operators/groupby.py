@@ -749,7 +749,12 @@ class GroupBy:
     # All are ONE window = one shuffle on the group keys; row order comes
     # from the engine index when present, else an attached monotonic rowid.
     def _positional(self):
-        from .._collection import _ROWID, _attach_rowid
+        from .._collection import _ORDER, _ROWID, _attach_rowid
+        if _ORDER in self._frame._sdf.columns:
+            # a sort/nlargest stamped the presentation order — grouped
+            # positional ops (cum*, shift, head/tail) follow IT within
+            # each group, like pandas (r5 wave R2)
+            return self._frame._sdf, [_ORDER], None
         if self._frame._index_cols:
             return self._frame._sdf, list(self._frame._index_cols), None
         sdf = _attach_rowid(self._frame._sdf)
@@ -814,13 +819,14 @@ class GroupBy:
                     .alias(c) if c not in protected else F.col(c)
                     for c in out.columns])
         node = Node("groupby_" + op, {"by": self._by}, self._frame._expr)
+        from .._collection import _order_cols as _oc
         if op in ("cumcount", "ngroup"):
             # pandas returns a SERIES named by the op, indexed by the
             # caller's row labels
             idx = ((drop_col,) if drop_col
                    else tuple(self._frame._index_cols))
             names = (None,) if drop_col else self._frame._index_names
-            out = out.select(*idx, op)
+            out = out.select(*idx, *_oc(out), op)
             return Series(out, F.col(op), None, node, idx, names)
         if self._slice is not None and op not in ("cumcount", "ngroup"):
             # pandas: groupby(k)[cols].shift()/cumsum()/... returns ONLY
@@ -828,7 +834,7 @@ class GroupBy:
             # produce a dedicated result column regardless of slicing.
             idx = [drop_col] if drop_col else list(self._frame._index_cols)
             keep = [c for c in self._slice if c in out.columns]
-            out = out.select(*idx, *keep)
+            out = out.select(*idx, *_oc(out), *keep)
             if getattr(self, "_slice_scalar", False) and len(keep) == 1:
                 # string slice → pandas returns a SERIES
                 idx_t = ((drop_col,) if drop_col

@@ -125,7 +125,15 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
         rcols = list(right._index_cols) + rcols
     lmap = {c: f"__L_{c}__" for c in lcols}
     rmap = {c: f"__R_{c}__" for c in rcols}
-    l2 = lsdf.select([F.col(c).alias(lmap[c]) for c in lcols])
+    # pandas keeps the LEFT frame's row order through left/inner merges —
+    # carry a stamped presentation order (post-sort frames) through the
+    # join so head()/positional scans downstream still see it
+    from .._collection import _ORDER
+    carry_order = (_ORDER in lsdf.columns and how in ("left", "inner"))
+    lsel = [F.col(c).alias(lmap[c]) for c in lcols]
+    if carry_order:
+        lsel.append(F.col(_ORDER))
+    l2 = lsdf.select(lsel)
     r2 = rsdf.select([F.col(c).alias(rmap[c]) for c in rcols])
     if indicator:
         # presence must be a literal marker, not key nullness: eqNullSafe
@@ -236,6 +244,8 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
              .when(lp.isNotNull(), F.lit("left_only"))
              .otherwise(F.lit("right_only")).alias("_merge"))
 
+    if carry_order:
+        sel.append(F.col(_ORDER))
     node = Node("merge", {"how": how,
                           "on": on or list(zip(left_keys, right_keys)),
                           "suffixes": tuple(suffixes)},

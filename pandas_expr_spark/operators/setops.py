@@ -92,7 +92,14 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")
     all_series = all(isinstance(f, Series) for f in frames)
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
-    stamp_order = False
+    # each input's presentation-order stamp is only meaningful WITHIN
+    # that input — union'd stamps collide (duplicate order values sent
+    # head/limit after a concat to arbitrary rows); strip and restamp
+    from .._collection import _ORDER as _ORD, _ROWID as _RID
+    frames = [DataFrame(f._sdf.drop(_ORD), f._expr, f._index_cols,
+                        f._index_names) if _ORD in f._sdf.columns else f
+              for f in frames]
+    stamp_order = all(tuple(f._index_cols) == (_RID,) for f in frames)
     if not ignore_index and all(not f._index_cols for f in frames):
         # pandas keeps each input's OWN labels through a concat (duplicates
         # and all) — anchor every default-index frame's positions as
@@ -103,7 +110,7 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
                             (_ROWID,), (None,)) for f in frames]
         # labels now DUPLICATE across inputs — stamp the sequential
         # presentation order below so compute() doesn't interleave them
-        stamp_order = True
+        stamp_order = True  # (also True when inputs were rowid-indexed)
     if join == "inner":
         shared_idx = frames[0]._index_cols if not ignore_index and all(
             f._index_cols == frames[0]._index_cols for f in frames) else ()
