@@ -84,3 +84,21 @@ def test_fillna_dict_ignores_missing_keys():
     agg = e.groupby("g", as_index=False).agg(mx=("v", "max"))
     out = agg.fillna({"v": 0.0}).compute()   # no 'v' column → no-op
     assert sorted(out.columns) == ["g", "mx"]
+
+
+def test_boolean_logic_with_null_operands():
+    # composition insurance for the comparison-null work: &, |, ^, ~ over
+    # masks whose operands include NaN all match pandas bool semantics
+    D2 = pd.DataFrame({"v": [1.0, np.nan, 3.0, 4.0],
+                       "u": [np.nan, 2.0, 1.0, 5.0]})
+    e2 = pes.from_pandas(D2)
+    assert ((e2.v > 2) & (e2.u > 2)).compute().tolist() == \
+        ((D2.v > 2) & (D2.u > 2)).tolist()
+    assert ((e2.v > 2) | (e2.u > 2)).compute().tolist() == \
+        ((D2.v > 2) | (D2.u > 2)).tolist()
+    assert ((e2.v != 3) & (e2.u > 2)).compute().tolist() == \
+        ((D2.v != 3) & (D2.u > 2)).tolist()
+    assert (~((e2.v > 2) | (e2.u > 2))).compute().tolist() == \
+        (~((D2.v > 2) | (D2.u > 2))).tolist()
+    assert list(e2[(e2.v > 2) | (e2.u > 2)].compute()["v"]) == \
+        list(D2[(D2.v > 2) | (D2.u > 2)]["v"])
