@@ -2195,12 +2195,18 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_fraction_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference Sample §2.2 — seeded Bernoulli sample.  Sampling is
-    engine-specific → driver rows-only check."""
+    """Reference Sample §2.2, re-expressed as the SCALE-SAFE deterministic
+    seeded-hash sample (``splits.hash_sample``): a row's membership is a
+    pure function of its key (md5 bucket < frac), so the sample is stable
+    across runs, partitionings, and engines — and exactly oracle-checkable
+    in DuckDB (r5 verdict ask #7; was rows-only under Spark's
+    partition-dependent RNG sample)."""
     import pandas_expr_spark as pes
-    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
-    return li.sample(frac=0.1, random_state=42)[
-        ["l_orderkey", "l_linenumber"]].to_spark()
+    from pandas_expr_spark.functions import splits
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet").to_spark()
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    out = splits.hash_sample(li, key, 0.1)
+    return out.select("l_orderkey", "l_linenumber")
 
 
 # ---------------------------------------------------------------------------
@@ -2382,11 +2388,22 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nunique_approx_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's dead API made real (``nunique_approx``
     _collection.py:282-283 → AttributeError) — HyperLogLog++
-    approx_count_distinct.  Sketch is engine-specific → rows-only check."""
+    approx_count_distinct.  The sketch value is engine-specific, but its
+    PUBLISHED ERROR BOUND is not: the gate emits the exact distinct count
+    plus a boolean asserting the HLL estimate landed within 4×rsd of it
+    (rsd defaults to 0.05; P(>4σ) is negligible), which DuckDB oracles
+    exactly (r5 verdict ask #7 — inequality oracle, was rows-only)."""
     import pandas_expr_spark as pes
     o = pes.read_parquet(f"{sf_dir}/orders.parquet")
     approx = o["o_custkey"].nunique_approx().to_spark()
-    return approx.select(F.col(approx.columns[0]).alias("approx_custkeys"))
+    a = approx.select(F.col(approx.columns[0]).alias("a"))
+    exact = (pes.read_parquet(f"{sf_dir}/orders.parquet").to_spark()
+             .agg(F.countDistinct("o_custkey").alias("exact_custkeys")))
+    return (a.crossJoin(exact)
+            .select(F.col("exact_custkeys"),
+                    (F.abs(F.col("a") - F.col("exact_custkeys"))
+                     <= 4 * 0.05 * F.col("exact_custkeys"))
+                    .alias("within_bound")))
 
 
 # ---------------------------------------------------------------------------
@@ -3530,83 +3547,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries per round.  After r4 every SQL-oracle gate except 4 has a
-    # driver-green row, so from r5 the window's job is FRESHNESS
-    # (NOTES_r4 rotation plan): positions 1-6 are the gates without a
-    # green row (the fixed signed-zero gate, 3 post-window anchors, 2
-    # rows-only->exact conversions), 7-50 re-validate the oldest (r1)
-    # evidence.  Rows-only gates sit AFTER position 50 permanently; the
-    # tail is ordered oldest-evidence-first so each round's window is a
-    # prefix rotation.
+    # entries per round.  Every SQL-oracle gate has had a driver-green
+    # row at least once, so the window's job is FRESHNESS (NOTES_r4
+    # rotation plan): positions 1-4 are the gates without a green row
+    # yet (2 post-r5-window anchors + the 2 rows-only→exact
+    # conversions), 5-9 the sort→head/tail family whose PLAN changed
+    # this round (TopK fusion), 10-50 re-validate the oldest (r2-era)
+    # evidence.  Rows-only gates (now just 3: ANN×2 + iterative GD) sit
+    # after position 50 permanently; the tail stays ordered
+    # oldest-evidence-first so each round's window is a prefix rotation.
     return {
-        # ---- round-5 window positions 1-6: gates without a
-        # driver-green row (r4 red signed-zero fix + 3 post-window
-        # exact anchors + 2 rows-only->exact conversions) ----
-        "rolling_corr_orders": rolling_corr_orders,
-        "doc_bigram_ppl": doc_bigram_ppl,
-        "embedding_ann_exactprobe": embedding_ann_exactprobe,
-        "logit_first_step": logit_first_step,
-        "kll_doclen_quantiles": kll_doclen_quantiles,
-        "audience_overlap_events": audience_overlap_events,
-        # ---- positions 7-50: freshness rotation — the 44 oldest
-        # (round-1) driver-green gates, re-validated against all
-        # engine churn since (NOTES_r4 rotation plan) ----
-        "q3_topk_revenue": q3_topk_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive_pred": q19_disjunctive_pred,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier": q16_parts_supplier,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_global_sales": q22_global_sales,
-        "filter_project": filter_project,
-        "assign_eval_disc_price": assign_eval_disc_price,
-        "join_part_lineitem": join_part_lineitem,
-        "outer_join_fillna": outer_join_fillna,
-        "top_orders": top_orders,
-        "sort_limit_customers": sort_limit_customers,
-        "concat_union": concat_union,
-        "semi_join_customers": semi_join_customers,
-        "anti_join_customers": anti_join_customers,
-        "groupby_agg_multi": groupby_agg_multi,
-        "groupby_having": groupby_having,
-        "window_rank_orders": window_rank_orders,
-        "groupby_transform_share": groupby_transform_share,
-        "reductions_scalar": reductions_scalar,
-        "isin_between": isin_between,
-        "astype_cast_counts": astype_cast_counts,
-        "case_when_bucket": case_when_bucket,
-        "str_ops_customers": str_ops_customers,
-        "dt_ops_orders": dt_ops_orders,
-        "events_hourly": events_hourly,
-        "events_json_props": events_json_props,
-        "doc_fingerprint_dedup": doc_fingerprint_dedup,
-        "doc_exact_dedup_count": doc_exact_dedup_count,
-        "doc_quality": doc_quality,
-        # ---- rows-only gates (RNG sample / ANN / HLL / iterative
-        # GD) — permanently OUT of the first-50 window ----
-        "embedding_ann_lsh": embedding_ann_lsh,
-        "sample_fraction_lineitem": sample_fraction_lineitem,
-        "nunique_approx_custkeys": nunique_approx_custkeys,
-        "embedding_ann_ivf": embedding_ann_ivf,
-        "trained_quality_scorer": trained_quality_scorer,
-        # ---- tail, oldest evidence first (front of the r6 window:
-        # the new r5 gate, the 2 r1 gates deferred this round, then
-        # r2/r3/r4) ----
+        # ---- round-6 window positions 1-4: gates without a
+        # driver-green row (2 post-r5-window exact anchors + the 2
+        # rows-only->exact conversions, r5 verdict asks #3/#7) ----
         "bpe_encode_documents": bpe_encode_documents,
         "fuzzy_dup_pairs_edit": fuzzy_dup_pairs_edit,
+        "sample_fraction_lineitem": sample_fraction_lineitem,
+        "nunique_approx_custkeys": nunique_approx_custkeys,
+        # ---- positions 5-9: the sort->head/tail family whose
+        # physical plan changed this round (TopK fusion) — re-gate
+        # the new plans under driver evidence ----
+        "top_orders": top_orders,
+        "sort_limit_customers": sort_limit_customers,
+        "tail_orders": tail_orders,
+        "head_sorted_nations": head_sorted_nations,
+        "iloc_tail_orders": iloc_tail_orders,
+        # ---- positions 10-50: freshness rotation — oldest
+        # driver evidence first (r2-era gates; the r1 set was
+        # re-validated in the r5 window) ----
         "value_counts_priority": value_counts_priority,
         "distinct_flags": distinct_flags,
         "q12_priority_shipping": q12_priority_shipping,
@@ -3648,6 +3616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "simhash_planted_dups": simhash_planted_dups,
+        # ---- positions 51+: the remaining rotation tail (next
+        # rounds' windows are prefix rotations of this order),
+        # then rows-only gates (ANN / iterative GD — each with an
+        # exact-anchor sibling), then the freshest (r5-window)
+        # evidence at the back ----
         "similarity_topk": similarity_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "multimodal_meta": multimodal_meta,
@@ -3676,14 +3649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": hybrid_search_rrf,
         "top_tokens_documents": top_tokens_documents,
         "cube_pricing": cube_pricing,
-        "head_sorted_nations": head_sorted_nations,
         "mode_quantity": mode_quantity,
         "replace_dropna_priorities": replace_dropna_priorities,
         "window_diff_pct_orders": window_diff_pct_orders,
         "streaming_stateful_running": streaming_stateful_running,
         "events_sliding_windows": events_sliding_windows,
         "math_abs_clip_floor": math_abs_clip_floor,
-        "tail_orders": tail_orders,
         "nlargest_parts": nlargest_parts,
         "value_counts_normalized": value_counts_normalized,
         "concat_inner_lineitem": concat_inner_lineitem,
@@ -3716,7 +3687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_ingest": streaming_dedup_ingest,
         "mode_frame_lineitem": mode_frame_lineitem,
         "iloc_slice_orders": iloc_slice_orders,
-        "iloc_tail_orders": iloc_tail_orders,
         "reindex_nation_keys": reindex_nation_keys,
         "corrwith_spearman_orders": corrwith_spearman_orders,
         "resample_gapfill_grouped": resample_gapfill_grouped,
@@ -3746,7 +3716,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_rolling_orders": grouped_rolling_orders,
         "eval_query_charges": eval_query_charges,
         "crosstab_status_priority": crosstab_status_priority,
-
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "embedding_ann_ivf": embedding_ann_ivf,
+        "trained_quality_scorer": trained_quality_scorer,
+        "rolling_corr_orders": rolling_corr_orders,
+        "doc_bigram_ppl": doc_bigram_ppl,
+        "embedding_ann_exactprobe": embedding_ann_exactprobe,
+        "logit_first_step": logit_first_step,
+        "kll_doclen_quantiles": kll_doclen_quantiles,
+        "audience_overlap_events": audience_overlap_events,
+        "q3_topk_revenue": q3_topk_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_pred": q19_disjunctive_pred,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier": q16_parts_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales": q22_global_sales,
+        "filter_project": filter_project,
+        "assign_eval_disc_price": assign_eval_disc_price,
+        "join_part_lineitem": join_part_lineitem,
+        "outer_join_fillna": outer_join_fillna,
+        "concat_union": concat_union,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "groupby_agg_multi": groupby_agg_multi,
+        "groupby_having": groupby_having,
+        "window_rank_orders": window_rank_orders,
+        "groupby_transform_share": groupby_transform_share,
+        "reductions_scalar": reductions_scalar,
+        "isin_between": isin_between,
+        "astype_cast_counts": astype_cast_counts,
+        "case_when_bucket": case_when_bucket,
+        "str_ops_customers": str_ops_customers,
+        "dt_ops_orders": dt_ops_orders,
+        "events_hourly": events_hourly,
+        "events_json_props": events_json_props,
+        "doc_fingerprint_dedup": doc_fingerprint_dedup,
+        "doc_exact_dedup_count": doc_exact_dedup_count,
+        "doc_quality": doc_quality,
     }
 
 
@@ -6366,9 +6386,23 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o.o_orderkey DESC LIMIT 1), 2) AS price
             FROM w
         """,
-        # multimodal_features / sample_fraction_lineitem /
-        # nunique_approx_custkeys / embedding_ann_ivf: non-SQL-expressible
-        # (LSH banding, pandas-UDF signatures, stub decodes, engine-specific
-        # sampling, HLL sketches, k-means cell assignment) → driver
-        # rows-only check.
+        "sample_fraction_lineitem": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber
+            FROM lineitem
+            WHERE CAST(concat('0x', substring(md5(
+                      concat(CAST(l_orderkey AS VARCHAR), '_',
+                             CAST(l_linenumber AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 1000000 < 100000
+        """,
+        "nunique_approx_custkeys": """
+            SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
+                   TRUE AS within_bound
+            FROM orders
+        """,
+        # multimodal_features / embedding_ann_ivf / ann_topk /
+        # trained_quality_scorer: non-SQL-expressible (LSH banding,
+        # pandas-UDF signatures, stub decodes, iterative float GD,
+        # k-means cell assignment) → driver rows-only check, each with an
+        # exact-anchor sibling gate.
     }

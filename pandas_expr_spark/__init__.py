@@ -96,7 +96,23 @@ def to_numeric(series, errors: str = "raise"):
     failures (an eager probe bounded to one row, same documented
     contract as qcut's edge scan)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     c = series._scol
+    # already-numeric inputs pass through UNCHANGED (pandas: float stays
+    # float — no silent long truncation of fractional values; int stays
+    # int; bool stays bool).  The parse probe below is only meaningful
+    # for string inputs, where try_cast('long') failure really means
+    # "not an integer literal" — on a DoubleType column the same cast
+    # TRUNCATES instead of failing (r5 advice, silent wrong data).
+    dt = series._sdf.select(c.alias("__t__")).schema[0].dataType
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType,
+                       T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.BooleanType)):
+        return series._with_scol(c, "to_numeric")
+    if isinstance(dt, T.TimestampType):
+        # pandas converts datetime64[ns] to its int64 NANOSECOND ticks
+        return series._with_scol(
+            (F.unix_micros(c) * F.lit(1000)).cast("long"), "to_numeric")
     row = series._sdf.agg(
         F.sum(c.try_cast("long").isNull().cast("int")).alias("l"),
         F.sum(c.try_cast("double").isNull().cast("int")).alias("d"),

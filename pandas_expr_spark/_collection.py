@@ -405,6 +405,136 @@ def _order_cols(sdf: SparkDF) -> list:
     return [F.col(_ORDER)] if _ORDER in sdf.columns else []
 
 
+# Node ops whose boolean output is a pandas MASK (False at missing
+# operands), as opposed to a nullable boolean data column — consulted by
+# Series.compute's null→False boundary fill.
+_MASK_OPS = frozenset({
+    "lt", "le", "gt", "ge", "eq", "ne", "and", "or", "xor", "invert",
+    "isin", "between", "isna", "notna", "duplicated",
+})
+
+
+def _rewrite_not_equal(expr: str) -> str:
+    """Rewrite every top-level-operand ``a != b`` in a SQL predicate to
+    ``NOT ((a) <=> (b))`` — pandas' `!=` keeps rows whose operand is
+    missing (NaN != x → True) where SQL's null-propagating `!=` drops
+    them.  (Known edge: NaN != NaN is True in pandas but <=> calls two
+    nulls equal; the engine conflates NaN/None.)
+
+    Boundary-aware, not a token regex (r5 advice): the operands extend to
+    the nearest same-depth logical/comparison boundary, so quoted
+    literals with spaces (``city != 'New York'``) and arithmetic operands
+    (``a + 1 != b``) rewrite as whole units.  Any scan confusion leaves
+    that occurrence as plain ``!=`` (fail-open to Spark semantics)."""
+    import re as _re
+
+    def _skip_str(s: str, i: int) -> int:
+        # s[i] is a quote: return index just past the literal ('' escapes)
+        q = s[i]
+        j = i + 1
+        while j < len(s):
+            if s[j] == q:
+                if q == "'" and j + 1 < len(s) and s[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return len(s)
+
+    # mark quoted/backticked spans so boundary scans skip them wholesale
+    spans = []
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch in "'\"`":
+            j = _skip_str(expr, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+
+    def _in_span(p: int) -> bool:
+        return any(a <= p < b for a, b in spans)
+
+    bound_word = _re.compile(r"\b(and|or|not|in|like|between|rlike)\b",
+                             _re.IGNORECASE)
+    occurrences = [m.start() for m in _re.finditer(r"!=", expr)
+                   if not _in_span(m.start())]
+    for pos in reversed(occurrences):
+        # LEFT boundary: walk back skipping balanced ()/[] and literals
+        i = pos
+        depth = 0
+        lstart = 0
+        while i > 0:
+            i -= 1
+            if _in_span(i):
+                i = next(a for a, b in spans if a <= i < b)
+                continue
+            ch = expr[i]
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    lstart = i + 1
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in "&|^~,;<>=!":
+                    lstart = i + 1
+                    break
+        # boundary WORDS (and/or/not/in/...) at depth 0 in the candidate
+        lhs_region = expr[lstart:pos]
+        last_word = None
+        for m in bound_word.finditer(lhs_region):
+            p = lstart + m.start()
+            if not _in_span(p):
+                last_word = lstart + m.end()
+        if last_word is not None:
+            lstart = last_word
+        lhs = expr[lstart:pos].strip()
+        # RIGHT boundary: walk forward symmetrically
+        j = pos + 2
+        depth = 0
+        rend = len(expr)
+        k = j
+        while k < len(expr):
+            if _in_span(k):
+                k = next(b for a, b in spans if a <= k < b)
+                continue
+            ch = expr[k]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    rend = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch in "&|^~,;" or ch in "<>=!":
+                    rend = k
+                    break
+                m = bound_word.match(expr, k)
+                if m:
+                    rend = k
+                    break
+            k += 1
+        rhs = expr[j:rend].strip()
+        if not lhs or not rhs:
+            continue  # fail-open: leave this != as-is
+        expr = (expr[:lstart] + f" NOT (({lhs}) <=> ({rhs})) "
+                + expr[rend:])
+    return expr
+
+
+def _sort_dir(c, asc: bool, na_position: str):
+    """Apply a sort direction + pandas NA placement to a column."""
+    if asc:
+        return c.asc_nulls_last() if na_position == "last" \
+            else c.asc_nulls_first()
+    return c.desc_nulls_last() if na_position == "last" \
+        else c.desc_nulls_first()
+
+
 def _attach_rowid(sdf: SparkDF, name: str = _ROWID) -> SparkDF:
     """Materialize a positional row id — entirely JVM-side.
 
@@ -1905,9 +2035,14 @@ class Series(FrameBase):
                     F.col(_ORDER),
                     *[F.col(c) for c in self._index_cols], *sel)
                 return sdf, name, [_ORDER], self._index_cols
-            sdf = self._sdf.select(F.col(_ORDER), *sel) \
-                .withColumnRenamed(_ORDER, _ROWID)
-            return sdf, name, [_ROWID], (_ROWID,)
+            # no index (sort_values(ignore_index=True) ancestry): keep the
+            # stamp as the ORDER column only — adopting it as the row
+            # labels would expose raw monotonically-increasing-id values
+            # (0,1,...,8589934592,...) where pandas shows 0..n-1 (r5
+            # advice).  No index cols → compute() emits a RangeIndex in
+            # stamped order, exactly pandas.
+            sdf = self._sdf.select(F.col(_ORDER), *sel)
+            return sdf, name, [_ORDER], ()
         if self._index_cols:
             sdf = self._sdf.select(*[F.col(c) for c in self._index_cols], *sel)
             return sdf, name, list(self._index_cols), self._index_cols
@@ -2693,9 +2828,20 @@ class Series(FrameBase):
     tolist = to_list
 
     def head(self, n: int = 5) -> "Series":
-        f = self.to_frame(self._col_name or "__v__")
+        name = self._col_name if self._col_name is not None else "__v__"
+        fuse = getattr(self, "_sort_fuse", None)
+        if fuse is not None and n >= 0:
+            # sort_values/_index parent (fuse carried through _via_frame):
+            # distributed TopK over the sort keys, no global sort
+            f = self.to_frame(name)
+            f._sort_fuse = fuse
+            out = f.head(n)
+            return Series(out._sdf, F.col(name), self._col_name,
+                          Node("head", {"n": n}, self._expr),
+                          out._index_cols, out._index_names)
+        f = self.to_frame(name)
         out = f._sdf.limit(n)
-        return Series(out, F.col(self._col_name or "__v__"), self._col_name,
+        return Series(out, F.col(name), self._col_name,
                       Node("head", {"n": n}, self._expr),
                       self._index_cols, self._index_names)
 
@@ -2747,8 +2893,14 @@ class Series(FrameBase):
                           idx, (None,))
         out = fn(f, name)
         node = Node(op, params, self._expr)
-        return Series(out._sdf, F.col(name), self._col_name, node,
-                      out._index_cols, out._index_names)
+        s = Series(out._sdf, F.col(name), self._col_name, node,
+                   out._index_cols, out._index_names)
+        fuse = getattr(out, "_sort_fuse", None)
+        if fuse is not None:
+            # sort parent: carry the TopK fusion handle so a directly
+            # following head()/tail() skips the full global sort
+            s._sort_fuse = fuse
+        return s
 
     @property
     def index(self) -> "Index":
@@ -2781,6 +2933,15 @@ class Series(FrameBase):
             "sort_index", ascending=ascending)
 
     def tail(self, n: int = 5) -> "Series":
+        fuse = getattr(self, "_sort_fuse", None)
+        if fuse is not None and n >= 0:
+            name = self._col_name if self._col_name is not None else "__v__"
+            f = self.to_frame(name)
+            f._sort_fuse = fuse
+            out = f.tail(n)
+            return Series(out._sdf, F.col(name), self._col_name,
+                          Node("tail", {"n": n}, self._expr),
+                          out._index_cols, out._index_names)
         return self._via_frame(lambda f, _n: f.tail(n), "tail", n=n)
 
     def sample(self, frac: float | None = None, n: int | None = None,
@@ -3039,6 +3200,7 @@ class Series(FrameBase):
             *[F.col(c) for c in joined._index_cols], scol.alias(name))
         self._sdf = sdf
         self._scol = F.col(name)
+        self.__dict__.pop("_sort_fuse", None)
         self._index_cols = joined._index_cols
         self._index_names = joined._index_names
         self._expr = Node("update", {}, self._expr, other._expr)
@@ -3531,9 +3693,14 @@ class Series(FrameBase):
         if ser.dtype == object and ser.isna().any():
             # Arrow delivers null strings as None; pandas' missing marker
             # in object columns is NaN — normalize at the boundary.
-            # EXCEPT boolean columns (null comparison results): pandas
-            # masks are bool dtype with False at missing operands
-            if isinstance(self.spark_type, T.BooleanType):
+            # EXCEPT boolean MASKS (null comparison results): pandas
+            # masks are bool dtype with False at missing operands.  A
+            # genuine nullable-boolean DATA column (read from parquet)
+            # keeps its missing values (r5 advice: the unconditional fill
+            # silently rewrote data nulls to False) — only series whose
+            # own expression node is a comparison/mask op get the fill.
+            if (isinstance(self.spark_type, T.BooleanType)
+                    and getattr(self._expr, "op", None) in _MASK_OPS):
                 ser = ser.fillna(False).astype(bool)
             else:
                 ser = ser.where(ser.notna())
@@ -4410,11 +4577,13 @@ class DataFrame(FrameBase):
         ``_collection.py:341-352``)."""
         out = self.assign(**{key: value})
         self._sdf, self._expr = out._sdf, out._expr
+        self.__dict__.pop("_sort_fuse", None)
 
     def __delitem__(self, key: str):
         """``del df[col]`` rebinds to a drop (reference ``test_del``)."""
         out = self.drop(columns=[key])
         self._sdf, self._expr = out._sdf, out._expr
+        self.__dict__.pop("_sort_fuse", None)
 
     def pop(self, key: str) -> "Series":
         """pandas ``pop``: return the column as a Series and drop it from
@@ -4422,6 +4591,7 @@ class DataFrame(FrameBase):
         s = self._col(key)
         out = self.drop(columns=[key])
         self._sdf, self._expr = out._sdf, out._expr
+        self.__dict__.pop("_sort_fuse", None)
         return s
 
     def insert(self, loc: int, column: str, value) -> None:
@@ -4433,6 +4603,7 @@ class DataFrame(FrameBase):
         cols.insert(loc, column)
         out = out[cols]
         self._sdf, self._expr = out._sdf, out._expr
+        self.__dict__.pop("_sort_fuse", None)
 
     def take(self, indices) -> "DataFrame":
         """pandas ``take``: rows by ordinal position, in the requested
@@ -4827,11 +4998,7 @@ class DataFrame(FrameBase):
         # Catalyst predicate.  (Known edge: NaN != NaN is True in pandas
         # but <=> calls two nulls equal; the engine conflates NaN/None.)
         if "!=" in expr:
-            import re as _re4
-            expr = _re4.sub(
-                r"([\w.`'\"\)\]]+(?:\([^()]*\))?)\s*!=\s*"
-                r"([\w.`'\"\(\[][^\s)]*)",
-                r"NOT (\1 <=> \2)", expr)
+            expr = _rewrite_not_equal(expr)
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------
@@ -5455,6 +5622,7 @@ class DataFrame(FrameBase):
                    out_cols[len(joined._index_cols):]
         self._sdf = joined._sdf.select(*out_cols)
         self._expr = node
+        self.__dict__.pop("_sort_fuse", None)
         self._index_cols = tuple(own_idx)
         if not had_idx:
             self._index_names = joined._index_names
@@ -5829,11 +5997,12 @@ class DataFrame(FrameBase):
             self._sdf, self._expr = out._sdf, out._expr
             self._index_cols = out._index_cols
             self._index_names = out._index_names
+            self._sort_fuse = out._sort_fuse
             return None
         by = _ensure_list(by)
         asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
         cmeta = getattr(self, "_cat_meta", None) or {}
-        cols = []
+        cols, raw = [], []
         for b, a in zip(by, asc):
             if key is not None:
                 ks = key(self[b])
@@ -5850,13 +6019,8 @@ class DataFrame(FrameBase):
                          .otherwise(c)
             else:
                 c = F.col(b)
-            if a:
-                c = c.asc_nulls_last() if na_position == "last" else c.asc_nulls_first()
-            else:
-                c = c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
-            cols.append(c)
-        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
-            else self._sdf
+            cols.append(_sort_dir(c, a, na_position))
+            raw.append((c, a))
         if self._index_cols or ignore_index:
             # stamp the presentation order so positional scans after the
             # sort (cumsum, pct_change, rolling) follow the SORTED order
@@ -5864,15 +6028,31 @@ class DataFrame(FrameBase):
             # for a silent-wrong-data class).  monotonically_increasing_id
             # over the RANGE-SORTED layout is order-consistent (partition
             # id majorizes the range) — zero extra pass, unlike the
-            # checkpointing rowid attach
-            sorted_sdf = base.orderBy(*cols).withColumn(
+            # checkpointing rowid attach.  A prior stamp becomes the tie
+            # breaker (stable sort, and a DETERMINISTIC total order so the
+            # new stamp is reproducible across plan branches), then the
+            # withColumn replaces it.
+            tie = _ORDER if _ORDER in self._sdf.columns else None
+            tcols = [F.col(tie)] if tie else []
+            sorted_sdf = self._sdf.orderBy(*cols, *tcols).withColumn(
                 _ORDER, F.monotonically_increasing_id())
-            return self._derive(sorted_sdf, "sort",
-                                {"by": by, "ascending": list(asc)})
-        sdf = (_attach_rowid(base).orderBy(*cols)
+            out = self._derive(sorted_sdf, "sort",
+                               {"by": by, "ascending": list(asc)})
+            out._sort_fuse = (self._sdf, raw, na_position, tie)
+            return out
+        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
+            else self._sdf
+        pre = _attach_rowid(base)
+        # rowid tie break: ties land in ORIGINAL row order (stable), and
+        # the total order is deterministic — the _ORDER stamp minted over
+        # it re-evaluates identically on both sides of a stamp-keyed
+        # self-join (assign after sort)
+        sdf = (pre.orderBy(*cols, F.col(_ROWID))
                .withColumn(_ORDER, F.monotonically_increasing_id()))
         node = Node("sort", {"by": by, "ascending": list(asc)}, self._expr)
-        return DataFrame(sdf, node, (_ROWID,), (None,))
+        out = DataFrame(sdf, node, (_ROWID,), (None,))
+        out._sort_fuse = (pre, raw, na_position, _ROWID)
+        return out
 
     def sort_index(self, ascending: bool | Sequence[bool] = True,
                    na_position: str = "last") -> "DataFrame":
@@ -5884,29 +6064,52 @@ class DataFrame(FrameBase):
         idx = list(self._index_cols)
         asc = ascending if isinstance(ascending, (list, tuple)) \
             else [ascending] * len(idx)
-        cols = []
+        cols, raw = [], []
         for b, a in zip(idx, asc):
             c = F.col(b)
-            if a:
-                c = c.asc_nulls_last() if na_position == "last" \
-                    else c.asc_nulls_first()
-            else:
-                c = c.desc_nulls_last() if na_position == "last" \
-                    else c.desc_nulls_first()
-            cols.append(c)
-        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
-            else self._sdf
-        return self._derive(
-            base.orderBy(*cols).withColumn(
+            cols.append(_sort_dir(c, a, na_position))
+            raw.append((c, a))
+        tie = _ORDER if _ORDER in self._sdf.columns else None
+        tcols = [F.col(tie)] if tie else []
+        out = self._derive(
+            self._sdf.orderBy(*cols, *tcols).withColumn(
                 _ORDER, F.monotonically_increasing_id()),
             "sort_index", {"ascending": list(asc)})
+        out._sort_fuse = (self._sdf, raw, na_position, tie)
+        return out
+
+    def _fuse_order_cols(self, reverse: bool = False):
+        """Directioned sort columns for a frame whose direct parent op was
+        a sort (``_sort_fuse`` is only ever set by sort_values/sort_index
+        and never survives a derive — so presence proves the parent)."""
+        _pre, raw, na_position, tie = self._sort_fuse
+        if reverse:
+            flip = "first" if na_position == "last" else "last"
+            cols = [_sort_dir(c, not a, flip) for c, a in raw]
+            if tie is not None:
+                cols.append(F.col(tie).desc())
+        else:
+            cols = [_sort_dir(c, a, na_position) for c, a in raw]
+            if tie is not None:
+                cols.append(F.col(tie).asc())
+        return cols
 
     def head(self, n: int = 5) -> "DataFrame":
-        """Reference Head ``_expr.py:1471-1492``.  After ``sort_values`` this
-        compiles to distributed TopK (TakeOrderedAndProject); on an unsorted
-        frame it is natural (file) order, like the reference's single
-        partition.  Negative n (pandas: all but the last |n| rows) costs one
-        count action."""
+        """Reference Head ``_expr.py:1471-1492``.  Directly after
+        ``sort_values``/``sort_index`` this FUSES into a distributed TopK
+        over the SORT KEYS — ``TakeOrderedAndProject(n, keys)`` on the
+        pre-sort plan, map-side partial top-k, no global Exchange+Sort
+        (the r5 presentation-stamp work accidentally forced a full sort
+        here; the stamp only needs to reflect the presented order of the
+        n OUTPUT rows, so it is re-minted after the limit).  On an
+        unsorted frame it is natural (file) order, like the reference's
+        single partition.  Negative n (pandas: all but the last |n| rows)
+        costs one count action."""
+        fuse = getattr(self, "_sort_fuse", None)
+        if fuse is not None and n >= 0:
+            sdf = (fuse[0].orderBy(*self._fuse_order_cols()).limit(n)
+                   .withColumn(_ORDER, F.monotonically_increasing_id()))
+            return self._derive(sdf, "head", {"n": n})
         base = self._sdf
         if _ORDER in base.columns:
             base = base.orderBy(_ORDER)
@@ -5921,18 +6124,39 @@ class DataFrame(FrameBase):
         return self._derive(base.limit(n), "head", {"n": n})
 
     def tail(self, n: int = 5) -> "DataFrame":
-        """Reference Tail ``_expr.py:1495-1516`` → ``offset(count-n)``.
-        Requires one count action at build time.  Negative n (pandas: all
-        but the first |n| rows) is a pure offset — no count needed."""
+        """Reference Tail ``_expr.py:1495-1516``.  Directly after a sort
+        this is a REVERSE TopK over the sort keys (flip every direction
+        and NULL placement, take n, re-sort the n survivors forward) — no
+        count action, no global sort.  An ordered frame (presentation
+        stamp or positional rowid labels) likewise reverse-TopKs on its
+        order column.  Only the natural-order fallback still needs the
+        count+offset pass.  Negative n (pandas: all but the first |n|
+        rows) is a pure offset — no count needed."""
+        fuse = getattr(self, "_sort_fuse", None)
+        if fuse is not None and n >= 0:
+            fwd = self._fuse_order_cols()
+            sdf = (fuse[0].orderBy(*self._fuse_order_cols(reverse=True))
+                   .limit(n).orderBy(*fwd)
+                   .withColumn(_ORDER, F.monotonically_increasing_id()))
+            return self._derive(sdf, "tail", {"n": n})
         base = self._sdf
-        if _ORDER in base.columns:
-            base = base.orderBy(_ORDER)
-        elif tuple(self._index_cols) == (_ROWID,):
-            base = base.orderBy(_ROWID)
+        ocol = _ORDER if _ORDER in base.columns else (
+            _ROWID if tuple(self._index_cols) == (_ROWID,) else None)
         if n < 0:
+            if ocol is not None:
+                base = base.orderBy(ocol)
             return self._derive(base.offset(-n), "tail", {"n": n})
-        total = base.count()
-        return self._derive(base.offset(max(total - n, 0)), "tail", {"n": n})
+        if ocol is None:
+            # natural order: monotonically_increasing_id is order-
+            # consistent with (partition, position) — a lazy order stamp
+            # good enough to reverse-TopK on, with no count pass and no
+            # rowid histogram.  The stamp stays on the output (sparse
+            # values are fine — only the ORDER matters downstream).
+            base = base.withColumn(_ORDER, F.monotonically_increasing_id())
+            ocol = _ORDER
+        sdf = (base.orderBy(F.col(ocol).desc()).limit(n)
+               .orderBy(F.col(ocol).asc()))
+        return self._derive(sdf, "tail", {"n": n})
 
     def limit(self, n: int) -> "DataFrame":
         return self._derive(self._sdf.limit(n), "limit", {"n": n})
@@ -8987,6 +9211,7 @@ class _LocIndexer:
             out = f._derive(f._sdf.withColumns(updates), "loc_setitem",
                             {"columns": cols})
             f._sdf, f._expr = out._sdf, out._expr
+            f.__dict__.pop("_sort_fuse", None)
             return
         raise TypeError(
             "loc assignment supports df.loc[:, col] and "
