@@ -37,7 +37,7 @@ QUERIES = {
     "url_dedup_docs": "URL dedup: ONE map-side-combining max_by groupBy, no window",
     "cap_per_source_docs": "per-group cap: md5-prefix histogram, broadcast semi join, boundary-bucket-only window",
     "groupby_sample_frac_orders": "hash-draw sample: two-phase cap with frac quota derived on the tiny histogram",
-    "sort_limit_customers": "rowid-anchored sort: data-side BroadcastHashJoin only (JVM distributed-sequence), then TopK",
+    "sort_limit_customers": "sort+head FUSED (r6): TakeOrderedAndProject over the SORT KEYS on the pre-sort plan — no global Exchange+Sort",
     # continuation-9 additions
     "dsir_select_docs": "DSIR: one-pass hashed-ngram features, broadcast LLR table, TakeOrderedAndProject top-k",
     "rolling_time_daily_events": "time-offset rolling: block-bucketed self-join + per-row hash agg, NO global RANGE window",
@@ -54,6 +54,12 @@ QUERIES = {
     "crosstab_status_priority": "crosstab: groupBy+pivot with PINNED values (no discovery scan), one shuffle",
     # round-5 continuation: the new fuzzy-dedup capability
     "fuzzy_dup_pairs_edit": "edit-distance dedup: banded LSH candidates + length prefilter + levenshtein(threshold) verify — no CartesianProduct, text never in a quadratic stage",
+    # round-6 additions: the TopK fusion family (r5 verdict #1/#2) + the
+    # two rows-only→exact conversions
+    "top_orders": "sort+head FUSED: TakeOrderedAndProject(10, sort keys) directly over the scan — the r5 full-sort prelude is gone",
+    "tail_orders": "sort+tail FUSED: REVERSE TopK over flipped sort keys + tiny re-sort of the n survivors — no count action, no global sort",
+    "head_sorted_nations": "sort+head fusion through the rowid label anchor (index preserved), TopK over sort keys + rowid tiebreak",
+    "sample_fraction_lineitem": "deterministic hash sample: pure JVM md5-bucket filter at the scan, no RNG, no shuffle",
 }
 
 
@@ -65,7 +71,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
-    out = ["# Physical plans (round 5) — key queries at sf0.001",
+    out = ["# Physical plans (round 6) — key queries at sf0.001",
            "",
            "Generated by `scripts/dump_plans.py`.  What to look for is noted",
            "per query; grep for `PushedFilters`, `ReadSchema`, `BroadcastHashJoin`,",
@@ -81,9 +87,9 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name}\n\n_{note}_\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open("/root/repo/PLANS_r5.md", "w") as f:
+    with open("/root/repo/PLANS_r6.md", "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS_r5.md")
+    print("wrote PLANS_r6.md")
 
 
 if __name__ == "__main__":
