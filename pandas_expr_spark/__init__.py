@@ -26,9 +26,11 @@ from .sources import (from_pandas, from_spark, read_binary, read_csv,
 __version__ = "0.1.0"
 
 
-def cut(series, bins, labels=None, right: bool = True):
+def cut(series, bins, labels=None, right: bool = True, precision: int = 3,
+        include_lowest: bool = False):
     """pandas ``pd.cut`` (fixed bin edges) — see ``Series.cut``."""
-    return series.cut(bins, labels=labels, right=right)
+    return series.cut(bins, labels=labels, right=right, precision=precision,
+                      include_lowest=include_lowest)
 
 
 def qcut(series, q, labels=None, duplicates: str = "raise"):
@@ -220,7 +222,7 @@ def crosstab(frame, index=None, columns=None, values=None, aggfunc=None,
 
 def get_dummies(frame, columns=None, values=None, prefix=None,
                 prefix_sep: str = "_", drop_first: bool = False,
-                dtype: str = "int"):
+                dummy_na: bool = False, dtype: str = "int"):
     """pandas ``pd.get_dummies`` — frame form (``get_dummies(df, cols)``)
     or pandas' bare form ``get_dummies(df_or_series)`` (all string
     columns / the series itself).  ``prefix`` (str or per-column dict),
@@ -237,7 +239,7 @@ def get_dummies(frame, columns=None, values=None, prefix=None,
                        ("StringType", "VarcharType"))]
     return frame.get_dummies(columns, values=values, prefix=prefix,
                              prefix_sep=prefix_sep, drop_first=drop_first,
-                             dtype=dtype)
+                             dummy_na=dummy_na, dtype=dtype)
 
 
 def wide_to_long(frame, stubnames, i, j, sep: str = "", suffix: str = r"\d+"):

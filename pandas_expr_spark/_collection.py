@@ -414,6 +414,27 @@ _MASK_OPS = frozenset({
 })
 
 
+def _inline_at_refs(expr: str, env: Mapping) -> str:
+    """Inline pandas ``@name`` scope references as SQL literals (shared by
+    ``query`` and ``eval`` — the predicate stays a pure Catalyst
+    expression, pushdown-eligible)."""
+    import re as _re
+
+    def _sub(m):
+        name = m.group(1)
+        if name not in env:
+            raise KeyError(f"query: undefined variable @{name}")
+        v = env[name]
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (list, tuple, set)):
+            return "(" + ",".join(
+                ("'" + str(x).replace("'", "''") + "'")
+                if isinstance(x, str) else repr(x) for x in v) + ")"
+        return repr(v)
+    return _re.sub(r"@(\w+)", _sub, expr)
+
+
 def _rewrite_not_equal(expr: str) -> str:
     """Rewrite every top-level-operand ``a != b`` in a SQL predicate to
     ``NOT ((a) <=> (b))`` — pandas' `!=` keeps rows whose operand is
@@ -1478,8 +1499,18 @@ class Series(FrameBase):
             mapping = {to_replace: value}
         c = self._scol
         out = c
+        st = self.spark_type
         for k, v in mapping.items():
-            out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
+            # pandas: replace(np.nan, v) / replace(None, v) hits missing
+            # values — `col == lit(nan)` is never true under SQL null
+            # semantics (wave-S silent-wrong-data fix)
+            if k is None or (isinstance(k, float) and k != k):
+                cond = c.isNull()
+                if isinstance(st, (T.DoubleType, T.FloatType)):
+                    cond = cond | F.isnan(c)
+            else:
+                cond = c.eqNullSafe(F.lit(k))
+            out = F.when(cond, F.lit(v)).otherwise(out)
         return self._with_scol(out, "replace", mapping=repr(mapping))
 
     def astype(self, dtype):
@@ -1521,7 +1552,7 @@ class Series(FrameBase):
                                   T.DateType)):
                 null_repr = "NaT"
             else:
-                null_repr = "None"
+                null_repr = getattr(self, "_null_str_repr", None) or "None"
             out = F.coalesce(self._scol.cast(st), F.lit(null_repr))
             return self._with_scol(out, "astype", dtype=str(dtype))
         return self._with_scol(_astype_expr(self._scol, self.spark_type, st),
@@ -1529,9 +1560,27 @@ class Series(FrameBase):
 
     def truncate(self, before=None, after=None) -> "Series":
         """pandas ``Series.truncate`` on the engine index — range
-        predicates (pushdown-friendly)."""
+        predicates (pushdown-friendly).  On a default RangeIndex the
+        labels are positions: one rowid attach (narrow, no shuffle)
+        anchors them (wave S)."""
         if not self._index_cols:
-            raise ValueError("truncate needs an index")
+            # positions ARE the labels: one global-position pass (rowid
+            # attach is narrow; the position numbering is the same
+            # two-phase offset scan every positional op uses), then the
+            # same range predicates; surviving labels stay 2..5 like
+            # pandas
+            from .functions import scan
+            sdf, name, order, _ = self._ordered_base()
+            pos = scan.global_pos(sdf, order, name="__trunc_pos__")
+            c = F.col("__trunc_pos__")
+            if before is not None:
+                pos = pos.filter(c >= F.lit(int(before)))
+            if after is not None:
+                pos = pos.filter(c <= F.lit(int(after)))
+            node = Node("truncate", {"before": before, "after": after},
+                        self._expr)
+            return Series(pos, F.col(name), self._col_name, node,
+                          ("__trunc_pos__",), (None,))
         c = F.col(self._index_cols[0])
         sdf = self._sdf
         if before is not None:
@@ -2166,7 +2215,8 @@ class Series(FrameBase):
                       self._index_names if self._index_cols else (None,))
 
     def interpolate(self, method: str = "linear",
-                    limit: int | None = None) -> "Series":
+                    limit: int | None = None,
+                    limit_direction: str | None = None) -> "Series":
         """pandas ``Series.interpolate`` over the global order, distributed:
         one global-position pass (range shuffle), two prefix scans for the
         nearest non-null neighbor positions (sentinel-encoded max scans —
@@ -2182,6 +2232,15 @@ class Series(FrameBase):
         if method not in ("linear", "pad", "ffill"):
             raise ValueError(f"interpolate: method {method!r} not supported "
                              "(linear/pad/ffill)")
+        if limit_direction is None:
+            limit_direction = "forward"
+        if limit_direction not in ("forward", "backward", "both"):
+            raise ValueError(f"interpolate: limit_direction "
+                             f"{limit_direction!r} not supported")
+        if limit_direction == "both" and limit is not None:
+            raise NotImplementedError(
+                "interpolate: limit with limit_direction='both' is not "
+                "supported (per-gap two-sided fill caps)")
         from .functions import scan
         SENT = -(1 << 62)
         sdf, name, order, idx = self._ordered_base()
@@ -2210,16 +2269,32 @@ class Series(FrameBase):
         p, pp, np_, prev, nxt = (F.col("__pos__"), F.col("__pp__"),
                                  F.col("__np__"), F.col("__prev__"),
                                  F.col("__next__"))
+        interp = prev + (nxt - prev) * (p - pp) / (np_ - pp)
         if method == "linear":
-            filled = (F.when(np_.isNotNull(),
-                             prev + (nxt - prev) * (p - pp) / (np_ - pp))
-                      .otherwise(prev))
+            # interior gaps always interpolate; which EDGE runs fill is
+            # limit_direction's call (pandas: forward → trailing take the
+            # last valid, leading stay null; backward mirrors; both fills
+            # both edges)
+            if limit_direction == "forward":
+                filled = F.when(np_.isNotNull(), interp).otherwise(prev)
+            elif limit_direction == "backward":
+                filled = F.when(pp.isNotNull(), interp).otherwise(nxt)
+            else:
+                filled = (F.when(pp.isNull(), nxt)
+                          .when(np_.isNull(), prev)
+                          .otherwise(interp))
         else:
-            filled = prev
+            filled = prev if limit_direction == "forward" else (
+                nxt if limit_direction == "backward"
+                else F.coalesce(prev, nxt))
         if limit is not None:
-            filled = F.when((p - pp) <= F.lit(limit), filled)
+            dist = (p - pp) if limit_direction == "forward" else (np_ - p)
+            filled = F.when(dist <= F.lit(limit), filled)
+        anchor = (pp if limit_direction == "forward"
+                  else np_ if limit_direction == "backward"
+                  else F.coalesce(pp, np_))
         out_val = F.when(v.isNotNull(), v.cast("double")).otherwise(
-            F.when(pp.isNotNull(), filled))
+            F.when(anchor.isNotNull(), filled))
         out = j.select(*[F.col(c) for c in idx], *_order_cols(j),
                        out_val.alias(name))
         node = Node("interpolate", {"method": method}, self._expr)
@@ -2555,6 +2630,7 @@ class Series(FrameBase):
 
     def cut(self, bins: Sequence[float], labels: Sequence[str] | None = None,
             right: bool = True, precision: int = 3,
+            include_lowest: bool = False,
             _first_edge_adjust: bool = False) -> "Series":
         """pandas ``pd.cut`` with explicit edges: a JVM-side CASE chain —
         no shuffle, no Python.  Default labels follow pandas' interval
@@ -2588,6 +2664,12 @@ class Series(FrameBase):
         edges = list(bins)
         if len(edges) < 2:
             raise ValueError("cut needs at least 2 bin edges")
+        if include_lowest and right and not _first_edge_adjust:
+            # pandas: the first right-closed interval also includes its
+            # left edge — nudge the edge down (interval labels keep the
+            # original edge via _first_edge_adjust display handling)
+            edges[0] = edges[0] - abs(edges[0]) * 1e-9 - 1e-12
+            _first_edge_adjust = True
         if labels not in (None, False) and len(labels) != len(edges) - 1:
             raise ValueError("labels must have len(bins) - 1 entries")
         disp = _interval_display(edges, precision, _first_edge_adjust)
@@ -2609,21 +2691,56 @@ class Series(FrameBase):
             else:
                 val = F.lit(lab)
             expr = F.when(cond, val).otherwise(expr)
-        return self._with_scol(expr, "cut", n_bins=len(edges) - 1)
+        out = self._with_scol(expr, "cut", n_bins=len(edges) - 1)
+        # pandas cut returns a Categorical: astype(str) renders missing
+        # (out-of-range) values as 'nan', not the object-dtype 'None'
+        out._null_str_repr = "nan"
+        return out
 
     def qcut(self, q: int | Sequence[float],
              labels: Sequence[str] | None = None,
              duplicates: str = "raise") -> "Series":
-        """pandas ``pd.qcut``: quantile-based bins.  Edges come from one
-        small exact-percentile aggregation (an eager driver action, like
-        pandas itself); binning is then a JVM-side CASE chain.
+        """pandas ``pd.qcut``: quantile-based bins.  Edge values are the
+        exact order statistics bracketing each quantile position (one
+        ``scan.global_pos`` pass + a ≤2(q+1)-row collect — an eager driver
+        action, like pandas itself), interpolated driver-side with
+        numpy's exact ``_lerp`` arithmetic: pandas routes quantiles
+        through ``np.percentile(values, qs * 100)``, whose ``(q*100)/100``
+        round-trip and ``t >= 0.5`` reversed-lerp branch shift edges by an
+        ulp — and an ulp decides the bin of edge-exact values (wave S).
+        Binning is then a JVM-side CASE chain.
         ``duplicates='raise'/'drop'`` matches pandas: repeated quantile
         edges error unless dropped."""
-        probs = [i / q for i in range(q + 1)] if isinstance(q, int) else list(q)
-        row = self._sdf.agg(
-            F.percentile(self._scol, F.array(*[F.lit(p) for p in probs]))
-        ).collect()[0][0]
-        raw = [float(v) for v in row]
+        import math
+        probs = [i / q for i in range(q + 1)] if isinstance(q, int) \
+            else [float(p) for p in q]
+        n = int(self._sdf.agg(F.count(self._scol).alias("n"))
+                .collect()[0]["n"])
+        if n == 0:
+            raise ValueError("qcut: no non-null values")
+        pos_list, need = [], set()
+        for p in probs:
+            qfrac = (p * 100) / 100            # pandas' ×100 round-trip
+            pos = qfrac * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            need.update((lo, hi))
+            pos_list.append((pos, lo, hi))
+        from .functions import scan
+        vals = (self._sdf.select(self._scol.alias("__v__"))
+                .filter(F.col("__v__").isNotNull()))
+        posd = scan.global_pos(vals, ["__v__"])
+        stats = {int(r["__pos__"]): float(r["__v__"])
+                 for r in posd.filter(
+                     F.col("__pos__").isin([int(k) for k in need]))
+                 .collect()}
+        raw = []
+        for pos, lo, hi in pos_list:
+            a, b = stats[lo], stats[hi]
+            t = pos - lo
+            v = a + (b - a) * t
+            if t >= 0.5:                       # numpy _lerp stability branch
+                v = b - (b - a) * (1 - t)
+            raw.append(v)
         edges = list(dict.fromkeys(raw))  # dedupe, keep order
         if len(edges) < len(raw) and duplicates != "drop":
             raise ValueError(
@@ -4001,6 +4118,27 @@ class _SeriesEwm:
         return Series(out, F.col(name), s._col_name, node, idx,
                       s._index_names if s._index_cols else (None,))
 
+    def var(self, bias: bool = False) -> Series:
+        """pandas ``ewm(...).var()`` — the 5-state distributed segment
+        scan (``timeseries.ewm_var_global``); debiased by default."""
+        from .functions import timeseries as _ts
+        if not self._adjust or self._ignore_na:
+            raise NotImplementedError(
+                "ewm.var supports adjust=True, ignore_na=False")
+        s = self._s
+        sdf, name, order, idx = s._ordered_base()
+        if len(order) != 1:
+            raise ValueError("global ewm needs exactly one order column")
+        out = _ts.ewm_var_global(sdf, name, order[0], self._alpha,
+                                 name=name, bias=bias)
+        node = Node("ewm_var", {"alpha": self._alpha}, s._expr)
+        return Series(out, F.col(name), s._col_name, node, idx,
+                      s._index_names if s._index_cols else (None,))
+
+    def std(self, bias: bool = False) -> Series:
+        out = self.var(bias=bias)
+        return out._with_scol(F.sqrt(out._scol), "ewm_std")
+
 
 class _FrameRolling:
     """pandas ``DataFrame.rolling`` — every numeric column in ONE shared
@@ -4944,14 +5082,39 @@ class DataFrame(FrameBase):
             keep.append(f.name)
         return self[keep]
 
-    def eval(self, expr: str) -> "DataFrame":
+    def eval(self, expr: str, local_dict=None, **kwargs):
         """Reference Eval ``_expr.py:1344-1352`` → Spark SQL expression parser
-        (compiled, not a UDF)."""
-        target, _, rhs = expr.partition("=")
-        if not rhs:
-            raise ValueError("eval requires 'col = expression'")
-        return self._derive(self._sdf.withColumn(target.strip(), F.expr(rhs.strip())),
-                            "eval", {"expr": expr})
+        (compiled, not a UDF).  ``col = expression`` assigns a column;
+        a bare expression (pandas ``df.eval("a > @t")``) returns a Series.
+        ``@name`` references resolve from ``local_dict`` (or the caller's
+        scope) and inline as literals, like ``query`` (wave S)."""
+        import re as _re
+        src = expr
+        if "@" in src:
+            env = dict(local_dict or {})
+            if not env:
+                import inspect as _inspect
+                fr = _inspect.currentframe().f_back
+                env = {**fr.f_globals, **fr.f_locals}
+            src = _inline_at_refs(src, env)
+        m = _re.match(r"^\s*([A-Za-z_]\w*)\s*=(?![=<>])", src)
+        if m:
+            rhs = src[m.end():].strip()
+            return self._derive(
+                self._sdf.withColumn(m.group(1), F.expr(rhs)),
+                "eval", {"expr": expr})
+        # bare expression → Series over the same row set (comparison
+        # results are mask-flavored: compute() renders null as False)
+        if "!=" in src:
+            src = _rewrite_not_equal(src)
+        col = F.expr(src)
+        name = "__eval__"
+        sdf = self._sdf.select(
+            *_order_cols(self._sdf),
+            *[F.col(c) for c in self._index_cols], col.alias(name))
+        node = Node("eq", {"expr": expr}, self._expr)
+        return Series(sdf, F.col(name), None, node, self._index_cols,
+                      self._index_names if self._index_cols else (None,))
 
     def query(self, expr: str, local_dict=None, **kwargs) -> "DataFrame":
         """SQL-flavored filter (Spark-native analogue of ``df.query``).
@@ -4959,26 +5122,12 @@ class DataFrame(FrameBase):
         the caller's scope) and inline as literals — the predicate stays a
         pure Catalyst filter, pushdown-eligible."""
         if "@" in expr:
-            import re as _re
             env = dict(local_dict or {})
             if not env:
                 import inspect as _inspect
                 fr = _inspect.currentframe().f_back
                 env = {**fr.f_globals, **fr.f_locals}
-
-            def _sub(m):
-                name = m.group(1)
-                if name not in env:
-                    raise KeyError(f"query: undefined variable @{name}")
-                v = env[name]
-                if isinstance(v, str):
-                    return "'" + v.replace("'", "''") + "'"
-                if isinstance(v, (list, tuple, set)):
-                    return "(" + ",".join(
-                        ("'" + str(x).replace("'", "''") + "'")
-                        if isinstance(x, str) else repr(x) for x in v) + ")"
-                return repr(v)
-            expr = _re.sub(r"@(\w+)", _sub, expr)
+            expr = _inline_at_refs(expr, env)
         # pandas list syntax: `k in ['a','b']` / `not in [...]` → SQL IN
         if "[" in expr:
             import re as _re2
@@ -5084,7 +5233,28 @@ class DataFrame(FrameBase):
             mapping = dict(zip(to_replace, vals))
         else:
             mapping = {to_replace: value}
-        return self._derive(self._sdf.replace(mapping), "replace", {})
+        # pandas: NaN/None keys hit missing values; Spark's native replace
+        # rejects them (use CASE fills per type-compatible column instead)
+        nan_keys = {k: v for k, v in mapping.items()
+                    if k is None or (isinstance(k, float) and k != k)}
+        rest = {k: v for k, v in mapping.items() if k not in nan_keys}
+        sdf = self._sdf.replace(rest) if rest else self._sdf
+        for _, v in nan_keys.items():
+            upd = {}
+            for cname in self.columns:
+                dt = sdf.schema[cname].dataType
+                ccol = F.col(cname)
+                num_v = isinstance(v, (int, float)) and not isinstance(v, bool)
+                if isinstance(dt, (T.DoubleType, T.FloatType)) and num_v:
+                    upd[cname] = F.when(ccol.isNull() | F.isnan(ccol),
+                                        F.lit(float(v))).otherwise(ccol)
+                elif isinstance(dt, T.StringType) and isinstance(v, str):
+                    upd[cname] = F.coalesce(ccol, F.lit(v))
+                elif isinstance(dt, (T.LongType, T.IntegerType)) and num_v:
+                    upd[cname] = F.coalesce(ccol, F.lit(v).cast(dt))
+            if upd:
+                sdf = sdf.withColumns(upd)
+        return self._derive(sdf, "replace", {})
 
     def astype(self, dtype) -> "DataFrame":
         # "category" is engine metadata over the physical type (SURVEY §1.4)
@@ -6469,8 +6639,9 @@ class DataFrame(FrameBase):
         column count, so it is collected to the driver and folded in as
         literals — the big left frame streams through one projection
         (never a shuffle)."""
-        if isinstance(other, Series):
-            weights = other.compute()
+        if isinstance(other, (Series, pd.Series)):
+            # an eager pandas Series is already the driver-held weights
+            weights = other.compute() if isinstance(other, Series) else other
             missing = [c for c in self.columns if c not in weights.index]
             if missing:
                 raise ValueError(f"matrices are not aligned: {missing}")
@@ -6480,9 +6651,26 @@ class DataFrame(FrameBase):
                 expr = t if expr is None else expr + t
             sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
                                    expr.alias("__dot__"))
-            node = Node("dot", {}, self._expr, other._expr)
+            node = Node("dot", {}, self._expr,
+                        *([other._expr] if isinstance(other, Series) else []))
             return Series(sdf, F.col("__dot__"), None, node,
                           self._index_cols, self._index_names)
+        if isinstance(other, pd.DataFrame):
+            w = other
+            missing = [c for c in self.columns if c not in w.index]
+            if missing:
+                raise ValueError(f"matrices are not aligned: {missing}")
+            outs = []
+            for j in w.columns:
+                expr = None
+                for c in self.columns:
+                    t = F.col(c) * F.lit(float(w.loc[c, j]))
+                    expr = t if expr is None else expr + t
+                outs.append(expr.alias(str(j)))
+            sdf = self._sdf.select(*[F.col(c) for c in self._index_cols],
+                                   *outs)
+            node = Node("dot", {}, self._expr)
+            return DataFrame(sdf, node, self._index_cols, self._index_names)
         if isinstance(other, DataFrame):
             w = other.compute()
             missing = [c for c in self.columns if c not in w.index]
@@ -8019,7 +8207,7 @@ class DataFrame(FrameBase):
     def get_dummies(self, columns: Sequence[str],
                     values: Mapping[str, Sequence] | None = None,
                     prefix=None, prefix_sep: str = "_",
-                    drop_first: bool = False,
+                    drop_first: bool = False, dummy_na: bool = False,
                     dtype: str = "int") -> "DataFrame":
         """pandas ``pd.get_dummies``: one-hot indicator columns.
 
@@ -8055,6 +8243,20 @@ class DataFrame(FrameBase):
                 new_cols[f"{p}{prefix_sep}{v}"] = \
                     F.when(F.col(c) == v, one).otherwise(zero) \
                      .cast(spark_dtype)
+            if dummy_na:
+                # pandas dummy_na=True: one extra indicator for missing
+                # values, appended after the value columns ('<p>_nan')
+                new_cols[f"{p}{prefix_sep}nan"] = \
+                    F.when(F.col(c).isNull(), one).otherwise(zero) \
+                     .cast(spark_dtype)
+        lowered = [n.lower() for n in new_cols]
+        if len(set(lowered)) != len(lowered):
+            dupes = sorted({n for n in lowered if lowered.count(n) > 1})
+            raise ValueError(
+                "get_dummies: categories differing only by case collide "
+                f"under Spark's case-insensitive column resolution: {dupes}. "
+                "Pass values= with disambiguated categories or normalize "
+                "case upstream.")
         out = sdf.withColumns(new_cols).drop(*columns)
         return self._derive(out, "get_dummies", {"columns": columns})
 
@@ -8528,27 +8730,56 @@ class DataFrame(FrameBase):
                           suffixes=("", "_r"))
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
-             value_name: str = "value",
-             ignore_index: bool = True) -> "DataFrame":
+             value_name: str = "value", ignore_index: bool = True,
+             _column_major: bool = True) -> "DataFrame":
         """pandas ``melt`` → Spark's native ``unpivot`` (narrow op, no
         shuffle; value columns are cast to their common promoted type).
         ``ignore_index=False`` repeats the original row label per
         variable, like pandas — the index (or an attached positional
-        rowid) rides through the unpivot as extra id columns."""
+        rowid) rides through the unpivot as extra id columns.
+
+        pandas presents melt COLUMN-major (every row of the first value
+        column, then the second...) while unpivot emits row-major — the
+        presentation stamp is minted over (variable position, source row)
+        so downstream positional ops see pandas' order (wave S).  The
+        stamp sort only materializes when presentation order is consumed;
+        ``stack`` passes ``_column_major=False`` to keep its row-major
+        natural order with no sort in the plan."""
         ids = _ensure_list(id_vars)
         vals = _ensure_list(value_vars) if value_vars is not None else \
             [c for c in self.columns if c not in ids]
         node = Node("melt", {"id_vars": ids, "value_vars": vals}, self._expr)
-        if ignore_index:
-            out = self._sdf.unpivot(ids, vals, var_name, value_name)
-            return DataFrame(out, node, (), None)
+        anchored = (self._sdf if _ROWID in self._sdf.columns
+                    else _attach_rowid(self._sdf))
         if self._index_cols:
             src, idx_cols, idx_names = \
-                self._sdf, self._index_cols, self._index_names
+                anchored, self._index_cols, self._index_names
         else:
-            src, idx_cols, idx_names = \
-                _attach_rowid(self._sdf), (_ROWID,), (None,)
-        out = src.unpivot(list(idx_cols) + ids, vals, var_name, value_name)
+            src, idx_cols, idx_names = anchored, (_ROWID,), (None,)
+        anchor = _ORDER if _ORDER in src.columns else _ROWID
+        keep = list(dict.fromkeys(
+            [_ROWID, anchor] + list(idx_cols) + ids))
+        out = src.unpivot(keep, vals, var_name, value_name)
+        vpos = F.array_position(
+            F.array(*[F.lit(v) for v in vals]), F.col(var_name))
+        order_keys = (["__melt_vp__", anchor] if _column_major
+                      else [anchor, "__melt_vp__"])
+        if _column_major or anchor == _ORDER:
+            # row-major frames with no prior stamp keep unpivot's natural
+            # order (already row-major) — no sort needed; otherwise mint
+            # the stamp over (variable, row) or (row, variable)
+            out = (out.withColumn("__melt_vp__", vpos)
+                   .orderBy(*order_keys)
+                   .withColumn(_ORDER, F.monotonically_increasing_id())
+                   .drop("__melt_vp__"))
+        if ignore_index:
+            keep_set = set(ids) | {var_name, value_name, _ORDER}
+            out = out.drop(*[c for c in dict.fromkeys((_ROWID,)
+                                                      + tuple(idx_cols))
+                             if c in out.columns and c not in keep_set])
+            return DataFrame(out, node, (), None)
+        if _ROWID not in idx_cols and _ROWID not in ids:
+            out = out.drop(_ROWID)
         return DataFrame(out, node, idx_cols, idx_names)
 
     def unstack(self, index, columns: str, values: str,
@@ -8582,7 +8813,8 @@ class DataFrame(FrameBase):
                                  (_ROWID,), (None,))
             id_vars = list(base._index_cols)
             from_index = True
-        out = base.melt(id_vars, value_vars, var_name, value_name)
+        out = base.melt(id_vars, value_vars, var_name, value_name,
+                        ignore_index=True, _column_major=False)
         sdf = out._sdf.filter(F.col(value_name).isNotNull()) if dropna \
             else out._sdf
         node = Node("stack", {"dropna": dropna}, out._expr)

@@ -47,7 +47,16 @@ class StringAccessor(_Accessor):
     def strip(self): return self._wrap(F.trim(self._s._scol), "str.strip")
     def lstrip(self): return self._wrap(F.ltrim(self._s._scol), "str.lstrip")
     def rstrip(self): return self._wrap(F.rtrim(self._s._scol), "str.rstrip")
-    def len(self): return self._wrap(F.length(self._s._scol), "str.len")
+    def len(self):
+        # pandas str.len also measures list/dict cells (e.g. after
+        # str.findall) — array/map columns need size(), not length()
+        from pyspark.sql import types as T
+        st = self._s.spark_type
+        if isinstance(st, (T.ArrayType, T.MapType)):
+            c = self._s._scol
+            # size(NULL) is -1 under the legacy conf — keep null as null
+            return self._wrap(F.when(c.isNotNull(), F.size(c)), "str.len")
+        return self._wrap(F.length(self._s._scol), "str.len")
     def title(self):
         """pandas ``str.title`` capitalizes the start of every ALPHA run
         (``"a,b"`` → ``"A,B"``); Spark's ``initcap`` only after whitespace

@@ -419,6 +419,109 @@ def period_to_timestamp_col(col, freq: str, how: str = "start"):
     raise ValueError(f"how must be 'start' or 'end', got {how!r}")
 
 
+def ewm_var_global(sdf: SparkDF, col: str, order_by: str, alpha: float,
+                   name: str = "ewm_var", bias: bool = False,
+                   num_partitions: int | None = None) -> SparkDF:
+    """Distributed ``ewm(adjust=True).var()`` — same three-stage segment
+    scan as :func:`ewm_mean_global`, with a 5-tuple linear state
+    ``(Σw·x, Σw·x², Σw, Σw², nobs)``: w decays by d = 1−α per row, w² by
+    d².  pandas' debiased variance is then a pure column expression:
+    ``(Σw² ⁄ ((Σw)² − Σw²)) · (Σw·x² − (Σw·x)²/Σw)`` (bias=False), null
+    until the second observation.  Nulls follow pandas ``ignore_na=False``
+    (weights decay, no observation added)."""
+    d = 1.0 - alpha
+    d2 = d * d
+    n_parts = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
+    part = (sdf.repartitionByRange(n_parts, F.col(order_by))
+            .sortWithinPartitions(order_by)
+            .withColumn("__pid", F.spark_partition_id()))
+
+    state_cols = ["__sx", "__sx2", "__sw", "__sw2", "__nob"]
+    fields = list(part.schema.fields) + [
+        T.StructField(c, T.DoubleType()) for c in state_cols
+    ] + [T.StructField("__pos", T.LongType())]
+    local_schema = T.StructType(fields)
+
+    def _local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sx = sx2 = sw = sw2 = nob = 0.0
+        pos = -1
+        for pdf in batches:
+            x = pdf[col].to_numpy(dtype="float64")
+            n = len(x)
+            outs = {c: [0.0] * n for c in state_cols}
+            positions = [0] * n
+            for i, xi in enumerate(x):
+                pos += 1
+                if xi == xi:
+                    sx = xi + d * sx
+                    sx2 = xi * xi + d * sx2
+                    sw = 1.0 + d * sw
+                    sw2 = 1.0 + d2 * sw2
+                    nob += 1.0
+                else:
+                    sx, sx2, sw, sw2 = d * sx, d * sx2, d * sw, d2 * sw2
+                outs["__sx"][i], outs["__sx2"][i] = sx, sx2
+                outs["__sw"][i], outs["__sw2"][i] = sw, sw2
+                outs["__nob"][i] = nob
+                positions[i] = pos
+            pdf = pdf.copy()
+            for c in state_cols:
+                pdf[c] = outs[c]
+            pdf["__pos"] = positions
+            yield pdf
+
+    local = part.mapInPandas(_local_scan, local_schema).persist()
+
+    summary = (local.groupBy("__pid")
+               .agg(*[F.max_by(c, "__pos").alias("last" + c)
+                      for c in state_cols],
+                    F.pow(F.lit(d), F.count(F.lit(1))).alias("decay"),
+                    F.pow(F.lit(d2), F.count(F.lit(1))).alias("decay2")))
+
+    carry_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType())] +
+        [T.StructField("carry" + c, T.DoubleType()) for c in state_cols])
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__pid")
+        carries = []
+        g = {c: 0.0 for c in state_cols}
+        for _, row in pdf.iterrows():
+            carries.append((int(row["__pid"]), *[g[c] for c in state_cols]))
+            dk, dk2 = row["decay"], row["decay2"]
+            g["__sx"] = row["last__sx"] + dk * g["__sx"]
+            g["__sx2"] = row["last__sx2"] + dk * g["__sx2"]
+            g["__sw"] = row["last__sw"] + dk * g["__sw"]
+            g["__sw2"] = row["last__sw2"] + dk2 * g["__sw2"]
+            g["__nob"] = row["last__nob"] + g["__nob"]
+        return pd.DataFrame(
+            carries, columns=["__pid"] + ["carry" + c for c in state_cols])
+
+    carries = (summary.withColumn("__one", F.lit(1)).groupBy("__one")
+               .applyInPandas(lambda pdf: _fold(pdf), carry_schema))
+
+    scale = F.pow(F.lit(d), F.col("__pos") + 1)
+    scale2 = F.pow(F.lit(d2), F.col("__pos") + 1)
+    cz = lambda c: F.coalesce(F.col("carry" + c), F.lit(0.0))  # noqa: E731
+    sx_t = F.col("__sx") + cz("__sx") * scale
+    sx2_t = F.col("__sx2") + cz("__sx2") * scale
+    sw_t = F.col("__sw") + cz("__sw") * scale
+    sw2_t = F.col("__sw2") + cz("__sw2") * scale2
+    nob_t = F.col("__nob") + cz("__nob")
+    mean = sx_t / sw_t
+    biased = sx2_t / sw_t - mean * mean
+    if bias:
+        var = biased
+    else:
+        var = biased * (sw_t * sw_t) / (sw_t * sw_t - sw2_t)
+    out = (local.join(F.broadcast(carries), "__pid", "left")
+           .withColumn(name,
+                       F.when(nob_t >= 2, F.greatest(var, F.lit(0.0))))
+           .drop("__pid", *state_cols, "__pos",
+                 *["carry" + c for c in state_cols]))
+    return out
+
+
 def ewm_mean_ignore_na(sdf: SparkDF, cols: list[str], order_by: str,
                        alpha: float, adjust: bool = True,
                        num_partitions: int | None = None) -> SparkDF:
