@@ -139,11 +139,25 @@ def melt(frame, id_vars, value_vars=None, var_name: str = "variable",
     return frame.melt(id_vars, value_vars, var_name, value_name)
 
 
-def pivot_table(frame, values, index, columns, aggfunc: str = "mean",
-                pivot_values=None):
+def pivot_table(frame, values=None, index=None, columns=None,
+                aggfunc="mean", pivot_values=None, margins: bool = False,
+                margins_name: str = "All", fill_value=None):
     """pandas ``pd.pivot_table`` — see ``DataFrame.pivot_table``."""
+    if values is None:
+        ids = set(_ensure_list_top(index)) | set(_ensure_list_top(columns))
+        values = [c for c in frame.columns if c not in ids]
+        if len(values) == 1:
+            values = values[0]
     return frame.pivot_table(values, index, columns, aggfunc,
-                             pivot_values=pivot_values)
+                             pivot_values=pivot_values, margins=margins,
+                             margins_name=margins_name,
+                             fill_value=fill_value)
+
+
+def _ensure_list_top(x):
+    if x is None:
+        return []
+    return [x] if isinstance(x, str) else list(x)
 
 
 def pivot(frame, *, columns, index=None, values=None, pivot_values=None):

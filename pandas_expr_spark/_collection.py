@@ -414,6 +414,76 @@ _MASK_OPS = frozenset({
 })
 
 
+def _offset_binop_expr(col: Column, off, sub: bool = False) -> Column:
+    """Lower a pandas DateOffset operand (``ts + pd.offsets.MonthEnd(0)``)
+    to JVM datetime arithmetic.  Tick/Week offsets are fixed intervals;
+    anchored Month/Year offsets follow pandas' roll rules (n=0 rolls
+    FORWARD to the next anchor; n>=1 counts the current month's anchor
+    as the first hit when not already on it).  Time-of-day is preserved
+    (the day delta rides a make_interval, not a date cast)."""
+    import pandas.tseries.offsets as O
+    if isinstance(off, (O.Tick, O.Week)) and getattr(off, "weekday",
+                                                     None) is None:
+        td = (pd.Timedelta(weeks=off.n) if isinstance(off, O.Week)
+              else pd.Timedelta(off))
+        us = td.value // 1000
+        if sub:
+            us = -us
+        neg = us < 0
+        iv = F.expr(f"INTERVAL '{abs(us)}' MICROSECOND")
+        return (col - iv) if neg else (col + iv)
+    if sub or off.n < 0:
+        raise NotImplementedError(
+            f"datetime - {type(off).__name__} / negative n: only forward "
+            "anchored offsets are supported")
+    n = off.n
+    zero = F.lit(0)
+    if isinstance(off, O.MonthEnd):
+        on_anchor = F.to_date(col) == F.last_day(col)
+        tgt = (F.last_day(F.add_months(col, n)) if n == 0 else
+               F.when(on_anchor, F.last_day(F.add_months(col, n)))
+               .otherwise(F.last_day(F.add_months(col, n - 1))))
+        if n == 0:
+            tgt = F.last_day(col)
+    elif isinstance(off, O.MonthBegin):
+        # n=0 rolls forward to the next 1st (stays if already on it);
+        # n>=1: the next anchor after rolling n months is always
+        # trunc(add_months(col, n)) — the 1st counts from off-anchor too
+        on_anchor = F.dayofmonth(col) == F.lit(1)
+        if n == 0:
+            tgt = F.when(on_anchor, F.to_date(col)).otherwise(
+                F.to_date(F.trunc(F.add_months(col, 1), "month")))
+        else:
+            tgt = F.to_date(F.trunc(F.add_months(col, n), "month"))
+    elif isinstance(off, O.YearEnd):
+        ye = F.last_day(F.make_date(F.year(col), F.lit(12), F.lit(1)))
+        on_anchor = F.to_date(col) == ye
+        if n == 0:
+            tgt = ye
+        else:
+            tgt = F.when(on_anchor,
+                         F.last_day(F.make_date(F.year(col) + n,
+                                                F.lit(12), F.lit(1)))
+                         ).otherwise(
+                F.last_day(F.make_date(F.year(col) + (n - 1),
+                                       F.lit(12), F.lit(1))))
+    elif isinstance(off, O.YearBegin):
+        on_anchor = (F.dayofmonth(col) == 1) & (F.month(col) == 1)
+        if n == 0:
+            tgt = F.when(on_anchor, F.to_date(col)).otherwise(
+                F.make_date(F.year(col) + 1, F.lit(1), F.lit(1)))
+        else:
+            tgt = F.make_date(F.year(col) + n, F.lit(1), F.lit(1))
+    else:
+        raise NotImplementedError(
+            f"DateOffset {type(off).__name__} is not supported in "
+            "datetime arithmetic (Tick/Week/MonthEnd/MonthBegin/"
+            "YearEnd/YearBegin are)")
+    delta = F.datediff(tgt, F.to_date(col))
+    return col + F.make_interval(zero, zero, zero, delta, zero, zero,
+                                 F.lit(0.0))
+
+
 def _inline_at_refs(expr: str, env: Mapping) -> str:
     """Inline pandas ``@name`` scope references as SQL literals (shared by
     ``query`` and ``eval`` — the predicate stays a pure Catalyst
@@ -993,6 +1063,15 @@ class Series(FrameBase):
                 (self._scol - iv) if n < 0 else (self._scol + iv), op)
             out._period_value_freq = {out._col_name: pfreq}
             return out
+        if (isinstance(other, pd.offsets.BaseOffset)
+                and op in ("add", "sub")
+                and isinstance(self.spark_type,
+                               (T.TimestampType, T.TimestampNTZType,
+                                T.DateType))):
+            # ts ± pd.offsets.* → JVM datetime arithmetic (wave T)
+            return self._with_scol(
+                _offset_binop_expr(self._scol, other, sub=(op == "sub")),
+                op)
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 l, r = (other._scol, self._scol) if reflexive else (self._scol, other._scol)
@@ -2336,7 +2415,19 @@ class Series(FrameBase):
         if isinstance(window, str):
             return _SeriesTimeRolling(self, window, min_periods,
                                       closed or "right")
-        return _SeriesRolling(self, window, min_periods, center)
+        # closed= reduces to a window-size change plus a one-row shift of
+        # the result: the window CONTENTS are identical sets, so every
+        # aggregation composes exactly (wave T — closed was silently
+        # ignored).  min_periods keeps pandas' default of the ORIGINAL
+        # window (closed='neither' without min_periods is all-NaN, like
+        # pandas).
+        eff_w, shift = {
+            None: (window, 0), "right": (window, 0),
+            "left": (window, 1), "both": (window + 1, 0),
+            "neither": (window - 1, 1),
+        }[closed]
+        minp = min_periods if min_periods is not None else window
+        return _SeriesRolling(self, eff_w, minp, center, result_shift=shift)
 
     def expanding(self, min_periods: int = 1):
         """pandas ``Series.expanding`` over the global order — the prefix
@@ -3852,19 +3943,33 @@ class _SeriesRolling:
     """Global rolling window over a Series — see ``scan.rolling_agg``."""
 
     def __init__(self, series: Series, window: int,
-                 min_periods: int | None, center: bool = False):
+                 min_periods: int | None, center: bool = False,
+                 result_shift: int = 0):
         self._s, self._window, self._minp = series, window, min_periods
         self._center = center
+        self._result_shift = result_shift
+
+    def _post(self, out: Series) -> Series:
+        """closed='left'/'neither' results shift one row down (the window
+        ends at the PRIOR row); a zero-width window is all-NaN."""
+        if self._window < 1:
+            return out._with_scol(F.lit(None).cast("double"), "rolling")
+        if self._result_shift:
+            return out.shift(self._result_shift)
+        return out
 
     def _agg(self, fn: str) -> Series:
         from .functions import scan
         s = self._s
+        if self._window < 1:
+            return self._post(s)
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_agg(sdf, name, order, self._window, fn,
                                self._minp, out=name, center=self._center)
         node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
-        return Series(out, F.col(name), s._col_name, node, idx,
-                      s._index_names if s._index_cols else (None,))
+        return self._post(
+            Series(out, F.col(name), s._col_name, node, idx,
+                   s._index_names if s._index_cols else (None,)))
 
     def sum(self) -> Series: return self._agg("sum")
     def mean(self) -> Series: return self._agg("mean")
@@ -3912,12 +4017,15 @@ class _SeriesRolling:
     def _minmax(self, fn: str) -> Series:
         from .functions import scan
         s = self._s
+        if self._window < 1:
+            return self._post(s)
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_minmax(sdf, name, order, self._window, fn,
                                   self._minp, out=name, center=self._center)
         node = Node(f"rolling_{fn}", {"window": self._window}, s._expr)
-        return Series(out, F.col(name), s._col_name, node, idx,
-                      s._index_names if s._index_cols else (None,))
+        return self._post(
+            Series(out, F.col(name), s._col_name, node, idx,
+                   s._index_names if s._index_cols else (None,)))
 
     def min(self) -> Series: return self._minmax("min")
     def max(self) -> Series: return self._minmax("max")
@@ -3976,7 +4084,8 @@ class _SeriesRolling:
         sel = out.select(*[F.col(c) for c in idx], *_order_cols(out),
                          res.alias(name))
         node = Node(f"rolling_{want}", {"window": self._window}, s._expr)
-        return Series(sel, F.col(name), s._col_name, node, idx, names)
+        return self._post(
+            Series(sel, F.col(name), s._col_name, node, idx, names))
 
     def cov(self, other: "Series", ddof: int = 1) -> Series:
         return self._pairwise(other, "cov", ddof)
@@ -3995,6 +4104,8 @@ class _SeriesRolling:
         expressible."""
         from .functions import scan
         s = self._s
+        if self._window < 1:
+            return self._post(s)
         sdf, name, order, idx = s._ordered_base()
         out = scan.rolling_apply(sdf, name, order, self._window, func,
                                  self._minp, out="__ra__", raw=raw,
@@ -4002,8 +4113,18 @@ class _SeriesRolling:
         res = out.select(*[F.col(c) for c in idx], *_order_cols(out),
                          F.col("__ra__").alias(name))
         node = Node("rolling_apply", {"window": self._window}, s._expr)
-        return Series(res, F.col(name), s._col_name, node, idx,
-                      s._index_names if s._index_cols else (None,))
+        return self._post(
+            Series(res, F.col(name), s._col_name, node, idx,
+                   s._index_names if s._index_cols else (None,)))
+
+    def rank(self, method: str = "average", pct: bool = False) -> Series:
+        """pandas ``rolling(...).rank``: rank of the CURRENT row's value
+        within its window — needs the raw window values, so it rides the
+        same halo-block apply path as median/quantile."""
+        def _rk(win: pd.Series):
+            r = win.rank(method=method, pct=pct)
+            return r.iloc[-1]
+        return self.apply(_rk)
 
 
 class _SeriesTimeRolling:
@@ -4505,6 +4626,26 @@ class DataFrame(FrameBase):
         return [f.name for f in self._sdf.schema.fields
                 if f.name not in self._index_cols
                 and f.name not in (_ROWID, _ORDER)]
+
+    @columns.setter
+    def columns(self, new) -> None:
+        """pandas ``df.columns = [...]`` — an in-place positional rename
+        (pure projection, no shuffle).  MultiIndex-style tuples flatten
+        to their string repr (engine columns are flat strings)."""
+        cur = self.columns
+        new = ["_".join(map(str, c)) if isinstance(c, tuple) else str(c)
+               for c in list(new)]
+        if len(new) != len(cur):
+            raise ValueError(
+                f"Length mismatch: Expected axis has {len(cur)} elements, "
+                f"new values have {len(new)} elements")
+        mapping = dict(zip(cur, new))
+        sel = [F.col(c) for c in self._index_cols] + \
+            _order_cols(self._sdf) + \
+            [F.col(c).alias(mapping.get(c, c)) for c in cur]
+        self._sdf = self._sdf.select(*sel)
+        self._expr = Node("rename", {"columns": mapping}, self._expr)
+        self.__dict__.pop("_sort_fuse", None)
 
     @property
     def dtypes(self) -> pd.Series:
@@ -7219,8 +7360,9 @@ class DataFrame(FrameBase):
             # single value column: pandas names output columns by the
             # pivot values alone — Spark does too
             pass
-        return DataFrame(out, Node("pivot", {"columns": columns},
-                                   self._expr),
+        # pandas presents the pivoted table with a SORTED row index
+        return DataFrame(out.orderBy(*idx_cols),
+                         Node("pivot", {"columns": columns}, self._expr),
                          tuple(idx_cols), tuple(idx_cols))
 
     def compare(self, other: "DataFrame") -> "DataFrame":
@@ -8402,6 +8544,21 @@ class DataFrame(FrameBase):
         """
         from .operators.groupby import _AGG_FNS
         idx = _ensure_list(index)
+        if isinstance(aggfunc, Mapping):
+            # pandas per-value aggfunc dict; output columns sorted by
+            # value name like pandas
+            if columns is not None or margins:
+                raise NotImplementedError(
+                    "pivot_table(aggfunc=dict) supports columns=None, "
+                    "margins=False")
+            pairs = sorted(aggfunc.items())
+            out = (self._sdf.groupBy(*idx)
+                   .agg(*[_AGG_FNS[a](F.col(v)).alias(v)
+                          for v, a in pairs])
+                   .orderBy(*idx))
+            node = Node("pivot_table", {"index": idx,
+                                        "aggfunc": dict(pairs)}, self._expr)
+            return DataFrame(out, node, tuple(idx), tuple(idx))
         if isinstance(aggfunc, (list, tuple)):
             # pandas MultiIndex (fn, value, pivot) columns flatten to the
             # engine's string columns: "<fn>" per pivot value (Spark names
@@ -8442,7 +8599,8 @@ class DataFrame(FrameBase):
                 for i, c in enumerate(idx):
                     row = row.withColumn(
                         c, F.lit(margins_name if i == 0 else ""))
-                out = out.unionByName(row.select(out.columns))
+                # pandas presents sorted group keys with All last
+                out = out.orderBy(*idx).unionByName(row.select(out.columns))
             if fill_value is not None:
                 out = out.fillna(fill_value,
                                  subset=[c for c in out.columns
@@ -8477,8 +8635,9 @@ class DataFrame(FrameBase):
             for i, c in enumerate(idx):
                 row = row.withColumn(
                     c, F.lit(margins_name if i == 0 else ""))
-            out = out.unionByName(row.select(out.columns),
-                                  allowMissingColumns=True)
+            # pandas presents sorted group keys with the All row last
+            out = out.orderBy(*idx).unionByName(row.select(out.columns),
+                                                allowMissingColumns=True)
         if fill_value is not None:
             # pandas fill_value: empty cells (absent combinations) take
             # the fill — applies to every pivoted value column
@@ -8545,9 +8704,12 @@ class DataFrame(FrameBase):
             total = out.agg(*[F.sum(c).alias(c)
                               for c in vcols + [margins_name]])
             out = out.withColumn(index, F.col(index).cast("string"))
-            out = out.unionByName(
+            # pandas presents sorted row keys with the All row last
+            out = out.orderBy(index).unionByName(
                 total.withColumn(index, F.lit(margins_name))
                 .select(out.columns))
+        else:
+            out = out.orderBy(index)
         node = Node("crosstab", {"index": index, "columns": columns}, self._expr)
         # pandas crosstab indexes on the row key and names the columns
         # axis after the column key (r5 parity)

@@ -898,6 +898,31 @@ class DatetimeAccessor(_Accessor):
         s._period_value_freq = {s._col_name: freq}
         return s
 
+    def _period_edge(self, how: str):
+        vf = getattr(self._s, "_period_value_freq", {}) or {}
+        f = vf.get(self._s._col_name)
+        if f is None:
+            raise AttributeError(
+                f"{'start' if how == 'start' else 'end'}_time is only "
+                "defined for period-valued series (dt.to_period first)")
+        from .timeseries import period_to_timestamp_col
+        return self._wrap(
+            period_to_timestamp_col(self._s._scol, f, how),
+            f"dt.{how}_time")
+
+    @property
+    def start_time(self):
+        """pandas ``PeriodProperties.start_time`` — the stored period
+        start itself (pure projection)."""
+        return self._period_edge("start")
+
+    @property
+    def end_time(self):
+        """pandas ``PeriodProperties.end_time`` — next period start minus
+        1 microsecond (the engine's finest timestamp unit; pandas' is
+        1 ns)."""
+        return self._period_edge("end")
+
     def to_timestamp(self, freq: str | None = None, how: str = "start"):
         """Period-valued series → timestamps (pandas ``.dt.to_timestamp``
         for PeriodDtype).  Uses the freq recorded by ``to_period`` /

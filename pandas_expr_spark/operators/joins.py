@@ -195,8 +195,11 @@ def merge(left, right, how: str = "inner", on=None, left_on=None,
                     and isinstance(lt, int_kinds)
                     and isinstance(rt, (T.FloatType, T.DoubleType))):
                 coal = coal.cast(lt)
-            sel.append(coal.alias(k))
-        key_left = set(on)
+            # pandas keeps each key at its LEFT-frame position (not
+            # hoisted to the front) — emit it through the left value
+            # loop's override hook (wave T)
+            override[("l", k)] = coal
+        key_left = set()
         key_right = set(on)
     elif left_index and right_index:
         for i, (lk, rk) in enumerate(zip(left_keys, right_keys)):

@@ -318,9 +318,19 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
     spark = get_spark()
     index_cols: tuple[str, ...] = ()
     index_names: tuple = ()
+    stamp_order = False
     if not _is_default_index(pdf):
         names = [n if n is not None else f"__index_{i}__"
                  for i, n in enumerate(pdf.index.names)]
+        # pandas positional ops (rolling/cumsum/shift) follow ROW order,
+        # not label order — a non-monotonic index would otherwise make
+        # the engine's index-ordered scans silently reorder (wave T).
+        # The input is driver-held, so the presentation stamp is exact.
+        try:
+            monotonic = bool(pdf.index.is_monotonic_increasing)
+        except TypeError:
+            monotonic = False
+        stamp_order = not monotonic
         pdf = pdf.reset_index()
         rename = {old: new for old, new in
                   zip(pdf.columns[: len(names)], names)}
@@ -328,6 +338,9 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
         index_cols = tuple(names)
         index_names = tuple(n if not str(n).startswith("__index_") else None
                             for n in names)
+    if stamp_order:
+        from .._collection import _ORDER as _ORDER_COL
+        pdf = pdf.assign(**{_ORDER_COL: range(len(pdf))})
     cat_meta: dict[str, list] = {}
     for c in pdf.columns:
         if isinstance(pdf[c].dtype, _pd.CategoricalDtype):
