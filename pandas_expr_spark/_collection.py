@@ -8924,12 +8924,19 @@ class DataFrame(FrameBase):
         out = src.unpivot(keep, vals, var_name, value_name)
         vpos = F.array_position(
             F.array(*[F.lit(v) for v in vals]), F.col(var_name))
-        order_keys = (["__melt_vp__", anchor] if _column_major
-                      else [anchor, "__melt_vp__"])
-        if _column_major or anchor == _ORDER:
-            # row-major frames with no prior stamp keep unpivot's natural
-            # order (already row-major) — no sort needed; otherwise mint
-            # the stamp over (variable, row) or (row, variable)
+        if anchor == _ROWID and (_column_major or False):
+            # the rowid is DENSE (0..n-1, _attach_rowid) — the
+            # column-major stamp packs arithmetically as
+            # (variable << 44) | rowid, keeping melt a narrow no-shuffle
+            # op (valid to 17.6e12 source rows / 2^19 variables)
+            out = out.withColumn(
+                _ORDER, (vpos.cast("long") * F.lit(1 << 44))
+                + F.col(_ROWID))
+        elif _column_major or anchor == _ORDER:
+            # a pre-sorted source's stamp is a monotonic id (sparse, up
+            # to 2^63) — packing can't work, mint over a sort instead
+            order_keys = (["__melt_vp__", anchor] if _column_major
+                          else [anchor, "__melt_vp__"])
             out = (out.withColumn("__melt_vp__", vpos)
                    .orderBy(*order_keys)
                    .withColumn(_ORDER, F.monotonically_increasing_id())
