@@ -1270,6 +1270,75 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("doc_id")
 
 
+def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup pipeline, exact-gated at every stage in one row
+    set: planted-dup corpus → MinHash LSH candidates (64 perms × 16
+    bands) → exact trigram-Jaccard verify (≥ 0.85) → connected
+    components (large-star/small-star) → drop every non-canonical
+    member.  Returns the REMOVED docs with their canonical keeper — one
+    missed candidate pair, one wrong component, or one mis-picked
+    canonical is a row/hash mismatch against the oracle's exhaustive
+    inverted-index join + recursive-CTE reachability.  This is the
+    composition a 100 TB corpus dedup actually runs (banded equi-joins
+    and O(log n) groupBy-min rounds; never all-pairs, never a global
+    sort)."""
+    from pandas_expr_spark.functions import components, dedup, text as tx
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (docs.filter(F.col("doc_id") < 20)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+                        & (F.col("n_chars") >= 300))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"),
+                                         F.lit(" zzqxa zzqxb"))))
+    aug = (docs.unionByName(exact).unionByName(near)
+           .select("doc_id", "text")
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+           .persist())
+    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16)
+    sh = aug.select(F.col("doc_id"),
+                    tx.word_shingles("text", 3).alias("__sh__"))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("__sh__").alias("__sa__"))
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("__sh__").alias("__sb__"))
+    jac = (F.size(F.array_intersect("__sa__", "__sb__")).cast("double")
+           / F.size(F.array_union("__sa__", "__sb__")))
+    verified = (cand.join(a, "id_a").join(b, "id_b")
+                .filter(jac >= 0.85)
+                .select("id_a", "id_b"))
+    cc = components.dup_clusters(verified)
+    return (cc.filter(~F.col("is_canonical"))
+            .select("doc_id", F.col("cluster_id").alias("kept_doc_id"))
+            .orderBy("doc_id"))
+
+
+def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (``functions/components.py``) — link-centrality corpus
+    quality signal, gated EXACTLY against a 3-iteration unrolled SQL
+    power iteration.  Deterministic 3-regular graph over the documents
+    table (``doc_id → (doc_id·7 + j) mod N``, j ∈ {1,2,3}) so both
+    engines walk the identical structure; ranks round to 6 decimals
+    (summation-order float noise is ~1e-16, six orders below the
+    rounding).  Per iteration: one ranks⋈edges hash join + one
+    map-side-combined groupBy(dst) sum + a 1-row dangling broadcast —
+    no global sort, no node-sized collect."""
+    from pandas_expr_spark.functions import components
+    from pandas_expr_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out_edges = [F.struct(((F.col("doc_id") * 7 + F.lit(j)) % F.lit(n))
+                          .alias("dst")) for j in (1, 2, 3)]
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(F.array(*out_edges)).alias("e"))
+             .select("src", F.col("e.dst").alias("dst")))
+    pr = components.pagerank(edges, iters=3, damping=0.85)
+    return (pr.select(F.col("node").alias("doc_id"),
+                      F.round("rank", 6).alias("pr"))
+            .orderBy("doc_id"))
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (``functions/clustering.py``): Lloyd's with
     driver-held centroid literals, JVM argmin assignment, and a
@@ -3564,6 +3633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dup_pairs_edit": fuzzy_dup_pairs_edit,
         "sample_fraction_lineitem": sample_fraction_lineitem,
         "nunique_approx_custkeys": nunique_approx_custkeys,
+        # ---- round-6 NEW capabilities (no driver row yet) ----
+        "doc_dedup_pipeline": doc_dedup_pipeline,
+        "doc_link_pagerank": doc_link_pagerank,
         # ---- positions 5-9: the sort->head/tail family whose
         # physical plan changed this round (TopK fusion) — re-gate
         # the new plans under driver evidence ----
@@ -5530,6 +5602,103 @@ def oracle_sql() -> dict[str, str]:
                    MIN(comp) AS cluster_id,
                    (node = MIN(comp)) AS is_canonical
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "doc_dedup_pipeline": """
+            WITH RECURSIVE aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 200000, text || ' zzqxa zzqxb' FROM documents
+              WHERE doc_id >= 20 AND doc_id < 40 AND n_chars >= 300
+            ), tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM aug
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS s
+                FROM tok, unnest(range(0, greatest(len(ws) - 3, 0) + 1)) AS t(i)
+            ), nn AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), ver AS (
+                SELECT id_a, id_b FROM common
+                JOIN nn na ON na.doc_id = id_a
+                JOIN nn nb ON nb.doc_id = id_b
+                WHERE c / (na.n + nb.n - c) >= 0.85
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM ver
+                UNION SELECT id_b, id_a FROM ver
+            ), nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT eg.v, w.comp FROM walk w JOIN edges eg ON eg.u = w.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS kept_doc_id
+            FROM walk GROUP BY node
+            HAVING node != MIN(comp)
+            ORDER BY doc_id
+        """,
+        "doc_link_pagerank": """
+            WITH nc AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + j.j) % (SELECT n FROM nc) AS dst
+                FROM documents, (VALUES (1), (2), (3)) j(j)
+            ),
+            nodes AS (
+                SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e
+            ),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nc) AS r FROM nodes),
+            i1 AS (
+                SELECT nd.node,
+                       (1.0 - 0.85) / (SELECT n FROM nc)
+                       + 0.85 * (COALESCE(s.s, 0)
+                                 + (SELECT COALESCE(SUM(r.r), 0) FROM r0 r
+                                    LEFT JOIN deg dg ON dg.src = r.node
+                                    WHERE dg.src IS NULL)
+                                 / (SELECT n FROM nc)) AS r
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r.r / dg.d) AS s
+                    FROM r0 r JOIN deg dg ON dg.src = r.node
+                    JOIN e ON e.src = r.node GROUP BY e.dst) s
+                ON s.node = nd.node
+            ),
+            i2 AS (
+                SELECT nd.node,
+                       (1.0 - 0.85) / (SELECT n FROM nc)
+                       + 0.85 * (COALESCE(s.s, 0)
+                                 + (SELECT COALESCE(SUM(r.r), 0) FROM i1 r
+                                    LEFT JOIN deg dg ON dg.src = r.node
+                                    WHERE dg.src IS NULL)
+                                 / (SELECT n FROM nc)) AS r
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r.r / dg.d) AS s
+                    FROM i1 r JOIN deg dg ON dg.src = r.node
+                    JOIN e ON e.src = r.node GROUP BY e.dst) s
+                ON s.node = nd.node
+            ),
+            i3 AS (
+                SELECT nd.node,
+                       (1.0 - 0.85) / (SELECT n FROM nc)
+                       + 0.85 * (COALESCE(s.s, 0)
+                                 + (SELECT COALESCE(SUM(r.r), 0) FROM i2 r
+                                    LEFT JOIN deg dg ON dg.src = r.node
+                                    WHERE dg.src IS NULL)
+                                 / (SELECT n FROM nc)) AS r
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r.r / dg.d) AS s
+                    FROM i2 r JOIN deg dg ON dg.src = r.node
+                    JOIN e ON e.src = r.node GROUP BY e.dst) s
+                ON s.node = nd.node
+            )
+            SELECT node AS doc_id, ROUND(r, 6) AS pr
+            FROM i3 ORDER BY doc_id
         """,
         "embedding_kmeans": """
             SELECT vec_id, CAST(vec_id % 8 AS BIGINT) AS cluster_rep

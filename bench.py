@@ -134,6 +134,9 @@ HEADLINE = [
     # round-5 addition: end-to-end BPE tokenization (learn + encode)
     "bpe_encode_documents",
     "fuzzy_dup_pairs_edit",
+    # round-6 additions: end-to-end dedup pipeline, link-graph pagerank
+    "doc_dedup_pipeline",
+    "doc_link_pagerank",
 ]
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
-__all__ = ["connected_components", "dup_clusters"]
+__all__ = ["connected_components", "dup_clusters", "pagerank"]
 
 
 def _canon(e: SparkDF) -> SparkDF:
@@ -134,3 +134,68 @@ def dup_clusters(pairs: SparkDF, id_a: str = "id_a", id_b: str = "id_b",
     return cc.select(F.col("node").alias("doc_id"),
                      F.col("component").alias("cluster_id"),
                      (F.col("node") == F.col("component")).alias("is_canonical"))
+
+
+def pagerank(edges: SparkDF, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 10,
+             checkpoint_every: int = 4) -> SparkDF:
+    """PageRank over an edge list — the classic link-centrality quality
+    signal for web-corpus curation (domain/document authority feeds the
+    keep/drop decision the same way Gopher rules do; CommonCrawl-scale
+    pipelines rank hosts exactly this way).
+
+    Distributed shape, per iteration:
+
+    * contributions: ``ranks ⋈ edges`` on ``src`` (hash shuffle), each
+      edge carries ``rank/out_degree``;
+    * new ranks: ``groupBy(dst).sum`` (map-side partial agg), left-joined
+      back onto the node set so sink-only nodes keep their base mass;
+    * dangling mass (nodes with no out-edges): ONE scalar aggregate,
+      broadcast back into the base term — never a driver-side loop over
+      rows.
+
+    Lineage is cut every ``checkpoint_every`` iterations with a lazy
+    ``localCheckpoint`` (same contract as the GD trainer in
+    ``curation.py``); out-degrees are computed once and reused.  No
+    global sort, no collect of node-sized data.  The reference engine has
+    no graph operators — this extends the LLM-pipeline battery like
+    ``connected_components`` does.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    # degree rides on the rank frame so the per-iteration join is ONE
+    # ranks⋈edges equi-join, not two
+    ranks = (nodes.join(deg, nodes["node"] == deg["src"], "left")
+             .select("node",
+                     F.lit(1.0 / n_nodes).alias("rank"),
+                     F.col("__deg__"))
+             .localCheckpoint(eager=False))
+    base = (1.0 - damping) / n_nodes
+    for it in range(iters):
+        dangling = (ranks.filter(F.col("__deg__").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dm__")))
+        contrib = (ranks.filter(F.col("__deg__").isNotNull())
+                   .join(e, ranks["node"] == e["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("__deg__"))
+                           .alias("__c__")))
+        summed = contrib.groupBy("node").agg(F.sum("__c__").alias("__s__"))
+        ranks = (ranks.select("node", "__deg__")
+                 .join(summed, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__s__"), F.lit(0.0))
+                             + F.col("__dm__") / F.lit(float(n_nodes))))
+                         .alias("rank"),
+                         F.col("__deg__")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")
