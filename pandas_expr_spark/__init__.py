@@ -392,6 +392,19 @@ def to_timedelta(arg, unit: str = "ns"):
     plain sequences delegate to pandas."""
     from pyspark.sql import functions as F
     if isinstance(arg, Series):
+        from pyspark.sql import types as _T
+        if isinstance(arg.spark_type, _T.StringType):
+            # pandas string forms ('1 days', '3 hours', '00:01:30') are a
+            # pandas grammar, not SQL — parse Arrow-batched and carry the
+            # value as total seconds into a JVM interval
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(_T.DoubleType())
+            def _td_secs(s: _pd.Series) -> _pd.Series:
+                return _pd.to_timedelta(s).dt.total_seconds()
+            return arg._with_scol(
+                F.make_dt_interval(secs=_td_secs(arg._scol)),
+                "to_timedelta")
         secs = _TD_UNIT_SECS.get(unit.lower())
         if secs is None:
             raise ValueError(f"to_timedelta: unsupported unit {unit!r}")

@@ -2960,6 +2960,18 @@ class Series(FrameBase):
         if dropna:
             sdf = sdf.filter(F.col(name).isNotNull())
         out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
+        cats = getattr(self, "_cat_categories", None)
+        if getattr(self, "_is_categorical", False) and cats:
+            # pandas: a KNOWN categorical's value_counts includes every
+            # unobserved category with count 0 (wave U) — the category
+            # list is driver-held metadata, so the zero-fill is one
+            # broadcast left join
+            spark = self._sdf.sparkSession
+            cat_pdf = pd.DataFrame({name: list(cats)})
+            lab = F.broadcast(spark.createDataFrame(cat_pdf))
+            out = (lab.join(out, name, "left")
+                   .withColumn("count", F.coalesce(F.col("count"),
+                                                   F.lit(0))))
         val_col = "count"
         if normalize:
             out = out.withColumn("proportion",
@@ -3026,7 +3038,35 @@ class Series(FrameBase):
         return DataFrame(self._sdf.select(*cols), node,
                          self._index_cols, self._index_names)
 
-    def rename(self, name: str) -> "Series":
+    def rename(self, name=None, index=None) -> "Series":
+        """pandas ``Series.rename``: a scalar renames the SERIES; a dict
+        (or callable) under ``index=`` — or passed positionally —
+        relabels index values (a JVM CASE chain / Arrow map, wave V)."""
+        if index is None and isinstance(name, Mapping):
+            name, index = None, name
+        if index is not None:
+            if not self._index_cols:
+                raise ValueError("rename(index=) needs an index")
+            icol = F.col(self._index_cols[0])
+            if isinstance(index, Mapping):
+                out = icol
+                for k, v in index.items():
+                    out = F.when(icol.eqNullSafe(F.lit(k)),
+                                 F.lit(v)).otherwise(out)
+            elif callable(index):
+                from pyspark.sql.functions import pandas_udf
+                idx_type = self._sdf.schema[self._index_cols[0]].dataType
+
+                @pandas_udf(idx_type)
+                def _map_lbl(s: pd.Series) -> pd.Series:
+                    return s.map(index)
+                out = _map_lbl(icol)
+            else:
+                raise TypeError("rename index= expects a dict or callable")
+            sdf = self._sdf.withColumn(self._index_cols[0], out)
+            node = Node("rename_index", {}, self._expr)
+            return Series(sdf, self._scol, self._col_name, node,
+                          self._index_cols, self._index_names)
         return self._with_scol(self._scol, "rename", name=name)
 
     def to_list(self) -> list:
@@ -3126,6 +3166,18 @@ class Series(FrameBase):
                     na_position: str = "last",
                     ignore_index: bool = False, key=None,
                     kind: str | None = None) -> "Series":
+        if (key is None and getattr(self, "_is_categorical", False)
+                and getattr(self, "_cat_ordered", False)
+                and getattr(self, "_cat_categories", None)):
+            # ordered categorical sorts by CATEGORY order, not value
+            # order — the category-position code is the sort key (wave U)
+            cats = list(self._cat_categories)
+
+            def key(s):  # noqa: F811
+                return s._with_scol(
+                    F.array_position(
+                        F.array(*[F.lit(c) for c in cats]), s._scol),
+                    "cat_code")
         return self._via_frame(
             lambda f, n: f.sort_values(n, ascending=ascending,
                                        na_position=na_position,
@@ -3368,6 +3420,13 @@ class Series(FrameBase):
             if func in named:
                 return self._with_scol(named[func](self._scol),
                                        f"transform_{func}")
+            # pandas transform accepts any same-shape METHOD name
+            # (cumsum, rank, ffill, ...) — delegate to the engine method
+            meth = getattr(self, func, None)
+            if callable(meth):
+                out = meth()
+                if isinstance(out, Series):
+                    return out
             raise ValueError(f"Unknown transform: {func!r}")
         if isinstance(func, (list, tuple)):
             raise NotImplementedError("Series.transform with a list "
@@ -5562,30 +5621,40 @@ class DataFrame(FrameBase):
     def __le__(self, o): return self._frame_cmp(o, lambda a, b: a <= b, "le")
 
     # pandas comparison METHODS: materialized booleans, null → False
-    # (True for ne) — the dunders keep raw SQL predicates for pushdown
-    def eq(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a == b, F.lit(False)), "eq")
+    # (True for ne) — the dunders keep raw SQL predicates for pushdown.
+    # ``axis=0/'index'`` broadcasts a Series DOWN the columns (index
+    # alignment), like the named arithmetic methods (wave V).
+    def _cmp_method(self, other, fn, op: str, axis):
+        if axis in (0, "index") and isinstance(other, pd.Series):
+            from .sources import from_pandas
+            other = from_pandas(other.to_frame("__o__"))["__o__"]
+        if axis in (0, "index") and isinstance(other, Series):
+            return self._binop_axis0(other, fn, op)
+        return self._frame_cmp(other, fn, op)
 
-    def ne(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a != b, F.lit(True)), "ne")
+    def eq(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a == b, F.lit(False)), "eq", axis)
 
-    def lt(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a < b, F.lit(False)), "lt")
+    def ne(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a != b, F.lit(True)), "ne", axis)
 
-    def le(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a <= b, F.lit(False)), "le")
+    def lt(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a < b, F.lit(False)), "lt", axis)
 
-    def gt(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a > b, F.lit(False)), "gt")
+    def le(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a <= b, F.lit(False)), "le", axis)
 
-    def ge(self, other):
-        return self._frame_cmp(other, lambda a, b: F.coalesce(
-            a >= b, F.lit(False)), "ge")
+    def gt(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a > b, F.lit(False)), "gt", axis)
+
+    def ge(self, other, axis="columns"):
+        return self._cmp_method(other, lambda a, b: F.coalesce(
+            a >= b, F.lit(False)), "ge", axis)
 
     # pandas named arithmetic with fill_value: a null on ONE side takes
     # the fill before the op; both-null stays null.  ``axis=0`` with a
@@ -5729,6 +5798,25 @@ class DataFrame(FrameBase):
         if other._sdf is self._sdf:
             updates = {c: _ap(c) for c in num}
             return self._derive(self._sdf.withColumns(updates), op, {})
+        if not self._index_cols and not other._index_cols:
+            # both default-indexed: pandas aligns POSITIONALLY — one
+            # rowid equi-join, keeping the rowid as the result's labels
+            # (assign's wave-Q contract: a re-attach over the join's
+            # scrambled arrival order would silently misalign) (wave V)
+            lsdf = (self._sdf if _ROWID in self._sdf.columns
+                    else _attach_rowid(self._sdf))
+            osdf = other.to_frame("__o__")._sdf
+            osdf = osdf if _ROWID in osdf.columns else _attach_rowid(osdf)
+            joined = lsdf.join(osdf.select(F.col(_ROWID), F.col("__o__")),
+                               on=[_ROWID], how="left")
+            updates = {c: (fn(F.col(c), F.col("__o__"),
+                              (self._sdf.schema[c].dataType,
+                               other.spark_type))
+                           if typed else fn(F.col(c), F.col("__o__")))
+                       for c in num}
+            node = Node(op, {"axis": 0}, self._expr, other._expr)
+            return DataFrame(joined.withColumns(updates).drop("__o__"),
+                             node, (_ROWID,), (None,))
         if not self._index_cols or not other._index_cols:
             raise ValueError(f"{op}(axis=0) with a foreign series needs an "
                              "index on both sides to align")
@@ -6726,6 +6814,15 @@ class DataFrame(FrameBase):
                      if is_numeric(self._sdf.schema[c].dataType)
                      else F.col(c)) for c in self.columns]
             return self._derive(self._sdf.select(*cols), f"transform_{func}")
+        if isinstance(func, Mapping):
+            # pandas per-column spec {col: fn}: each transform is
+            # same-shape, so the frame reassembles via assign (positional
+            # ops align on the rowid/stamp like any assigned Series)
+            out = self
+            for c, fn in func.items():
+                out = out.assign(**{c: self[c].transform(fn)})
+            return out[[*self.columns]] if list(out.columns) != \
+                list(self.columns) else out
         if isinstance(func, (list, tuple)):
             raise NotImplementedError(
                 "DataFrame.transform with a list produces MultiIndex "
@@ -8043,11 +8140,22 @@ class DataFrame(FrameBase):
 
     def _row_bool(self, op: str) -> Series:
         """Row-wise any/all: boolean OR/AND across columns (nulls count
-        False for any, True for all — pandas), a pure narrow map."""
+        False for any, True for all — pandas skipna), a pure narrow map.
+        A COMPARISON-mask frame has no nulls in pandas at all — its SQL
+        nulls mean 'operand was NaN', which pandas comparisons render
+        False (True for ne), so the fill follows the mask op (wave V:
+        ``(df > 0).all(axis=1)`` silently skipped NaN rows)."""
+        parent_op = getattr(self._expr, "op", None)
+        if parent_op in ("lt", "le", "gt", "ge", "eq"):
+            null_fill = False
+        elif parent_op == "ne":
+            null_fill = True
+        else:
+            null_fill = op == "all"
         out = None
         for c in self.columns:
             t = (F.coalesce(F.col(c).cast("boolean"),
-                            F.lit(op == "all")))
+                            F.lit(null_fill)))
             out = t if out is None else ((out | t) if op == "any"
                                          else (out & t))
         node = Node(f"{op}_axis1", {}, self._expr)
@@ -8804,6 +8912,30 @@ class DataFrame(FrameBase):
                 else:
                     label_shift = "- INTERVAL 1 DAY"
                 label = None  # consumed — skip the generic step shift
+        elif unit == "w" and mult > 1:
+            # pandas 'nW': 7n-day bins whose RIGHT edges are Sundays,
+            # anchored at the week label of the MIN timestamp (one tiny
+            # min() action at plan-build time — same documented contract
+            # as origin='start_day').  Membership reuses the weekly
+            # Sunday edge (Monday trunc + 6d, naturally right-closed);
+            # the n-week label is the anchor plus ceil(weeks/n)·n weeks.
+            lo = self._sdf.agg(F.min(F.col(on))).collect()[0][0]
+            wk = F.date_trunc("week", ts) + F.expr("INTERVAL 6 DAYS")
+            if lo is None:
+                bucket = wk
+            else:
+                w_min = (pd.Timestamp(lo).normalize()
+                         + pd.Timedelta(days=6 - pd.Timestamp(lo).weekday()))
+                wdiff = (F.datediff(F.to_date(wk),
+                                    F.lit(w_min.date())) / 7).cast("long")
+                idx = F.floor((wdiff + F.lit(mult - 1)) / F.lit(mult)) \
+                    .cast("int")
+                bucket = (F.lit(w_min.to_pydatetime())
+                          + F.make_interval(F.lit(0), F.lit(0),
+                                            idx * F.lit(mult), F.lit(0),
+                                            F.lit(0), F.lit(0),
+                                            F.lit(0.0)))
+            step_sql = f"INTERVAL {7 * mult} DAYS"
         elif unit in self._RESAMPLE_INTERVAL:
             dur = f"{mult} {self._RESAMPLE_INTERVAL[unit]}"
             secs = mult * {"s": 1, "min": 60, "t": 60, "h": 3600,
@@ -9333,8 +9465,20 @@ class DataFrame(FrameBase):
             else self._sdf.repartitionByRange(*cols)
         sdf.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
-    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
-        self._sdf.write.mode(mode).option("header", header).csv(path)
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
+               index: bool = False) -> None:
+        """Distributed CSV sink.  ``index=True`` writes the engine index
+        columns as leading CSV columns (pandas' default is index=True;
+        the engine defaults to False — a distributed frame usually has
+        no meaningful index, and a bare rowid column in every shard is
+        surprising)."""
+        sdf = self._sdf
+        drop = [c for c in (_ROWID, _ORDER) if c in sdf.columns]
+        if not index and self._index_cols:
+            drop += [c for c in self._index_cols if c in sdf.columns]
+        if drop:
+            sdf = sdf.drop(*drop)
+        sdf.write.mode(mode).option("header", header).csv(path)
 
     def to_json(self, path: str, mode: str = "overwrite") -> None:
         self._sdf.write.mode(mode).json(path)

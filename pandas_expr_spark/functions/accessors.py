@@ -107,7 +107,14 @@ class StringAccessor(_Accessor):
             out = F.when(c.isNull(), F.lit(bool(na))).otherwise(out)
         return self._wrap(out, "str.contains")
 
-    def startswith(self, pat):
+    def _na_fill(self, out, na):
+        """pandas ``na=`` on boolean str tests: fill null-input results."""
+        if na is not None:
+            out = F.when(self._s._scol.isNull(),
+                         F.lit(bool(na))).otherwise(out)
+        return out
+
+    def startswith(self, pat, na=None):
         """pandas accepts a str or a TUPLE of prefixes (any-match)."""
         c = self._s._scol
         if isinstance(pat, tuple):
@@ -115,23 +122,30 @@ class StringAccessor(_Accessor):
             for p in pat:
                 e = c.startswith(p)
                 pred = e if pred is None else (pred | e)
-            return self._wrap(pred if pred is not None else F.lit(False),
-                              "str.startswith")
-        return self._wrap(c.startswith(pat), "str.startswith")
+            return self._wrap(
+                self._na_fill(pred if pred is not None else F.lit(False),
+                              na), "str.startswith")
+        return self._wrap(self._na_fill(c.startswith(pat), na),
+                          "str.startswith")
 
-    def endswith(self, pat):
+    def endswith(self, pat, na=None):
         c = self._s._scol
         if isinstance(pat, tuple):
             pred = None
             for p in pat:
                 e = c.endswith(p)
                 pred = e if pred is None else (pred | e)
-            return self._wrap(pred if pred is not None else F.lit(False),
-                              "str.endswith")
-        return self._wrap(c.endswith(pat), "str.endswith")
+            return self._wrap(
+                self._na_fill(pred if pred is not None else F.lit(False),
+                              na), "str.endswith")
+        return self._wrap(self._na_fill(c.endswith(pat), na),
+                          "str.endswith")
 
-    def match(self, pat: str):
-        return self._wrap(self._s._scol.rlike(f"^(?:{pat})"), "str.match")
+    def match(self, pat: str, case: bool = True, na=None):
+        p = pat if case else f"(?i){pat}"
+        return self._wrap(
+            self._na_fill(self._s._scol.rlike(f"^(?:{p})"), na),
+            "str.match")
 
     def slice(self, start: int = 0, stop: int | None = None,
               step: int | None = None):
@@ -221,14 +235,20 @@ class StringAccessor(_Accessor):
         return self.get(key)
 
     def replace(self, pat: str, repl: str, n: int = -1,
-                regex: bool = False):
+                case: bool = True, regex: bool = False):
         """pandas ``str.replace`` — literal by default (the pandas ≥2.0
-        contract); ``regex=True`` opts into pattern replacement."""
+        contract); ``regex=True`` opts into pattern replacement;
+        ``case=False`` matches case-insensitively (literal patterns
+        escape into a ``(?i)`` regex)."""
         if n != -1:
             raise NotImplementedError("str.replace(n=) limited replace")
+        import re as _re
         c = self._s._scol
         if regex:
-            out = F.regexp_replace(c, pat, repl)
+            out = F.regexp_replace(c, pat if case else f"(?i){pat}", repl)
+        elif not case:
+            out = F.regexp_replace(c, f"(?i){_re.escape(pat)}",
+                                   _re.sub(r"[\\$]", r"\\\g<0>", repl))
         else:
             out = F.replace(c, F.lit(pat), F.lit(repl))
         return self._wrap(out, "str.replace")
@@ -491,8 +511,11 @@ class StringAccessor(_Accessor):
             F.regexp_extract_all(self._s._scol, F.lit(pat), F.lit(idx)),
             "str.findall")
 
-    def fullmatch(self, pat: str):
-        return self._wrap(self._s._scol.rlike(f"^(?:{pat})$"), "str.fullmatch")
+    def fullmatch(self, pat: str, case: bool = True, na=None):
+        p = pat if case else f"(?i){pat}"
+        return self._wrap(
+            self._na_fill(self._s._scol.rlike(f"^(?:{p})$"), na),
+            "str.fullmatch")
 
     def center(self, width: int, fillchar: str = " "):
         """pandas/Python ``str.center``: pad both sides; the odd fill char
@@ -858,12 +881,28 @@ class DatetimeAccessor(_Accessor):
         return self._wrap(F.date_format(self._s._scol, "HH:mm:ss"),
                           "dt.time")
 
-    def tz_localize(self, tz: str):
+    def tz_localize(self, tz: str | None):
         """Interpret the (timezone-naive) wall-clock values as ``tz`` local
         time and return the corresponding UTC instants
         (``to_utc_timestamp``).  ``tz_localize("UTC")`` is the identity, as
         in pandas with a UTC session.  The tz rides as boundary metadata
-        so ``compute()`` returns tz-AWARE timestamps like pandas (r5)."""
+        so ``compute()`` returns tz-AWARE timestamps like pandas (r5).
+        ``tz_localize(None)`` STRIPS awareness: the stored value already
+        holds the wall clock of the series' current tz, so the strip is
+        just dropping the boundary metadata (wave V — it previously fell
+        into to_utc_timestamp(None) and nulled every value)."""
+        if tz is None:
+            vt = dict(getattr(self._s, "_tz_value", None) or {})
+            cur = vt.get(self._s._col_name)
+            col = self._s._scol
+            if cur is not None and cur[0] == "utc" and cur[1] not in (
+                    "UTC", "utc"):
+                # stored as UTC instants of a non-UTC zone: pandas
+                # tz_localize(None) keeps the LOCAL wall clock
+                col = F.from_utc_timestamp(col, cur[1])
+            out = self._wrap(col, "dt.tz_localize_none")
+            out._tz_value = {}
+            return out
         out = self._wrap(F.to_utc_timestamp(self._s._scol, tz),
                          "dt.tz_localize")
         out._tz_value = {out._col_name: ("utc", tz)}
@@ -1085,11 +1124,12 @@ class CategoricalAccessor(_Accessor):
         return self._tagged(res, cats)
 
     def add_categories(self, new):
-        if not self.known:
-            raise ValueError("unknown categories")
-        out = self._s._with_scol(self._s._scol, "cat.add_categories")
+        # pandas works off DISCOVERED categories when they're unknown —
+        # run the as_known discovery scan first (wave U)
+        src = self._s if self.known else self.as_known()
+        out = src._with_scol(src._scol, "cat.add_categories")
         new = new if isinstance(new, list) else [new]
-        return self._tagged(out, list(self._s._cat_categories) + new)
+        return self._tagged(out, list(src._cat_categories) + new)
 
     def remove_unused_categories(self):
         """pandas ``cat.remove_unused_categories``: keep only categories

@@ -528,6 +528,10 @@ def salted_join(left, right, on, how: str = "inner", salt: int = 16):
     rsdf = right._sdf.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     joined = lsdf.join(rsdf, on + ["__salt__"], how).drop("__salt__")
+    # same output shape as merge(): keys at their LEFT-frame positions
+    # (Spark's multi-key join hoists the key columns to the front)
+    order = list(left.columns) + [c for c in right.columns if c not in on]
+    joined = joined.select(*order)
     node = Node("salted_join", {"on": on, "salt": salt, "how": how},
                 left._expr, right._expr)
     return DataFrame(joined, node, (), None)
