@@ -81,12 +81,49 @@ def connected_components(edges: SparkDF, src: str = "src", dst: str = "dst",
         spark.conf.set(prop_key, prop_prev)
 
 
+_LOCAL_FINISH_EDGES = 200_000
+
+
+def _local_union_find(rows, spark) -> SparkDF:
+    """Finish tiny components on the driver: the per-round fingerprint
+    already paid for the edge count, and a ≤200k-edge graph is a few MB —
+    further distributed star rounds would spend multiple shuffles + an
+    action each on data that fits in one hand.  Same hybrid-local-finish
+    class as AQE's coalescing; result is identical (component = min id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:   # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by VALUE: smaller id becomes the root, so the root
+            # IS the component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = {x for uv in rows for x in uv}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, ["node", "component"])
+
+
 def _cc_loop(edges: SparkDF, src: str, dst: str, max_iter: int) -> SparkDF:
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     # lazy checkpoint: the fingerprint aggregate is the materializing
     # action, so each round costs ONE job instead of two
     e = e.localCheckpoint(eager=False)
     prev = _fingerprint(e)
+    if prev[0] <= _LOCAL_FINISH_EDGES:
+        rows = [(r["u"], r["v"]) for r in e.collect()]
+        if not rows:
+            return e.select(F.col("u").alias("node"),
+                            F.col("u").alias("component"))
+        return _local_union_find(rows, edges.sparkSession)
 
     for _ in range(max_iter):
         # ---- large-star: nbrs lists every directed (u, v); attach each
@@ -111,6 +148,12 @@ def _cc_loop(edges: SparkDF, src: str, dst: str, max_iter: int) -> SparkDF:
         cur = _fingerprint(e)
         if cur == prev:
             break
+        if cur[0] <= _LOCAL_FINISH_EDGES:
+            # star rounds preserve connectivity, so components of the
+            # shrunken edge set ARE the original components — finish the
+            # tail convergence locally instead of more shuffle rounds
+            rows = [(r["u"], r["v"]) for r in e.collect()]
+            return _local_union_find(rows, edges.sparkSession)
         prev = cur
 
     # Fixed point is a star forest: every edge is (root, member) with
@@ -161,7 +204,11 @@ def pagerank(edges: SparkDF, src: str = "src", dst: str = "dst",
     no graph operators — this extends the LLM-pipeline battery like
     ``connected_components`` does.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # checkpoint the edge list once — every iteration joins against it,
+    # and an un-cut lineage would rescan/rebuild the upstream edge plan
+    # per iteration
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()
