@@ -60,6 +60,10 @@ QUERIES = {
     "tail_orders": "sort+tail FUSED: REVERSE TopK over flipped sort keys + tiny re-sort of the n survivors — no count action, no global sort",
     "head_sorted_nations": "sort+head fusion through the rowid label anchor (index preserved), TopK over sort keys + rowid tiebreak",
     "sample_fraction_lineitem": "deterministic hash sample: pure JVM md5-bucket filter at the scan, no RNG, no shuffle",
+    # round-6 continuation: new capabilities + the stamp-packed melt
+    "doc_dedup_pipeline": "end-to-end dedup: banded LSH equi-joins + exact verify feeding CC — no CartesianProduct anywhere in the composition",
+    "doc_link_pagerank": "pagerank: per-iteration ranks⋈edges hash join + partial-agg groupBy(dst) sum + 1-row dangling broadcast; checkpointed edges",
+    "melt_customer_metrics": "column-major melt with ARITHMETIC stamp ((var<<44)|dense rowid): Scan → Project → Expand, no Sort, no range exchange",
 }
 
 
