@@ -1816,11 +1816,16 @@ class Series(FrameBase):
         return self.apply(arg, _na_action=na_action)
 
     def apply(self, func: Callable, return_type: Any = None,
-              _na_action: str | None = None):
+              _na_action: str | None = None, args: tuple = (),
+              **kwargs):
         """Elementwise UDF via Arrow-batched pandas_udf (reference Apply
         ``_expr.py:1240-1261``).  Schema inferred by running ``func`` on a
         tiny sample when not given — mirroring ``Apply._meta``.
-        ``_na_action='ignore'`` (from ``map``) skips nulls like pandas."""
+        ``_na_action='ignore'`` (from ``map``) skips nulls like pandas;
+        ``args``/``**kwargs`` pass through to ``func`` (wave W)."""
+        if args or kwargs:
+            func = (lambda x, _b=func, _a=tuple(args), _k=dict(kwargs):
+                    _b(x, *_a, **_k))
         if return_type is None:
             sample = self._sdf.select(self._scol.alias("__c__")).limit(10).toPandas()["__c__"]
             inferred = (sample.map(func, na_action=_na_action)
