@@ -6279,7 +6279,11 @@ class DataFrame(FrameBase):
             if self._index_cols:
                 idx, names = self._index_cols, self._index_names
             else:
-                sdf = _attach_rowid(sdf)
+                # positional labels must follow the STAMP order, not the
+                # physical layout (rand-hunt seed 96 follow-up): one
+                # ranged position pass over _ORDER
+                from .functions import scan
+                sdf = scan.global_pos(sdf, [_ORDER], name=_ROWID)
                 idx, names = (_ROWID,), (None,)
         elif self._index_cols:
             sdf, order_col = self._sdf, self._index_cols[0]
@@ -6657,7 +6661,15 @@ class DataFrame(FrameBase):
     def reset_index(self, drop: bool = False) -> "DataFrame":
         sdf = self._sdf
         if drop:
-            sdf = sdf.drop(*self._index_cols)
+            if (tuple(self._index_cols) == (_ROWID,)
+                    and _ORDER not in sdf.columns):
+                # the rowid labels ARE the presented order (dedup/filter
+                # survivors) — pandas reset_index(drop=True) relabels but
+                # KEEPS row order, so the anchor becomes the stamp
+                # instead of vanishing (randomized-hunt seed 96)
+                sdf = sdf.withColumnRenamed(_ROWID, _ORDER)
+            else:
+                sdf = sdf.drop(*self._index_cols)
         else:
             # pandas naming for unnamed levels: single index -> "index",
             # MultiIndex levels -> "level_{i}" (r5 hunt pin)

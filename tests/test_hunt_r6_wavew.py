@@ -100,3 +100,18 @@ def test_crosstab_values_aggfunc():
     w = want.fillna(-1).sort_values("g").reset_index(drop=True)
     assert g["x"].tolist() == w["x"].tolist()
     assert g["y"].tolist() == w["y"].tolist()
+
+
+def test_dedup_reset_dedup_keeps_row_order():
+    # randomized-hunt seed 96: reset_index(drop=True) must KEEP row
+    # order (the rowid anchor becomes the stamp, not vanish), and a
+    # second dedup's positional labels follow the stamp order
+    base = pd.DataFrame({"g": list("bcbaab"),
+                         "v": [3.9, np.nan, -3.7, -1.0, -7.3, 6.8],
+                         "i": [2, 3, 2, 2, 0, -2]})
+    want = (base.drop_duplicates(subset=["g"]).reset_index(drop=True)
+            .drop_duplicates(subset=["g"]))
+    got = (pes.from_pandas(base).drop_duplicates(subset=["g"])
+           .reset_index(drop=True).drop_duplicates(subset=["g"]).compute())
+    assert got["g"].tolist() == want["g"].tolist()
+    assert list(got.index) == list(want.index)
