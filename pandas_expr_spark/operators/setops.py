@@ -92,31 +92,65 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         raise ValueError(f"axis must be 0 or 1, got {axis!r}")
     all_series = all(isinstance(f, Series) for f in frames)
     frames = [f.to_frame() if isinstance(f, Series) else f for f in frames]
-    # each input's presentation-order stamp is only meaningful WITHIN
-    # that input — union'd stamps collide (duplicate order values sent
-    # head/limit after a concat to arbitrary rows); strip and restamp
-    from .._collection import _ORDER as _ORD, _ROWID as _RID
-    frames = [DataFrame(f._sdf.drop(_ORD), f._expr, f._index_cols,
-                        f._index_names) if _ORD in f._sdf.columns else f
-              for f in frames]
-    stamp_order = all(tuple(f._index_cols) == (_RID,) for f in frames)
-    if not ignore_index and all(not f._index_cols for f in frames):
-        # pandas keeps each input's OWN labels through a concat (duplicates
-        # and all) — anchor every default-index frame's positions as
-        # rowids (JVM attach, no shuffle) so .loc/alignment after the
-        # concat behaves like pandas
-        from .._collection import _ROWID, _attach_rowid
-        frames = [DataFrame(_attach_rowid(f._sdf), f._expr,
-                            (_ROWID,), (None,)) for f in frames]
-        # labels now DUPLICATE across inputs — stamp the sequential
-        # presentation order below so compute() doesn't interleave them
-        stamp_order = True  # (also True when inputs were rowid-indexed)
+    # each input's presentation-order stamp/anchor is only meaningful
+    # WITHIN that input — union'd stamps collide.  Re-anchor every
+    # default/rowid-index input to a DENSE within-input position
+    # ``__cpos__`` (stamped frames pay one ranged position pass; rowid
+    # labels and plain frames are already dense-bounded), then mint the
+    # result stamp arithmetically as (input_k << 44) | __cpos__ — the
+    # presented order survives the union with NO global sort, even when
+    # an input's physical layout is scrambled (rand-hunt seed 24:
+    # dedup → concat(ignore_index=True) → dedup lost row order).
+    from pyspark.sql import functions as F
+    from .._collection import _ORDER as _ORD, _ROWID as _RID, _attach_rowid
+    from ..functions import scan
+    anchored, labeled = [], False
+    for k, f in enumerate(frames):
+        sdf = f._sdf
+        if _ORD in sdf.columns:
+            sdf = scan.global_pos(sdf, [_ORD], name="__cpos__").drop(_ORD)
+        elif tuple(f._index_cols) == (_RID,):
+            sdf = sdf.withColumn("__cpos__", F.col(_RID))
+        elif not f._index_cols:
+            sdf = _attach_rowid(sdf, name="__cpos__")
+        else:
+            labeled = True
+            break
+        anchored.append((f, sdf))
+    if labeled:
+        # real labeled indexes: keep the label-aligned contract, no stamp
+        frames = [DataFrame(f._sdf.drop(_ORD), f._expr, f._index_cols,
+                            f._index_names) if _ORD in f._sdf.columns else f
+                  for f in frames]
+        stamp_order = False
+    else:
+        rebuilt = []
+        for k, (f, sdf) in enumerate(anchored):
+            sdf = sdf.withColumn(
+                _ORD, F.lit(k << 44) + F.col("__cpos__"))
+            if ignore_index:
+                sdf = sdf.drop("__cpos__",
+                               *([_RID] if _RID in sdf.columns else []))
+                rebuilt.append(DataFrame(sdf, f._expr, (), None))
+            else:
+                # pandas keeps each input's OWN labels (duplicates and
+                # all): rowid labels stay; stamped/plain default-index
+                # inputs take their presented positions as labels
+                if tuple(f._index_cols) != (_RID,):
+                    sdf = sdf.withColumnRenamed("__cpos__", _RID)
+                else:
+                    sdf = sdf.drop("__cpos__")
+                rebuilt.append(DataFrame(sdf, f._expr, (_RID,), (None,)))
+        frames = rebuilt
+        stamp_order = False  # stamp already minted per input
+    stamp_col = [_ORD] if all(_ORD in f._sdf.columns for f in frames) \
+        else []
     if join == "inner":
         shared_idx = frames[0]._index_cols if not ignore_index and all(
             f._index_cols == frames[0]._index_cols for f in frames) else ()
         common = [c for c in frames[0].columns
                   if all(c in f.columns for f in frames[1:])]
-        sel = list(shared_idx) + common
+        sel = list(shared_idx) + common + stamp_col
         out = _reduce(lambda a, b: a.unionByName(b._sdf.select(*sel)),
                       frames[1:], frames[0]._sdf.select(*sel))
     elif join == "outer":
@@ -126,11 +160,13 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         shared_idx = frames[0]._index_cols if not ignore_index and all(
             f._index_cols == frames[0]._index_cols for f in frames) else ()
         out = _reduce(lambda a, b: a.unionByName(
-                          b._sdf.select(*(list(shared_idx) + b.columns)),
+                          b._sdf.select(*(list(shared_idx) + b.columns
+                                          + stamp_col)),
                           allowMissingColumns=True),
                       frames[1:],
                       frames[0]._sdf.select(*(list(shared_idx)
-                                              + frames[0].columns)))
+                                              + frames[0].columns
+                                              + stamp_col)))
     else:
         raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
 
@@ -141,14 +177,9 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
     names = frames[0]._index_names if idx else None
     if sort:
         # pandas concat(sort=True): alphabetize the non-concat axis
-        data_cols = sorted(c for c in out.columns if c not in idx)
-        out = out.select(*list(idx), *data_cols)
-    if stamp_order and idx:
-        # union partitions are appended in input order, so a mid stamp is
-        # order-consistent with the pandas presentation — no extra pass
-        from pyspark.sql import functions as F
-        from .._collection import _ORDER
-        out = out.withColumn(_ORDER, F.monotonically_increasing_id())
+        data_cols = sorted(c for c in out.columns
+                           if c not in idx and c != _ORD)
+        out = out.select(*list(idx), *data_cols, *stamp_col)
     res = DataFrame(out, node, idx, names)
     if all_series and len(res.columns) == 1:
         # pandas: concat of Series along axis=0 stays a Series

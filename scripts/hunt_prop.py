@@ -52,6 +52,16 @@ OPS = [
     ("abs_v", lambda d: d.assign(v=d["v"].abs())),
     ("shift_i", lambda d: d.assign(sh=d["i"].shift(1))),
     ("reset", lambda d: d.reset_index(drop=True)),
+    ("gcumsum", lambda d: d.assign(gc=d.groupby("g")["i"].cumsum())),
+    ("gshift", lambda d: d.assign(gs=d.groupby("g")["v"].shift(1))),
+    ("ffill_v", lambda d: d.assign(v=d["v"].ffill())),
+    ("clip_i", lambda d: d.assign(i=d["i"].clip(-2, 2))),
+    ("concat_self", lambda d: (pd.concat([d, d], ignore_index=True)
+                               if isinstance(d, pd.DataFrame)
+                               else __import__("pandas_expr_spark")
+                               .concat([d, d], ignore_index=True))),
+    ("nlargest2", lambda d: d.nlargest(2, "i")),
+    ("query_pos", lambda d: d.query("i >= 0")),
 ]
 
 TERMINALS = [

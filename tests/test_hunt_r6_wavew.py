@@ -115,3 +115,25 @@ def test_dedup_reset_dedup_keeps_row_order():
            .reset_index(drop=True).drop_duplicates(subset=["g"]).compute())
     assert got["g"].tolist() == want["g"].tolist()
     assert list(got.index) == list(want.index)
+
+
+def test_dedup_concat_dedup_keeps_row_order():
+    # randomized-hunt seed 24: concat must carry each input's PRESENTED
+    # order through the union (arithmetic (input<<44)|pos stamp), even
+    # when an input's physical layout is scrambled by a prior dedup
+    base = pd.DataFrame({"g": list("bcbaabcaacab"),
+                         "v": np.arange(12.0),
+                         "i": [2, -5, 2, 0, -4, -1, -2, 5, 4, -3, 2, 1]})
+    w1 = base.drop_duplicates(subset=["g"])
+    want = pd.concat([w1, w1], ignore_index=True) \
+        .drop_duplicates(subset=["g"])
+    e1 = pes.from_pandas(base).drop_duplicates(subset=["g"])
+    got = pes.concat([e1, e1], ignore_index=True) \
+        .drop_duplicates(subset=["g"]).compute()
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["i"].tolist() == want["i"].tolist()
+    # non-ignore_index spelling keeps duplicate original labels
+    want2 = pd.concat([w1, w1])
+    got2 = pes.concat([e1, e1]).compute()
+    assert got2["g"].tolist() == want2["g"].tolist()
+    assert list(got2.index) == list(want2.index)
