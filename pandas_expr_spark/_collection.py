@@ -1280,6 +1280,7 @@ class Series(FrameBase):
     def __or__(self, o): return self._binop(o, lambda a, b: a | b, "or")
     def __ror__(self, o): return self._binop(o, lambda a, b: a | b, "or", True)
     def __xor__(self, o): return self._binop(o, lambda a, b: a.cast("boolean") != b.cast("boolean"), "xor")
+    def __rxor__(self, o): return self._binop(o, lambda a, b: a.cast("boolean") != b.cast("boolean"), "xor", True)
     # unary (reference Invert/Neg/Pos `_expr.py:1624-1656`)
     def __invert__(self):
         # pandas ~mask: a null comparison result acts as False, so its

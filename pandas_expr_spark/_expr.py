@@ -102,6 +102,69 @@ class Expr:
         deps = self.dependencies
         return 1 + (max(d._depth for d in deps) if deps else 0)
 
+    # -- tree rewriting (reference ``_expr.py:621-686``) -------------------
+    def substitute(self, substitutions: dict) -> "Expr":
+        """Substitute terms within the tree (reference ``Expr.substitute``
+        ``_expr.py:621-662``): keys may be sub-``Expr``s or literal
+        operand values; boolean keys are ignored (ambiguous with flag
+        operands, same caveat as the reference).  Returns a rewritten
+        tree — node identity (token) changes exactly where something
+        changed, so CSE/plan-equality downstream see the substitution."""
+        if not substitutions:
+            return self
+        if self in substitutions:
+            return substitutions[self]
+        new, update = [], False
+        for operand in self.operands:
+            try:
+                hit = (not isinstance(operand, bool)
+                       and operand in substitutions)
+            except TypeError:
+                hit = False
+            if hit:
+                new.append(substitutions[operand])
+                update = True
+            elif isinstance(operand, Expr):
+                val = operand.substitute(substitutions)
+                if val._name != operand._name:
+                    update = True
+                new.append(val)
+            elif isinstance(operand, dict):
+                nd, changed = {}, False
+                for k, v in operand.items():
+                    try:
+                        h = not isinstance(v, bool) and v in substitutions
+                    except TypeError:
+                        h = False
+                    nd[k] = substitutions[v] if h else v
+                    changed = changed or h
+                new.append(nd if changed else operand)
+                update = update or changed
+            else:
+                new.append(operand)
+        if update:
+            return type(self)(*new)
+        return self
+
+    def substitute_parameters(self, substitutions: dict) -> "Expr":
+        """Substitute named parameters (reference
+        ``Expr.substitute_parameters`` ``_expr.py:664-686``); unknown
+        keys are ignored."""
+        if not substitutions:
+            return self
+        changed = False
+        new_operands = []
+        for i, operand in enumerate(self.operands):
+            if (i < len(self._parameters)
+                    and self._parameters[i] in substitutions):
+                new_operands.append(substitutions[self._parameters[i]])
+                changed = True
+            else:
+                new_operands.append(operand)
+        if changed:
+            return type(self)(*new_operands)
+        return self
+
     # -- display ----------------------------------------------------------
     def _operand_summary(self) -> str:
         parts = []
@@ -160,6 +223,17 @@ class Node(Expr):
     @property
     def _name(self) -> str:
         return self.op.lower() + "-" + self.token
+
+    def substitute_parameters(self, substitutions: dict) -> "Node":
+        """Node keeps named parameters in its ``params`` dict (not
+        positional ``_parameters``) — substitute by key there (reference
+        ``_expr.py:664-686`` adapted to the parameterized-node shape)."""
+        if not substitutions:
+            return self
+        newp = {k: substitutions.get(k, v) for k, v in self.params.items()}
+        if newp != self.params:
+            return Node(self.op, newp, *self.dependencies)
+        return self
 
     def _operand_summary(self) -> str:
         parts = []
