@@ -122,6 +122,10 @@ def read_csv(path: str, usecols: Sequence[str] | None = None,
         out = r.csv(path)
         if names is not None:
             out = out.toDF(*[str(n) for n in names])
+        elif not use_header:
+            # pandas header=None: positional int labels 0..n-1, not
+            # Spark's _c0.._cN (engine columns are strings — "0", "1")
+            out = out.toDF(*[str(i) for i in range(len(out.columns))])
         if schema is None and infer_schema:
             # pandas parity for the INFERRED schema: every integral
             # column is int64 (Spark picks the narrowest), and date/

@@ -137,3 +137,17 @@ def test_dedup_concat_dedup_keeps_row_order():
     got2 = pes.concat([e1, e1]).compute()
     assert got2["g"].tolist() == want2["g"].tolist()
     assert list(got2.index) == list(want2.index)
+
+
+def test_read_csv_header_none_positional_labels():
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "nh.csv")
+    with open(p, "w") as f:
+        f.write("1,a\n2,b\n")
+    got = pes.read_csv(p, header=None).compute()
+    want = pd.read_csv(p, header=None)
+    assert [str(c) for c in got.columns] == [str(c) for c in want.columns]
+    got2 = pes.read_csv(p, header=None, names=["u", "v"]).compute()
+    assert list(got2.columns) == ["u", "v"]
