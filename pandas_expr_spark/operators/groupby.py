@@ -1056,7 +1056,8 @@ class GroupBy:
                                      closed or "right", by=list(self._by),
                                      cols=(list(self._slice)
                                            if self._slice else None))
-        return _GroupRolling(self, window, min_periods, center)
+        return _GroupRolling(self, window, min_periods, center,
+                             closed=closed)
 
     def expanding(self, min_periods: int = 1):
         """pandas ``groupby(...).expanding()`` chain — unbounded-preceding
@@ -1420,9 +1421,14 @@ class _GroupRolling:
             "std": F.stddev_samp, "var": F.var_samp}
 
     def __init__(self, gb: GroupBy, window: int | None,
-                 min_periods: int | None, center: bool = False):
+                 min_periods: int | None, center: bool = False,
+                 closed: str | None = None):
         self._gb, self._w, self._minp = gb, window, min_periods
         self._center = center
+        if closed not in (None, "right", "left", "both", "neither"):
+            raise ValueError(f"closed must be right/left/both/neither, "
+                             f"got {closed!r}")
+        self._closed = closed
 
     def _agg(self, fn_name: str):
         from pyspark.sql import Window
@@ -1433,7 +1439,15 @@ class _GroupRolling:
             minp = self._minp or 1
         else:
             lead = (self._w - 1) // 2 if self._center else 0
-            lo, hi = -(self._w - 1) + lead, lead
+            # closed= maps DIRECTLY to window-frame bounds here (wave W
+            # follow-up: it was accepted and silently ignored, the same
+            # class as the Series rolling fix)
+            blo, bhi = {None: (-(self._w - 1), 0),
+                        "right": (-(self._w - 1), 0),
+                        "left": (-self._w, -1),
+                        "both": (-self._w, 0),
+                        "neither": (-(self._w - 1), -1)}[self._closed]
+            lo, hi = blo + lead, bhi + lead
             minp = self._w if self._minp is None else self._minp
         w = (Window.partitionBy(*gb._by)
              .orderBy(*[F.col(c).asc() for c in order_cols])

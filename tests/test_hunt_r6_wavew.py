@@ -151,3 +151,17 @@ def test_read_csv_header_none_positional_labels():
     assert [str(c) for c in got.columns] == [str(c) for c in want.columns]
     got2 = pes.read_csv(p, header=None, names=["u", "v"]).compute()
     assert list(got2.columns) == ["u", "v"]
+
+
+def test_grouped_rolling_closed():
+    # grouped rolling closed= was accepted and silently ignored (same
+    # class as the Series fix — maps directly to window-frame bounds)
+    d = pd.DataFrame({"g": list("aabbab"), "v": [1., 2, 3, 4, 5, 6]})
+    e = pes.from_pandas(d)
+    for cl in ("right", "left", "both", "neither"):
+        got = (e.groupby("g")["v"].rolling(2, closed=cl, min_periods=1)
+               .sum().compute().reset_index(drop=True))
+        want = (d.groupby("g")["v"].rolling(2, closed=cl, min_periods=1)
+                .sum().reset_index(drop=True))
+        assert np.allclose(got.to_numpy(), want.to_numpy(),
+                           equal_nan=True), cl
