@@ -577,10 +577,12 @@ def from_dummies(frame, sep: str = "_", default_category=None):
                frame._index_cols, frame._index_names)
 
 
-def factorize(series):
+def factorize(series, sort: bool = False):
     """pandas ``pd.factorize`` over an engine Series → lazy
-    (codes, uniques) pair (first-appearance coding)."""
-    return series.factorize()
+    (codes, uniques) pair (first-appearance coding; ``sort=True`` codes
+    by sorted unique value instead — a dense rank, same distributed
+    shape)."""
+    return series.factorize(sort=sort)
 
 
 __all__ = [

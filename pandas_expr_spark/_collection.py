@@ -3505,8 +3505,10 @@ class Series(FrameBase):
                       ("__where__",), (self._index_names[0],))
 
     # -- factorize / searchsorted / argsort ------------------------------
-    def factorize(self):
-        """Distributed ``factorize``: codes by order of first appearance.
+    def factorize(self, sort: bool = False):
+        """Distributed ``factorize``: codes by order of first appearance
+        (``sort=True``: by sorted unique value — a dense rank, same
+        distributed shape).
 
         Returns ``(codes, uniques)`` as lazy Series (pandas returns
         eager arrays — call ``.compute()``/``.to_list()``).  First
@@ -3518,6 +3520,10 @@ class Series(FrameBase):
         pos = global_pos(sdf, order, "__pos__")
         firsts = (pos.filter(F.col(name).isNotNull())
                   .groupBy(name).agg(F.min("__pos__").alias("__first__")))
+        if sort:
+            # sorted-value coding: rank distinct values by VALUE (the
+            # ranged position pass below orders by __first__)
+            firsts = firsts.withColumn("__first__", F.col(name))
         # rank the DISTINCT values with the distributed ranged position
         # pass (never a global row_number window — the unique-value table
         # can itself be large, e.g. factorizing an id column)
@@ -3978,8 +3984,12 @@ class Series(FrameBase):
             else:
                 ser = ser.where(ser.notna())
         vfreq = getattr(self, "_period_value_freq", None) or {}
-        if name in vfreq:
-            ser = ser.dt.to_period(vfreq[name])
+        pf = vfreq.get(name, vfreq.get(self._col_name))
+        if pf is not None:
+            # unnamed series key their metadata on None (wave X:
+            # period_range / to_period on a nameless series computed as
+            # raw timestamps instead of PeriodDtype)
+            ser = ser.dt.to_period(pf)
         tzmeta = getattr(self, "_tz_value", None) or {}
         m = tzmeta.get(name) or tzmeta.get(self._col_name)
         if m:
@@ -4534,6 +4544,7 @@ class _SeriesExpanding:
 
     def __init__(self, series: Series, min_periods: int):
         self._s, self._minp = series, min_periods
+        self._ddof = 1
 
     def _agg(self, fn: str) -> Series:
         from .functions import scan
@@ -4569,11 +4580,13 @@ class _SeriesExpanding:
             val = F.col("__S__") / cnt
         elif fn in ("var", "std"):
             n = cnt.cast("double")
-            # ddof=1: 0/1-observation prefixes are NaN in pandas and a
-            # DIVIDE_BY_ZERO under ANSI — guard BEFORE dividing
-            v = F.when(n >= 2, F.greatest(
+            # general ddof: <=ddof-observation prefixes are NaN in
+            # pandas and a DIVIDE_BY_ZERO under ANSI — guard BEFORE
+            # dividing (ddof=0 needs one observation, like pandas)
+            dd = float(self._ddof)
+            v = F.when(n >= max(dd + 1, 1), F.greatest(
                 (F.col("__S2__") - F.col("__S__") * F.col("__S__") / n)
-                / (n - F.lit(1)), F.lit(0.0)))
+                / (n - F.lit(dd)), F.lit(0.0)))
             val = F.sqrt(v) if fn == "std" else v
         elif fn in ("min", "max"):
             val = F.col("__M__")
@@ -4590,8 +4603,20 @@ class _SeriesExpanding:
     def sum(self) -> Series: return self._agg("sum")
     def mean(self) -> Series: return self._agg("mean")
     def count(self) -> Series: return self._agg("count")
-    def var(self) -> Series: return self._agg("var")
-    def std(self) -> Series: return self._agg("std")
+    def var(self, ddof: int = 1) -> Series:
+        self._ddof = int(ddof)
+        try:
+            return self._agg("var")
+        finally:
+            self._ddof = 1
+
+    def std(self, ddof: int = 1) -> Series:
+        self._ddof = int(ddof)
+        try:
+            return self._agg("std")
+        finally:
+            self._ddof = 1
+
     def min(self) -> Series: return self._agg("min")
     def max(self) -> Series: return self._agg("max")
 
@@ -5939,11 +5964,30 @@ class DataFrame(FrameBase):
         node = Node(op, {"periods": periods}, self._expr)
         return DataFrame(out, node, idx_cols, idx_names)
 
-    def shift(self, periods: int = 1, fill_value=None) -> "DataFrame":
+    def shift(self, periods: int = 1, fill_value=None,
+              axis: int = 0) -> "DataFrame":
         """pandas ``DataFrame.shift`` over the index order — distributed
         position join, never a global window.  ``fill_value`` fills only
         positions shifted in from beyond the boundary (join miss), never
-        NaNs already present in the data."""
+        NaNs already present in the data.  ``axis=1`` shifts ACROSS
+        columns — a pure projection (wave X)."""
+        if axis in (1, "columns"):
+            cols = self.columns
+            updates = {}
+            for i, c in enumerate(cols):
+                j = i - periods
+                if 0 <= j < len(cols):
+                    src = F.col(cols[j])
+                    dt = self._sdf.schema[c].dataType
+                    if is_numeric(dt):
+                        src = src.cast("double")
+                    updates[c] = src
+                else:
+                    updates[c] = (F.lit(fill_value)
+                                  if fill_value is not None
+                                  else F.lit(None).cast("double"))
+            return self._derive(self._sdf.withColumns(updates), "shift",
+                                {"axis": 1, "periods": periods})
         if fill_value is None:
             return self._frame_positional(periods, lambda c, lag: lag,
                                           "shift")
@@ -7924,7 +7968,8 @@ class DataFrame(FrameBase):
 
     aggregate = agg
 
-    def _row_reduce(self, op: str, skipna: bool = True) -> Series:
+    def _row_reduce(self, op: str, skipna: bool = True,
+                    min_count: int = 0) -> Series:
         """Row-wise (axis=1) reduction across numeric columns with pandas
         skipna semantics — a JVM array filter + aggregate, narrow map.
         ``skipna=False``: any null/NaN in the row poisons the result."""
@@ -7946,14 +7991,22 @@ class DataFrame(FrameBase):
             raise ValueError(op)
         if not skipna:
             out = F.when(n == F.lit(len(cols)), out)
+        if min_count:
+            # pandas min_count: fewer valid values than required -> NaN
+            out = F.when(n >= F.lit(int(min_count)), out)
         node = Node(f"{op}_axis1", {"skipna": skipna}, self._expr)
         return Series(self._sdf, out, None, node,
                       self._index_cols, self._index_names)
 
     def sum(self, numeric_only: bool = True, axis: int = 0,
-            skipna: bool = True):
+            skipna: bool = True, min_count: int = 0):
         if axis in (1, "columns"):
-            return self._row_reduce("sum", skipna)
+            return self._row_reduce("sum", skipna, min_count=min_count)
+        if min_count:
+            return self._columnwise(
+                lambda c: F.when(F.count(c) >= F.lit(int(min_count)),
+                                 F.sum(c)),
+                "sum", numeric_only, out_type=None)
         return self._columnwise(F.sum, "sum", numeric_only, out_type=None)
 
     def mean(self, numeric_only: bool = True, axis: int = 0,
