@@ -2427,11 +2427,22 @@ class Series(FrameBase):
         # ignored).  min_periods keeps pandas' default of the ORIGINAL
         # window (closed='neither' without min_periods is all-NaN, like
         # pandas).
-        eff_w, shift = {
+        table = {
             None: (window, 0), "right": (window, 0),
             "left": (window, 1), "both": (window + 1, 0),
             "neither": (window - 1, 1),
-        }[closed]
+        }
+        if closed not in table:
+            raise ValueError(f"closed must be 'right', 'left', 'both' or "
+                             f"'neither', got {closed!r}")
+        if center and closed not in (None, "right"):
+            # the (eff_window, result_shift) reduction assumes trailing
+            # windows; composing it with the centering shift would yield
+            # windows that silently differ from pandas
+            raise NotImplementedError(
+                "rolling(center=True) with closed= other than 'right' is "
+                "not supported")
+        eff_w, shift = table[closed]
         minp = min_periods if min_periods is not None else window
         return _SeriesRolling(self, eff_w, minp, center, result_shift=shift)
 
@@ -2975,9 +2986,16 @@ class Series(FrameBase):
             spark = self._sdf.sparkSession
             cat_pdf = pd.DataFrame({name: list(cats)})
             lab = F.broadcast(spark.createDataFrame(cat_pdf))
-            out = (lab.join(out, name, "left")
-                   .withColumn("count", F.coalesce(F.col("count"),
-                                                   F.lit(0))))
+            filled = (lab.join(out.filter(F.col(name).isNotNull()),
+                               name, "left")
+                      .withColumn("count", F.coalesce(F.col("count"),
+                                                      F.lit(0))))
+            if not dropna:
+                # the null-key count row never matches a category label —
+                # union it back so dropna=False keeps the NaN count
+                filled = filled.unionByName(
+                    out.filter(F.col(name).isNull()))
+            out = filled
         val_col = "count"
         if normalize:
             out = out.withColumn("proportion",
@@ -5833,11 +5851,22 @@ class DataFrame(FrameBase):
             # both default-indexed: pandas aligns POSITIONALLY — one
             # rowid equi-join, keeping the rowid as the result's labels
             # (assign's wave-Q contract: a re-attach over the join's
-            # scrambled arrival order would silently misalign) (wave V)
-            lsdf = (self._sdf if _ROWID in self._sdf.columns
-                    else _attach_rowid(self._sdf))
-            osdf = other.to_frame("__o__")._sdf
-            osdf = osdf if _ROWID in osdf.columns else _attach_rowid(osdf)
+            # scrambled arrival order would silently misalign) (wave V).
+            # A presentation stamp (_ORDER) outranks the physical layout:
+            # a stamp-ordered, physically-scrambled frame (drop_duplicates
+            # → reset_index(drop=True), concat, melt) must number rows by
+            # the stamp, exactly as drop_duplicates itself does above.
+            from .functions import scan
+
+            def _pos(sdf):
+                if _ROWID in sdf.columns:
+                    return sdf
+                if _ORDER in sdf.columns:
+                    return scan.global_pos(sdf, [_ORDER], name=_ROWID)
+                return _attach_rowid(sdf)
+
+            lsdf = _pos(self._sdf)
+            osdf = _pos(other.to_frame("__o__")._sdf)
             joined = lsdf.join(osdf.select(F.col(_ROWID), F.col("__o__")),
                                on=[_ROWID], how="left")
             updates = {c: (fn(F.col(c), F.col("__o__"),
@@ -5978,14 +6007,23 @@ class DataFrame(FrameBase):
                 j = i - periods
                 if 0 <= j < len(cols):
                     src = F.col(cols[j])
-                    dt = self._sdf.schema[c].dataType
+                    # the cast follows the SOURCE column's dtype — casting
+                    # by the destination slot would force e.g. a string
+                    # source to double (nulls / ANSI failure)
+                    dt = self._sdf.schema[cols[j]].dataType
                     if is_numeric(dt):
                         src = src.cast("double")
                     updates[c] = src
                 else:
-                    updates[c] = (F.lit(fill_value)
-                                  if fill_value is not None
-                                  else F.lit(None).cast("double"))
+                    if fill_value is None:
+                        updates[c] = F.lit(None).cast("double")
+                    else:
+                        lit = F.lit(fill_value)
+                        if isinstance(fill_value, (int, float, np.integer,
+                                                   np.floating)) and not \
+                                isinstance(fill_value, bool):
+                            lit = lit.cast("double")
+                        updates[c] = lit
             return self._derive(self._sdf.withColumns(updates), "shift",
                                 {"axis": 1, "periods": periods})
         if fill_value is None:
@@ -6883,8 +6921,8 @@ class DataFrame(FrameBase):
             out = self
             for c, fn in func.items():
                 out = out.assign(**{c: self[c].transform(fn)})
-            return out[[*self.columns]] if list(out.columns) != \
-                list(self.columns) else out
+            # pandas returns ONLY the dict's columns, in dict order
+            return out[[*func.keys()]]
         if isinstance(func, (list, tuple)):
             raise NotImplementedError(
                 "DataFrame.transform with a list produces MultiIndex "
