@@ -3614,6 +3614,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# round-7: positional-label parity gates (VERDICT r6 #1) — the in-scan
+# label machinery (parquet `_metadata.row_index` + footer offsets,
+# promoted to the index by bare filter/dropna/tail) checked VALUE-EXACT:
+# reset_index() materializes the original row positions as a column the
+# SQL oracle reproduces with row_number() over the parquet natural order.
+# ---------------------------------------------------------------------------
+def filter_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare boolean filter keeps pandas' ORIGINAL positional labels
+    (reference executes `df[mask]` with pandas label preservation,
+    `_expr.py:1355-1363`).  Labels come from the scan itself — predicate
+    pushdown intact (PLANS_r7 pin)."""
+    import pandas_expr_spark as pes
+    li = pes.read_parquet(f"{sf_dir}/lineitem.parquet")
+    f = li[li.l_quantity > 48].reset_index()
+    out = f[["index", "l_orderkey", "l_quantity"]].rename(
+        columns={"index": "orig_pos"})
+    return out.to_spark()
+
+
+def dropna_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna(subset=) keeps original labels; the null column is derived
+    (TPC-H has no nulls) via where(), which preserves label validity."""
+    import pandas_expr_spark as pes
+    c = pes.read_parquet(f"{sf_dir}/customer.parquet")
+    c2 = c.assign(bal=c.c_acctbal.where(c.c_acctbal > 0))
+    f = c2.dropna(subset=["bal"]).reset_index()
+    out = f[["index", "c_custkey", "bal"]].rename(
+        columns={"index": "orig_pos"})
+    return out.to_spark()
+
+
+def tail_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail(n) on an unsorted scan keeps the last-n ORIGINAL labels —
+    the in-scan label is both the reverse-TopK order column and the
+    surviving index (no stamp, no count action)."""
+    import pandas_expr_spark as pes
+    o = pes.read_parquet(f"{sf_dir}/orders.parquet")
+    t = o.tail(40).reset_index()
+    out = t[["index", "o_orderkey", "o_totalprice"]].rename(
+        columns={"index": "orig_pos"})
+    return out.to_spark()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries per round.  Every SQL-oracle gate has had a driver-green
@@ -3626,9 +3670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # after position 50 permanently; the tail stays ordered
     # oldest-evidence-first so each round's window is a prefix rotation.
     return {
-        # ---- round-6 window positions 1-4: gates without a
-        # driver-green row (2 post-r5-window exact anchors + the 2
-        # rows-only->exact conversions, r5 verdict asks #3/#7) ----
+        # ---- round-7 window positions 1-3: NEW positional-label
+        # parity gates (VERDICT r6 #1) — no driver row yet ----
+        "filter_label_parity": filter_label_parity,
+        "dropna_label_parity": dropna_label_parity,
+        "tail_label_parity": tail_label_parity,
+        # ---- round-6 window positions (all driver-green r6) ----
         "bpe_encode_documents": bpe_encode_documents,
         "fuzzy_dup_pairs_edit": fuzzy_dup_pairs_edit,
         "sample_fraction_lineitem": sample_fraction_lineitem,
@@ -3636,6 +3683,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-6 NEW capabilities (no driver row yet) ----
         "doc_dedup_pipeline": doc_dedup_pipeline,
         "doc_link_pagerank": doc_link_pagerank,
+        # ---- positions 10-19: r7 ask #3 — the setops/positional
+        # machinery rewritten in r6 (concat order-carry 8125d7f,
+        # period compute 042b92d, factorize) plus the ops whose ANCHOR
+        # path changed THIS round (label rename replaces the rowid
+        # attach: dedup/nlargest/melt/filter family) ----
+        "concat_union": concat_union,
+        "concat_inner_lineitem": concat_inner_lineitem,
+        "concat_axis1_nation_stats": concat_axis1_nation_stats,
+        "intersect_except_nations": intersect_except_nations,
+        "period_month_revenue": period_month_revenue,
+        "factorize_priority_orders": factorize_priority_orders,
+        "melt_customer_metrics": melt_customer_metrics,
+        "nlargest_parts": nlargest_parts,
+        "duplicated_parts": duplicated_parts,
+        "filter_project": filter_project,
+        "isin_between": isin_between,
         # ---- positions 5-9: the sort->head/tail family whose
         # physical plan changed this round (TopK fusion) — re-gate
         # the new plans under driver evidence ----
@@ -3675,7 +3738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_nation_counts": stack_nation_counts,
         "unstack_segment_counts": unstack_segment_counts,
         "pivot_status_priority": pivot_status_priority,
-        "intersect_except_nations": intersect_except_nations,
         "map_dict_flags": map_dict_flags,
         "apply_udf_name_len": apply_udf_name_len,
         "combine_first_balances": combine_first_balances,
@@ -3683,7 +3745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_extremes_orders": idx_extremes_orders,
         "quantile_prices": quantile_prices,
         "corr_matrix_lineitem": corr_matrix_lineitem,
-        "period_month_revenue": period_month_revenue,
         "cat_codes_segments": cat_codes_segments,
         "doc_lang_id": doc_lang_id,
         "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -3727,19 +3788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_running": streaming_stateful_running,
         "events_sliding_windows": events_sliding_windows,
         "math_abs_clip_floor": math_abs_clip_floor,
-        "nlargest_parts": nlargest_parts,
         "value_counts_normalized": value_counts_normalized,
-        "concat_inner_lineitem": concat_inner_lineitem,
         "cross_join_flags": cross_join_flags,
         "merge_indicator_nations": merge_indicator_nations,
-        "duplicated_parts": duplicated_parts,
         "shift_diff_order_prices": shift_diff_order_prices,
         "rolling_revenue_orders": rolling_revenue_orders,
-        "concat_axis1_nation_stats": concat_axis1_nation_stats,
         "cumsum_running_revenue": cumsum_running_revenue,
         "align_add_balances": align_add_balances,
         "skew_sem_prices": skew_sem_prices,
-        "melt_customer_metrics": melt_customer_metrics,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
         "multimodal_features": multimodal_features,
@@ -3779,7 +3835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "rolling_time_daily_events": rolling_time_daily_events,
         "knn_join_embeddings": knn_join_embeddings,
-        "factorize_priority_orders": factorize_priority_orders,
         "asof_lookup_orders": asof_lookup_orders,
         "q1_pricing_summary": q1_pricing_summary,
         "minhash_verified_dups": minhash_verified_dups,
@@ -3817,11 +3872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_sales": q22_global_sales,
-        "filter_project": filter_project,
         "assign_eval_disc_price": assign_eval_disc_price,
         "join_part_lineitem": join_part_lineitem,
         "outer_join_fillna": outer_join_fillna,
-        "concat_union": concat_union,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
         "groupby_agg_multi": groupby_agg_multi,
@@ -3829,7 +3882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_orders": window_rank_orders,
         "groupby_transform_share": groupby_transform_share,
         "reductions_scalar": reductions_scalar,
-        "isin_between": isin_between,
         "astype_cast_counts": astype_cast_counts,
         "case_when_bucket": case_when_bucket,
         "str_ops_customers": str_ops_customers,
@@ -6450,6 +6502,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mach
             FROM customer GROUP BY c_nationkey
+        """,
+        "filter_label_parity": """
+            SELECT idx AS orig_pos, l_orderkey, l_quantity
+            FROM (SELECT row_number() OVER () - 1 AS idx, *
+                  FROM lineitem)
+            WHERE l_quantity > 48
+        """,
+        "dropna_label_parity": """
+            SELECT idx AS orig_pos, c_custkey, bal
+            FROM (SELECT row_number() OVER () - 1 AS idx, c_custkey,
+                         CASE WHEN c_acctbal > 0 THEN c_acctbal END AS bal
+                  FROM customer)
+            WHERE bal IS NOT NULL
+        """,
+        "tail_label_parity": """
+            SELECT idx AS orig_pos, o_orderkey, o_totalprice
+            FROM (SELECT row_number() OVER () - 1 AS idx, *
+                  FROM orders)
+            WHERE idx >= (SELECT count(*) - 40 FROM orders)
         """,
         "corr_matrix_lineitem": """
             SELECT 'l_quantity' AS "column",

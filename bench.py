@@ -137,6 +137,9 @@ HEADLINE = [
     # round-6 additions: end-to-end dedup pipeline, link-graph pagerank
     "doc_dedup_pipeline",
     "doc_link_pagerank",
+    # round-7 addition: in-scan positional-label machinery (filter
+    # promotes original labels; plan must stay scan+filter, pushdown on)
+    "filter_label_parity",
 ]
 
 
@@ -247,6 +250,7 @@ def main() -> None:
     # manual comparison
     regressions = []
     expected_regressions = []
+    standing_expected = []
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_r02.json")
     try:
@@ -284,6 +288,16 @@ def main() -> None:
                 else:
                     regressions.append(entry)
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        # r6 verdict ask #5: the STANDING expected-regression contracts
+        # stay visible with current numbers even when under the trigger
+        # (otherwise sub-threshold drift disappears from the evidence)
+        for name, note in EXPECTED_REGRESSIONS.items():
+            if any(e["query"] == name for e in expected_regressions):
+                continue
+            standing_expected.append({
+                "query": name, "now": timings.get(name, -1.0),
+                "baseline": base.get(name, -1.0), "expected": note,
+                "triggered": False})
     except Exception:
         pass  # baseline file absent/unreadable → no regression list
     # Evidence channel (round-3 lesson): the driver keeps only the last
@@ -299,6 +313,7 @@ def main() -> None:
         "cpus": cpus,
         "regressions": regressions,
         "expected_regressions": expected_regressions,
+        "standing_expected_regressions": standing_expected,
     }
     try:
         with open(detail_path, "w") as fh:

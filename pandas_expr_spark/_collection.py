@@ -44,6 +44,44 @@ _ROWID = "__pes_rowid__"
 # rolling, ewm) follow the PRESENTED order like pandas, while the rowid/
 # index keeps pandas' preserved labels
 _ORDER = "__pes_order__"
+# hidden positional-label column: minted IN-SCAN for parquet sources
+# (Spark 4.1 `_metadata.row_index` + per-file footer row-count offsets —
+# predicate pushdown intact, zero shuffle) and driver-side for
+# from_pandas.  When an UNINDEXED, UNSTAMPED frame carries it, it holds
+# each row's exact pandas positional label; bare filter/dropna promote
+# it to the rowid index so `df[mask].index` matches pandas instead of
+# renumbering 0..n-1.  Valid only while `_index_cols == ()` and `_ORDER`
+# is absent: every op that reorders rows either stamps _ORDER or sets an
+# index (guard excludes), and ops that re-select drop the column (recipe
+# lost, old renumbering fallback).  Catalyst prunes the column (and the
+# _metadata scan read) from any plan that never observes it.
+_LABEL = "__pes_label__"
+# id(sdf) -> (sdf, hidden-column-stripped twin): keeps to_spark() identity
+# stable (scan-sharing CSE) now that scans carry a hidden label column
+_PUBLIC_TWIN: dict = {}
+
+
+def _labels_valid(frame) -> bool:
+    """True iff the frame's hidden ``_LABEL`` column currently equals the
+    pandas positional labels (see the invariant on ``_LABEL``).  A stray
+    ``_ROWID`` DATA column (a round-tripped engine file) blocks the
+    label→rowid rename — fall back to the physical attach, which
+    replaces instead of colliding."""
+    return (not frame._index_cols
+            and _LABEL in frame._sdf.columns
+            and _ORDER not in frame._sdf.columns
+            and _ROWID not in frame._sdf.columns)
+
+
+def _anchor_rowid(frame, name: str = "__pes_rowid__"):
+    """Positional anchor for an unindexed frame/series: prefer the
+    in-scan label column (pure rename — pandas' true original labels,
+    no checkpoint, scan pushdown intact) over the physical rowid attach.
+    For every reachable unindexed label-valid state the two agree; the
+    rename is simply the zero-cost path."""
+    if _labels_valid(frame):
+        return frame._sdf.withColumnRenamed(_LABEL, name)
+    return _attach_rowid(frame._sdf, name)
 
 
 def _avg_rank_join(sdf: SparkDF, col: str, out_col: str) -> SparkDF:
@@ -399,10 +437,14 @@ def _is_na_scalar(v) -> bool:
 
 
 def _order_cols(sdf: SparkDF) -> list:
-    """The hidden presentation-order column, iff the scan input carried
-    one — final projections must keep it so downstream consumers (and
-    compute()) still see the stamped order."""
-    return [F.col(_ORDER)] if _ORDER in sdf.columns else []
+    """The hidden presentation-order / positional-label columns, iff the
+    input carried them — row-preserving projections must keep them so
+    downstream consumers (and compute()) still see the stamped order and
+    bare filter/dropna can still promote the original labels."""
+    out = [F.col(_ORDER)] if _ORDER in sdf.columns else []
+    if _LABEL in sdf.columns:
+        out.append(F.col(_LABEL))
+    return out
 
 
 # Node ops whose boolean output is a pandas MASK (False at missing
@@ -778,22 +820,31 @@ class FrameBase:
     def dask(self):
         """Reference ``.dask`` exposes the materialized task graph; the
         Spark-native analogue of "the thing the scheduler executes" is the
-        lowered Spark DataFrame (its physical plan is Catalyst's)."""
-        return self._sdf
+        lowered Spark DataFrame (its physical plan is Catalyst's) —
+        presented without hidden engine columns, same as ``to_spark``."""
+        return self.to_spark()
 
     # -- execution --------------------------------------------------------
     def to_spark(self) -> SparkDF:
         """The lowered Spark DataFrame.  Named index columns are included;
-        the SYNTHETIC positional rowid (attached internally to preserve
-        pandas row labels through sorts/explodes) is not — it is an
-        engine artifact, not user data."""
+        SYNTHETIC engine columns (positional rowid index, presentation
+        stamp, in-scan label) are not — engine artifacts, not user data.
+        The stripped twin is memoized per underlying plan so scan-sharing
+        CSE (two reads of one path → one object) survives the strip."""
         sdf = self._sdf
-        if _ORDER in sdf.columns:
-            sdf = sdf.drop(_ORDER)
+        drop = [c for c in (_ORDER, _LABEL) if c in sdf.columns]
         if _ROWID in sdf.columns and _ROWID in getattr(
                 self, "_index_cols", ()):
-            return sdf.drop(_ROWID)
-        return sdf
+            drop.append(_ROWID)
+        if not drop:
+            return sdf
+        key = id(sdf)
+        hit = _PUBLIC_TWIN.get(key)
+        if hit is not None and hit[0] is sdf:
+            return hit[1]
+        twin = sdf.drop(*drop)
+        _PUBLIC_TWIN[key] = (sdf, twin)
+        return twin
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK"):
         self._sdf.persist()
@@ -1770,11 +1821,16 @@ class Series(FrameBase):
                       joined._index_cols, joined._index_names)
 
     def dropna(self) -> "Series":
-        """Reference DropnaSeries — a null filter on the anchored column."""
+        """Reference DropnaSeries — a null filter on the anchored column.
+        pandas keeps the surviving rows' original positional labels; an
+        in-scan label column promotes to the rowid index (pure rename)."""
         node = Node("dropna", {}, self._expr)
-        return Series(self._sdf.filter(self._scol.isNotNull()), self._scol,
-                      self._col_name, node, self._index_cols,
-                      self._index_names)
+        out = self._sdf.filter(self._scol.isNotNull())
+        if _labels_valid(self):
+            return Series(out.withColumnRenamed(_LABEL, _ROWID), self._scol,
+                          self._col_name, node, (_ROWID,), (None,))
+        return Series(out, self._scol, self._col_name, node,
+                      self._index_cols, self._index_names)
 
     def memory_usage(self, index: bool = True, deep: bool = False) -> Scalar:
         """pandas ``Series.memory_usage``: value bytes (= ``nbytes``)
@@ -2180,7 +2236,9 @@ class Series(FrameBase):
         if self._index_cols:
             sdf = self._sdf.select(*[F.col(c) for c in self._index_cols], *sel)
             return sdf, name, list(self._index_cols), self._index_cols
-        sdf = _attach_rowid(self._sdf).select(F.col(_ROWID), *sel)
+        base = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+                if _labels_valid(self) else _attach_rowid(self._sdf))
+        sdf = base.select(F.col(_ROWID), *sel)
         return sdf, name, [_ROWID], (_ROWID,)
 
     def _cumop(self, op: str, skipna: bool = True) -> "Series":
@@ -2890,7 +2948,7 @@ class Series(FrameBase):
             idx = F.col(self._index_cols[0])
             sdf = self._sdf
         else:
-            sdf = _attach_rowid(self._sdf)
+            sdf = _anchor_rowid(self)
             idx = F.col(_ROWID)
         valid = sdf.filter(self._scol.isNotNull())
         # min_by over a (value', idx) struct — struct comparison is
@@ -2916,10 +2974,12 @@ class Series(FrameBase):
     # distinct / frequency (reference §2.5)
     # ------------------------------------------------------------------
     def unique(self) -> "Series":
-        f = self.to_frame(self._col_name or "__v__")
-        out = f._sdf.distinct()
+        # distinct over the VALUE column alone — the frame's index/stamp/
+        # label columns would make every row distinct
+        name = self._col_name or "__v__"
+        out = self._sdf.select(self._scol.alias(name)).distinct()
         node = Node("unique", {}, self._expr)
-        return Series(out, F.col(self._col_name or "__v__"), self._col_name, node)
+        return Series(out, F.col(name), self._col_name, node)
 
     def drop_duplicates(self) -> "Series":
         return self.unique()
@@ -3180,7 +3240,8 @@ class Series(FrameBase):
             c = self._index_cols[0]
             return Index(self._sdf, F.col(c), self._index_names[0],
                          Node("index", {"col": c}, self._expr))
-        sdf = _attach_rowid(self._sdf)
+        sdf = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+               if _labels_valid(self) else _attach_rowid(self._sdf))
         return Index(sdf, F.col(_ROWID), None, Node("index", {}, self._expr))
 
     def keys(self) -> "Index":
@@ -3266,7 +3327,15 @@ class Series(FrameBase):
         ``drop=False`` → DataFrame with the index as a column."""
         if drop:
             vname = self._col_name if self._col_name is not None else "__v__"
-            sdf = self._sdf.select(self._scol.alias(vname))
+            if (tuple(self._index_cols) == (_ROWID,)
+                    and _ORDER not in self._sdf.columns):
+                # pandas relabels but KEEPS row order — the rowid labels
+                # carry the presented order, so they become the stamp
+                # (same seed-96 contract as the frame path)
+                sdf = self._sdf.select(F.col(_ROWID).alias(_ORDER),
+                                       self._scol.alias(vname))
+            else:
+                sdf = self._sdf.select(self._scol.alias(vname))
             node = Node("reset_index", {"drop": True}, self._expr)
             return Series(sdf, F.col(vname), self._col_name, node, (), ())
         col = name if name is not None else (
@@ -3785,9 +3854,16 @@ class Series(FrameBase):
             if key._sdf is self._sdf:
                 node = Node("filter", {"predicate": key._expr.op},
                             self._expr)
-                out = Series(self._sdf.filter(key._scol), self._scol,
-                             self._col_name, node, self._index_cols,
-                             self._index_names)
+                fsdf = self._sdf.filter(key._scol)
+                if _labels_valid(self):
+                    # pandas keeps original positional labels (see the
+                    # frame getitem promotion)
+                    out = Series(fsdf.withColumnRenamed(_LABEL, _ROWID),
+                                 self._scol, self._col_name, node,
+                                 (_ROWID,), (None,))
+                else:
+                    out = Series(fsdf, self._scol, self._col_name, node,
+                                 self._index_cols, self._index_names)
             else:
                 tmp = self.to_frame("__v__")[key]["__v__"]
                 tmp._col_name = self._col_name
@@ -4733,7 +4809,7 @@ class DataFrame(FrameBase):
     def columns(self) -> list[str]:
         return [f.name for f in self._sdf.schema.fields
                 if f.name not in self._index_cols
-                and f.name not in (_ROWID, _ORDER)]
+                and f.name not in (_ROWID, _ORDER, _LABEL)]
 
     @columns.setter
     def columns(self, new) -> None:
@@ -4793,7 +4869,7 @@ class DataFrame(FrameBase):
             c = self._index_cols[0]
             return Index(self._sdf, F.col(c), self._index_names[0],
                          Node("index", {"col": c}, self._expr))
-        sdf = _attach_rowid(self._sdf)
+        sdf = _anchor_rowid(self)
         return Index(sdf, F.col(_ROWID), None, Node("index", {}, self._expr))
 
     # ------------------------------------------------------------------
@@ -4870,11 +4946,23 @@ class DataFrame(FrameBase):
             cols = [F.col(c) for c in self._index_cols] + [F.col(c) for c in key]
             if _ORDER in self._sdf.columns:
                 cols = [F.col(_ORDER)] + cols
+            if _LABEL in self._sdf.columns and not self._index_cols:
+                # projections preserve labels — keep the recipe alive
+                cols = [F.col(_LABEL)] + cols
             return self._derive(self._sdf.select(*cols), "projection",
                                 {"columns": list(key)})
         if isinstance(key, Series):
             if key._sdf is self._sdf:
-                return self._derive(self._sdf.filter(key._scol), "filter",
+                out = self._sdf.filter(key._scol)
+                if _labels_valid(self):
+                    # pandas keeps the surviving rows' ORIGINAL positional
+                    # labels — promote the in-scan label column to the
+                    # rowid index (pure rename; pushdown intact)
+                    node = Node("filter", {"predicate": key._expr.op},
+                                self._expr)
+                    return DataFrame(out.withColumnRenamed(_LABEL, _ROWID),
+                                     node, (_ROWID,), (None,))
+                return self._derive(out, "filter",
                                     {"predicate": key._expr.op})
             # scalar-augmented mask (`df[df.v > df.v.mean()]`): the mask's
             # plan is this frame's plan + broadcast scalar column(s) — it
@@ -4887,8 +4975,16 @@ class DataFrame(FrameBase):
             needed = list(self._index_cols) + self.columns
             if (getattr(key, "_mask_anchor", None) is self._sdf
                     and all(c in key._sdf.columns for c in needed)):
+                lab = (_labels_valid(self)
+                       and _LABEL in key._sdf.columns)
                 out = (key._sdf.filter(key._scol)
-                       .select(*[F.col(c) for c in needed]))
+                       .select(*[F.col(c) for c in needed],
+                               *([F.col(_LABEL)] if lab else [])))
+                if lab:
+                    node = Node("filter", {"predicate": key._expr.op},
+                                self._expr)
+                    return DataFrame(out.withColumnRenamed(_LABEL, _ROWID),
+                                     node, (_ROWID,), (None,))
                 return self._derive(out, "filter",
                                     {"predicate": key._expr.op})
             # genuinely FOREIGN mask: pandas aligns it on the index
@@ -4903,7 +4999,10 @@ class DataFrame(FrameBase):
             # is the established position contract (same as where/assign)
             mask_rowid = (tuple(mf._index_cols) == (_ROWID,))
             if not self._index_cols and mask_rowid:
-                base, lidx = _attach_rowid(self._sdf), [_ROWID]
+                base = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+                        if _labels_valid(self)
+                        else _attach_rowid(self._sdf))
+                lidx = [_ROWID]
                 msel = mf._sdf.select(F.col(_ROWID), F.col("__mask__"))
                 # KEEP the rowid as the surviving rows' positional labels
                 # (the alignment join scrambles row order — dropping the
@@ -4927,9 +5026,14 @@ class DataFrame(FrameBase):
                     F.col("__mask__"))
                 drop_rowid = False
             else:
-                base, lidx = _attach_rowid(self._sdf), [_ROWID]
-                msel = _attach_rowid(mf._sdf).select(F.col(_ROWID),
-                                                     F.col("__mask__"))
+                base = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+                        if _labels_valid(self)
+                        else _attach_rowid(self._sdf))
+                lidx = [_ROWID]
+                mbase = (mf._sdf.withColumnRenamed(_LABEL, _ROWID)
+                         if _labels_valid(mf)
+                         else _attach_rowid(mf._sdf))
+                msel = mbase.select(F.col(_ROWID), F.col("__mask__"))
                 drop_rowid = True
             joined = (base.join(msel, lidx, "left")
                       .filter(F.coalesce(F.col("__mask__"), F.lit(False)))
@@ -5003,8 +5107,7 @@ class DataFrame(FrameBase):
             from .functions import scan
             pos = scan.global_pos(base, order, "__take_pos__")
         else:
-            pos = _attach_rowid(self._sdf).withColumnRenamed(
-                _ROWID, "__take_pos__")
+            pos = _anchor_rowid(self, "__take_pos__")
         out = (pos.filter(F.col("__take_pos__").isin(idx))
                .withColumn(_ORDER, F.array_position(
                    F.lit(idx), F.col("__take_pos__")).cast("long"))
@@ -5322,7 +5425,8 @@ class DataFrame(FrameBase):
 
         keep = []
         for f in self._sdf.schema.fields:
-            if f.name in self._index_cols or f.name == _ROWID:
+            if (f.name in self._index_cols
+                    or f.name in (_ROWID, _ORDER, _LABEL)):
                 continue
             if include and not _match(f.dataType, include):
                 continue
@@ -5437,9 +5541,19 @@ class DataFrame(FrameBase):
             return DataFrame(self._sdf.select(*sel),
                              Node("dropna", {"axis": 1}, self._expr),
                              self._index_cols, self._index_names)
+        # pandas considers DATA columns only — defaulting the subset keeps
+        # hidden engine columns (order stamp, labels) and index levels out
+        # of the how='all'/thresh counts
+        out = self._sdf.dropna(how=how, thresh=thresh,
+                               subset=_ensure_list(subset) or self.columns)
+        if _labels_valid(self):
+            # pandas keeps the surviving rows' original positional labels
+            return DataFrame(out.withColumnRenamed(_LABEL, _ROWID),
+                             Node("dropna", {"how": how, "thresh": thresh,
+                                             "subset": subset}, self._expr),
+                             (_ROWID,), (None,))
         return self._derive(
-            self._sdf.dropna(how=how, thresh=thresh, subset=_ensure_list(subset) or None),
-            "dropna", {"how": how, "thresh": thresh, "subset": subset})
+            out, "dropna", {"how": how, "thresh": thresh, "subset": subset})
 
     def replace(self, to_replace, value=None,
                 regex: bool = False) -> "DataFrame":
@@ -5974,7 +6088,7 @@ class DataFrame(FrameBase):
         elif self._index_cols:
             sdf, order, drop_rowid = self._sdf, list(self._index_cols), False
         else:
-            sdf, order, drop_rowid = _attach_rowid(self._sdf), [_ROWID], True
+            sdf, order, drop_rowid = _anchor_rowid(self), [_ROWID], True
         cols = [c for c in self.columns
                 if is_numeric(self._sdf.schema[c].dataType)]
         pos = global_pos(sdf, order).persist()
@@ -6148,8 +6262,8 @@ class DataFrame(FrameBase):
             cond_sdf, cidx = cond._sdf, list(cond._index_cols)
             drop_rowid = False
         else:
-            base, lidx = _attach_rowid(self._sdf), [_ROWID]
-            cond_sdf, cidx = _attach_rowid(cond._sdf), [_ROWID]
+            base, lidx = _anchor_rowid(self), [_ROWID]
+            cond_sdf, cidx = _anchor_rowid(cond), [_ROWID]
             drop_rowid = True
         csel = cond_sdf.select(
             *[F.col(c).alias(i) for c, i in zip(cidx, lidx)],
@@ -6220,9 +6334,9 @@ class DataFrame(FrameBase):
         else:
             # default-index frames align POSITIONALLY (pandas
             # label==position), same rowid contract as _framewise_cond
-            base, lidx = _attach_rowid(self._sdf), [_ROWID]
-            csel = _attach_rowid(cf._sdf).select(F.col(_ROWID),
-                                                 F.col("__cond__"))
+            base, lidx = _anchor_rowid(self), [_ROWID]
+            csel = _anchor_rowid(cf).select(F.col(_ROWID),
+                                            F.col("__cond__"))
             drop_rowid = True
         joined = base.join(csel, on=lidx, how="left")
         if drop_rowid:
@@ -6295,9 +6409,9 @@ class DataFrame(FrameBase):
                        .filter(F.col("__wk__").isNotNull())
                        .orderBy(F.col("__wk__").desc()).limit(n)
                        .drop("__wk__"))
-            return self._derive(sampled, "sample",
-                                {"n": n, "weighted": True,
-                                 "seed": random_state})
+            return self._sample_out(sampled,
+                                    {"n": n, "weighted": True,
+                                     "seed": random_state})
         if frac is None:
             if n is None:
                 raise ValueError("sample: pass frac= or n=")
@@ -6309,20 +6423,35 @@ class DataFrame(FrameBase):
                 sampled = self._sdf.sample(withReplacement=True,
                                            fraction=frac_n,
                                            seed=random_state)
-                return self._derive(sampled.limit(n), "sample",
-                                    {"n": n, "replace": True,
-                                     "seed": random_state})
+                return self._sample_out(sampled.limit(n),
+                                        {"n": n, "replace": True,
+                                         "seed": random_state},
+                                        replace=True)
             if n >= total:
                 return self._derive(self._sdf, "sample", {"n": n})
             # oversample so P(fewer than n rows) is negligible, then cap
             frac_n = min(1.0, n / total * 1.2 + 10.0 / total)
             sampled = self._sdf.sample(withReplacement=False,
                                        fraction=frac_n, seed=random_state)
-            return self._derive(sampled.limit(n), "sample",
-                                {"n": n, "seed": random_state})
-        return self._derive(
+            return self._sample_out(sampled.limit(n),
+                                    {"n": n, "seed": random_state})
+        return self._sample_out(
             self._sdf.sample(withReplacement=replace, fraction=frac, seed=random_state),
-            "sample", {"frac": frac, "replace": replace, "seed": random_state})
+            {"frac": frac, "replace": replace, "seed": random_state},
+            replace=replace)
+
+    def _sample_out(self, sampled: SparkDF, params: dict,
+                    replace: bool = False) -> "DataFrame":
+        """pandas ``sample`` KEEPS the original row labels — when the
+        frame carries valid in-scan labels, promote them to the index
+        (pure rename).  ``replace=True`` can emit DUPLICATE labels, which
+        pandas also does.  Without labels, fall back to the renumbering
+        derive (documented deviation)."""
+        if _labels_valid(self):
+            return DataFrame(sampled.withColumnRenamed(_LABEL, _ROWID),
+                             Node("sample", params, self._expr),
+                             (_ROWID,), (None,))
+        return self._derive(sampled, "sample", params)
 
     def drop_duplicates(self, subset: Sequence[str] | None = None,
                         keep: str = "first") -> "DataFrame":
@@ -6349,7 +6478,7 @@ class DataFrame(FrameBase):
                 sdf, idx, names = self._sdf, self._index_cols, \
                     self._index_names
             else:
-                sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), \
+                sdf, idx, names = _anchor_rowid(self), (_ROWID,), \
                     (None,)
             out = (sdf.withColumn("__n__", F.count(F.lit(1)).over(w))
                    .filter(F.col("__n__") == 1).drop("__n__"))
@@ -6374,7 +6503,7 @@ class DataFrame(FrameBase):
         else:
             # pandas keeps the surviving rows' original labels — anchor
             # them as the anonymous rowid index (not dropped!)
-            sdf, order_col = _attach_rowid(self._sdf), _ROWID
+            sdf, order_col = _anchor_rowid(self), _ROWID
             idx, names = (_ROWID,), (None,)
         order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
         w = Window.partitionBy(*subset).orderBy(order)
@@ -6399,7 +6528,7 @@ class DataFrame(FrameBase):
             # keep the rowid as the anonymous engine index so the result
             # carries pandas' positional labels (the window shuffle
             # otherwise destroys row order)
-            sdf, order_col = _attach_rowid(self._sdf), _ROWID
+            sdf, order_col = _anchor_rowid(self), _ROWID
             idx, names = (_ROWID,), (None,)
         if keep is False:
             w = Window.partitionBy(*subset)
@@ -6437,9 +6566,11 @@ class DataFrame(FrameBase):
                 self._sdf, self._index_cols, self._index_names
         else:
             # pandas DUPLICATES the original row label per element —
-            # anchor positional labels as rowids (JVM attach, no shuffle)
-            src, idx_cols, idx_names = \
-                _attach_rowid(self._sdf), (_ROWID,), (None,)
+            # anchor positional labels as rowids (in-scan label rename
+            # when available, else the JVM attach; no shuffle either way)
+            src = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+                   if _labels_valid(self) else _attach_rowid(self._sdf))
+            idx_cols, idx_names = (_ROWID,), (None,)
         if isinstance(column, (list, tuple)) and len(column) > 1:
             targets = list(column)
             z = F.explode_outer(F.arrays_zip(*[F.col(c) for c in targets]))
@@ -6525,7 +6656,12 @@ class DataFrame(FrameBase):
             # withColumn replaces it.
             tie = _ORDER if _ORDER in self._sdf.columns else None
             tcols = [F.col(tie)] if tie else []
-            sorted_sdf = self._sdf.orderBy(*cols, *tcols).withColumn(
+            sbase = self._sdf
+            if ignore_index and _LABEL in sbase.columns:
+                # ignore_index renumbers 0..n-1 — drop the stale in-scan
+                # label so it can't resurrect as the index later
+                sbase = sbase.drop(_LABEL)
+            sorted_sdf = sbase.orderBy(*cols, *tcols).withColumn(
                 _ORDER, F.monotonically_increasing_id())
             out = self._derive(sorted_sdf, "sort",
                                {"by": by, "ascending": list(asc)})
@@ -6533,7 +6669,11 @@ class DataFrame(FrameBase):
             return out
         base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
             else self._sdf
-        pre = _attach_rowid(base)
+        # an in-scan label column IS the positional labels — a pure
+        # rename keeps pandas' preserved-labels contract without the
+        # checkpointing rowid attach (scan pushdown stays intact)
+        pre = (base.withColumnRenamed(_LABEL, _ROWID)
+               if _labels_valid(self) else _attach_rowid(base))
         # rowid tie break: ties land in ORIGINAL row order (stable), and
         # the total order is deterministic — the _ORDER stamp minted over
         # it re-evaluates identically on both sides of a stamp-keyed
@@ -6633,10 +6773,21 @@ class DataFrame(FrameBase):
         base = self._sdf
         ocol = _ORDER if _ORDER in base.columns else (
             _ROWID if tuple(self._index_cols) == (_ROWID,) else None)
+        lab = ocol is None and _labels_valid(self)
+        if lab:
+            # in-scan labels: pandas tail KEEPS the original positional
+            # labels — the label column is both the reverse-TopK order
+            # and the surviving rows' index (pure rename, no stamp)
+            base = base.withColumnRenamed(_LABEL, _ROWID)
+            ocol = _ROWID
         if n < 0:
             if ocol is not None:
                 base = base.orderBy(ocol)
-            return self._derive(base.offset(-n), "tail", {"n": n})
+            out = base.offset(-n)
+            if lab:
+                return DataFrame(out, Node("tail", {"n": n}, self._expr),
+                                 (_ROWID,), (None,))
+            return self._derive(out, "tail", {"n": n})
         if ocol is None:
             # natural order: monotonically_increasing_id is order-
             # consistent with (partition, position) — a lazy order stamp
@@ -6647,6 +6798,9 @@ class DataFrame(FrameBase):
             ocol = _ORDER
         sdf = (base.orderBy(F.col(ocol).desc()).limit(n)
                .orderBy(F.col(ocol).asc()))
+        if lab:
+            return DataFrame(sdf, Node("tail", {"n": n}, self._expr),
+                             (_ROWID,), (None,))
         return self._derive(sdf, "tail", {"n": n})
 
     def limit(self, n: int) -> "DataFrame":
@@ -6668,7 +6822,11 @@ class DataFrame(FrameBase):
                                self._index_names)
             pos = F.col(self._index_cols[0])
         else:
-            sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), (None,)
+            # in-scan labels keep the TakeOrderedAndProject shape without
+            # the checkpointing rowid attach
+            sdf = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
+                   if _labels_valid(self) else _attach_rowid(self._sdf))
+            idx, names = (_ROWID,), (None,)
             pos = F.col(_ROWID)
         if _ORDER in sdf.columns:
             # ties break at the PRESENTED order after a sort (pandas
@@ -6744,6 +6902,10 @@ class DataFrame(FrameBase):
     def reset_index(self, drop: bool = False) -> "DataFrame":
         sdf = self._sdf
         if drop:
+            if _LABEL in sdf.columns:
+                # pandas renumbers 0..n-1 — a stale in-scan label must
+                # not resurrect as the index once _index_cols empties
+                sdf = sdf.drop(_LABEL)
             if (tuple(self._index_cols) == (_ROWID,)
                     and _ORDER not in sdf.columns):
                 # the rowid labels ARE the presented order (dedup/filter
@@ -6753,6 +6915,13 @@ class DataFrame(FrameBase):
                 sdf = sdf.withColumnRenamed(_ROWID, _ORDER)
             else:
                 sdf = sdf.drop(*self._index_cols)
+        elif not self._index_cols and _labels_valid(self):
+            # pandas reset_index() on a default-index frame materializes
+            # the positional labels as an "index" column — the in-scan
+            # label column IS those labels (pure rename, no rowid pass)
+            sdf = sdf.select(F.col(_LABEL).alias("index"), *self.columns)
+            node = Node("reset_index", {"drop": False}, self._expr)
+            return DataFrame(sdf, node, (), ())
         else:
             # pandas naming for unnamed levels: single index -> "index",
             # MultiIndex levels -> "level_{i}" (r5 hunt pin)
@@ -7069,7 +7238,7 @@ class DataFrame(FrameBase):
 
     def _valid_index(self, first: bool):
         sdf, icol = ((self._sdf, self._index_cols[0]) if self._index_cols
-                     else (_attach_rowid(self._sdf), _ROWID))
+                     else (_anchor_rowid(self), _ROWID))
         schema = {f.name: f.dataType for f in sdf.schema.fields}
         cond = None
         for c in self.columns:
@@ -7454,7 +7623,7 @@ class DataFrame(FrameBase):
             if self._index_cols:
                 sdf, order = self._sdf, list(self._index_cols)
             else:
-                sdf, order = _attach_rowid(self._sdf), [_ROWID]
+                sdf, order = _anchor_rowid(self), [_ROWID]
             n = sdf.count()
             if len(labels) != n:
                 raise ValueError(f"expected {n} labels, got {len(labels)}")
@@ -7656,7 +7825,7 @@ class DataFrame(FrameBase):
             sdf, order = self._sdf, list(self._index_cols)
             idx, names = self._index_cols, self._index_names
         else:
-            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            sdf, order = _anchor_rowid(self), [_ROWID]
             idx, names = (_ROWID,), (None,)
         specs = [(c, op, c) for c in num]
         flags = {}
@@ -7722,7 +7891,7 @@ class DataFrame(FrameBase):
             sdf, idx = self._sdf, F.col(self._index_cols[0])
             iname = self._index_names[0] if self._index_names else None
         else:
-            sdf, idx = _attach_rowid(self._sdf), F.col(_ROWID)
+            sdf, idx = _anchor_rowid(self), F.col(_ROWID)
             iname = None
         aggs = []
         for c in self.columns:
@@ -7782,7 +7951,7 @@ class DataFrame(FrameBase):
             sdf, order = self._sdf, list(self._index_cols)
             idx, names = self._index_cols, self._index_names
         else:
-            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            sdf, order = _anchor_rowid(self), [_ROWID]
             idx, names = (_ROWID,), (None,)
         num = [c for c in self.columns
                if is_numeric(self._sdf.schema[c].dataType)]
@@ -7880,7 +8049,7 @@ class DataFrame(FrameBase):
             sdf, order = self._sdf, list(self._index_cols)
             idx, names = self._index_cols, self._index_names
         else:
-            sdf, order = _attach_rowid(self._sdf), [_ROWID]
+            sdf, order = _anchor_rowid(self), [_ROWID]
             idx, names = (_ROWID,), (None,)
         out = scan.last_scan(sdf, list(self.columns), order,
                              descending=[descending] * len(order),
@@ -8385,8 +8554,9 @@ class DataFrame(FrameBase):
                                 "nunique_approx", numeric_only=False)
 
     def _numeric_columns(self) -> list[str]:
+        vis = set(self.columns)
         return [f.name for f in self._sdf.schema.fields
-                if f.name not in self._index_cols and is_numeric(f.dataType)]
+                if f.name in vis and is_numeric(f.dataType)]
 
     def describe(self, percentiles: Sequence[float] | None = None) -> "DataFrame":
         """pandas ``describe()``: count/mean/std/min/quartiles/max per
@@ -9153,7 +9323,7 @@ class DataFrame(FrameBase):
             [c for c in self.columns if c not in ids]
         node = Node("melt", {"id_vars": ids, "value_vars": vals}, self._expr)
         anchored = (self._sdf if _ROWID in self._sdf.columns
-                    else _attach_rowid(self._sdf))
+                    else _anchor_rowid(self))
         if self._index_cols:
             src, idx_cols, idx_names = \
                 anchored, self._index_cols, self._index_names
@@ -9218,7 +9388,7 @@ class DataFrame(FrameBase):
             if not self._index_cols:
                 # pandas keys a bare stack() on the (positional) index —
                 # anchor it as rowids (JVM attach, no shuffle)
-                base = DataFrame(_attach_rowid(self._sdf),
+                base = DataFrame(_anchor_rowid(self),
                                  Node("rowid", {}, self._expr),
                                  (_ROWID,), (None,))
             id_vars = list(base._index_cols)
@@ -9334,7 +9504,7 @@ class DataFrame(FrameBase):
         if self._index_cols:
             sdf, idx, names = self._sdf, self._index_cols, self._index_names
         else:
-            sdf, idx, names = _attach_rowid(self._sdf), (_ROWID,), (None,)
+            sdf, idx, names = _anchor_rowid(self), (_ROWID,), (None,)
         fields = [sdf.schema[c] for c in idx] + \
                  [T.StructField("__applied__", vtype)]
         schema = T.StructType(fields)
@@ -9535,12 +9705,19 @@ class DataFrame(FrameBase):
         return self._derive(self._sdf.coalesce(num), "coalesce", {"num": num})
 
     # -- sinks (reference ToParquet io/parquet.py:49-76) ------------------
+    def _write_base(self) -> SparkDF:
+        """The sdf a sink writes: hidden engine columns (in-scan labels,
+        presentation stamps) never reach storage."""
+        sdf = self._sdf
+        drop = [c for c in (_LABEL, _ORDER) if c in sdf.columns]
+        return sdf.drop(*drop) if drop else sdf
+
     def to_parquet(self, path: str, mode: str = "overwrite",
                    partition_by: Sequence[str] | None = None,
                    partition_cols: Sequence[str] | None = None) -> None:
         """``partition_cols`` is accepted as the pandas-compatible alias
         for ``partition_by``."""
-        w = self._sdf.write.mode(mode)
+        w = self._write_base().write.mode(mode)
         pb = partition_by or partition_cols
         if pb:
             w = w.partitionBy(*pb)
@@ -9551,7 +9728,7 @@ class DataFrame(FrameBase):
         """Bucketed managed table (`bucketBy` requires ``saveAsTable``).
         Two tables bucketed the same way join WITHOUT a shuffle — the
         co-located-join strategy for repeated large joins at 100 TB."""
-        w = self._sdf.write.mode(mode).bucketBy(num_buckets,
+        w = self._write_base().write.mode(mode).bucketBy(num_buckets,
                                                 *_ensure_list(bucket_by))
         if sort_by is not None:
             w = w.sortBy(*_ensure_list(sort_by))
@@ -9570,8 +9747,9 @@ class DataFrame(FrameBase):
         one key (date, tenant, id prefix) — the poor man's Z-ORDER for the
         1-key case, without any table-format dependency."""
         cols = [F.col(c) for c in _ensure_list(sort_by)]
-        sdf = self._sdf.repartitionByRange(num_files, *cols) if num_files \
-            else self._sdf.repartitionByRange(*cols)
+        base = self._write_base()
+        sdf = base.repartitionByRange(num_files, *cols) if num_files \
+            else base.repartitionByRange(*cols)
         sdf.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
@@ -9582,7 +9760,7 @@ class DataFrame(FrameBase):
         no meaningful index, and a bare rowid column in every shard is
         surprising)."""
         sdf = self._sdf
-        drop = [c for c in (_ROWID, _ORDER) if c in sdf.columns]
+        drop = [c for c in (_ROWID, _ORDER, _LABEL) if c in sdf.columns]
         if not index and self._index_cols:
             drop += [c for c in self._index_cols if c in sdf.columns]
         if drop:
@@ -9590,10 +9768,10 @@ class DataFrame(FrameBase):
         sdf.write.mode(mode).option("header", header).csv(path)
 
     def to_json(self, path: str, mode: str = "overwrite") -> None:
-        self._sdf.write.mode(mode).json(path)
+        self._write_base().write.mode(mode).json(path)
 
     def to_orc(self, path: str, mode: str = "overwrite") -> None:
-        self._sdf.write.mode(mode).orc(path)
+        self._write_base().write.mode(mode).orc(path)
 
     # ------------------------------------------------------------------
     def compute(self) -> pd.DataFrame:
@@ -9605,6 +9783,8 @@ class DataFrame(FrameBase):
             # stored positional labels present in label order (the rowid
             # survives alignment joins whose arrival order is scrambled)
             sdf = sdf.orderBy(_ROWID)
+        if _LABEL in sdf.columns and _LABEL not in self._index_cols:
+            sdf = sdf.drop(_LABEL)
         pdf = sdf.toPandas()
         if _ROWID in pdf.columns and _ROWID not in self._index_cols:
             pdf = pdf.drop(columns=[_ROWID])
@@ -9656,7 +9836,10 @@ class DataFrame(FrameBase):
 def _frame_with_index(df: DataFrame) -> DataFrame:
     if df._index_cols:
         return df
-    sdf = _attach_rowid(df._sdf)
+    # in-scan positional labels ARE the default index — pure rename
+    # instead of the checkpointing rowid attach
+    sdf = (df._sdf.withColumnRenamed(_LABEL, _ROWID)
+           if _labels_valid(df) else _attach_rowid(df._sdf))
     return DataFrame(sdf, df._expr, (_ROWID,), (None,))
 
 

@@ -615,7 +615,15 @@ class GroupBy:
         a frame-returning func keeps the applyInPandas path; a
         SCALAR-returning func (``g.apply(lambda g: g.v.corr(g.i))``)
         becomes a key-indexed Series — one row per group."""
-        from .._collection import DataFrame, Series
+        from .._collection import DataFrame, Series, _LABEL
+        if _LABEL in self._frame._sdf.columns:
+            # the hidden in-scan label column must never reach the user's
+            # function (or the inferred schema)
+            inner = func
+
+            def _vis(pdf):
+                return inner(pdf.drop(columns=[_LABEL], errors="ignore"))
+            func = _vis
         sl = list(getattr(self, "_slice", None) or [])
         if sl:
             # pandas: gb[["x", "y"]].apply(f) hands f ONLY the sliced
@@ -1643,8 +1651,10 @@ class Resampler(GroupBy):
         if getattr(self, "_slice", None):
             vcols = list(self._slice)
         else:
+            from .._collection import _ROWID, _ORDER, _LABEL
             vcols = [f.name for f in orig.schema.fields
                      if f.name != on and f.name not in self._extra_by
+                     and f.name not in (_ROWID, _ORDER, _LABEL)
                      and isinstance(f.dataType, T.NumericType)]
         bare = getattr(self, "_slice_scalar", False) and len(vcols) == 1
         pos = F.col(on)

@@ -34,12 +34,14 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         # with canonical level column names — otherwise a mix of
         # default-index and labeled frames fails the recursive concat's
         # shared-index check and silently drops the key level (r5 pin)
-        from .._collection import _ROWID, _attach_rowid
+        from .._collection import (_ROWID, _attach_rowid, _LABEL,
+                                   _labels_valid)
         norm = []
         for f in frames:
             if not f._index_cols:
-                f = DataFrame(_attach_rowid(f._sdf), f._expr,
-                              (_ROWID,), (None,))
+                sdf = (f._sdf.withColumnRenamed(_LABEL, _ROWID)
+                       if _labels_valid(f) else _attach_rowid(f._sdf))
+                f = DataFrame(sdf, f._expr, (_ROWID,), (None,))
             norm.append(f)
         depth = len(norm[0]._index_cols)
         if any(len(f._index_cols) != depth for f in norm):
@@ -102,7 +104,8 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
     # an input's physical layout is scrambled (rand-hunt seed 24:
     # dedup → concat(ignore_index=True) → dedup lost row order).
     from pyspark.sql import functions as F
-    from .._collection import _ORDER as _ORD, _ROWID as _RID, _attach_rowid
+    from .._collection import (_ORDER as _ORD, _ROWID as _RID,
+                               _attach_rowid, _LABEL, _labels_valid)
     from ..functions import scan
     anchored, labeled = [], False
     for k, f in enumerate(frames):
@@ -112,7 +115,10 @@ def concat(frames: Sequence, join: str = "outer", axis: int = 0,
         elif tuple(f._index_cols) == (_RID,):
             sdf = sdf.withColumn("__cpos__", F.col(_RID))
         elif not f._index_cols:
-            sdf = _attach_rowid(sdf, name="__cpos__")
+            # in-scan labels ARE the dense positions — pure rename
+            sdf = (sdf.withColumnRenamed(_LABEL, "__cpos__")
+                   if _labels_valid(f)
+                   else _attach_rowid(sdf, name="__cpos__"))
         else:
             labeled = True
             break
@@ -196,7 +202,8 @@ def _concat_axis1(frames: Sequence, join: str):
     (Spark columns must be unique; pandas would keep both)."""
     from functools import reduce as _reduce
     from pyspark.sql import functions as F
-    from .._collection import DataFrame, Series, _ROWID, _attach_rowid
+    from .._collection import (DataFrame, Series, _ROWID, _attach_rowid,
+                               _LABEL, _labels_valid)
 
     if join not in ("outer", "inner"):
         raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
@@ -212,8 +219,9 @@ def _concat_axis1(frames: Sequence, join: str):
         if f._index_cols:
             sdf = f._sdf.select(F.col(f._index_cols[0]).alias(IDX), *f.columns)
         else:
-            sdf = (_attach_rowid(f._sdf)
-                   .select(F.col(_ROWID).alias(IDX), *f.columns))
+            base = (f._sdf.withColumnRenamed(_LABEL, _ROWID)
+                    if _labels_valid(f) else _attach_rowid(f._sdf))
+            sdf = base.select(F.col(_ROWID).alias(IDX), *f.columns)
         sides.append(sdf)
     out = _reduce(lambda a, b: a.join(b, on=IDX, how="full" if join == "outer"
                                       else "inner"), sides)
@@ -228,9 +236,24 @@ def _concat_axis1(frames: Sequence, join: str):
     return DataFrame(out, node, (IDX,), (None,))
 
 
+def _setop_base(frame):
+    """A frame's ROW-VALUE projection for set operations: synthetic
+    engine columns (in-scan labels, presentation stamps, anonymous rowid
+    indexes) are never part of row equality — a stamp or label difference
+    must not make two equal rows unequal (and mismatched hidden columns
+    would crash INTERSECT outright)."""
+    from .._collection import _LABEL, _ORDER, _ROWID
+    sdf = frame._sdf
+    drop = [c for c in (_LABEL, _ORDER) if c in sdf.columns]
+    if _ROWID in sdf.columns and _ROWID in tuple(frame._index_cols):
+        drop.append(_ROWID)
+    return sdf.drop(*drop) if drop else sdf
+
+
 def union(left, right, distinct: bool = False):
     from .._collection import DataFrame
-    out = left._sdf.unionByName(right._sdf, allowMissingColumns=True)
+    out = _setop_base(left).unionByName(_setop_base(right),
+                                        allowMissingColumns=True)
     if distinct:
         out = out.distinct()
     return DataFrame(out, Node("union", {"distinct": distinct},
@@ -239,13 +262,15 @@ def union(left, right, distinct: bool = False):
 
 def intersect(left, right, all: bool = False):
     from .._collection import DataFrame
-    out = left._sdf.intersectAll(right._sdf) if all else left._sdf.intersect(right._sdf)
+    l, r = _setop_base(left), _setop_base(right)
+    out = l.intersectAll(r) if all else l.intersect(r)
     return DataFrame(out, Node("intersect", {"all": all},
                                left._expr, right._expr), (), None)
 
 
 def except_(left, right, all: bool = False):
     from .._collection import DataFrame
-    out = left._sdf.exceptAll(right._sdf) if all else left._sdf.subtract(right._sdf)
+    l, r = _setop_base(left), _setop_base(right)
+    out = l.exceptAll(r) if all else l.subtract(r)
     return DataFrame(out, Node("except", {"all": all},
                                left._expr, right._expr), (), None)

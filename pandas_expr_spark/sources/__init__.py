@@ -73,17 +73,87 @@ def _dnf_to_condition(filters) -> Any:
     return disjuncts
 
 
+import os as _os
+
+# positional-label minting at the scan (default on; PES_POSITIONAL_LABELS=0
+# disables, restoring the renumber-on-filter behavior)
+_PES_LABELS = _os.environ.get("PES_POSITIONAL_LABELS", "1") != "0"
+# beyond this many data files the literal offset map stops being a
+# reasonable plan constant — labels fall back to renumber-on-filter
+_LABEL_MAX_FILES = 256
+
+
+def _parquet_file_offsets(path: str):
+    """``(file_path, start_offset)`` per parquet data file in pandas read
+    order (sorted paths), from FOOTER metadata only — no data IO."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+        files = sorted(ds.dataset(path, format="parquet").files)
+        if not files or len(files) > _LABEL_MAX_FILES:
+            return None
+        offs, total = [], 0
+        for f in files:
+            offs.append((str(f), total))
+            total += pq.ParquetFile(f).metadata.num_rows
+        return offs
+    except Exception:
+        return None
+
+
+def _labeled_parquet_scan(spark, path: str) -> SparkDF:
+    """Parquet scan carrying the hidden positional-label column.
+
+    Label = per-file start offset (footer row counts, prefix-summed in
+    pandas read order) + ``_metadata.row_index`` (Spark 4.1 reader-
+    generated per-file row position — predicate pushdown intact, zero
+    shuffle, zero extra disk IO; the ``_tmp_metadata_row_index`` entry in
+    ``ReadSchema`` is synthesized by the reader, not read from storage).
+    Lets bare filter/dropna return pandas' original row labels
+    (reference semantics: ``_expr.py:1355-1363`` executes ``df[mask]``
+    with pandas label preservation)."""
+    from .._collection import _LABEL
+    sdf = spark.read.parquet(path)
+    if not _PES_LABELS:
+        return sdf
+    offs = _parquet_file_offsets(path)
+    if offs is None:
+        return sdf
+    try:
+        ri = F.col("_metadata.row_index")
+        if len(offs) == 1:
+            label = ri
+        else:
+            pairs = []
+            for f, off in offs:
+                pairs += [F.lit(f), F.lit(off)]
+            fp = F.regexp_replace(F.col("_metadata.file_path"),
+                                  "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+            label = F.element_at(F.create_map(*pairs), fp) + ri
+        out = sdf.select("*", label.alias(_LABEL))
+        out.schema  # force analysis — fall back if _metadata unsupported
+        return out
+    except Exception:
+        return sdf
+
+
 def read_parquet(path: str, columns: Sequence[str] | None = None,
                  filters=None, **kwargs) -> DataFrame:
     """Reference ReadParquet ``io/parquet.py:79-197``."""
-    token = tokenize("read_parquet", path)
-    sdf = _cached_scan(token, lambda spark: spark.read.parquet(path))
+    from .._collection import _LABEL
+    token = tokenize("read_parquet", path, _PES_LABELS)
+    sdf = _cached_scan(token, lambda spark: _labeled_parquet_scan(spark, path))
     node = Node("read_parquet", {"path": path})
     if filters is not None:
+        # pandas read_parquet(filters=...) renumbers 0..n-1 — drop the
+        # label so downstream filters renumber identically
+        if _LABEL in sdf.columns:
+            sdf = sdf.drop(_LABEL)
         sdf = sdf.filter(_dnf_to_condition(filters))
         node = Node("filter", {"predicate": repr(filters)}, node)
     if columns is not None:
-        sdf = sdf.select(*columns)
+        keep = list(columns) + ([_LABEL] if _LABEL in sdf.columns else [])
+        sdf = sdf.select(*keep)
         node = Node("projection", {"columns": list(columns)}, node)
     return DataFrame(sdf, node)
 
@@ -345,6 +415,13 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
     if stamp_order:
         from .._collection import _ORDER as _ORDER_COL
         pdf = pdf.assign(**{_ORDER_COL: range(len(pdf))})
+    if not index_cols and not stamp_order:
+        # default RangeIndex: stamp the exact positional labels driver-
+        # side (the input is already driver-held) so bare filter/dropna
+        # keep pandas' original labels instead of renumbering
+        from .._collection import _LABEL as _LABEL_COL
+        import numpy as _np
+        pdf = pdf.assign(**{_LABEL_COL: _np.arange(len(pdf), dtype="int64")})
     cat_meta: dict[str, list] = {}
     for c in pdf.columns:
         if isinstance(pdf[c].dtype, _pd.CategoricalDtype):

@@ -40,6 +40,10 @@ def test_projection_prunes_read_schema(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m, p
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    # _tmp_metadata_row_index is the reader-GENERATED positional-label
+    # source (Spark 4.1 _metadata.row_index) — synthesized in-memory by
+    # the parquet reader, zero disk IO; it is not a data column read.
+    cols = [c for c in cols if c != "_tmp_metadata_row_index"]
     assert set(cols) == {"l_orderkey", "l_extendedprice"}
 
 
