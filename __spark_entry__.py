@@ -1137,8 +1137,14 @@ def simhash_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k — recall vs brute force is checked in tests;
-    rows-only here."""
+    """LSH-bucketed ANN top-k, gated as an EXACT inequality oracle
+    (r6 verdict ask #7): recall@10 against the brute-force cosine top-10
+    is computed in-engine and emitted as ``recall_ok = recall >= 0.7``;
+    the oracle is the constant TRUE.  multiprobe=3 measures 0.9 at the
+    driver's sf0.01 (margin 0.2); everything is seed-deterministic.  The
+    candidate set itself stays approximate — that's the point of the
+    probe knob — so the top-k ROWS are not oracled, the quality bound
+    is."""
     from pandas_expr_spark.functions import similarity
     from pandas_expr_spark.sources.tables import load_table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1146,7 +1152,10 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]]
     emb_d = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    return similarity.lsh_topk(emb_d, q, k=10, num_planes=6, multiprobe=1)
+    ann = similarity.lsh_topk(emb_d, q, k=10, num_planes=6, multiprobe=3)
+    exact = similarity.cosine_topk(emb_d, q, k=10)
+    hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return hits.agg((F.count(F.lit(1)) >= F.lit(7)).alias("recall_ok"))
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3023,8 +3032,11 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (coarse k-means cells from a driver sample,
     JVM-side cell assignment, nprobe nearest cells probed) — the
-    partition-pruning scale path; recall vs brute force is checked in
-    tests.  Non-deterministic candidate set across engines → rows-only."""
+    partition-pruning scale path, gated as an EXACT inequality oracle
+    (r6 verdict ask #7): recall@10 vs brute force emitted as
+    ``recall_ok = recall >= 0.6``, oracle TRUE.  nprobe=8 (half the
+    cells) measures 0.8 at the driver's sf0.01 (margin 0.2); centroids
+    are seed-deterministic."""
     from pandas_expr_spark.functions import similarity
     from pandas_expr_spark.sources.tables import load_table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3032,7 +3044,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
          emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]]
     emb_d = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    return similarity.ivf_topk(emb_d, q, k=10, n_cells=16, nprobe=4)
+    ann = similarity.ivf_topk(emb_d, q, k=10, n_cells=16, nprobe=8)
+    exact = similarity.cosine_topk(emb_d, q, k=10)
+    hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return hits.agg((F.count(F.lit(1)) >= F.lit(6)).alias("recall_ok"))
 
 
 def groupby_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3699,6 +3714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_parts": duplicated_parts,
         "filter_project": filter_project,
         "isin_between": isin_between,
+        # ---- r7 ask #7: the two rows-only ANN gates converted to
+        # exact recall-bound oracles — first driver rows ----
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "embedding_ann_ivf": embedding_ann_ivf,
         # ---- positions 5-9: the sort->head/tail family whose
         # physical plan changed this round (TopK fusion) — re-gate
         # the new plans under driver evidence ----
@@ -3843,8 +3862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_rolling_orders": grouped_rolling_orders,
         "eval_query_charges": eval_query_charges,
         "crosstab_status_priority": crosstab_status_priority,
-        "embedding_ann_lsh": embedding_ann_lsh,
-        "embedding_ann_ivf": embedding_ann_ivf,
         "trained_quality_scorer": trained_quality_scorer,
         "rolling_corr_orders": rolling_corr_orders,
         "doc_bigram_ppl": doc_bigram_ppl,
@@ -6502,6 +6519,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mach
             FROM customer GROUP BY c_nationkey
+        """,
+        "embedding_ann_lsh": """
+            SELECT TRUE AS recall_ok
+        """,
+        "embedding_ann_ivf": """
+            SELECT TRUE AS recall_ok
         """,
         "filter_label_parity": """
             SELECT idx AS orig_pos, l_orderkey, l_quantity
