@@ -74,14 +74,43 @@ def _labels_valid(frame) -> bool:
 
 
 def _anchor_rowid(frame, name: str = "__pes_rowid__"):
-    """Positional anchor for an unindexed frame/series: prefer the
-    in-scan label column (pure rename — pandas' true original labels,
-    no checkpoint, scan pushdown intact) over the physical rowid attach.
-    For every reachable unindexed label-valid state the two agree; the
-    rename is simply the zero-cost path."""
+    """Positional anchor for an unindexed frame/series — pandas
+    positional labels as a column, cheapest correct path first:
+
+    1. in-scan label column → pure rename (pushdown intact, no pass);
+    2. stamped (_ORDER) frame → ranged position pass over the STAMP
+       (pandas numbers the PRESENTED order; the physical layout of a
+       stamped frame is scrambled — r7 rand-hunt, extending the r6
+       seed-96 dedup fix to every anchor site);
+    3. else → physical distributed-sequence attach (layout == labels
+       for unindexed unstamped frames, the engine's core invariant)."""
     if _labels_valid(frame):
         return frame._sdf.withColumnRenamed(_LABEL, name)
+    if _ORDER in frame._sdf.columns and not frame._index_cols:
+        from .functions import scan
+        sdf = frame._sdf
+        if name in sdf.columns:
+            # a stale non-index anchor from an upstream op — superseded
+            # by the stamp-position pass
+            sdf = sdf.drop(name)
+        return scan.global_pos(sdf, [_ORDER], name=name)
     return _attach_rowid(frame._sdf, name)
+
+
+def _label_base(frame):
+    """The frame's sdf with pandas positional labels bound as ``_ROWID``,
+    for label-PROMOTING ops (filter/dropna/tail/sample) — or None when
+    labels are unavailable without the checkpointing physical attach
+    (which those ops deliberately skip: the renumber fallback is the
+    documented cheap path).  Covers both in-scan-label frames (pure
+    rename) and stamped frames (position pass over the stamp)."""
+    if _labels_valid(frame):
+        return frame._sdf.withColumnRenamed(_LABEL, _ROWID)
+    if (not frame._index_cols and _ORDER in frame._sdf.columns
+            and _ROWID not in frame._sdf.columns):
+        from .functions import scan
+        return scan.global_pos(frame._sdf, [_ORDER], name=_ROWID)
+    return None
 
 
 def _avg_rank_join(sdf: SparkDF, col: str, out_col: str) -> SparkDF:
@@ -1825,11 +1854,12 @@ class Series(FrameBase):
         pandas keeps the surviving rows' original positional labels; an
         in-scan label column promotes to the rowid index (pure rename)."""
         node = Node("dropna", {}, self._expr)
-        out = self._sdf.filter(self._scol.isNotNull())
-        if _labels_valid(self):
-            return Series(out.withColumnRenamed(_LABEL, _ROWID), self._scol,
+        lbase = _label_base(self)
+        if lbase is not None:
+            return Series(lbase.filter(self._scol.isNotNull()), self._scol,
                           self._col_name, node, (_ROWID,), (None,))
-        return Series(out, self._scol, self._col_name, node,
+        return Series(self._sdf.filter(self._scol.isNotNull()), self._scol,
+                      self._col_name, node,
                       self._index_cols, self._index_names)
 
     def memory_usage(self, index: bool = True, deep: bool = False) -> Scalar:
@@ -3854,15 +3884,16 @@ class Series(FrameBase):
             if key._sdf is self._sdf:
                 node = Node("filter", {"predicate": key._expr.op},
                             self._expr)
-                fsdf = self._sdf.filter(key._scol)
-                if _labels_valid(self):
+                lbase = _label_base(self)
+                if lbase is not None:
                     # pandas keeps original positional labels (see the
                     # frame getitem promotion)
-                    out = Series(fsdf.withColumnRenamed(_LABEL, _ROWID),
+                    out = Series(lbase.filter(key._scol),
                                  self._scol, self._col_name, node,
                                  (_ROWID,), (None,))
                 else:
-                    out = Series(fsdf, self._scol, self._col_name, node,
+                    out = Series(self._sdf.filter(key._scol), self._scol,
+                                 self._col_name, node,
                                  self._index_cols, self._index_names)
             else:
                 tmp = self.to_frame("__v__")[key]["__v__"]
@@ -4953,16 +4984,17 @@ class DataFrame(FrameBase):
                                 {"columns": list(key)})
         if isinstance(key, Series):
             if key._sdf is self._sdf:
-                out = self._sdf.filter(key._scol)
-                if _labels_valid(self):
+                lbase = _label_base(self)
+                if lbase is not None:
                     # pandas keeps the surviving rows' ORIGINAL positional
-                    # labels — promote the in-scan label column to the
-                    # rowid index (pure rename; pushdown intact)
+                    # labels — promote them to the rowid index (in-scan
+                    # label rename, or a stamp-position pass; pushdown
+                    # intact either way)
                     node = Node("filter", {"predicate": key._expr.op},
                                 self._expr)
-                    return DataFrame(out.withColumnRenamed(_LABEL, _ROWID),
+                    return DataFrame(lbase.filter(key._scol),
                                      node, (_ROWID,), (None,))
-                return self._derive(out, "filter",
+                return self._derive(self._sdf.filter(key._scol), "filter",
                                     {"predicate": key._expr.op})
             # scalar-augmented mask (`df[df.v > df.v.mean()]`): the mask's
             # plan is this frame's plan + broadcast scalar column(s) — it
@@ -5544,16 +5576,18 @@ class DataFrame(FrameBase):
         # pandas considers DATA columns only — defaulting the subset keeps
         # hidden engine columns (order stamp, labels) and index levels out
         # of the how='all'/thresh counts
-        out = self._sdf.dropna(how=how, thresh=thresh,
-                               subset=_ensure_list(subset) or self.columns)
-        if _labels_valid(self):
+        lbase = _label_base(self)
+        sub = _ensure_list(subset) or self.columns
+        if lbase is not None:
             # pandas keeps the surviving rows' original positional labels
-            return DataFrame(out.withColumnRenamed(_LABEL, _ROWID),
+            return DataFrame(lbase.dropna(how=how, thresh=thresh,
+                                          subset=sub),
                              Node("dropna", {"how": how, "thresh": thresh,
                                              "subset": subset}, self._expr),
                              (_ROWID,), (None,))
         return self._derive(
-            out, "dropna", {"how": how, "thresh": thresh, "subset": subset})
+            self._sdf.dropna(how=how, thresh=thresh, subset=sub),
+            "dropna", {"how": how, "thresh": thresh, "subset": subset})
 
     def replace(self, to_replace, value=None,
                 regex: bool = False) -> "DataFrame":
@@ -6654,26 +6688,48 @@ class DataFrame(FrameBase):
             # breaker (stable sort, and a DETERMINISTIC total order so the
             # new stamp is reproducible across plan branches), then the
             # withColumn replaces it.
-            tie = _ORDER if _ORDER in self._sdf.columns else None
+            if _ORDER in self._sdf.columns:
+                tie = _ORDER
+            elif self._index_cols:
+                # pandas sorts are STABLE: ties keep the current row
+                # order, which an indexed frame carries in its (label)
+                # index — without this, Spark's unstable sort scrambles
+                # tied rows (r7 rand-hunt seed 20078)
+                tie = self._index_cols[0]
+            elif _LABEL in self._sdf.columns:
+                tie = _LABEL
+            else:
+                tie = None
             tcols = [F.col(tie)] if tie else []
             sbase = self._sdf
             if ignore_index and _LABEL in sbase.columns:
-                # ignore_index renumbers 0..n-1 — drop the stale in-scan
-                # label so it can't resurrect as the index later
-                sbase = sbase.drop(_LABEL)
+                # ignore_index renumbers 0..n-1 — the stale in-scan label
+                # must not resurrect as the index later (it may still
+                # serve as the tie column inside this orderBy)
+                sbase = sbase.drop(_LABEL) if tie != _LABEL else sbase
             sorted_sdf = sbase.orderBy(*cols, *tcols).withColumn(
                 _ORDER, F.monotonically_increasing_id())
-            out = self._derive(sorted_sdf, "sort",
-                               {"by": by, "ascending": list(asc)})
+            if ignore_index and tie == _LABEL:
+                sorted_sdf = sorted_sdf.drop(_LABEL)
+            if ignore_index and self._index_cols:
+                # pandas ignore_index=True RENUMBERS 0..n-1 regardless of
+                # the existing index — drop the index columns (the stamp
+                # carries the sorted presentation order)
+                sorted_sdf = sorted_sdf.drop(*self._index_cols)
+                node = Node("sort", {"by": by, "ascending": list(asc),
+                                     "ignore_index": True}, self._expr)
+                out = DataFrame(sorted_sdf, node, (), ())
+            else:
+                out = self._derive(sorted_sdf, "sort",
+                                   {"by": by, "ascending": list(asc)})
             out._sort_fuse = (self._sdf, raw, na_position, tie)
             return out
-        base = self._sdf.drop(_ORDER) if _ORDER in self._sdf.columns \
-            else self._sdf
-        # an in-scan label column IS the positional labels — a pure
-        # rename keeps pandas' preserved-labels contract without the
-        # checkpointing rowid attach (scan pushdown stays intact)
-        pre = (base.withColumnRenamed(_LABEL, _ROWID)
-               if _labels_valid(self) else _attach_rowid(base))
+        # positional labels: in-scan label rename, stamp-position pass,
+        # or the physical attach — all three keep pandas' preserved-
+        # labels contract; only the last costs a checkpoint
+        pre = _anchor_rowid(self)
+        if _ORDER in pre.columns:
+            pre = pre.drop(_ORDER)
         # rowid tie break: ties land in ORIGINAL row order (stable), and
         # the total order is deterministic — the _ORDER stamp minted over
         # it re-evaluates identically on both sides of a stamp-keyed
@@ -6773,13 +6829,14 @@ class DataFrame(FrameBase):
         base = self._sdf
         ocol = _ORDER if _ORDER in base.columns else (
             _ROWID if tuple(self._index_cols) == (_ROWID,) else None)
-        lab = ocol is None and _labels_valid(self)
-        if lab:
-            # in-scan labels: pandas tail KEEPS the original positional
-            # labels — the label column is both the reverse-TopK order
-            # and the surviving rows' index (pure rename, no stamp)
-            base = base.withColumnRenamed(_LABEL, _ROWID)
-            ocol = _ROWID
+        lab = False
+        if not self._index_cols:
+            lbase = _label_base(self)
+            if lbase is not None:
+                # pandas tail KEEPS the original positional labels — the
+                # label column (in-scan rename, or stamp-position pass)
+                # is both the reverse-TopK order and the surviving index
+                base, lab, ocol = lbase, True, _ROWID
         if n < 0:
             if ocol is not None:
                 base = base.orderBy(ocol)
@@ -6902,9 +6959,12 @@ class DataFrame(FrameBase):
     def reset_index(self, drop: bool = False) -> "DataFrame":
         sdf = self._sdf
         if drop:
-            if _LABEL in sdf.columns:
-                # pandas renumbers 0..n-1 — a stale in-scan label must
-                # not resurrect as the index once _index_cols empties
+            if _LABEL in sdf.columns and not _labels_valid(self):
+                # pandas renumbers 0..n-1 — a STALE in-scan label must
+                # not resurrect as the index once _index_cols empties.
+                # (On a default-index frame whose labels are still the
+                # positions, reset_index(drop=True) is a pandas no-op —
+                # the label column stays valid and stays.)
                 sdf = sdf.drop(_LABEL)
             if (tuple(self._index_cols) == (_ROWID,)
                     and _ORDER not in sdf.columns):
@@ -9302,7 +9362,8 @@ class DataFrame(FrameBase):
         return merge_asof(spine, right, on=on, direction="backward",
                           suffixes=("", "_r"))
 
-    def melt(self, id_vars, value_vars=None, var_name: str = "variable",
+    def melt(self, id_vars=None, value_vars=None,
+             var_name: str = "variable",
              value_name: str = "value", ignore_index: bool = True,
              _column_major: bool = True) -> "DataFrame":
         """pandas ``melt`` → Spark's native ``unpivot`` (narrow op, no
