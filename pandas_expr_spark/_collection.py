@@ -3011,8 +3011,15 @@ class Series(FrameBase):
         node = Node("unique", {}, self._expr)
         return Series(out, F.col(name), self._col_name, node)
 
-    def drop_duplicates(self) -> "Series":
-        return self.unique()
+    def drop_duplicates(self, keep: str = "first") -> "Series":
+        """pandas ``Series.drop_duplicates``: keeps the FIRST (or last)
+        occurrence with its original label and row order — the frame
+        dedup machinery, not a bare ``distinct()`` (which loses both)."""
+        name = self._col_name if self._col_name is not None else "__v__"
+        f = self.to_frame(name).drop_duplicates(subset=[name], keep=keep)
+        s = f[name]
+        s._col_name = self._col_name
+        return s
 
     def value_counts(self, sort: bool = True, ascending: bool = False,
                      dropna: bool = True, normalize: bool = False,

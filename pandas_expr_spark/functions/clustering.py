@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-__all__ = ["kmeans_assign", "nearest_centroid"]
+__all__ = ["kmeans_assign", "nearest_centroid", "assign_nearest"]
 
 
 def _centroid_lit(centroids: np.ndarray) -> Column:
@@ -51,6 +51,41 @@ def nearest_centroid(vec_col: Column | str, centroids: np.ndarray) -> Column:
         F.transform(F.array(dists),
                     lambda d: (F.array_position(d, F.array_min(d)) - 1)
                     .cast("int")), 1)
+
+
+_ARROW_ASSIGN_MIN_K = 64
+
+
+def assign_nearest(sdf: SparkDF, vec_col: str, centroids: np.ndarray,
+                   out: str = "cluster") -> SparkDF:
+    """Nearest-centroid assignment, path chosen by k:
+
+    * small k (< 64): the pure-JVM literal distance chain — zero Python,
+      plan-visible, the right shape for the exact-oracle gates (k=8/16);
+    * large k: ONE BLAS matmul per Arrow batch (``argmin(|c|² − 2vCᵀ)``).
+      The JVM HOF chain is interpreted per (row, centroid, dim) and
+      becomes the quadratic term once k scales with the corpus — the
+      SemDeDup k ∝ n contract.  Measured at 200 k × 64-dim, k=800:
+      ~10 min interpreted vs seconds vectorized (SCALING.md r7)."""
+    if len(centroids) < _ARROW_ASSIGN_MIN_K:
+        return sdf.withColumn(out, nearest_centroid(vec_col, centroids))
+    from pyspark.sql import types as T
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(1)
+    fields = list(sdf.schema.fields) + [T.StructField(out, T.IntegerType())]
+    schema = T.StructType(fields)
+
+    def _fn(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                pdf[out] = (-2.0 * (V @ C.T) + c2).argmin(1).astype("int32")
+            else:
+                pdf[out] = np.array([], dtype="int32")
+            yield pdf
+
+    return sdf.mapInPandas(_fn, schema)
 
 
 def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
@@ -98,12 +133,13 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
 
     dim = centroids.shape[1]
     for _ in range(max_iter):
-        assign = nearest_centroid(vec_col, centroids).alias("__cluster__")
+        assigned = assign_nearest(sdf, vec_col, centroids, "__cluster__")
         # element-wise centroid means as ONE wide hash aggregate: k rows ×
         # dim avg columns.  NOT posexplode — a column projected next to a
         # generator is re-evaluated per EXPLODED row, so the k-centroid
         # distance ran dim× per vector (measured 9 s/iter vs 0.6 s here).
-        rows = (sdf.select(assign, F.col(vec_col).alias("__v__"))
+        rows = (assigned.select("__cluster__",
+                                F.col(vec_col).alias("__v__"))
                 .groupBy("__cluster__")
                 .agg(*[F.avg(F.element_at("__v__", i + 1)).alias(f"m{i}")
                        for i in range(dim)])
@@ -116,8 +152,7 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
         if shift <= tol:
             break
 
-    return sdf.withColumn("cluster",
-                          nearest_centroid(vec_col, centroids))
+    return assign_nearest(sdf, vec_col, centroids, "cluster")
 
 
 def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",

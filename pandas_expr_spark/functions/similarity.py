@@ -216,8 +216,16 @@ def ivf_topk(sdf: SparkDF, query_vec, k: int = 10, vec_col: str = "embedding",
     qv = np.asarray(query_vec, dtype=float)
     cell_d = ((centroids - qv) ** 2).sum(1)
     probe_cells = [int(c) for c in np.argsort(cell_d)[:nprobe]]
-    candidates = sdf.withColumn("__cell__", best_cell).filter(
-        F.col("__cell__").isin(probe_cells))
+    if n_cells >= 64:
+        # large cell counts: the interpreted HOF distance chain is the
+        # quadratic term once n_cells scales with the corpus — one BLAS
+        # matmul per Arrow batch instead (see clustering.assign_nearest
+        # and SCALING.md r7)
+        from .clustering import assign_nearest
+        assigned = assign_nearest(sdf, vec_col, centroids, "__cell__")
+    else:
+        assigned = sdf.withColumn("__cell__", best_cell)
+    candidates = assigned.filter(F.col("__cell__").isin(probe_cells))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
@@ -302,9 +310,13 @@ def knn_join(queries: SparkDF, corpus: SparkDF, k: int = 10,
             return knn_join(queries, corpus, k, vec_col, query_id,
                             corpus_id, "exact", max_pairs=None,
                             round_to=round_to)
-        cd = _cell_dists("__cv__", centroids)
-        best = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
-        c_cells = c.withColumn("__cell__", best)
+        if len(centroids) >= 64:
+            from .clustering import assign_nearest
+            c_cells = assign_nearest(c, "__cv__", centroids, "__cell__")
+        else:
+            cd = _cell_dists("__cv__", centroids)
+            best = (F.array_position(cd, F.array_min(cd)) - 1).cast("int")
+            c_cells = c.withColumn("__cell__", best)
         qd = _cell_dists("__qv__", centroids)
         idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
         probe = F.transform(

@@ -64,6 +64,11 @@ QUERIES = {
     "doc_dedup_pipeline": "end-to-end dedup: banded LSH equi-joins + exact verify feeding CC — no CartesianProduct anywhere in the composition",
     "doc_link_pagerank": "pagerank: per-iteration ranks⋈edges hash join + partial-agg groupBy(dst) sum + 1-row dangling broadcast; checkpointed edges",
     "melt_customer_metrics": "column-major melt with ARITHMETIC stamp ((var<<44)|dense rowid): Scan → Project → Expand, no Sort, no range exchange",
+    # round-7 additions: the in-scan positional-label machinery
+    "filter_label_parity": "bare filter returning pandas labels: PushedFilters INTACT on the label-carrying scan; label = reader-generated _metadata.row_index (the _tmp_metadata_row_index in ReadSchema is synthesized in-memory, zero disk IO); no shuffle, no checkpoint",
+    "dropna_label_parity": "dropna keeping labels: same in-scan label promotion through a derived-null where() — scan+filter plan shape",
+    "tail_label_parity": "tail via label reverse-TopK: TakeOrderedAndProject(n, label desc) + tiny re-sort — no count action, no stamp mint",
+    "embedding_ann_lsh": "ANN recall gate: bucket-probe filter + TakeOrderedAndProject rerank vs brute-force top-k; join of two TopKs, no CartesianProduct",
 }
 
 
@@ -75,7 +80,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
-    out = ["# Physical plans (round 6) — key queries at sf0.001",
+    out = ["# Physical plans (round 7) — key queries at sf0.001",
            "",
            "Generated by `scripts/dump_plans.py`.  What to look for is noted",
            "per query; grep for `PushedFilters`, `ReadSchema`, `BroadcastHashJoin`,",
@@ -91,9 +96,9 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name}\n\n_{note}_\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open("/root/repo/PLANS_r6.md", "w") as f:
+    with open("/root/repo/PLANS_r7.md", "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS_r6.md")
+    print("wrote PLANS_r7.md")
 
 
 if __name__ == "__main__":

@@ -157,7 +157,8 @@ def main():
         t1 = time_gate(spark, fn, SRC)
         t10 = time_gate(spark, fn, DST)
         exp = round(math.log(max(t10, 1e-9) / max(t1, 1e-9)) / math.log(COPIES), 3)
-        results[g] = {"t_sf0.1": t1, "t_x10": t10, "exponent": exp}
+        results[g] = {"t_sf0.1": t1, f"t_x{COPIES}": t10,
+                      "exponent": exp}
         print(json.dumps({g: results[g]}), flush=True)
     print(json.dumps({"scaling": results}))
     spark.stop()

@@ -117,3 +117,15 @@ def test_hunt_seed_replay(spark, seed):
     import hunt_prop_r7 as H
     st, detail = H.run_case(seed)
     assert st == "OK", detail
+
+
+def test_series_drop_duplicates_keeps_labels(spark):
+    sp = pd.Series([3.0, 1.0, 3.0, 2.0, 1.0], name="v")
+    exp = sp.drop_duplicates()
+    got = from_pandas(sp).drop_duplicates().compute()
+    assert got.index.tolist() == exp.index.tolist() == [0, 1, 3]
+    assert got.tolist() == exp.tolist()
+    exp_l = sp.drop_duplicates(keep="last")
+    got_l = from_pandas(sp).drop_duplicates(keep="last").compute()
+    assert got_l.sort_index().index.tolist() == \
+        exp_l.sort_index().index.tolist()
