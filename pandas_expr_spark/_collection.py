@@ -5540,6 +5540,13 @@ class DataFrame(FrameBase):
         # but <=> calls two nulls equal; the engine conflates NaN/None.)
         if "!=" in expr:
             expr = _rewrite_not_equal(expr)
+        lbase = _label_base(self)
+        if lbase is not None:
+            # pandas query keeps the surviving rows' ORIGINAL labels —
+            # same promotion as the bare boolean filter
+            return DataFrame(lbase.filter(expr),
+                             Node("filter", {"predicate": expr},
+                                  self._expr), (_ROWID,), (None,))
         return self._derive(self._sdf.filter(expr), "filter", {"predicate": expr})
 
     # -- null handling ---------------------------------------------------
@@ -10394,38 +10401,35 @@ class _ILocIndexer:
                 if f._index_cols:
                     sdf, order = f._sdf, list(f._index_cols)
                 else:
-                    sdf, order = _attach_rowid(f._sdf), [_ROWID]
+                    sdf, order = _anchor_rowid(f), [_ROWID]
                 pos = scan.global_pos(sdf, order)
                 cond = ((F.col("__pos__") <= start)
                         & (F.col("__pos__") > stop)
                         & ((start - F.col("__pos__")) % s == 0))
                 hit = pos.filter(cond)
                 if tuple(f._index_cols) == (_ROWID,):
-                    # anonymous-rowid index = pure positional contract:
-                    # renumber so the rowid ORDER is the reversed order
-                    # (original rowids would silently keep ascending
-                    # order through downstream scans)
-                    out = (hit.drop(_ROWID)
-                           .withColumn(
-                               _ROWID, ((F.lit(start) - F.col("__pos__"))
+                    # pandas keeps the stored positional labels through a
+                    # reversal; the reversed presentation rides the
+                    # _ORDER stamp (downstream scans prefer the stamp
+                    # over index order) — r7: was renumbering
+                    out = (hit.withColumn(
+                               _ORDER, ((F.lit(start) - F.col("__pos__"))
                                         / F.lit(s)).cast("long"))
-                           .drop("__pos__")
-                           .withColumn(_ORDER, F.col(_ROWID))
-                           .orderBy(_ROWID))
+                           .drop("__pos__"))
                     node = Node("iloc", {"step": step}, f._expr)
                     return DataFrame(out, node, (_ROWID,), (None,))
                 if not f._index_cols:
-                    # anchor the NEW presentation position as the rowid so
-                    # downstream order-dependent ops (cummax, rolling, …)
-                    # follow the reversed order, like pandas — a bare
-                    # orderBy would be elided by Catalyst before the next
-                    # exchange and the scan would silently run ascending
+                    # pandas keeps the ORIGINAL positional labels through
+                    # a reversal; the NEW presentation position becomes
+                    # the _ORDER stamp so downstream order-dependent ops
+                    # (cummax, rolling, …) follow the reversed order —
+                    # a bare orderBy would be elided by Catalyst before
+                    # the next exchange and the scan would silently run
+                    # ascending (r7: labels kept, was renumbering)
                     out = (hit.withColumn(
-                               _ROWID, ((F.lit(start) - F.col("__pos__"))
+                               _ORDER, ((F.lit(start) - F.col("__pos__"))
                                         / F.lit(s)).cast("long"))
-                           .drop("__pos__")
-                           .withColumn(_ORDER, F.col(_ROWID))
-                           .orderBy(_ROWID))
+                           .drop("__pos__"))
                     node = Node("iloc", {"step": step}, f._expr)
                     return DataFrame(out, node, (_ROWID,), (None,))
                 out = (hit.orderBy(F.col("__pos__").desc())
@@ -10453,7 +10457,7 @@ class _ILocIndexer:
             if f._index_cols:
                 sdf, order = f._sdf, list(f._index_cols)
             else:
-                sdf, order = _attach_rowid(f._sdf), [_ROWID]
+                sdf, order = _anchor_rowid(f), [_ROWID]
             pos = scan.global_pos(sdf, order)
             cond = F.col("__pos__") >= start
             if stop is not None:
@@ -10462,7 +10466,12 @@ class _ILocIndexer:
                 cond = cond & ((F.col("__pos__") - start) % step == 0)
             out = pos.filter(cond).drop("__pos__")
             if not f._index_cols:
-                out = out.drop(_ROWID)
+                # pandas keeps the sliced rows' ORIGINAL positional
+                # labels — promote the anchor to the index (r7)
+                return DataFrame(out, Node("iloc", {"start": start,
+                                                    "stop": stop,
+                                                    "step": step},
+                                           f._expr), (_ROWID,), (None,))
             return f._derive(out, "iloc", {"start": start, "stop": stop,
                                            "step": step})
         if isinstance(key, (int, np.integer)):

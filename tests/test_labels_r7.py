@@ -177,3 +177,25 @@ def test_random_label_chain(spark, seed):
     assert got.index.tolist() == ref.index.tolist(), \
         f"label mismatch (seed {seed})"
     _eq(got.reset_index(drop=True), ref.reset_index(drop=True))
+
+
+def test_query_keeps_labels(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4, 5]})
+    got = from_pandas(pdf).query("a > 2").compute()
+    assert got.index.tolist() == pdf.query("a > 2").index.tolist()
+
+
+def test_iloc_slices_keep_labels(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4, 5], "v": [5.0, 4, 3, 2, 1]})
+    df = from_pandas(pdf)
+    for sl in (slice(1, 4), slice(None, None, 2), slice(None, None, -1),
+               slice(None, None, -2), slice(3, None)):
+        got = df.iloc[sl].compute()
+        exp = pdf.iloc[sl]
+        assert got.index.tolist() == exp.index.tolist(), sl
+        assert got["v"].tolist() == exp["v"].tolist(), sl
+    # composed: filter promotion then positional slice
+    f2 = df[df.a > 1]
+    got = f2.iloc[1:3].compute()
+    exp = pdf[pdf.a > 1].iloc[1:3]
+    assert got.index.tolist() == exp.index.tolist()
