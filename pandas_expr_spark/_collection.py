@@ -6839,6 +6839,23 @@ class DataFrame(FrameBase):
             sdf = (fuse[0].orderBy(*self._fuse_order_cols(reverse=True))
                    .limit(n).orderBy(*fwd)
                    .withColumn(_ORDER, F.monotonically_increasing_id()))
+            if not self._index_cols:
+                # ignore_index-sorted parent: pandas labels are the dense
+                # positions in the FULL sorted order — for the tail's k
+                # rows that is N - rank_from_the_end, with N a LAZY 1-row
+                # count branch (no driver action; the reverse-TopK plan
+                # shape survives).  (head needs nothing: its labels
+                # 0..k-1 equal the renumber the default index already
+                # presents.)  r7 hunt seed 40142.
+                cnt = fuse[0].agg(F.count(F.lit(1)).alias("__n__"))
+                w = Window.orderBy(F.col(_ORDER).desc())
+                out = (sdf.crossJoin(F.broadcast(cnt))
+                       .withColumn(_ROWID, (F.col("__n__")
+                                            - F.row_number().over(w))
+                                   .cast("long"))
+                       .drop("__n__"))
+                return DataFrame(out, Node("tail", {"n": n}, self._expr),
+                                 (_ROWID,), (None,))
             return self._derive(sdf, "tail", {"n": n})
         base = self._sdf
         ocol = _ORDER if _ORDER in base.columns else (
@@ -6944,11 +6961,33 @@ class DataFrame(FrameBase):
         # columns of the PREVIOUS index that aren't data columns must go,
         # or they'd leak as data (e.g. __index_0__ from a non-trivial
         # from_pandas index)
+        if (tuple(self._index_cols) == (_ROWID,)
+                and _ORDER not in sdf.columns
+                and _ROWID in sdf.columns and _ROWID not in keys):
+            # pandas set_index KEEPS row order; an anonymous rowid index
+            # (filter/dedup survivors) carries the presented order, so it
+            # becomes the stamp instead of vanishing (seed-96 contract,
+            # extended to set_index by the r7 hunt: dedup→set_index→
+            # reset_index presented in arrival order)
+            sdf = sdf.withColumnRenamed(_ROWID, _ORDER)
         stale = [c for c in self._index_cols
                  if c not in keys and c not in self.columns
                  and c in sdf.columns]
         if stale:
             sdf = sdf.drop(*stale)
+        if _LABEL in sdf.columns:
+            if _labels_valid(self):
+                # valid labels ARE the presented positions — demote them
+                # to the ORDER stamp: order-only information can never
+                # resurrect as stale labels (any later label derivation
+                # is a dense position pass over the stamp = exactly
+                # pandas' renumber after reset_index), and the presented
+                # order survives set_index→reset_index round trips
+                sdf = sdf.withColumnRenamed(_LABEL, _ORDER)
+            else:
+                # a stale label column must not ride dormant under the
+                # new index (resurrection guard)
+                sdf = sdf.drop(_LABEL)
         node = Node("set_index", {"keys": keys, "drop": drop}, self._expr)
         if not drop:
             # pandas keeps the data column AND indexes by it: the INDEX
@@ -7009,6 +7048,12 @@ class DataFrame(FrameBase):
             if ren:
                 sdf = sdf.withColumnsRenamed(ren)
             order = [ren.get(c, c) for c in self._index_cols] + self.columns
+            if _ORDER in sdf.columns:
+                # the presentation stamp survives the index→column move
+                # (r7 hunt: dedup→set_index→reset_index presented in
+                # arrival order without it); the LABEL column does NOT —
+                # it may be stale under an index (resurrection guard)
+                order = [_ORDER] + order
             sdf = sdf.select(*order)
         node = Node("reset_index", {"drop": drop}, self._expr)
         return DataFrame(sdf, node, (), ())
@@ -10399,44 +10444,45 @@ class _ILocIndexer:
                 stop = -1 if key.stop is None else (
                     key.stop if key.stop >= 0 else n + key.stop)
                 if f._index_cols:
-                    sdf, order = f._sdf, list(f._index_cols)
+                    sdf = f._sdf
+                    order = [_ORDER] if _ORDER in sdf.columns \
+                        else list(f._index_cols)
+                    rev_mode = "indexed"
+                elif _ORDER in f._sdf.columns:
+                    sdf, order, rev_mode = f._sdf, [_ORDER], "pos_as_label"
                 else:
-                    sdf, order = _anchor_rowid(f), [_ROWID]
+                    sdf, order, rev_mode = _anchor_rowid(f), [_ROWID], \
+                        "anchor"
                 pos = scan.global_pos(sdf, order)
                 cond = ((F.col("__pos__") <= start)
                         & (F.col("__pos__") > stop)
                         & ((start - F.col("__pos__")) % s == 0))
                 hit = pos.filter(cond)
-                if tuple(f._index_cols) == (_ROWID,):
-                    # pandas keeps the stored positional labels through a
-                    # reversal; the reversed presentation rides the
-                    # _ORDER stamp (downstream scans prefer the stamp
-                    # over index order) — r7: was renumbering
-                    out = (hit.withColumn(
-                               _ORDER, ((F.lit(start) - F.col("__pos__"))
-                                        / F.lit(s)).cast("long"))
-                           .drop("__pos__"))
-                    node = Node("iloc", {"step": step}, f._expr)
+                node = Node("iloc", {"step": step}, f._expr)
+                # pandas keeps labels through a reversal; the reversed
+                # presentation rides the _ORDER stamp (downstream scans
+                # prefer the stamp; a bare orderBy would be elided by
+                # Catalyst before the next exchange) — r7: was
+                # renumbering
+                new_stamp = ((F.lit(start) - F.col("__pos__"))
+                             / F.lit(s)).cast("long")
+                if rev_mode == "pos_as_label":
+                    # stamped, unindexed: pandas labels = the dense PRE-
+                    # reversal stamp positions
+                    out = (hit.withColumnRenamed("__pos__", _ROWID)
+                           .withColumn(_ORDER, (F.lit(start)
+                                                - F.col(_ROWID))
+                                       / F.lit(s))
+                           .withColumn(_ORDER,
+                                       F.col(_ORDER).cast("long")))
                     return DataFrame(out, node, (_ROWID,), (None,))
-                if not f._index_cols:
-                    # pandas keeps the ORIGINAL positional labels through
-                    # a reversal; the NEW presentation position becomes
-                    # the _ORDER stamp so downstream order-dependent ops
-                    # (cummax, rolling, …) follow the reversed order —
-                    # a bare orderBy would be elided by Catalyst before
-                    # the next exchange and the scan would silently run
-                    # ascending (r7: labels kept, was renumbering)
-                    out = (hit.withColumn(
-                               _ORDER, ((F.lit(start) - F.col("__pos__"))
-                                        / F.lit(s)).cast("long"))
+                if rev_mode == "anchor":
+                    out = (hit.withColumn(_ORDER, new_stamp)
                            .drop("__pos__"))
-                    node = Node("iloc", {"step": step}, f._expr)
                     return DataFrame(out, node, (_ROWID,), (None,))
-                out = (hit.orderBy(F.col("__pos__").desc())
-                       .drop("__pos__"))
-                return f._derive(out, "iloc", {"start": start,
-                                               "stop": stop,
-                                               "step": step})
+                out = hit.withColumn(_ORDER, new_stamp).drop("__pos__")
+                return DataFrame(out, node, f._index_cols,
+                                 f._index_names)
             start, stop = key.start, key.stop
             if (start is not None and start < 0) or \
                     (stop is not None and stop < 0):
@@ -10454,24 +10500,37 @@ class _ILocIndexer:
             if step == 1 and start == 0:
                 return f.head(stop)
             from .functions import scan
+            # positions follow the PRESENTED order: the stamp when one
+            # exists (sorted/concat/reversed ancestry), else the index,
+            # else the label/physical anchor (r7 rand-hunt: a stamped
+            # frame's index order is NOT its presentation)
+            promote = None
             if f._index_cols:
-                sdf, order = f._sdf, list(f._index_cols)
+                sdf = f._sdf
+                order = [_ORDER] if _ORDER in sdf.columns \
+                    else list(f._index_cols)
+            elif _ORDER in f._sdf.columns:
+                # stamped, unindexed: pandas labels ARE the dense stamp
+                # positions — the position column doubles as the label
+                sdf, order, promote = f._sdf, [_ORDER], "pos_as_label"
             else:
-                sdf, order = _anchor_rowid(f), [_ROWID]
+                sdf, order, promote = _anchor_rowid(f), [_ROWID], "anchor"
             pos = scan.global_pos(sdf, order)
             cond = F.col("__pos__") >= start
             if stop is not None:
                 cond = cond & (F.col("__pos__") < stop)
             if step != 1:
                 cond = cond & ((F.col("__pos__") - start) % step == 0)
-            out = pos.filter(cond).drop("__pos__")
-            if not f._index_cols:
-                # pandas keeps the sliced rows' ORIGINAL positional
-                # labels — promote the anchor to the index (r7)
-                return DataFrame(out, Node("iloc", {"start": start,
-                                                    "stop": stop,
-                                                    "step": step},
-                                           f._expr), (_ROWID,), (None,))
+            hit = pos.filter(cond)
+            node = Node("iloc", {"start": start, "stop": stop,
+                                 "step": step}, f._expr)
+            if promote == "pos_as_label":
+                out = hit.withColumnRenamed("__pos__", _ROWID)
+                return DataFrame(out, node, (_ROWID,), (None,))
+            out = hit.drop("__pos__")
+            if promote == "anchor":
+                # pandas keeps the sliced rows' ORIGINAL positional labels
+                return DataFrame(out, node, (_ROWID,), (None,))
             return f._derive(out, "iloc", {"start": start, "stop": stop,
                                            "step": step})
         if isinstance(key, (int, np.integer)):

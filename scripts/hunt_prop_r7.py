@@ -71,6 +71,15 @@ OPS = [
     ("fillna", lambda d, r: d.fillna(-1.0)),
     ("nlargest", lambda d, r: d.nlargest(3, "i")),
     ("filter_after", lambda d, r: d[d["g"] != "c"]),
+    # r7 continuation: the query/iloc/where family
+    ("query", lambda d, r: d.query("i >= 0")),
+    ("iloc_slice", lambda d, r: d.iloc[1:9]),
+    ("iloc_step", lambda d, r: d.iloc[::2]),
+    ("iloc_rev", lambda d, r: d.iloc[::-1]),
+    ("where", lambda d, r: d.assign(v=d["v"].where(d["i"] > 0))),
+    ("set_reset", lambda d, r: d.set_index("g").reset_index()),
+    ("rename_rt", lambda d, r: d.rename(columns={"v": "vv"})
+                                .rename(columns={"vv": "v"})),
 ]
 
 # terminal ops that exercise sort-fuse / groupby-on-fused states

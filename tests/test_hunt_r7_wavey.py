@@ -129,3 +129,49 @@ def test_series_drop_duplicates_keeps_labels(spark):
     got_l = from_pandas(sp).drop_duplicates(keep="last").compute()
     assert got_l.sort_index().index.tolist() == \
         exp_l.sort_index().index.tolist()
+
+
+def test_set_index_reset_keeps_order_and_labels(spark):
+    # dedup (rowid-labeled survivors) → set_index → reset_index must keep
+    # BOTH the presented row order (stamp carry) and, for pristine
+    # frames, pandas' renumbered labels at the next subsetting op
+    pdf = pd.DataFrame({"g": list("abab"), "v": [1.0, None, 3.0, 4.0]})
+    got = (from_pandas(pdf).set_index("g").reset_index().dropna()
+           .compute())
+    exp = pdf.set_index("g").reset_index().dropna()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got["v"].tolist() == exp["v"].tolist()
+    # dedup → set_index → reset: row order preserved
+    pdf2 = pd.DataFrame({"g": ["b", "b", "a"], "v": [1.0, 2.0, 3.0]})
+    got2 = (from_pandas(pdf2).drop_duplicates(subset=["g"])
+            .set_index("g").reset_index().compute())
+    exp2 = pdf2.drop_duplicates(subset=["g"]).set_index("g").reset_index()
+    assert got2["g"].tolist() == exp2["g"].tolist() == ["b", "a"]
+
+
+def test_sorted_ignore_tail_fuse_labels(spark):
+    # the TopK tail fuse on an ignore_index sort derives pandas' dense
+    # positions from a lazy count branch (hunt seed 40142)
+    pdf = pd.DataFrame({"i": [3, 1, 4, 1, 5, 9, 2, 6]})
+    got = (from_pandas(pdf).sort_values("i", ignore_index=True)
+           .tail(3).compute())
+    exp = pdf.sort_values("i", ignore_index=True, kind="stable").tail(3)
+    assert got.index.tolist() == exp.index.tolist() == [5, 6, 7]
+    assert got["i"].tolist() == exp["i"].tolist()
+
+
+def test_iloc_follows_stamp_positions(spark):
+    # iloc positions follow the PRESENTED (stamped) order, and a stamped
+    # frame's dense labels survive slicing/reversal (seeds 40016/40050)
+    pdf = pd.DataFrame({"v": [3.0, 1.0, 4.0, 2.0, 5.0]})
+    e = from_pandas(pdf).sort_values("v", ignore_index=True)
+    x = pdf.sort_values("v", ignore_index=True, kind="stable")
+    for sl in (slice(1, 4), slice(None, None, -1), slice(None, None, 2)):
+        got = e.iloc[sl].compute()
+        exp = x.iloc[sl]
+        assert got.index.tolist() == exp.index.tolist(), sl
+        assert got["v"].tolist() == exp["v"].tolist(), sl
+    # double reversal round-trips
+    got = e.iloc[::-1].iloc[::-1].compute()
+    assert got["v"].tolist() == x["v"].tolist()
+    assert got.index.tolist() == x.index.tolist()
