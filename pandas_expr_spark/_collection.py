@@ -6862,12 +6862,30 @@ class DataFrame(FrameBase):
             _ROWID if tuple(self._index_cols) == (_ROWID,) else None)
         lab = False
         if not self._index_cols:
-            lbase = _label_base(self)
-            if lbase is not None:
+            if _labels_valid(self):
                 # pandas tail KEEPS the original positional labels — the
-                # label column (in-scan rename, or stamp-position pass)
-                # is both the reverse-TopK order and the surviving index
-                base, lab, ocol = lbase, True, _ROWID
+                # in-scan label column is both the reverse-TopK order and
+                # the surviving rows' index (pure rename)
+                base = base.withColumnRenamed(_LABEL, _ROWID)
+                lab, ocol = True, _ROWID
+            elif (n >= 0 and _ORDER in base.columns
+                    and _ROWID not in base.columns):
+                # stamped frame: pandas labels are the dense stamp
+                # positions N - rank_from_the_end — derived from a LAZY
+                # 1-row count branch (same shape as the sort-fuse tail;
+                # an eager position pass here would violate tail's
+                # no-build-job contract)
+                sdf = (base.orderBy(F.col(_ORDER).desc()).limit(n)
+                       .orderBy(F.col(_ORDER).asc()))
+                cnt = base.agg(F.count(F.lit(1)).alias("__n__"))
+                w = Window.orderBy(F.col(_ORDER).desc())
+                out = (sdf.crossJoin(F.broadcast(cnt))
+                       .withColumn(_ROWID, (F.col("__n__")
+                                            - F.row_number().over(w))
+                                   .cast("long"))
+                       .drop("__n__"))
+                return DataFrame(out, Node("tail", {"n": n}, self._expr),
+                                 (_ROWID,), (None,))
         if n < 0:
             if ocol is not None:
                 base = base.orderBy(ocol)

@@ -714,8 +714,11 @@ def rolling_apply(sdf: SparkDF, col: str, order_by: list[str], window: int,
     minp = window if min_periods is None else min_periods
     if window > block_rows:
         block_rows = window * 2
-    pos = global_pos(sdf.select(*order_by, col), order_by, "__pos__",
-                     num_partitions)
+    # keep EVERY input column (the caller passes a pre-projected frame):
+    # an indexed+stamped series orders by the stamp but must carry its
+    # index columns through to the join-back (r7: set_index outputs are
+    # stamped, and the old order_by+col projection dropped the index)
+    pos = global_pos(sdf, order_by, "__pos__", num_partitions)
     blk = (F.col("__pos__") / block_rows).cast("long")
     main = pos.withColumn("__blk__", blk).withColumn("__halo__", F.lit(False))
     # centered windows look FORWARD `lead` rows and BACK window-1-lead rows
