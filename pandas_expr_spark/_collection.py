@@ -57,8 +57,22 @@ _ORDER = "__pes_order__"
 # _metadata scan read) from any plan that never observes it.
 _LABEL = "__pes_label__"
 # id(sdf) -> (sdf, hidden-column-stripped twin): keeps to_spark() identity
-# stable (scan-sharing CSE) now that scans carry a hidden label column
-_PUBLIC_TWIN: dict = {}
+# stable (scan-sharing CSE) now that scans carry a hidden label column.
+# Bounded LRU (r7 advice: the unbounded id-keyed dict held every plan pair
+# for the session's lifetime) — 256 covers any realistic working set of
+# simultaneously-live lowered plans; evicted entries just re-derive.
+import collections as _collections
+_PUBLIC_TWIN: "_collections.OrderedDict" = _collections.OrderedDict()
+_PUBLIC_TWIN_CAP = 256
+
+# internal value-column placeholder for unnamed Series ("__v__"): it must
+# never surface as a user-visible name — pandas reports None there.  Scrub
+# at the compute boundary (single choke point for every escape path).
+_NAME_PLACEHOLDER = "__v__"
+
+
+def _scrub_name(n):
+    return None if n == _NAME_PLACEHOLDER else n
 
 
 def _labels_valid(frame) -> bool:
@@ -870,9 +884,12 @@ class FrameBase:
         key = id(sdf)
         hit = _PUBLIC_TWIN.get(key)
         if hit is not None and hit[0] is sdf:
+            _PUBLIC_TWIN.move_to_end(key)
             return hit[1]
         twin = sdf.drop(*drop)
         _PUBLIC_TWIN[key] = (sdf, twin)
+        while len(_PUBLIC_TWIN) > _PUBLIC_TWIN_CAP:
+            _PUBLIC_TWIN.popitem(last=False)
         return twin
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK"):
@@ -4097,7 +4114,7 @@ class Series(FrameBase):
             pdf = base.select(*cols).toPandas()
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))
-            pdf.index.names = list(self._index_names)
+            pdf.index.names = [_scrub_name(n) for n in self._index_names]
             pdf.index = _restore_period_index(
                 pdf.index, self._index_cols, self._index_period_freq)
         ser = pdf[name]
@@ -4139,6 +4156,7 @@ class Series(FrameBase):
                 pass
         if self._col_name is None:
             ser.name = None
+        ser.name = _scrub_name(ser.name)
         if getattr(self, "_is_categorical", False):
             cats = getattr(self, "_cat_categories", None)
             ser = ser.astype(pd.CategoricalDtype(
@@ -7055,12 +7073,15 @@ class DataFrame(FrameBase):
             return DataFrame(sdf, node, (), ())
         else:
             # pandas naming for unnamed levels: single index -> "index",
-            # MultiIndex levels -> "level_{i}" (r5 hunt pin)
+            # MultiIndex levels -> "level_{i}" (r5 hunt pin).  The internal
+            # unnamed-value placeholder counts as unnamed too (r8: an
+            # unnamed-series value_counts index must reset to "index",
+            # never surface "__v__").
             if len(self._index_cols) <= 1:
-                names = [n if n is not None else "index"
+                names = [n if _scrub_name(n) is not None else "index"
                          for n in self._index_names]
             else:
-                names = [n if n is not None else f"level_{i}"
+                names = [n if _scrub_name(n) is not None else f"level_{i}"
                          for i, n in enumerate(self._index_names)]
             ren = {c: n for c, n in zip(self._index_cols, names) if c != n}
             if ren:
@@ -9928,9 +9949,11 @@ class DataFrame(FrameBase):
             pdf = pdf.drop(columns=[_ROWID])
         if self._index_cols:
             pdf = pdf.set_index(list(self._index_cols))
-            pdf.index.names = list(self._index_names)
+            pdf.index.names = [_scrub_name(n) for n in self._index_names]
             pdf.index = _restore_period_index(
                 pdf.index, self._index_cols, self._index_period_freq)
+        if _NAME_PLACEHOLDER in pdf.columns:
+            pdf = pdf.rename(columns={_NAME_PLACEHOLDER: None})
         for c, f in (getattr(self, "_period_value_freq", None) or {}).items():
             if c in pdf.columns:
                 pdf[c] = pdf[c].dt.to_period(f)

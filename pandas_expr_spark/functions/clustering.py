@@ -72,18 +72,32 @@ def assign_nearest(sdf: SparkDF, vec_col: str, centroids: np.ndarray,
     from pyspark.sql import types as T
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C * C).sum(1)
-    fields = list(sdf.schema.fields) + [T.StructField(out, T.IntegerType())]
+    dim = C.shape[1]
+    # REPLACE an existing `out` field instead of appending a duplicate,
+    # and keep it nullable — null/ragged vectors assign null, matching
+    # the k<64 JVM path (r7 advice: the paths diverged exactly when k
+    # crossed 64 on the same data)
+    fields = [f for f in sdf.schema.fields if f.name != out] + \
+             [T.StructField(out, T.IntegerType(), True)]
     schema = T.StructType(fields)
 
     def _fn(batches):
+        import pandas as pd
         for pdf in batches:
             pdf = pdf.copy()
+            res = pd.array([None] * len(pdf), dtype="Int32")
             if len(pdf):
-                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                pdf[out] = (-2.0 * (V @ C.T) + c2).argmin(1).astype("int32")
-            else:
-                pdf[out] = np.array([], dtype="int32")
-            yield pdf
+                vecs = pdf[vec_col].tolist()
+                ok = [i for i, v in enumerate(vecs)
+                      if v is not None and len(v) == dim
+                      and not any(x is None for x in v)]
+                if ok:
+                    V = np.asarray([vecs[i] for i in ok], dtype=np.float64)
+                    res[ok] = (-2.0 * (V @ C.T) + c2).argmin(1).astype("int32")
+            pdf[out] = res
+            # schema order (out last) — an input that already carried
+            # `out` has it at its original position
+            yield pdf[[f.name for f in schema.fields]]
 
     return sdf.mapInPandas(_fn, schema)
 

@@ -84,17 +84,30 @@ _LABEL_MAX_FILES = 256
 
 
 def _parquet_file_offsets(path: str):
-    """``(file_path, start_offset)`` per parquet data file in pandas read
-    order (sorted paths), from FOOTER metadata only — no data IO."""
+    """``{raw_basename: start_offset}`` per parquet data file in pandas
+    read order (sorted paths), from FOOTER metadata only — no data IO.
+
+    Keyed by file BASENAME, not full path (r7 advice): Spark's
+    ``_metadata.file_path`` is a percent-encoded URI while pyarrow reports
+    raw filesystem paths, and scheme/bucket normalization differs between
+    the two (``s3://b/x`` vs ``/b/x`` vs ``b/x``) — basename matching
+    sidesteps every prefix discrepancy.  ``_labeled_parquet_scan`` bridges
+    the encoding gap by unquoting Spark's OWN basenames (from
+    ``inputFiles()``) against these raw keys.  Duplicate basenames make
+    the map ambiguous — return None, degrading to renumber-on-filter."""
     try:
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
         files = sorted(ds.dataset(path, format="parquet").files)
         if not files or len(files) > _LABEL_MAX_FILES:
             return None
-        offs, total = [], 0
+        offs = {}
+        total = 0
         for f in files:
-            offs.append((str(f), total))
+            base = str(f).rstrip("/").rsplit("/", 1)[-1]
+            if base in offs:
+                return None
+            offs[base] = total
             total += pq.ParquetFile(f).metadata.num_rows
         return offs
     except Exception:
@@ -124,12 +137,30 @@ def _labeled_parquet_scan(spark, path: str) -> SparkDF:
         if len(offs) == 1:
             label = ri
         else:
-            pairs = []
-            for f, off in offs:
-                pairs += [F.lit(f), F.lit(off)]
-            fp = F.regexp_replace(F.col("_metadata.file_path"),
-                                  "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-            label = F.element_at(F.create_map(*pairs), fp) + ri
+            # Bridge Spark's URI encoding at BUILD time (file listing
+            # only, no data IO): Spark's literal basenames (encoded —
+            # space→%20, é and + left raw) unquote to pyarrow's raw
+            # basenames; the runtime map is keyed by Spark's OWN literals
+            # so no per-row decode is needed (url_decode's form semantics
+            # would corrupt literal '+').  Any non-bijective match →
+            # unlabeled scan (renumber fallback), never null labels or an
+            # ANSI MAP_KEY_DOES_NOT_EXIST crash (r7 advice).
+            from urllib.parse import unquote
+            spark_files = sdf.inputFiles()
+            if len(spark_files) != len(offs):
+                return sdf
+            pairs, hit = [], set()
+            for f in spark_files:
+                lit_base = f.rstrip("/").rsplit("/", 1)[-1]
+                raw = unquote(lit_base)
+                if raw not in offs or raw in hit:
+                    return sdf
+                hit.add(raw)
+                pairs += [F.lit(lit_base), F.lit(offs[raw])]
+            # try_element_at: belt-and-braces against an unforeseen
+            # runtime/file-listing discrepancy
+            fp = F.substring_index(F.col("_metadata.file_path"), "/", -1)
+            label = F.try_element_at(F.create_map(*pairs), fp) + ri
         out = sdf.select("*", label.alias(_LABEL))
         out.schema  # force analysis — fall back if _metadata unsupported
         return out
@@ -415,10 +446,13 @@ def from_pandas(pdf, npartitions: int | None = None) -> DataFrame:
     if stamp_order:
         from .._collection import _ORDER as _ORDER_COL
         pdf = pdf.assign(**{_ORDER_COL: range(len(pdf))})
-    if not index_cols and not stamp_order:
+    if not index_cols and not stamp_order and _PES_LABELS:
         # default RangeIndex: stamp the exact positional labels driver-
         # side (the input is already driver-held) so bare filter/dropna
-        # keep pandas' original labels instead of renumbering
+        # keep pandas' original labels instead of renumbering.  Gated on
+        # the same PES_POSITIONAL_LABELS kill switch as the parquet scan
+        # (r7 advice: the env var must disable EVERY label source, not
+        # just in-scan minting, for the renumbering contract to hold).
         from .._collection import _LABEL as _LABEL_COL
         import numpy as _np
         pdf = pdf.assign(**{_LABEL_COL: _np.arange(len(pdf), dtype="int64")})

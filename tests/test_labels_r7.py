@@ -105,7 +105,10 @@ def test_multifile_parquet_labels(spark, tmp_path):
 
 
 def test_no_label_env_fallback():
-    # PES_POSITIONAL_LABELS=0 restores the renumbering contract
+    # PES_POSITIONAL_LABELS=0 restores the renumbering contract across
+    # EVERY label source — from_pandas driver-side stamps as well as the
+    # in-scan parquet labels (r8: the stamp is now gated on the same env
+    # var, so a bare filter renumbers 0..n-1)
     import subprocess, sys
     code = (
         "import pandas as pd, pandas_expr_spark as pes\n"
@@ -118,7 +121,7 @@ def test_no_label_env_fallback():
            "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")}
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, timeout=300)
-    assert "[2, 3]" in r.stdout, r.stdout + r.stderr
+    assert "[0, 1]" in r.stdout, r.stdout + r.stderr
 
 
 # ------------------------------------------------------- randomized chains
