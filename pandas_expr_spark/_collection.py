@@ -459,7 +459,7 @@ def _assign_positional(sdf: SparkDF, key: str, values) -> SparkDF:
         else sdf
     if key in base.columns:
         base = base.drop(key)
-    withpos = _attach_rowid(base)
+    withpos = _presented_rowid(base)
     out = (withpos.join(F.broadcast(lookup),
                         withpos[_ROWID] == lookup["__assign_pos__"], "left")
            .drop("__assign_pos__", _ROWID))
@@ -754,6 +754,24 @@ def _attach_rowid(sdf: SparkDF, name: str = _ROWID) -> SparkDF:
                        + F.col("__mid__").bitwiseAND(F.lit(mask)))
            .drop("__pid__", "__mid__", "__off__"))
     return out.select(*sdf.columns, name)
+
+
+def _presented_rowid(sdf: SparkDF, name: str = _ROWID) -> SparkDF:
+    """Positional anchor over an sdf that may carry a presentation stamp.
+
+    ``_attach_rowid`` numbers the PHYSICAL layout; a stamped frame
+    (drop_duplicates→reset_index, concat, melt — logically ordered by
+    ``_ORDER``, physically scrambled by shuffles) must number rows in the
+    PRESENTED order instead, or every positional consumer silently
+    misaligns (the r7-advice ``_binop_axis0`` class; r8 audit found the
+    same gap at 12 more sites).  Stamped → ranged position pass over the
+    stamp; unstamped → physical attach (layout == presentation there)."""
+    if _ORDER in sdf.columns:
+        from .functions import scan
+        if name in sdf.columns:
+            sdf = sdf.drop(name)
+        return scan.global_pos(sdf, [_ORDER], name=name)
+    return _attach_rowid(sdf, name)
 
 
 # --------------------------------------------------------------------------
@@ -3085,40 +3103,57 @@ class Series(FrameBase):
                     F.col(name).asc())
             node = Node("value_counts", {"bins": bins}, self._expr)
             return Series(filled, F.col(val), val, node, (name,), (name,))
-        name = self._col_name or "__v__"
-        f = self.to_frame(name)
-        sdf = f._sdf
+        # tie order is pandas' FIRST-APPEARANCE order (r8 hunt: ties were
+        # value-sorted, pandas keeps encounter order) — one extra
+        # map-side-combinable min(position) per group; the position
+        # anchor is free on labeled scans / stamped frames and a rowid
+        # attach otherwise
+        sdf, name, order, _vc_idx = self._ordered_base()
         if dropna:
             sdf = sdf.filter(F.col(name).isNotNull())
-        out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
+        first = (F.min(F.col(order[0])) if len(order) == 1
+                 else F.min(F.struct(*[F.col(c) for c in order])))
+        out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"),
+                                    first.alias("__vc_first__"))
         cats = getattr(self, "_cat_categories", None)
-        if getattr(self, "_is_categorical", False) and cats:
+        is_cat = getattr(self, "_is_categorical", False) and cats
+        if is_cat:
             # pandas: a KNOWN categorical's value_counts includes every
             # unobserved category with count 0 (wave U) — the category
             # list is driver-held metadata, so the zero-fill is one
-            # broadcast left join
+            # broadcast left join.  Tie key = CATEGORY-LIST position
+            # (pandas computes categorical counts in category order, NaN
+            # appended last), not first appearance.
             spark = self._sdf.sparkSession
-            cat_pdf = pd.DataFrame({name: list(cats)})
+            cat_pdf = pd.DataFrame({name: list(cats),
+                                    "__vc_pos__": range(len(cats))})
             lab = F.broadcast(spark.createDataFrame(cat_pdf))
-            filled = (lab.join(out.filter(F.col(name).isNotNull()),
-                               name, "left")
+            filled = (lab.join(out.filter(F.col(name).isNotNull())
+                               .drop("__vc_first__"), name, "left")
                       .withColumn("count", F.coalesce(F.col("count"),
                                                       F.lit(0))))
             if not dropna:
                 # the null-key count row never matches a category label —
                 # union it back so dropna=False keeps the NaN count
                 filled = filled.unionByName(
-                    out.filter(F.col(name).isNull()))
+                    out.filter(F.col(name).isNull())
+                    .withColumn("__vc_pos__", F.lit(len(cats)))
+                    .drop("__vc_first__"))
             out = filled
+        tie = F.col("__vc_pos__" if is_cat else "__vc_first__")
         val_col = "count"
         if normalize:
             out = out.withColumn("proportion",
                                  F.col("count") / F.sum("count").over(Window.partitionBy()))
-            out = out.select(name, "proportion")
             val_col = "proportion"
         if sort:
-            out = out.orderBy(F.col(val_col).asc() if ascending else F.col(val_col).desc(),
-                              F.col(name).asc())
+            out = out.orderBy(F.col(val_col).asc() if ascending
+                              else F.col(val_col).desc(), tie.asc())
+        else:
+            # pandas sort=False presents first-appearance (or category)
+            # order — pin it (arrival order was nondeterministic)
+            out = out.orderBy(tie.asc())
+        out = out.select(name, val_col)
         node = Node("value_counts", {"normalize": normalize}, self._expr)
         return Series(out, F.col(val_col), val_col, node, (name,), (name,))
 
@@ -3205,7 +3240,12 @@ class Series(FrameBase):
             node = Node("rename_index", {}, self._expr)
             return Series(sdf, self._scol, self._col_name, node,
                           self._index_cols, self._index_names)
-        return self._with_scol(self._scol, "rename", name=name)
+        # pandas: rename() / rename(None) UNNAMES the series (the no-arg
+        # form is not a no-op — r8 name hunt)
+        out = self._with_scol(self._scol, "rename", name=name)
+        if name is None:
+            out._col_name = None
+        return out
 
     def to_list(self) -> list:
         """Eager values as a Python list (pandas ``tolist``)."""
@@ -3294,8 +3334,10 @@ class Series(FrameBase):
             c = self._index_cols[0]
             return Index(self._sdf, F.col(c), self._index_names[0],
                          Node("index", {"col": c}, self._expr))
-        sdf = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
-               if _labels_valid(self) else _attach_rowid(self._sdf))
+        # _anchor_rowid: label rename / stamp-position pass / physical
+        # attach — a stamped frame's labels are its PRESENTED positions,
+        # not the physical layout (r8 audit)
+        sdf = _anchor_rowid(self)
         return Index(sdf, F.col(_ROWID), None, Node("index", {}, self._expr))
 
     def keys(self) -> "Index":
@@ -3387,6 +3429,12 @@ class Series(FrameBase):
                 # carry the presented order, so they become the stamp
                 # (same seed-96 contract as the frame path)
                 sdf = self._sdf.select(F.col(_ROWID).alias(_ORDER),
+                                       self._scol.alias(vname))
+            elif _ORDER in self._sdf.columns:
+                # a stamped series keeps its presented order through the
+                # relabel (r8 hunt: dropping the stamp scrambled to
+                # arrival order)
+                sdf = self._sdf.select(F.col(_ORDER),
                                        self._scol.alias(vname))
             else:
                 sdf = self._sdf.select(self._scol.alias(vname))
@@ -4117,6 +4165,13 @@ class Series(FrameBase):
             pdf.index.names = [_scrub_name(n) for n in self._index_names]
             pdf.index = _restore_period_index(
                 pdf.index, self._index_cols, self._index_period_freq)
+            if (not isinstance(pdf.index, pd.MultiIndex)
+                    and pdf.index.dtype == object and pdf.index.hasnans):
+                # Arrow None → pandas' NaN missing marker, same
+                # normalization as object VALUE columns (r8)
+                pdf.index = pd.Index(
+                    [np.nan if x is None else x for x in pdf.index],
+                    name=pdf.index.name)
         ser = pdf[name]
         if ser.dtype == object and ser.isna().any():
             # Arrow delivers null strings as None; pandas' missing marker
@@ -4271,7 +4326,8 @@ class _SeriesRolling:
                                       "supported)")
         if other._sdf is s._sdf:
             base_f = DataFrame(
-                s._sdf.select(*[F.col(c) for c in s._index_cols],
+                s._sdf.select(*_order_cols(s._sdf),
+                              *[F.col(c) for c in s._index_cols],
                               s._scol.alias("__x__"),
                               other._scol.alias("__y__")),
                 Node("rolling_pair", {}, s._expr),
@@ -4280,10 +4336,17 @@ class _SeriesRolling:
             base_f = _align_frames(s.to_frame("__x__"),
                                    other.to_frame("__y__"))
         if base_f._index_cols:
-            sdf, order = base_f._sdf, list(base_f._index_cols)
+            sdf = base_f._sdf
+            # stamp outranks index for WINDOW order (pandas windows over
+            # the presented rows — a sorted label-keeping frame's labels
+            # are not its presentation, r8 hunt seed 30020)
+            order = [_ORDER] if _ORDER in sdf.columns \
+                else list(base_f._index_cols)
             idx, names = base_f._index_cols, base_f._index_names
         else:
-            sdf = _attach_rowid(base_f._sdf)
+            # presented-order anchor: a stamped series windows over the
+            # STAMP order, not the physical layout (r8 audit)
+            sdf = _presented_rowid(base_f._sdf)
             order, idx, names = [_ROWID], (_ROWID,), (None,)
         x, y = F.col("__x__").cast("double"), F.col("__y__").cast("double")
         m = x.isNotNull() & y.isNotNull()
@@ -4373,7 +4436,9 @@ class _SeriesTimeRolling:
                              "set_index first")
         ts_col = s._index_cols[0]
         f = s.to_frame("__v__")
-        sdf = _attach_rowid(f._sdf)
+        # stamp-aware: duplicate-timestamp ties follow the PRESENTED
+        # order on a stamped frame (r8 audit)
+        sdf = _presented_rowid(f._sdf)
         out = time_rolling(sdf, [_ROWID, ts_col], ts_col, ["__v__"],
                            self._wm, how, self._mp, closed=self._closed,
                            pos_col=_ROWID)
@@ -4415,7 +4480,8 @@ class _FrameTimeRolling:
         cols = self._cols if self._cols is not None else \
             [c for c in f.columns
              if c not in self._by and is_numeric(f._sdf.schema[c].dataType)]
-        sdf = _attach_rowid(f._sdf)
+        # stamp-aware tie order (r8 audit)
+        sdf = _presented_rowid(f._sdf)
         out = time_rolling(sdf, [_ROWID, ts_col], ts_col, cols,
                            self._wm, how, self._mp, by=self._by,
                            closed=self._closed, pos_col=_ROWID)
@@ -4507,21 +4573,23 @@ class _FrameRolling:
 
     def _base(self):
         f = self._f
-        if self._on is not None:
-            # pandas on=: that column orders the window and is excluded
-            # from aggregation; row identity stays the index (or rowid)
-            if f._index_cols:
-                return f._sdf, [self._on], f._index_cols, f._index_names
-            return (_attach_rowid(f._sdf), [self._on], (_ROWID,), (None,))
+        # pandas COUNT-window on=: the column is excluded from aggregation
+        # and kept in the output, but the window slides over ROW order —
+        # on= only becomes the window axis for OFFSET windows (r8 audit:
+        # ordering by on= diverged on any non-monotonic on column).  So
+        # the order source is identical with or without on=.
         if _ORDER in f._sdf.columns:
             # stamped presentation order (sort/nlargest) wins over the
             # label-preserving index for window order, like pandas
-            idx = f._index_cols if f._index_cols else (_ORDER,)
-            names = f._index_names if f._index_cols else (None,)
-            return f._sdf, [_ORDER], idx, names
+            if f._index_cols:
+                return f._sdf, [_ORDER], f._index_cols, f._index_names
+            # unindexed stamped: labels ARE the presented positions —
+            # anchor them (r8: (_ORDER,) as the result index crashed at
+            # the compute boundary, which drops the stamp)
+            return _anchor_rowid(f), [_ORDER], (_ROWID,), (None,)
         if f._index_cols:
             return f._sdf, list(f._index_cols), f._index_cols, f._index_names
-        sdf = _attach_rowid(f._sdf)
+        sdf = _anchor_rowid(f)
         return sdf, [_ROWID], (_ROWID,), (None,)
 
     def _numeric(self):
@@ -4539,8 +4607,10 @@ class _FrameRolling:
         num = self._numeric()
         out = scan.rolling_agg_frame(sdf, num, order, self._window, fn,
                                      self._minp, center=self._center)
-        keep = ([self._on] if self._on is not None
-                and self._on not in idx else []) + num
+        # pandas keeps the on column unaggregated, at its ORIGINAL slot
+        want = set(num) | ({self._on} if self._on is not None
+                           and self._on not in idx else set())
+        keep = [c for c in self._f.columns if c in want]
         out = out.select(*[F.col(c) for c in idx], *_order_cols(out),
                          *keep)
         node = Node(f"frame_rolling_{fn}", {"window": self._window},
@@ -4558,8 +4628,10 @@ class _FrameRolling:
             cur = scan.rolling_minmax(cur, c, order, self._window, fn,
                                       self._minp, out=c,
                                       center=self._center)
+        want = set(num) | ({self._on} if self._on is not None
+                           and self._on not in idx else set())
         out = cur.select(*[F.col(c) for c in idx], *_order_cols(cur),
-                         *num)
+                         *[c for c in self._f.columns if c in want])
         return DataFrame(out, Node(f"frame_rolling_{fn}",
                                    {"window": self._window}, self._f._expr),
                          idx, names)
@@ -4781,7 +4853,8 @@ class _SeriesExpanding:
             raise NotImplementedError("expanding cov/corr needs a Series")
         if other._sdf is s._sdf:
             base_f = DataFrame(
-                s._sdf.select(*[F.col(c) for c in s._index_cols],
+                s._sdf.select(*_order_cols(s._sdf),
+                              *[F.col(c) for c in s._index_cols],
                               s._scol.alias("__x__"),
                               other._scol.alias("__y__")),
                 Node("expanding_pair", {}, s._expr),
@@ -4790,10 +4863,14 @@ class _SeriesExpanding:
             base_f = _align_frames(s.to_frame("__x__"),
                                    other.to_frame("__y__"))
         if base_f._index_cols:
-            sdf, order = base_f._sdf, list(base_f._index_cols)
+            sdf = base_f._sdf
+            # stamp outranks index for window order (r8, see rolling)
+            order = [_ORDER] if _ORDER in sdf.columns \
+                else list(base_f._index_cols)
             idx, names = base_f._index_cols, base_f._index_names
         else:
-            sdf = _attach_rowid(base_f._sdf)
+            # presented-order anchor (r8 audit: stamp outranks layout)
+            sdf = _presented_rowid(base_f._sdf)
             order, idx, names = [_ROWID], (_ROWID,), (None,)
         x, y = F.col("__x__").cast("double"), F.col("__y__").cast("double")
         m = x.isNotNull() & y.isNotNull()
@@ -4837,7 +4914,13 @@ class Index(Series):
         """Reference ``Index.to_frame``: the index values as a one-column
         DataFrame (optionally keeping themselves as the index)."""
         out_name = name if name is not None else (self._col_name or "index")
-        sdf = self._sdf.select(self._scol.alias(out_name))
+        # keep the presentation order: stamp if present, else a rowid
+        # labeled parent presents rowid-ascending — adopt it as the stamp
+        # (r8 hunt: the bare select scrambled to arrival order)
+        ordc = _order_cols(self._sdf)
+        if _ORDER not in self._sdf.columns and _ROWID in self._sdf.columns:
+            ordc = [F.col(_ROWID).alias(_ORDER)] + ordc
+        sdf = self._sdf.select(*ordc, self._scol.alias(out_name))
         node = Node("index_to_frame", {"name": out_name}, self._expr)
         if index:
             idx_col = f"__idxcopy_{out_name}__"
@@ -4847,11 +4930,16 @@ class Index(Series):
 
     def to_series(self, name=None) -> "Series":
         """pandas ``Index.to_series``: the labels as a Series indexed by
-        themselves (pure projection)."""
-        f = self.to_frame(index=True, name=name or self._col_name
-                          or "index")
+        themselves (pure projection).  The result NAME follows pandas:
+        explicit ``name=``, else the index's own name — an unnamed index
+        yields an unnamed series ("index" is only the physical column
+        spelling, r8 name hunt)."""
+        eff = name if name is not None else self._col_name
+        f = self.to_frame(index=True, name=eff or "index")
         col = f.columns[0]
-        return f[col]
+        s = f[col]
+        s._col_name = eff
+        return s
 
 
 # --------------------------------------------------------------------------
@@ -5056,9 +5144,7 @@ class DataFrame(FrameBase):
             # is the established position contract (same as where/assign)
             mask_rowid = (tuple(mf._index_cols) == (_ROWID,))
             if not self._index_cols and mask_rowid:
-                base = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
-                        if _labels_valid(self)
-                        else _attach_rowid(self._sdf))
+                base = _anchor_rowid(self)
                 lidx = [_ROWID]
                 msel = mf._sdf.select(F.col(_ROWID), F.col("__mask__"))
                 # KEEP the rowid as the surviving rows' positional labels
@@ -5083,13 +5169,11 @@ class DataFrame(FrameBase):
                     F.col("__mask__"))
                 drop_rowid = False
             else:
-                base = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
-                        if _labels_valid(self)
-                        else _attach_rowid(self._sdf))
+                # _anchor_rowid: stamped frames number by the PRESENTED
+                # order (r8 audit — the stamp-ignoring misalignment class)
+                base = _anchor_rowid(self)
                 lidx = [_ROWID]
-                mbase = (mf._sdf.withColumnRenamed(_LABEL, _ROWID)
-                         if _labels_valid(mf)
-                         else _attach_rowid(mf._sdf))
+                mbase = _anchor_rowid(mf)
                 msel = mbase.select(F.col(_ROWID), F.col("__mask__"))
                 drop_rowid = True
             joined = (base.join(msel, lidx, "left")
@@ -5326,7 +5410,7 @@ class DataFrame(FrameBase):
                         # IS its label — one rowid equi-join (r5 wave Q)
                         vsdf = (vf._sdf
                                 if tuple(vf._index_cols) == (_ROWID,)
-                                else _attach_rowid(vf._sdf))
+                                else _anchor_rowid(vf))
                         vsel = vsdf.select(F.col(_ROWID),
                                            F.col("__assign_v__"))
                         sdf = sdf.join(vsel, on=[_ROWID], how="left")
@@ -5342,7 +5426,7 @@ class DataFrame(FrameBase):
                                        how="left")
                     else:
                         vsdf = (vf._sdf if tuple(vf._index_cols) == (_ROWID,)
-                                else _attach_rowid(vf._sdf))
+                                else _anchor_rowid(vf))
                         vsel = vsdf.select(F.col(_ROWID),
                                            F.col("__assign_v__"))
                         # KEEP the rowid: the join scrambles arrival
@@ -5350,7 +5434,7 @@ class DataFrame(FrameBase):
                         # nondeterministic order would silently misalign
                         # the next positional op (r5 wave Q)
                         base = (sdf if _ROWID in sdf.columns
-                                else _attach_rowid(sdf))
+                                else _presented_rowid(sdf))
                         sdf = base.join(vsel, on=[_ROWID], how="left")
                         made_rowid_index = True
                     sdf = (sdf.withColumn(k, F.col("__assign_v__"))
@@ -5733,8 +5817,12 @@ class DataFrame(FrameBase):
             joined, lcols, rcols = _index_outer_join(self, other)
             jtypes = {f.name: f.dataType for f in joined._sdf.schema.fields}
             out_cols = [F.col(c) for c in joined._index_cols]
-            # pandas: the aligned result's columns are the SORTED union
-            for name in sorted(dict.fromkeys(self.columns + other.columns)):
+            # pandas: identical column orders are PRESERVED; otherwise
+            # the aligned result's columns are the sorted union (r8 hunt)
+            names = (list(self.columns)
+                     if list(self.columns) == list(other.columns)
+                     else sorted(dict.fromkeys(self.columns + other.columns)))
+            for name in names:
                 l, r = lcols.get(name), rcols.get(name)
                 if l is not None and r is not None:
                     a, b = F.col(l), F.col(r)
@@ -6337,7 +6425,7 @@ class DataFrame(FrameBase):
         joined = base.join(csel, on=lidx, how="left")
         if other_is_frame:
             other_sdf = other._sdf if self._index_cols \
-                else _attach_rowid(other._sdf)
+                else _anchor_rowid(other)
             oidx = list(other._index_cols) if self._index_cols else [_ROWID]
             osel = other_sdf.select(
                 *[F.col(c).alias(i) for c, i in zip(oidx, lidx)],
@@ -6634,27 +6722,42 @@ class DataFrame(FrameBase):
             # pandas DUPLICATES the original row label per element —
             # anchor positional labels as rowids (in-scan label rename
             # when available, else the JVM attach; no shuffle either way)
-            src = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
-                   if _labels_valid(self) else _attach_rowid(self._sdf))
+            src = _anchor_rowid(self)
             idx_cols, idx_names = (_ROWID,), (None,)
+        # a stamped input must keep its presented order through the
+        # explode; the element position extends the stamp (posexplode) and
+        # a ranged pass mints the fresh dense stamp (r8 hunt: dropping
+        # _ORDER presented exploded rows in rowid order, not stamp order)
+        stamped = _ORDER in src.columns
+        ordc = [F.col(_ORDER)] if stamped else []
         if isinstance(column, (list, tuple)) and len(column) > 1:
             targets = list(column)
-            z = F.explode_outer(F.arrays_zip(*[F.col(c) for c in targets]))
-            base = src.select(*[F.col(c) for c in idx_cols],
+            zipped = F.arrays_zip(*[F.col(c) for c in targets])
+            z = (F.posexplode_outer(zipped).alias("__epos__", "__z__")
+                 if stamped else F.explode_outer(zipped).alias("__z__"))
+            base = src.select(*ordc, *[F.col(c) for c in idx_cols],
                               *[F.col(c) for c in self.columns
                                 if c not in targets],
-                              z.alias("__z__"))
-            cols = [F.col(c) for c in idx_cols] + \
+                              z)
+            cols = ordc + ([F.col("__epos__")] if stamped else []) + \
+                   [F.col(c) for c in idx_cols] + \
                    [F.col("__z__")[c].alias(c) if c in targets else F.col(c)
                     for c in self.columns]
             out, meta = base.select(*cols), {"columns": targets}
         else:
             if isinstance(column, (list, tuple)):
                 column = column[0]
-            cols = [F.col(c) for c in idx_cols] + \
-                   [F.explode_outer(F.col(c)).alias(c) if c == column
-                    else F.col(c) for c in self.columns]
+            gen = (F.posexplode_outer(F.col(column)).alias("__epos__", column)
+                   if stamped else F.explode_outer(F.col(column)).alias(column))
+            cols = ordc + [F.col(c) for c in idx_cols] + \
+                   [gen if c == column else F.col(c) for c in self.columns]
             out, meta = src.select(*cols), {"column": column}
+        if stamped:
+            from .functions import scan
+            out = (scan.global_pos(out, [_ORDER, "__epos__"],
+                                   name="__eorder__")
+                   .drop(_ORDER, "__epos__")
+                   .withColumnRenamed("__eorder__", _ORDER))
         return DataFrame(out, Node("explode", meta, self._expr),
                          idx_cols, idx_names)
 
@@ -6948,8 +7051,7 @@ class DataFrame(FrameBase):
         else:
             # in-scan labels keep the TakeOrderedAndProject shape without
             # the checkpointing rowid attach
-            sdf = (self._sdf.withColumnRenamed(_LABEL, _ROWID)
-                   if _labels_valid(self) else _attach_rowid(self._sdf))
+            sdf = _anchor_rowid(self)
             idx, names = (_ROWID,), (None,)
             pos = F.col(_ROWID)
         if _ORDER in sdf.columns:
@@ -7277,7 +7379,10 @@ class DataFrame(FrameBase):
         base = DataFrame(joined._sdf, joined._expr, joined._index_cols,
                          joined._index_names)
         out_cols = [F.col(c) for c in joined._index_cols]
-        for name in sorted(dict.fromkeys(self.columns + other.columns)):
+        names = (list(self.columns)
+                 if list(self.columns) == list(other.columns)
+                 else sorted(dict.fromkeys(self.columns + other.columns)))
+        for name in names:
             l, r = lcols.get(name), rcols.get(name)
             if l is not None and r is not None:
                 lc = F.col(l) if fill_value is None else \
@@ -7810,11 +7915,21 @@ class DataFrame(FrameBase):
         """pandas ``DataFrame.value_counts``: row-combination frequencies —
         one hash-shuffle groupBy over the subset columns."""
         subset = _ensure_list(subset) or self.columns
-        sdf = self._sdf
+        # first-appearance tie order, same contract as Series.value_counts
+        # (r8): position anchor is free on labeled/stamped frames
+        if _ORDER in self._sdf.columns:
+            sdf, ordc = self._sdf, [_ORDER]
+        elif self._index_cols:
+            sdf, ordc = self._sdf, list(self._index_cols)
+        else:
+            sdf, ordc = _anchor_rowid(self), [_ROWID]
         if dropna:
             for c in subset:
                 sdf = sdf.filter(F.col(c).isNotNull())
-        out = sdf.groupBy(*subset).agg(F.count(F.lit(1)).alias("count"))
+        first = (F.min(F.col(ordc[0])) if len(ordc) == 1
+                 else F.min(F.struct(*[F.col(c) for c in ordc])))
+        out = sdf.groupBy(*subset).agg(F.count(F.lit(1)).alias("count"),
+                                       first.alias("__vc_first__"))
         val = "count"
         if normalize:
             out = out.withColumn(
@@ -7825,7 +7940,10 @@ class DataFrame(FrameBase):
         if sort:
             out = out.orderBy(F.col(val).asc() if ascending
                               else F.col(val).desc(),
-                              *[F.col(c).asc() for c in subset])
+                              F.col("__vc_first__").asc())
+        else:
+            out = out.orderBy(F.col("__vc_first__").asc())
+        out = out.drop("__vc_first__")
         node = Node("frame_value_counts", {"subset": subset}, self._expr)
         return Series(out, F.col(val), val, node, tuple(subset),
                       tuple(subset))
@@ -8445,7 +8563,7 @@ class DataFrame(FrameBase):
         base = self
         attached = False
         if not base._index_cols:
-            sdf = _attach_rowid(base._sdf)
+            sdf = _anchor_rowid(base)
             base = DataFrame(sdf, Node("rowid", {}, base._expr),
                              (_ROWID,), (None,))
             attached = True
@@ -8457,6 +8575,18 @@ class DataFrame(FrameBase):
         out = concat(frames, axis=1) if len(frames) > 1 else frames[0]
         if attached:
             out = out.reset_index(drop=True)
+        elif (_ORDER in self._sdf.columns
+                and _ORDER not in out._sdf.columns
+                and tuple(self._index_cols) == (_ROWID,)):
+            # a stamped label-keeping frame (sort ancestry) presents rank
+            # in the STAMP order, not label order — re-join the stamp by
+            # the unique rowid labels (r8 hunt seed 30088); the concat
+            # output's index column carries its own name
+            oidx = out._index_cols[0]
+            stamp = self._sdf.select(F.col(_ROWID).alias(oidx),
+                                     F.col(_ORDER))
+            out = DataFrame(out._sdf.join(stamp, oidx, "left"),
+                            out._expr, out._index_cols, out._index_names)
         return out
 
     def _rank_axis1(self, method: str, ascending: bool,
@@ -9999,8 +10129,7 @@ def _frame_with_index(df: DataFrame) -> DataFrame:
         return df
     # in-scan positional labels ARE the default index — pure rename
     # instead of the checkpointing rowid attach
-    sdf = (df._sdf.withColumnRenamed(_LABEL, _ROWID)
-           if _labels_valid(df) else _attach_rowid(df._sdf))
+    sdf = _anchor_rowid(df)
     return DataFrame(sdf, df._expr, (_ROWID,), (None,))
 
 
@@ -10307,7 +10436,12 @@ class _LocIndexer:
     def _bool_list(self, f: "DataFrame", key: list):
         """Positional boolean-list mask (pandas: length must equal the
         row count; True rows kept in order)."""
-        sdf = _attach_rowid(f._sdf)
+        # a distinct anchor name: an indexed frame may already carry
+        # _ROWID as its index column (filter survivors) — reusing the
+        # name would collide (r8 hunt seed 30059)
+        pos = "__loc_pos__"
+        sdf = _anchor_rowid(f, pos) if not f._index_cols \
+            else _presented_rowid(f._sdf, pos)
         n = sdf.count()
         if n != len(key):
             raise IndexError(
@@ -10317,10 +10451,21 @@ class _LocIndexer:
         spark = f._sdf.sparkSession
         kdf = spark.createDataFrame(
             [(i,) for i in keep],
-            T.StructType([T.StructField(_ROWID, T.LongType())]))
-        out = sdf.join(F.broadcast(kdf), _ROWID, "left_semi")
-        if _ROWID not in f._sdf.columns:
-            out = out.drop(_ROWID)
+            T.StructType([T.StructField(pos, T.LongType())]))
+        out = sdf.join(F.broadcast(kdf), pos, "left_semi")
+        if not f._index_cols:
+            # pandas keeps the surviving rows' ORIGINAL labels — promote
+            # the positional anchor to the index (r8 name/label hunt: the
+            # old drop renumbered 0..n-1)
+            return f._derive(out.withColumnRenamed(pos, _ROWID),
+                             "loc_bool", {"n_true": len(keep)},
+                             index_cols=(_ROWID,), index_names=(None,))
+        if _ORDER not in out.columns:
+            # unstamped indexed frame: the semi-join scrambles arrival —
+            # positions ascending ARE the presentation order
+            out = out.withColumnRenamed(pos, _ORDER)
+        else:
+            out = out.drop(pos)
         return f._derive(out, "loc_bool", {"n_true": len(keep)})
 
     def _rows(self, key):
