@@ -5391,15 +5391,26 @@ class DataFrame(FrameBase):
                             "instead")
                     both_order = (_ORDER in sdf.columns
                                   and _ORDER in vf._sdf.columns)
-                    if both_order:
-                        # both sides carry the same presentation-order
-                        # stamp (Series derived from this frame after a
-                        # sort/concat): it is UNIQUE even when the rowid
-                        # labels duplicate (concat repeats them) — a
-                        # rowid join there would EXPLODE rows (r5 wave R2)
-                        vsel = vf._sdf.select(F.col(_ORDER),
-                                              F.col("__assign_v__"))
-                        sdf = sdf.join(vsel, on=[_ORDER], how="left")
+                    if both_order and (not self._index_cols
+                                       or tuple(self._index_cols)
+                                       == (_ROWID,)):
+                        # both sides stamped: align by canonical PRESENTED
+                        # POSITION (a ranged pass each side), never by raw
+                        # stamp values — stamps from different mint
+                        # generations don't compare (r8 gate
+                        # stamped_rank_orders: dedup-reset's sparse
+                        # survivor-label stamp vs rank's re-minted dense
+                        # stamp silently mispaired every row).  Positions
+                        # stay unique even when rowid labels duplicate
+                        # (concat), so the r5 wave-R2 explosion can't
+                        # recur.  Indexed frames fall through to the
+                        # label-alignment join below.
+                        pos = "__assign_pos2__"
+                        lsdf = _presented_rowid(sdf, pos)
+                        vsel = (_presented_rowid(vf._sdf, pos)
+                                .select(F.col(pos), F.col("__assign_v__")))
+                        sdf = (lsdf.join(vsel, on=[pos], how="left")
+                               .drop(pos))
                         sdf = (sdf.withColumn(k, F.col("__assign_v__"))
                                .drop("__assign_v__"))
                         continue
@@ -7173,6 +7184,23 @@ class DataFrame(FrameBase):
             sdf = sdf.select(F.col(_LABEL).alias("index"), *self.columns)
             node = Node("reset_index", {"drop": False}, self._expr)
             return DataFrame(sdf, node, (), ())
+        elif not self._index_cols and _ORDER in sdf.columns:
+            # stamped default-index frame (dedup→reset ancestry): the
+            # positional labels are the PRESENTED positions — one ranged
+            # pass over the stamp materializes them (r8: this case
+            # previously produced no index column at all)
+            from .functions import scan
+            sdf = scan.global_pos(sdf, [_ORDER], name="index")
+            sdf = sdf.select(F.col(_ORDER), F.col("index"), *self.columns)
+            node = Node("reset_index", {"drop": False}, self._expr)
+            return DataFrame(sdf, node, (), ())
+        elif not self._index_cols:
+            # unstamped, unlabeled default-index frame: physical layout
+            # IS the presentation — attach and materialize
+            sdf = _attach_rowid(sdf, "index")
+            node = Node("reset_index", {"drop": False}, self._expr)
+            return DataFrame(sdf.select(F.col("index"), *self.columns),
+                             node, (), ())
         else:
             # pandas naming for unnamed levels: single index -> "index",
             # MultiIndex levels -> "level_{i}" (r5 hunt pin).  The internal
