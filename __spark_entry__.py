@@ -3709,16 +3709,6 @@ def tail_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries per round.  Every SQL-oracle gate has had a driver-green
-    # row at least once, so the window's job is FRESHNESS (NOTES_r4
-    # rotation plan): positions 1-4 are the gates without a green row
-    # yet (2 post-r5-window anchors + the 2 rows-only→exact
-    # conversions), 5-9 the sort→head/tail family whose PLAN changed
-    # this round (TopK fusion), 10-50 re-validate the oldest (r2-era)
-    # evidence.  Rows-only gates (now just 3: ANN×2 + iterative GD) sit
-    # after position 50 permanently; the tail stays ordered
-    # oldest-evidence-first so each round's window is a prefix rotation.
     # ORDER MATTERS: the driver checks the FIRST 50 entries per round.
     # r8 window: 1-2 the NEW r8 gates (name scrub + stamp-vs-rowid,
     # no driver row yet), 3 the rows-only->exact GD conversion's first

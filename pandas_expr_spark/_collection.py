@@ -459,7 +459,14 @@ def _assign_positional(sdf: SparkDF, key: str, values) -> SparkDF:
         else sdf
     if key in base.columns:
         base = base.drop(key)
-    withpos = _presented_rowid(base)
+    if _ORDER not in base.columns and renamed_rowid:
+        # an unstamped rowid-carrying frame (alignment-join outputs:
+        # index = labels, physical layout scrambled) presents in ROWID
+        # order — positions must follow it, not the layout (r8 review)
+        from .functions import scan
+        withpos = scan.global_pos(base, ["__orig_rowid__"], name=_ROWID)
+    else:
+        withpos = _presented_rowid(base)
     out = (withpos.join(F.broadcast(lookup),
                         withpos[_ROWID] == lookup["__assign_pos__"], "left")
            .drop("__assign_pos__", _ROWID))
@@ -477,6 +484,15 @@ def _is_na_scalar(v) -> bool:
         return v is None or bool(pd.isna(v))
     except (TypeError, ValueError):
         return False
+
+
+def _aligned_columns(left_cols, right_cols) -> list:
+    """pandas frame-alignment column order: identical orders are
+    PRESERVED; otherwise the sorted union (r8)."""
+    lc, rc = list(left_cols), list(right_cols)
+    if lc == rc:
+        return lc
+    return sorted(dict.fromkeys(lc + rc))
 
 
 def _order_cols(sdf: SparkDF) -> list:
@@ -3215,7 +3231,9 @@ class Series(FrameBase):
         """pandas ``Series.rename``: a scalar renames the SERIES; a dict
         (or callable) under ``index=`` — or passed positionally —
         relabels index values (a JVM CASE chain / Arrow map, wave V)."""
-        if index is None and isinstance(name, Mapping):
+        if index is None and (isinstance(name, Mapping) or callable(name)):
+            # pandas: dict-like OR callable passed positionally relabels
+            # the INDEX, not the series name (r8 review)
             name, index = None, name
         if index is not None:
             if not self._index_cols:
@@ -5391,20 +5409,52 @@ class DataFrame(FrameBase):
                             "instead")
                     both_order = (_ORDER in sdf.columns
                                   and _ORDER in vf._sdf.columns)
-                    if both_order and (not self._index_cols
-                                       or tuple(self._index_cols)
-                                       == (_ROWID,)):
-                        # both sides stamped: align by canonical PRESENTED
-                        # POSITION (a ranged pass each side), never by raw
-                        # stamp values — stamps from different mint
-                        # generations don't compare (r8 gate
-                        # stamped_rank_orders: dedup-reset's sparse
+                    if (both_order
+                            and tuple(self._index_cols) == (_ROWID,)
+                            and tuple(vf._index_cols) == (_ROWID,)):
+                        # both sides stamped AND rowid-LABELED: pandas
+                        # aligns by label, so a value series REORDERED
+                        # after derivation (sort_values then assign) must
+                        # label-match, not position-match (r8 review).
+                        # Join key = (label, per-label occurrence ordinal
+                        # in presented order): unique labels reduce to a
+                        # pure label join; duplicate IDENTICAL indexes
+                        # (concat self-assign, pandas' positional
+                        # contract) match occurrence-by-occurrence — the
+                        # r5 wave-R2 explosion can't recur, no eager
+                        # uniqueness probe needed.
+                        pos = "__assign_pos2__"
+                        lsdf = _presented_rowid(sdf, pos)
+                        wv = Window.partitionBy(_ROWID).orderBy(pos)
+                        lsdf = (lsdf.withColumn("__occ__",
+                                                F.row_number().over(wv))
+                                .drop(pos))
+                        vsdf2 = _presented_rowid(vf._sdf, pos)
+                        vsdf2 = (vsdf2.withColumn(
+                                    "__vocc__", F.row_number().over(
+                                        Window.partitionBy(_ROWID)
+                                        .orderBy(pos)))
+                                 .drop(pos))
+                        vsel = vsdf2.select(
+                            F.col(_ROWID).alias("__vlbl__"),
+                            F.col("__vocc__"), F.col("__assign_v__"))
+                        sdf = (lsdf.join(
+                                   vsel,
+                                   (F.col(_ROWID) == F.col("__vlbl__"))
+                                   & (F.col("__occ__") == F.col("__vocc__")),
+                                   "left")
+                               .drop("__vlbl__", "__vocc__", "__occ__"))
+                        sdf = (sdf.withColumn(k, F.col("__assign_v__"))
+                               .drop("__assign_v__"))
+                        continue
+                    if both_order and not self._index_cols:
+                        # both sides stamped, self UNLABELED: align by
+                        # canonical PRESENTED POSITION (a ranged pass per
+                        # side), never by raw stamp values — stamps from
+                        # different mint generations don't compare (r8
+                        # gate stamped_rank_orders: dedup-reset's sparse
                         # survivor-label stamp vs rank's re-minted dense
-                        # stamp silently mispaired every row).  Positions
-                        # stay unique even when rowid labels duplicate
-                        # (concat), so the r5 wave-R2 explosion can't
-                        # recur.  Indexed frames fall through to the
-                        # label-alignment join below.
+                        # stamp silently mispaired every row).
                         pos = "__assign_pos2__"
                         lsdf = _presented_rowid(sdf, pos)
                         vsel = (_presented_rowid(vf._sdf, pos)
@@ -5830,10 +5880,7 @@ class DataFrame(FrameBase):
             out_cols = [F.col(c) for c in joined._index_cols]
             # pandas: identical column orders are PRESERVED; otherwise
             # the aligned result's columns are the sorted union (r8 hunt)
-            names = (list(self.columns)
-                     if list(self.columns) == list(other.columns)
-                     else sorted(dict.fromkeys(self.columns + other.columns)))
-            for name in names:
+            for name in _aligned_columns(self.columns, other.columns):
                 l, r = lcols.get(name), rcols.get(name)
                 if l is not None and r is not None:
                     a, b = F.col(l), F.col(r)
@@ -7407,10 +7454,7 @@ class DataFrame(FrameBase):
         base = DataFrame(joined._sdf, joined._expr, joined._index_cols,
                          joined._index_names)
         out_cols = [F.col(c) for c in joined._index_cols]
-        names = (list(self.columns)
-                 if list(self.columns) == list(other.columns)
-                 else sorted(dict.fromkeys(self.columns + other.columns)))
-        for name in names:
+        for name in _aligned_columns(self.columns, other.columns):
             l, r = lcols.get(name), rcols.get(name)
             if l is not None and r is not None:
                 lc = F.col(l) if fill_value is None else \
@@ -10110,6 +10154,13 @@ class DataFrame(FrameBase):
             pdf.index.names = [_scrub_name(n) for n in self._index_names]
             pdf.index = _restore_period_index(
                 pdf.index, self._index_cols, self._index_period_freq)
+            if (not isinstance(pdf.index, pd.MultiIndex)
+                    and pdf.index.dtype == object and pdf.index.hasnans):
+                # Arrow None -> pandas NaN missing marker, matching the
+                # Series boundary (r8 review)
+                pdf.index = pd.Index(
+                    [np.nan if x is None else x for x in pdf.index],
+                    name=pdf.index.name)
         if _NAME_PLACEHOLDER in pdf.columns:
             pdf = pdf.rename(columns={_NAME_PLACEHOLDER: None})
         for c, f in (getattr(self, "_period_value_freq", None) or {}).items():
@@ -10468,8 +10519,17 @@ class _LocIndexer:
         # _ROWID as its index column (filter survivors) — reusing the
         # name would collide (r8 hunt seed 30059)
         pos = "__loc_pos__"
-        sdf = _anchor_rowid(f, pos) if not f._index_cols \
-            else _presented_rowid(f._sdf, pos)
+        if not f._index_cols:
+            sdf = _anchor_rowid(f, pos)
+        elif (tuple(f._index_cols) == (_ROWID,)
+                and _ORDER not in f._sdf.columns):
+            # unstamped rowid-labeled frame (alignment-join outputs)
+            # presents in label order — positions follow the labels,
+            # not the scrambled physical layout (r8 review)
+            from .functions import scan
+            sdf = scan.global_pos(f._sdf, [_ROWID], name=pos)
+        else:
+            sdf = _presented_rowid(f._sdf, pos)
         n = sdf.count()
         if n != len(key):
             raise IndexError(

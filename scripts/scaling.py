@@ -50,9 +50,14 @@ GATES = [
     # TPC-H anchors: scan+agg and multi-join shapes
     "q1_pricing_summary",
     "q3_topk_revenue",
+    # r8 additions (VERDICT r7 #3): the measured-coverage gaps
+    "bpe_encode_documents",
+    "doc_incremental_dedup",
+    "fuzzy_dup_pairs_edit",
+    "streaming_hourly_events",
 ]
 
-UNSCALED = ["region", "nation", "customer", "supplier", "part", "events"]
+UNSCALED = ["region", "nation", "customer", "supplier", "part"]
 
 
 def build_session():
@@ -118,6 +123,30 @@ def generate(spark):
         out = out.unionByName(p)
     out.repartition(16).write.mode("overwrite") \
         .parquet(f"{DST}/embeddings.parquet")
+
+    # events xk (r8: the streaming gate joins the measured set): copy j
+    # offsets event_id/user_id — timestamps identical, so the hourly
+    # window COUNT of state rows stays constant while per-window volume
+    # scales xk (the realistic shape: more traffic, same time span)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    mx_e = ev.agg(F.max("event_id")).first()[0] + 1
+    mx_u = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = [ev.withColumn("event_id", F.col("event_id") + F.lit(k * mx_e))
+               .withColumn("user_id", F.col("user_id") + F.lit(k * mx_u))
+             for k in range(COPIES)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # SINGLE FILE like the driver's sf layout — the streaming gate's
+    # pathGlobFilter matches the leaf filename "events.parquet"
+    import glob as _glob
+    tmp = f"{DST}/_events_tmp"
+    out.repartition(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+    if os.path.isdir(f"{DST}/events.parquet"):
+        shutil.rmtree(f"{DST}/events.parquet")
+    shutil.move(part, f"{DST}/events.parquet")
+    shutil.rmtree(tmp)
 
     for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         sdf = spark.read.parquet(f"{SRC}/{t}.parquet")

@@ -152,3 +152,46 @@ def test_getitem_stamped_self_mask():
     exp = REF[REF["i"] > 2]
     eq_vals(got["v"].tolist(), exp["v"].tolist())
     eq_vals(got.index.tolist(), exp.index.tolist())
+
+
+# ---------------------------------------------------------- r8 review pins
+def test_assign_reordered_series_label_aligns():
+    # a value series REORDERED after derivation label-aligns (pandas),
+    # not position-aligns — the both-stamped fast path must not shadow it
+    D = pd.DataFrame({"a": [3.0, 1.0, 2.0], "b": [1, 2, 3]})
+    df = pes.from_pandas(D).sort_values("a", kind="stable")
+    s2 = df["a"].sort_values(ascending=False, kind="stable")
+    got = df.assign(c=s2).compute()
+    pdf = D.sort_values("a", kind="stable")
+    exp = pdf.assign(c=pdf["a"].sort_values(ascending=False, kind="stable"))
+    assert got["c"].tolist() == exp["c"].tolist()
+    assert got.index.tolist() == exp.index.tolist()
+
+
+def test_bool_loc_and_assign_list_on_aligned_frame():
+    # made_rowid_index frames (alignment-join outputs: rowid labels,
+    # scrambled physical layout) position by LABEL order
+    host = pes.from_pandas(pd.DataFrame({"a": [10, 20, 30, 40]}))
+    foreign = pes.from_pandas(pd.DataFrame({"z": [1.0, 2.0, 3.0, 4.0]}))["z"]
+    df2 = host.assign(b=foreign)
+    exp = pd.DataFrame({"a": [10, 20, 30, 40]}).assign(b=[1.0, 2.0, 3.0, 4.0])
+    mask = [True, False, True, False]
+    got = df2.loc[mask].compute()
+    assert got["a"].tolist() == exp.loc[mask]["a"].tolist()
+    assert got.index.tolist() == exp.loc[mask].index.tolist()
+    got2 = df2.assign(z2=[7, 8, 9, 10]).compute()
+    assert got2["z2"].tolist() == [7, 8, 9, 10]
+
+
+def test_series_rename_callable_relabels_index():
+    fr = pes.from_pandas(pd.DataFrame({"k": ["a", "b"], "n": [1, 2]}))
+    got = fr.set_index("k")["n"].rename(str.upper).compute()
+    exp = pd.Series([1, 2], index=["a", "b"], name="n").rename(str.upper)
+    assert got.index.tolist() == exp.index.tolist() == ["A", "B"]
+    assert got.name == exp.name == "n"
+
+
+def test_frame_compute_object_index_nan():
+    fx = (pes.from_pandas(pd.DataFrame({"k": ["a", None], "v": [1, 2]}))
+          .set_index("k").compute())
+    assert not any(x is None for x in fx.index)
