@@ -3119,11 +3119,16 @@ class Series(FrameBase):
                     F.col(name).asc())
             node = Node("value_counts", {"bins": bins}, self._expr)
             return Series(filled, F.col(val), val, node, (name,), (name,))
-        # tie order is pandas' FIRST-APPEARANCE order (r8 hunt: ties were
-        # value-sorted, pandas keeps encounter order) — one extra
-        # map-side-combinable min(position) per group; the position
+        # tie order is FIRST-APPEARANCE order in the presented row order
+        # (pandas' own tie order under sort=True is unstable-quicksort
+        # UNDEFINED; sort=False appearance order is pandas-defined) — one
+        # extra map-side-combinable min(position) per group; the position
         # anchor is free on labeled scans / stamped frames and a rowid
-        # attach otherwise
+        # attach otherwise.  CONTRACT: for an UNSTAMPED indexed series
+        # "appearance" is index order (the engine's presentation
+        # convention for indexed frames) — a non-monotonic index differs
+        # from pandas' physical row order there (r8 review, documented
+        # deliberate: arrival order is nondeterministic distributed).
         sdf, name, order, _vc_idx = self._ordered_base()
         if dropna:
             sdf = sdf.filter(F.col(name).isNotNull())
