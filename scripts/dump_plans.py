@@ -69,6 +69,12 @@ QUERIES = {
     "dropna_label_parity": "dropna keeping labels: same in-scan label promotion through a derived-null where() — scan+filter plan shape",
     "tail_label_parity": "tail via label reverse-TopK: TakeOrderedAndProject(n, label desc) + tiny re-sort — no count action, no stamp mint",
     "embedding_ann_lsh": "ANN recall gate: bucket-probe filter + TakeOrderedAndProject rerank vs brute-force top-k; join of two TopKs, no CartesianProduct",
+    # round-8 additions: the stamp/position machinery + the name-scrub gate
+    "stamped_rank_orders": "stamped dedup-survivor frame -> rank + positional reset: ranged position passes over the stamp (mapInPandas arange + tiny offset broadcast), per-column distinct-value rank join — no global window over data rows, no CartesianProduct",
+    "unnamed_vc_reset_names": "unnamed value_counts + reset_index: hash agg with map-side-combined count+min(position), output-sized orderBy — the tie key costs one agg cell, no extra shuffle",
+    "value_counts_priority": "value_counts first-appearance ties: label-carrying scan (pure rename anchor) -> partial-agg groupBy; PushedFilters/pruned ReadSchema intact",
+    "explode_tokens": "explode keeping labels: generator over the label-anchored scan, no shuffle",
+    "trained_quality_scorer": "5-iteration batch-GD: per iteration ONE k+1-cell hash agg (map-side combined) over the checkpointed projection; weights enter as literals",
 }
 
 
@@ -80,7 +86,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
-    out = ["# Physical plans (round 7) — key queries at sf0.001",
+    out = ["# Physical plans (round 8) — key queries at sf0.001",
            "",
            "Generated by `scripts/dump_plans.py`.  What to look for is noted",
            "per query; grep for `PushedFilters`, `ReadSchema`, `BroadcastHashJoin`,",
@@ -96,9 +102,9 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name}\n\n_{note}_\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open("/root/repo/PLANS_r7.md", "w") as f:
+    with open("/root/repo/PLANS_r8.md", "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS_r7.md")
+    print("wrote PLANS_r8.md")
 
 
 if __name__ == "__main__":
