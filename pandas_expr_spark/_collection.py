@@ -4235,6 +4235,17 @@ class Series(FrameBase):
         if self._col_name is None:
             ser.name = None
         ser.name = _scrub_name(ser.name)
+        # exploded values present as OBJECT dtype like pandas (see the
+        # DataFrame boundary)
+        objc = getattr(self, "_object_cols", None) or {}
+        kind = objc.get(name, objc.get(self._col_name))
+        if kind is not None and ser.dtype != object:
+            if kind == "int" and ser.dtype.kind == "f":
+                ser = pd.Series(
+                    [np.nan if pd.isna(x) else int(x) for x in ser],
+                    index=ser.index, dtype=object, name=ser.name)
+            else:
+                ser = ser.astype(object)
         if getattr(self, "_is_categorical", False):
             cats = getattr(self, "_cat_categories", None)
             ser = ser.astype(pd.CategoricalDtype(
@@ -5064,6 +5075,12 @@ class DataFrame(FrameBase):
             cm = {c: v for c, v in cmeta.items() if c in names}
             if cm:
                 out._cat_meta = cm
+        objc = getattr(self, "_object_cols", None) or {}
+        if objc:
+            names = set(sdf.columns)
+            oc = {c: k for c, k in objc.items() if c in names}
+            if oc:
+                out._object_cols = oc
         return out
 
     def _col(self, name: str) -> Series:
@@ -5083,6 +5100,9 @@ class DataFrame(FrameBase):
             # from_pandas Categorical columns keep their category ORDER
             s._is_categorical = True
             s._cat_categories = list(cmeta[name])
+        objc = getattr(self, "_object_cols", None) or {}
+        if name in objc:
+            s._object_cols = {name: objc[name]}
         return s
 
     @property
@@ -6821,8 +6841,25 @@ class DataFrame(FrameBase):
                                    name="__eorder__")
                    .drop(_ORDER, "__epos__")
                    .withColumnRenamed("__eorder__", _ORDER))
-        return DataFrame(out, Node("explode", meta, self._expr),
-                         idx_cols, idx_names)
+        res = DataFrame(out, Node("explode", meta, self._expr),
+                        idx_cols, idx_names)
+        # pandas explode ALWAYS yields object dtype (r8 dtype hunt) —
+        # boundary-only metadata; the Spark column stays typed
+        targets = meta.get("columns") or [meta.get("column")]
+        objc = {}
+        for c in targets:
+            try:
+                et = self._sdf.schema[c].dataType.elementType
+            except Exception:
+                continue
+            kind = "int" if isinstance(
+                et, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) \
+                else "other"
+            objc[c] = kind
+        if objc:
+            res._object_cols = dict(getattr(self, "_object_cols", None)
+                                    or {}, **objc)
+        return res
 
     # -- ordering / limits (`IX` family, SURVEY §2.7) --------------------
     def sort_values(self, by, ascending: bool | Sequence[bool] = True,
@@ -10189,6 +10226,18 @@ class DataFrame(FrameBase):
         for c, cats in (getattr(self, "_cat_meta", None) or {}).items():
             if c in pdf.columns:
                 pdf[c] = pd.Categorical(pdf[c], categories=cats)
+        # exploded columns present as OBJECT dtype like pandas; integral
+        # element types keep int objects (NaN for empty lists) instead of
+        # the float64 that Spark's nullable long round-trip produces
+        for c, kind in (getattr(self, "_object_cols", None) or {}).items():
+            if c in pdf.columns and pdf[c].dtype != object:
+                col = pdf[c]
+                if kind == "int" and col.dtype.kind == "f":
+                    pdf[c] = pd.Series(
+                        [np.nan if pd.isna(x) else int(x) for x in col],
+                        index=col.index, dtype=object)
+                else:
+                    pdf[c] = col.astype(object)
         # pivot/unstack carry the pivot key as the columns-axis NAME
         cn = getattr(self, "_columns_name", None)
         if cn is not None:

@@ -174,6 +174,15 @@ def run_case(seed: int) -> tuple[str, str]:
     gn, en = _names(got), _names(exp)
     if gn != en:
         return "FAIL", f"{'->'.join(trace)}: NAMES {gn} vs {en}"
+    # DTYPE dimension (r8b): result dtypes must match pandas
+    if isinstance(exp, pd.Series):
+        if str(got.dtype) != str(exp.dtype):
+            return "FAIL", f"{'->'.join(trace)}: DTYPE {got.dtype} vs {exp.dtype}"
+    else:
+        gd = [str(got[c].dtype) for c in exp.columns]
+        ed = [str(exp[c].dtype) for c in exp.columns]
+        if gd != ed:
+            return "FAIL", f"{'->'.join(trace)}: DTYPES {gd} vs {ed}"
     gi = [str(x) for x in got.index.tolist()]
     ei = [str(x) for x in exp.index.tolist()]
     if gi != ei:

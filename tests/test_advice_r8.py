@@ -126,3 +126,23 @@ def test_public_twin_bounded():
     g = f.assign(b=f["a"] * 2)
     assert g.to_spark() is g.to_spark()
     assert before <= C._PUBLIC_TWIN_CAP
+
+
+# ------------------------------------------------------ explode object dtype
+def test_explode_object_dtype_parity():
+    # pandas explode ALWAYS yields object dtype, with int objects (not
+    # floats) even when empty lists inject NaN — boundary-only metadata,
+    # the Spark column stays typed (r8 dtype hunt)
+    pdf = pd.DataFrame({"v": [3.0, 1.0, 2.0],
+                        "L": [[1, 2], [], [3]],
+                        "S": [["a"], ["b", "c"], []]})
+    e = from_pandas(pdf)
+    g = e.explode("L").compute()
+    x = pdf.explode("L")
+    assert g["L"].dtype == object
+    assert [str(a) for a in g["L"].tolist()] == [str(a) for a in x["L"].tolist()]
+    assert e.explode("S").compute()["S"].dtype == object
+    assert e["L"].explode().compute().dtype == object
+    pdf2 = pd.DataFrame({"A": [[1, 2], [3]], "B": [[4, 5], [6]]})
+    gm = from_pandas(pdf2).explode(["A", "B"]).compute()
+    assert list(map(str, gm.dtypes)) == ["object", "object"]
