@@ -127,6 +127,18 @@ def _t_melt(d, r):
 def _t_rolling_on(d, r):
     return d[["v", "i"]].rolling(2, on="i").sum()
 
+def _t_grp_cumsum(d, r):
+    return d.assign(cs=d.groupby("g")["i"].cumsum())
+
+def _t_grp_rank(d, r):
+    return d.assign(gr=d.groupby("g")["i"].rank(method="min"))
+
+def _t_grp_transform(d, r):
+    return d.assign(gm=d.groupby("g")["i"].transform("max"))
+
+def _t_grp_shift(d, r):
+    return d.assign(gs=d.groupby("g")["v"].shift(1))
+
 TAILS = [
     ("rank", _t_rank), ("explode", _t_explode), ("nlargest", _t_nlargest),
     ("frame_add", _t_frame_add), ("bool_loc", _t_bool_loc),
@@ -134,6 +146,9 @@ TAILS = [
     ("expanding_cov", _t_expanding_cov), ("value_counts", _t_value_counts),
     ("unnamed_vc", _t_unnamed_vc), ("series_index", _t_series_index),
     ("melt", _t_melt), ("rolling_on", _t_rolling_on),
+    # r8b: grouped positional ops over stamped/label-carrying frames
+    ("grp_cumsum", _t_grp_cumsum), ("grp_rank", _t_grp_rank),
+    ("grp_transform", _t_grp_transform), ("grp_shift", _t_grp_shift),
     ("none", None),
 ]
 
