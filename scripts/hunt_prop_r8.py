@@ -226,11 +226,13 @@ def run_case(seed: int) -> tuple[str, str]:
 
 def main():
     args = sys.argv[1:]
+    import os
+    base = int(os.environ.get("HUNT_SEED_BASE", "30000"))
     if args and len(args) > 1:
         seeds = [int(a) for a in args]
     else:
         n = int(args[0]) if args else 200
-        seeds = list(range(30000, 30000 + n))
+        seeds = list(range(base, base + n))
     fails = 0
     for s in seeds:
         st, detail = run_case(s)
