@@ -140,6 +140,11 @@ HEADLINE = [
     # round-7 addition: in-scan positional-label machinery (filter
     # promotes original labels; plan must stay scan+filter, pushdown on)
     "filter_label_parity",
+    # NOT in the headline: stamped_rank_orders (r8) — the stamp-aware
+    # positional chain is ~8 eagerly-checkpointed jobs, so its toy-scale
+    # wall is scheduler latency, not throughput (measured 6-10 s at
+    # sf0.1, dominated by job setup; amortizes at real scale).  It stays
+    # a driver-window EXACT-oracle gate.
 ]
 
 
