@@ -1801,7 +1801,14 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the pixel formula arithmetically — so a green row proves
     the encode→decode round trip is pixel-exact.  Integer pixel sums are
     exact in float64, so mean_px matches to the last bit before the 4dp
-    round."""
+    round.
+
+    Optimization r8: synth+encode+decode+stats run FUSED in ONE
+    mapInPandas stage (same per-row ``encode_png``→``decode_png`` round
+    trip through real PNG bytes, same values) — the previous two-stage
+    chain serialized every PNG payload across the JVM↔Python Arrow
+    boundary twice for no semantic gain (guide §4.1: you control how
+    many bytes cross the boundary)."""
     from pandas_expr_spark.functions import multimodal
     from pandas_expr_spark.sources.tables import load_table
     import numpy as _np
@@ -1813,22 +1820,33 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("min_px", T.IntegerType()),
+        T.StructField("max_px", T.IntegerType()),
     ])
 
-    def synth(batches):
+    def synth_roundtrip(batches):
         for pdf in batches:
             rows = []
             for mid in pdf["media_id"]:
                 w, h = 8 + mid % 8, 6 + mid % 5
                 i = _np.arange(w * h * 3, dtype=_np.int64)
                 px = ((mid * 7 + i * 13) % 256).astype(_np.uint8)
-                rows.append((mid,
-                             multimodal.encode_png(px.reshape(h, w, 3))))
-            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+                payload = multimodal.encode_png(px.reshape(h, w, 3))
+                try:
+                    dec = multimodal.decode_png(payload)
+                    rows.append((mid, dec.shape[1], dec.shape[0],
+                                 dec.shape[2], float(dec.mean()),
+                                 int(dec.min()), int(dec.max())))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, None))
+            yield _pd.DataFrame(rows,
+                                columns=[f.name for f in schema.fields])
 
-    media = base.mapInPandas(synth, schema)
-    stats = multimodal.image_pixel_stats(media)
+    stats = base.mapInPandas(synth_roundtrip, schema)
     return (stats.select("media_id",
                          F.col("width").cast("long").alias("width"),
                          F.col("height").cast("long").alias("height"),
@@ -1845,7 +1863,12 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadic rational — quantization is lossless, sums of squares are
     exact in float64), encoded then decoded sample-by-sample by the
     stdlib RIFF parser (``decode_wav_pcm``).  The oracle recomputes RMS
-    arithmetically — no audio bytes involved."""
+    arithmetically — no audio bytes involved.
+
+    Optimization r8: synth+encode+decode+stats FUSED into ONE mapInPandas
+    stage (same ``encode_wav_pcm``→``decode_wav_pcm`` round trip through
+    real RIFF bytes, same values) — the two-stage chain shipped every WAV
+    payload across the Arrow boundary twice (guide §4.1)."""
     from pandas_expr_spark.functions import multimodal
     from pandas_expr_spark.sources.tables import load_table
     import numpy as _np
@@ -1857,21 +1880,32 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
     ])
 
-    def synth(batches):
+    def synth_roundtrip(batches):
         for pdf in batches:
             rows = []
             for mid in pdf["media_id"]:
                 n = 1000 + mid % 50
                 j = _np.arange(n, dtype=_np.int64)
                 s = (((mid + 3 * j) % 256) - 128) / 256.0
-                rows.append((mid, multimodal.encode_wav_pcm(s, 8000)))
-            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+                payload = multimodal.encode_wav_pcm(s, 8000)
+                try:
+                    rate, samp = multimodal.decode_wav_pcm(payload)
+                    nf = samp.shape[0]
+                    rms = (float(_np.sqrt((samp ** 2).mean()))
+                           if nf else 0.0)
+                    rows.append((mid, rate, nf, nf / rate, rms))
+                except Exception:
+                    rows.append((mid, None, None, None, None))
+            yield _pd.DataFrame(rows,
+                                columns=[f.name for f in schema.fields])
 
-    media = base.mapInPandas(synth, schema)
-    stats = multimodal.audio_pcm_stats(media)
+    stats = base.mapInPandas(synth_roundtrip, schema)
     return (stats.select("media_id",
                          F.col("sample_rate").cast("long").alias("sample_rate"),
                          F.col("n_frames").alias("n_frames"),

@@ -107,13 +107,27 @@ def apply_merges_expr(sdf: SparkDF, merges: list[tuple[str, str]],
 def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
               min_pair_count: int = 2, lowercase: bool = True,
               end_of_word: str = END_OF_WORD,
+              checkpoint_every: int = 8,
               ) -> tuple[list[tuple[str, str, int]], SparkDF]:
     """Learn ``n_merges`` BPE merges over a corpus.
 
     Returns ``(merges, words)`` where ``merges`` is an ordered list of
     ``(left, right, pair_count)`` and ``words`` the final (word, freq,
     syms) vocabulary table.  Deterministic: ties broken by
-    (count desc, left asc, right asc), independent of partitioning."""
+    (count desc, left asc, right asc), independent of partitioning.
+
+    Cost shape (optimization r8): ONE eager job materializes the word
+    histogram, then each merge iteration is exactly ONE Spark job (the
+    TakeOrdered pair-count collect).  Merge folds are chained LAZILY into
+    the next iteration's plan instead of eagerly ``localCheckpoint``-ing
+    after every merge — the old shape paid a second full job per
+    iteration just to materialize the fold.  Every ``checkpoint_every``
+    merges the symbol table IS checkpointed (at the top of the loop, so a
+    final fold nobody reads is never materialized) to bound lineage/
+    recompute depth for large merge counts; re-applying ≤ that many
+    chained JVM folds inside one vocab-table pass is far cheaper than a
+    dedicated materialization job each.
+    """
     spark = sdf.sparkSession
     words = with_symbols(
         word_histogram(sdf, text_col, lowercase=lowercase), end_of_word)
@@ -121,7 +135,11 @@ def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
         spark.sparkContext.defaultParallelism).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
+    pending = 0
     for _ in range(n_merges):
+        if pending >= checkpoint_every:
+            words = words.localCheckpoint()
+            pending = 0
         top = (pair_counts(words)
                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
                .limit(1).collect())
@@ -130,7 +148,8 @@ def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
         a, b, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
         merges.append((a, b, cnt))
         words = words.withColumn(
-            "syms", F.expr(_merge_fold_sql(a, b, a + b))).localCheckpoint()
+            "syms", F.expr(_merge_fold_sql(a, b, a + b)))
+        pending += 1
     return merges, words
 
 

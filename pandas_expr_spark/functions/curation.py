@@ -410,8 +410,16 @@ def dsir_logweights(raw: SparkDF, target: SparkDF | None,
             F.sum("__cnt__").alias("__q__"))
         p_hist = tfeat.groupBy("__bkt__").agg(
             F.sum("__cnt__").alias("__p__"))
-    qn = q_hist.agg(F.sum("__q__")).collect()[0][0] or 0
-    pn = p_hist.agg(F.sum("__p__")).collect()[0][0] or 0
+    # ONE driver round trip for both histogram totals (optimization r8):
+    # the two 1-row aggregates share the checkpointed `feats` scan and
+    # cross-join into a single collected row — the old two-collect shape
+    # paid a full extra Spark job (and a second pass over `feats` before
+    # its checkpoint materialized) for the second scalar.
+    totals = (q_hist.agg(F.sum("__q__").alias("__qn__"))
+              .crossJoin(p_hist.agg(F.sum("__p__").alias("__pn__")))
+              .collect()[0])
+    qn = totals["__qn__"] or 0
+    pn = totals["__pn__"] or 0
     pd_, qd = pn + smoothing * buckets, qn + smoothing * buckets
 
     llr = (p_hist.join(q_hist, "__bkt__", "full_outer")

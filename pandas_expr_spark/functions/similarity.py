@@ -297,7 +297,12 @@ def knn_join(queries: SparkDF, corpus: SparkDF, k: int = 10,
                       F.col(vec_col).alias("__cv__"))
     if method == "exact":
         if max_pairs is not None:
-            npairs = q.count() * c.count()
+            # ONE guard job, not two (optimization r8): both 1-row counts
+            # cross-join into a single collected row
+            row = (q.agg(F.count(F.lit(1)).alias("__nq__"))
+                   .crossJoin(c.agg(F.count(F.lit(1)).alias("__nc__")))
+                   .collect()[0])
+            npairs = int(row["__nq__"]) * int(row["__nc__"])
             if npairs > max_pairs:
                 raise ValueError(
                     f"knn_join: {npairs} query×corpus pairs exceeds the "

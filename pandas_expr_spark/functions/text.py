@@ -300,18 +300,27 @@ def unigram_logprob(docs: SparkDF, text_col: str = "text",
     toks = docs.select(F.col(id_col),
                        F.explode(word_tokens(text_col)).alias("__t__"))
     vocab = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
-    totals = vocab.agg(
-        F.sum("__c__").alias("__N__"),
-        F.count(F.lit(1)).alias("__V__")).collect()[0]
-    n_total, v_size = totals["__N__"], totals["__V__"]
-    denom = float(n_total) + smoothing * (v_size + 1)
-    probs = vocab.select(
-        "__t__", ((F.col("__c__") + F.lit(smoothing)) / F.lit(denom))
-        .alias("__p__"))
-    floor = smoothing / denom
+    # Corpus totals stay IN the plan as a 1-row broadcast (optimization
+    # r8) instead of a driver collect: the old shape paid a separate
+    # Spark job — a full extra tokenize+agg corpus pass — to fetch
+    # (N, V) before the scoring plan could be built.  The smoothing
+    # denominator is the same two IEEE ops (one multiply, one add) on
+    # the same exact inputs, so probabilities are bit-identical;
+    # Catalyst reuses the vocab aggregation's exchange between the
+    # totals branch and the probs branch.
+    stats = vocab.agg(
+        (F.sum("__c__").cast("double")
+         + F.lit(smoothing) * (F.count(F.lit(1)) + F.lit(1)))
+        .alias("__denom__"))
+    probs = (vocab.crossJoin(F.broadcast(stats))
+             .select("__t__",
+                     ((F.col("__c__") + F.lit(smoothing))
+                      / F.col("__denom__")).alias("__p__")))
     scored = (toks.join(probs, "__t__", "left")
-              .withColumn("__lp__", F.log(F.coalesce(F.col("__p__"),
-                                                     F.lit(floor)))))
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__lp__", F.log(F.coalesce(
+                  F.col("__p__"),
+                  F.lit(smoothing) / F.col("__denom__")))))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.avg("__lp__").alias("avg_logprob")))
@@ -334,12 +343,19 @@ def tfidf_terms(docs: SparkDF, text_col: str = "text",
     pairs = docs.select(F.col(id_col),
                         F.explode(word_tokens(text_col)).alias("term"))
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(id_col).distinct().count()
+    # N+1 enters the plan as a 1-row broadcast cross join (optimization
+    # r8) — the old driver-side distinct().count() paid a separate job
+    # (an extra scan + distinct shuffle) before the plan could be built.
+    # Same float64 division on the same exact integer, identical scores.
+    nd = (docs.select(id_col).distinct()
+          .agg((F.count(F.lit(1)) + F.lit(1)).cast("double")
+               .alias("__n1__")))
     df_tbl = (tf.groupBy("term")
               .agg(F.count(F.lit(1)).alias("__df__")))
-    idf = df_tbl.select(
-        "term", (F.log((F.lit(float(n_docs + 1)))
-                       / (F.col("__df__") + 1)) + 1.0).alias("__idf__"))
+    idf = (df_tbl.crossJoin(F.broadcast(nd))
+           .select("term", (F.log(F.col("__n1__")
+                                  / (F.col("__df__") + 1)) + 1.0)
+                   .alias("__idf__")))
     return (tf.join(idf, "term")
             .select(id_col, "term", "tf",
                     (F.col("tf") * F.col("__idf__")).alias("tfidf")))
@@ -361,9 +377,13 @@ def bm25_scores(docs: SparkDF, query_terms: list[str],
     toks = docs.select(F.col(id_col),
                        word_tokens(text_col).alias("__ts__"))
     toks = toks.withColumn("__dl__", F.size("__ts__"))
-    stats = toks.agg(F.count(F.lit(1)).alias("N"),
-                     F.avg("__dl__").alias("avgdl")).collect()[0]
-    n_docs, avgdl = stats["N"], float(stats["avgdl"])
+    # Corpus stats (N, avgdl) stay IN the plan as a 1-row broadcast
+    # (optimization r8) instead of a driver collect — the old shape paid
+    # a separate corpus-pass job before building the scoring plan.  The
+    # per-term/per-doc arithmetic performs the identical IEEE ops on the
+    # identical values, so scores are bit-exact.
+    stats = toks.agg(F.count(F.lit(1)).cast("double").alias("__N__"),
+                     F.avg("__dl__").alias("__avgdl__"))
     qlit = F.array(*[F.lit(t) for t in query_terms])
     pairs = (toks.select(id_col, "__dl__",
                          F.explode(F.array_intersect("__ts__", qlit))
@@ -374,13 +394,15 @@ def bm25_scores(docs: SparkDF, query_terms: list[str],
              .drop("__ts__"))
     dfreq = pairs.groupBy("term").agg(
         F.count(F.lit(1)).alias("__df__"))
-    idf = dfreq.select("term", F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df__") + 0.5)
-        / (F.col("__df__") + 0.5)).alias("__idf__"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("term", "__avgdl__", F.log(
+               F.lit(1.0) + (F.col("__N__") - F.col("__df__") + 0.5)
+               / (F.col("__df__") + 0.5)).alias("__idf__")))
     scored = (pairs.join(F.broadcast(idf), "term")
               .withColumn("__s__", F.col("__idf__") * F.col("tf")
                           * (k1 + 1) / (F.col("tf") + k1 * (
-                              1 - b + b * F.col("__dl__") / avgdl))))
+                              1 - b + b * F.col("__dl__")
+                              / F.col("__avgdl__")))))
     return (scored.groupBy(id_col)
             .agg(F.sum("__s__").alias("bm25"),
                  F.count(F.lit(1)).alias("n_matched")))
@@ -491,16 +513,24 @@ def bigram_logprob(docs: SparkDF, text_col: str = "text",
                      F.col("p.`1`").alias("__b__")))
     uni = (toks.select(F.explode("__w__").alias("__a__"))
            .groupBy("__a__").agg(F.count(F.lit(1)).alias("__c1__")))
-    v_size = uni.count()
     bi = (pairs.groupBy("__a__", "__b__")
           .agg(F.count(F.lit(1)).alias("__c2__")))
     k = float(smoothing)
+    # vocabulary size V enters the plan as a 1-row broadcast cross join
+    # instead of a driver-side uni.count() literal (optimization r8): the
+    # old shape paid a SEPARATE job — a full extra tokenize+agg corpus
+    # pass — before the scoring plan could even be built.  The smoothing
+    # denominator k·(V+1) is the same single double multiply either way,
+    # so scores are bit-identical; Catalyst reuses the uni aggregation's
+    # exchange between the count branch and the join branch.
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V__"))
     scored = (pairs.join(bi, ["__a__", "__b__"], "left")
               .join(uni, "__a__", "left")
+              .crossJoin(F.broadcast(vocab))
               .withColumn("__lp__", F.log(
                   (F.coalesce(F.col("__c2__"), F.lit(0)) + F.lit(k))
                   / (F.coalesce(F.col("__c1__"), F.lit(0))
-                     + F.lit(k * (v_size + 1))))))
+                     + F.lit(k) * (F.col("__V__") + F.lit(1))))))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.avg("__lp__").alias("avg_logprob")))
