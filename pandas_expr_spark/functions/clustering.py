@@ -124,7 +124,8 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
 
     Scale: each iteration = one narrow assignment map + one
     (cluster, dim)-grouped aggregation shuffle of k·dim cells.  The input
-    is MATERIALIZED once up front (eager localCheckpoint): the iterations
+    is MATERIALIZED once up front (localCheckpoint, made effective by the
+    init-sample collect): the iterations
     would otherwise re-execute the upstream plan ``max_iter`` times, and —
     worse — any expression-derived vector column gets inlined into every
     per-centroid ``zip_with``, multiplying its cost k-fold per row
@@ -137,7 +138,11 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
     par = sdf.sparkSession.sparkContext.defaultParallelism
     if sdf.rdd.getNumPartitions() < par:
         sdf = sdf.repartition(par)
-    sdf = sdf.localCheckpoint(eager=True)
+    # LAZY checkpoint (optimization r8): the init-sample collect right
+    # below is the materializing action — a TakeOrdered that computes
+    # every partition — so the input is still cached exactly once before
+    # the iterations, without paying a dedicated materialization job.
+    sdf = sdf.localCheckpoint(eager=False)
     ordered = sdf.orderBy(id_col).select(vec_col)
     sample = np.array([r[0] for r in ordered.limit(sample_size).collect()],
                       dtype=float)

@@ -488,7 +488,10 @@ def fit_logit(sdf: SparkDF, label_col: str, feature_cols: list[str],
                         for i, c in enumerate(feature_cols)])
     if proj.rdd.getNumPartitions() < par:
         proj = proj.repartition(par)
-    proj = proj.localCheckpoint(eager=True)
+    # LAZY checkpoint (optimization r8): the first iteration's gradient
+    # aggregate is the materializing action (a full scan), so the input
+    # is still cached once before the loop — one job saved vs eager.
+    proj = proj.localCheckpoint(eager=False)
     k = len(feature_cols)
     w = [0.0] * k
     b = 0.0
