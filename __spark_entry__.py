@@ -1375,7 +1375,10 @@ def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (docs.select(F.col("doc_id").alias("src"),
                          F.explode(F.array(*out_edges)).alias("e"))
              .select("src", F.col("e.dst").alias("dst")))
-    pr = components.pagerank(edges, iters=3, damping=0.85)
+    # every doc_id is a src and dsts are mod-n, so the node set is
+    # exactly the n docs — pass the count we already paid for instead of
+    # letting pagerank re-derive it with a distinct+count job
+    pr = components.pagerank(edges, iters=3, damping=0.85, n_nodes=n)
     return (pr.select(F.col("node").alias("doc_id"),
                       F.round("rank", 6).alias("pr"))
             .orderBy("doc_id"))
@@ -1397,7 +1400,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, 63), j -> CAST(CASE WHEN j = vec_id % 8 "
         "THEN 10.0 ELSE 0.0 END + 0.1 * sin(CAST(vec_id * 64 + j AS DOUBLE)) "
         "AS DOUBLE))").alias("embedding"))
-    out = clustering.kmeans_assign(planted, k=8, max_iter=5)
+    # LAZY checkpoint (optimization r8): `out` feeds both the canon
+    # broadcast and the main join — without it the final nearest-centroid
+    # assignment map (8 distance HOFs per row) is evaluated twice (plan
+    # showed the duplicated subtree, no ReusedExchange).
+    out = clustering.kmeans_assign(planted, k=8, max_iter=5) \
+        .localCheckpoint(eager=False)
     canon = out.groupBy("cluster").agg(F.min("vec_id").alias("rep"))
     return (out.join(F.broadcast(canon), "cluster")
             .select("vec_id", F.col("rep").alias("cluster_rep"))
@@ -3230,8 +3238,14 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE 0.0 END "
         "+ 0.01 * sin(CAST(vec_id * 64 + j AS DOUBLE)) AS DOUBLE))"
     ).alias("embedding"))
+    # LAZY checkpoint (optimization r8): `kept` is consumed twice (the
+    # canon broadcast side and the main join side); without it the whole
+    # within-cluster pair join + anti join subtree is DUPLICATED in the
+    # plan (verified: 2× SortMergeJoin LeftAnti, no ReusedExchange) —
+    # i.e. the O(Σcᵢ²) SemDeDup core ran twice.  The canon broadcast
+    # build materializes the checkpoint; the main side reads the cache.
     kept = clustering.semantic_dedup(planted, k=8, threshold=0.98,
-                                     max_iter=5)
+                                     max_iter=5).localCheckpoint(eager=False)
     canon = kept.groupBy("cluster").agg(F.min("vec_id").alias("rep"))
     return (kept.join(F.broadcast(canon), "cluster")
             .select("vec_id", F.col("rep").alias("cluster_rep"))
@@ -3417,6 +3431,15 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                            < 900_000)
     train = train.withColumn("n_tokens",
                              tx.token_count("text").cast("long"))
+    # LAZY checkpoint (optimization r8): budget_sample touches its input
+    # three times (histogram, full-bucket branch, boundary branch) — the
+    # plan showed the whole upstream gopher→dedup-window→split→token
+    # pipeline DUPLICATED per branch (2× Window over __fp__, no
+    # ReusedExchange).  Checkpointing the train split materializes that
+    # pipeline once; the branches read the cache.  Same at 100 TB: one
+    # pass + cached reads instead of three full pipeline re-runs.
+    train = train.select("doc_id", "source", "n_tokens") \
+        .localCheckpoint(eager=False)
     kept = curation.budget_sample(train, 500, token_col="n_tokens",
                                   source_col="source", key_col="doc_id")
     f = (F.lit(0.5) + F.lit(0.25)

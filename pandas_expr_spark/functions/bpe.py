@@ -116,9 +116,10 @@ def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
     syms) vocabulary table.  Deterministic: ties broken by
     (count desc, left asc, right asc), independent of partitioning.
 
-    Cost shape (optimization r8): ONE eager job materializes the word
-    histogram, then each merge iteration is exactly ONE Spark job (the
-    TakeOrdered pair-count collect).  Merge folds are chained LAZILY into
+    Cost shape (optimization r8): the word histogram is checkpointed
+    LAZILY (the first iteration's TakeOrdered materializes it), then each
+    merge iteration is exactly ONE Spark job (the TakeOrdered pair-count
+    collect).  Merge folds are chained LAZILY into
     the next iteration's plan instead of eagerly ``localCheckpoint``-ing
     after every merge — the old shape paid a second full job per
     iteration just to materialize the fold.  Every ``checkpoint_every``
@@ -131,8 +132,12 @@ def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
     spark = sdf.sparkSession
     words = with_symbols(
         word_histogram(sdf, text_col, lowercase=lowercase), end_of_word)
+    # LAZY checkpoint (optimization r8): the first iteration's TakeOrdered
+    # pair-count collect computes every partition, so it materializes the
+    # histogram cache exactly once — no dedicated up-front job (same
+    # pattern as kmeans_assign / fit_logit).
     words = words.repartition(
-        spark.sparkContext.defaultParallelism).localCheckpoint()
+        spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
     pending = 0

@@ -181,7 +181,8 @@ def dup_clusters(pairs: SparkDF, id_a: str = "id_a", id_b: str = "id_b",
 
 def pagerank(edges: SparkDF, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             checkpoint_every: int = 4) -> SparkDF:
+             checkpoint_every: int = 4,
+             n_nodes: int | None = None) -> SparkDF:
     """PageRank over an edge list — the classic link-centrality quality
     signal for web-corpus curation (domain/document authority feeds the
     keep/drop decision the same way Gopher rules do; CommonCrawl-scale
@@ -213,7 +214,13 @@ def pagerank(edges: SparkDF, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=False))
-    n_nodes = nodes.count()
+    # optimization r8: callers that already know the node count (e.g.
+    # they just counted the corpus to build the edge list) pass it in
+    # and skip a dedicated distinct+count job — at scale that is a full
+    # edge-list pass; the value MUST equal nodes.count() or rank mass
+    # is misnormalized.
+    if n_nodes is None:
+        n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
     # degree rides on the rank frame so the per-iteration join is ONE
     # ranks⋈edges equi-join, not two

@@ -396,10 +396,19 @@ def dsir_logweights(raw: SparkDF, target: SparkDF | None,
         feats = hashed_ngram_counts(flagged, text_col, id_col, buckets,
                                     bigrams, keep_col="__tgt__")
         feats = feats.localCheckpoint(eager=False)
-        q_hist = feats.groupBy("__bkt__").agg(
-            F.sum("__cnt__").alias("__q__"))
-        p_hist = (feats.filter(F.col("__tgt__"))
-                  .groupBy("__bkt__").agg(F.sum("__cnt__").alias("__p__")))
+        # ONE histogram pass (optimization r8): q (all docs) and p
+        # (target docs) are the same groupBy with a conditional sum —
+        # the old two-aggregate + full-outer-join shape paid a second
+        # pass over `feats` and a tiny SortMergeJoin FullOuter (full
+        # outer can never broadcast) for buckets the single aggregate
+        # already has.  p ⊆ q (target ⊆ raw), so `when(tgt)` sums the
+        # identical int64s and a target-less bucket yields NULL exactly
+        # where the outer join did.
+        hist = (feats.groupBy("__bkt__")
+                .agg(F.sum("__cnt__").alias("__q__"),
+                     F.sum(F.when(F.col("__tgt__"), F.col("__cnt__")))
+                     .alias("__p__"))
+                .localCheckpoint(eager=False))
     else:
         feats = hashed_ngram_counts(raw, text_col, id_col, buckets,
                                     bigrams)
@@ -410,24 +419,27 @@ def dsir_logweights(raw: SparkDF, target: SparkDF | None,
             F.sum("__cnt__").alias("__q__"))
         p_hist = tfeat.groupBy("__bkt__").agg(
             F.sum("__cnt__").alias("__p__"))
-    # ONE driver round trip for both histogram totals (optimization r8):
-    # the two 1-row aggregates share the checkpointed `feats` scan and
-    # cross-join into a single collected row — the old two-collect shape
-    # paid a full extra Spark job (and a second pass over `feats` before
-    # its checkpoint materialized) for the second scalar.
-    totals = (q_hist.agg(F.sum("__q__").alias("__qn__"))
-              .crossJoin(p_hist.agg(F.sum("__p__").alias("__pn__")))
-              .collect()[0])
-    qn = totals["__qn__"] or 0
-    pn = totals["__pn__"] or 0
-    pd_, qd = pn + smoothing * buckets, qn + smoothing * buckets
-
-    llr = (p_hist.join(q_hist, "__bkt__", "full_outer")
+        hist = (p_hist.join(q_hist, "__bkt__", "full_outer")
+                .localCheckpoint(eager=False))
+    # ZERO driver round trips (optimization r8): the histogram totals
+    # enter the plan as a broadcast 1-row cross join instead of a
+    # collect()ed literal — the whole log-weight computation is now one
+    # lazy plan (at toy scale that deletes a dedicated Spark job; at
+    # 100 TB it deletes a driver sync point).  IEEE-identical: the
+    # totals are exact int64 sums (order-independent), and
+    # bigint + double follows the same float64 widening the old
+    # Python-side `pn + smoothing * buckets` literal did.
+    totals = hist.agg(
+        F.coalesce(F.sum("__q__"), F.lit(0)).alias("__qn__"),
+        F.coalesce(F.sum("__p__"), F.lit(0)).alias("__pn__"))
+    sm_b = float(smoothing * buckets)
+    llr = (hist.crossJoin(F.broadcast(totals))
            .select("__bkt__",
                    (F.log((F.coalesce("__p__", F.lit(0)) + smoothing)
-                          / F.lit(float(pd_)))
+                          / (F.col("__pn__") + F.lit(sm_b)))
                     - F.log((F.coalesce("__q__", F.lit(0)) + smoothing)
-                            / F.lit(float(qd)))).alias("__llr__")))
+                            / (F.col("__qn__") + F.lit(sm_b))))
+                   .alias("__llr__")))
     scored = (feats.join(F.broadcast(llr), "__bkt__")
               .groupBy(id_col)
               .agg(F.sum(F.col("__cnt__") * F.col("__llr__"))

@@ -31,7 +31,9 @@ import __spark_entry__ as entrymod
 
 
 def _job_counter(spark) -> int:
-    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+    v = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    # AtomicInteger on some builds, plain int through py4j on others
+    return v.get() if hasattr(v, "get") else int(v)
 
 
 def main() -> None:
