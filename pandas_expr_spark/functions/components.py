@@ -114,16 +114,24 @@ def _local_union_find(rows, spark) -> SparkDF:
 
 def _cc_loop(edges: SparkDF, src: str, dst: str, max_iter: int) -> SparkDF:
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    # lazy checkpoint: the fingerprint aggregate is the materializing
-    # action, so each round costs ONE job instead of two
+    # lazy checkpoint: the first action (bounded probe below, or the
+    # fingerprint aggregate on the big path) materializes it, so each
+    # round costs ONE job instead of two
     e = e.localCheckpoint(eager=False)
-    prev = _fingerprint(e)
-    if prev[0] <= _LOCAL_FINISH_EDGES:
-        rows = [(r["u"], r["v"]) for r in e.collect()]
+    # ONE bounded collect decides small-vs-large AND delivers the edges
+    # (optimization r8): limit(N+1) caps the driver transfer at ~N rows
+    # (a few MB), so when the graph is small — the overwhelmingly common
+    # dedup case — the old fingerprint job + separate collect job fuse
+    # into this single probe.  A large graph pays one cheap truncated
+    # scan, then proceeds distributed exactly as before.
+    head = e.limit(_LOCAL_FINISH_EDGES + 1).collect()
+    if len(head) <= _LOCAL_FINISH_EDGES:
+        rows = [(r["u"], r["v"]) for r in head]
         if not rows:
             return e.select(F.col("u").alias("node"),
                             F.col("u").alias("component"))
         return _local_union_find(rows, edges.sparkSession)
+    prev = _fingerprint(e)
 
     for _ in range(max_iter):
         # ---- large-star: nbrs lists every directed (u, v); attach each
