@@ -573,17 +573,21 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
                   .withColumn(f"__pre{i}__", agg(F.col(col)).over(wpre))
                   .withColumn(f"__suf{i}__", agg(F.col(col)).over(wsuf)))
     start = F.col("__P__") - window + 1 + lead
+    # the start row also answers the min_periods guard: the running
+    # non-null count just BEFORE the window, C(SP-1), equals
+    # C(SP) - nn(SP) (both exact int64 prefix terms) — so the old
+    # second position join (lagged counts at P+window-lead) folds into
+    # this one join (optimization r8: one exchange pair removed per
+    # rolling min/max).  Early rows clamp SP to 1, where
+    # C(1) - nn(1) = 0 reproduces the old coalesce(null, 0).
     suf_at_start = marked.select(
         F.col("__P__").alias("__SP__"),
         F.col("__blk__").alias("__blk_s__"),
+        (F.col("__C__") - F.col(nn)).alias("__Cl__"),
         *[F.col(f"__suf{i}__").alias(f"__suf_s{i}__")
           for i in range(len(fns))])
     j = (marked.withColumn("__SP__", F.greatest(start, F.lit(1)))
          .join(suf_at_start, "__SP__", "left"))
-    # min_periods guard on non-null observations in the window
-    lagc = marked.select((F.col("__P__") + window - lead).alias("__P__"),
-                         F.col("__C__").alias("__Cl__"))
-    j = j.join(lagc, "__P__", "left")
     if lead:
         # forward edge of the centered window: prefix extremes + running
         # count read at row P+lead; truncated-tail rows fall back to the
