@@ -1059,9 +1059,19 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", "text")
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .persist())
-    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16)
-    sh = aug.select(F.col("doc_id"),
-                    tx.word_shingles("text", 3).alias("__sh__"))
+    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16).persist()
+    # optimization r8 (guide §2.3 — shuffle fewer bytes): shingle ONLY
+    # the candidate docs.  The exact-Jaccard verify inner-joins on
+    # id_a/id_b anyway, so a left-semi prune of the corpus first is a
+    # result identity — but it cuts the shingle projection and its join
+    # input from corpus-sized to candidate-sized (the dedup_against
+    # pattern); at 100 TB the shingle arrays of non-candidate docs never
+    # exist, let alone shuffle.
+    ids = (cand.select(F.col("id_a").alias("doc_id"))
+           .union(cand.select(F.col("id_b").alias("doc_id"))))
+    sh = (aug.join(ids, "doc_id", "left_semi")
+          .select(F.col("doc_id"),
+                  tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),
                   F.col("__sh__").alias("__sa__"))
     b = sh.select(F.col("doc_id").alias("id_b"),
@@ -1338,9 +1348,19 @@ def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", "text")
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .persist())
-    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16)
-    sh = aug.select(F.col("doc_id"),
-                    tx.word_shingles("text", 3).alias("__sh__"))
+    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16).persist()
+    # optimization r8 (guide §2.3 — shuffle fewer bytes): shingle ONLY
+    # the candidate docs.  The exact-Jaccard verify inner-joins on
+    # id_a/id_b anyway, so a left-semi prune of the corpus first is a
+    # result identity — but it cuts the shingle projection and its join
+    # input from corpus-sized to candidate-sized (the dedup_against
+    # pattern); at 100 TB the shingle arrays of non-candidate docs never
+    # exist, let alone shuffle.
+    ids = (cand.select(F.col("id_a").alias("doc_id"))
+           .union(cand.select(F.col("id_b").alias("doc_id"))))
+    sh = (aug.join(ids, "doc_id", "left_semi")
+          .select(F.col("doc_id"),
+                  tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),
                   F.col("__sh__").alias("__sa__"))
     b = sh.select(F.col("doc_id").alias("id_b"),

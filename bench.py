@@ -172,6 +172,15 @@ EXPECTED_REGRESSIONS = {
         "(max-min)/freq date spine + one post-agg-sized join even when "
         "no bin is empty. ~0.40s -> ~0.57s at sf0.1; spine is bounded by "
         "the bucket count, never corpus-sized"),
+    # optimization r8: candidate-pruned exact-Jaccard verify (guide
+    # §2.3) — the left-semi prune adds one fixed-overhead stage at toy
+    # scale but shrinks the shingle projection + verify-join input from
+    # corpus-sized to candidate-sized at 100 TB.  Isolated min-of-N:
+    # 5 -> 6 jobs, ~+0.3 s at sf0.1.
+    "minhash_verified_dups": (
+        "r8 candidate-pruned verify: shingles are computed only for LSH "
+        "candidate docs (left-semi prune), one extra stage at toy scale; "
+        "at scale the corpus-sized shingle shuffle disappears"),
 }
 
 
