@@ -201,8 +201,15 @@ def minhash_lsh_dedup(sdf: SparkDF, text_col: str = "text",
     ``array_intersect``/``array_union`` JVM-side.
     """
     pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
-                              shingle_n, seed)
-    sh = sdf.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
+                              shingle_n, seed).persist()
+    # optimization r8 (guide §2.3): shingle only candidate docs — the
+    # inner verify joins below cannot keep anything else (result
+    # identity), and the corpus-sized shingle projection disappears.
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .union(pairs.select(F.col("id_b").alias(id_col))))
+    sh = (sdf.join(ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  word_shingles(text_col, shingle_n).alias("__sh__")))
     verified = (pairs
                 .join(sh.select(F.col(id_col).alias("id_a"),
                                 F.col("__sh__").alias("__sh_a__")), "id_a")
@@ -274,8 +281,15 @@ def edit_distance_pairs(sdf: SparkDF, text_col: str = "text",
     quadratic stage.
     """
     pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
-                              shingle_n, seed)
-    t = sdf.select(F.col(id_col), F.col(text_col))
+                              shingle_n, seed).persist()
+    # optimization r8 (guide §2.3): only candidate docs can survive the
+    # inner joins below, so left-semi prune the text table first — the
+    # verify join's text input becomes candidate-sized instead of
+    # corpus-sized (result identity; the semi join dedupes the id list).
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .union(pairs.select(F.col("id_b").alias(id_col))))
+    t = (sdf.join(ids, id_col, "left_semi")
+         .select(F.col(id_col), F.col(text_col)))
     a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
     b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
     return (pairs.join(a, "id_a").join(b, "id_b")
