@@ -57,8 +57,8 @@ _IDENTITY = {"sum": 0.0, "prod": 1.0}
 def _ranged(sdf: SparkDF, order_by: list[str],
             num_partitions: int | None,
             descending: list[bool] | None = None) -> SparkDF:
-    """Range-partition + locally sort, then MATERIALIZE (eager
-    localCheckpoint) before returning.
+    """Range-partition + locally sort, then CHECKPOINT (localCheckpoint)
+    before returning.
 
     Every scan-family op consumes the ranged table from TWO plan branches
     (per-row pass + per-partition offsets/totals).  Exchange reuse is not
@@ -66,10 +66,18 @@ def _ranged(sdf: SparkDF, order_by: list[str],
     only *usually* deterministic across re-executions — padding the input
     scan with empty slices was observed to diverge the two executions'
     boundaries, silently corrupting global positions (duplicate __P__,
-    fan-out joins).  Materializing once makes both branches read the same
-    blocks, whatever the upstream partitioning does.  Cost: one extra
-    write/read of the ranged data — the price of a correct distributed
-    ordering primitive, not avoidable by sampling luck at 100 TB."""
+    fan-out joins).  The checkpoint pins ONE physical RDD that both
+    branches read, whatever the upstream partitioning does.
+
+    The checkpoint is LAZY (eager=False, optimization r8): correctness
+    needs one shared RDD, not a dedicated materialization job — the range
+    shuffle still executes here (AQE materializes the exchange when the
+    plan is pinned), and the first consuming action computes + caches the
+    partitions once; concurrent branches of that action are serialized
+    per-partition by block-manager locks on the SAME lineage, so the
+    boundary-divergence class above cannot recur.  Saves the eager
+    count() pass per scan op (measured −1 job; the blocks are written by
+    the first consumer instead of a standalone job)."""
     n = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
     desc = descending or [False] * len(order_by)
     keys = [F.col(c).desc() if d else F.col(c).asc()
@@ -77,7 +85,7 @@ def _ranged(sdf: SparkDF, order_by: list[str],
     part = (sdf.repartitionByRange(n, *keys)
             .sortWithinPartitions(*keys)
             .withColumn(_PID, F.spark_partition_id()))
-    return part.localCheckpoint(eager=True)
+    return part.localCheckpoint(eager=False)
 
 
 def _out_type(dt: T.DataType, op: str) -> T.DataType:
