@@ -1067,9 +1067,9 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input from corpus-sized to candidate-sized (the dedup_against
     # pattern); at 100 TB the shingle arrays of non-candidate docs never
     # exist, let alone shuffle.
-    ids = (cand.select(F.col("id_a").alias("doc_id"))
-           .union(cand.select(F.col("id_b").alias("doc_id"))))
-    sh = (aug.join(ids, "doc_id", "left_semi")
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    sh = (aug.join(F.broadcast(ids), "doc_id", "left_semi")
           .select(F.col("doc_id"),
                   tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),
@@ -1356,9 +1356,9 @@ def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input from corpus-sized to candidate-sized (the dedup_against
     # pattern); at 100 TB the shingle arrays of non-candidate docs never
     # exist, let alone shuffle.
-    ids = (cand.select(F.col("id_a").alias("doc_id"))
-           .union(cand.select(F.col("id_b").alias("doc_id"))))
-    sh = (aug.join(ids, "doc_id", "left_semi")
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    sh = (aug.join(F.broadcast(ids), "doc_id", "left_semi")
           .select(F.col("doc_id"),
                   tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),

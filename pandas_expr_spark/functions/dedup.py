@@ -205,9 +205,9 @@ def minhash_lsh_dedup(sdf: SparkDF, text_col: str = "text",
     # optimization r8 (guide §2.3): shingle only candidate docs — the
     # inner verify joins below cannot keep anything else (result
     # identity), and the corpus-sized shingle projection disappears.
-    ids = (pairs.select(F.col("id_a").alias(id_col))
-           .union(pairs.select(F.col("id_b").alias(id_col))))
-    sh = (sdf.join(ids, id_col, "left_semi")
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
+    sh = (sdf.join(F.broadcast(ids), id_col, "left_semi")
           .select(F.col(id_col),
                   word_shingles(text_col, shingle_n).alias("__sh__")))
     verified = (pairs
@@ -286,9 +286,9 @@ def edit_distance_pairs(sdf: SparkDF, text_col: str = "text",
     # inner joins below, so left-semi prune the text table first — the
     # verify join's text input becomes candidate-sized instead of
     # corpus-sized (result identity; the semi join dedupes the id list).
-    ids = (pairs.select(F.col("id_a").alias(id_col))
-           .union(pairs.select(F.col("id_b").alias(id_col))))
-    t = (sdf.join(ids, id_col, "left_semi")
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
+    t = (sdf.join(F.broadcast(ids), id_col, "left_semi")
          .select(F.col(id_col), F.col(text_col)))
     a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
     b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
@@ -478,12 +478,14 @@ def dedup_against(corpus: SparkDF, batch: SparkDF, text_col: str = "text",
             .join(bucketed(corpus, "corpus_id"), ["band", "bucket"])
             .select("batch_id", "corpus_id").distinct())
     cand = cand.persist()
-    b_sh = (batch.join(cand.select(F.col("batch_id").alias(id_col)),
+    b_sh = (batch.join(F.broadcast(
+                           cand.select(F.col("batch_id").alias(id_col))),
                        id_col, "left_semi")
             .repartition(npart, id_col)
             .select(F.col(id_col).alias("batch_id"),
                     word_shingles(text_col, shingle_n).alias("__shb__")))
-    c_sh = (corpus.join(cand.select(F.col("corpus_id").alias(id_col)),
+    c_sh = (corpus.join(F.broadcast(
+                            cand.select(F.col("corpus_id").alias(id_col))),
                         id_col, "left_semi")
             .repartition(npart, id_col)
             .select(F.col(id_col).alias("corpus_id"),
