@@ -173,11 +173,10 @@ EXPECTED_REGRESSIONS = {
         "no bin is empty. ~0.40s -> ~0.57s at sf0.1; spine is bounded by "
         "the bucket count, never corpus-sized"),
     # optimization r8: candidate-pruned exact-Jaccard verify (guide
-    # §2.3) — the left-semi prune adds one stage (5 -> 6 jobs) but
-    # same-ambient A/B shows it FASTER even at sf0.1 (best-of-runs
-    # 3.4 -> 2.1 s under load; the corpus-wide shingle computation was
-    # the dominant cost).  Entry kept as a safety contract in case the
-    # extra stage ever dominates on a quiet host.
+    # §2.3) — the left-semi prune adds one stage (5 -> 6 jobs); with the
+    # prune's id list broadcast (session 3) the quiet-host min-of-3 is
+    # 1.24 s vs 1.70 s for the unpruned shape.  Entry kept as a safety
+    # contract in case the extra stage ever dominates on a quiet host.
     "minhash_verified_dups": (
         "r8 candidate-pruned verify: shingles are computed only for LSH "
         "candidate docs (left-semi prune), one extra stage at toy scale; "
