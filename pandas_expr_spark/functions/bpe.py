@@ -143,7 +143,10 @@ def learn_bpe(sdf: SparkDF, text_col: str = "text", n_merges: int = 10,
     pending = 0
     for _ in range(n_merges):
         if pending >= checkpoint_every:
-            words = words.localCheckpoint()
+            # lazy: this iteration's TakeOrdered pair-count collect is the
+            # materializing action — the lineage cut lands without a
+            # dedicated job (same pattern as the up-front checkpoint)
+            words = words.localCheckpoint(eager=False)
             pending = 0
         top = (pair_counts(words)
                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
