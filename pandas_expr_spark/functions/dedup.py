@@ -426,11 +426,18 @@ def decontaminate(docs: SparkDF, eval_docs: SparkDF, text_col: str = "text",
     from .text import word_shingles
 
     # spread the shingle computation cluster-wide even when the source is a
-    # single indivisible parquet row group (same pattern as minhash_lsh_pairs)
+    # single indivisible parquet row group (same pattern as
+    # minhash_lsh_pairs) — but repartition only the NARROW (id, text)
+    # projection the shingle branch needs (guide §2.3, project before the
+    # exchange): the full-width docs branch below never shuffles for this
+    # op (hits joins back by id — broadcast when small, and a shuffle
+    # join would move docs anyway, so this is never worse)
     npart = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(npart, id_col)
-    doc_sh = docs.select(F.col(id_col),
-                         F.explode(word_shingles(text_col, n)).alias("__sh__"))
+    narrow = (docs.select(F.col(id_col), F.col(text_col))
+              .repartition(npart, id_col))
+    doc_sh = narrow.select(F.col(id_col),
+                           F.explode(word_shingles(text_col, n))
+                           .alias("__sh__"))
     ev = (eval_docs.select(F.explode(word_shingles(text_col, n)).alias("__sh__"))
           .distinct())
     if broadcast_eval:
