@@ -73,3 +73,81 @@ def test_rolling_minmax_single_position_join(spark, null_pdf):
         r" \[__(SP|P)__#\d+L?\]", plan)]
     assert len(pos_joins) == 1, f"expected one position join: {pos_joins}"
     assert "__SP__" in pos_joins[0]
+
+
+# ---------------------------------------------------------------- session 3
+
+
+def test_global_pos_lazy_checkpoint_consistent(spark):
+    """s3 pin: `_ranged`'s checkpoint is LAZY — both plan branches (local
+    arange + per-partition offsets) must still read ONE pinned RDD, so the
+    positions are a permutation of 0..n-1 that follows the sort order even
+    when the upstream partitioning is adversarial (round-robin scramble)."""
+    n = 1003
+    pdf = pd.DataFrame({"k": np.random.RandomState(7).permutation(n),
+                        "v": np.arange(n)})
+    sdf = spark.createDataFrame(pdf).repartition(13)  # scrambled input
+    out = scan.global_pos(sdf, ["k"], "pos", num_partitions=7).toPandas()
+    assert sorted(out["pos"]) == list(range(n))
+    ordered = out.sort_values("k")["pos"].to_numpy()
+    assert (ordered == np.arange(n)).all()
+
+
+def test_edit_distance_prune_broadcast_semi(spark):
+    """s3 plan contract: the candidate-id prune must be a BROADCAST semi
+    join (an SMJ here would shuffle-sort the whole corpus text to answer
+    a candidate-sized membership test), and planted exact copies must
+    survive the prune with edit distance 0."""
+    from pandas_expr_spark.functions import dedup
+    words = ["alpha beta gamma delta epsilon zeta eta theta",
+             "one two three four five six seven eight nine",
+             "lorem ipsum dolor sit amet consectetur adipiscing"]
+    rows = [(i, words[i % 3] + f" tail{i}") for i in range(60)]
+    rows += [(1000 + i, words[i % 3] + f" tail{i}") for i in range(5)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.edit_distance_pairs(sdf, max_dist=4, num_perm=32, bands=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    semi = plan.find("LeftSemi")
+    assert semi >= 0, "candidate prune missing"
+    assert "BroadcastHashJoin" in plan[max(0, semi - 80):semi], \
+        plan[max(0, semi - 120):semi + 40]
+    got = {(r.id_a, r.id_b): r.edit_dist for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, 1000 + i)) == 0
+
+
+def test_learn_bpe_periodic_cut_keeps_sequence(spark):
+    """s3 pin: the periodic lineage-cut checkpoint (now lazy) must not
+    change the merge sequence — learning with checkpoint_every=3 (cut
+    fires 3x over 12 merges) equals learning with the cut disabled."""
+    from pandas_expr_spark.functions import bpe
+    texts = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+             for i in range(30)]
+    texts += [(100 + i, "pack my box with five dozen liquor jugs " * 2)
+              for i in range(20)]
+    sdf = spark.createDataFrame(texts, ["doc_id", "text"])
+    m_cut, _ = bpe.learn_bpe(sdf, n_merges=12, checkpoint_every=3)
+    m_ref, _ = bpe.learn_bpe(sdf, n_merges=12, checkpoint_every=100)
+    assert m_cut == m_ref
+    assert len(m_cut) == 12
+
+
+def test_decontaminate_narrow_exchange(spark):
+    """s3 plan contract: decontaminate's compute-spreading repartition
+    must carry only (id, text) — wide payload columns stay out of every
+    hash-partitioning exchange — and the added flags are unchanged."""
+    from pandas_expr_spark.functions import dedup
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared common words here {i}", "x" * 50, i * 1.5)
+         for i in range(40)],
+        ["doc_id", "text", "payload", "score"])
+    ev = spark.createDataFrame([(0, "shared common words")], ["eid", "text"])
+    out = dedup.decontaminate(docs, ev, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(doc_id[^\n]*", plan):
+        assert "payload" not in m.group(0), m.group(0)
+    got = out.toPandas()
+    assert bool(got["contaminated"].all())
+    assert set(got.columns) >= {"doc_id", "text", "payload", "score",
+                                "n_shared_ngrams", "contaminated"}
