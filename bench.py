@@ -181,6 +181,17 @@ EXPECTED_REGRESSIONS = {
         "r8 candidate-pruned verify: shingles are computed only for LSH "
         "candidate docs (left-semi prune), one extra stage at toy scale; "
         "at scale the corpus-sized shingle shuffle disappears"),
+    # optimization r9 (round-8 verdict ask #1): same prune as
+    # minhash_verified_dups — the broadcast-semi candidate prune keeps the
+    # corpus text out of every shuffle but adds ~7 AQE stages, a measured
+    # +10-15% at sf0.1 (quiet-host min-of-3 1.49→1.70 s in r8).  The 10×
+    # scaling run shows e=0.55 sublinear with the prune in; the unpruned
+    # shape attaches full text to the whole corpus twice.
+    "fuzzy_dup_pairs_edit": (
+        "r8 candidate-pruned Levenshtein verify: text attaches only to LSH "
+        "candidate docs (broadcast left-semi prune), extra AQE stages at "
+        "toy scale; at scale the corpus-sized double text shuffle "
+        "disappears"),
 }
 
 
@@ -265,14 +276,27 @@ def main() -> None:
     regressions = []
     expected_regressions = []
     standing_expected = []
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_r02.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    base_path = os.path.join(here, "BENCH_r02.json")
     try:
         with open(base_path) as fh:
             doc = json.load(fh)
         # the driver's BENCH_r*.json wraps the bench line under "parsed"
         base = (doc.get("queries") or
                 doc.get("parsed", {}).get("queries") or {})
+        # optimization r9 (round-8 verdict ask #2): 20 headline queries
+        # postdate BENCH_r02.json and had NO regression baseline — the gate
+        # could not catch a regression in any of them.  Fill the gaps from
+        # the committed post-r8 quiet-host record; r02 stays authoritative
+        # for the original 63.
+        try:
+            with open(os.path.join(here, "BENCH_BASELINE_r08.json")) as fh:
+                r8 = json.load(fh).get("queries") or {}
+            for k, v in r8.items():
+                if base.get(k, -1.0) <= 0 and v > 0:
+                    base[k] = v
+        except Exception:
+            pass  # r8 baseline absent → original r02-only behavior
         suspects = []
         for name, t in timings.items():
             b = base.get(name, -1.0)
@@ -331,6 +355,12 @@ def main() -> None:
     }
     try:
         with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        # r9 (round-8 verdict ask #2): consecutive runs at different core
+        # counts were overwriting each other's per-query map (the 8-cpu
+        # scaling run destroyed the 32-cpu detail in r8) — also write a
+        # per-core-count copy so both survive.
+        with open(detail_path.replace(".json", f"_c{cpus}.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
     except Exception:
         pass  # read-only checkout → stdout line below still carries it
