@@ -176,7 +176,8 @@ def kmeans_assign(sdf: SparkDF, vec_col: str = "embedding",
 
 def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",
                    id_col: str = "vec_id", k: int = 8,
-                   threshold: float = 0.98, max_iter: int = 5) -> SparkDF:
+                   threshold: float = 0.98, max_iter: int = 5,
+                   bands: int | None = None) -> SparkDF:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embeddings, then WITHIN each cluster drop every vector that has a
     lower-id cosine neighbor above ``threshold`` — keeping one canonical
@@ -195,6 +196,20 @@ def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",
     cluster-keyed equi self-join with ``id <`` + JVM dot-product filter,
     one left-anti join back.  No UDFs anywhere.
 
+    ``bands`` (optimization r9, guide §2.5): the pair join's equi key is
+    the cluster id, so ONE mega-cluster lands its entire O(c²) pair work
+    in ONE task — AQE's skew-join splitting cannot help because a single
+    key cannot be split.  Banding fixes it inside the plan: each row
+    gets ``band = pmod(xxhash64(id), bands)``; the probe side explodes
+    to all ``bands`` target bands and the join key becomes
+    (cluster, band), so a cluster's quadratic work spreads over
+    ``bands`` tasks.  The pair SET is unchanged (every (a, b) pair meets
+    exactly once, in b's band) — band choice cannot alter the cosine or
+    the id order, so results are bit-identical.  Default: ceil(available
+    parallelism / k), ≥1 — at toy scale that keeps the explode factor
+    tiny; at 100 TB pick bands ≈ largest-cluster-pairs / target-task-
+    pairs.
+
     Returns the input rows that SURVIVE dedup (with their ``cluster``).
     """
     clustered = kmeans_assign(sdf, vec_col=vec_col, id_col=id_col, k=k,
@@ -210,13 +225,20 @@ def semantic_dedup(sdf: SparkDF, vec_col: str = "embedding",
                                              .otherwise(F.lit(0.0))))
             .localCheckpoint(eager=False))
 
-    a = unit.select(F.col(id_col).alias("__ida__"), "cluster",
-                    F.col("__u__").alias("__ua__"))
-    b = unit.select(F.col(id_col).alias("__idb__"), "cluster",
-                    F.col("__u__").alias("__ub__"))
+    if bands is None:
+        par = sdf.sparkSession.sparkContext.defaultParallelism
+        bands = max(1, -(-par // max(k, 1)))
+    a = (unit.select(F.col(id_col).alias("__ida__"), "cluster",
+                     F.col("__u__").alias("__ua__"))
+         .withColumn("__band__", F.explode(F.sequence(
+             F.lit(0), F.lit(bands - 1)))))
+    b = (unit.select(F.col(id_col).alias("__idb__"), "cluster",
+                     F.col("__u__").alias("__ub__"))
+         .withColumn("__band__", F.pmod(F.xxhash64(F.col("__idb__")),
+                                        F.lit(bands)).cast("int")))
     cos = F.aggregate(F.zip_with("__ua__", "__ub__", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, d: acc + d)
-    dup_ids = (a.join(b, "cluster")
+    dup_ids = (a.join(b, ["cluster", "__band__"])
                .filter(F.col("__ida__") < F.col("__idb__"))
                .filter(cos >= threshold)
                .select(F.col("__idb__").alias(id_col))

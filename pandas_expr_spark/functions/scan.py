@@ -57,35 +57,25 @@ _IDENTITY = {"sum": 0.0, "prod": 1.0}
 def _ranged(sdf: SparkDF, order_by: list[str],
             num_partitions: int | None,
             descending: list[bool] | None = None) -> SparkDF:
-    """Range-partition + locally sort, then CHECKPOINT (localCheckpoint)
-    before returning.
+    """Range-partition + locally sort.
 
-    Every scan-family op consumes the ranged table from TWO plan branches
-    (per-row pass + per-partition offsets/totals).  Exchange reuse is not
-    guaranteed to fire, and `repartitionByRange`'s boundary sampling is
-    only *usually* deterministic across re-executions — padding the input
-    scan with empty slices was observed to diverge the two executions'
-    boundaries, silently corrupting global positions (duplicate __P__,
-    fan-out joins).  The checkpoint pins ONE physical RDD that both
-    branches read, whatever the upstream partitioning does.
-
-    The checkpoint is LAZY (eager=False, optimization r8): correctness
-    needs one shared RDD, not a dedicated materialization job — the range
-    shuffle still executes here (AQE materializes the exchange when the
-    plan is pinned), and the first consuming action computes + caches the
-    partitions once; concurrent branches of that action are serialized
-    per-partition by block-manager locks on the SAME lineage, so the
-    boundary-divergence class above cannot recur.  Saves the eager
-    count() pass per scan op (measured −1 job; the blocks are written by
-    the first consumer instead of a standalone job)."""
+    Since optimization r9 the ranged table has exactly ONE consumer: the
+    fused local+summary ``mapInPandas`` pass of each scan op (the
+    per-partition summary rides out of the same pass as marker rows, see
+    ``_split_scanned``) — so no checkpoint is needed HERE.  The op's
+    *output* is checkpointed instead: that is the point the plan forks
+    into the summary-collect and per-row branches, and pinning one
+    physical RDD there is what keeps ``repartitionByRange``'s boundary
+    sampling (only *usually* deterministic across re-executions; empty
+    input slices were observed to diverge two executions' boundaries,
+    silently corrupting global positions) from ever running twice."""
     n = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
     desc = descending or [False] * len(order_by)
     keys = [F.col(c).desc() if d else F.col(c).asc()
             for c, d in zip(order_by, desc)]
-    part = (sdf.repartitionByRange(n, *keys)
+    return (sdf.repartitionByRange(n, *keys)
             .sortWithinPartitions(*keys)
             .withColumn(_PID, F.spark_partition_id()))
-    return part.localCheckpoint(eager=False)
 
 
 def _out_type(dt: T.DataType, op: str) -> T.DataType:
@@ -93,6 +83,54 @@ def _out_type(dt: T.DataType, op: str) -> T.DataType:
             dt, (T.ByteType, T.ShortType, T.IntegerType)):
         return T.LongType()
     return dt
+
+
+_MARK = "__pes_sum__"
+
+
+def _split_scanned(scanned: SparkDF, summary_cols: list[str]):
+    """Pin the fused local+summary ``mapInPandas`` output and split it.
+
+    Optimization r9 (the scan-family job-floor rework): every scan op's
+    local pass emits ONE trailing marker row per partition carrying that
+    partition's summary (totals / last-non-null / row count) in the
+    regular output columns — the old separate summary branch (a second
+    full aggregate pass over the ranged table + its groupBy exchange)
+    is gone; the carry fold below operates on the #partitions marker
+    rows filtered out of the SAME pass.
+
+    The output is ``localCheckpoint``-ed (lazy).  What actually
+    guarantees correctness here (r8-advice docstring fix — the old text
+    credited block-manager locks, which do not serialize across
+    executors):
+
+    * ONE pinned physical RDD means ``repartitionByRange``'s boundary
+      sampling and the range shuffle run exactly once — the divergence
+      class where two executions sampled different boundaries (duplicate
+      positions, fan-out joins) cannot recur regardless of which branch
+      materializes first (AQE may build the carry broadcast and the
+      per-row branch's first map stage CONCURRENTLY).
+    * summary/data consistency no longer depends on scheduling at all:
+      the marker row is computed IN THE SAME TASK as its partition's
+      data rows, and every summary value is a multiset aggregate
+      (total / last-non-null / row count), invariant under the one
+      remaining nondeterminism — tie order among equal sort keys if a
+      partition were ever recomputed on another executor.
+    * multiple consumers of one scan op's OUTPUT (rolling's lag/fwd
+      branches) additionally rely on each cached partition being
+      computed once so that positions among tied sort keys agree across
+      branches; the local-mode block manager serializes that
+      (getOrCompute), the same contract the pre-r9 checkpoint+persist
+      design relied on.  A cluster deployment would write the scanned
+      table to a real checkpoint dir instead.
+
+    Returns ``(data, summ)`` — the per-row branch (marker dropped) and
+    the narrow #partitions-row summary table.
+    """
+    scanned = scanned.localCheckpoint(eager=False)
+    summ = scanned.filter(F.col(_MARK)).select(_PID, *summary_cols)
+    data = scanned.filter(~F.col(_MARK)).drop(_MARK)
+    return data, summ
 
 
 def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
@@ -122,10 +160,12 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
               for f in part.schema.fields]
     fields += [T.StructField(out, _out_type(src_types[src], op))
                for src, op, out in specs if out != src]
+    fields.append(T.StructField(_MARK, T.BooleanType(), False))
     local_schema = T.StructType(fields)
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carries: dict[str, float | None] = {out: None for _, _, out in specs}
+        last: pd.DataFrame | None = None
         for pdf in batches:
             pdf = pdf.copy()
             for src, op, out in specs:
@@ -144,21 +184,34 @@ def prefix_scan(sdf: SparkDF, specs: list[tuple[str, str, str]],
                 if len(valid):
                     carries[out] = valid.iloc[-1]
                 pdf[out] = acc
+            pdf[_MARK] = False
+            if len(pdf):
+                last = pdf.iloc[[-1]].copy()
             yield pdf
+        # trailing marker row: this partition's totals — the running
+        # accumulation at partition end IS the per-partition aggregate
+        # (same sequential fold the old JVM summary branch computed), so
+        # the summary needs no second pass over the ranged table
+        if last is not None:
+            for _, _, out in specs:
+                last[out] = carries[out]
+            last[_MARK] = True
+            yield last
 
     scanned = part.mapInPandas(_local, local_schema)
+    data, summ = _split_scanned(scanned, [out for _, _, out in specs])
 
-    # one row per partition: JVM aggregate of the SOURCE column (the range
-    # exchange is shared with the mapInPandas branch via ReuseExchange)
-    summ = part.groupBy(_PID).agg(*[
-        _OPS[op][0](F.col(src)).alias(out) for src, op, out in specs])
+    # exclusive prefix fold of the per-partition totals over the
+    # #partitions-row marker table (same Window aggregate as before the
+    # r9 fold — only its input changed from a second aggregate pass to
+    # the marker rows, which carry the identical sequential totals)
     w = (Window.orderBy(_PID)
          .rowsBetween(Window.unboundedPreceding, -1))
     carries = summ.select(F.col(_PID), *[
         _OPS[op][0](F.col(out)).over(w).alias(f"__carry_{out}")
         for _, op, out in specs])
 
-    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    joined = data.join(F.broadcast(carries), _PID, "left")
     patched: dict[str, Column] = {}
     for src, op, out in specs:
         c, carry = F.col(out), F.col(f"__carry_{out}")
@@ -218,6 +271,9 @@ def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
     schema = part.schema
     if limit is not None:
         return _last_scan_limited(part, cols, limit)
+    local_schema = T.StructType(list(schema.fields)
+                                + [T.StructField(_MARK, T.BooleanType(),
+                                                 False)])
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -229,36 +285,25 @@ def last_scan(sdf: SparkDF, cols: list[str], order_by: list[str],
                 ).ffill().iloc[1:].reset_index(drop=True)
             else:
                 pdf[cols] = pdf[cols].ffill()
+            pdf[_MARK] = False
             if len(pdf):
                 carry = pdf.iloc[[-1]]
             yield pdf
+        # marker row: the ffilled last row's value per col IS the
+        # partition's last non-null (null only when the whole partition
+        # is null in that col) — the old separate summary pass folded in
+        if carry is not None:
+            summ = carry.copy()
+            summ[_MARK] = True
+            yield summ
 
-    scanned = part.mapInPandas(_local, schema)
-
-    summ_fields = [schema[_PID]] + [
-        T.StructField(c, schema[c].dataType, True) for c in cols]
-    summ_schema = T.StructType(summ_fields)
-
-    def _summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = None
-        vals: dict = {c: None for c in cols}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pid = pdf[_PID].iloc[0]
-            for c in cols:
-                nn = pdf[c].dropna()
-                if len(nn):
-                    vals[c] = nn.iloc[-1]
-        if pid is not None:
-            yield pd.DataFrame([{_PID: pid, **vals}])
-
-    summ = part.mapInPandas(_summary, summ_schema)
+    scanned = part.mapInPandas(_local, local_schema)
+    data, summ = _split_scanned(scanned, cols)
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     carries = summ.select(F.col(_PID), *[
         F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}")
         for c in cols])
-    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    joined = data.join(F.broadcast(carries), _PID, "left")
     final = [F.coalesce(F.col(f.name), F.col(f"__carry_{f.name}"))
              .alias(f.name) if f.name in cols else F.col(f.name)
              for f in schema.fields if f.name != _PID]
@@ -272,12 +317,16 @@ def _last_scan_limited(part: SparkDF, cols: list[str], limit: int) -> SparkDF:
     patch can compute each row's distance to the carried non-null."""
     schema = part.schema
     loff = "__loff__"
-    local_schema = T.StructType(list(schema.fields)
-                                + [T.StructField(loff, T.LongType())])
+    local_fields = list(schema.fields) + [T.StructField(loff, T.LongType())]
+    for c in cols:  # marker-row summary payload (r9): trailing gap per col
+        local_fields.append(T.StructField(f"__t_{c}__", T.LongType()))
+    local_fields.append(T.StructField(_MARK, T.BooleanType(), False))
+    local_schema = T.StructType(local_fields)
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
         state: dict = {c: (None, None) for c in cols}  # (value, gap)
+        last: pd.DataFrame | None = None
         for pdf in batches:
             pdf = pdf.copy()
             n = len(pdf)
@@ -303,58 +352,46 @@ def _last_scan_limited(part: SparkDF, cols: list[str], limit: int) -> SparkDF:
                             filled.iloc[:k] = val
                         state[c] = (val, gap + n)
                 pdf[c] = filled
+            for c in cols:
+                pdf[f"__t_{c}__"] = 0
+            pdf[_MARK] = False
+            if n:
+                last = pdf.iloc[[-1]].copy()
             yield pdf
+        # marker row: (last RAW non-null value, its trailing gap) per col
+        # plus the partition row count (in __loff__) — the old separate
+        # summary pass folded into this one (r9)
+        if last is not None:
+            for c in cols:
+                val, gap = state[c]
+                last[c] = val
+                last[f"__t_{c}__"] = gap if val is not None else 0
+            last[loff] = seen
+            last[_MARK] = True
+            yield last
 
     scanned = part.mapInPandas(_local, local_schema)
-
-    summ_fields = [schema[_PID], T.StructField("__n__", T.LongType())]
-    for c in cols:
-        summ_fields += [T.StructField(c, schema[c].dataType, True),
-                        T.StructField(f"__t_{c}__", T.LongType())]
-    summ_schema = T.StructType(summ_fields)
-
-    def _summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid, total = None, 0
-        vals: dict = {c: None for c in cols}
-        trail: dict = {c: 0 for c in cols}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pid = pdf[_PID].iloc[0]
-            for c in cols:
-                nn = pdf[c].notna().to_numpy()
-                if nn.any():
-                    last_nn = len(pdf) - 1 - int(nn[::-1].argmax())
-                    vals[c] = pdf[c].iloc[last_nn]
-                    trail[c] = len(pdf) - 1 - last_nn
-                else:
-                    trail[c] += len(pdf)
-            total += len(pdf)
-        if pid is not None:
-            row = {_PID: pid, "__n__": total}
-            for c in cols:
-                row[c] = vals[c]
-                row[f"__t_{c}__"] = trail[c]
-            yield pd.DataFrame([row])
-
-    summ = part.mapInPandas(_summary, summ_schema)
+    data, summ = _split_scanned(
+        scanned, [loff] + cols + [f"__t_{c}__" for c in cols])
+    # exclusive fold over the marker rows: __S__ = rows before this
+    # partition (the marker's __loff__ carries the partition row count);
+    # pack (value, its global position) so the ignorenulls fold carries
+    # a CONSISTENT pair; a fully-null partition contributes no pack row
+    # but its row count still widens every later distance via __S__
     w_ex = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     summ = summ.withColumn(
-        "__S__", F.coalesce(F.sum("__n__").over(w_ex), F.lit(0)))
-    # pack (value, its global position) so the ignorenulls fold carries a
-    # CONSISTENT pair; a fully-null partition contributes no pack row but
-    # its __n__ still widens every later distance via __S__
+        "__S__", F.coalesce(F.sum(loff).over(w_ex), F.lit(0)))
     packs = {c: F.when(
         F.col(c).isNotNull(),
         F.struct(F.col(c).alias("v"),
-                 (F.col("__S__") + F.col("__n__") - F.col(f"__t_{c}__")
+                 (F.col("__S__") + F.col(loff) - F.col(f"__t_{c}__")
                   - 1).alias("g"))) for c in cols}
     summ = summ.withColumns({f"__pack_{c}__": packs[c] for c in cols})
     carries = summ.select(
         F.col(_PID), F.col("__S__"),
         *[F.last(f"__pack_{c}__", ignorenulls=True).over(w_ex)
           .alias(f"__carry_{c}") for c in cols])
-    joined = scanned.join(F.broadcast(carries), _PID, "left")
+    joined = data.join(F.broadcast(carries), _PID, "left")
     final = []
     for f in schema.fields:
         if f.name == _PID:
@@ -379,23 +416,34 @@ def global_pos(sdf: SparkDF, order_by: list[str], name: str = "__pos__",
     API: local ``arange`` per range partition + exclusive prefix of the
     (tiny) per-partition row counts."""
     part = _ranged(sdf, order_by, num_partitions, descending)
-    fields = list(part.schema.fields) + [T.StructField(name, T.LongType())]
+    fields = (list(part.schema.fields)
+              + [T.StructField(name, T.LongType()),
+                 T.StructField(_MARK, T.BooleanType(), False)])
     schema = T.StructType(fields)
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
+        last: pd.DataFrame | None = None
         for pdf in batches:
             pdf = pdf.copy()
             pdf[name] = np.arange(seen, seen + len(pdf), dtype="int64")
+            pdf[_MARK] = False
             seen += len(pdf)
+            if len(pdf):
+                last = pdf.iloc[[-1]].copy()
             yield pdf
+        if last is not None:  # marker row: partition row count rides in
+            last[name] = seen  # the position column (r9 summary fold)
+            last[_MARK] = True
+            yield last
 
     local = part.mapInPandas(_local, schema)
-    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    data, summ = _split_scanned(local, [name])
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        F.col(_PID), F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"))
-    out = (local.join(F.broadcast(offsets), _PID, "left")
+    offsets = summ.select(  # marker rows carry the partition row counts
+        F.col(_PID),
+        F.coalesce(F.sum(name).over(w), F.lit(0)).alias("__off"))
+    out = (data.join(F.broadcast(offsets), _PID, "left")
            .withColumn(name, F.col(name) + F.col("__off"))
            .drop(_PID, "__off"))
     return out
@@ -453,9 +501,11 @@ def rolling_agg(sdf: SparkDF, col: str, order_by: list[str], window: int,
         base = base.withColumn("__z2__", F.col(zeroed) * F.col(zeroed))
         specs.append(("__z2__", "sum", "__S2__"))
     # the prefix sum of ones IS the (1-based) global position — all
-    # scans share one range shuffle
-    scanned = prefix_scan(base, specs, order_by, num_partitions)
-    pos = scanned.persist()
+    # scans share one range shuffle.  No persist: prefix_scan's output is
+    # checkpoint-backed (r9), so every branch below reads the pinned
+    # blocks plus a cheap local-broadcast join — persisting it again
+    # would double-cache the table
+    pos = prefix_scan(base, specs, order_by, num_partitions)
     lag_cols = [(F.col("__P__") + window - lead).alias("__P__"),
                 F.col("__S__").alias("__Sl__"),
                 F.col("__C__").alias("__Cl__")]
@@ -569,7 +619,7 @@ def rolling_minmax(sdf: SparkDF, col: str, order_by: list[str], window: int,
                                  ("__one__", "sum", "__P__")],
                           order_by, num_partitions)
     blk = F.floor((F.col("__P__") - 1) / window)
-    pos = scanned.withColumn("__blk__", blk).persist()
+    pos = scanned.withColumn("__blk__", blk)  # checkpoint-backed (r9)
     wpre = (Window.partitionBy("__blk__").orderBy(F.col("__P__").asc())
             .rowsBetween(Window.unboundedPreceding, 0))
     wsuf = (Window.partitionBy("__blk__").orderBy(F.col("__P__").desc())
@@ -797,8 +847,7 @@ def rolling_agg_frame(sdf: SparkDF, cols: list[str], order_by: list[str],
             base = base.withColumn(f"__z2_{c}__",
                                    F.col(f"__z_{c}__") * F.col(f"__z_{c}__"))
             specs.append((f"__z2_{c}__", "sum", f"__S2_{c}__"))
-    scanned = prefix_scan(base, specs, order_by, num_partitions)
-    pos = scanned.persist()
+    pos = prefix_scan(base, specs, order_by, num_partitions)  # ckpt-backed
 
     sc_cols = [f"__S_{c}__" for c in cols] + [f"__C_{c}__" for c in cols] \
         + ([f"__S2_{c}__" for c in cols] if need_sq else [])
