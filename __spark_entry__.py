@@ -1059,7 +1059,8 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", "text")
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .persist())
-    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16).persist()
+    dedup._PERSISTED.append(aug)  # release_caches() discipline (r9)
+    cand = dedup._persist(dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16))
     # optimization r8 (guide §2.3 — shuffle fewer bytes): shingle ONLY
     # the candidate docs.  The exact-Jaccard verify inner-joins on
     # id_a/id_b anyway, so a left-semi prune of the corpus first is a
@@ -1069,7 +1070,7 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exist, let alone shuffle.
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id"))
-    sh = (aug.join(F.broadcast(ids), "doc_id", "left_semi")
+    sh = (aug.join(dedup._maybe_broadcast(ids), "doc_id", "left_semi")
           .select(F.col("doc_id"),
                   tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),
@@ -1348,7 +1349,8 @@ def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", "text")
            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
            .persist())
-    cand = dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16).persist()
+    dedup._PERSISTED.append(aug)  # release_caches() discipline (r9)
+    cand = dedup._persist(dedup.minhash_lsh_pairs(aug, num_perm=64, bands=16))
     # optimization r8 (guide §2.3 — shuffle fewer bytes): shingle ONLY
     # the candidate docs.  The exact-Jaccard verify inner-joins on
     # id_a/id_b anyway, so a left-semi prune of the corpus first is a
@@ -1358,7 +1360,7 @@ def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exist, let alone shuffle.
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id"))
-    sh = (aug.join(F.broadcast(ids), "doc_id", "left_semi")
+    sh = (aug.join(dedup._maybe_broadcast(ids), "doc_id", "left_semi")
           .select(F.col("doc_id"),
                   tx.word_shingles("text", 3).alias("__sh__")))
     a = sh.select(F.col("doc_id").alias("id_a"),

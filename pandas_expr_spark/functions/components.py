@@ -131,7 +131,13 @@ def _cc_loop(edges: SparkDF, src: str, dst: str, max_iter: int) -> SparkDF:
             return e.select(F.col("u").alias("node"),
                             F.col("u").alias("component"))
         return _local_union_find(rows, edges.sparkSession)
-    prev = _fingerprint(e)
+    # large-graph path (r9, verdict ask #7): skip the up-front
+    # fingerprint — the truncated probe already materialized the
+    # checkpoint, and star rounds on a >cap graph essentially never
+    # converge in zero rounds.  `prev=None` just means round 1 cannot
+    # early-exit; an already-fixed-point input pays one extra (idempotent)
+    # round instead of every input paying a full fingerprint pass.
+    prev: tuple[int, int] | None = None
 
     for _ in range(max_iter):
         # ---- large-star: nbrs lists every directed (u, v); attach each

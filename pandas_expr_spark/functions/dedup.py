@@ -28,11 +28,62 @@ from .text import fingerprint, word_shingles
 
 __all__ = ["duplicate_window_stats", "exact_dedup", "exact_dup_groups", "minhash_signature",
            "minhash_lsh_pairs", "minhash_lsh_dedup", "ngram_jaccard_pairs",
-           "simhash", "simhash_pairs", "embedding_near_dup_pairs"]
+           "simhash", "simhash_pairs", "embedding_near_dup_pairs",
+           "release_caches"]
 
 # 2^31-1: keeps a·h + b < 2^62 so the universal-hash arithmetic never
 # overflows int64 (Spark ANSI mode would raise on overflow)
 _MERSENNE = (1 << 31) - 1
+
+# Conf key gating the candidate-id broadcast hints (r8 advice): the
+# left-semi prunes below hint F.broadcast on the candidate-id list, which
+# keeps the corpus text out of EVERY shuffle (the un-hinted plan
+# shuffle-sorts the corpus to answer a candidate-sized membership test —
+# measured 1.5x slower, and AQE's runtime conversion still pays the
+# corpus-side shuffle write).  The id list is bounded by LSH candidate
+# volume, which is the documented small side — but it is data-dependent
+# (bucket skew on boilerplate-heavy corpora can blow it up), and a forced
+# broadcast past Spark's 8 GB / 512M-row relation cap FAILS the job
+# instead of degrading.  Deployments in that regime set this conf to
+# "false" to fall back to the planner's choice; the prune itself (the
+# main win) is unconditional.
+_BCAST_CONF = "spark.pandas_expr.dedup.broadcastCandidateIds"
+
+# Strong references to every pair/signature table persisted by this
+# module (and the entry-level dedup queries), so long-lived sessions can
+# reclaim the block-manager space between batches (r8 verdict ask #8).
+# Registering costs nothing per query; a bench/oracle process simply
+# exits, a resident service calls release_caches() between corpus
+# batches.
+_PERSISTED: list = []
+
+
+def _persist(df: SparkDF) -> SparkDF:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every pair/signature table this module has cached;
+    returns how many were released.  No effect on results — only on
+    block-manager residency (already-computed queries keep their output,
+    re-executions recompute the prune inputs)."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
+
+
+def _maybe_broadcast(df: SparkDF):
+    if str(df.sparkSession.conf.get(_BCAST_CONF, "true")).lower() == "true":
+        return F.broadcast(df)
+    return df
 
 
 def exact_dup_groups(sdf: SparkDF, text_col: str = "text",
@@ -181,7 +232,7 @@ def minhash_lsh_pairs(sdf: SparkDF, text_col: str = "text",
     # Both sides of the self-join read bb; persist the (id, band, bucket)
     # table — tiny (bands rows/doc) even at 100 TB corpus scale — so the
     # signature scan runs once, not twice.
-    bb = bb.persist()
+    bb = _persist(bb)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -201,13 +252,14 @@ def minhash_lsh_dedup(sdf: SparkDF, text_col: str = "text",
     ``array_intersect``/``array_union`` JVM-side.
     """
     pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
-                              shingle_n, seed).persist()
+                              shingle_n, seed)
+    pairs = _persist(pairs)
     # optimization r8 (guide §2.3): shingle only candidate docs — the
     # inner verify joins below cannot keep anything else (result
     # identity), and the corpus-sized shingle projection disappears.
     ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col))
-    sh = (sdf.join(F.broadcast(ids), id_col, "left_semi")
+    sh = (sdf.join(_maybe_broadcast(ids), id_col, "left_semi")
           .select(F.col(id_col),
                   word_shingles(text_col, shingle_n).alias("__sh__")))
     verified = (pairs
@@ -242,7 +294,8 @@ def ngram_jaccard_pairs(sdf: SparkDF, text_col: str = "text",
     sh = (sdf.repartition(npart, id_col)
           .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__"))
           .withColumn("__n__", F.size("__sh__")))
-    inv = sh.select(id_col, "__n__", F.explode("__sh__").alias("__s__")).persist()
+    inv = _persist(
+        sh.select(id_col, "__n__", F.explode("__sh__").alias("__s__")))
     a = inv.select(F.col(id_col).alias("id_a"), F.col("__n__").alias("n_a"),
                    F.col("__s__"))
     b = inv.select(F.col(id_col).alias("id_b"), F.col("__n__").alias("n_b"),
@@ -281,14 +334,15 @@ def edit_distance_pairs(sdf: SparkDF, text_col: str = "text",
     quadratic stage.
     """
     pairs = minhash_lsh_pairs(sdf, text_col, id_col, num_perm, bands,
-                              shingle_n, seed).persist()
+                              shingle_n, seed)
+    pairs = _persist(pairs)
     # optimization r8 (guide §2.3): only candidate docs can survive the
     # inner joins below, so left-semi prune the text table first — the
     # verify join's text input becomes candidate-sized instead of
     # corpus-sized (result identity; the semi join dedupes the id list).
     ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col))
-    t = (sdf.join(F.broadcast(ids), id_col, "left_semi")
+    t = (sdf.join(_maybe_broadcast(ids), id_col, "left_semi")
          .select(F.col(id_col), F.col(text_col)))
     a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
     b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
@@ -346,7 +400,7 @@ def simhash_pairs(sdf: SparkDF, text_col: str = "text", id_col: str = "doc_id",
               for i in range(4)]
     # 8 downstream references (4 chunks × 2 join sides) — persist so the
     # pandas-UDF signature pass runs once over the corpus, not 8 times.
-    sc = sh.select(id_col, "simhash", *chunks).persist()
+    sc = _persist(sh.select(id_col, "simhash", *chunks))
     pairs = None
     for i in range(4):
         a = sc.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
@@ -390,7 +444,7 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
     # would write the bucketed table out instead)
     sb = sdf.select(F.col(id_col), F.col(vec_col),
                     F.posexplode(F.array(*buckets)).alias("__band__", "__bkt__"))
-    sb = sb.persist()
+    sb = _persist(sb)
     a = sb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a__"),
                   "__band__", "__bkt__")
     b = sb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b__"),
@@ -484,14 +538,14 @@ def dedup_against(corpus: SparkDF, batch: SparkDF, text_col: str = "text",
     cand = (bucketed(batch, "batch_id")
             .join(bucketed(corpus, "corpus_id"), ["band", "bucket"])
             .select("batch_id", "corpus_id").distinct())
-    cand = cand.persist()
-    b_sh = (batch.join(F.broadcast(
+    cand = _persist(cand)
+    b_sh = (batch.join(_maybe_broadcast(
                            cand.select(F.col("batch_id").alias(id_col))),
                        id_col, "left_semi")
             .repartition(npart, id_col)
             .select(F.col(id_col).alias("batch_id"),
                     word_shingles(text_col, shingle_n).alias("__shb__")))
-    c_sh = (corpus.join(F.broadcast(
+    c_sh = (corpus.join(_maybe_broadcast(
                             cand.select(F.col("corpus_id").alias(id_col))),
                         id_col, "left_semi")
             .repartition(npart, id_col)
