@@ -88,6 +88,42 @@ def test_last_scan_dup_keys_empty_slices(spark, dup_sdf):
     assert set(out["v"].dropna()) <= {float(i % 13) for i in range(200)}
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bpe_batched_argmax_matches_reference(spark, seed):
+    """r9 batched pair-count argmax: the accepted-prefix guard must keep
+    the merge sequence byte-identical to the canonical one-at-a-time
+    reference, across random corpora with heavy tie pressure (tiny
+    alphabet -> many shared symbols, many equal counts) and deep merge
+    counts that cross the lineage-cut boundary."""
+    import random
+    from pandas_expr_spark.functions import bpe
+    rng = random.Random(seed)
+    alpha = "abcde"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+             for _ in range(40)]
+    texts = [(i, " ".join(rng.choices(words, k=rng.randint(3, 12))))
+             for i in range(25)]
+    sdf = spark.createDataFrame(texts, ["doc_id", "text"])
+    wf: dict[str, int] = {}
+    for _, t in texts:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    ref = bpe.learn_bpe_py(wf, 20)
+    got, _ = bpe.learn_bpe(sdf, n_merges=20, checkpoint_every=6, batch_k=8)
+    assert got == ref
+
+
+def test_bpe_batch_k1_identical(spark):
+    """batch_k=1 must reproduce the pre-r9 loop exactly."""
+    from pandas_expr_spark.functions import bpe
+    texts = [(i, "low lower lowest newer newest wide widest " * 2)
+             for i in range(10)]
+    sdf = spark.createDataFrame(texts, ["doc_id", "text"])
+    m1, _ = bpe.learn_bpe(sdf, n_merges=10, batch_k=1)
+    m8, _ = bpe.learn_bpe(sdf, n_merges=10, batch_k=8)
+    assert m1 == m8
+
+
 def test_semdedup_banding_pair_set_identical(spark):
     """r9 skew fix: banding the within-cluster pair join must not change
     the survivor set (every pair still meets exactly once, in the
