@@ -453,7 +453,14 @@ def embedding_near_dup_pairs(sdf: SparkDF, vec_col: str = "embedding",
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "__v_a__", "__v_b__"))
     if bands > 1:
-        # a pair can collide in several bands — verify each pair once
+        # a pair can collide in several bands — verify each pair once.
+        # Measured and REJECTED in r9: moving this dedup AFTER the cosine
+        # projection (narrow 3-column exchange instead of two vectors per
+        # pair) re-evaluates the 64-dim cosine per COLLISION instead of
+        # per unique pair — min-of-4 alternating A/B showed +30% at
+        # sf0.1 (1.2-1.3 s → 1.5-1.7 s); multi-band collisions outnumber
+        # unique pairs enough that the extra HOF evaluation costs more
+        # than the wide exchange saves here.
         cand = cand.dropDuplicates(["id_a", "id_b"])
     cos = _cosine(_dot("__v_a__", "__v_b__"), _norm("__v_a__"), _norm("__v_b__"))
     return (cand.withColumn("cosine", cos)

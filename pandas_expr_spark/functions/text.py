@@ -436,11 +436,22 @@ def line_dedup(docs: SparkDF, text_col: str = "text", id_col: str = "doc_id",
     segs = (docs.select(F.col(id_col),
                         F.posexplode(F.split(F.col(text_col), sep, -1))
                         .alias("__pos__", "__seg__")))
-    dfreq = (segs.groupBy("__seg__")
-             .agg(F.count_distinct(F.col(id_col)).alias("__nd__")))
-    keep = ((F.col("__nd__") < F.lit(min_dup_docs))
+    # optimization r9 (guide §2.3/§3.1): only lines duplicated across
+    # ≥ min_dup_docs documents can flip a keep verdict, so the join-back
+    # attaches the FILTERED frequency table (boilerplate lines only —
+    # typically a small fraction of the distinct-line set) with a LEFT
+    # join: a miss means nd < min_dup_docs, i.e. keep.  The small side
+    # broadcasts when it fits (the exploded corpus then never shuffles
+    # for this join); a boilerplate-heavy corpus falls back to a shuffle
+    # join that still moves strictly fewer bytes than the unfiltered
+    # table did.  Result identity: joined rows have nd ≥ min_dup_docs
+    # (keep only if short), missed rows have nd < min_dup_docs (keep).
+    dup = (segs.groupBy("__seg__")
+           .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+           .filter(F.col("__nd__") >= F.lit(min_dup_docs)))
+    keep = (F.col("__nd__").isNull()
             | (F.length("__seg__") < F.lit(min_len)))
-    flagged = (segs.join(dfreq, "__seg__")
+    flagged = (segs.join(dup, "__seg__", "left")
                .select(id_col, "__pos__", "__seg__", keep.alias("__keep__")))
     rows = F.sort_array(F.collect_list(
         F.struct("__pos__", "__seg__", "__keep__")))
