@@ -2360,7 +2360,10 @@ class Series(FrameBase):
         position, one equi-join (no window)."""
         from .functions import scan
         sdf, name, order, idx = self._ordered_base()
-        pos = scan.global_pos(sdf, order).persist()
+        # no persist (r9): global_pos output is checkpoint-backed inside
+        # the scan op; both join sides re-read the pinned blocks plus a
+        # cheap local-broadcast join — persisting again double-caches
+        pos = scan.global_pos(sdf, order)
         shifted = pos.select(
             (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
             F.col(name).alias("__shifted__"),
@@ -6328,7 +6331,7 @@ class DataFrame(FrameBase):
             sdf, order, drop_rowid = _anchor_rowid(self), [_ROWID], True
         cols = [c for c in self.columns
                 if is_numeric(self._sdf.schema[c].dataType)]
-        pos = global_pos(sdf, order).persist()
+        pos = global_pos(sdf, order)  # checkpoint-backed (r9), no persist
         lagged = pos.select(
             (F.col("__pos__") + F.lit(periods)).alias("__pos__"),
             F.lit(1).alias("__src__"),

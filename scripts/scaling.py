@@ -55,6 +55,11 @@ GATES = [
     "doc_incremental_dedup",
     "fuzzy_dup_pairs_edit",
     "streaming_hourly_events",
+    # r9 additions: the scan-family summary fold (orders/events scale)
+    "rolling_minmax_orders",
+    "ffill_global_events",
+    "window_lag_cumsum_orders",
+    "doc_line_dedup",
 ]
 
 UNSCALED = ["region", "nation", "customer", "supplier", "part"]
