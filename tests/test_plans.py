@@ -143,14 +143,13 @@ def test_cumsum_no_global_window(spark):
     df = pes.from_pandas(pd.DataFrame({"k": range(200), "v": range(200)}))
     s = df.set_index("k")["v"].cumsum()
     plan = s._sdf._jdf.queryExecution().executedPlan().toString()
-    # the range exchange now materializes behind _ranged's eager
-    # localCheckpoint (determinism fix), so the visible plan reads from
-    # the checkpointed RDD instead of showing rangepartitioning inline
+    # since r9 the fused local+summary mapInPandas pass is PINNED inside
+    # the scan op's lazy localCheckpoint, so the visible plan reads from
+    # the checkpointed RDD; the carry fold is a Window over the
+    # #partitions marker rows (keyed by the pid column) — never a
+    # WindowExec over the full input, and no second aggregate pass
     assert "rangepartitioning" in plan or "ExistingRDD" in plan, plan
-    # the full-data branch is mapInPandas, not a window
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
-    # any Window node must sit above the per-partition aggregate (tiny
-    # table), i.e. below it there is a HashAggregate on the pid
+    assert "HashAggregate" not in plan, plan  # r9: summary fold, no 2nd pass
     if "Window" in plan:
         win_idx = plan.index("Window")
         assert "__pes_pid__" in plan[win_idx:], plan
