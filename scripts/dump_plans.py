@@ -75,6 +75,11 @@ QUERIES = {
     "value_counts_priority": "value_counts first-appearance ties: label-carrying scan (pure rename anchor) -> partial-agg groupBy; PushedFilters/pruned ReadSchema intact",
     "explode_tokens": "explode keeping labels: generator over the label-anchored scan, no shuffle",
     "trained_quality_scorer": "5-iteration batch-GD: per iteration ONE k+1-cell hash agg (map-side combined) over the checkpointed projection; weights enter as literals",
+    # round-9 additions: the scan-family summary fold + banded SemDeDup
+    "cumsum_running_revenue": "r9 summary fold: carry Window reads the marker rows of the ONE fused pass (no HashAggregate second pass); data branch = pinned RDD + broadcast carry join",
+    "ffill_global_events": "r9 summary fold on last_scan: ffilled last row IS the partition summary; one fused pass, carry fold over #partitions rows",
+    "semdedup_embeddings": "banded within-cluster pair join (cluster, band) behind the checkpoint pin; canon broadcast join visible",
+    "doc_line_dedup": "filtered dup-line frequency table LEFT-joined back (broadcast build); exploded corpus never shuffles for the verdict join",
 }
 
 
@@ -86,7 +91,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
-    out = ["# Physical plans (round 8) — key queries at sf0.001",
+    out = ["# Physical plans (round 9) — key queries at sf0.001",
            "",
            "Generated by `scripts/dump_plans.py`.  What to look for is noted",
            "per query; grep for `PushedFilters`, `ReadSchema`, `BroadcastHashJoin`,",
@@ -102,9 +107,9 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name}\n\n_{note}_\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open("/root/repo/PLANS_r8.md", "w") as f:
+    with open("/root/repo/PLANS_r9.md", "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS_r8.md")
+    print("wrote PLANS_r9.md")
 
 
 if __name__ == "__main__":
